@@ -1,0 +1,319 @@
+package graft
+
+/** DuckDB oracle formulations for every entry in [[Queries.all]].
+  *
+  * Each statement runs over views named after the testdata parquet tables and
+  * must hash-match the Spark result: identical column names, identical value
+  * representations (epoch micros for timestamps, decimal-exact double sums,
+  * MD5 hex hashes — see Queries' parity conventions).
+  */
+object OracleSql {
+
+  /** Normalized non-empty token list of `text`. */
+  private val Toks = """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Word-3-gram distinct shingles from a token list column named `toks`. */
+  private val Shingles3 =
+    """list_distinct([array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)])"""
+
+  private val EnStop = "('the','a','of','and','to','in','is')"
+  private val DummySkSql = "md5(concat_ws('-', '0', '-2208988800000000'))"
+
+  /** Shared SCD2-over-events pipeline (mirrors Scd2.fromHistory semantics). */
+  private val ScdCte = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         md5(coalesce(cast(event_type AS varchar), '')) AS row_hash
+  FROM events
+), dedup AS (
+  SELECT user_id, event_id, ts, event_type, row_hash FROM (
+    SELECT *, lag(row_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+    FROM ev) WHERE ph IS NULL OR ph <> row_hash
+), v AS (
+  SELECT user_id, event_id, ts, event_type, row_hash,
+         row_number() OVER w AS version_no,
+         lead(ts) OVER w AS next_eff
+  FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), f AS (
+  SELECT user_id, event_type, row_hash, version_no,
+         CASE WHEN next_eff IS NULL THEN 'Y' ELSE 'N' END AS is_active,
+         CASE WHEN version_no = 1 THEN TIMESTAMP '1900-01-01' ELSE ts END AS eff,
+         coalesce(next_eff, TIMESTAMP '3001-01-01') AS expiry
+  FROM v
+), dim AS (
+  SELECT md5(concat_ws('-', cast(user_id AS varchar), cast(epoch_us(eff) AS varchar))) AS sk,
+         user_id, event_type, row_hash, version_no::int AS version_no, is_active, eff, expiry
+  FROM f
+)"""
+
+  private val ScdSelect = ScdCte + """
+SELECT sk, user_id, event_type, row_hash, version_no, is_active,
+       epoch_us(eff) AS effective_us, epoch_us(expiry) AS expiry_us
+FROM dim"""
+
+  /** MinHash signature list CTE: doc_id, toks -> sh -> sig (8 hex minima). */
+  private def minhashCte: String = {
+    val sigs = (0 until 8).map(h => s"list_min([md5('$h:' || x) for x in sh]) AS mh$h").mkString(",\n         ")
+    s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+sh AS (SELECT doc_id, $Shingles3 AS sh FROM t WHERE len(toks) >= 3),
+sig AS (
+  SELECT doc_id, sh,
+         $sigs
+  FROM sh)"""
+  }
+
+  val all: Map[String, String] = Map(
+
+    "q01_agg_pushdown" -> """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double) AS sum_base_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
+       cast(sum(cast(l_quantity AS decimal(18,4))) AS double) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_star_join" -> """
+SELECT r_name, n_name,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
+    "q03_staging_envelope" -> """
+SELECT c_custkey AS customer_id, c_name AS name, c_mktsegment AS segment,
+       c_nationkey AS nation_id, 'I' AS op,
+       md5(concat_ws('-', coalesce(cast(c_custkey AS varchar), ''),
+                          coalesce(c_name, ''), coalesce(c_mktsegment, ''))) AS row_hash
+FROM customer""",
+
+    "q04_surrogate_key" -> """
+SELECT c_custkey AS customer_id,
+       md5(concat_ws('-', coalesce(cast(c_custkey AS varchar), ''),
+                          coalesce(c_name, ''),
+                          coalesce(cast(c_nationkey AS varchar), ''))) AS sk,
+       md5(concat_ws('-', coalesce(cast(c_custkey AS varchar), ''), '',
+                          coalesce(c_mktsegment, ''))) AS sk_null_mid
+FROM customer""",
+
+    "q05_dedup_rank" -> """
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1""",
+
+    "q06_semi_join" -> """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+
+    "q07_anti_join" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
+
+    "q08_hwm_filter" -> """
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events WHERE ts > TIMESTAMP '2024-01-20'""",
+
+    "q09_cdc_change_detect" -> """
+SELECT event_id, user_id,
+       CASE WHEN ph IS NULL THEN 'I' ELSE 'U' END AS upd_ind
+FROM (SELECT event_id, user_id, row_hash,
+        lag(row_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+      FROM (SELECT *, md5(coalesce(cast(event_type AS varchar), '')) AS row_hash FROM events))
+WHERE ph IS NULL OR ph <> row_hash""",
+
+    "q10_scd2_history" -> ScdSelect,
+
+    "q11_scd2_incremental" -> ScdSelect,
+
+    "q12_asof_join" -> (ScdCte + """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, dim.sk, dim.version_no
+FROM events e JOIN dim
+  ON e.user_id = dim.user_id AND e.ts >= dim.eff AND e.ts < dim.expiry
+WHERE e.event_type = 'purchase'"""),
+
+    "q13_dummy_fallback" -> s"""
+WITH dim AS (
+  SELECT c_custkey,
+         md5(concat_ws('-', cast(c_custkey AS varchar), '-2208988800000000')) AS sk
+  FROM customer WHERE c_custkey % 2 = 0)
+SELECT o_orderkey, o_custkey, coalesce(d.sk, $DummySkSql) AS sk
+FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+  AND o.o_orderdate >= TIMESTAMP '1900-01-01' AND o.o_orderdate < TIMESTAMP '3001-01-01'""",
+
+    "q14_dim_date" -> """
+SELECT d AS date_day, year(d)::int AS year, quarter(d)::int AS quarter,
+       month(d)::int AS month, monthname(d) AS month_name,
+       day(d)::int AS day_of_month, isodow(d)::int AS day_of_week_iso,
+       dayname(d) AS day_name, dayofyear(d)::int AS day_of_year,
+       weekofyear(d)::int AS week_of_year_iso,
+       date_trunc('month', d)::date AS first_day_of_month,
+       last_day(d) AS last_day_of_month,
+       isodow(d) >= 6 AS is_weekend,
+       (d - INTERVAL 12 MONTH)::date AS prior_year_date,
+       (d + INTERVAL 12 MONTH)::date AS next_year_date,
+       ((year(d) % 4 = 0 AND year(d) % 100 <> 0) OR year(d) % 400 = 0) AS is_leap_year
+FROM (SELECT unnest(generate_series(DATE '2020-01-01', DATE '2035-12-31', INTERVAL 1 DAY))::date AS d)""",
+
+    "q15_missing_dates" -> """
+SELECT d AS missing_date
+FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::date AS d)
+WHERE d NOT IN (SELECT DISTINCT date_trunc('day', o_orderdate)::date FROM orders)""",
+
+    "q16_audit_lifecycle" -> """
+SELECT 'dim_user' AS dimension_name, 'events' AS driver_table,
+       'user_id' AS business_key,
+       (SELECT epoch_us(max(ts)) FROM events) AS hwm_us,
+       true AS is_processed, true AS is_initialized""",
+
+    "q17_incremental_upsert" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+FROM orders""",
+
+    "q18_topn_per_group" -> """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk::int AS rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+WHERE rnk <= 3""",
+
+    "q20_text_stats" -> s"""
+WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks)::bigint AS token_count,
+    length(text)::bigint AS char_count,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum([length(x)::double for x in toks]) / len(toks) END AS awl,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS pr,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN $EnStop))::double / len(toks) END AS swr
+  FROM t)
+SELECT doc_id, token_count, char_count,
+       round(awl, 6) AS avg_word_len, round(pr, 6) AS punct_ratio,
+       round(swr, 6) AS stopword_ratio,
+       round((CASE WHEN token_count BETWEEN 20 AND 2000 THEN 0.4
+                   WHEN token_count >= 5 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN swr >= 0.01 THEN 0.3 ELSE 0.0 END)
+            + CASE WHEN awl BETWEEN 2.5 AND 10.0 THEN 0.3 ELSE 0.0 END, 2) AS quality
+FROM m""",
+
+    "q21_langid" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN $EnStop))::bigint AS en_hits,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein')))::bigint AS de_hits,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','une')))::bigint AS fr_hits,
+    len(list_filter(toks, x -> x IN ('el','los','las','y','es','una','que')))::bigint AS es_hits
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  en_hits, de_hits, fr_hits, es_hits
+FROM s""",
+
+    "q22_exact_dedup" -> """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1""",
+
+    "q23_minhash_sig" -> (minhashCte + """
+SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig"""),
+
+    "q24_lsh_pairs" -> (minhashCte + s"""
+, banded AS (
+${(0 until 4).map(b =>
+      s"  SELECT doc_id, sh, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n")}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh))::double
+           / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05"""),
+
+    "q25_simhash" -> s"""
+WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
+       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+bits AS (SELECT doc_id, b,
+           sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b)
+SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id""",
+
+    "q26_ngram_jaccard" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+sh AS (SELECT doc_id, $Shingles3 AS sh FROM t WHERE len(toks) >= 3),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh))::double
+           / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+  FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.1""",
+
+    "q27_embedding_topk" -> """
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([q.e[i] * c.e[i] for i in generate_series(1, 64)])
+           / (sqrt(list_sum([x * x for x in q.e])) * sqrt(list_sum([x * x for x in c.e]))), 6) AS cosine
+  FROM v q, v c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 5""",
+
+    "q28_embedding_lsh_ann" -> {
+      val bucket = (0 until 4).map { j =>
+        s"""CASE WHEN list_sum([e[i] * (CASE WHEN (('0x' || substr(md5('$j:' || (i - 1)), 1, 8))::BIGINT & 1) = 1
+             THEN 1.0 ELSE -1.0 END) for i in generate_series(1, 64)]) > 0
+           THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"""
+      }.mkString(" + ")
+      s"""
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ($bucket) AS bucket FROM v),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([q.e[i] * c.e[i] for i in generate_series(1, 64)])
+           / (sqrt(list_sum([x * x for x in q.e])) * sqrt(list_sum([x * x for x in c.e]))), 6) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 5"""
+    },
+
+    "q29_embedding_near_dup" -> """
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
+         / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))), 6) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
+    / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))) >= 0.45""")
+}

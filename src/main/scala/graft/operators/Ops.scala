@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational helpers from the reference's macro surface (SURVEY §2.8). */
+object Ops {
+
+  /** C8 gap detection (/root/reference/macros/get_missing_dates.sql:3-23):
+    * a date spine anti-joined against the distinct days present in `dateCol`.
+    * The reference spines the last 7 days from now; this generalizes to an
+    * explicit [start, end] so results are deterministic and testable.
+    * Spine generation is `sequence`+`explode` (no shuffle); the anti-join
+    * broadcasts the spine. */
+  def missingDates(df: DataFrame, dateCol: String, start: Column, end: Column): DataFrame = {
+    val spark = df.sparkSession
+    val spine = spark.range(1)
+      .select(explode(sequence(start.cast("date"), end.cast("date"))).as("missing_date"))
+    val present = df.select(date_trunc("day", col(dateCol)).cast("date").as("d")).distinct()
+    spine.join(present, spine("missing_date") === present("d"), "left_anti")
+  }
+
+  /** P5 ordered dedup: keep the first row per key by `order` (reference
+    * `row_number() ... where rn = 1`, stg_dim_products.sql:152,180). */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the engine's ANN mandate:
+  *  - `bruteForceTopK`: exact cosine top-k via a key-less join. Correctness
+  *    baseline; O(|Q|·|C|) — fine when |Q| is small or as the within-bucket
+  *    kernel below.
+  *  - `lshTopK` (scale path): sign-random-projection LSH — each vector maps
+  *    to a small bucket id from the signs of dot products against
+  *    deterministic Rademacher hyperplanes; the top-k search then joins on
+  *    bucket id, turning the cross product into an equi-join shuffle. Recall
+  *    is tunable via `planes` (fewer planes → bigger buckets → higher recall);
+  *    multi-probe (flipping one sign bit) lifts recall without re-hashing.
+  *
+  * Hyperplanes are derived from MD5 (Rademacher ±1 per (plane, dim)) so both
+  * engines — and any SQL oracle — regenerate bit-identical buckets.
+  * All arithmetic is double-precision built-ins (zip_with/aggregate): no UDFs.
+  */
+object Similarity {
+
+  /** Cast a float embedding to double for stable arithmetic. */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k for each query vector against the corpus (self-match
+    * excluded). Ties broken by candidate id after rounding to 6 dp so results
+    * are deterministic across engines. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** Deterministic Rademacher hyperplanes: sign(plane j, dim i) = +1 if
+    * hash32(j:i) is odd else -1, hash32 = first 8 md5 hex chars. */
+  def planeSigns(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (j, i) =>
+      val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+      md.reset()
+      val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      if ((v & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  /** Bucket id from sign bits: sum over planes j of (dot(v, plane_j) > 0) << j. */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val signs = planeSigns(planes, dims)
+    (0 until planes).map { j =>
+      val plane = array(signs(j).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
+    * bucket, brute-force within the bucket. Approximate — neighbors hashed to
+    * other buckets are missed (recall/planes tradeoff documented above). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 4, dims: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dims))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}
