@@ -227,7 +227,7 @@ SELECT doc_id,
 FROM s""",
 
     "q22_exact_dedup" -> """
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY 1""",
 

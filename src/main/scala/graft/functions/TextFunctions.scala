@@ -16,7 +16,7 @@ object TextFunctions {
 
   /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
   def normalizeText(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9\\s]+", " "))
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]+", " "), "\\s+", " "))
 
   /** Whitespace tokens with empties removed. */
   def tokens(c: Column): Column =

@@ -106,8 +106,10 @@ object Scd2 {
       // historical versions of touched keys are preserved, the rewritten
       // current version is replaced, new versions are appended (SURVEY S4).
       val upsertKeys = cfg.businessKey :+ "version_no"
+      // reselect after the using-column join: left_anti with a key Seq moves
+      // the keys to the front, which would silently reorder the dim schema
       val untouched = existing.join(changed.select(upsertKeys.map(col): _*).distinct(),
-        upsertKeys, "left_anti")
+        upsertKeys, "left_anti").select(existing.columns.map(col): _*)
       untouched.unionByName(changed.select(untouched.columns.map(col): _*))
     }
   }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.audit.AuditControl
+import graft.core.TableIO
+import graft.operators.{DimDate, Ops}
+
+/** TableIO upsert/overwrite atomicity, audit lifecycle, ops helpers, date dim. */
+class CoreSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_test").toString
+
+  test("upsertByKey: first write, key replacement, append") {
+    val path = tmp() + "/t"
+    val v1 = df("k INT, v STRING", Row(Int.box(1), "a"), Row(Int.box(2), "b"))
+    TableIO.upsertByKey(spark, path, v1, Seq("k"))
+    val delta = df("k INT, v STRING", Row(Int.box(2), "B"), Row(Int.box(3), "c"))
+    TableIO.upsertByKey(spark, path, delta, Seq("k"))
+    val got = spark.read.parquet(path).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("overwriteAtomic: self-overwrite (read table, transform, write same path)") {
+    val path = tmp() + "/t"
+    TableIO.overwriteAtomic(df("k INT", Row(Int.box(1)), Row(Int.box(2))), path)
+    val doubled = spark.read.parquet(path).withColumn("k", col("k") * 2)
+    TableIO.overwriteAtomic(doubled, path)
+    assert(spark.read.parquet(path).collect().map(_.getInt(0)).toSet == Set(2, 4))
+  }
+
+  test("audit lifecycle: register idempotently, default info, hwm advance") {
+    val audit = new AuditControl(spark, tmp())
+    assert(!audit.info("dim_x").isInitialized) // absent → epoch default
+    assert(audit.info("dim_x").hwmDate == ts("1900-01-01 00:00:00"))
+    audit.ensureRegistered("dim_x", "orders", "o_orderkey")
+    audit.ensureRegistered("dim_x", "orders", "o_orderkey")
+    assert(audit.table.count() == 1) // idempotent (S9)
+    val hwm = ts("2024-03-01 12:00:00")
+    audit.markProcessed("dim_x", hwm)
+    val i = audit.info("dim_x")
+    assert(i.isProcessed && i.hwmDate == hwm && i.isInitialized)
+  }
+
+  test("processingRange counts days from hwm to target") {
+    val audit = new AuditControl(spark, tmp())
+    audit.ensureRegistered("dim_y", "t", "k")
+    audit.markProcessed("dim_y", ts("2024-03-01 00:00:00"))
+    val r = audit.processingRange("dim_y", java.time.LocalDate.parse("2024-03-04"))
+    assert(r.totalDays == 3 && r.needsProcessing)
+  }
+
+  test("missingDates finds the gaps in a date spine") {
+    val present = df("d DATE",
+      Row(java.sql.Date.valueOf("2024-01-01")), Row(java.sql.Date.valueOf("2024-01-03")))
+    val out = Ops.missingDates(present, "d", lit("2024-01-01"), lit("2024-01-04"))
+    assert(out.collect().map(_.getDate(0).toString).toSet == Set("2024-01-02", "2024-01-04"))
+  }
+
+  test("dedupFirst keeps exactly the first row per key by the given order") {
+    val d = df("k INT, v INT", Row(Int.box(1), Int.box(10)),
+      Row(Int.box(1), Int.box(20)), Row(Int.box(2), Int.box(5)))
+    val out = Ops.dedupFirst(d, Seq("k"), Seq(col("v").desc))
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 20), (2, 5)))
+  }
+
+  test("DimDate: 5844 rows 2020→2035, leap day present, ISO weekday correct") {
+    val dd = DimDate(spark).cache()
+    assert(dd.count() == 5844) // reference cardinality (dim_date.sql:1)
+    assert(dd.filter(col("month") === 2 && col("day_of_month") === 29).count() == 4)
+    // 2024-01-01 was a Monday
+    val r = dd.filter(col("date_day") === lit("2024-01-01").cast("date"))
+      .select("day_of_week_iso", "day_name", "is_leap_year").head
+    assert(r.getInt(0) == 1 && r.getString(1) == "Monday" && r.getBoolean(2))
+    dd.unpersist()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Text analysis, dedup family, and similarity kernels on fixed corpora. */
+class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def docs(rows: (Int, String)*) =
+    df("doc_id INT, text STRING", rows.map { case (i, t) => Row(Int.box(i), t) }: _*)
+
+  test("token/char counts and ratios") {
+    val out = docs((1, "The cat, the hat!"))
+      .select(tokenCount(col("text")).as("n"), charCount(col("text")).as("c"),
+        punctRatio(col("text")).as("p"), stopwordRatio(col("text"), Seq("the")).as("s"))
+      .head
+    assert(out.getLong(0) == 4 && out.getLong(1) == 17)
+    assert(math.abs(out.getDouble(2) - 2.0 / 17) < 1e-12) // ',' and '!'
+    assert(out.getDouble(3) == 0.25) // 'the' once lowercase of 4 tokens... 'The' != 'the'
+  }
+
+  test("langId picks the language with most stopword hits; 'und' when none") {
+    val out = docs(
+      (1, "the cat and the dog is in a house"),
+      (2, "der hund und die katze ist nicht hier"),
+      (3, "zzz qqq www"))
+      .select(col("doc_id"), langId(col("text")).as("l")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "en", 2 -> "de", 3 -> "und"))
+  }
+
+  test("wordShingles: distinct n-grams; short text yields empty") {
+    val out = docs((1, "a b c d"), (2, "a b"))
+      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1).toSet).toMap
+    assert(out(1) == Set("a b c", "b c d") && out(2) == Set.empty)
+  }
+
+  test("exact dedup groups normalized-identical docs, keeps min id") {
+    val out = Dedup.exact(docs(
+      (1, "Hello, World!"), (2, "hello world"), (3, "different")), "doc_id", "text")
+    val groups = out.collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(groups == Set((1, 2L), (3, 1L)))
+  }
+
+  test("minhash LSH finds the near-duplicate pair and skips unrelated docs") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val c = "completely unrelated text about spark window functions and shuffles here"
+    val out = Dedup.minhashLshPairs(docs((1, a), (2, b), (3, c)), "doc_id", "text",
+      shingleWords = 3, k = 8, bands = 4, threshold = 0.3)
+    val pairs = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2)))
+  }
+
+  test("ngram Jaccard pairs only docs sharing a shingle; hot-shingle cap holds") {
+    val out = Dedup.ngramJaccardPairs(docs(
+      (1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")), "doc_id", "text",
+      shingleWords = 3, threshold = 0.1)
+    val pairs = out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 2)))
+  }
+
+  test("simhash: identical texts equal; near-identical texts within 3 bits") {
+    def pop(x: Long) = java.lang.Long.bitCount(x)
+    val sigs = docs(
+      (1, "spark shuffles partition data across executors by key"),
+      (2, "spark shuffles partition data across executors by key"),
+      (3, "spark shuffles partition data across executors by hash"))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sigs(1) == sigs(2))
+    assert(pop(sigs(1) ^ sigs(3)) <= 6) // one token changed of 8
+  }
+
+  test("cosine kernel and brute-force top-k ordering") {
+    val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
+      Row(Int.box(0), Seq(1.0, 0.0)), Row(Int.box(1), Seq(1.0, 0.1)),
+      Row(Int.box(2), Seq(0.0, 1.0)))
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+    val ranked = out.orderBy("rnk").collect().map(_.getInt(1)).toSeq
+    assert(ranked == Seq(1, 2)) // nearest first
+  }
+
+  test("LSH buckets are deterministic and self-similarity search finds exact match") {
+    val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
+      (0 until 8).map(i => Row(Int.box(i),
+        Seq.tabulate(16)(j => math.sin(i * 16 + j).abs))): _*)
+    val out = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3, planes = 2, dims = 16)
+    // every query that shares a bucket with anything gets ranked, rnk starts at 1
+    assert(out.filter(col("rnk") === 1).count() > 0)
+    val again = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3, planes = 2, dims = 16)
+    assert(canon(out) == canon(again)) // deterministic hyperplanes
+  }
+}
