@@ -186,6 +186,43 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
           ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
 WHERE rnk <= 3""",
 
+    "q19_windowed_agg" -> """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,4))) AS double) AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    "q30_repair_lookup" -> """
+SELECT o_orderkey, o_custkey,
+       md5(concat_ws('-', cast(o_custkey AS varchar), '-2208988800000000')) AS sk
+FROM orders""",
+
+    "q31_snapshot" -> """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         md5(coalesce(cast(event_type AS varchar), '')) AS row_hash
+  FROM events
+), dedup AS (
+  SELECT user_id, event_id, ts, event_type, row_hash FROM (
+    SELECT *, lag(row_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+    FROM ev) WHERE ph IS NULL OR ph <> row_hash
+)
+SELECT md5(concat_ws('-', cast(user_id AS varchar), cast(epoch_us(ts) AS varchar))) AS dbt_scd_id,
+       user_id, event_type, row_hash,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us
+FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+
+    "q32_multimodal_decode" -> """
+WITH h AS (
+  SELECT doc_id, octet_length(encode(text))::bigint AS n_bytes,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS v
+  FROM documents)
+SELECT doc_id, 'text/plain' AS media_type, n_bytes,
+       (v % 1920)::int AS width, ((v >> 8) % 1080)::int AS height,
+       CASE v % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+FROM h""",
+
     "q20_text_stats" -> s"""
 WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
 m AS (

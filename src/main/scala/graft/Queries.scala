@@ -141,8 +141,12 @@ object Queries {
   def scd2Incremental(s: SparkSession, d: String): DataFrame = {
     val ev = userEvents(s, d)
     val split = to_timestamp(lit("2024-01-15"))
-    val dim1 = Scd2.fromHistory(ev.filter(col("ts") < split), userScdConfig)
-    Scd2.merge(dim1, ev.filter(col("ts") >= split), userScdConfig).select(scdOutCols: _*)
+    // cache: merge consumes dim1 three times (emptiness probe, current-rows
+    // scan, untouched-keys anti-join) — without this the full first-batch
+    // window recomputes per consumer
+    val dim1 = Scd2.fromHistory(ev.filter(col("ts") < split), userScdConfig).cache()
+    try Scd2.merge(dim1, ev.filter(col("ts") >= split), userScdConfig).select(scdOutCols: _*)
+    finally () // unpersist deferred: the returned plan still references dim1
   }
 
   /** J3 temporal (as-of) join: purchases probe the user dimension version
@@ -213,6 +217,53 @@ object Queries {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
   }
 
+  /** Tumbling-window aggregation (streaming-equivalent batch query; the
+    * Structured Streaming path over the same rows must match — StreamingSpec).
+    * withWatermark is a no-op on a batch Dataset, so this IS the streaming
+    * transformer, run in batch. */
+  def windowedAgg(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.windowedAgg(Tables.events(s, d), "ts", "event_type", "value")
+      .select(micros(col("window_start")).as("window_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** C7/S10 late-arriving-dimension repair: facts first resolve against a
+    * partial dim (odd keys fail to the dummy SK), then repairFailedLookups
+    * re-resolves them against the full dim — the reference's post-hook
+    * UPDATE (fact_order_fail_lookup.sql) as a targeted rewrite. */
+  def repairLookup(s: SparkSession, d: String): DataFrame = {
+    def dimOf(pred: Column): DataFrame = Scd2.fromHistory(
+      Tables.customer(s, d).filter(pred)
+        .withColumn("eff0", epochTs)
+        .withColumn("row_hash", rowHash(col("c_name"))),
+      Scd2Config(Seq("c_custkey"), "eff0", payload = Seq("c_name")))
+    val partial = dimOf(col("c_custkey") % 2 === 0)
+    val full = dimOf(lit(true))
+    val firstPass = AsOf.pointInTime(Tables.orders(s, d), partial, "o_custkey", "c_custkey",
+        col("__fact.o_orderdate"))
+      .select(col("__fact.o_orderkey").as("o_orderkey"),
+        col("__fact.o_custkey").as("o_custkey"),
+        col("__fact.o_orderdate").as("o_orderdate"),
+        AsOf.resolveSk(col("__dim.sk")).as("sk"))
+    AsOf.repairFailedLookups(firstPass,
+        full.withColumnRenamed("c_custkey", "k"), "o_custkey", "k",
+        col("__fact.o_orderdate"), "sk")
+      .select("o_orderkey", "o_custkey", "sk")
+  }
+
+  /** S11/E3 dbt-style snapshot over the user event stream. */
+  def snapshotQ(s: SparkSession, d: String): DataFrame =
+    Scd2.snapshot(userEvents(s, d), userScdConfig)
+      .select(col("dbt_scd_id"), col("user_id"), col("event_type"), col("row_hash"),
+        micros(col("dbt_valid_from")).as("valid_from_us"),
+        micros(col("dbt_valid_to")).as("valid_to_us"))
+
+  /** Multimodal decode: binary media column → typed metadata via the
+    * per-partition mapPartitions decoder (stubbed kernel, real plumbing). */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame =
+    graft.multimodal.Multimodal.decodeMeta(
+      graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "text/plain")).toDF()
+
   // ----------------------------------------------------- text/dedup queries
 
   /** Token counting + quality scoring over documents. */
@@ -237,9 +288,10 @@ object Queries {
 
   /** MinHash signatures (k=8 over word-3-gram shingles), flattened. */
   def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val withSig = Tables.documents(s, d)
-      .select(col("doc_id"), wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val withSig = Ops.spread(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 3) // token-count filter: see Dedup scaladoc
+      .select(col("doc_id"), shinglesOfTokens(col("__t"), 3).as("sh"))
       .withColumn("sig", Dedup.minhashSignature(col("sh"), 8))
     withSig.select(col("doc_id") +: (0 until 8).map(i =>
       element_at(col("sig"), i + 1).as(s"mh$i")): _*)
@@ -297,6 +349,10 @@ object Queries {
     "q16_audit_lifecycle" -> (auditLifecycle _),
     "q17_incremental_upsert" -> (incrementalUpsert _),
     "q18_topn_per_group" -> (topnPerGroup _),
+    "q19_windowed_agg" -> (windowedAgg _),
+    "q30_repair_lookup" -> (repairLookup _),
+    "q31_snapshot" -> (snapshotQ _),
+    "q32_multimodal_decode" -> (multimodalDecode _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -84,14 +84,21 @@ object TextFunctions {
   /** Document fingerprint: md5 of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
-  /** Word n-gram shingles (distinct), the unit for MinHash/Jaccard dedup. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  /** Shingles from an already-materialized token-array column. `ts` MUST be a
+    * plain attribute (the output of a prior projection of `tokens(text)`):
+    * Catalyst inlines expression arguments into every `element_at` reference
+    * inside the lambda, so passing `tokens(text)` directly re-runs the regex
+    * split O(positions × n) times per row — measured 26 s vs 0.3 s on 5k docs. */
+  def shinglesOfTokens(ts: Column, n: Int): Column =
     array_distinct(
       when(size(ts) < n, array().cast("array<string>")).otherwise(
         transform(sequence(lit(0), size(ts) - n), i =>
           concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
-  }
+
+  /** Word n-gram shingles (distinct), the unit for MinHash/Jaccard dedup.
+    * Convenience/slow path — operator code should project `tokens` first and
+    * use [[shinglesOfTokens]] (see that scaladoc for why). */
+  def wordShingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
   /** Character n-gram shingles (distinct) over normalized text. */
   def charShingles(c: Column, n: Int): Column = {

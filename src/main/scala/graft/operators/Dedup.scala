@@ -40,6 +40,27 @@ object Dedup {
       array_min(transform(shingles, s => md5(concat(lit(s"$h:"), s).cast("binary"))))
     }: _*)
 
+  /** Jaccard for a set of candidate (id_a, id_b) pairs, computed WITHOUT
+    * carrying shingle arrays through any shuffle: intersection sizes come
+    * from a grouped count over the inverted index (shingles are distinct per
+    * doc, so #co-occurrences = |A ∩ B|), union from |A|+|B|−|A∩B|. The only
+    * shuffled payloads are (id, shingle) pairs and small count rows. */
+  private def jaccardOfPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val inv = sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(col("sh")).as("shingle"))
+    val inter = inv.select(col("shingle"), col("id").as("id_a"))
+      .join(inv.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+  }
+
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
     * shingle Jaccard. `bands` must divide `k`. Output: (id_a, id_b, jaccard)
     * with id_a < id_b, for pairs meeting `threshold`. */
@@ -48,24 +69,32 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val withSig = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    // persist: the shingle pipeline is interpreted higher-order-function
+    // work (no codegen) consumed by BOTH the signature path and the jaccard
+    // verify path — persisting a few MB beats re-evaluating it 3x
+    // filter on token count BEFORE building shingles (equivalent: shingles
+    // are non-empty iff tokens >= n). Filtering on size(sh) would make
+    // PushPredicateThroughProject inline the whole shingle expression — with
+    // tokens(text) re-evaluated per element_at — into the predicate: measured
+    // 8.6 s vs 0.3 s on 5k docs.
+    val sh = Ops.spread(df)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleWords)
+      .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
+      .persist()
+    val withSig = sh.withColumn("sig", minhashSignature(col("sh"), k))
     // band hash = md5 over the band's slice of the signature
-    val banded = withSig.select(col("id"), col("sh"),
+    val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_hash")))
-    val a = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .distinct()
-      .filter(col("jaccard") >= threshold)
+    val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardOfPairs(candidates, sh).filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over distinct word tokens: bit b of the signature is the
@@ -83,22 +112,34 @@ object Dedup {
   /** Direct n-gram Jaccard pairs via the shared-shingle inverted index —
     * docs never pair unless they share at least one shingle, so the shuffle
     * is keyed by shingle, not doc (no O(n²)). Hot shingles are capped at
-    * `maxShingleFreq` to bound skew (logged dropped coverage at scale). */
+    * `maxShingleFreq` to bound skew; when the cap trips, capped shingles are
+    * excluded from candidate generation AND intersection counts while set
+    * sizes keep them, so reported jaccard is a lower bound (conservative for
+    * dedup) — exact whenever no shingle exceeds the cap. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.2,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), col("sh"), explode(col("sh")).as("shingle"))
+    val sh = Ops.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= shingleWords) // see minhashLshPairs: avoid predicate inlining
+      .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
+    // persist the exploded index, not the arrays: consumed by the hot-shingle
+    // scan and both sides of the intersection self-join
+    val inv = sh.select(col("id"), explode(col("sh")).as("shingle")).persist()
     val hot = inv.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
-    val cold = inv.join(hot, Seq("shingle"), "left_anti")
-    val pairs = cold.select(col("shingle"), col("id").as("id_a"), col("sh").as("sh_a"))
-      .join(cold.select(col("shingle"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("shingle"))
+      .select("shingle")
+    val cold = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // candidate pairs + intersection counts in ONE aggregation over the
+    // inverted index — no shingle arrays ever enter a shuffle
+    val sizes = inv.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cold.select(col("shingle"), col("id").as("id_a"))
+      .join(cold.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-    pairs.select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -107,12 +148,13 @@ object Dedup {
     * brute force (small corpora). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
-    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    val v = Ops.spread(df).select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", Similarity.norm(col("v"))) // norm once per vector, not per pair
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        (Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

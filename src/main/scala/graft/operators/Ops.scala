@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 /** Operational helpers from the reference's macro surface (SURVEY §2.8). */
 object Ops {
 
+  /** Fan a narrow input out to the session's parallelism before CPU-heavy
+    * per-row work. Single-file/single-row-group parquet scans plan as ONE
+    * task, leaving every core but one idle until the first exchange; a
+    * round-robin repartition of a small corpus costs microseconds and buys
+    * full parallelism. No-op when the input already has enough partitions
+    * (the many-files case at scale), so this never adds a shuffle of big
+    * data. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** C8 gap detection (/root/reference/macros/get_missing_dates.sql:3-23):
     * a date spine anti-joined against the distinct days present in `dateCol`.
     * The reference spines the last 7 days from now; this generalizes to an

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -26,24 +27,30 @@ object Similarity {
   /** Cast a float embedding to double for stable arithmetic. */
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.expressions.DotProduct) — the hot kernel.
+    * Registration is idempotent per session. */
+  def dot(a: Column, b: Column): Column = {
+    GraftFunctions.register(SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k for each query vector against the corpus (self-match
     * excluded). Ties broken by candidate id after rounding to 6 dp so results
-    * are deterministic across engines. */
+    * are deterministic across engines. Norms are computed once per vector,
+    * not once per pair — O(n) instead of O(n²) norm work. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("qn", norm(col("qv")))
+    val c = Ops.spread(corpus).select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
@@ -75,12 +82,14 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, dims: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", lshBucket(col("qv"), planes, dims))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val c = Ops.spread(corpus).select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }

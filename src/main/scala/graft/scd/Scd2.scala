@@ -114,6 +114,27 @@ object Scd2 {
     }
   }
 
+  /** dbt-style timestamp-strategy snapshot (SURVEY S11/E3, reference
+    * snapshots/snapshot_employee.sql:4-9): same hash-diff change detection as
+    * the dims, but snapshot conventions — `dbt_valid_from` is the observed
+    * event time (no 1900 forcing), open versions carry NULL `dbt_valid_to`,
+    * and the row id hashes key + updated_at (with the reference's B6 literal-
+    * string bug fixed: we hash the column, not its name). */
+  def snapshot(events: DataFrame, cfg: Scd2Config, skCol: String = "dbt_scd_id"): DataFrame = {
+    val prepared = events
+      .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
+      .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
+      .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
+    val keys = cfg.businessKey
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg): _*)
+    suppressNoOps(prepared, cfg)
+      .withColumn("dbt_valid_from", col("__eff"))
+      .withColumn("dbt_valid_to", lead(col("__eff"), 1).over(w))
+      .withColumn(skCol, temporalSk(keys.map(col), col("__eff")))
+      .select((Seq(skCol) ++ keys ++ cfg.payload ++
+        Seq(cfg.hashCol, "dbt_valid_from", "dbt_valid_to")).map(col): _*)
+  }
+
   /** Drop rows whose tracked hash equals the previous version's hash —
     * UPD_IND='X' no-op suppression (dim_customer.sql:119-124,166). Anchor
     * (existing current) rows are never dropped: they carry version state. */

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.core.TableIO
+import graft.scd.{Scd2, Scd2Config}
+
+/** Structured Streaming skins over the batch transformers.
+  *
+  * The reference has no streaming surface (SURVEY §2.9) — its closest analogue
+  * is the minute-granular replay loop, an orchestration-time batch pattern.
+  * These entry points make the same transformers incremental in the Spark way:
+  * every transformer stays a pure DataFrame => DataFrame, so `readStream →
+  * transform → writeStream` is a drop-in (the §7.1 design goal).
+  *
+  * Scale notes: the windowed aggregation is a streaming state-store agg keyed
+  * by (window, group) — partial aggregation happens map-side per micro-batch;
+  * the watermark bounds state size by evicting windows older than the allowed
+  * lateness. The SCD2 sink uses foreachBatch + the incremental merge, whose
+  * shuffle is O(|micro-batch| + |touched keys|), never O(|dimension|).
+  */
+object Streams {
+
+  /** File-source stream of event rows (parquet/json dir written append-only). */
+  def readFileStream(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  /** Tumbling-window aggregation with watermark: per (window, groupCol) count
+    * and exact decimal sum. The batch-equivalent query is
+    * Queries.windowedAgg — streaming output over the same rows must match it
+    * (asserted in StreamingSpec). */
+  def windowedAgg(events: DataFrame, tsCol: String, groupCol: String,
+      valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col(s"window.start").as("window_start"), col(groupCol),
+        col("n_events"), col("sum_value"))
+
+  /** Maintain an SCD2 dimension from a CDC event stream: each micro-batch is
+    * merged through the same Scd2.merge the batch path uses, persisted with
+    * the atomic upsert writer. `Trigger.AvailableNow` makes this the
+    * incremental-batch runner; a processing-time trigger makes it continuous. */
+  def scd2Sink(events: DataFrame, cfg: Scd2Config, dimPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = TableIO.readOrEmpty(spark, dimPath,
+          Scd2.fromHistory(batch.limit(0), cfg))
+        val merged = Scd2.merge(existing, batch, cfg)
+        TableIO.overwriteAtomic(merged, dimPath)
+      }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.scd.{Scd2, Scd2Config}
+import graft.functions.SqlFunctions._
+import graft.streaming.Streams
+
+/** Streaming skins: file-source → windowed agg matches the batch transformer;
+  * foreachBatch SCD2 sink converges to the batch-built dimension. */
+class StreamingSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  private def eventRows = df(
+    "user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    Row(Int.box(1), ts("2024-01-01 10:05:00"), "view", Double.box(1.5)),
+    Row(Int.box(1), ts("2024-01-01 10:45:00"), "view", Double.box(2.0)),
+    Row(Int.box(2), ts("2024-01-01 11:10:00"), "purchase", Double.box(9.9)),
+    Row(Int.box(2), ts("2024-01-01 11:20:00"), "view", Double.box(0.5)))
+
+  test("streamed windowed agg equals the batch transformer output") {
+    val dir = tmp()
+    eventRows.write.parquet(dir + "/in")
+    val stream = Streams.readFileStream(spark, dir + "/in", eventRows.schema)
+    val q = Streams.windowedAgg(stream, "ts", "event_type", "value")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = canon(spark.table("win_agg"))
+    val batch = canon(Streams.windowedAgg(eventRows, "ts", "event_type", "value"))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("foreachBatch SCD2 sink over two micro-batches converges to fromHistory") {
+    val dir = tmp()
+    val cfg = Scd2Config(Seq("user_id"), "ts", payload = Seq("event_type"),
+      tiebreak = Seq("value"))
+    val all = eventRows.withColumn("row_hash", rowHash(col("event_type")))
+    // two append-only files → two micro-batches via maxFilesPerTrigger
+    all.filter(col("ts") < lit("2024-01-01 11:00:00").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    all.filter(col("ts") >= lit("2024-01-01 11:00:00").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    val q = Streams.scd2Sink(stream, cfg, dir + "/dim", dir + "/ckpt").start()
+    q.awaitTermination(60000)
+    assert(canon(spark.read.parquet(dir + "/dim")) == canon(Scd2.fromHistory(all, cfg)))
+  }
+}
