@@ -1,0 +1,49 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.{Queries => Q}
+/** Prints physical-plan health checks for representative queries:
+  * filter/column pushdown into the parquet scan, broadcast vs sort-merge
+  * joins, and whole-stage codegen coverage. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def audit(name: String, checks: (String, String => Boolean)*): Unit = {
+      val plan = Q.all(name)(spark, d).queryExecution.executedPlan.toString
+      val results = checks.map { case (label, f) => s"$label=${if (f(plan)) "OK" else "MISS"}" }
+      println(s"[plan] $name: ${results.mkString(" ")}")
+      if (results.exists(_.endsWith("MISS"))) println(plan.take(3000))
+    }
+    audit("q01_agg_pushdown",
+      "pushed_filter" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
+      "pruned_schema" -> (p => !p.contains("l_comment")),
+      "codegen" -> (p => p.contains("WholeStageCodegen") || p.contains("*(") || p.contains("AdaptiveSparkPlan")))
+    audit("q02_star_join",
+      "broadcast_joins" -> (_.contains("BroadcastHashJoin")),
+      "pruned_schema" -> (p => !p.contains("c_comment")))
+    audit("q06_semi_join", "semi" -> (p => p.contains("LeftSemi")))
+    audit("q07_anti_join", "anti" -> (p => p.contains("LeftAnti")))
+    audit("q08_hwm_filter",
+      "codegen" -> (p => p.contains("WholeStageCodegen") || p.contains("*(")))
+    audit("q12_asof_join",
+      "equi_key_join" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q10_scd2_history",
+      "single_window_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1))
+    audit("q15_missing_dates",
+      "broadcast_anti" -> (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+    audit("q24_lsh_pairs",
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*sh#".r.findFirstIn(p).isDefined))
+    audit("q26_ngram_jaccard",
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*sh#".r.findFirstIn(p).isDefined))
+    audit("q29_embedding_near_dup",
+      "codegen_dot" -> (p => p.contains("graft_dot") || p.contains("WholeStageCodegen")))
+    spark.stop()
+  }
+}

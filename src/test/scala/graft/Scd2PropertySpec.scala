@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.SqlFunctions._
+import graft.scd.{Scd2, Scd2Config}
+
+/** Property-based SCD2 invariants (SURVEY §5.2) over random event streams
+  * (ScalaCheck generators, fixed seeds for reproducibility):
+  *  - per key exactly one is_active='Y';
+  *  - intervals chain contiguously from 1900-01-01 to 3001-01-01;
+  *  - version_no is dense 1..n per key;
+  *  - any batch split of the stream merges to the one-batch result
+  *    (the replay-collapse argument, C2).
+  */
+class Scd2PropertySpec extends AnyFunSuite with SparkSpecBase {
+
+  private val cfg = Scd2Config(Seq("id"), "ts", payload = Seq("attr"), tiebreak = Seq("seq"))
+
+  // random event streams: few keys, few attr values (forces no-op runs),
+  // strictly increasing seq for determinism at equal timestamps
+  private val eventsGen: Gen[List[(Int, Int, String)]] = for {
+    n <- Gen.choose(1, 24)
+    evs <- Gen.listOfN(n, for {
+      key <- Gen.choose(1, 4)
+      day <- Gen.choose(1, 28)
+      attr <- Gen.oneOf("a", "b", "c")
+    } yield (key, day, attr))
+  } yield evs
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def toDf(evs: List[(Int, Int, String)]) =
+    df("id INT, ts TIMESTAMP, attr STRING, seq INT",
+      evs.zipWithIndex.map { case ((k, day, a), i) =>
+        Row(Int.box(k), ts(f"2024-01-$day%02d 00:00:00"), a, Int.box(i))
+      }: _*).withColumn("row_hash", rowHash(col("attr")))
+
+  test("invariants: one active per key, dense versions, contiguous intervals") {
+    (1 to 15).foreach { trial =>
+      val evs = sample(eventsGen, 1000L + trial)
+      val dim = Scd2.fromHistory(toDf(evs), cfg)
+        .select("id", "version_no", "is_active", "effective_date", "expiry_date")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+          r.getTimestamp(3), r.getTimestamp(4)))
+      dim.groupBy(_._1).foreach { case (key, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == (1 to rows.length),
+          s"trial $trial key $key versions not dense: $sorted")
+        assert(rows.count(_._3 == "Y") == 1, s"trial $trial key $key active count")
+        assert(sorted.head._4 == ts("1900-01-01 00:00:00"), s"trial $trial key $key first eff")
+        assert(sorted.last._5 == ts("3001-01-01 00:00:00"), s"trial $trial key $key last exp")
+        sorted.sliding(2).foreach {
+          case Array(prev, next) =>
+            assert(prev._5 == next._4, s"trial $trial key $key gap at v${next._2}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("replay collapse: random streams, random cut points, merge == one batch") {
+    (1 to 10).foreach { trial =>
+      val evs = sample(eventsGen, 2000L + trial)
+      val cutDay = sample(Gen.choose(1, 28), 3000L + trial)
+      val all = toDf(evs)
+      val cut = lit(f"2024-01-$cutDay%02d 00:00:00").cast("timestamp")
+      val expected = canon(Scd2.fromHistory(all, cfg))
+      val dim1 = Scd2.fromHistory(all.filter(col("ts") < cut), cfg)
+      val merged = Scd2.merge(dim1, all.filter(col("ts") >= cut), cfg)
+      assert(canon(merged) == expected, s"trial $trial diverged at cut day $cutDay")
+    }
+  }
+}
