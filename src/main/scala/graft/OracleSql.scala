@@ -223,6 +223,22 @@ SELECT doc_id, 'text/plain' AS media_type, n_bytes,
        CASE v % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
 FROM h""",
 
+    "q33_fingerprint_tokens" -> """
+WITH t AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+  FROM documents),
+sh AS (
+  SELECT doc_id, text,
+         CASE WHEN length(nt) < 5 THEN [nt]
+              ELSE list_distinct([substr(nt, i, 5) for i in generate_series(1, length(nt) - 4)]) END AS gs
+  FROM t)
+SELECT doc_id,
+       list_min([('0x' || substr(md5(g), 1, 8))::BIGINT for g in gs]) AS rolling_fp,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::bigint AS bpeish_tokens,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::bigint AS ws_tokens
+FROM sh""",
+
     "q20_text_stats" -> s"""
 WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
 m AS (

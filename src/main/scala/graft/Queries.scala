@@ -328,6 +328,15 @@ object Queries {
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
       .withColumn("cosine", round(col("cosine"), 6))
 
+  /** Rolling-hash fingerprint + BPE-ish token counting (text mandate). */
+  def fingerprintTokens(s: SparkSession, d: String): DataFrame =
+    Ops.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), normalizeText(col("text")).as("__nt"))
+      .select(col("doc_id"),
+        rollingFingerprint(col("__nt"), 5).as("rolling_fp"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"),
+        tokenCount(col("text")).as("ws_tokens"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, QFn] = Map(
@@ -353,6 +362,7 @@ object Queries {
     "q30_repair_lookup" -> (repairLookup _),
     "q31_snapshot" -> (snapshotQ _),
     "q32_multimodal_decode" -> (multimodalDecode _),
+    "q33_fingerprint_tokens" -> (fingerprintTokens _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

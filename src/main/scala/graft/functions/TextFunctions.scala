@@ -100,11 +100,27 @@ object TextFunctions {
     * use [[shinglesOfTokens]] (see that scaladoc for why). */
   def wordShingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 
-  /** Character n-gram shingles (distinct) over normalized text. */
-  def charShingles(c: Column, n: Int): Column = {
-    val norm = normalizeText(c)
+  /** Character n-gram shingles from an already-materialized normalized-text
+    * column (same attribute-binding rule as [[shinglesOfTokens]]). Texts
+    * shorter than `n` yield the whole text as their single shingle. */
+  def charShinglesOfNorm(norm: Column, n: Int): Column =
     array_distinct(
-      when(length(norm) < n, array().cast("array<string>")).otherwise(
+      when(length(norm) < n, array(norm)).otherwise(
         transform(sequence(lit(1), length(norm) - n + 1), i => norm.substr(i, lit(n)))))
-  }
+
+  /** Character n-gram shingles (distinct) over normalized text.
+    * Convenience/slow path — project [[normalizeText]] first in hot code. */
+  def charShingles(c: Column, n: Int): Column = charShinglesOfNorm(normalizeText(c), n)
+
+  /** Rolling-hash document fingerprint (winnowing-style): the minimum 32-bit
+    * hash over character n-grams of the normalized text — robust to token
+    * reordering at the edges, cheap to compare, pure per-row map. */
+  def rollingFingerprint(norm: Column, n: Int = 5): Column =
+    array_min(transform(charShinglesOfNorm(norm, n), g => SqlFunctions.hash32(g)))
+
+  /** BPE-ish subword count estimator: alphabetic runs count 1 each, digits
+    * count 1 each, any other non-space character counts 1 — a deterministic
+    * regex proxy for tokenizer load (true BPE needs a vocab file). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long")
 }
