@@ -44,7 +44,8 @@ class AuditControl(spark: SparkSession, root: String) {
       java.util.List.of(Row(entity, driverTable, businessKey,
         Timestamp.valueOf(s"$EpochDate 00:00:00"), null, false, true)), schema)
     val merged = table.unionByName(row.join(table, Seq("dimension_name"), "left_anti"))
-    TableIO.overwriteAtomic(merged, path)
+    // O(#entities) rows: single output file, not one per shuffle partition
+    TableIO.overwriteAtomic(merged.coalesce(1), path)
   }
 
   /** C5: fetch entity state; epoch-default HWM when absent. */
@@ -66,7 +67,7 @@ class AuditControl(spark: SparkSession, root: String) {
         when(col("dimension_name") === entity, lit(now)).otherwise(col("last_processed_date")))
       .withColumn("is_processed",
         when(col("dimension_name") === entity, lit(true)).otherwise(col("is_processed")))
-    TableIO.overwriteAtomic(updated, path)
+    TableIO.overwriteAtomic(updated.coalesce(1), path)
   }
 
   /** C9: processing range derived from audit state vs a target date. */

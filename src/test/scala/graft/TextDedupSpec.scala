@@ -76,6 +76,25 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(pop(sigs(1) ^ sigs(3)) <= 6) // one token changed of 8
   }
 
+  test("rolling fingerprint: equal for reordered-edge texts' shared grams; short-text fallback") {
+    val out = docs((1, "abcdefgh"), (2, "abcdefgh"), (3, "abc"), (4, ""))
+      .select(col("doc_id"), rollingFingerprint(normalizeText(col("text")), 5).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(1) == out(2)) // identical text → identical fingerprint
+    // short text: whole text is the single gram → fp = hash32(text)
+    val h3 = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    assert(out(3) == java.lang.Long.parseLong(h3, 16))
+    assert(out.contains(4)) // empty text still fingerprints (hash of "")
+  }
+
+  test("bpeish token count: letter runs + digits + punctuation") {
+    val out = docs((1, "Hello, world 42!"))
+      .select(bpeishTokenCount(col("text")).as("n")).head.getLong(0)
+    // hello | , | world | 4 | 2 | ! -> 6
+    assert(out == 6)
+  }
+
   test("cosine kernel and brute-force top-k ordering") {
     val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
       Row(Int.box(0), Seq(1.0, 0.0)), Row(Int.box(1), Seq(1.0, 0.1)),
