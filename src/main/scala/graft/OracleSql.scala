@@ -309,9 +309,11 @@ hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv
        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
 bits AS (SELECT doc_id, b,
            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-         FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b)
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id""",
+         FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) GROUP BY doc_id, b),
+sig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sig.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""",
 
     "q26_ngram_jaccard" -> s"""
 WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),

@@ -36,9 +36,6 @@ object Queries {
 
   private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Normalized token list, shared by all text queries. */
-  private val OracleToks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
-
   // ------------------------------------------------------ warehouse queries
 
   /** A1/A3-style aggregation with filter pushdown (TPC-H Q1 shape). */

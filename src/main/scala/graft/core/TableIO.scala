@@ -22,12 +22,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object TableIO {
 
+  /** Crash recovery: overwriteAtomic has a window between moving the live
+    * table to `.__old__` and moving the new data in. If a crash strikes
+    * there, the data survives only under `.__old__`; every entry point calls
+    * this first so the next process restores it instead of silently treating
+    * the table as absent (which would, e.g., rebuild a dimension from one
+    * delta and lose all history). */
+  private def recover(path: String): Unit = {
+    val target = new File(path)
+    val old = new File(path + ".__old__")
+    if (!target.exists && old.exists)
+      Files.move(old.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
   def exists(path: String): Boolean = {
+    recover(path)
     val f = new File(path)
     f.exists && (f.isFile || f.listFiles != null && f.listFiles.nonEmpty)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recover(path)
+    spark.read.parquet(path)
+  }
 
   def readOrEmpty(spark: SparkSession, path: String, like: DataFrame): DataFrame =
     if (exists(path)) spark.read.parquet(path)
@@ -38,8 +55,11 @@ object TableIO {
     f.delete(): Unit
   }
 
-  /** Atomic overwrite: write to `<path>.__tmp__`, then swap. */
+  /** Atomic overwrite: write to `<path>.__tmp__`, then swap. Readers racing
+    * the swap see either the old or the new table; a crash mid-swap is
+    * healed by [[recover]] on the next access. */
   def overwriteAtomic(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    recover(path)
     val tmp = path + ".__tmp__"
     deleteRecursively(new File(tmp))
     val w = df.write.mode("overwrite")

@@ -42,13 +42,22 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-      |${ev.value} = s;
-      |""".stripMargin)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names: two DotProducts can land unbraced in one codegen scope
+    // (e.g. cosine = dot/dot·dot with non-nullable children) — fixed
+    // identifiers would collide and silently fall back to interpreted eval
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dpN")
+      val s = ctx.freshName("dpS")
+      val i = ctx.freshName("dpI")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -54,8 +54,4 @@ object SqlFunctions {
     * (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT). */
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
-
-  /** Seeded variant: hash32(seed || ':' || s). */
-  def hash32(seed: Int, c: Column): Column =
-    hash32(concat(lit(seed.toString), lit(":"), c.cast("string")))
 }

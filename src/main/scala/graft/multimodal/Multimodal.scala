@@ -72,6 +72,8 @@ object Multimodal {
     * (the video-frame-sampling batch shape; chunking replaces real codec
     * framing in the stub). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.select("doc_id", "content").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>

@@ -53,8 +53,10 @@ object AsOf {
     * updated) dimension; everything else passes through untouched. */
   def repairFailedLookups(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, probeTs: Column, skCol: String): DataFrame = {
-    val failed = fact.filter(col(skCol) === dummySk)
-    val ok = fact.filter(col(skCol) =!= dummySk)
+    // null-safe split: a NULL sk (external writer, schema evolution) must be
+    // repaired, not silently dropped by failing both filters
+    val failed = fact.filter(col(skCol).isNull || col(skCol) === dummySk)
+    val ok = fact.filter(col(skCol).isNotNull && col(skCol) =!= dummySk)
     val dimSel = dim.select(col(dimKey), col("effective_date"), col("expiry_date"), col("sk"))
     val repaired = pointInTime(failed.drop(skCol), dimSel, factKey, dimKey, probeTs)
       .select(ok.columns.map(c =>

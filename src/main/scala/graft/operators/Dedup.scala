@@ -45,6 +45,14 @@ object Dedup {
     * from a grouped count over the inverted index (shingles are distinct per
     * doc, so #co-occurrences = |A ∩ B|), union from |A|+|B|−|A∩B|. The only
     * shuffled payloads are (id, shingle) pairs and small count rows. */
+  /** (id_a, id_b, inter) + per-doc set sizes -> (id_a, id_b, jaccard). */
+  private def scorePairs(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+
   private def jaccardOfPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
@@ -54,11 +62,7 @@ object Dedup {
       .join(inv.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("id_a", "id_b"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+    scorePairs(candidates.join(inter, Seq("id_a", "id_b")), sizes)
   }
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
@@ -135,12 +139,7 @@ object Dedup {
       .join(cold.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    scorePairs(inter, sizes).filter(col("jaccard") >= threshold)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold. Delegates to the

@@ -47,8 +47,13 @@ object Scd2 {
 
   private val MetaCols = Seq("version_no", "is_active", "effective_date", "expiry_date")
 
-  private def orderCols(cfg: Scd2Config): Seq[Column] =
-    col("__eff") +: cfg.tiebreak.map(c => col("__tb_" + c))
+  /** Version ordering: event time, then (in the merge path) established
+    * anchor versions before same-instant delta events, then the caller's
+    * tiebreak columns. */
+  private def orderCols(cfg: Scd2Config, df: DataFrame): Seq[Column] =
+    (col("__eff") +:
+      (if (df.columns.contains("__av")) Seq(col("__av").asc_nulls_last) else Nil)) ++
+      cfg.tiebreak.map(c => col("__tb_" + c))
 
   /** Build a complete SCD2 dimension from full change history (batch path —
     * also the semantic spec the incremental path must converge to). */
@@ -57,44 +62,46 @@ object Scd2 {
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
       .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
-    finalize_(suppressNoOps(prepared, cfg), cfg, skCol, baseVersion = lit(1))
+    finalize_(suppressNoOps(prepared, cfg), cfg, skCol)
   }
 
-  /** Incremental merge (steady-state path, reference E2): current rows of
-    * touched keys + HWM-filtered delta → replacement rows for those keys.
-    * Returns ONLY the rows to upsert (keyed by business key + version_no);
-    * untouched keys never enter the plan. */
+  /** Incremental merge (steady-state path, reference E2): rebuilds the FULL
+    * version chain of every touched key from its persisted versions replayed
+    * as events plus the HWM-filtered delta, running the identical window
+    * algorithm as [[fromHistory]] — so merge ≡ fromHistory by construction,
+    * including late (out-of-order event-time) deltas that interleave between
+    * existing versions or render an existing version a no-op. Untouched keys
+    * never enter the plan; cost is O(|delta| + |versions of touched keys|).
+    *
+    * Convergence caveats (documented, property-tested):
+    *  - a key's first version stores `effective_date = 1900-01-01`, losing
+    *    its original event time, so a later delta with an event time EARLIER
+    *    than the key's first-ever event cannot re-order against it;
+    *  - at equal event time, established versions order before delta events;
+    *    exact tiebreak parity across batch splits holds when the caller's
+    *    tiebreak column is monotone with arrival order (e.g. an event id).
+    */
   def mergeDelta(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
     val keys = cfg.businessKey
-    // current row per touched key (max version), semi-join pruned (SURVEY P9/J4)
-    val wCur = Window.partitionBy(keys.map(col): _*).orderBy(col("version_no").desc)
-    val current = existing
+    // all versions of touched keys, semi-join pruned (SURVEY P9/J4),
+    // replayed as change events ('D' versions replay as delete events so a
+    // same-hash re-insert still revives the key via the op-flip check)
+    val anchors = existing
       .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .withColumn("__rn", row_number().over(wCur)).filter(col("__rn") === 1).drop("__rn")
-      .withColumn("__eff", col("effective_date").cast("timestamp"))
-      // a deleted current row keeps op 'D' so a same-hash re-insert revives it
-      .withColumn("__op", when(col("is_active") === "D", lit("D")).otherwise(lit("I")))
-      .withColumn("__anchor", lit(true))
-      .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) =>
-        acc.withColumn("__tb_" + c,
-          lit(null).cast(delta.schema(c).dataType))))
-      .select((keys ++ Seq(cfg.hashCol) ++ cfg.payload).map(col) ++
-        Seq(col("__eff"), col("__op"), col("__anchor"), col("version_no").as("__base_v")) ++
-        cfg.tiebreak.map(c => col("__tb_" + c)): _*)
+      .select((keys ++ cfg.payload :+ cfg.hashCol).map(col) ++ Seq(
+        col("effective_date").cast("timestamp").as("__eff"),
+        when(col("is_active") === "D", lit("D")).otherwise(lit("I")).as("__op"),
+        col("version_no").as("__av")) ++
+        cfg.tiebreak.map(c => lit(null).cast(delta.schema(c).dataType).as("__tb_" + c)): _*)
 
     val deltaPrep = delta
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
-      .withColumn("__anchor", lit(false))
-      .withColumn("__base_v", lit(null).cast("int"))
+      .withColumn("__av", lit(null).cast("int"))
       .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
-      .select(current.columns.map(col): _*)
+      .select(anchors.columns.map(col): _*)
 
-    val combined = suppressNoOps(current.unionByName(deltaPrep), cfg)
-    val wKey = Window.partitionBy(keys.map(col): _*)
-    val withBase = combined.withColumn("__basev", max(col("__base_v")).over(wKey))
-    // base+rn-1: anchor row (rn=1) keeps its version; new keys get rn.
-    finalize_(withBase, cfg, skCol, baseVersion = coalesce(col("__basev"), lit(1)))
+    finalize_(suppressNoOps(anchors.unionByName(deltaPrep), cfg), cfg, skCol)
   }
 
   /** Convenience: merge and return the full resulting dimension. */
@@ -102,14 +109,12 @@ object Scd2 {
     if (existing.isEmpty) fromHistory(delta, cfg, skCol)
     else {
       val changed = mergeDelta(existing, delta, cfg, skCol)
-      // upsert grain is (business key, version_no) ≡ the surrogate key:
-      // historical versions of touched keys are preserved, the rewritten
-      // current version is replaced, new versions are appended (SURVEY S4).
-      val upsertKeys = cfg.businessKey :+ "version_no"
-      // reselect after the using-column join: left_anti with a key Seq moves
-      // the keys to the front, which would silently reorder the dim schema
-      val untouched = existing.join(changed.select(upsertKeys.map(col): _*).distinct(),
-        upsertKeys, "left_anti").select(existing.columns.map(col): _*)
+      // upsert grain is the business key: touched keys' chains are replaced
+      // wholesale (mergeDelta rebuilt them), untouched keys are kept as-is
+      // (SURVEY S4). Reselect after the using-column join: left_anti with a
+      // key Seq moves the keys to the front, which would reorder the schema.
+      val untouched = existing.join(delta.select(cfg.businessKey.map(col): _*).distinct(),
+        cfg.businessKey, "left_anti").select(existing.columns.map(col): _*)
       untouched.unionByName(changed.select(untouched.columns.map(col): _*))
     }
   }
@@ -126,7 +131,7 @@ object Scd2 {
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
       .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
     val keys = cfg.businessKey
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg, prepared): _*)
     suppressNoOps(prepared, cfg)
       .withColumn("dbt_valid_from", col("__eff"))
       .withColumn("dbt_valid_to", lead(col("__eff"), 1).over(w))
@@ -136,14 +141,14 @@ object Scd2 {
   }
 
   /** Drop rows whose tracked hash equals the previous version's hash —
-    * UPD_IND='X' no-op suppression (dim_customer.sql:119-124,166). Anchor
-    * (existing current) rows are never dropped: they carry version state. */
+    * UPD_IND='X' no-op suppression (dim_customer.sql:119-124,166). An op
+    * flip at equal hash (delete, or re-insert after a delete) is a real
+    * change and is kept. */
   private def suppressNoOps(df: DataFrame, cfg: Scd2Config): DataFrame = {
-    val w = Window.partitionBy(cfg.businessKey.map(col): _*).orderBy(orderCols(cfg): _*)
-    val anchor = if (df.columns.contains("__anchor")) col("__anchor") else lit(false)
+    val w = Window.partitionBy(cfg.businessKey.map(col): _*).orderBy(orderCols(cfg, df): _*)
     df.withColumn("__prev_hash", lag(col(cfg.hashCol), 1).over(w))
       .withColumn("__prev_op", lag(col("__op"), 1).over(w))
-      .filter(anchor ||
+      .filter(
         col("__prev_hash").isNull ||
         col("__prev_hash") =!= col(cfg.hashCol) ||
         col("__op") =!= coalesce(col("__prev_op"), lit("I")))
@@ -151,13 +156,12 @@ object Scd2 {
   }
 
   /** Window finalization: version numbers, activity flags, interval chain, SK. */
-  private def finalize_(df: DataFrame, cfg: Scd2Config, skCol: String,
-      baseVersion: Column): DataFrame = {
+  private def finalize_(df: DataFrame, cfg: Scd2Config, skCol: String): DataFrame = {
     val keys = cfg.businessKey
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg, df): _*)
     val out = df
       .withColumn("__rn", row_number().over(w))
-      .withColumn("version_no", (baseVersion + col("__rn") - 1).cast("int"))
+      .withColumn("version_no", col("__rn").cast("int"))
       .withColumn("__next_eff", lead(col("__eff"), 1).over(w))
       .withColumn("is_active",
         when(col("__op") === "D", lit("D"))

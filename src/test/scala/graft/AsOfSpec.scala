@@ -42,9 +42,10 @@ class AsOfSpec extends AnyFunSuite with SparkSpecBase {
     val facts = df("fk INT, ts TIMESTAMP, sk STRING",
       Row(Int.box(1), ts("2024-07-01 00:00:00"), dummy), // repairable → v2
       Row(Int.box(1), ts("2024-05-01 00:00:00"), "already"), // untouched
+      Row(Int.box(1), ts("2024-03-01 00:00:00"), null), // NULL sk → repaired, not dropped
       Row(Int.box(2), ts("2024-07-01 00:00:00"), dummy)) // still fails → dummy
     val repaired = AsOf.repairFailedLookups(facts, dim, "fk", "k", col("__fact.ts"), "sk")
     val got = repaired.collect().map(r => (r.getInt(0), r.getString(2))).toSet
-    assert(got == Set((1, "v2"), (1, "already"), (2, dummy)))
+    assert(got == Set((1, "v2"), (1, "already"), (1, "v1"), (2, dummy)))
   }
 }

@@ -81,6 +81,22 @@ class Scd2Spec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("late out-of-order delta converges to fromHistory (interleave + no-op cases)") {
+    val history = events((5, "2024-01-01 00:00:00", "x", 1), (5, "2024-01-10 00:00:00", "y", 2))
+    val dim1 = Scd2.fromHistory(history, cfg)
+    // late event BETWEEN existing versions, same hash as the later one:
+    // the later existing version becomes a no-op re-observation and must go
+    val lateSame = events((5, "2024-01-05 00:00:00", "y", 3))
+    val mergedSame = Scd2.merge(dim1, lateSame, cfg)
+    assert(canon(mergedSame) == canon(Scd2.fromHistory(history.unionByName(lateSame), cfg)))
+    assert(mergedSame.count() == 2) // v1 x, v2 y@01-05 — not three versions
+    // late event with a NEW hash interleaves as a middle version
+    val lateNew = events((5, "2024-01-05 00:00:00", "w", 3))
+    val mergedNew = Scd2.merge(dim1, lateNew, cfg)
+    assert(canon(mergedNew) == canon(Scd2.fromHistory(history.unionByName(lateNew), cfg)))
+    assert(mergedNew.count() == 3)
+  }
+
   test("merge is idempotent: replaying an already-applied delta changes nothing") {
     val cut = lit("2024-01-03 00:00:00").cast("timestamp")
     val dim1 = Scd2.fromHistory(base.filter(col("ts") < cut), cfg)
