@@ -362,6 +362,30 @@ SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
 WHERE rnk <= 5"""
     },
 
+    "q34_embedding_ivf_ann" -> """
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+cents AS (SELECT vec_id AS cent_id, e AS cvec, nrm AS cnorm FROM n ORDER BY vec_id LIMIT 16),
+ranked AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
+         row_number() OVER (PARTITION BY n.vec_id
+           ORDER BY list_sum([n.e[i] * c.cvec[i] for i in generate_series(1, 64)])
+             / (n.nrm * c.cnorm) DESC, c.cent_id) AS lr
+  FROM n CROSS JOIN cents c),
+assigned AS (SELECT cent_id AS list_id, vec_id AS neighbor_id, e AS cv, nrm AS cn
+             FROM ranked WHERE lr = 1),
+probes AS (SELECT cent_id AS list_id, vec_id AS query_id, e AS qv, nrm AS qn
+           FROM ranked WHERE lr <= 4 AND vec_id < 20),
+p AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum([qv[i] * cv[i] for i in generate_series(1, 64)]) / (qn * cn), 6) AS cosine
+  FROM probes JOIN assigned USING (list_id)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 5""",
+
     "q29_embedding_near_dup" -> """
 WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

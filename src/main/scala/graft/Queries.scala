@@ -320,6 +320,13 @@ object Queries {
     Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5, planes = 4)
   }
 
+  /** IVF ANN top-5: inverted-file coarse quantizer, nlist=16, nprobe=4. */
+  def embeddingIvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)
+  }
+
   /** Embedding near-duplicate pairs (cosine >= 0.95). */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
@@ -360,6 +367,7 @@ object Queries {
     "q31_snapshot" -> (snapshotQ _),
     "q32_multimodal_decode" -> (multimodalDecode _),
     "q33_fingerprint_tokens" -> (fingerprintTokens _),
+    "q34_embedding_ivf_ann" -> (embeddingIvfAnn _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -98,6 +98,7 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist() // consumed twice in jaccardOfPairs (candidate ids + final join)
     jaccardOfPairs(candidates, sh).filter(col("jaccard") >= threshold)
   }
 

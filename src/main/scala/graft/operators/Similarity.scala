@@ -76,6 +76,47 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN top-k: corpus vectors are assigned to their
+    * nearest of `nlist` coarse centroids (the inverted lists); each query
+    * probes its `nprobe` closest lists and brute-forces only those
+    * candidates. The shuffle is an equi-join on `list_id` — same scale shape
+    * as LSH, but data-adaptive: lists follow the corpus distribution.
+    *
+    * Centroid selection is training-free and deterministic — the `nlist`
+    * lowest-id corpus vectors — so any SQL oracle reproduces it exactly.
+    * A real deployment k-means-trains the centroid table; it is a plain
+    * (id, vector) relation, so swapping it in changes nothing else.
+    * Recall tunes with nprobe/nlist; neighbors assigned to unprobed lists
+    * are missed (standard IVF behavior). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    def rankLists(df: DataFrame, id: String, v: String, n: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(
+        (dot(col(v), col("cvec")) / (col(n) * col("cnorm"))).desc, col("cent_id"))
+      df.crossJoin(broadcast(cents)).withColumn("__lr", row_number().over(w))
+    }
+    val c = Ops.spread(corpus)
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val assigned = rankLists(c, "neighbor_id", "cv", "cn")
+      .filter(col("__lr") === 1)
+      .select(col("cent_id").as("list_id"), col("neighbor_id"), col("cv"), col("cn"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val probes = rankLists(q, "query_id", "qv", "qn")
+      .filter(col("__lr") <= nprobe)
+      .select(col("cent_id").as("list_id"), col("query_id"), col("qv"), col("qn"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
     * bucket, brute-force within the bucket. Approximate — neighbors hashed to
     * other buckets are missed (recall/planes tradeoff documented above). */

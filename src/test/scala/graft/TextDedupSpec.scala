@@ -105,6 +105,23 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(ranked == Seq(1, 2)) // nearest first
   }
 
+  test("IVF top-k: probing all lists equals brute force; fewer probes is a subset") {
+    val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
+      (0 until 12).map(i => Row(Int.box(i),
+        Seq.tabulate(8)(j => math.cos(i * 8 + j) + 2.0))): _*)
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", 4)
+    // nprobe == nlist → every list probed → identical to brute force
+    val full = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", 4, nlist = 4, nprobe = 4)
+    assert(canon(full) == canon(brute))
+    // nprobe < nlist: results are a subset of scored pairs, still ranked 1..k
+    val partial = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", 4, nlist = 4, nprobe = 1)
+    val perQuery = partial.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 4))
+  }
+
   test("LSH buckets are deterministic and self-similarity search finds exact match") {
     val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
       (0 until 8).map(i => Row(Int.box(i),
