@@ -362,6 +362,13 @@ SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
 WHERE rnk <= 5"""
     },
 
+    "q35_salted_join" -> """
+SELECT p_name,
+       cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_name""",
+
     "q34_embedding_ivf_ann" -> """
 WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
 n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),

@@ -341,6 +341,16 @@ object Queries {
         bpeishTokenCount(col("text")).as("bpeish_tokens"),
         tokenCount(col("text")).as("ws_tokens"))
 
+  /** Skew-salted join (identical result to the plain join — the oracle IS
+    * the plain join; the salt only reshapes the shuffle). */
+  def saltedJoinQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_extendedprice"))
+    val p = Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_name"))
+    Ops.saltedJoin(li, p, Seq("l_partkey"), salt = 8)
+      .groupBy("p_name")
+      .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, QFn] = Map(
@@ -368,6 +378,7 @@ object Queries {
     "q32_multimodal_decode" -> (multimodalDecode _),
     "q33_fingerprint_tokens" -> (fingerprintTokens _),
     "q34_embedding_ivf_ann" -> (embeddingIvfAnn _),
+    "q35_salted_join" -> (saltedJoinQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -39,4 +39,30 @@ object Ops {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Skew-salted equi-join: spreads a hot key across `salt` shuffle
+    * partitions by appending a deterministic salt to the big side's key and
+    * replicating the small side once per salt value. Result is identical to
+    * `big.join(small, keys, how)`; the shuffle for a key that is 50% of the
+    * big side becomes `salt` roughly-equal partitions instead of one
+    * straggler task. AQE's skew-join handles many cases at runtime — this is
+    * the explicit tool for joins AQE can't split (e.g. under windowed or
+    * bucketed requirements) or for deterministic plan shape.
+    *
+    * The salt is `pmod(hash(all big-side columns), salt)` — deterministic
+    * (re-runs partition identically, no `rand()`), and rows of the same hot
+    * key scatter as long as their non-key columns differ. `how` supports
+    * "inner" and "left" (the salted small side stays keyed 1:1 per salt). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salt: Int, how: String = "inner"): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    require(Set("inner", "left").contains(how), s"saltedJoin supports inner/left, got $how")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(salt)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, keys :+ "__salt", how).drop("__salt")
+      .select(big.columns.map(col) ++
+        small.columns.filterNot(keys.contains).map(col): _*)
+  }
 }

@@ -66,6 +66,21 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 20), (2, 5)))
   }
 
+  test("saltedJoin equals plain join on skewed data, inner and left") {
+    // 100 rows of hot key 1, a few of key 2, small side misses key 3
+    val big = spark.range(100).selectExpr("1 as k", "id as payload")
+      .unionByName(spark.range(5).selectExpr("2 as k", "id + 1000 as payload"))
+      .unionByName(spark.range(2).selectExpr("3 as k", "id + 2000 as payload"))
+    val small = df("k INT, name STRING", Row(Int.box(1), "hot"), Row(Int.box(2), "warm"))
+      .selectExpr("cast(k as bigint) as k", "name")
+    val plainInner = big.join(small, Seq("k"), "inner")
+    assert(canon(Ops.saltedJoin(big, small, Seq("k"), 8, "inner")) == canon(plainInner))
+    val plainLeft = big.join(small, Seq("k"), "left")
+      .select("k", "payload", "name")
+    assert(canon(Ops.saltedJoin(big, small, Seq("k"), 8, "left")
+      .select("k", "payload", "name")) == canon(plainLeft))
+  }
+
   test("DimDate: 5844 rows 2020→2035, leap day present, ISO weekday correct") {
     val dd = DimDate(spark).cache()
     assert(dd.count() == 5844) // reference cardinality (dim_date.sql:1)
