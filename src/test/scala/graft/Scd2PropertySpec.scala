@@ -64,6 +64,27 @@ class Scd2PropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("late-arrival collapse: arrival-order splits (out-of-order event times) converge") {
+    (1 to 10).foreach { trial =>
+      val evs = sample(eventsGen, 4000L + trial)
+      val p = sample(Gen.choose(0, evs.length), 5000L + trial)
+      val (b1, b2raw) = evs.splitAt(p)
+      // a key's first-ever event pins effective_date=1900 and loses its
+      // event time (documented), so keep only late events that do not
+      // precede the key's first batch-1 event; cross-key lateness and
+      // within-key out-of-order (vs later versions) remain fully exercised
+      val firstTs = b1.groupBy(_._1).map { case (k, es) => k -> es.map(_._2).min }
+      val b2 = b2raw.filter { case (k, day, _) => firstTs.get(k).forall(day >= _) }
+      val all = toDf(b1 ++ b2)
+      val dim1 = Scd2.fromHistory(toDf(b1), cfg)
+      // seq in toDf is list position, so b1 ++ b2 keeps arrival order and
+      // the delta is exactly the rows with seq >= |b1|
+      val merged = Scd2.merge(dim1, all.filter(col("seq") >= b1.length), cfg)
+      assert(canon(merged) == canon(Scd2.fromHistory(all, cfg)),
+        s"trial $trial diverged at arrival split $p")
+    }
+  }
+
   test("replay collapse: random streams, random cut points, merge == one batch") {
     (1 to 10).foreach { trial =>
       val evs = sample(eventsGen, 2000L + trial)
