@@ -32,7 +32,10 @@ object TableIO {
     val target = new File(path)
     val old = new File(path + ".__old__")
     if (!target.exists && old.exists)
-      Files.move(old.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+      try Files.move(old.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+      catch { // concurrent reader won the restore race — target exists now
+        case _: java.nio.file.FileSystemException if target.exists => ()
+      }
   }
 
   def exists(path: String): Boolean = {

@@ -25,6 +25,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("fact load resolves SKs against multiple dimensions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val t = "2024-03-01 00:00:00"
+    val users = df("id INT, nm STRING", Row(Int.box(1), "u1"))
+    val items = df("id INT, nm STRING", Row(Int.box(7), "i7"))
+    val sales = df("sid INT, uid INT, iid INT, sd STRING",
+      Row(Int.box(500), Int.box(1), Int.box(7), "2024-02-01 00:00:00"))
+    val wb = new WarehouseBuilder(root)
+      .loadStaging("stg_u", _ => users, Seq("user_id" -> col("id"), "name" -> col("nm")),
+        Seq("user_id", "name"), processTs = lit(t).cast("timestamp"))
+      .loadStaging("stg_i", _ => items, Seq("item_id" -> col("id"), "name" -> col("nm")),
+        Seq("item_id", "name"), processTs = lit(t).cast("timestamp"))
+      .loadStaging("stg_s", _ => sales, Seq("sale_id" -> col("sid"), "user_id" -> col("uid"),
+        "item_id" -> col("iid"), "sale_date" -> col("sd").cast("timestamp")),
+        Seq("sale_id"), processTs = lit(t).cast("timestamp"))
+      .loadDim("dim_u", "stg_u", Scd2Config(Seq("user_id"), "dl_process_date",
+        payload = Seq("name")), "user_id")
+      .loadDim("dim_i", "stg_i", Scd2Config(Seq("item_id"), "dl_process_date",
+        payload = Seq("name")), "item_id")
+      .loadFact("fact_sale", "stg_s", Seq("sale_id"), "sale_date",
+        dims = Seq(("dim_u", "user_id", "user_id"), ("dim_i", "item_id", "item_id")))
+    wb.build().run(spark)
+    val fact = spark.read.parquet(s"$root/dwh/fact_sale")
+    val r = fact.select("dim_u_sk", "dim_i_sk").head
+    val uSk = spark.read.parquet(s"$root/dwh/dim_u").select("sk").head.getString(0)
+    val iSk = spark.read.parquet(s"$root/dwh/dim_i").select("sk").head.getString(0)
+    assert(r.getString(0) == uSk && r.getString(1) == iSk)
+  }
+
   test("two-cycle warehouse: SCD2 versions, dummy fallback, late-dim repair") {
     val root = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val dummy = spark.range(1).select(dummySk).head.getString(0)
