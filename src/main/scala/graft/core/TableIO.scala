@@ -71,7 +71,24 @@ object TableIO {
     deleteRecursively(old)
     val target = new File(path)
     if (target.exists) Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE): Unit
+    // a concurrent reader's recover() can resurrect .__old__ into the target
+    // between our two moves; the writer must win — re-stash the resurrected
+    // stale copy and retry committing the new data (bounded: each retry
+    // requires another reader to lose the race in a microsecond window)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      try {
+        Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE): Unit
+        committed = true
+      } catch {
+        case e: java.nio.file.FileSystemException if target.exists && attempts < 5 =>
+          attempts += 1
+          deleteRecursively(old)
+          Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        case e: Throwable => throw e
+      }
+    }
     deleteRecursively(old)
   }
 

@@ -22,6 +22,13 @@ import graft.functions.TextFunctions._
   *
   * All hashes are MD5-derived (hash32 / lexicographic-min hex) so every
   * operator is reproducible bit-for-bit in any SQL oracle engine.
+  *
+  * Cache lifecycle: the pair generators persist small intermediates
+  * (shingle sets, candidate pairs — MBs per call) that multiple plan
+  * branches consume; they are NOT unpersisted here because the returned
+  * DataFrame still references them lazily. Callers are batch jobs (the
+  * session ends, releasing storage); a long-lived service looping over
+  * corpora should `spark.catalog.clearCache()` between corpus runs.
   */
 object Dedup {
 

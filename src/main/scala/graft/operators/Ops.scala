@@ -57,6 +57,11 @@ object Ops {
       salt: Int, how: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     require(Set("inner", "left").contains(how), s"saltedJoin supports inner/left, got $how")
+    val overlap = (big.columns.toSet & small.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"saltedJoin requires disjoint non-key column names; rename ${overlap.mkString(", ")}")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt")
     val bigS = big.withColumn("__salt",
       pmod(hash(big.columns.map(col): _*), lit(salt)))
     val smallS = small.withColumn("__salt",

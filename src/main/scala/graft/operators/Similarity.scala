@@ -38,22 +38,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact cosine top-k for each query vector against the corpus (self-match
-    * excluded). Ties broken by candidate id after rounding to 6 dp so results
-    * are deterministic across engines. Norms are computed once per vector,
-    * not once per pair — O(n) instead of O(n²) norm work. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+  /** Query-side prep: (query_id, qv, qn) with the norm computed once per
+    * vector — O(n) instead of O(n²) norm work across all ANN paths. */
+  private def prepQueries(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-    val c = Ops.spread(corpus).select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+
+  /** Corpus-side prep: (neighbor_id, cv, cn), fanned out to parallelism. */
+  private def prepCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    Ops.spread(df).select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+
+  /** Shared scoring tail for every ANN path: 6-dp-rounded cosine, ranked per
+    * query with neighbor-id tie-break — the cross-engine oracle contract
+    * lives HERE and nowhere else. */
+  private def scoreAndRank(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  /** Exact cosine top-k for each query vector against the corpus (self-match
+    * excluded). Ties broken by candidate id after rounding to 6 dp so results
+    * are deterministic across engines. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    scoreAndRank(prepQueries(queries, idCol, vecCol)
+      .join(prepCorpus(corpus, idCol, vecCol), col("query_id") =!= col("neighbor_id")), k)
 
   /** Deterministic Rademacher hyperplanes: sign(plane j, dim i) = +1 if
     * hash32(j:i) is odd else -1, hash32 = first 8 md5 hex chars. */
@@ -98,23 +110,14 @@ object Similarity {
         (dot(col(v), col("cvec")) / (col(n) * col("cnorm"))).desc, col("cent_id"))
       df.crossJoin(broadcast(cents)).withColumn("__lr", row_number().over(w))
     }
-    val c = Ops.spread(corpus)
-      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    val assigned = rankLists(c, "neighbor_id", "cv", "cn")
+    val assigned = rankLists(prepCorpus(corpus, idCol, vecCol), "neighbor_id", "cv", "cn")
       .filter(col("__lr") === 1)
       .select(col("cent_id").as("list_id"), col("neighbor_id"), col("cv"), col("cn"))
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val probes = rankLists(q, "query_id", "qv", "qn")
+    val probes = rankLists(prepQueries(queries, idCol, vecCol), "query_id", "qv", "qn")
       .filter(col("__lr") <= nprobe)
       .select(col("cent_id").as("list_id"), col("query_id"), col("qv"), col("qn"))
-    val scored = probes.join(assigned, Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scoreAndRank(probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
@@ -122,16 +125,11 @@ object Similarity {
     * other buckets are missed (recall/planes tradeoff documented above). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 4, dims: Int = 64): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
+    val q = prepQueries(queries, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("qv"), planes, dims))
-    val c = Ops.spread(corpus).select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
+    val c = prepCorpus(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scoreAndRank(q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 }
