@@ -10,6 +10,12 @@ case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
 /** One sampled frame of a media object. */
 case class MediaFrame(doc_id: Long, frame_no: Int, frame_bytes: Array[Byte])
 
+/** A resized media payload with its new nominal dimensions. */
+case class ResizedMedia(doc_id: Long, width: Int, height: Int, content: Array[Byte])
+
+/** A fixed-width feature vector extracted from a media payload. */
+case class MediaFeatures(doc_id: Long, features: Array[Float])
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed by per-partition imperative decoders.
   *
@@ -64,6 +70,56 @@ object Multimodal {
         it.map { case (id, mt, bytes) =>
           val (w, h, f) = stubDecode(bytes, md)
           MediaMeta(id, mt, bytes.length.toLong, w, h, f)
+        }
+      }
+  }
+
+  /** Resize to (width, height): the per-partition imperative transform a
+    * real image library would perform. STUB kernel: deterministic byte
+    * down/up-sampling to `width*height/64` bytes — the batch shape (binary
+    * in, binary + new dims out, one handle per partition) is the real
+    * pattern; only the marked line changes with a real resampler. */
+  def resize(media: DataFrame, width: Int, height: Int): Dataset[ResizedMedia] = {
+    require(width > 0 && height > 0, s"target dims must be positive: ${width}x$height")
+    import media.sparkSession.implicits._
+    val outLen = math.max(1, width * height / 64)
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // STUB: nearest-neighbor byte resample stands in for pixel resample
+          val out = Array.tabulate(outLen) { i =>
+            if (bytes.isEmpty) 0.toByte else bytes((i.toLong * bytes.length / outLen).toInt)
+          }
+          ResizedMedia(id, width, height, out)
+        }
+      }
+  }
+
+  /** Feature extraction: payload → fixed-width float vector (the embedding
+    * shape ANN operators consume). STUB kernel: per-dimension byte-histogram
+    * projection seeded by MD5 — deterministic, length-stable; a real build
+    * swaps in a vision/audio model invocation per partition batch. */
+  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        it.map { case (id, bytes) =>
+          val f = new Array[Float](dims)
+          var i = 0
+          while (i < bytes.length) { // STUB: signed-byte accumulation per lane
+            f(i % dims) += bytes(i)
+            i += 1
+          }
+          md.reset()
+          val h = md.digest(bytes)
+          var j = 0
+          while (j < dims) { // salt with the payload hash so empty ≠ absent
+            f(j) += (h(j % h.length) & 0x0f)
+            j += 1
+          }
+          MediaFeatures(id, f)
         }
       }
   }

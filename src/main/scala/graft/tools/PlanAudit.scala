@@ -44,6 +44,11 @@ object PlanAudit {
       "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*sh#".r.findFirstIn(p).isDefined))
     audit("q29_embedding_near_dup",
       "codegen_dot" -> (p => p.contains("graft_dot") || p.contains("WholeStageCodegen")))
+    audit("q34_embedding_ivf_ann",
+      "broadcast_centroids" -> (_.contains("BroadcastNestedLoopJoin")),
+      "list_equi_join" -> (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")))
+    audit("q35_salted_join",
+      "equi_join_on_salt" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     spark.stop()
   }
 }

@@ -41,6 +41,24 @@ class MultimodalSpec extends AnyFunSuite with SparkSpecBase {
     assert(frames.map(f => new String(f.frame_bytes, "UTF-8")).toSeq == Seq("abc", "ghi"))
   }
 
+  test("resize produces deterministic fixed-size payloads with target dims") {
+    val out = Multimodal.resize(media, 64, 64).collect().sortBy(_.doc_id)
+    assert(out.forall(r => r.width == 64 && r.height == 64))
+    assert(out.forall(_.content.length == 64 * 64 / 64))
+    val again = Multimodal.resize(media, 64, 64).collect().sortBy(_.doc_id)
+    assert(out.zip(again).forall { case (a, b) => a.content.sameElements(b.content) })
+    assertThrows[IllegalArgumentException](Multimodal.resize(media, 0, 64))
+  }
+
+  test("extractFeatures yields fixed-width deterministic vectors; empty differs from absent") {
+    val out = Multimodal.extractFeatures(media, dims = 8).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.features.length == 8))
+    // empty payload still has a (hash-salted) non-trivial vector
+    assert(out(1).features.exists(_ != 0.0f))
+    assert(!out(0).features.sameElements(out(1).features))
+  }
+
   test("metadata projection prunes the blob column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
     media.write.parquet(dir)
