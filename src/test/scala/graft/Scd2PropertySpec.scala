@@ -97,4 +97,54 @@ class Scd2PropertySpec extends AnyFunSuite with SparkSpecBase {
       assert(canon(merged) == expected, s"trial $trial diverged at cut day $cutDay")
     }
   }
+
+  // ------------------------------------------------- delete-aware properties
+
+  private val cfgOp = cfg.copy(opCol = Some("op"))
+
+  /** Event streams where ~20% of events are CDC deletes. */
+  private val opEventsGen: Gen[List[(Int, Int, String, String)]] = for {
+    n <- Gen.choose(1, 24)
+    evs <- Gen.listOfN(n, for {
+      key <- Gen.choose(1, 4)
+      day <- Gen.choose(1, 28)
+      attr <- Gen.oneOf("a", "b", "c")
+      op <- Gen.frequency(4 -> Gen.const("I"), 1 -> Gen.const("D"))
+    } yield (key, day, attr, op))
+  } yield evs
+
+  private def toOpDf(evs: List[(Int, Int, String, String)]) =
+    df("id INT, ts TIMESTAMP, attr STRING, seq INT, op STRING",
+      evs.zipWithIndex.map { case ((k, day, a, o), i) =>
+        Row(Int.box(k), ts(f"2024-01-$day%02d 00:00:00"), a, Int.box(i), o)
+      }: _*).withColumn("row_hash", rowHash(col("attr")))
+
+  test("delete invariants: one open version per key, flagged Y or D; mid-chain deletes closed") {
+    (1 to 12).foreach { trial =>
+      val dim = Scd2.fromHistory(toOpDf(sample(opEventsGen, 6000L + trial)), cfgOp)
+        .select("id", "is_active", "expiry_date").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2)))
+      dim.groupBy(_._1).foreach { case (key, rows) =>
+        val open = rows.filter(_._3 == ts("3001-01-01 00:00:00"))
+        assert(open.length == 1, s"trial $trial key $key open-version count")
+        assert(rows.count(_._2 == "Y") <= 1, s"trial $trial key $key multiple Y")
+        // 'Y' only ever marks the open version; closed versions are N or D
+        rows.filter(_._2 == "Y").foreach(r =>
+          assert(r._3 == ts("3001-01-01 00:00:00"), s"trial $trial key $key closed Y"))
+      }
+    }
+  }
+
+  test("replay collapse with deletes: merge == one batch across random ts cuts") {
+    (1 to 10).foreach { trial =>
+      val evs = sample(opEventsGen, 7000L + trial)
+      val cutDay = sample(Gen.choose(1, 28), 8000L + trial)
+      val all = toOpDf(evs)
+      val cut = lit(f"2024-01-$cutDay%02d 00:00:00").cast("timestamp")
+      val expected = canon(Scd2.fromHistory(all, cfgOp))
+      val dim1 = Scd2.fromHistory(all.filter(col("ts") < cut), cfgOp)
+      val merged = Scd2.merge(dim1, all.filter(col("ts") >= cut), cfgOp)
+      assert(canon(merged) == expected, s"trial $trial diverged at cut day $cutDay")
+    }
+  }
 }
