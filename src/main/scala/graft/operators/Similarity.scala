@@ -7,20 +7,23 @@ import graft.expressions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths, per the engine's ANN mandate:
+  * Three paths, per the engine's ANN mandate:
   *  - `bruteForceTopK`: exact cosine top-k via a key-less join. Correctness
   *    baseline; O(|Q|·|C|) — fine when |Q| is small or as the within-bucket
-  *    kernel below.
+  *    kernel of the other two.
   *  - `lshTopK` (scale path): sign-random-projection LSH — each vector maps
   *    to a small bucket id from the signs of dot products against
   *    deterministic Rademacher hyperplanes; the top-k search then joins on
   *    bucket id, turning the cross product into an equi-join shuffle. Recall
   *    is tunable via `planes` (fewer planes → bigger buckets → higher recall);
   *    multi-probe (flipping one sign bit) lifts recall without re-hashing.
+  *  - `ivfTopK` (scale path, data-adaptive): inverted-file lists from a
+  *    coarse centroid table; queries probe their nprobe closest lists.
   *
   * Hyperplanes are derived from MD5 (Rademacher ±1 per (plane, dim)) so both
-  * engines — and any SQL oracle — regenerate bit-identical buckets.
-  * All arithmetic is double-precision built-ins (zip_with/aggregate): no UDFs.
+  * engines — and any SQL oracle — regenerate bit-identical buckets. The dot
+  * kernel is the codegen'd [[graft.expressions.DotProduct]]; everything else
+  * is built-in Column ops, so all three paths stay whole-stage-compiled.
   */
 object Similarity {
 
