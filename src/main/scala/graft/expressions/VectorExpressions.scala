@@ -68,8 +68,10 @@ case class DotProduct(left: Expression, right: Expression)
   * `spark.sql.extensions=graft.expressions.GraftExtensions`) and an
   * idempotent in-session registry call used by the library itself. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectFunction(MinHashFunctions.descriptor)
+  }
 }
 
 object GraftFunctions {
@@ -79,7 +81,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => DotProduct(children.head, children(1)))
 
   /** Idempotent per-session registration of the graft expression library. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", dotProductDescriptor._3, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", MinHashFunctions.descriptor._3, "built-in")
+  }
 }

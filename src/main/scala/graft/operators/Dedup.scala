@@ -41,11 +41,14 @@ object Dedup {
 
   /** MinHash signature as an array of k hex-string minima over shingles:
     * sig[h] = min over shingles s of md5(h || ':' || s). Lexicographic min of
-    * the hex encoding is a uniform permutation-min — and identical in SQL. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { h =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$h:"), s).cast("binary"))))
-    }: _*)
+    * the hex encoding is a uniform permutation-min — and identical in SQL.
+    * Backed by the single-pass [[graft.expressions.MinHashSignature]] kernel
+    * (one loop per row vs k interpreted higher-order passes). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    graft.expressions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_minhash", shingles, lit(k))
+  }
 
   /** Jaccard for a set of candidate (id_a, id_b) pairs, computed WITHOUT
     * carrying shingle arrays through any shuffle: intersection sizes come
