@@ -65,14 +65,16 @@ object Dedup {
 
   private def jaccardOfPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    // candidate ids and pair counts are tiny relative to the corpus —
+    // broadcast them so the verify chain never shuffles the shingle index
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val inv = sh.join(candIds, Seq("id"), "left_semi")
+    val inv = sh.join(broadcast(candIds), Seq("id"), "left_semi")
       .select(col("id"), explode(col("sh")).as("shingle"))
     val inter = inv.select(col("shingle"), col("id").as("id_a"))
       .join(inv.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    scorePairs(candidates.join(inter, Seq("id_a", "id_b")), sizes)
+    scorePairs(broadcast(candidates).join(inter, Seq("id_a", "id_b")), sizes)
   }
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
