@@ -35,6 +35,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("watermark drops late data and append mode emits only closed windows") {
+    val dir = tmp()
+    val schema = eventRows.schema
+    // two separate AvailableNow runs over one checkpoint: the watermark is
+    // restored between runs, so batch boundaries are deterministic (a single
+    // run's file-batching order is not)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+      val q = Streams.windowedAgg(stream, "ts", "event_type", "value")
+        .writeStream.format("parquet").option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // run 1: window 10-11 gets one event; 12:55 drives the watermark to 11:55
+    df("user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:05:00"), "view", Double.box(1.0)),
+      Row(Int.box(1), ts("2024-01-01 12:55:00"), "view", Double.box(2.0)))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    runOnce()
+    // run 2: 10:30 arrives BELOW the restored watermark -> must be dropped;
+    // 13:05 opens a window that never closes before the stream ends
+    df("user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:30:00"), "view", Double.box(100.0)),
+      Row(Int.box(1), ts("2024-01-01 13:05:00"), "view", Double.box(3.0)))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    runOnce()
+    val out = spark.read.parquet(dir + "/out")
+      .select("window_start", "n_events", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    // only the 10:00 window ever closes (watermark 11:55 passed its end);
+    // it holds ONE event — the 10:30 straggler was dropped, not merged
+    assert(out.toSeq == Seq(("2024-01-01 10:00:00.0", 1L, 1.0)))
+  }
+
   test("foreachBatch SCD2 sink over two micro-batches converges to fromHistory") {
     val dir = tmp()
     val cfg = Scd2Config(Seq("user_id"), "ts", payload = Seq("event_type"),
