@@ -104,19 +104,19 @@ object Scd2 {
     finalize_(suppressNoOps(anchors.unionByName(deltaPrep), cfg), cfg, skCol)
   }
 
-  /** Convenience: merge and return the full resulting dimension. */
+  /** Convenience: merge and return the full resulting dimension. No
+    * emptiness probe is needed: with an empty `existing`, the anchors and
+    * the untouched set are both empty and mergeDelta degenerates to
+    * fromHistory(delta) — avoiding a driver-side job per merge. */
   def merge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
-    if (existing.isEmpty) fromHistory(delta, cfg, skCol)
-    else {
-      val changed = mergeDelta(existing, delta, cfg, skCol)
-      // upsert grain is the business key: touched keys' chains are replaced
-      // wholesale (mergeDelta rebuilt them), untouched keys are kept as-is
-      // (SURVEY S4). Reselect after the using-column join: left_anti with a
-      // key Seq moves the keys to the front, which would reorder the schema.
-      val untouched = existing.join(delta.select(cfg.businessKey.map(col): _*).distinct(),
-        cfg.businessKey, "left_anti").select(existing.columns.map(col): _*)
-      untouched.unionByName(changed.select(untouched.columns.map(col): _*))
-    }
+    val changed = mergeDelta(existing, delta, cfg, skCol)
+    // upsert grain is the business key: touched keys' chains are replaced
+    // wholesale (mergeDelta rebuilt them), untouched keys are kept as-is
+    // (SURVEY S4). Reselect after the using-column join: left_anti with a
+    // key Seq moves the keys to the front, which would reorder the schema.
+    val untouched = existing.join(delta.select(cfg.businessKey.map(col): _*).distinct(),
+      cfg.businessKey, "left_anti").select(existing.columns.map(col): _*)
+    untouched.unionByName(changed.select(untouched.columns.map(col): _*))
   }
 
   /** dbt-style timestamp-strategy snapshot (SURVEY S11/E3, reference
