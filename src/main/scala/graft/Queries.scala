@@ -141,9 +141,9 @@ object Queries {
     // cache: merge consumes dim1 three times (emptiness probe, current-rows
     // scan, untouched-keys anti-join) — without this the full first-batch
     // window recomputes per consumer
+    // (not unpersisted: the returned lazy plan still references dim1)
     val dim1 = Scd2.fromHistory(ev.filter(col("ts") < split), userScdConfig).cache()
-    try Scd2.merge(dim1, ev.filter(col("ts") >= split), userScdConfig).select(scdOutCols: _*)
-    finally () // unpersist deferred: the returned plan still references dim1
+    Scd2.merge(dim1, ev.filter(col("ts") >= split), userScdConfig).select(scdOutCols: _*)
   }
 
   /** J3 temporal (as-of) join: purchases probe the user dimension version
