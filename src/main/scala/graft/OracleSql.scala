@@ -393,13 +393,29 @@ SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
   FROM p)
 WHERE rnk <= 5""",
 
-    "q29_embedding_near_dup" -> """
-WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    "q29_embedding_near_dup" -> {
+      // banded SRP-LSH candidates: 12 tables x 6 sign bits, global plane
+      // index j = band*6 + r, bit value 1<<r — mirrors
+      // Similarity.lshBandBuckets / Dedup.embeddingNearDup exactly
+      val bandSelects = (0 until 12).map { b =>
+        val bucket = (0 until 6).map { r =>
+          val j = b * 6 + r
+          s"""CASE WHEN list_sum([e[i] * (CASE WHEN (('0x' || substr(md5('$j:' || (i - 1)), 1, 8))::BIGINT & 1) = 1
+               THEN 1.0 ELSE -1.0 END) for i in generate_series(1, 64)]) > 0
+             THEN ${1L << r}::BIGINT ELSE 0::BIGINT END"""
+        }.mkString(" + ")
+        s"SELECT vec_id, $b AS band, ($bucket) AS bucket FROM v"
+      }.mkString(" UNION ALL ")
+      s"""
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+h AS ($bandSelects),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM h a JOIN h b USING (band, bucket) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b,
        round(list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
          / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))), 6) AS cosine
-FROM v a, v b
-WHERE a.vec_id < b.vec_id
-  AND list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
-    / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))) >= 0.45""")
+FROM cand JOIN v a ON a.vec_id = id_a JOIN v b ON b.vec_id = id_b
+WHERE list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
+    / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))) >= 0.45"""
+    })
 }

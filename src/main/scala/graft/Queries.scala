@@ -138,8 +138,8 @@ object Queries {
   def scd2Incremental(s: SparkSession, d: String): DataFrame = {
     val ev = userEvents(s, d)
     val split = to_timestamp(lit("2024-01-15"))
-    // cache: merge consumes dim1 three times (emptiness probe, current-rows
-    // scan, untouched-keys anti-join) — without this the full first-batch
+    // cache: merge consumes dim1 twice (touched-keys semi-join replay,
+    // untouched-keys anti-join) — without this the full first-batch
     // window recomputes per consumer
     // (not unpersisted: the returned lazy plan still references dim1)
     val dim1 = Scd2.fromHistory(ev.filter(col("ts") < split), userScdConfig).cache()
@@ -327,9 +327,12 @@ object Queries {
       nlist = 16, nprobe = 4)
   }
 
-  /** Embedding near-duplicate pairs (cosine >= 0.95). */
+  /** Embedding near-duplicate pairs: cosine >= 0.45 over banded-LSH
+    * candidates (12 tables × 6 sign bits — no all-pairs join; the oracle
+    * regenerates the same MD5 Rademacher buckets). */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding", 0.45,
+        bands = 12, rowsPerBand = 6, dims = 64)
       .withColumn("cosine", round(col("cosine"), 6))
 
   /** Rolling-hash fingerprint + BPE-ish token counting (text mandate). */

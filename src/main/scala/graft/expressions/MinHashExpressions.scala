@@ -72,6 +72,17 @@ object MinHashFunctions {
   val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (children: Seq[Expression]) => MinHashSignature(children.head,
-        children(1).eval().asInstanceOf[Int]))
+      (children: Seq[Expression]) => {
+        // k must be a foldable int literal — anything else fails analysis
+        // with the signature, not an opaque ClassCastException at eval
+        def bad() = throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            "graft_minhash expects (array<string> shingles, int-literal k)"))
+        if (children.size != 2 || !children(1).foldable) bad()
+        children(1).eval() match {
+          case k: Integer => MinHashSignature(children.head, k)
+          case _ => bad()
+        }
+      })
 }

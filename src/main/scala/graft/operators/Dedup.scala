@@ -63,26 +63,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
 
-  private def jaccardOfPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
+  private def jaccardOfPairs(candidates: DataFrame, sh: DataFrame,
+      broadcastCandidates: Boolean): DataFrame = {
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    // candidate ids and pair counts are tiny relative to the corpus —
-    // broadcast them so the verify chain never shuffles the shingle index
+    // when the (bucket-capped) candidate set is known small, broadcast it so
+    // the verify chain never shuffles the shingle index; above the bound we
+    // fall back to plain shuffled joins rather than force-broadcasting an
+    // unbounded set past autoBroadcastJoinThreshold (driver-OOM hazard)
+    val hint: DataFrame => DataFrame = if (broadcastCandidates) broadcast else identity
     val candIds = candidates.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val inv = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val inv = sh.join(hint(candIds), Seq("id"), "left_semi")
       .select(col("id"), explode(col("sh")).as("shingle"))
     val inter = inv.select(col("shingle"), col("id").as("id_a"))
       .join(inv.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    scorePairs(broadcast(candidates).join(inter, Seq("id_a", "id_b")), sizes)
+    scorePairs(hint(candidates).join(inter, Seq("id_a", "id_b")), sizes)
   }
 
   /** LSH candidate pairs from banded MinHash signatures, verified with exact
     * shingle Jaccard. `bands` must divide `k`. Output: (id_a, id_b, jaccard)
-    * with id_a < id_b, for pairs meeting `threshold`. */
+    * with id_a < id_b, for pairs meeting `threshold`.
+    *
+    * Skew guard: a boilerplate-heavy corpus can put O(m²) candidate pairs in
+    * one (band, band_hash) bucket; buckets wider than `maxBucketSize` are
+    * dropped from candidate generation (the `maxShingleFreq` mitigation of
+    * [[ngramJaccardPairs]], applied to LSH buckets). Capping loses only
+    * recall — pairs that collide solely in a capped bucket — never
+    * precision, since survivors are still exact-Jaccard verified. The
+    * candidate set is broadcast in the verify chain only while its worst
+    * case (Σ capped-bucket pair counts) stays within `broadcastPairLimit`. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      broadcastPairLimit: Long = 4000000L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     // persist: the shingle pipeline is interpreted higher-order-function
@@ -99,19 +113,32 @@ object Dedup {
       .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
       .persist()
     val withSig = sh.withColumn("sig", minhashSignature(col("sh"), k))
-    // band hash = md5 over the band's slice of the signature
+    // band hash = md5 over the band's slice of the signature. Persisted:
+    // (id, band, band_hash) is tiny, and it feeds the bucket-size scan plus
+    // both sides of the candidate self-join — without this the signature
+    // kernel re-runs three times
     val banded = withSig.select(col("id"),
       posexplode(array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).cast("binary"))
       }: _*)).as(Seq("band", "band_hash")))
-    val candidates = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("band_hash"), col("id").as("id_b")),
+      .persist()
+    val bucketSizes = banded.groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+    val hot = bucketSizes.filter(col("c") > maxBucketSize).select("band", "band_hash")
+    // worst-case candidate pairs from the kept buckets — one tiny driver
+    // action (O(#buckets) rows) that decides the verify-join strategy
+    val pairBound = bucketSizes.filter(col("c") <= maxBucketSize)
+      .agg(coalesce(sum(((col("c") * (col("c") - lit(1L))) / 2).cast("long")), lit(0L)))
+      .first().getLong(0)
+    val cold = banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val candidates = cold.select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(cold.select(col("band"), col("band_hash"), col("id").as("id_b")),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .persist() // consumed twice in jaccardOfPairs (candidate ids + final join)
-    jaccardOfPairs(candidates, sh).filter(col("jaccard") >= threshold)
+    jaccardOfPairs(candidates, sh, broadcastCandidates = pairBound <= broadcastPairLimit)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 32-bit SimHash over distinct word tokens: bit b of the signature is the
@@ -155,13 +182,55 @@ object Dedup {
     scorePairs(inter, sizes).filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold. Delegates to the
-    * Similarity kernel; candidate generation via LSH buckets (scale path) or
-    * brute force (small corpora). */
+  /** Embedding near-duplicate pairs: cosine >= threshold over LSH-banded
+    * candidates. Candidates come from `bands` independent sign-random-
+    * projection hash tables of `rowsPerBand` bits each
+    * ([[Similarity.lshBandBuckets]] — deterministic MD5 Rademacher planes an
+    * SQL oracle regenerates exactly), so vectors only ever meet through an
+    * equi-join on (band, bucket): there is no all-pairs/nested-loop join
+    * anywhere in the plan. Colliding pairs are verified with the exact
+    * cosine kernel; a true pair is missed iff it collides in no band
+    * (recall = 1-(1-p^rowsPerBand)^bands, p = 1 - angle/pi — near 1 for
+    * genuine near-dups, tune bands up for lower thresholds). Hot buckets
+    * (degenerate vectors) are dropped above `maxBucketSize`, mirroring
+    * `maxShingleFreq` — capped buckets lower recall, never precision.
+    *
+    * `bruteForceLimit` > 0 opts small corpora into the exact all-pairs path
+    * (one count() to decide); the default never leaves the LSH path. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, bands: Int = 12, rowsPerBand: Int = 6, dims: Int = 64,
+      maxBucketSize: Int = 1000, bruteForceLimit: Long = 0L): DataFrame = {
+    if (bruteForceLimit > 0 && df.count() <= bruteForceLimit)
+      return embeddingNearDupExact(df, idCol, vecCol, threshold)
     val v = Ops.spread(df).select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
       .withColumn("n", Similarity.norm(col("v"))) // norm once per vector, not per pair
+    // candidate generation carries only (id, band, bucket) — vectors never
+    // enter the self-join shuffle
+    val hashed = v.select(col("id"),
+      posexplode(Similarity.lshBandBuckets(col("v"), bands, rowsPerBand, dims))
+        .as(Seq("band", "bucket"))).persist()
+    val hot = hashed.groupBy("band", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("band", "bucket")
+    val cold = hashed.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val candidates = cold.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(cold.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact all-pairs near-dup baseline — O(n²) nested-loop join, for small
+    * corpora (or as the verification spec for the LSH path's precision). */
+  def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = Ops.spread(df).select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = v.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -91,6 +91,24 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** `bands` independent LSH hash tables of `rowsPerBand` sign bits each —
+    * the SRP analogue of banded MinHash. Element b of the returned array is
+    * the bucket id in table b, built from the GLOBAL plane indices
+    * [b·rowsPerBand, (b+1)·rowsPerBand), so an oracle regenerating planes by
+    * global index agrees bit-for-bit. A pair is a near-dup candidate iff it
+    * collides in at least one band: recall = 1-(1-p^rowsPerBand)^bands with
+    * p = 1 - angle/pi — tune bands up / rowsPerBand down for recall, the
+    * reverse for candidate-set precision. */
+  def lshBandBuckets(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column = {
+    val signs = planeSigns(bands * rowsPerBand, dims)
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).map { r =>
+        val plane = array(signs(b * rowsPerBand + r).map(lit): _*)
+        when(dot(vec, plane) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** IVF (inverted-file) ANN top-k: corpus vectors are assigned to their
     * nearest of `nlist` coarse centroids (the inverted lists); each query
     * probes its `nprobe` closest lists and brute-forces only those
@@ -102,24 +120,45 @@ object Similarity {
     * A real deployment k-means-trains the centroid table; it is a plain
     * (id, vector) relation, so swapping it in changes nothing else.
     * Recall tunes with nprobe/nlist; neighbors assigned to unprobed lists
-    * are missed (standard IVF behavior). */
+    * are missed (standard IVF behavior).
+    *
+    * Scale shape: centroids are COLLECTED to the driver (O(nlist·dims)
+    * doubles — the same driver-constant pattern as [[planeSigns]]) and
+    * inlined as literal arrays, so list assignment is a pure per-row
+    * projection over the corpus: no crossJoin fan-out, no window, and no
+    * exchange between the corpus scan and the list equi-join. The probe
+    * side (|queries|·nprobe rows) is broadcast, so the corpus's only
+    * shuffle is the final per-query top-k window. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), toDouble(col(vecCol)).as("cvec"))
-      .withColumn("cnorm", norm(col("cvec")))
-    def rankLists(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(
-        (dot(col(v), col("cvec")) / (col(n) * col("cnorm"))).desc, col("cent_id"))
-      df.crossJoin(broadcast(cents)).withColumn("__lr", row_number().over(w))
+    val cents: Array[(Int, Array[Double], Double)] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("int"), toDouble(col(vecCol)))
+        .collect().map { r =>
+          val cvec = r.getSeq[Double](1).toArray
+          // norm accumulated in index order — bit-identical to
+          // norm(col) = sqrt(graft_dot(v, v)), which also sums in order
+          var s = 0.0; var i = 0
+          while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
+          (r.getInt(0), cvec, math.sqrt(s))
+        }
+    // per-row ranked lists: sort (cosine, -cent_id, cent_id) structs
+    // descending — cosine desc then cent_id asc, the exact tie-break of the
+    // oracle's ORDER BY cosine DESC, cent_id
+    def nearestLists(vCol: String, nCol: String, n: Int): Column = {
+      val entries = array(cents.map { case (cid, cvec, cnorm) =>
+        struct(
+          (dot(col(vCol), array(cvec.map(lit): _*)) / (col(nCol) * lit(cnorm))).as("c"),
+          lit(-cid).as("ni"), lit(cid).as("cid"))
+      }: _*)
+      slice(sort_array(entries, asc = false), 1, n)
     }
-    val assigned = rankLists(prepCorpus(corpus, idCol, vecCol), "neighbor_id", "cv", "cn")
-      .filter(col("__lr") === 1)
-      .select(col("cent_id").as("list_id"), col("neighbor_id"), col("cv"), col("cn"))
-    val probes = rankLists(prepQueries(queries, idCol, vecCol), "query_id", "qv", "qn")
-      .filter(col("__lr") <= nprobe)
-      .select(col("cent_id").as("list_id"), col("query_id"), col("qv"), col("qn"))
-    scoreAndRank(probes.join(assigned, Seq("list_id"))
+    val assigned = prepCorpus(corpus, idCol, vecCol)
+      .withColumn("list_id", element_at(nearestLists("cv", "cn", 1), 1).getField("cid"))
+    val probes = prepQueries(queries, idCol, vecCol)
+      .withColumn("__l", explode(nearestLists("qv", "qn", nprobe)))
+      .withColumn("list_id", col("__l").getField("cid")).drop("__l")
+    scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 

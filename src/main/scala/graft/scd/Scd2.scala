@@ -107,7 +107,14 @@ object Scd2 {
   /** Convenience: merge and return the full resulting dimension. No
     * emptiness probe is needed: with an empty `existing`, the anchors and
     * the untouched set are both empty and mergeDelta degenerates to
-    * fromHistory(delta) — avoiding a driver-side job per merge. */
+    * fromHistory(delta) — avoiding a driver-side job per merge.
+    *
+    * Schema contract: `existing` — even when empty — must carry the full
+    * dimension schema this object produces (business key, payload, hash,
+    * effective_date/expiry_date, is_active, version_no), because the anchors
+    * projection references those columns. Use
+    * `TableIO.readOrEmpty(..., like = fromHistory(delta.limit(0), cfg))`
+    * for a first run, not `spark.emptyDataFrame`. */
   def merge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
     val changed = mergeDelta(existing, delta, cfg, skCol)
     // upsert grain is the business key: touched keys' chains are replaced

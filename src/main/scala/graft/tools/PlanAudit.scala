@@ -38,15 +38,20 @@ object PlanAudit {
       "single_window_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1))
     audit("q15_missing_dates",
       "broadcast_anti" -> (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")))
+    // (?<![\w]) keeps band_hash# from matching the shingle column sh#
     audit("q24_lsh_pairs",
-      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*sh#".r.findFirstIn(p).isDefined))
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*(?<![\\w])sh#".r.findFirstIn(p).isDefined))
     audit("q26_ngram_jaccard",
-      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*sh#".r.findFirstIn(p).isDefined))
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*(?<![\\w])sh#".r.findFirstIn(p).isDefined))
     audit("q29_embedding_near_dup",
-      "codegen_dot" -> (p => p.contains("graft_dot") || p.contains("WholeStageCodegen")))
+      "codegen_dot" -> (p => p.contains("graft_dot") || p.contains("WholeStageCodegen")),
+      "no_all_pairs" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q34_embedding_ivf_ann",
-      "broadcast_centroids" -> (_.contains("BroadcastNestedLoopJoin")),
-      "list_equi_join" -> (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")))
+      "no_assignment_fanout" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+      "broadcast_probes" -> (_.contains("BroadcastHashJoin")),
+      // the corpus side must reach the list equi-join shuffle-free: the only
+      // hash exchange in the whole plan is the final top-k window
+      "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
     audit("q35_salted_join",
       "equi_join_on_salt" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     spark.stop()
