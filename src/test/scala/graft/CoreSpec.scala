@@ -23,6 +23,83 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("upsertByKey sync_all_columns: added delta column NULL-pads old rows") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v STRING", Row(Int.box(1), "a"), Row(Int.box(2), "b")), Seq("k"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v STRING, extra INT", Row(Int.box(2), "B", Int.box(9))), Seq("k"))
+    val got = spark.read.parquet(path)
+    assert(got.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    val rows = got.collect().map(r =>
+      (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")),
+        if (r.isNullAt(r.fieldIndex("extra"))) None else Some(r.getInt(r.fieldIndex("extra"))))).toSet
+    assert(rows == Set((1, "a", None), (2, "B", Some(9))))
+  }
+
+  test("upsertByKey sync_all_columns: column dropped from the delta leaves the table") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v STRING, old STRING", Row(Int.box(1), "a", "x"), Row(Int.box(2), "b", "y")), Seq("k"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v STRING", Row(Int.box(3), "c")), Seq("k"))
+    val got = spark.read.parquet(path)
+    assert(got.columns.sorted.toSeq == Seq("k", "v"))
+    assert(got.collect().map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+      == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  /** All files (relative path → bytes) under a dir, for byte-identity checks. */
+  private def dirBytes(root: java.io.File, prefix: String = ""): Map[String, Seq[Byte]] = {
+    Option(root.listFiles).getOrElse(Array.empty).flatMap { f =>
+      if (f.isDirectory) dirBytes(f, s"$prefix${f.getName}/")
+      else if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+      else Seq(s"$prefix${f.getName}" ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+    }.toMap
+  }
+
+  test("partitioned upsertByKey rewrites only touched partitions; untouched dirs byte-identical") {
+    val path = tmp() + "/t"
+    val base = df("k INT, p STRING, v STRING",
+      Row(Int.box(1), "2024-01-01", "a"), Row(Int.box(2), "2024-01-01", "b"),
+      Row(Int.box(3), "2024-01-02", "c"), Row(Int.box(4), "2024-01-03", "d"))
+    TableIO.upsertByKey(spark, path, base, Seq("k"), partitionBy = Seq("p"))
+    val before = dirBytes(new java.io.File(path))
+    assert(before.keys.exists(_.startsWith("p=2024-01-02/")))
+    // delta touches 2024-01-01 (update k=2) and a brand-new partition
+    val delta = df("k INT, p STRING, v STRING",
+      Row(Int.box(2), "2024-01-01", "B"), Row(Int.box(5), "2024-01-04", "e"))
+    TableIO.upsertByKey(spark, path, delta, Seq("k"), partitionBy = Seq("p"))
+    val after = dirBytes(new java.io.File(path))
+    // untouched partitions: identical file names AND bytes
+    for (d <- Seq("p=2024-01-02/", "p=2024-01-03/")) {
+      assert(before.view.filterKeys(_.startsWith(d)).toMap
+        == after.view.filterKeys(_.startsWith(d)).toMap, s"partition $d changed")
+    }
+    assert(after.keys.exists(_.startsWith("p=2024-01-04/")))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "c"), (4, "d"), (5, "e")))
+  }
+
+  test("partitioned upsertByKey: a key moving partitions leaves no stale copy behind") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(1), "old", "a"), Row(Int.box(2), "keep", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    // k=1 moves old → new, emptying partition p=old entirely
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(1), "new", "A")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("p")),
+        r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, "new", "A"), (2, "keep", "b")))
+    assert(!new java.io.File(path, "p=old").exists)
+  }
+
   test("overwriteAtomic: self-overwrite (read table, transform, write same path)") {
     val path = tmp() + "/t"
     TableIO.overwriteAtomic(df("k INT", Row(Int.box(1)), Row(Int.box(2))), path)
