@@ -64,6 +64,10 @@ sig AS (
   }
 
   val all: Map[String, String] = Map(
+    "q36_nw_fact_order" -> NorthwindOracle.factOrder,
+    "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
+    "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,
+    "q41_nw_dim_employee" -> NorthwindOracle.dimEmployee,
 
     "q01_agg_pushdown" -> """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,389 @@
+package graft.northwind
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.audit.AuditControl
+import graft.core.TableIO
+import graft.functions.SqlFunctions._
+import graft.operators.AsOf
+import graft.scd.{Scd2, Scd2Config}
+
+/** The reference's concrete 23-model Northwind warehouse, bound end-to-end:
+  * 11 staging projections → 4 intermediate CDC-prep models (HWM deltas,
+  * join chains, dummy members) → 4 SCD2 dims → 2 temporal facts, run as a
+  * genuine two-cycle initial+incremental load with audit state, upserts,
+  * and the late-arriving-dimension repair post-hook.
+  *
+  * Documented divergences from the reference (all SURVEY-prescribed):
+  *  - B1 fixed: dim_shipper updates its own audit row, not dim_customer's;
+  *  - B7 fixed: fact_order_details upserts on (order_id, product_id);
+  *  - B9 kept as effective-inner: the employee chain inner-joins territories;
+  *  - B11 kept: dim_employee drops the raw `region` column;
+  *  - as-of joins are half-open [effective, expiry) so a probe at a version
+  *    flip matches exactly one version (the reference's inclusive BETWEEN
+  *    double-matches at the boundary);
+  *  - SKs hash the FINAL effective_date as epoch micros (engine convention,
+  *    Scd2 scaladoc), so the key-0 dummy SK equals SqlFunctions.dummySk;
+  *  - the intermediate employee rank picks its surviving territory row with
+  *    a deterministic tie-break (territory_description) where the reference
+  *    relies on Snowflake's arbitrary pick;
+  *  - created_at/updated_at stamp the cycle's batch time, not wall clock,
+  *    so two engines can agree bit-for-bit.
+  *
+  * Scale shape: every dim chain is HWM-pruned before its window (the SCD2
+  * shuffle is O(|delta|)); the tiny joined sides (categories, region,
+  * territories, suppliers) broadcast; fact loads shuffle once on the join
+  * key with dims broadcast; the fact upsert is the touched-partition-aware
+  * TableIO writer.
+  */
+object NorthwindWarehouse {
+  import NorthwindSources.{T1, T2}
+
+  // ------------------------------------------------------------ dummy rows
+
+  /** The two synthetic members every intermediate unions in: key 0 = 'Not
+    * Found', key -1 = 'Not Applicable', dated 1900
+    * (stg_dim_customer.sql:89-146 et al.). `build` receives (key, filler). */
+  private def dummyPair(spark: SparkSession, keyCol: String, keyIsString: Boolean,
+      build: (Column, Column) => Seq[Column]): DataFrame = {
+    def key(v: Int): Column =
+      if (keyIsString) lit(v.toString) else lit(v)
+    spark.range(1).select(build(key(0), lit("Not Found")): _*)
+      .unionByName(spark.range(1).select(build(key(-1), lit("Not Applicable")): _*))
+  }
+
+  // --------------------------------------------------------- intermediates
+
+  /** stg_dim_customer (stg_dim_customer.sql): HWM delta + dummies + rn=1. */
+  def stgDimCustomer(spark: SparkSession, stg: DataFrame, hwm: Column): DataFrame = {
+    val attrs = Seq("company_name", "contact_name", "contact_title", "address",
+      "city", "region", "postal_code", "country", "phone", "fax")
+    val delta = stg.filter(col("dl_process_date") > hwm)
+      .select((Seq(col("customer_id")) ++ attrs.map(col) ++ Seq(col("op"),
+        col("row_hash"), col("dl_process_date").as("updated_at"))): _*)
+    val dums = dummyPair(spark, "customer_id", keyIsString = true, (k, f) =>
+      Seq(k.as("customer_id")) ++ attrs.map(a => f.as(a)) ++ Seq(
+        lit("I").as("op"),
+        rowHash(k, f, f, f, f, f, f, f, f).as("row_hash"), // B4 list over fillers
+        epochTs.as("updated_at")))
+    dedupPerKeyInstant(delta.unionByName(dums), Seq("customer_id"))
+  }
+
+  /** stg_dim_shipper (stg_dim_shipper.sql; B1's audit target fixed). */
+  def stgDimShipper(spark: SparkSession, stg: DataFrame, hwm: Column): DataFrame = {
+    val delta = stg.filter(col("dl_process_date") > hwm)
+      .select(col("shipper_id"), col("company_name"), col("phone"), col("op"),
+        col("row_hash"), col("dl_process_date").as("updated_at"))
+    val dums = dummyPair(spark, "shipper_id", keyIsString = false, (k, f) =>
+      Seq(k.as("shipper_id"), f.as("company_name"), f.as("phone"),
+        lit("I").as("op"), rowHash(k, f, f).as("row_hash"), epochTs.as("updated_at")))
+    dedupPerKeyInstant(delta.unionByName(dums), Seq("shipper_id"))
+  }
+
+  /** stg_dim_products (stg_dim_products.sql): 3-way join over CURRENT
+    * staging state, model-level hash (which omits unit_price on real rows —
+    * reference quirk, kept), greatest-dl change detection, HWM filter,
+    * dummies (whose hash INCLUDES unit_price — also kept). */
+  def stgDimProducts(spark: SparkSession, products: DataFrame, suppliers: DataFrame,
+      categories: DataFrame, hwm: Column): DataFrame = {
+    val p = products.select(col("product_id"), col("product_name"), col("supplier_id"),
+      col("category_id"), col("quantity_per_unit"), col("unit_price"),
+      col("reorder_level"), col("discontinued"), col("op"),
+      col("dl_process_date").as("p_dl"))
+    val s = suppliers.filter(col("op") =!= "D").select(col("supplier_id"),
+      col("company_name"), col("address"), col("city"), col("region"),
+      col("postal_code"), col("country"), col("dl_process_date").as("s_dl"))
+    val c = categories.filter(col("op") =!= "D").select(col("category_id"),
+      col("category_name"), col("description"), col("dl_process_date").as("c_dl"))
+    val joined = p.join(broadcast(s), Seq("supplier_id"))
+      .join(broadcast(c), Seq("category_id"))
+      .withColumn("max_dl", greatest(col("p_dl"), col("s_dl"), col("c_dl")))
+    val hashed = joined.withColumn("row_hash", rowHash(
+      col("product_id"), col("product_name"), col("quantity_per_unit"),
+      col("reorder_level"), col("discontinued"), col("company_name"),
+      col("address"), col("city"), col("region"), col("postal_code"),
+      col("country"), col("category_name"), col("description")))
+    val w = Window.partitionBy("product_id").orderBy(col("max_dl").desc)
+    val delta = hashed.withColumn("ranked", row_number().over(w))
+      .filter(col("ranked") === 1 && col("max_dl") > hwm)
+      .select(col("product_id"), col("product_name"), col("quantity_per_unit"),
+        col("unit_price"), col("reorder_level"), col("discontinued"),
+        col("company_name"), col("address"), col("city"), col("region"),
+        col("postal_code"), col("country"), col("category_name"), col("description"),
+        col("op"), col("row_hash"), col("max_dl").as("updated_at"))
+    val dums = dummyPair(spark, "product_id", keyIsString = false, (k, f) =>
+      Seq(k.as("product_id"), f.as("product_name"), f.as("quantity_per_unit"),
+        k.cast("double").as("unit_price"), k.as("reorder_level"),
+        lit(true).as("discontinued"), f.as("company_name"), f.as("address"),
+        f.as("city"), f.as("region"), f.as("postal_code"), f.as("country"),
+        f.as("category_name"), f.as("description"), lit("I").as("op"),
+        rowHash(k, f, f, k.cast("double"), k, lit(true), f, f, f, f, f, f, f, f)
+          .as("row_hash"),
+        epochTs.as("updated_at")))
+    dedupPerKeyInstant(delta.unionByName(dums), Seq("product_id"))
+  }
+
+  /** stg_dim_employee (stg_dim_employee.sql): 4-way chain, effective-inner
+    * (B9), deterministic territory pick, dummies. */
+  def stgDimEmployee(spark: SparkSession, employees: DataFrame, empTerr: DataFrame,
+      territories: DataFrame, region: DataFrame, hwm: Column): DataFrame = {
+    val e = employees.select(col("employee_id"), col("first_name"), col("last_name"),
+      col("title"), col("title_of_courtesy"),
+      col("birth_date").cast("date").as("birthdate"),
+      col("address"), col("city"), col("region"), col("postal_code"), col("country"),
+      col("home_page"), col("extension"), col("op"), col("dl_process_date").as("e_dl"))
+    val et = empTerr.filter(col("op") =!= "D")
+      .select(col("territory_id"), col("employee_id"), col("dl_process_date").as("et_dl"))
+    val t = territories.filter(col("op") =!= "D")
+      .select(col("territory_id"), col("territory_description"), col("region_id"),
+        col("dl_process_date").as("t_dl"))
+    val r = region.filter(col("op") =!= "D")
+      .select(col("region_id"), col("region_description"), col("dl_process_date").as("r_dl"))
+    val joined = e.join(broadcast(et), Seq("employee_id"))
+      .join(broadcast(t), Seq("territory_id"))
+      .join(broadcast(r), Seq("region_id"))
+      .withColumn("max_dl", greatest(col("e_dl"), col("et_dl"), col("t_dl"), col("r_dl")))
+    val hashed = joined.withColumn("row_hash", rowHash(
+      col("employee_id"), col("first_name"), col("last_name"), col("title"),
+      col("title_of_courtesy"), col("birthdate"), col("address"), col("city"),
+      col("region"), col("postal_code"), col("country"), col("home_page"),
+      col("extension"), col("region_description"), col("territory_description")))
+    val w = Window.partitionBy("employee_id")
+      .orderBy(col("max_dl").desc, col("territory_description"))
+    val delta = hashed.withColumn("ranked", row_number().over(w))
+      .filter(col("ranked") === 1 && col("max_dl") > hwm)
+      .select(col("employee_id"), col("first_name"), col("last_name"), col("title"),
+        col("title_of_courtesy"), col("birthdate"), col("address"), col("city"),
+        col("region"), col("postal_code"), col("country"), col("home_page"),
+        col("extension"), col("op"), col("region_description"),
+        col("territory_description"), col("row_hash"), col("max_dl").as("updated_at"))
+    val dums = dummyPair(spark, "employee_id", keyIsString = false, (k, f) =>
+      Seq(k.as("employee_id"), f.as("first_name"), f.as("last_name"), f.as("title"),
+        f.as("title_of_courtesy"), to_date(lit("1900-01-01")).as("birthdate"),
+        f.as("address"), f.as("city"), f.as("region"), f.as("postal_code"),
+        f.as("country"), f.as("home_page"), f.as("extension"), lit("I").as("op"),
+        f.as("region_description"), f.as("territory_description"),
+        rowHash(k, f, f, f, f, to_date(lit("1900-01-01")), f, f, f, f, f, f, f, f, f)
+          .as("row_hash"),
+        epochTs.as("updated_at")))
+    dedupPerKeyInstant(delta.unionByName(dums), Seq("employee_id"))
+  }
+
+  /** rn=1 over (key, updated_at) — the intermediates' same-instant dedup
+    * (stg_dim_customer.sql:149-157), with row_hash as a deterministic
+    * tie-break the reference leaves to the engine. */
+  private def dedupPerKeyInstant(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy((keys :+ "updated_at").map(col): _*)
+      .orderBy(col("updated_at"), col("row_hash"))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------ dims
+
+  /** The four dim configs — tracked columns exactly as each dim's
+    * existing_records block declares (dim_customer.sql:14-56,
+    * dim_products.sql:14-63, dim_employee.sql:14-62 (B11: no raw region),
+    * dim_shipper.sql:14-38). */
+  val dimCustomerCfg: Scd2Config = Scd2Config(
+    businessKey = Seq("customer_id"), effectiveCol = "updated_at",
+    opCol = Some("op"),
+    payload = Seq("company_name", "contact_name", "contact_title", "address",
+      "city", "region", "postal_code", "country", "phone", "fax", "updated_at"))
+
+  val dimShipperCfg: Scd2Config = Scd2Config(
+    businessKey = Seq("shipper_id"), effectiveCol = "updated_at",
+    opCol = Some("op"),
+    payload = Seq("company_name", "phone", "updated_at"))
+
+  val dimProductsCfg: Scd2Config = Scd2Config(
+    businessKey = Seq("product_id"), effectiveCol = "updated_at",
+    opCol = Some("op"),
+    payload = Seq("product_name", "quantity_per_unit", "unit_price",
+      "reorder_level", "discontinued", "company_name", "address", "city",
+      "region", "postal_code", "country", "category_name", "description",
+      "updated_at"))
+
+  val dimEmployeeCfg: Scd2Config = Scd2Config(
+    businessKey = Seq("employee_id"), effectiveCol = "updated_at",
+    opCol = Some("op"),
+    payload = Seq("first_name", "last_name", "title", "title_of_courtesy",
+      "birthdate", "address", "city", "postal_code", "country", "home_page",
+      "extension", "region_description", "territory_description", "updated_at"))
+
+  // ------------------------------------------------------------ the runner
+
+  private val stagingNames = Seq("stg_orders", "stg_order_details", "stg_customers",
+    "stg_products", "stg_employees", "stg_suppliers", "stg_categories",
+    "stg_shippers", "stg_region", "stg_territories", "stg_employeeterritories")
+
+  /** One full `dbt run` cycle (SURVEY E1/E2) against the lake state visible
+    * at the cycle's batch time. */
+  def runCycle(spark: SparkSession, sfDir: String, root: String, cycle: Int): Unit = {
+    import NorthwindSources._
+    val cycleTs = to_timestamp(lit(if (cycle == 1) T1 else T2))
+    val audit = new AuditControl(spark, s"$root/audit")
+    def stagingPath(n: String) = s"$root/staging/$n"
+    def tablePath(n: String) = s"$root/dwh/$n"
+
+    // 1. staging CTAS (S3): full overwrite of the current source state
+    val staged: Map[String, DataFrame] = Map(
+      "stg_orders" -> NorthwindStaging.stgOrders(orders(spark, sfDir, cycle)),
+      "stg_order_details" -> NorthwindStaging.stgOrderDetails(orderDetails(spark, sfDir, cycle)),
+      "stg_customers" -> NorthwindStaging.stgCustomers(customers(spark, sfDir, cycle)),
+      "stg_products" -> NorthwindStaging.stgProducts(products(spark, sfDir, cycle)),
+      "stg_employees" -> NorthwindStaging.stgEmployees(employees(spark, sfDir, cycle)),
+      "stg_suppliers" -> NorthwindStaging.stgSuppliers(suppliers(spark, sfDir, cycle)),
+      "stg_categories" -> NorthwindStaging.stgCategories(categories(spark, sfDir, cycle)),
+      "stg_shippers" -> NorthwindStaging.stgShippers(shippers(spark, sfDir, cycle)),
+      "stg_region" -> NorthwindStaging.stgRegion(region(spark, sfDir, cycle)),
+      "stg_territories" -> NorthwindStaging.stgTerritories(territories(spark, sfDir, cycle)),
+      "stg_employeeterritories" ->
+        NorthwindStaging.stgEmployeeTerritories(employeeTerritories(spark, sfDir, cycle)))
+    stagingNames.foreach(n => TableIO.overwriteAtomic(staged(n), stagingPath(n)))
+    def stg(n: String): DataFrame = TableIO.read(spark, stagingPath(n))
+
+    // 2. dims: audit bootstrap (C4) → intermediate delta → SCD2 merge →
+    //    upsert-by-business-key (S4 at key grain) → audit HWM (C6)
+    def loadDim(name: String, driver: String, keyDesc: String, cfg: Scd2Config,
+        skCol: String, intermediate: Column => DataFrame): Unit = {
+      audit.ensureRegistered(name, driver, keyDesc)
+      val hwm = lit(audit.info(name).hwmDate)
+      val delta = intermediate(hwm)
+      val existing = TableIO.readOrEmpty(spark, tablePath(name),
+        Scd2.fromHistory(delta, cfg, skCol))
+      TableIO.overwriteAtomic(Scd2.merge(existing, delta, cfg, skCol), tablePath(name))
+      val newHwm = TableIO.read(spark, tablePath(name))
+        .agg(max(col("updated_at"))).first().getTimestamp(0)
+      audit.markProcessed(name, newHwm)
+    }
+    loadDim("dim_customer", "stg_customers", "customer_id", dimCustomerCfg,
+      "customer_sk", hwm => stgDimCustomer(spark, stg("stg_customers"), hwm))
+    loadDim("dim_shippers", "stg_shippers", "shipper_id", dimShipperCfg,
+      "shipper_sk", hwm => stgDimShipper(spark, stg("stg_shippers"), hwm))
+    loadDim("dim_products", "stg_products", "product_id", dimProductsCfg,
+      "product_sk", hwm => stgDimProducts(spark, stg("stg_products"),
+        stg("stg_suppliers"), stg("stg_categories"), hwm))
+    loadDim("dim_employee", "stg_employees", "employee_id", dimEmployeeCfg,
+      "employee_sk", hwm => stgDimEmployee(spark, stg("stg_employees"),
+        stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"), hwm))
+
+    // 3. fact_order (fact_order.sql + fact_order_fail_lookup post-hook)
+    loadFactOrder(spark, root, audit, stg("stg_orders"), cycleTs)
+
+    // 4. fact_order_details (fact_order_details.sql, composite key — B7 fix)
+    loadFactOrderDetails(spark, root, audit, stg("stg_order_details"))
+  }
+
+  /** As-of SK resolution against one dim, dummy fallback (fact_order.sql:17-42). */
+  private def resolveDim(acc: DataFrame, dim: DataFrame, fKey: String, dKey: String,
+      skCol: String, probe: Column): DataFrame =
+    AsOf.pointInTime(acc, dim.select(col(dKey).as("__k"), col("effective_date"),
+        col("expiry_date"), col(skCol).as("__sk")), fKey, "__k", probe)
+      .select(acc.columns.map(c => col(s"__fact.$c")) :+
+        AsOf.resolveSk(col("__dim.__sk")).as(skCol): _*)
+
+  private def factDims(spark: SparkSession, root: String): Seq[(String, String, String, String)] =
+    Seq( // (dim table, fact key, dim key, sk col)
+      ("dim_employee", "employee_id", "employee_id", "employee_sk"),
+      ("dim_customer", "customer_id", "customer_id", "customer_sk"),
+      ("dim_shippers", "shipper_id", "shipper_id", "shipper_sk"))
+
+  private def loadFactOrder(spark: SparkSession, root: String, audit: AuditControl,
+      stgOrders: DataFrame, cycleTs: Column): Unit = {
+    val path = s"$root/dwh/fact_order"
+    audit.ensureRegistered("fact_order", "stg_orders", "order_id")
+    val hwm = audit.info("fact_order").hwmDate
+    val delta = stgOrders.filter(col("dl_process_date") > lit(hwm))
+      .withColumnRenamed("op", "record_status")
+    val probe = col("__fact.order_date").cast("timestamp")
+    val resolved = factDims(spark, root).foldLeft(delta) {
+      case (acc, (dimName, fKey, dKey, skCol)) =>
+        resolveDim(acc, TableIO.read(spark, s"$root/dwh/$dimName"), fKey, dKey, skCol, probe)
+    }
+    // change detection vs existing (P10, fact_order.sql:128-133): new key,
+    // changed hash, or newly-deleted; created_at preserved on update
+    val existing = TableIO.readOrEmpty(spark, path,
+      resolved.withColumn("created_at", cycleTs).withColumn("updated_at", cycleTs))
+    val ex = existing.select(col("order_id"), col("row_hash").as("__ex_hash"),
+      col("record_status").as("__ex_status"), col("created_at").as("__ex_created"))
+    val changed = resolved.join(ex, Seq("order_id"), "left")
+      .filter(col("__ex_hash").isNull ||
+        col("__ex_hash") =!= col("row_hash") ||
+        (col("__ex_status") =!= "D" && col("record_status") === "D"))
+      .withColumn("created_at", coalesce(col("__ex_created"), cycleTs))
+      .withColumn("updated_at", cycleTs)
+      .drop("__ex_hash", "__ex_status", "__ex_created")
+    TableIO.upsertByKey(spark, path, changed, Seq("order_id"))
+    // post-hook 1 (C7): repair rows still carrying ANY dummy SK — re-resolve
+    // all three SKs against the now-current dims and bump updated_at, even
+    // when the re-lookup fails again (the reference UPDATE matches them too)
+    val skCols = factDims(spark, root).map(_._4)
+    val fact = TableIO.read(spark, path)
+    val isDummy = skCols.map(c => col(c) === dummySk).reduce(_ || _)
+    val ok = fact.filter(!isDummy)
+    val failed = fact.filter(isDummy).drop(skCols: _*)
+    val reResolved = factDims(spark, root).foldLeft(failed) {
+      case (acc, (dimName, fKey, dKey, skCol)) =>
+        resolveDim(acc, TableIO.read(spark, s"$root/dwh/$dimName"), fKey, dKey, skCol,
+          col("__fact.order_date").cast("timestamp"))
+    }.withColumn("updated_at", cycleTs).select(fact.columns.map(col): _*)
+    TableIO.overwriteAtomic(ok.unionByName(reResolved), path)
+    // post-hook 2 (C6): hwm from the fact's own updated_at
+    val newHwm = TableIO.read(spark, path)
+      .agg(max(col("updated_at"))).first().getTimestamp(0)
+    audit.markProcessed("fact_order", newHwm)
+  }
+
+  private def loadFactOrderDetails(spark: SparkSession, root: String,
+      audit: AuditControl, stgDetails: DataFrame): Unit = {
+    val path = s"$root/dwh/fact_order_details"
+    audit.ensureRegistered("fact_order_details", "stg_order_details", "order_id,product_id")
+    val hwm = audit.info("fact_order_details").hwmDate
+    // B8 fixed: filter on od.dl_process_date directly
+    val delta = stgDetails.filter(col("dl_process_date") > lit(hwm))
+      .withColumnRenamed("dl_process_date", "updated_at")
+    val dimP = TableIO.read(spark, s"$root/dwh/dim_products")
+    val resolved = AsOf.pointInTime(delta, dimP.select(col("product_id").as("__k"),
+        col("product_sk"), col("product_name"), col("quantity_per_unit"),
+        col("reorder_level"), col("discontinued"), col("company_name"),
+        col("address"), col("city"), col("region"), col("postal_code"),
+        col("country"), col("category_name"), col("description"), col("version_no"),
+        col("effective_date"), col("expiry_date")),
+        "product_id", "__k", col("__fact.updated_at"))
+      .select(delta.columns.map(c => col(s"__fact.$c")) ++ Seq(
+        col("__dim.product_sk"), col("__dim.product_name"),
+        col("__dim.quantity_per_unit"), col("__dim.reorder_level"),
+        col("__dim.discontinued"), col("__dim.company_name"), col("__dim.address"),
+        col("__dim.city"), col("__dim.region"), col("__dim.postal_code"),
+        col("__dim.country"), col("__dim.category_name"), col("__dim.description"),
+        col("__dim.version_no"), col("__dim.effective_date")): _*)
+    TableIO.upsertByKey(spark, path, resolved, Seq("order_id", "product_id"))
+    val newHwm = TableIO.read(spark, path)
+      .agg(max(col("updated_at"))).first().getTimestamp(0)
+    audit.markProcessed("fact_order_details", newHwm)
+  }
+
+  // ------------------------------------------------- build + memoized root
+
+  /** Run both cycles into `root`. */
+  def buildWarehouse(spark: SparkSession, sfDir: String, root: String): Unit = {
+    runCycle(spark, sfDir, root, 1)
+    runCycle(spark, sfDir, root, 2)
+  }
+
+  private val builtRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized build per (session, sfDir): companion queries (dim state,
+    * fact_order_details) read the artifacts of one shared run — the output
+    * is deterministic, so rebuilding per query would only burn time. q36
+    * (fact_order) always rebuilds fresh so the bench reports the true
+    * pipeline cost. */
+  def ensureBuilt(spark: SparkSession, sfDir: String): String =
+    builtRoots.computeIfAbsent(sfDir, _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft_northwind").toString
+      buildWarehouse(spark, sfDir, root)
+      root
+    })
+}
