@@ -63,6 +63,23 @@ sig AS (
   FROM sh)"""
   }
 
+  /** dbt-snapshot over the user event stream (q31 batch; q37 incremental). */
+  private val SnapshotSql = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         md5(coalesce(cast(event_type AS varchar), '')) AS row_hash
+  FROM events
+), dedup AS (
+  SELECT user_id, event_id, ts, event_type, row_hash FROM (
+    SELECT *, lag(row_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+    FROM ev) WHERE ph IS NULL OR ph <> row_hash
+)
+SELECT md5(concat_ws('-', cast(user_id AS varchar), cast(epoch_us(ts) AS varchar))) AS dbt_scd_id,
+       user_id, event_type, row_hash,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us
+FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
   val all: Map[String, String] = Map(
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
@@ -201,21 +218,32 @@ SELECT o_orderkey, o_custkey,
        md5(concat_ws('-', cast(o_custkey AS varchar), '-2208988800000000')) AS sk
 FROM orders""",
 
-    "q31_snapshot" -> """
-WITH ev AS (
-  SELECT user_id, event_id, ts, event_type,
-         md5(coalesce(cast(event_type AS varchar), '')) AS row_hash
-  FROM events
-), dedup AS (
-  SELECT user_id, event_id, ts, event_type, row_hash FROM (
-    SELECT *, lag(row_hash) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
-    FROM ev) WHERE ph IS NULL OR ph <> row_hash
-)
-SELECT md5(concat_ws('-', cast(user_id AS varchar), cast(epoch_us(ts) AS varchar))) AS dbt_scd_id,
-       user_id, event_type, row_hash,
-       epoch_us(ts) AS valid_from_us,
-       epoch_us(lead(ts) OVER w) AS valid_to_us
-FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q31_snapshot" -> SnapshotSql,
+
+    // same oracle as q31: the two-batch snapshotMerge must converge to the
+    // batch snapshot
+    "q37_snapshot_incremental" -> SnapshotSql,
+
+    // mirrors Multimodal.extractFeatures' stub kernel: lane j accumulates
+    // every 16th byte (ASCII corpus: ascii(substr) == signed byte), salted
+    // with the payload-md5 low nibble (hex digit 2j+2); then the q27 exact
+    // top-k contract (6-dp cosine, neighbor-id tie-break)
+    "q38_mm_feature_ann" -> """
+WITH f AS (
+  SELECT doc_id,
+    [ (coalesce(list_sum([ascii(substr(text, i, 1)) for i in generate_series(1+j, length(text), 16)]), 0)
+       + ('0x' || substr(md5(text), 2*j+2, 1))::INT)::double
+      for j in generate_series(0, 15)] AS e
+  FROM documents),
+p AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(list_sum([q.e[i] * c.e[i] for i in generate_series(1, 16)])
+           / (sqrt(list_sum([x * x for x in q.e])) * sqrt(list_sum([x * x for x in c.e]))), 6) AS cosine
+  FROM f q, f c WHERE q.doc_id < 20 AND q.doc_id <> c.doc_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 5""",
 
     "q32_multimodal_decode" -> """
 WITH h AS (

@@ -254,6 +254,21 @@ object Queries {
         micros(col("dbt_valid_from")).as("valid_from_us"),
         micros(col("dbt_valid_to")).as("valid_to_us"))
 
+  /** S11/E3 steady state: the same snapshot built INCREMENTALLY in two
+    * batches through [[Scd2.snapshotMerge]] — must converge to the batch
+    * snapshot (checked against the q31 oracle). */
+  def snapshotIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val ev = userEvents(s, d)
+    val split = to_timestamp(lit("2024-01-15"))
+    // cache: snapshotMerge consumes snap1 twice (touched-keys replay,
+    // untouched-keys anti-join)
+    val snap1 = Scd2.snapshot(ev.filter(col("ts") < split), userScdConfig).cache()
+    Scd2.snapshotMerge(snap1, ev.filter(col("ts") >= split), userScdConfig)
+      .select(col("dbt_scd_id"), col("user_id"), col("event_type"), col("row_hash"),
+        micros(col("dbt_valid_from")).as("valid_from_us"),
+        micros(col("dbt_valid_to")).as("valid_to_us"))
+  }
+
   /** Multimodal decode: binary media column → typed metadata via the
     * per-partition mapPartitions decoder (stubbed kernel, real plumbing). */
   def multimodalDecode(s: SparkSession, d: String): DataFrame =
@@ -343,6 +358,19 @@ object Queries {
         rollingFingerprint(col("__nt"), 5).as("rolling_fp"),
         bpeishTokenCount(col("text")).as("bpeish_tokens"),
         tokenCount(col("text")).as("ws_tokens"))
+
+  /** Multimodal seam exercised END-TO-END: the stub per-partition feature
+    * kernel over the documents corpus feeds the exact ANN operator (16-dim
+    * byte-histogram features → cosine top-5 for the first 20 docs). Gates
+    * the full distributed plumbing — binary payload column, mapPartitions
+    * batch shape, Array[Float] encoder — against an oracle that recomputes
+    * the same features declaratively. */
+  def mmFeatureAnn(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.asMediaTable(
+      Tables.documents(s, d), "doc_id", "text", "text/plain")
+    val feats = graft.multimodal.Multimodal.extractFeatures(media, dims = 16).toDF()
+    Similarity.bruteForceTopK(feats.filter(col("doc_id") < 20), feats, "doc_id", "features", 5)
+  }
 
   /** Skew-salted join (identical result to the plain join — the oracle IS
     * the plain join; the salt only reshapes the shuffle). */
@@ -450,6 +478,8 @@ object Queries {
     "q34_embedding_ivf_ann" -> (embeddingIvfAnn _),
     "q35_salted_join" -> (saltedJoinQ _),
     "q36_nw_fact_order" -> (nwFactOrder _),
+    "q37_snapshot_incremental" -> (snapshotIncrementalQ _),
+    "q38_mm_feature_ann" -> (mmFeatureAnn _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -137,14 +137,66 @@ object Scd2 {
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
       .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
+    snapFinalize(suppressNoOps(prepared, cfg), cfg, skCol)
+  }
+
+  /** Snapshot finalization: open-ended validity chain, no 1900 forcing, no
+    * version numbers in the output (snapshot convention). */
+  private def snapFinalize(df: DataFrame, cfg: Scd2Config, skCol: String): DataFrame = {
     val keys = cfg.businessKey
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg, prepared): _*)
-    suppressNoOps(prepared, cfg)
-      .withColumn("dbt_valid_from", col("__eff"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols(cfg, df): _*)
+    df.withColumn("dbt_valid_from", col("__eff"))
       .withColumn("dbt_valid_to", lead(col("__eff"), 1).over(w))
       .withColumn(skCol, temporalSk(keys.map(col), col("__eff")))
       .select((Seq(skCol) ++ keys ++ cfg.payload ++
         Seq(cfg.hashCol, "dbt_valid_from", "dbt_valid_to")).map(col): _*)
+  }
+
+  /** Incremental snapshot merge — the steady state of the reference's
+    * `dbt snapshot` (snapshots/snapshot_employee.sql:4-9): like [[merge]]
+    * but honoring snapshot conventions (`dbt_valid_from` keeps the observed
+    * event time, open versions carry NULL `dbt_valid_to`). Touched keys'
+    * chains are rebuilt from their persisted versions replayed as events
+    * plus the delta — so snapshotMerge ≡ snapshot-over-history by
+    * construction (the q37 oracle gates it); untouched keys never enter
+    * the plan.
+    *
+    * Anchor replay order: snapshots emit no version_no, so the persisted
+    * chain order is reconstructed as (dbt_valid_from, dbt_valid_to NULLS
+    * LAST) — exact for same-instant version pairs because only the chain's
+    * LAST same-instant version has an open/later valid_to, and earlier
+    * same-instant versions are output-identical under any order (the
+    * snapshot schema carries no version column).
+    *
+    * Convergence caveat (property-tested): no-op suppression is lossy — a
+    * suppressed same-hash event leaves no trace in the persisted snapshot,
+    * so a late delta whose event time interleaves BEFORE a suppressed
+    * no-op cannot reproduce the one-batch chain (dbt snapshots behave
+    * identically). Per-key-monotone deltas (the HWM steady state) converge
+    * exactly; unlike [[mergeDelta]] there is no 1900-forcing caveat, since
+    * snapshots keep every version's observed event time. */
+  def snapshotMerge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config,
+      skCol: String = "dbt_scd_id"): DataFrame = {
+    val keys = cfg.businessKey
+    val anchors = existing
+      .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select((keys ++ cfg.payload :+ cfg.hashCol).map(col) ++ Seq(
+        col("dbt_valid_from").cast("timestamp").as("__eff"),
+        lit("I").as("__op"),
+        row_number().over(Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("dbt_valid_from"), col("dbt_valid_to").asc_nulls_last))
+          .as("__av")) ++
+        cfg.tiebreak.map(c => lit(null).cast(delta.schema(c).dataType).as("__tb_" + c)): _*)
+    val deltaPrep = delta
+      .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
+      .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
+      .withColumn("__av", lit(null).cast("int"))
+      .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
+      .select(anchors.columns.map(col): _*)
+    val changed = snapFinalize(suppressNoOps(anchors.unionByName(deltaPrep), cfg), cfg, skCol)
+    val untouched = existing.join(delta.select(keys.map(col): _*).distinct(),
+      keys, "left_anti").select(existing.columns.map(col): _*)
+    untouched.unionByName(changed.select(untouched.columns.map(col): _*))
   }
 
   /** Drop rows whose tracked hash equals the previous version's hash —

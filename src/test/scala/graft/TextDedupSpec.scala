@@ -64,6 +64,59 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs == Set((1, 2)))
   }
 
+  // boilerplate corpus for the skew caps: 'alpha beta gamma' opens all six
+  // docs (shingle freq 6); docs 1-2 additionally share a genuine overlap;
+  // docs 3-6 are pairwise unrelated beyond the boilerplate
+  private def boilerplateDocs = docs(
+    (1, "alpha beta gamma delta epsilon zeta eta"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),
+    (3, "alpha beta gamma u3a u3b"),
+    (4, "alpha beta gamma u4a u4b"),
+    (5, "alpha beta gamma u5a u5b"),
+    (6, "alpha beta gamma u6a u6b"))
+
+  test("ngram Jaccard hot-shingle cap trips: boilerplate-only pairs vanish, " +
+      "surviving pairs score the documented lower bound") {
+    def run(cap: Int) = Dedup.ngramJaccardPairs(boilerplateDocs, "doc_id", "text",
+        shingleWords = 3, threshold = 0.01, maxShingleFreq = cap)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // uncapped control: every pair shares at least the boilerplate shingle
+    val open = run(1000)
+    assert(open.keySet.size == 15, s"expected all 15 pairs, got ${open.keySet}")
+    assert(math.abs(open((1, 2)) - 5.0 / 6) < 1e-12) // 5 shared of 5+6-5
+    assert(math.abs(open((3, 4)) - 1.0 / 5) < 1e-12) // boilerplate only
+    // cap 5 < freq 6: 'alpha beta gamma' is excluded from candidates AND
+    // intersections; set sizes keep it → jaccard is a lower bound
+    val capped = run(5)
+    assert(capped.keySet == Set((1, 2)),
+      s"only the genuine near-dup should survive the cap, got ${capped.keySet}")
+    assert(math.abs(capped((1, 2)) - 4.0 / 7) < 1e-12) // 4 cold shared of 5+6-4
+  }
+
+  test("minhash LSH bucket cap trips: hot-bucket-only collisions vanish, " +
+      "pairs colliding in a cold bucket keep exact jaccard") {
+    // four IDENTICAL docs (3-6) share every band bucket → width-4 buckets
+    val quad = docs(
+      (1, "alpha beta gamma delta epsilon zeta eta"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3, "same boilerplate body repeated verbatim in four documents"),
+      (4, "same boilerplate body repeated verbatim in four documents"),
+      (5, "same boilerplate body repeated verbatim in four documents"),
+      (6, "same boilerplate body repeated verbatim in four documents"))
+    def run(cap: Int) = Dedup.minhashLshPairs(quad, "doc_id", "text",
+        shingleWords = 3, k = 8, bands = 4, threshold = 0.01, maxBucketSize = cap)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val open = run(1000)
+    assert(open.contains((3, 4)) && math.abs(open((3, 4)) - 1.0) < 1e-12)
+    assert(open.contains((1, 2)), s"near-dup pair lost without cap: ${open.keySet}")
+    // cap 3 < 4 identical docs: their buckets are dropped — recall loss on
+    // exactly those pairs, precision elsewhere untouched
+    val capped = run(3)
+    assert(capped.keySet == Set((1, 2)),
+      s"identical quad must vanish under the bucket cap, got ${capped.keySet}")
+    assert(math.abs(capped((1, 2)) - 5.0 / 6) < 1e-12) // verify stays exact
+  }
+
   test("simhash: identical texts equal; near-identical texts within 3 bits") {
     def pop(x: Long) = java.lang.Long.bitCount(x)
     val sigs = docs(
