@@ -219,7 +219,15 @@ object NorthwindWarehouse {
     "stg_shippers", "stg_region", "stg_territories", "stg_employeeterritories")
 
   /** One full `dbt run` cycle (SURVEY E1/E2) against the lake state visible
-    * at the cycle's batch time. */
+    * at the cycle's batch time.
+    *
+    * Independent models at the same DAG level run CONCURRENTLY from the
+    * driver (Spark's scheduler interleaves their jobs across the executor
+    * pool) — the 11 staging CTAS together, then the 4 dims, then the 2
+    * facts: the same level-parallel execution `dbt run --threads` gives the
+    * reference. Audit-table writes are read-modify-write on shared state,
+    * so registration happens before the fan-out and HWM marks after the
+    * join — only the heavy merge/write work runs in parallel. */
   def runCycle(spark: SparkSession, sfDir: String, root: String, cycle: Int): Unit = {
     import NorthwindSources._
     val cycleTs = to_timestamp(lit(if (cycle == 1) T1 else T2))
@@ -241,39 +249,54 @@ object NorthwindWarehouse {
       "stg_territories" -> NorthwindStaging.stgTerritories(territories(spark, sfDir, cycle)),
       "stg_employeeterritories" ->
         NorthwindStaging.stgEmployeeTerritories(employeeTerritories(spark, sfDir, cycle)))
-    stagingNames.foreach(n => TableIO.overwriteAtomic(staged(n), stagingPath(n)))
+    inParallel(stagingNames.map(n => () => TableIO.overwriteAtomic(staged(n), stagingPath(n))))
     def stg(n: String): DataFrame = TableIO.read(spark, stagingPath(n))
 
     // 2. dims: audit bootstrap (C4) → intermediate delta → SCD2 merge →
     //    upsert-by-business-key (S4 at key grain) → audit HWM (C6)
-    def loadDim(name: String, driver: String, keyDesc: String, cfg: Scd2Config,
-        skCol: String, intermediate: Column => DataFrame): Unit = {
-      audit.ensureRegistered(name, driver, keyDesc)
-      val hwm = lit(audit.info(name).hwmDate)
-      val delta = intermediate(hwm)
-      val existing = TableIO.readOrEmpty(spark, tablePath(name),
-        Scd2.fromHistory(delta, cfg, skCol))
-      TableIO.overwriteAtomic(Scd2.merge(existing, delta, cfg, skCol), tablePath(name))
-      val newHwm = TableIO.read(spark, tablePath(name))
+    case class DimLoad(name: String, driver: String, keyDesc: String,
+        cfg: Scd2Config, skCol: String, intermediate: Column => DataFrame)
+    val dims = Seq(
+      DimLoad("dim_customer", "stg_customers", "customer_id", dimCustomerCfg,
+        "customer_sk", hwm => stgDimCustomer(spark, stg("stg_customers"), hwm)),
+      DimLoad("dim_shippers", "stg_shippers", "shipper_id", dimShipperCfg,
+        "shipper_sk", hwm => stgDimShipper(spark, stg("stg_shippers"), hwm)),
+      DimLoad("dim_products", "stg_products", "product_id", dimProductsCfg,
+        "product_sk", hwm => stgDimProducts(spark, stg("stg_products"),
+          stg("stg_suppliers"), stg("stg_categories"), hwm)),
+      DimLoad("dim_employee", "stg_employees", "employee_id", dimEmployeeCfg,
+        "employee_sk", hwm => stgDimEmployee(spark, stg("stg_employees"),
+          stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"), hwm)))
+    dims.foreach(dl => audit.ensureRegistered(dl.name, dl.driver, dl.keyDesc))
+    val hwms = dims.map(dl => dl.name -> lit(audit.info(dl.name).hwmDate)).toMap
+    val newHwms = inParallel(dims.map(dl => () => {
+      val delta = dl.intermediate(hwms(dl.name))
+      val existing = TableIO.readOrEmpty(spark, tablePath(dl.name),
+        Scd2.fromHistory(delta, dl.cfg, dl.skCol))
+      TableIO.overwriteAtomic(Scd2.merge(existing, delta, dl.cfg, dl.skCol), tablePath(dl.name))
+      dl.name -> TableIO.read(spark, tablePath(dl.name))
         .agg(max(col("updated_at"))).first().getTimestamp(0)
-      audit.markProcessed(name, newHwm)
-    }
-    loadDim("dim_customer", "stg_customers", "customer_id", dimCustomerCfg,
-      "customer_sk", hwm => stgDimCustomer(spark, stg("stg_customers"), hwm))
-    loadDim("dim_shippers", "stg_shippers", "shipper_id", dimShipperCfg,
-      "shipper_sk", hwm => stgDimShipper(spark, stg("stg_shippers"), hwm))
-    loadDim("dim_products", "stg_products", "product_id", dimProductsCfg,
-      "product_sk", hwm => stgDimProducts(spark, stg("stg_products"),
-        stg("stg_suppliers"), stg("stg_categories"), hwm))
-    loadDim("dim_employee", "stg_employees", "employee_id", dimEmployeeCfg,
-      "employee_sk", hwm => stgDimEmployee(spark, stg("stg_employees"),
-        stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"), hwm))
+    }))
+    newHwms.foreach { case (name, hwm) => audit.markProcessed(name, hwm) }
 
-    // 3. fact_order (fact_order.sql + fact_order_fail_lookup post-hook)
-    loadFactOrder(spark, root, audit, stg("stg_orders"), cycleTs)
+    // 3/4. facts (fact_order.sql with its repair post-hook; B7 composite key)
+    audit.ensureRegistered("fact_order", "stg_orders", "order_id")
+    audit.ensureRegistered("fact_order_details", "stg_order_details", "order_id,product_id")
+    val factHwms = inParallel(Seq(
+      () => loadFactOrder(spark, root, audit, stg("stg_orders"), cycleTs),
+      () => loadFactOrderDetails(spark, root, audit, stg("stg_order_details"))))
+    factHwms.foreach { case (name, hwm) => audit.markProcessed(name, hwm) }
+  }
 
-    // 4. fact_order_details (fact_order_details.sql, composite key — B7 fix)
-    loadFactOrderDetails(spark, root, audit, stg("stg_order_details"))
+  /** Run independent model loads concurrently; Spark's scheduler is
+    * thread-safe and interleaves their jobs. Failures propagate. */
+  private def inParallel[A](work: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** As-of SK resolution against one dim, dummy fallback (fact_order.sql:17-42). */
@@ -290,10 +313,10 @@ object NorthwindWarehouse {
       ("dim_customer", "customer_id", "customer_id", "customer_sk"),
       ("dim_shippers", "shipper_id", "shipper_id", "shipper_sk"))
 
+  /** Returns ("fact_order", new HWM); the caller marks the audit row. */
   private def loadFactOrder(spark: SparkSession, root: String, audit: AuditControl,
-      stgOrders: DataFrame, cycleTs: Column): Unit = {
+      stgOrders: DataFrame, cycleTs: Column): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order"
-    audit.ensureRegistered("fact_order", "stg_orders", "order_id")
     val hwm = audit.info("fact_order").hwmDate
     val delta = stgOrders.filter(col("dl_process_date") > lit(hwm))
       .withColumnRenamed("op", "record_status")
@@ -331,15 +354,14 @@ object NorthwindWarehouse {
     }.withColumn("updated_at", cycleTs).select(fact.columns.map(col): _*)
     TableIO.overwriteAtomic(ok.unionByName(reResolved), path)
     // post-hook 2 (C6): hwm from the fact's own updated_at
-    val newHwm = TableIO.read(spark, path)
+    "fact_order" -> TableIO.read(spark, path)
       .agg(max(col("updated_at"))).first().getTimestamp(0)
-    audit.markProcessed("fact_order", newHwm)
   }
 
+  /** Returns ("fact_order_details", new HWM); the caller marks the audit row. */
   private def loadFactOrderDetails(spark: SparkSession, root: String,
-      audit: AuditControl, stgDetails: DataFrame): Unit = {
+      audit: AuditControl, stgDetails: DataFrame): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order_details"
-    audit.ensureRegistered("fact_order_details", "stg_order_details", "order_id,product_id")
     val hwm = audit.info("fact_order_details").hwmDate
     // B8 fixed: filter on od.dl_process_date directly
     val delta = stgDetails.filter(col("dl_process_date") > lit(hwm))
@@ -360,9 +382,8 @@ object NorthwindWarehouse {
         col("__dim.country"), col("__dim.category_name"), col("__dim.description"),
         col("__dim.version_no"), col("__dim.effective_date")): _*)
     TableIO.upsertByKey(spark, path, resolved, Seq("order_id", "product_id"))
-    val newHwm = TableIO.read(spark, path)
+    "fact_order_details" -> TableIO.read(spark, path)
       .agg(max(col("updated_at"))).first().getTimestamp(0)
-    audit.markProcessed("fact_order_details", newHwm)
   }
 
   // ------------------------------------------------- build + memoized root

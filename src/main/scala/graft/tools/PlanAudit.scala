@@ -54,6 +54,37 @@ object PlanAudit {
       "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
     audit("q35_salted_join",
       "equi_join_on_salt" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+
+    // Northwind warehouse building blocks (audited as plans, without running
+    // the two-cycle pipeline): the 3-way intermediate join must broadcast
+    // its small sides, and the SCD2 merge must shuffle once on the business
+    // key with no cartesian anywhere
+    def auditDf(name: String, df: org.apache.spark.sql.DataFrame,
+        checks: (String, String => Boolean)*): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val results = checks.map { case (label, f) => s"$label=${if (f(plan)) "OK" else "MISS"}" }
+      println(s"[plan] $name: ${results.mkString(" ")}")
+      if (results.exists(_.endsWith("MISS"))) println(plan.take(3000))
+    }
+    {
+      import graft.northwind.{NorthwindSources => NS, NorthwindStaging => NG, NorthwindWarehouse => NW}
+      import org.apache.spark.sql.functions.{lit, to_timestamp}
+      val hwm = to_timestamp(lit("1900-01-01"))
+      val prods = NG.stgProducts(NS.products(spark, d, 2))
+      val supps = NG.stgSuppliers(NS.suppliers(spark, d, 2))
+      val cats = NG.stgCategories(NS.categories(spark, d, 2))
+      auditDf("nw_stg_dim_products", NW.stgDimProducts(spark, prods, supps, cats, hwm),
+        "broadcast_dims" -> (_.contains("BroadcastHashJoin")),
+        "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+      val custs = NW.stgDimCustomer(spark, NG.stgCustomers(NS.customers(spark, d, 2)), hwm)
+      val dim = graft.scd.Scd2.fromHistory(custs, NW.dimCustomerCfg, "customer_sk")
+      auditDf("nw_scd2_merge", graft.scd.Scd2.merge(dim, custs, NW.dimCustomerCfg, "customer_sk"),
+        "key_shuffle" -> (p => "hashpartitioning\\(customer_id".r.findAllIn(p).size >= 1),
+        "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    }
+    audit("q37_snapshot_incremental",
+      "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     spark.stop()
   }
 }
