@@ -29,6 +29,10 @@ object Bench {
     // writers; don't "optimize" the IO out of them.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
+        // drop persisted intermediates between runs: queries that .cache()
+        // (q11, q37) would otherwise hit CacheManager's canonical-plan match
+        // on runs 2-3 and report warm re-reads instead of query cost
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

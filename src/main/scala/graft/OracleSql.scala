@@ -441,8 +441,11 @@ WHERE rnk <= 5""",
       s"""
 WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
 h AS ($bandSelects),
+-- mirror Dedup.embeddingNearDup's maxBucketSize=1000 hot-bucket cap
+hcold AS (SELECT h.* FROM h JOIN (SELECT band, bucket FROM h GROUP BY band, bucket
+          HAVING count(*) <= 1000) USING (band, bucket)),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM h a JOIN h b USING (band, bucket) WHERE a.vec_id < b.vec_id)
+         FROM hcold a JOIN hcold b USING (band, bucket) WHERE a.vec_id < b.vec_id)
 SELECT id_a, id_b,
        round(list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
          / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))), 6) AS cosine

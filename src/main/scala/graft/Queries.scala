@@ -392,7 +392,10 @@ object Queries {
     * declarative batch equivalent over the full change history
     * ([[NorthwindOracle.factOrder]]). */
   def nwFactOrder(s: SparkSession, d: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_nw_q36").toString
+    // fixed root, cleared per invocation: repeat runs (Bench median-of-3)
+    // rebuild in place instead of accumulating temp trees
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_nw_q36").toString
+    graft.core.TableIO.clearDir(root)
     graft.northwind.NorthwindWarehouse.buildWarehouse(s, d, root)
     TableIO.read(s, s"$root/dwh/fact_order").select(
       col("order_id"), col("customer_id"), col("employee_id"), col("shipper_id"),

@@ -36,6 +36,28 @@ object TableIO {
       catch { // concurrent reader won the restore race — target exists now
         case _: java.nio.file.FileSystemException if target.exists => ()
       }
+    if (target.isDirectory) recoverPartitions(target)
+  }
+
+  /** Partition-level crash healing for [[upsertTouchedPartitions]]'s
+    * two-phase swaps: a `<dir>.__old__` without its live sibling is a swap
+    * that crashed after the stash — restore it; with a live sibling it is a
+    * completed swap's leftover — drop it. A `<dir>.__del__` is an
+    * interrupted partition deletion — finish it (restoring it would
+    * resurrect rows the upsert moved elsewhere). Partition trees are
+    * shallow (1-3 levels), so the walk is a cheap metadata scan. */
+  private def recoverPartitions(dir: File): Unit = {
+    val children = Option(dir.listFiles).getOrElse(Array.empty[File])
+    children.foreach { f =>
+      if (f.getName.endsWith(".__del__")) deleteRecursively(f)
+      else if (f.getName.endsWith(".__old__")) {
+        val live = new File(dir, f.getName.stripSuffix(".__old__"))
+        if (live.exists) deleteRecursively(f)
+        else
+          try Files.move(f.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          catch { case _: java.nio.file.FileSystemException if live.exists => () }
+      } else if (f.isDirectory && f.getName.contains("=")) recoverPartitions(f)
+    }
   }
 
   def exists(path: String): Boolean = {
@@ -57,6 +79,9 @@ object TableIO {
     if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
   }
+
+  /** Remove a directory tree (e.g. a scratch warehouse root). */
+  def clearDir(path: String): Unit = deleteRecursively(new File(path))
 
   /** Atomic overwrite: write to `<path>.__tmp__`, then swap. Readers racing
     * the swap see either the old or the new table; a crash mid-swap is
@@ -141,38 +166,55 @@ object TableIO {
     }
   }
 
-  /** Hive-style partition directory name for one partition value, matching
-    * Spark's writer (escapePathName over the value's string form). */
-  private def partDir(colName: String, value: Any): String = {
-    val s = value match {
-      case null => null
-      case v => v.toString
-    }
+  /** Hive-style partition directory name for one partition value's STRING
+    * form (already cast by Spark, so it matches the writer's formatting for
+    * every type — timestamps, dates, decimals included). */
+  private def partDir(colName: String, s: String): String =
     if (s == null || s.isEmpty) s"$colName=__HIVE_DEFAULT_PARTITION__"
     else s"$colName=" +
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
-  }
 
   /** Targeted rewrite: write `kept rows of touched partitions ∪ delta` to a
     * temp dir partitioned the same way, then swap exactly the touched leaf
     * directories into place (deleting any partition the upsert emptied —
-    * a key that moved partitions leaves none behind). */
+    * a key that moved partitions leaves none behind).
+    *
+    * Partition values are compared and rendered via Spark's own
+    * cast-to-string so directory names agree with what the writer produces,
+    * and all matching is null-safe (`<=>`) so a NULL-valued partition
+    * (`__HIVE_DEFAULT_PARTITION__`) upserts like any other. Each directory
+    * swap is two-phase (stash live dir as `.__old__`, move new in, drop the
+    * stash; deletions stage as `.__del__`) and [[recoverPartitions]] heals
+    * any crash window on the next access. */
   private def upsertTouchedPartitions(spark: SparkSession, path: String,
       existing: DataFrame, delta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
-    val touched = existing.join(deltaKeys, keys, "left_semi").select(pcols.map(col): _*)
-      .unionByName(delta.select(pcols.map(col): _*)).distinct().collect()
+    // partition values collected in Spark's string form (see partDir)
+    val pstr = (df: DataFrame) => df.select(pcols.map(c => col(c).cast("string").as(c)): _*)
+    val touched: Array[Seq[String]] =
+      pstr(existing.join(deltaKeys, keys, "left_semi"))
+        .unionByName(pstr(delta)).distinct().collect()
+        .map(r => pcols.indices.map(i => r.getString(i)))
     if (touched.isEmpty) return
     // restrict the kept-rows scan to touched partitions: a literal IN prunes
     // statically for the common single-column (date) layout; multi-level
-    // layouts go through a broadcast semi-join (pruned dynamically)
+    // layouts go through a broadcast semi-join (pruned dynamically). Both
+    // paths are null-safe: a NULL partition value must select its rows
     val inTouched = existing.transform { e =>
-      if (pcols.size == 1) e.filter(col(pcols.head).isin(touched.map(_.get(0)): _*))
-      else {
+      if (pcols.size == 1) {
+        val c = col(pcols.head).cast("string")
+        val vals = touched.map(_.head)
+        val nonNull = vals.filter(_ != null)
+        val in = if (nonNull.nonEmpty) c.isin(nonNull.toSeq: _*) else lit(false)
+        e.filter(if (vals.contains(null)) in || c.isNull else in)
+      } else {
         val tdf = spark.createDataFrame(
-          spark.sparkContext.parallelize(touched.toSeq), e.select(pcols.map(col): _*).schema)
-        e.join(broadcast(tdf), pcols, "left_semi")
+          spark.sparkContext.parallelize(touched.toSeq.map(org.apache.spark.sql.Row.fromSeq)),
+          org.apache.spark.sql.types.StructType(pcols.map(p =>
+            org.apache.spark.sql.types.StructField("__t_" + p, org.apache.spark.sql.types.StringType))))
+        val cond = pcols.map(p => col(p).cast("string") <=> tdf("__t_" + p)).reduce(_ && _)
+        e.join(broadcast(tdf), cond, "left_semi")
       }
     }
     val newData = inTouched.join(deltaKeys, keys, "left_anti")
@@ -180,14 +222,25 @@ object TableIO {
     val tmp = path + ".__tmp__"
     deleteRecursively(new File(tmp))
     newData.write.mode("overwrite").partitionBy(pcols: _*).parquet(tmp)
-    touched.foreach { row =>
-      val rel = pcols.indices.map(i => partDir(pcols(i), row.get(i))).mkString("/")
+    touched.foreach { vals =>
+      val rel = pcols.indices.map(i => partDir(pcols(i), vals(i))).mkString("/")
       val src = new File(tmp, rel)
       val dst = new File(path, rel)
-      deleteRecursively(dst)
       if (src.exists) {
+        // two-phase swap: stash → move in → drop stash (recover heals both windows)
+        val old = new File(dst.getParentFile, dst.getName + ".__old__")
+        deleteRecursively(old)
+        if (dst.exists) Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         dst.getParentFile.mkdirs()
         Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        deleteRecursively(old)
+      } else if (dst.exists) {
+        // the upsert emptied this partition: stage the deletion so a crash
+        // mid-delete cannot leave a partial (row-duplicating) directory
+        val del = new File(dst.getParentFile, dst.getName + ".__del__")
+        deleteRecursively(del)
+        Files.move(dst.toPath, del.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        deleteRecursively(del)
       }
     }
     deleteRecursively(new File(tmp))

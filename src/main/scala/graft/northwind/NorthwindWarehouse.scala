@@ -35,8 +35,9 @@ import graft.scd.{Scd2, Scd2Config}
   * Scale shape: every dim chain is HWM-pruned before its window (the SCD2
   * shuffle is O(|delta|)); the tiny joined sides (categories, region,
   * territories, suppliers) broadcast; fact loads shuffle once on the join
-  * key with dims broadcast; the fact upsert is the touched-partition-aware
-  * TableIO writer.
+  * key with dims broadcast; fact_order is year-partitioned and upserts
+  * (including the repair pass) rewrite only partitions containing delta
+  * keys.
   */
 object NorthwindWarehouse {
   import NorthwindSources.{T1, T2}
@@ -82,20 +83,33 @@ object NorthwindWarehouse {
     dedupPerKeyInstant(delta.unionByName(dums), Seq("shipper_id"))
   }
 
+  /** Latest staged row per key — the cycle's current source state (the
+    * oracle's `stateAt`). The 3-way/4-way intermediates join STATE, not
+    * history: joining full histories would pair a stale source version
+    * with a newer one at the same `greatest(dl)` and leave the rank-1 pick
+    * to chance. */
+  private def currentState(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("dl_process_date").desc)
+    df.withColumn("__crn", row_number().over(w)).filter(col("__crn") === 1).drop("__crn")
+  }
+
   /** stg_dim_products (stg_dim_products.sql): 3-way join over CURRENT
     * staging state, model-level hash (which omits unit_price on real rows —
     * reference quirk, kept), greatest-dl change detection, HWM filter,
     * dummies (whose hash INCLUDES unit_price — also kept). */
   def stgDimProducts(spark: SparkSession, products: DataFrame, suppliers: DataFrame,
       categories: DataFrame, hwm: Column): DataFrame = {
-    val p = products.select(col("product_id"), col("product_name"), col("supplier_id"),
+    val p = currentState(products, Seq("product_id"))
+      .select(col("product_id"), col("product_name"), col("supplier_id"),
       col("category_id"), col("quantity_per_unit"), col("unit_price"),
       col("reorder_level"), col("discontinued"), col("op"),
       col("dl_process_date").as("p_dl"))
-    val s = suppliers.filter(col("op") =!= "D").select(col("supplier_id"),
+    val s = currentState(suppliers, Seq("supplier_id"))
+      .filter(col("op") =!= "D").select(col("supplier_id"),
       col("company_name"), col("address"), col("city"), col("region"),
       col("postal_code"), col("country"), col("dl_process_date").as("s_dl"))
-    val c = categories.filter(col("op") =!= "D").select(col("category_id"),
+    val c = currentState(categories, Seq("category_id"))
+      .filter(col("op") =!= "D").select(col("category_id"),
       col("category_name"), col("description"), col("dl_process_date").as("c_dl"))
     val joined = p.join(broadcast(s), Seq("supplier_id"))
       .join(broadcast(c), Seq("category_id"))
@@ -129,17 +143,19 @@ object NorthwindWarehouse {
     * (B9), deterministic territory pick, dummies. */
   def stgDimEmployee(spark: SparkSession, employees: DataFrame, empTerr: DataFrame,
       territories: DataFrame, region: DataFrame, hwm: Column): DataFrame = {
-    val e = employees.select(col("employee_id"), col("first_name"), col("last_name"),
+    val e = currentState(employees, Seq("employee_id"))
+      .select(col("employee_id"), col("first_name"), col("last_name"),
       col("title"), col("title_of_courtesy"),
       col("birth_date").cast("date").as("birthdate"),
       col("address"), col("city"), col("region"), col("postal_code"), col("country"),
       col("home_page"), col("extension"), col("op"), col("dl_process_date").as("e_dl"))
-    val et = empTerr.filter(col("op") =!= "D")
+    val et = currentState(empTerr, Seq("employee_id", "territory_id"))
+      .filter(col("op") =!= "D")
       .select(col("territory_id"), col("employee_id"), col("dl_process_date").as("et_dl"))
-    val t = territories.filter(col("op") =!= "D")
+    val t = currentState(territories, Seq("territory_id")).filter(col("op") =!= "D")
       .select(col("territory_id"), col("territory_description"), col("region_id"),
         col("dl_process_date").as("t_dl"))
-    val r = region.filter(col("op") =!= "D")
+    val r = currentState(region, Seq("region_id")).filter(col("op") =!= "D")
       .select(col("region_id"), col("region_description"), col("dl_process_date").as("r_dl"))
     val joined = e.join(broadcast(et), Seq("employee_id"))
       .join(broadcast(t), Seq("territory_id"))
@@ -318,8 +334,12 @@ object NorthwindWarehouse {
       stgOrders: DataFrame, cycleTs: Column): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order"
     val hwm = audit.info("fact_order").hwmDate
+    // facts are date-partitioned (order year): the incremental upsert and
+    // the repair pass rewrite only partitions containing touched keys —
+    // the 100 TB write-amplification story, exercised here for real
     val delta = stgOrders.filter(col("dl_process_date") > lit(hwm))
       .withColumnRenamed("op", "record_status")
+      .withColumn("order_year", year(col("order_date")))
     val probe = col("__fact.order_date").cast("timestamp")
     val resolved = factDims(spark, root).foldLeft(delta) {
       case (acc, (dimName, fKey, dKey, skCol)) =>
@@ -338,21 +358,23 @@ object NorthwindWarehouse {
       .withColumn("created_at", coalesce(col("__ex_created"), cycleTs))
       .withColumn("updated_at", cycleTs)
       .drop("__ex_hash", "__ex_status", "__ex_created")
-    TableIO.upsertByKey(spark, path, changed, Seq("order_id"))
+    TableIO.upsertByKey(spark, path, changed, Seq("order_id"), partitionBy = Seq("order_year"))
     // post-hook 1 (C7): repair rows still carrying ANY dummy SK — re-resolve
     // all three SKs against the now-current dims and bump updated_at, even
-    // when the re-lookup fails again (the reference UPDATE matches them too)
+    // when the re-lookup fails again (the reference UPDATE matches them too).
+    // Delta-sized: only the dummy-carrying rows re-enter the keyed writer,
+    // which rewrites only their partitions (an empty repair set writes
+    // nothing) — the steady-state cycle never rewrites the whole fact
     val skCols = factDims(spark, root).map(_._4)
     val fact = TableIO.read(spark, path)
     val isDummy = skCols.map(c => col(c) === dummySk).reduce(_ || _)
-    val ok = fact.filter(!isDummy)
     val failed = fact.filter(isDummy).drop(skCols: _*)
     val reResolved = factDims(spark, root).foldLeft(failed) {
       case (acc, (dimName, fKey, dKey, skCol)) =>
         resolveDim(acc, TableIO.read(spark, s"$root/dwh/$dimName"), fKey, dKey, skCol,
           col("__fact.order_date").cast("timestamp"))
     }.withColumn("updated_at", cycleTs).select(fact.columns.map(col): _*)
-    TableIO.overwriteAtomic(ok.unionByName(reResolved), path)
+    TableIO.upsertByKey(spark, path, reResolved, Seq("order_id"), partitionBy = Seq("order_year"))
     // post-hook 2 (C6): hwm from the fact's own updated_at
     "fact_order" -> TableIO.read(spark, path)
       .agg(max(col("updated_at"))).first().getTimestamp(0)

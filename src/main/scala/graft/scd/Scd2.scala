@@ -81,27 +81,45 @@ object Scd2 {
     *    exact tiebreak parity across batch splits holds when the caller's
     *    tiebreak column is monotone with arrival order (e.g. an event id).
     */
-  def mergeDelta(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
-    val keys = cfg.businessKey
-    // all versions of touched keys, semi-join pruned (SURVEY P9/J4),
-    // replayed as change events ('D' versions replay as delete events so a
-    // same-hash re-insert still revives the key via the op-flip check)
-    val anchors = existing
-      .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .select((keys ++ cfg.payload :+ cfg.hashCol).map(col) ++ Seq(
-        col("effective_date").cast("timestamp").as("__eff"),
-        when(col("is_active") === "D", lit("D")).otherwise(lit("I")).as("__op"),
-        col("version_no").as("__av")) ++
+  /** Touched keys' persisted versions (semi-join pruned, SURVEY P9/J4)
+    * projected back to event form: `effRaw`/`opRaw`/`orderRaw` supply the
+    * replayed __eff/__op/__av from whichever columns the persisted table
+    * carries (dim vs snapshot conventions). */
+  private def replayAnchors(existing: DataFrame, delta: DataFrame, cfg: Scd2Config,
+      effRaw: Column, opRaw: Column, orderRaw: Column): DataFrame =
+    existing
+      .join(delta.select(cfg.businessKey.map(col): _*).distinct(), cfg.businessKey, "left_semi")
+      .select((cfg.businessKey ++ cfg.payload :+ cfg.hashCol).map(col) ++ Seq(
+        effRaw.cast("timestamp").as("__eff"), opRaw.as("__op"), orderRaw.as("__av")) ++
         cfg.tiebreak.map(c => lit(null).cast(delta.schema(c).dataType).as("__tb_" + c)): _*)
 
-    val deltaPrep = delta
+  private def prepDelta(delta: DataFrame, cfg: Scd2Config, like: DataFrame): DataFrame =
+    delta
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
       .withColumn("__av", lit(null).cast("int"))
       .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
-      .select(anchors.columns.map(col): _*)
+      .select(like.columns.map(col): _*)
 
-    finalize_(suppressNoOps(anchors.unionByName(deltaPrep), cfg), cfg, skCol)
+  /** Key-grain upsert: touched keys' rebuilt chains replace their versions
+    * wholesale, untouched keys are kept as-is (SURVEY S4). Reselect after
+    * the using-column join: left_anti with a key Seq moves the keys to the
+    * front, which would reorder the schema. */
+  private def keyedUnion(existing: DataFrame, delta: DataFrame, cfg: Scd2Config,
+      changed: DataFrame): DataFrame = {
+    val untouched = existing.join(delta.select(cfg.businessKey.map(col): _*).distinct(),
+      cfg.businessKey, "left_anti").select(existing.columns.map(col): _*)
+    untouched.unionByName(changed.select(untouched.columns.map(col): _*))
+  }
+
+  def mergeDelta(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
+    // 'D' versions replay as delete events so a same-hash re-insert still
+    // revives the key via the op-flip check
+    val anchors = replayAnchors(existing, delta, cfg,
+      effRaw = col("effective_date"),
+      opRaw = when(col("is_active") === "D", lit("D")).otherwise(lit("I")),
+      orderRaw = col("version_no"))
+    finalize_(suppressNoOps(anchors.unionByName(prepDelta(delta, cfg, anchors)), cfg), cfg, skCol)
   }
 
   /** Convenience: merge and return the full resulting dimension. No
@@ -115,16 +133,8 @@ object Scd2 {
     * projection references those columns. Use
     * `TableIO.readOrEmpty(..., like = fromHistory(delta.limit(0), cfg))`
     * for a first run, not `spark.emptyDataFrame`. */
-  def merge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
-    val changed = mergeDelta(existing, delta, cfg, skCol)
-    // upsert grain is the business key: touched keys' chains are replaced
-    // wholesale (mergeDelta rebuilt them), untouched keys are kept as-is
-    // (SURVEY S4). Reselect after the using-column join: left_anti with a
-    // key Seq moves the keys to the front, which would reorder the schema.
-    val untouched = existing.join(delta.select(cfg.businessKey.map(col): _*).distinct(),
-      cfg.businessKey, "left_anti").select(existing.columns.map(col): _*)
-    untouched.unionByName(changed.select(untouched.columns.map(col): _*))
-  }
+  def merge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame =
+    keyedUnion(existing, delta, cfg, mergeDelta(existing, delta, cfg, skCol))
 
   /** dbt-style timestamp-strategy snapshot (SURVEY S11/E3, reference
     * snapshots/snapshot_employee.sql:4-9): same hash-diff change detection as
@@ -177,26 +187,19 @@ object Scd2 {
     * snapshots keep every version's observed event time. */
   def snapshotMerge(existing: DataFrame, delta: DataFrame, cfg: Scd2Config,
       skCol: String = "dbt_scd_id"): DataFrame = {
-    val keys = cfg.businessKey
-    val anchors = existing
-      .join(delta.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .select((keys ++ cfg.payload :+ cfg.hashCol).map(col) ++ Seq(
-        col("dbt_valid_from").cast("timestamp").as("__eff"),
-        lit("I").as("__op"),
-        row_number().over(Window.partitionBy(keys.map(col): _*)
-          .orderBy(col("dbt_valid_from"), col("dbt_valid_to").asc_nulls_last))
-          .as("__av")) ++
-        cfg.tiebreak.map(c => lit(null).cast(delta.schema(c).dataType).as("__tb_" + c)): _*)
-    val deltaPrep = delta
-      .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
-      .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
-      .withColumn("__av", lit(null).cast("int"))
-      .transform(d => cfg.tiebreak.foldLeft(d)((acc, c) => acc.withColumn("__tb_" + c, col(c))))
-      .select(anchors.columns.map(col): _*)
-    val changed = snapFinalize(suppressNoOps(anchors.unionByName(deltaPrep), cfg), cfg, skCol)
-    val untouched = existing.join(delta.select(keys.map(col): _*).distinct(),
-      keys, "left_anti").select(existing.columns.map(col): _*)
-    untouched.unionByName(changed.select(untouched.columns.map(col): _*))
+    // the snapshot schema discards op, so replayed anchors cannot reproduce
+    // op-flip suppression — reject configs that would silently diverge from
+    // snapshot-over-history (dbt's timestamp strategy is op-less anyway)
+    require(cfg.opCol.isEmpty,
+      "snapshotMerge supports op-less (timestamp-strategy) configs only; " +
+        "use merge for delete-aware dimensions")
+    val anchors = replayAnchors(existing, delta, cfg,
+      effRaw = col("dbt_valid_from"),
+      opRaw = lit("I"),
+      orderRaw = row_number().over(Window.partitionBy(cfg.businessKey.map(col): _*)
+        .orderBy(col("dbt_valid_from"), col("dbt_valid_to").asc_nulls_last)))
+    keyedUnion(existing, delta, cfg, snapFinalize(
+      suppressNoOps(anchors.unionByName(prepDelta(delta, cfg, anchors)), cfg), cfg, skCol))
   }
 
   /** Drop rows whose tracked hash equals the previous version's hash —

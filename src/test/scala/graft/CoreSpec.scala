@@ -100,6 +100,67 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(!new java.io.File(path, "p=old").exists)
   }
 
+  test("partitioned upsertByKey: NULL partition values keep non-delta rows and upsert like any partition") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(1), null, "a"), Row(Int.box(2), null, "b"),
+        Row(Int.box(3), "x", "c")),
+      Seq("k"), partitionBy = Seq("p"))
+    // delta updates k=1 inside the NULL partition: k=2 must survive
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(1), null, "A")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), Option(r.getString(r.fieldIndex("p"))),
+        r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, None, "A"), (2, None, "b"), (3, Some("x"), "c")))
+    // k=1 leaving the NULL partition must not drop k=2 with it
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(1), "x", "A2")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got2 = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), Option(r.getString(r.fieldIndex("p"))))).toSet
+    assert(got2 == Set((1, Some("x")), (2, None), (3, Some("x"))))
+  }
+
+  test("partitioned upsertByKey: timestamp partition column swaps the dir Spark actually wrote") {
+    val path = tmp() + "/t"
+    val t1 = "2024-01-01 00:00:00"
+    val t2 = "2024-02-01 00:00:00"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p TIMESTAMP, v STRING",
+        Row(Int.box(1), ts(t1), "a"), Row(Int.box(2), ts(t1), "b"),
+        Row(Int.box(3), ts(t2), "c")),
+      Seq("k"), partitionBy = Seq("p"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p TIMESTAMP, v STRING", Row(Int.box(1), ts(t1), "A")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, "A"), (2, "b"), (3, "c")),
+      s"timestamp-partitioned upsert silently dropped or kept wrong rows: $got")
+  }
+
+  test("partition-level crash recovery: .__old__ restores, .__del__ completes") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(1), "x", "a"), Row(Int.box(2), "y", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    val px = new java.io.File(path, "p=x")
+    val py = new java.io.File(path, "p=y")
+    // crash after stashing p=x but before moving the new dir in
+    java.nio.file.Files.move(px.toPath, new java.io.File(path, "p=x.__old__").toPath)
+    // crash mid-deletion of p=y
+    java.nio.file.Files.move(py.toPath, new java.io.File(path, "p=y.__del__").toPath)
+    val got = TableIO.read(spark, path).collect() // read triggers recovery
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("p")))).toSet
+    assert(got == Set((1, "x")), s"recovery produced $got")
+    assert(px.exists && !new java.io.File(path, "p=x.__old__").exists)
+    assert(!py.exists && !new java.io.File(path, "p=y.__del__").exists)
+  }
+
   test("overwriteAtomic: self-overwrite (read table, transform, write same path)") {
     val path = tmp() + "/t"
     TableIO.overwriteAtomic(df("k INT", Row(Int.box(1)), Row(Int.box(2))), path)
