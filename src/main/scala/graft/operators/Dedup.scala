@@ -116,13 +116,17 @@ object Dedup {
     // band hash = md5 over the band's slice of the signature. Persisted:
     // (id, band, band_hash) is tiny, and it feeds the bucket-size scan plus
     // both sides of the candidate self-join — without this the signature
-    // kernel re-runs three times
-    val banded = withSig.select(col("id"),
-      posexplode(array((0 until bands).map { b =>
+    // kernel re-runs three times. Persist the ARRAY frame and explode from
+    // the cache: a Generate over an inline expensive projection re-evaluates
+    // it per OUTPUT row (see ngramJaccardPairs)
+    val bandArrays = withSig.select(col("id"),
+      array((0 until bands).map { b =>
         md5(concat_ws("|", (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1)): _*).cast("binary"))
-      }: _*)).as(Seq("band", "band_hash")))
+      }: _*).as("bands"))
       .persist()
+    val banded = bandArrays.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "band_hash")))
     val bucketSizes = banded.groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
     val hot = bucketSizes.filter(col("c") > maxBucketSize).select("band", "band_hash")
     // worst-case candidate pairs from the kept buckets — one tiny driver
@@ -166,8 +170,14 @@ object Dedup {
     val sh = Ops.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= shingleWords) // see minhashLshPairs: avoid predicate inlining
       .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
-    // persist the exploded index, not the arrays: consumed by the hot-shingle
-    // scan and both sides of the intersection self-join
+      .persist()
+    // persist BOTH layers. The array frame `sh` is the generator barrier: a
+    // Generate whose input projection is an inline interpreted-HOF
+    // expression re-evaluates that expression per OUTPUT row (measured 17 s
+    // vs 2.6 s cold at sf0.1); an InMemoryRelation boundary materializes
+    // each batch once before explode consumes it. The exploded index is
+    // persisted too — it feeds the hot-shingle scan, the sizes aggregate,
+    // and both sides of the intersection self-join
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle")).persist()
     val hot = inv.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
       .select("shingle")
@@ -206,9 +216,13 @@ object Dedup {
       .withColumn("n", Similarity.norm(col("v"))) // norm once per vector, not per pair
     // candidate generation carries only (id, band, bucket) — vectors never
     // enter the self-join shuffle
-    val hashed = v.select(col("id"),
-      posexplode(Similarity.lshBandBuckets(col("v"), bands, rowsPerBand, dims))
-        .as(Seq("band", "bucket"))).persist()
+    // persist the bucket ARRAYS and explode from the cache — the generator
+    // would otherwise re-evaluate the bands×rowsPerBand dot-product hash
+    // per output row (see ngramJaccardPairs)
+    val bucketArrays = v.select(col("id"),
+      Similarity.lshBandBuckets(col("v"), bands, rowsPerBand, dims).as("bks")).persist()
+    val hashed = bucketArrays.select(col("id"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
     val hot = hashed.groupBy("band", "bucket").count()
       .filter(col("count") > maxBucketSize).select("band", "bucket")
     val cold = hashed.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
