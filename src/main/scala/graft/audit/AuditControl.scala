@@ -39,34 +39,52 @@ class AuditControl(spark: SparkSession, root: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** C4: idempotent registration (INSERT ... WHERE NOT EXISTS ≡ left_anti). */
-  def ensureRegistered(entity: String, driverTable: String, businessKey: String): Unit = {
-    val row = spark.createDataFrame(
-      java.util.List.of(Row(entity, driverTable, businessKey,
-        Timestamp.valueOf(s"$EpochDate 00:00:00"), null, false, true)), schema)
-    val merged = table.unionByName(row.join(table, Seq("dimension_name"), "left_anti"))
+  def ensureRegistered(entity: String, driverTable: String, businessKey: String): Unit =
+    ensureRegisteredAll(Seq((entity, driverTable, businessKey)))
+
+  /** Batch registration: one audit read-modify-write for a whole DAG level
+    * instead of one per model (the audit table is tiny; the cost is the
+    * serialized driver round-trips, not the rows). */
+  def ensureRegisteredAll(entries: Seq[(String, String, String)]): Unit = {
+    val rows = spark.createDataFrame(
+      java.util.List.of(entries.map { case (e, d, k) =>
+        Row(e, d, k, Timestamp.valueOf(s"$EpochDate 00:00:00"), null, false, true)
+      }: _*), schema)
+    val merged = table.unionByName(rows.join(table, Seq("dimension_name"), "left_anti"))
     // O(#entities) rows: single output file, not one per shuffle partition
     TableIO.overwriteAtomic(merged.coalesce(1), path)
   }
 
   /** C5: fetch entity state; epoch-default HWM when absent. */
-  def info(entity: String): AuditInfo = {
-    val rows = table.filter(col("dimension_name") === entity).collect()
-    rows.headOption.map { r =>
-      AuditInfo(r.getString(0), r.getString(1), r.getString(2),
-        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5), r.getBoolean(6))
-    }.getOrElse(AuditInfo(entity, "", "",
-      Timestamp.valueOf(s"$EpochDate 00:00:00"), None, false, false))
+  def info(entity: String): AuditInfo = infoAll(Seq(entity))(entity)
+
+  /** Batch state fetch: one audit read for a whole DAG level. */
+  def infoAll(entities: Seq[String]): Map[String, AuditInfo] = {
+    val present = table.filter(col("dimension_name").isin(entities: _*)).collect()
+      .map { r =>
+        r.getString(0) -> AuditInfo(r.getString(0), r.getString(1), r.getString(2),
+          r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5), r.getBoolean(6))
+      }.toMap
+    entities.map(e => e -> present.getOrElse(e, AuditInfo(e, "", "",
+      Timestamp.valueOf(s"$EpochDate 00:00:00"), None, false, false))).toMap
   }
 
   /** C6: advance the HWM after a successful load. */
-  def markProcessed(entity: String, hwm: Timestamp): Unit = {
+  def markProcessed(entity: String, hwm: Timestamp): Unit =
+    markProcessedAll(Map(entity -> hwm))
+
+  /** Batch HWM advance: one audit read-modify-write per DAG level. */
+  def markProcessedAll(hwms: Map[String, Timestamp]): Unit = {
+    if (hwms.isEmpty) return
     val now = new Timestamp(System.currentTimeMillis())
-    val updated = table.withColumn("hwm_date",
-        when(col("dimension_name") === entity, lit(hwm)).otherwise(col("hwm_date")))
+    val touched = col("dimension_name").isin(hwms.keys.toSeq: _*)
+    val hwmExpr = hwms.foldLeft(col("hwm_date")) { case (acc, (e, h)) =>
+      when(col("dimension_name") === e, lit(h)).otherwise(acc)
+    }
+    val updated = table.withColumn("hwm_date", hwmExpr)
       .withColumn("last_processed_date",
-        when(col("dimension_name") === entity, lit(now)).otherwise(col("last_processed_date")))
-      .withColumn("is_processed",
-        when(col("dimension_name") === entity, lit(true)).otherwise(col("is_processed")))
+        when(touched, lit(now)).otherwise(col("last_processed_date")))
+      .withColumn("is_processed", when(touched, lit(true)).otherwise(col("is_processed")))
     TableIO.overwriteAtomic(updated.coalesce(1), path)
   }
 

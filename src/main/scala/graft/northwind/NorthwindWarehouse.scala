@@ -283,8 +283,12 @@ object NorthwindWarehouse {
       DimLoad("dim_employee", "stg_employees", "employee_id", dimEmployeeCfg,
         "employee_sk", hwm => stgDimEmployee(spark, stg("stg_employees"),
           stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"), hwm)))
-    dims.foreach(dl => audit.ensureRegistered(dl.name, dl.driver, dl.keyDesc))
-    val hwms = dims.map(dl => dl.name -> lit(audit.info(dl.name).hwmDate)).toMap
+    // one audit RMW registers every model of the cycle up front
+    audit.ensureRegisteredAll(dims.map(dl => (dl.name, dl.driver, dl.keyDesc)) ++ Seq(
+      ("fact_order", "stg_orders", "order_id"),
+      ("fact_order_details", "stg_order_details", "order_id,product_id")))
+    val auditState = audit.infoAll(dims.map(_.name) ++ Seq("fact_order", "fact_order_details"))
+    val hwms = dims.map(dl => dl.name -> lit(auditState(dl.name).hwmDate)).toMap
     val newHwms = inParallel(dims.map(dl => () => {
       val delta = dl.intermediate(hwms(dl.name))
       val existing = TableIO.readOrEmpty(spark, tablePath(dl.name),
@@ -293,15 +297,15 @@ object NorthwindWarehouse {
       dl.name -> TableIO.read(spark, tablePath(dl.name))
         .agg(max(col("updated_at"))).first().getTimestamp(0)
     }))
-    newHwms.foreach { case (name, hwm) => audit.markProcessed(name, hwm) }
+    audit.markProcessedAll(newHwms.toMap)
 
     // 3/4. facts (fact_order.sql with its repair post-hook; B7 composite key)
-    audit.ensureRegistered("fact_order", "stg_orders", "order_id")
-    audit.ensureRegistered("fact_order_details", "stg_order_details", "order_id,product_id")
     val factHwms = inParallel(Seq(
-      () => loadFactOrder(spark, root, audit, stg("stg_orders"), cycleTs),
-      () => loadFactOrderDetails(spark, root, audit, stg("stg_order_details"))))
-    factHwms.foreach { case (name, hwm) => audit.markProcessed(name, hwm) }
+      () => loadFactOrder(spark, root, auditState("fact_order").hwmDate,
+        stg("stg_orders"), cycleTs),
+      () => loadFactOrderDetails(spark, root, auditState("fact_order_details").hwmDate,
+        stg("stg_order_details"))))
+    audit.markProcessedAll(factHwms.toMap)
   }
 
   /** Run independent model loads concurrently; Spark's scheduler is
@@ -330,10 +334,9 @@ object NorthwindWarehouse {
       ("dim_shippers", "shipper_id", "shipper_id", "shipper_sk"))
 
   /** Returns ("fact_order", new HWM); the caller marks the audit row. */
-  private def loadFactOrder(spark: SparkSession, root: String, audit: AuditControl,
+  private def loadFactOrder(spark: SparkSession, root: String, hwm: java.sql.Timestamp,
       stgOrders: DataFrame, cycleTs: Column): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order"
-    val hwm = audit.info("fact_order").hwmDate
     // facts are date-partitioned (order year): the incremental upsert and
     // the repair pass rewrite only partitions containing touched keys —
     // the 100 TB write-amplification story, exercised here for real
@@ -382,9 +385,8 @@ object NorthwindWarehouse {
 
   /** Returns ("fact_order_details", new HWM); the caller marks the audit row. */
   private def loadFactOrderDetails(spark: SparkSession, root: String,
-      audit: AuditControl, stgDetails: DataFrame): (String, java.sql.Timestamp) = {
+      hwm: java.sql.Timestamp, stgDetails: DataFrame): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order_details"
-    val hwm = audit.info("fact_order_details").hwmDate
     // B8 fixed: filter on od.dl_process_date directly
     val delta = stgDetails.filter(col("dl_process_date") > lit(hwm))
       .withColumnRenamed("dl_process_date", "updated_at")
