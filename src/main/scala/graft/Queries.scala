@@ -391,10 +391,14 @@ object Queries {
     * repeat runs free and the median meaningless. The oracle is the
     * declarative batch equivalent over the full change history
     * ([[NorthwindOracle.factOrder]]). */
+  /** One scratch root per JVM: repeat runs (Bench median-of-3) rebuild in
+    * place instead of accumulating temp trees, while concurrent processes
+    * (Verify racing Bench) keep disjoint roots. */
+  private lazy val q36Root: String =
+    java.nio.file.Files.createTempDirectory("graft_nw_q36").toString
+
   def nwFactOrder(s: SparkSession, d: String): DataFrame = {
-    // fixed root, cleared per invocation: repeat runs (Bench median-of-3)
-    // rebuild in place instead of accumulating temp trees
-    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_nw_q36").toString
+    val root = q36Root
     graft.core.TableIO.clearDir(root)
     graft.northwind.NorthwindWarehouse.buildWarehouse(s, d, root)
     TableIO.read(s, s"$root/dwh/fact_order").select(

@@ -188,10 +188,15 @@ object TableIO {
     * any crash window on the next access. */
   private def upsertTouchedPartitions(spark: SparkSession, path: String,
       existing: DataFrame, delta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, nullif}
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
-    // partition values collected in Spark's string form (see partDir)
-    val pstr = (df: DataFrame) => df.select(pcols.map(c => col(c).cast("string").as(c)): _*)
+    // partition values collected in Spark's string form (see partDir).
+    // Empty strings normalize to NULL: the writer sends both to
+    // __HIVE_DEFAULT_PARTITION__ (and reads them back as NULL), so keeping
+    // them distinct here would list the default partition twice and the
+    // second swap iteration would delete what the first just committed
+    val pstr = (df: DataFrame) =>
+      df.select(pcols.map(c => nullif(col(c).cast("string"), lit("")).as(c)): _*)
     val touched: Array[Seq[String]] =
       pstr(existing.join(deltaKeys, keys, "left_semi"))
         .unionByName(pstr(delta)).distinct().collect()
@@ -201,9 +206,10 @@ object TableIO {
     // statically for the common single-column (date) layout; multi-level
     // layouts go through a broadcast semi-join (pruned dynamically). Both
     // paths are null-safe: a NULL partition value must select its rows
+    def norm(p: String) = nullif(col(p).cast("string"), lit(""))
     val inTouched = existing.transform { e =>
       if (pcols.size == 1) {
-        val c = col(pcols.head).cast("string")
+        val c = norm(pcols.head)
         val vals = touched.map(_.head)
         val nonNull = vals.filter(_ != null)
         val in = if (nonNull.nonEmpty) c.isin(nonNull.toSeq: _*) else lit(false)
@@ -213,7 +219,7 @@ object TableIO {
           spark.sparkContext.parallelize(touched.toSeq.map(org.apache.spark.sql.Row.fromSeq)),
           org.apache.spark.sql.types.StructType(pcols.map(p =>
             org.apache.spark.sql.types.StructField("__t_" + p, org.apache.spark.sql.types.StringType))))
-        val cond = pcols.map(p => col(p).cast("string") <=> tdf("__t_" + p)).reduce(_ && _)
+        val cond = pcols.map(p => norm(p) <=> tdf("__t_" + p)).reduce(_ && _)
         e.join(broadcast(tdf), cond, "left_semi")
       }
     }
@@ -227,12 +233,27 @@ object TableIO {
       val src = new File(tmp, rel)
       val dst = new File(path, rel)
       if (src.exists) {
-        // two-phase swap: stash → move in → drop stash (recover heals both windows)
+        // two-phase swap: stash → move in → drop stash (recover heals both
+        // windows). A concurrent reader's recoverPartitions can resurrect
+        // the stash into dst between our two moves — re-stash and retry,
+        // same bounded race as overwriteAtomic's commit loop
         val old = new File(dst.getParentFile, dst.getName + ".__old__")
         deleteRecursively(old)
         if (dst.exists) Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         dst.getParentFile.mkdirs()
-        Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        var attempts = 0
+        var committed = false
+        while (!committed) {
+          try {
+            Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+            committed = true
+          } catch {
+            case _: java.nio.file.FileSystemException if dst.exists && attempts < 5 =>
+              attempts += 1
+              deleteRecursively(old)
+              Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          }
+        }
         deleteRecursively(old)
       } else if (dst.exists) {
         // the upsert emptied this partition: stage the deletion so a crash

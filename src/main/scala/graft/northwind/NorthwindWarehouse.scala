@@ -87,7 +87,13 @@ object NorthwindWarehouse {
     * oracle's `stateAt`). The 3-way/4-way intermediates join STATE, not
     * history: joining full histories would pair a stale source version
     * with a newer one at the same `greatest(dl)` and leave the rank-1 pick
-    * to chance. */
+    * to chance.
+    *
+    * Precondition (same as the reference's `QUALIFY rn = 1 ... ORDER BY dl
+    * DESC`): at most one staged row per (key, dl_process_date) — the raw
+    * CDC loader emits one state per key per batch. Same-instant duplicates
+    * would make the rank-1 pick engine-arbitrary here exactly as they do
+    * in the reference. */
   private def currentState(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("dl_process_date").desc)
     df.withColumn("__crn", row_number().over(w)).filter(col("__crn") === 1).drop("__crn")

@@ -13,12 +13,15 @@ object Ops {
     * round-robin repartition of a small corpus costs microseconds and buys
     * full parallelism. No-op when the input already has enough partitions
     * (the many-files case at scale), so this never adds a shuffle of big
-    * data. The probe counts the scan's leaf FILES — metadata only — rather
-    * than `df.rdd` partitions, which would force physical planning of a
-    * frame that is then discarded. */
+    * data. The `df.rdd` probe does force physical planning of a frame that
+    * is then discarded, but spread is only applied to raw scans (planning
+    * is trivial) and the alternatives are wrong: `inputFiles.length` ignores
+    * both file splitting (one big splittable file → many tasks) and bin
+    * packing (many tiny files → few tasks), which decides this in the wrong
+    * direction on exactly the cases that matter. */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length >= p) df else df.repartition(p)
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
   /** C8 gap detection (/root/reference/macros/get_missing_dates.sql:3-23):

@@ -124,6 +124,24 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got2 == Set((1, Some("x")), (2, None), (3, Some("x"))))
   }
 
+  test("partitioned upsertByKey: NULL and empty-string partition values share one default partition") {
+    val path = tmp() + "/t"
+    // Spark writes both NULL and "" to __HIVE_DEFAULT_PARTITION__ (and reads
+    // them back as NULL); the touched-partition set must not list it twice
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(1), null, "a"), Row(Int.box(2), "x", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(3), "", "c"), Row(Int.box(1), null, "A")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), Option(r.getString(r.fieldIndex("p"))),
+        r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, None, "A"), (2, Some("x"), "b"), (3, None, "c")), s"got $got")
+  }
+
   test("partitioned upsertByKey: timestamp partition column swaps the dir Spark actually wrote") {
     val path = tmp() + "/t"
     val t1 = "2024-01-01 00:00:00"
