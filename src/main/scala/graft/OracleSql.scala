@@ -335,6 +335,34 @@ ${(0 until 4).map(b =>
   FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05"""),
 
+    // q24's verified pair list → symmetric closure → per-vertex min
+    // reachable id (connected components via recursive reachability —
+    // near-dup components are tiny, so the closure stays small)
+    "q42_near_dup_clusters" -> (minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+, banded AS (
+${(0 until 4).map(b =>
+      s"  SELECT doc_id, sh, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS band_hash FROM sig")
+      .mkString("\n  UNION ALL\n")}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), jp AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh))::double
+             / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+    FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+  WHERE jaccard >= 0.05
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM jp UNION SELECT id_b, id_a FROM jp
+), reach(id, r) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+)
+SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""),
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

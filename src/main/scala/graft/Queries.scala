@@ -318,6 +318,14 @@ object Queries {
   def simhashQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
 
+  /** Near-dup clusters: the q24 pair list → connected components → one
+    * canonical (min) id per cluster — what a dedup pipeline keeps. */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleWords = 3, k = 8, bands = 4, threshold = 0.05),
+      outIdCol = "doc_id")
+
   /** Direct n-gram Jaccard pairs via the shared-shingle inverted index. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -487,6 +495,7 @@ object Queries {
     "q36_nw_fact_order" -> (nwFactOrder _),
     "q37_snapshot_incremental" -> (snapshotIncrementalQ _),
     "q38_mm_feature_ann" -> (mmFeatureAnn _),
+    "q42_near_dup_clusters" -> (nearDupClusters _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -239,6 +239,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-dup CLUSTER formation — the step a dedup pipeline actually ships:
+    * pair lists (from [[minhashLshPairs]] / [[ngramJaccardPairs]] /
+    * [[embeddingNearDup]]) → connected components → one canonical id per
+    * cluster (the min member id, so "keep the representative, drop the
+    * rest" is a deterministic filter).
+    *
+    * Min-label propagation: every vertex starts as its own label; each
+    * round a vertex adopts the smallest label among itself and its
+    * neighbors; fixpoint when no label changes. Rounds = component
+    * diameter — near-dup clusters are shallow (pairs/triples/small blobs),
+    * so this converges in a handful of rounds. Scale shape: each round is
+    * ONE shuffle keyed by vertex over the EDGE list, which is
+    * near-dup-pair-sized (orders of magnitude below the corpus); labels
+    * persist round-over-round and the previous round unpersists. A
+    * web-scale graph with long chains would switch to the large-star/
+    * small-star algorithm (same join primitives, O(log d) rounds); the
+    * hook is isolated here.
+    *
+    * Output: (`idCol`, cluster_id) for every vertex that appears in at
+    * least one pair — singletons are by definition their own cluster and
+    * never enter the edge list. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", outIdCol: String = "id", maxRounds: Int = 50): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    labels.count(): Unit
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbr = sym
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
+        .filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as(outIdCol), col("label").as("cluster_id"))
+  }
+
   /** Exact all-pairs near-dup baseline — O(n²) nested-loop join, for small
     * corpora (or as the verification spec for the LSH path's precision). */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,

@@ -117,6 +117,17 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(capped((1, 2)) - 5.0 / 6) < 1e-12) // verify stays exact
   }
 
+  test("connectedComponents: chains collapse to min id; disjoint clusters stay apart") {
+    val pairs = df("id_a BIGINT, id_b BIGINT",
+      Row(Long.box(2L), Long.box(1L)), // unordered pair input
+      Row(Long.box(2L), Long.box(3L)),
+      Row(Long.box(3L), Long.box(4L)), // chain 1-2-3-4 (diameter 3)
+      Row(Long.box(7L), Long.box(9L)))
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical texts equal; near-identical texts within 3 bits") {
     def pop(x: Long) = java.lang.Long.bitCount(x)
     val sigs = docs(
