@@ -363,6 +363,25 @@ ${(0 until 4).map(b =>
 )
 SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id"""),
 
+    // content-stable split: bucket = hash32('graft:' || id) % 100
+    "q43_corpus_split" -> """
+SELECT doc_id,
+       (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100) AS bucket,
+       CASE WHEN (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100) < 80 THEN 'train'
+            WHEN (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100) < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents""",
+
+    // sharded contiguous token packing: bin = floor((running_sum - tokens)/budget)
+    "q44_token_packing" -> s"""
+WITH t AS (
+  SELECT doc_id, len($Toks)::BIGINT AS tokens,
+         (('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 16) AS shard
+  FROM documents)
+SELECT doc_id, tokens, shard,
+       floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) - tokens) / 2048)::BIGINT AS bin
+FROM t""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

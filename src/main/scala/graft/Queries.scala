@@ -367,6 +367,15 @@ object Queries {
         bpeishTokenCount(col("text")).as("bpeish_tokens"),
         tokenCount(col("text")).as("ws_tokens"))
 
+  /** Reproducible corpus split: content-stable hash buckets → 80/10/10. */
+  def corpusSplit(s: SparkSession, d: String): DataFrame =
+    Corpus.splitAssign(Tables.documents(s, d).select("doc_id"), "doc_id", seed = "graft")
+
+  /** Token-budget sequence packing: sharded contiguous bins of ~2048 tokens. */
+  def corpusPack(s: SparkSession, d: String): DataFrame =
+    Corpus.packByTokenBudget(Tables.documents(s, d), "doc_id", "text",
+      budget = 2048, shards = 16)
+
   /** Multimodal seam exercised END-TO-END: the stub per-partition feature
     * kernel over the documents corpus feeds the exact ANN operator (16-dim
     * byte-histogram features → cosine top-5 for the first 20 docs). Gates
@@ -496,6 +505,8 @@ object Queries {
     "q37_snapshot_incremental" -> (snapshotIncrementalQ _),
     "q38_mm_feature_ann" -> (mmFeatureAnn _),
     "q42_near_dup_clusters" -> (nearDupClusters _),
+    "q43_corpus_split" -> (corpusSplit _),
+    "q44_token_packing" -> (corpusPack _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

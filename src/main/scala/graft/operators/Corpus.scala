@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SqlFunctions.hash32
+import graft.functions.TextFunctions.tokenCount
+
+/** Corpus-management operators a training-data pipeline needs around the
+  * dedup/quality stages: reproducible splits and token-budget packing.
+  * Both are pure column logic over content-stable hashes — rerunning on a
+  * grown corpus never reassigns an existing document. */
+object Corpus {
+
+  /** Deterministic train/validation/test assignment: bucket =
+    * md5-hash32(seed ‖ id) mod 100, split by cumulative percentage. Content-
+    * stable (a document's split never depends on what else is in the
+    * corpus), seed-salted (different seeds give independent assignments),
+    * and a pure per-row projection — no shuffle, fully parallel.
+    *
+    * `cuts` are cumulative upper bounds, e.g. Seq(("train", 80),
+    * ("validation", 90), ("test", 100)). */
+  def splitAssign(df: DataFrame, idCol: String, seed: String,
+      cuts: Seq[(String, Int)] = Seq(("train", 80), ("validation", 90), ("test", 100))
+      ): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
+    val bucket = pmod(hash32(concat(lit(seed), lit(":"), col(idCol).cast("string"))), lit(100))
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), rest) => when(bucket < upper, lit(name)).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Token-budget packing: assign documents to bins of roughly `budget`
+    * tokens for sequence packing. Documents are sharded by id hash (the
+    * scale axis — each shard packs independently, so the window never sees
+    * more than corpus/shards rows), then packed contiguously in id order:
+    * a document belongs to the bin in which its running token total
+    * started. Deterministic and engine-independent; bins can overflow by
+    * at most one document (the straddler stays in the bin it started in) —
+    * the standard streaming-packing tradeoff, and an oversized document
+    * owns its bins alone. */
+  def packByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 256): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), tokenCount(col(textCol)).as("tokens"))
+      .withColumn("shard", pmod(hash32(col(idCol).cast("string")), lit(shards)))
+      .withColumn("bin",
+        floor((sum(col("tokens")).over(w) - col("tokens")) / budget).cast("long"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Corpus-management operators: reproducible splits, token packing. */
+class CorpusSpec extends AnyFunSuite with SparkSpecBase {
+
+  test("splitAssign is content-stable: a doc's split ignores the rest of the corpus") {
+    def ids(n: Int) = df("doc_id BIGINT", (1 to n).map(i => Row(Long.box(i))): _*)
+    def splits(n: Int) = Corpus.splitAssign(ids(n), "doc_id", "s1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val small = splits(50)
+    val grown = splits(200)
+    small.foreach { case (id, sp) =>
+      assert(grown(id) == sp, s"doc $id reassigned when the corpus grew")
+    }
+    // roughly 80/10/10 over a larger draw
+    val counts = splits(2000).values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1400 && counts("test") > 100, s"skewed: $counts")
+  }
+
+  test("splitAssign varies with seed") {
+    val ids = df("doc_id BIGINT", (1 to 200).map(i => Row(Long.box(i))): _*)
+    def m(seed: String) = Corpus.splitAssign(ids, "doc_id", seed).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m("a") != m("b"), "independent seeds produced identical assignments")
+  }
+
+  test("packByTokenBudget: contiguous bins, straddler stays in its starting bin") {
+    // one shard (shards=1) so the packing order is just doc_id
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a b c"),       // 3 tokens, cum 3  → bin 0
+      Row(Long.box(2L), "d e f g"),     // 4 tokens, cum 7  → starts at 3 → bin 0
+      Row(Long.box(3L), "h i"),         // 2 tokens, cum 9  → starts at 7 → bin 0 (straddles)
+      Row(Long.box(4L), "j k l"))       // 3 tokens, cum 12 → starts at 9 → bin 1
+    val out = Corpus.packByTokenBudget(docs, "doc_id", "text", budget = 8, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"got $out")
+  }
+}
