@@ -245,47 +245,75 @@ object Dedup {
     * cluster (the min member id, so "keep the representative, drop the
     * rest" is a deterministic filter).
     *
-    * Min-label propagation: every vertex starts as its own label; each
-    * round a vertex adopts the smallest label among itself and its
-    * neighbors; fixpoint when no label changes. Rounds = component
-    * diameter — near-dup clusters are shallow (pairs/triples/small blobs),
-    * so this converges in a handful of rounds. Scale shape: each round is
-    * ONE shuffle keyed by vertex over the EDGE list, which is
-    * near-dup-pair-sized (orders of magnitude below the corpus); labels
-    * persist round-over-round and the previous round unpersists. A
-    * web-scale graph with long chains would switch to the large-star/
-    * small-star algorithm (same join primitives, O(log d) rounds); the
-    * hook is isolated here.
+    * The edge list is near-dup-pair-sized — orders of magnitude below the
+    * corpus even at 100 TB (edges exist only BETWEEN near-duplicates) — so
+    * up to `driverEdgeLimit` edges the components come from a driver-side
+    * union-find (one collect of the pair list, microseconds of CPU); the
+    * count that picks the path is O(1) driver work. Above the limit the
+    * fallback is distributed min-label propagation: each round one shuffle
+    * over the edge list, fixpoint when no label changes, rounds = component
+    * diameter. Iterative refinements (pointer jumping / large-star) trade
+    * MORE shuffles per round for fewer rounds and measured slower here —
+    * per-round job latency dominates at edge-list sizes; a graph that is
+    * both over the collect limit AND deep-chained is the one case that
+    * pays, and it converges correctly, just in more rounds.
     *
-    * Output: (`idCol`, cluster_id) for every vertex that appears in at
-    * least one pair — singletons are by definition their own cluster and
-    * never enter the edge list. */
+    * Output: (`idCol`, cluster_id = min member id) for every vertex that
+    * appears in at least one pair — singletons are by definition their own
+    * cluster and never enter the edge list. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", outIdCol: String = "id", maxRounds: Int = 50): DataFrame = {
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
-    labels.count(): Unit
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val nbr = sym
-        .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
+      bCol: String = "id_b", outIdCol: String = "id", maxRounds: Int = 50,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(aCol).dataType
+    val edges = pairs.select(col(aCol), col(bCol)).persist()
+    if (edges.count() <= driverEdgeLimit) {
+      // union-find with path compression, min id as representative
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      edges.collect().foreach { r =>
+        val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+      val verts = edges.collect().flatMap(r => Seq(r.get(0), r.get(1))).distinct
+      edges.unpersist()
+      val rows = verts.map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(outIdCol, idType),
+          org.apache.spark.sql.types.StructField("cluster_id", idType))))
+    } else {
+      val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct().persist()
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).persist()
+      labels.count(): Unit
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        val nbr = sym
+          .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+        val next = labels.join(nbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("label", "old_label"), Seq("id"))
+          .filter(col("label") =!= col("old_label")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      sym.unpersist()
+      edges.unpersist()
+      labels.select(col("id").as(outIdCol), col("label").as("cluster_id"))
     }
-    sym.unpersist()
-    labels.select(col("id").as(outIdCol), col("label").as("cluster_id"))
   }
 
   /** Exact all-pairs near-dup baseline — O(n²) nested-loop join, for small

@@ -123,9 +123,14 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
       Row(Long.box(2L), Long.box(3L)),
       Row(Long.box(3L), Long.box(4L)), // chain 1-2-3-4 (diameter 3)
       Row(Long.box(7L), Long.box(9L)))
-    val out = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L)
+    // driver union-find path (default limit) and distributed min-label
+    // fallback (limit 0) must agree
+    for (limit <- Seq(1000000L, 0L)) {
+      val out = Dedup.connectedComponents(pairs, driverEdgeLimit = limit).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"limit $limit: got $out")
+    }
   }
 
   test("simhash: identical texts equal; near-identical texts within 3 bits") {
