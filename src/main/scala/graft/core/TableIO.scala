@@ -187,8 +187,12 @@ object TableIO {
     * stash; deletions stage as `.__del__`) and [[recoverPartitions]] heals
     * any crash window on the next access. */
   private def upsertTouchedPartitions(spark: SparkSession, path: String,
-      existing: DataFrame, delta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
+      existing: DataFrame, rawDelta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, nullif}
+    // the delta feeds touched-partition discovery AND the rewrite; callers
+    // often pass an expensive plan (multi-join change detection), and a
+    // delta is small by construction — persist for the operation's lifetime
+    val delta = rawDelta.persist()
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     // partition values collected in Spark's string form (see partDir).
     // Empty strings normalize to NULL: the writer sends both to
@@ -201,7 +205,7 @@ object TableIO {
       pstr(existing.join(deltaKeys, keys, "left_semi"))
         .unionByName(pstr(delta)).distinct().collect()
         .map(r => pcols.indices.map(i => r.getString(i)))
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { delta.unpersist(): Unit; return }
     // restrict the kept-rows scan to touched partitions: a literal IN prunes
     // statically for the common single-column (date) layout; multi-level
     // layouts go through a broadcast semi-join (pruned dynamically). Both
@@ -265,5 +269,6 @@ object TableIO {
       }
     }
     deleteRecursively(new File(tmp))
+    delta.unpersist(): Unit
   }
 }
