@@ -382,6 +382,30 @@ SELECT doc_id, tokens, shard,
        floor((sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id) - tokens) / 2048)::BIGINT AS bin
 FROM t""",
 
+    // docs sharing any 8-gram with probe docs (doc_id < 5); n_hits =
+    // distinct probe shingles seen per doc
+    "q45_decontaminate" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+7], ' ')
+           for i in generate_series(1, len(toks)-7)]) AS sh
+       FROM t WHERE len(toks) >= 8),
+probe AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh)
+SELECT doc_id, count(*) AS n_hits
+FROM inv JOIN probe USING (shingle) GROUP BY doc_id""",
+
+    // exact 3-gram totals/distincts per doc (repetition = 1 - distinct/total
+    // downstream; integers avoid cross-engine float-rounding ties)
+    "q46_repetition" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+         ELSE [] END AS grams FROM t)
+SELECT doc_id, len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct
+FROM g""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

@@ -376,6 +376,24 @@ object Queries {
     Corpus.packByTokenBudget(Tables.documents(s, d), "doc_id", "text",
       budget = 2048, shards = 16)
 
+  /** Benchmark decontamination: docs sharing any 8-gram with the probe set
+    * (docs 0-4 stand in for an eval benchmark). */
+  def corpusDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.decontaminate(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text", n = 8)
+  }
+
+  /** Within-doc repetition counts (Gopher-style quality signal) — exact
+    * integer gram counts; the ratio is a trivial downstream division
+    * (emitting it would gate cross-engine float rounding, not semantics). */
+  def repetitionCounts(s: SparkSession, d: String): DataFrame =
+    Ops.spread(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
+      .select(col("doc_id"),
+        size(rawShinglesOfTokens(col("__t"), 3)).cast("long").as("n_grams"),
+        size(array_distinct(rawShinglesOfTokens(col("__t"), 3))).cast("long").as("n_distinct"))
+
   /** Multimodal seam exercised END-TO-END: the stub per-partition feature
     * kernel over the documents corpus feeds the exact ANN operator (16-dim
     * byte-histogram features → cosine top-5 for the first 20 docs). Gates
@@ -507,6 +525,8 @@ object Queries {
     "q42_near_dup_clusters" -> (nearDupClusters _),
     "q43_corpus_split" -> (corpusSplit _),
     "q44_token_packing" -> (corpusPack _),
+    "q45_decontaminate" -> (corpusDecontaminate _),
+    "q46_repetition" -> (repetitionCounts _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -112,6 +112,22 @@ object TextFunctions {
     * Convenience/slow path — project [[normalizeText]] first in hot code. */
   def charShingles(c: Column, n: Int): Column = charShinglesOfNorm(normalizeText(c), n)
 
+  /** Raw (NON-distinct) word n-grams — the denominator for repetition
+    * scoring. Same attribute-binding rule as [[shinglesOfTokens]]. */
+  def rawShinglesOfTokens(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+
+  /** Within-document repetition ratio (Gopher-style quality signal):
+    * 1 − distinct n-grams / total n-grams — 0.0 for texts with fewer than
+    * `n` tokens, approaching 1.0 for looped boilerplate. Pure per-row map. */
+  def repetitionRatio(ts: Column, n: Int): Column = {
+    val raw = rawShinglesOfTokens(ts, n)
+    when(size(raw) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(raw)).cast("double") / size(raw), 6))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the minimum 32-bit
     * hash over character n-grams of the normalized text — robust to token
     * reordering at the edges, cheap to compare, pure per-row map. */

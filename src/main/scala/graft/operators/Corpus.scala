@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SqlFunctions.hash32
-import graft.functions.TextFunctions.tokenCount
+import graft.functions.TextFunctions.{shinglesOfTokens, tokenCount, tokens}
 
 /** Corpus-management operators a training-data pipeline needs around the
   * dedup/quality stages: reproducible splits and token-budget packing.
@@ -30,6 +30,31 @@ object Corpus {
       case ((name, upper), rest) => when(bucket < upper, lit(name)).otherwise(rest)
     }
     df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with a probe set (eval benchmarks, held-out suites). The probe
+    * shingle set is benchmark-sized — tiny — so it broadcasts; the corpus
+    * side streams through a semi-join keyed by shingle (no doc-side array
+    * shuffle, no all-pairs). n = 8 by convention (13 in some published
+    * pipelines; lower n → stricter). Returns (idCol, n_hits): the count of
+    * distinct probe n-grams found in each contaminated document —
+    * uncontaminated documents are absent, so `docs.join(result, semi)` is
+    * the drop filter. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int = 8): DataFrame = {
+    // array frame persisted, exploded from cache — the generator-over-
+    // inline-projection trap (see Dedup.ngramJaccardPairs)
+    val dsh = Ops.spread(docs).select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), shinglesOfTokens(col("__t"), n).as("sh"))
+      .persist()
+    val dInv = dsh.select(col(idCol), explode(col("sh")).as("shingle"))
+    val psh = probes.select(tokens(col(probeTextCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(shinglesOfTokens(col("__t"), n)).as("shingle")).distinct()
+    dInv.join(broadcast(psh), Seq("shingle"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits")) // shingles are per-doc distinct
   }
 
   /** Token-budget packing: assign documents to bins of roughly `budget`

@@ -29,6 +29,32 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(m("a") != m("b"), "independent seeds produced identical assignments")
   }
 
+  test("decontaminate flags probe overlap only; n_hits counts distinct shared n-grams") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "the quick brown fox jumps over the lazy dog"),
+      Row(Long.box(2L), "a quick brown fox jumps over the lazy cat today"), // shares 8-grams? no — differs at both ends
+      Row(Long.box(3L), "completely unrelated content with no overlap at all here"),
+      Row(Long.box(4L), "xx the quick brown fox jumps over the lazy dog yy")) // contains doc 1's full 9 tokens
+    val probes = docs.filter(col("doc_id") === 1)
+    val out = Corpus.decontaminate(docs, "doc_id", "text", probes, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: its own two 8-grams; doc 4: contains both of doc 1's 8-grams
+    assert(out == Map(1L -> 2L, 4L -> 2L), s"got $out")
+  }
+
+  test("repetitionRatio: 0 below n tokens, rises with repeated n-grams") {
+    import graft.functions.TextFunctions._
+    val out = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a b"),                    // < 3 tokens → 0.0
+      Row(Long.box(2L), "a b c d e"),              // all distinct → 0.0
+      Row(Long.box(3L), "a b c a b c a b c"))      // looped boilerplate
+      .select(col("doc_id"), repetitionRatio(tokens(col("text")), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    // 7 grams, 3 distinct → 1 - 3/7 ≈ 0.571429
+    assert(math.abs(out(3L) - 0.571429) < 1e-6, s"got ${out(3L)}")
+  }
+
   test("packByTokenBudget: contiguous bins, straddler stays in its starting bin") {
     // one shard (shards=1) so the packing order is just doc_id
     val docs = df("doc_id BIGINT, text STRING",
