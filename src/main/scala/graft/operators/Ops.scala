@@ -38,6 +38,13 @@ object Ops {
     spine.join(present, spine("missing_date") === present("d"), "left_anti")
   }
 
+  /** The reference's exact call shape (get_missing_dates.sql:5-6): gaps in
+    * the trailing `days`-day window ending at `asOf` (current_date by
+    * default — pass an explicit date to test deterministically). */
+  def missingDatesLastDays(df: DataFrame, dateCol: String, days: Int = 7,
+      asOf: Column = current_date()): DataFrame =
+    missingDates(df, dateCol, date_sub(asOf.cast("date"), days - 1), asOf)
+
   /** P5 ordered dedup: keep the first row per key by `order` (reference
     * `row_number() ... where rn = 1`, stg_dim_products.sql:152,180). */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {

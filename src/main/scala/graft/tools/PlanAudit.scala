@@ -82,6 +82,9 @@ object PlanAudit {
         "key_shuffle" -> (p => "hashpartitioning\\(customer_id".r.findAllIn(p).size >= 1),
         "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     }
+    audit("q45_decontaminate",
+      "broadcast_probe_semi" -> (p => p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q37_snapshot_incremental",
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))

@@ -215,6 +215,14 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.collect().map(_.getDate(0).toString).toSet == Set("2024-01-02", "2024-01-04"))
   }
 
+  test("missingDatesLastDays spans the trailing window ending at asOf (reference call shape)") {
+    val present = df("d DATE",
+      Row(java.sql.Date.valueOf("2024-01-09")), Row(java.sql.Date.valueOf("2024-01-07")))
+    val out = Ops.missingDatesLastDays(present, "d", days = 7, asOf = lit("2024-01-10"))
+    assert(out.collect().map(_.getDate(0).toString).toSet ==
+      Set("2024-01-04", "2024-01-05", "2024-01-06", "2024-01-08", "2024-01-10"))
+  }
+
   test("dedupFirst keeps exactly the first row per key by the given order") {
     val d = df("k INT, v INT", Row(Int.box(1), Int.box(10)),
       Row(Int.box(1), Int.box(20)), Row(Int.box(2), Int.box(5)))
