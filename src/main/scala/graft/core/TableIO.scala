@@ -193,6 +193,13 @@ object TableIO {
     // often pass an expensive plan (multi-join change detection), and a
     // delta is small by construction — persist for the operation's lifetime
     val delta = rawDelta.persist()
+    try upsertTouchedImpl(spark, path, existing, delta, keys, pcols)
+    finally delta.unpersist(): Unit
+  }
+
+  private def upsertTouchedImpl(spark: SparkSession, path: String,
+      existing: DataFrame, delta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, nullif}
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     // partition values collected in Spark's string form (see partDir).
     // Empty strings normalize to NULL: the writer sends both to
@@ -205,7 +212,7 @@ object TableIO {
       pstr(existing.join(deltaKeys, keys, "left_semi"))
         .unionByName(pstr(delta)).distinct().collect()
         .map(r => pcols.indices.map(i => r.getString(i)))
-    if (touched.isEmpty) { delta.unpersist(): Unit; return }
+    if (touched.isEmpty) return
     // restrict the kept-rows scan to touched partitions: a literal IN prunes
     // statically for the common single-column (date) layout; multi-level
     // layouts go through a broadcast semi-join (pruned dynamically). Both
@@ -269,6 +276,5 @@ object TableIO {
       }
     }
     deleteRecursively(new File(tmp))
-    delta.unpersist(): Unit
   }
 }

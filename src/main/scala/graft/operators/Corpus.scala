@@ -25,6 +25,9 @@ object Corpus {
       cuts: Seq[(String, Int)] = Seq(("train", 80), ("validation", 90), ("test", 100))
       ): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100, "cuts must end at 100")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct == cuts.map(_._2),
+      "cut upper bounds must be strictly ascending — a mis-ordered cut " +
+        "would silently shadow later splits")
     val bucket = pmod(hash32(concat(lit(seed), lit(":"), col(idCol).cast("string"))), lit(100))
     val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, upper), rest) => when(bucket < upper, lit(name)).otherwise(rest)
@@ -43,12 +46,7 @@ object Corpus {
     * the drop filter. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String, n: Int = 8): DataFrame = {
-    // array frame persisted, exploded from cache — the generator-over-
-    // inline-projection trap (see Dedup.ngramJaccardPairs)
-    val dsh = Ops.spread(docs).select(col(idCol), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= n)
-      .select(col(idCol), shinglesOfTokens(col("__t"), n).as("sh"))
-      .persist()
+    val dsh = Dedup.shingleFrame(docs, idCol, textCol, n, outId = idCol)
     val dInv = dsh.select(col(idCol), explode(col("sh")).as("shingle"))
     val psh = probes.select(tokens(col(probeTextCol)).as("__t"))
       .filter(size(col("__t")) >= n)

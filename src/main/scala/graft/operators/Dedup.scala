@@ -32,6 +32,24 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Shared shingle prologue for every pair generator: fan the corpus out
+    * ([[Ops.spread]]), project tokens, filter on TOKEN COUNT before
+    * shingling (filtering on `size(sh)` would let
+    * PushPredicateThroughProject inline the whole shingle expression —
+    * with `tokens(text)` re-run per `element_at` — into the predicate:
+    * measured 8.6 s vs 0.3 s on 5k docs), then build distinct n-gram
+    * arrays and PERSIST them — the persisted array frame is also the
+    * generator barrier (a Generate over an inline interpreted-HOF
+    * projection re-evaluates it per OUTPUT row: measured 17 s vs 2.6 s
+    * cold at sf0.1). Follows the batch cache-lifecycle convention above. */
+  private[operators] def shingleFrame(df: DataFrame, idCol: String,
+      textCol: String, n: Int, outId: String = "id"): DataFrame =
+    Ops.spread(df)
+      .select(col(idCol).as(outId), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(outId), shinglesOfTokens(col("__t"), n).as("sh"))
+      .persist()
+
   /** Exact dedup by content fingerprint: one row per distinct text, keeping
     * the lowest id; `dup_count` reports group size. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -99,19 +117,7 @@ object Dedup {
       broadcastPairLimit: Long = 4000000L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    // persist: the shingle pipeline is interpreted higher-order-function
-    // work (no codegen) consumed by BOTH the signature path and the jaccard
-    // verify path — persisting a few MB beats re-evaluating it 3x
-    // filter on token count BEFORE building shingles (equivalent: shingles
-    // are non-empty iff tokens >= n). Filtering on size(sh) would make
-    // PushPredicateThroughProject inline the whole shingle expression — with
-    // tokens(text) re-evaluated per element_at — into the predicate: measured
-    // 8.6 s vs 0.3 s on 5k docs.
-    val sh = Ops.spread(df)
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= shingleWords)
-      .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
-      .persist()
+    val sh = shingleFrame(df, idCol, textCol, shingleWords)
     val withSig = sh.withColumn("sig", minhashSignature(col("sh"), k))
     // band hash = md5 over the band's slice of the signature. Persisted:
     // (id, band, band_hash) is tiny, and it feeds the bucket-size scan plus
@@ -167,17 +173,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.2,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = Ops.spread(df).select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= shingleWords) // see minhashLshPairs: avoid predicate inlining
-      .select(col("id"), shinglesOfTokens(col("__t"), shingleWords).as("sh"))
-      .persist()
-    // persist BOTH layers. The array frame `sh` is the generator barrier: a
-    // Generate whose input projection is an inline interpreted-HOF
-    // expression re-evaluates that expression per OUTPUT row (measured 17 s
-    // vs 2.6 s cold at sf0.1); an InMemoryRelation boundary materializes
-    // each batch once before explode consumes it. The exploded index is
-    // persisted too — it feeds the hot-shingle scan, the sizes aggregate,
-    // and both sides of the intersection self-join
+    val sh = shingleFrame(df, idCol, textCol, shingleWords)
+    // the exploded index is persisted too — it feeds the hot-shingle scan,
+    // the sizes aggregate, and both sides of the intersection self-join
     val inv = sh.select(col("id"), explode(col("sh")).as("shingle")).persist()
     val hot = inv.groupBy("shingle").count().filter(col("count") > maxShingleFreq)
       .select("shingle")
@@ -255,8 +253,9 @@ object Dedup {
     * diameter. Iterative refinements (pointer jumping / large-star) trade
     * MORE shuffles per round for fewer rounds and measured slower here —
     * per-round job latency dominates at edge-list sizes; a graph that is
-    * both over the collect limit AND deep-chained is the one case that
-    * pays, and it converges correctly, just in more rounds.
+    * both over the collect limit AND deep-chained pays more rounds, and
+    * non-convergence within `maxRounds` throws rather than silently
+    * splitting a component.
     *
     * Output: (`idCol`, cluster_id = min member id) for every vertex that
     * appears in at least one pair — singletons are by definition their own
@@ -268,20 +267,24 @@ object Dedup {
     val idType = pairs.schema(aCol).dataType
     val edges = pairs.select(col(aCol), col(bCol)).persist()
     if (edges.count() <= driverEdgeLimit) {
-      // union-find with path compression, min id as representative
+      // union-find with ITERATIVE path-compressing find (recursion would
+      // overflow the driver stack on chain components), min id as root
+      val collected = edges.collect()
+      edges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // compress the walked path
+        while (c != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
       }
       def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-      edges.collect().foreach { r =>
+      collected.foreach { r =>
         val (ra, rb) = (find(r.get(0)), find(r.get(1)))
         if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
-      val verts = edges.collect().flatMap(r => Seq(r.get(0), r.get(1))).distinct
-      edges.unpersist()
+      val verts = collected.flatMap(r => Seq(r.get(0), r.get(1))).distinct
       val rows = verts.map(v => org.apache.spark.sql.Row(v, find(v))).toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows),
         org.apache.spark.sql.types.StructType(Seq(
@@ -312,6 +315,10 @@ object Dedup {
       }
       sym.unpersist()
       edges.unpersist()
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            s"($changed labels still changing) — raise maxRounds for deep-chained graphs")
       labels.select(col("id").as(outIdCol), col("label").as("cluster_id"))
     }
   }

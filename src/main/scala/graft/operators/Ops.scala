@@ -42,8 +42,11 @@ object Ops {
     * the trailing `days`-day window ending at `asOf` (current_date by
     * default — pass an explicit date to test deterministically). */
   def missingDatesLastDays(df: DataFrame, dateCol: String, days: Int = 7,
-      asOf: Column = current_date()): DataFrame =
+      asOf: Column = current_date()): DataFrame = {
+    require(days > 0, s"days must be positive, got $days") // sequence() would
+    // otherwise run BACKWARD from asOf+1 and report tomorrow as missing
     missingDates(df, dateCol, date_sub(asOf.cast("date"), days - 1), asOf)
+  }
 
   /** P5 ordered dedup: keep the first row per key by `order` (reference
     * `row_number() ... where rn = 1`, stg_dim_products.sql:152,180). */
