@@ -406,6 +406,26 @@ SELECT doc_id, len(grams)::BIGINT AS n_grams,
        len(list_distinct(grams))::BIGINT AS n_distinct
 FROM g""",
 
+    // 30-min-gap sessions per user over the event stream
+    "q47_sessionize" -> """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800 * 1000000 THEN 1 ELSE 0
+           END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sess GROUP BY user_id, session_no""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

@@ -223,6 +223,16 @@ object Queries {
       .select(micros(col("window_start")).as("window_us"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based sessionization of the user event stream (30-min gap),
+    * aggregated to one row per session. */
+  def sessionizeQ(s: SparkSession, d: String): DataFrame =
+    Ops.sessionize(Tables.events(s, d), "user_id", "ts", gapSeconds = 1800,
+        tiebreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(micros(col("ts"))).as("start_us"),
+        max(micros(col("ts"))).as("end_us"))
+
   /** C7/S10 late-arriving-dimension repair: facts first resolve against a
     * partial dim (odd keys fail to the dummy SK), then repairFailedLookups
     * re-resolves them against the full dim — the reference's post-hook
@@ -527,6 +537,7 @@ object Queries {
     "q44_token_packing" -> (corpusPack _),
     "q45_decontaminate" -> (corpusDecontaminate _),
     "q46_repetition" -> (repetitionCounts _),
+    "q47_sessionize" -> (sessionizeQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

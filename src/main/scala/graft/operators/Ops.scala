@@ -48,6 +48,21 @@ object Ops {
     missingDates(df, dateCol, date_sub(asOf.cast("date"), days - 1), asOf)
   }
 
+  /** Gap-based sessionization: assign rows to sessions per key, starting a
+    * new session when the gap to the previous event exceeds `gapSeconds`.
+    * One shuffle on the key (the window); the session id is a running sum
+    * of session-start flags — pure window arithmetic, no iteration. `tiebreak`
+    * orders same-instant events deterministically. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val order = col(tsCol) +: tiebreak.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val isStart = prev.isNull || (unix_micros(col(tsCol)) - prev) > gapSeconds * 1000000L
+    df.withColumn("session_no",
+      sum(when(isStart, 1L).otherwise(0L)).over(w))
+  }
+
   /** P5 ordered dedup: keep the first row per key by `order` (reference
     * `row_number() ... where rn = 1`, stg_dim_products.sql:152,180). */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {

@@ -223,6 +223,17 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
       Set("2024-01-04", "2024-01-05", "2024-01-06", "2024-01-08", "2024-01-10"))
   }
 
+  test("sessionize: gap starts a new session, same-instant events share one") {
+    val ev = df("user_id INT, ts TIMESTAMP, event_id INT",
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), Int.box(1)),
+      Row(Int.box(1), ts("2024-01-01 10:10:00"), Int.box(2)), // within gap
+      Row(Int.box(1), ts("2024-01-01 11:00:00"), Int.box(3)), // 50 min > 30 → new
+      Row(Int.box(2), ts("2024-01-01 10:00:00"), Int.box(4)))
+    val out = Ops.sessionize(ev, "user_id", "ts", gapSeconds = 1800, tiebreak = Seq("event_id"))
+      .collect().map(r => (r.getInt(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(out == Map((1, 1) -> 1L, (1, 2) -> 1L, (1, 3) -> 2L, (2, 4) -> 1L), s"got $out")
+  }
+
   test("dedupFirst keeps exactly the first row per key by the given order") {
     val d = df("k INT, v INT", Row(Int.box(1), Int.box(10)),
       Row(Int.box(1), Int.box(20)), Row(Int.box(2), Int.box(5)))
