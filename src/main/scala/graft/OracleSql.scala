@@ -406,6 +406,22 @@ SELECT doc_id, len(grams)::BIGINT AS n_grams,
        len(list_distinct(grams))::BIGINT AS n_distinct
 FROM g""",
 
+    // exact percentile_disc via a token-length histogram + cumulative sum
+    "q48_corpus_stats" -> s"""
+WITH n AS (SELECT len($Toks)::BIGINT AS n FROM documents),
+hist AS (SELECT n, count(*)::BIGINT AS c FROM n GROUP BY n),
+cum AS (
+  SELECT n, c,
+         sum(c) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER ()::BIGINT AS total,
+         sum(n * c) OVER ()::BIGINT AS total_tokens
+  FROM hist)
+SELECT any_value(total) AS n_docs, any_value(total_tokens) AS total_tokens,
+       min(CASE WHEN cum >= ceil(0.5 * total) THEN n END) AS p50,
+       min(CASE WHEN cum >= ceil(0.95 * total) THEN n END) AS p95,
+       min(CASE WHEN cum >= ceil(0.99 * total) THEN n END) AS p99
+FROM cum""",
+
     // 30-min-gap sessions per user over the event stream
     "q47_sessionize" -> """
 WITH e AS (

@@ -223,6 +223,10 @@ object Queries {
       .select(micros(col("window_start")).as("window_us"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Corpus token-length audit: exact histogram-based percentiles. */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Corpus.tokenStats(Tables.documents(s, d), "text")
+
   /** Gap-based sessionization of the user event stream (30-min gap),
     * aggregated to one row per session. */
   def sessionizeQ(s: SparkSession, d: String): DataFrame =
@@ -538,6 +542,7 @@ object Queries {
     "q45_decontaminate" -> (corpusDecontaminate _),
     "q46_repetition" -> (repetitionCounts _),
     "q47_sessionize" -> (sessionizeQ _),
+    "q48_corpus_stats" -> (corpusStats _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -55,6 +55,32 @@ object Corpus {
       .groupBy(idCol).agg(count(lit(1)).as("n_hits")) // shingles are per-doc distinct
   }
 
+  /** Corpus token-length audit: doc count, total tokens, and EXACT
+    * percentiles of per-document token counts — computed scale-safe via a
+    * length histogram (map-side-combinable groupBy over a domain-bounded
+    * key) and a cumulative window over that tiny histogram, never a global
+    * sort of per-doc rows. Percentile semantics: smallest length whose
+    * cumulative doc count reaches ceil(p·n) (percentile_disc) — exactly
+    * reproducible in any engine, unlike interpolated or sketch-based
+    * quantiles. Output is one row. */
+  def tokenStats(df: DataFrame, textCol: String, ps: Seq[Double] = Seq(0.5, 0.95, 0.99)
+      ): DataFrame = {
+    val hist = df.select(tokenCount(col(textCol)).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("total", sum(col("c")).over())
+      .withColumn("total_tokens", sum(col("n") * col("c")).over())
+    val pcols = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("total")), col("n")))
+        .as(s"p${(p * 100).round}")
+    }
+    val aggs = first(col("total")).as("n_docs") +:
+      first(col("total_tokens")).as("total_tokens") +: pcols
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees

@@ -55,6 +55,16 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(out(3L) - 0.571429) < 1e-6, s"got ${out(3L)}")
   }
 
+  test("tokenStats: percentile_disc over the length histogram") {
+    // 10 docs with 1..10 tokens: p50 = 5th value = 5, p95 = 10, p99 = 10
+    val docs = df("doc_id BIGINT, text STRING",
+      (1 to 10).map(i => Row(Long.box(i), (1 to i).map(j => s"w$j").mkString(" "))): _*)
+    val r = Corpus.tokenStats(docs, "text").head
+    assert(r.getLong(r.fieldIndex("n_docs")) == 10)
+    assert(r.getLong(r.fieldIndex("total_tokens")) == 55)
+    assert(r.getLong(r.fieldIndex("p50")) == 5 && r.getLong(r.fieldIndex("p95")) == 10)
+  }
+
   test("packByTokenBudget: contiguous bins, straddler stays in its starting bin") {
     // one shard (shards=1) so the packing order is just doc_id
     val docs = df("doc_id BIGINT, text STRING",
