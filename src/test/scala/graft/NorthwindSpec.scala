@@ -60,6 +60,45 @@ class NorthwindSpec extends AnyFunSuite with SparkSpecBase {
     assert(upd.toSeq == Seq((1, "N"), (2, "Y")), s"got ${upd.toSeq}")
   }
 
+  test("dim_customer maintains through a foreachBatch stream over the CDC feed (§2.9 drop-in)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.core.TableIO
+    import graft.northwind.{NorthwindSources, NorthwindStaging}
+    import graft.scd.Scd2
+    val dir = java.nio.file.Files.createTempDirectory("graft_nw_stream").toString
+    val full = NorthwindSources.customers(spark, sfDir, cycle = 2)
+    // the raw CDC feed arrives as two append-only files → two micro-batches
+    full.filter(col("src_ts") === NorthwindSources.t1)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    full.filter(col("src_ts") === NorthwindSources.t2)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val dimPath = s"$dir/dim"
+    val cfg = NorthwindWarehouse.dimCustomerCfg
+    val q = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the SAME transformers the batch runner uses, per micro-batch
+        val s = batch.sparkSession
+        val hwm =
+          if (TableIO.exists(dimPath))
+            TableIO.read(s, dimPath).agg(max(col("updated_at"))).first().getTimestamp(0)
+          else java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+        val delta = NorthwindWarehouse.stgDimCustomer(
+          s, NorthwindStaging.stgCustomers(batch), lit(hwm))
+        val existing = TableIO.readOrEmpty(s, dimPath,
+          Scd2.fromHistory(delta, cfg, "customer_sk"))
+        TableIO.overwriteAtomic(Scd2.merge(existing, delta, cfg, "customer_sk"), dimPath)
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(canon(spark.read.parquet(dimPath)) ==
+      canon(spark.read.parquet(s"$root/dwh/dim_customer")),
+      "streamed dim diverged from the two-cycle batch dim")
+  }
+
   test("second run over unchanged sources is a no-op for dim version counts") {
     val before = spark.read.parquet(s"$root/dwh/dim_customer").count()
     NorthwindWarehouse.runCycle(spark, sfDir, root, 2) // replay cycle 2
