@@ -408,7 +408,7 @@ FROM g""",
 
     // exact percentile_disc via a token-length histogram + cumulative sum
     "q48_corpus_stats" -> s"""
-WITH n AS (SELECT len($Toks)::BIGINT AS n FROM documents),
+WITH n AS (SELECT len($Toks)::BIGINT AS n FROM documents WHERE text IS NOT NULL),
 hist AS (SELECT n, count(*)::BIGINT AS c FROM n GROUP BY n),
 cum AS (
   SELECT n, c,

@@ -65,19 +65,24 @@ object Corpus {
     * quantiles. Output is one row. */
   def tokenStats(df: DataFrame, textCol: String, ps: Seq[Double] = Seq(0.5, 0.95, 0.99)
       ): DataFrame = {
-    val hist = df.select(tokenCount(col(textCol)).as("n"))
+    val names = ps.map(p => s"p${(p * 100).round}")
+    require(names.distinct == names,
+      s"percentiles render to duplicate column names: $names")
+    // NULL text is excluded up front: a NULL length row would sort first in
+    // Spark's window but last in SQL engines, silently shifting every
+    // cumulative count — and a null doc has no defined token length anyway
+    val hist = df.filter(col(textCol).isNotNull)
+      .select(tokenCount(col(textCol)).as("n"))
       .groupBy("n").agg(count(lit(1)).as("c"))
     val w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
       .withColumn("cum", sum(col("c")).over(w))
       .withColumn("total", sum(col("c")).over())
-      .withColumn("total_tokens", sum(col("n") * col("c")).over())
-    val pcols = ps.map { p =>
-      min(when(col("cum") >= ceil(lit(p) * col("total")), col("n")))
-        .as(s"p${(p * 100).round}")
+    val pcols = ps.zip(names).map { case (p, name) =>
+      min(when(col("cum") >= ceil(lit(p) * col("total")), col("n"))).as(name)
     }
-    val aggs = first(col("total")).as("n_docs") +:
-      first(col("total_tokens")).as("total_tokens") +: pcols
+    val aggs = sum(col("c")).as("n_docs") +:
+      sum(col("n") * col("c")).as("total_tokens") +: pcols
     cum.agg(aggs.head, aggs.tail: _*)
   }
 

@@ -55,6 +55,7 @@ object Ops {
     * orders same-instant events deterministically. */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
       tiebreak: Seq[String] = Nil): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     val order = col(tsCol) +: tiebreak.map(col)
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val prev = lag(unix_micros(col(tsCol)), 1).over(w)

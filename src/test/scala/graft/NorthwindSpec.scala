@@ -68,9 +68,13 @@ class NorthwindSpec extends AnyFunSuite with SparkSpecBase {
     import graft.scd.Scd2
     val dir = java.nio.file.Files.createTempDirectory("graft_nw_stream").toString
     val full = NorthwindSources.customers(spark, sfDir, cycle = 2)
-    // the raw CDC feed arrives as two append-only files → two micro-batches
+    // the raw CDC feed arrives as two append-only files → two micro-batches.
+    // FileStreamSource admits files in mtime order; back-date the first
+    // batch's files so the order can't tie on fast filesystems
     full.filter(col("src_ts") === NorthwindSources.t1)
       .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    new java.io.File(s"$dir/in").listFiles()
+      .foreach(f => f.setLastModified(System.currentTimeMillis() - 60000): Unit)
     full.filter(col("src_ts") === NorthwindSources.t2)
       .coalesce(1).write.mode("append").parquet(s"$dir/in")
     val dimPath = s"$dir/dim"
@@ -93,7 +97,7 @@ class NorthwindSpec extends AnyFunSuite with SparkSpecBase {
         TableIO.overwriteAtomic(Scd2.merge(existing, delta, cfg, "customer_sk"), dimPath)
       }
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within the timeout")
     assert(canon(spark.read.parquet(dimPath)) ==
       canon(spark.read.parquet(s"$root/dwh/dim_customer")),
       "streamed dim diverged from the two-cycle batch dim")
