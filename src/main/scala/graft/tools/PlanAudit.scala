@@ -85,6 +85,16 @@ object PlanAudit {
     audit("q45_decontaminate",
       "broadcast_probe_semi" -> (p => p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q43_corpus_split",
+      // content-stable hashing is a pure projection: no exchange anywhere
+      "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q44_token_packing",
+      // the running-sum window partitions on the shard key, never globally
+      "sharded_window" -> (p => "hashpartitioning\\(shard".r.findFirstIn(p).isDefined),
+      "no_global_window" -> (p => !p.contains("SinglePartition, ")))
+    audit("q47_sessionize",
+      "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q37_snapshot_incremental",
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
