@@ -40,23 +40,49 @@ object TableIO {
   }
 
   /** Partition-level crash healing for [[upsertTouchedPartitions]]'s
-    * two-phase swaps: a `<dir>.__old__` without its live sibling is a swap
-    * that crashed after the stash — restore it; with a live sibling it is a
-    * completed swap's leftover — drop it. A `<dir>.__del__` is an
-    * interrupted partition deletion — finish it (restoring it would
-    * resurrect rows the upsert moved elsewhere). Partition trees are
-    * shallow (1-3 levels), so the walk is a cheap metadata scan. */
+    * staged swaps. Artifacts are dot-hidden (`.<dir>.__new__` /
+    * `.<dir>.__old__` / `.<dir>.__del__`) so Spark's partition discovery
+    * never lists them as bogus partition values mid-swap; legacy visible
+    * suffixes from older writers heal too.
+    *
+    * Rules, in order:
+    *  - `.__new__` without its live sibling is a swap that crashed between
+    *    its two renames — roll FORWARD (the staged dir is complete by
+    *    construction: it is staged only after the write job finished) and
+    *    drop the stash. With a live sibling the swap never stashed — the old
+    *    state stands; drop the stale staging (leaving it could resurrect
+    *    deleted rows if the partition is later emptied).
+    *  - `.__del__` is an interrupted partition deletion — finish it
+    *    (restoring it would resurrect rows the upsert moved elsewhere).
+    *  - `.__old__` without a live sibling is a stash whose swap lost its
+    *    staged data — restore it; with a live sibling it is a completed
+    *    swap's leftover — drop it.
+    * Partition trees are shallow (1-3 levels), so the walk is a cheap
+    * metadata scan. */
   private def recoverPartitions(dir: File): Unit = {
     val children = Option(dir.listFiles).getOrElse(Array.empty[File])
-    children.foreach { f =>
+    def live(f: File, suffix: String): File =
+      new File(dir, f.getName.stripPrefix(".").stripSuffix(suffix))
+    children.filter(_.getName.endsWith(".__new__")).foreach { f =>
+      val l = live(f, ".__new__")
+      if (l.exists) deleteRecursively(f)
+      else {
+        try Files.move(f.toPath, l.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        catch { case _: java.nio.file.FileSystemException if l.exists => () }
+        deleteRecursively(new File(dir, "." + l.getName + ".__old__"))
+        deleteRecursively(new File(dir, l.getName + ".__old__"))
+      }
+    }
+    children.filter(_.exists).foreach { f =>
       if (f.getName.endsWith(".__del__")) deleteRecursively(f)
       else if (f.getName.endsWith(".__old__")) {
-        val live = new File(dir, f.getName.stripSuffix(".__old__"))
-        if (live.exists) deleteRecursively(f)
+        val l = live(f, ".__old__")
+        if (l.exists) deleteRecursively(f)
         else
-          try Files.move(f.toPath, live.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
-          catch { case _: java.nio.file.FileSystemException if live.exists => () }
-      } else if (f.isDirectory && f.getName.contains("=")) recoverPartitions(f)
+          try Files.move(f.toPath, l.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          catch { case _: java.nio.file.FileSystemException if l.exists => () }
+      } else if (f.isDirectory && f.getName.contains("=") && !f.getName.startsWith("."))
+        recoverPartitions(f)
     }
   }
 
@@ -110,7 +136,13 @@ object TableIO {
         case e: java.nio.file.FileSystemException if target.exists && attempts < 5 =>
           attempts += 1
           deleteRecursively(old)
-          Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          // guarded: the resurrected copy can vanish again if another
+          // reader's recover() loses a second race in the same window
+          try Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+          catch { case _: java.nio.file.FileSystemException if !target.exists => () }
+        case e: java.nio.file.FileSystemException if attempts >= 5 =>
+          throw new java.io.IOException(
+            s"overwrite of '$path' failed to commit after $attempts retries", e)
         case e: Throwable => throw e
       }
     }
@@ -123,13 +155,16 @@ object TableIO {
     *
     * Schema evolution (`syncAllColumns`, the reference's
     * `on_schema_change='sync_all_columns'`, models/dwh/dim_customer.sql:4):
-    * the target's column set follows the delta — columns new in the delta
+    * the target's SCHEMA follows the delta — columns new in the delta
     * appear with NULL on pre-existing rows, columns the delta dropped leave
-    * the table. A schema change forces a whole-table rewrite on plain
-    * Parquet (readers take the schema from one footer, so a partial rewrite
-    * would hide the new column); Delta/Iceberg do the same as a metadata op.
-    * With `syncAllColumns=false` (dbt `on_schema_change='ignore'`) extra
-    * delta columns are dropped and the delta must cover the target schema.
+    * the table, and a same-name dataType change recasts kept rows to the
+    * delta's type (dbt's sync_all_columns also covers type changes). Any of
+    * the three forces a whole-table rewrite on plain Parquet (readers take
+    * the schema from one footer, so a partial rewrite would hide the
+    * change); Delta/Iceberg do the same as a metadata op. With
+    * `syncAllColumns=false` (dbt `on_schema_change='ignore'`) extra delta
+    * columns are dropped, the delta must cover the target schema, and delta
+    * columns are cast to the target's existing types.
     *
     * Partitioned upsert (`partitionBy`): only partitions that contain a
     * delta key — plus partitions delta rows land in — are rewritten, so
@@ -149,20 +184,39 @@ object TableIO {
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     val added = delta.columns.filterNot(existing.columns.contains)
     val removed = existing.columns.filterNot(delta.columns.contains)
-    if (syncAllColumns && (added.nonEmpty || removed.nonEmpty)) {
-      // align kept rows onto the delta's column set: NULL-pad new columns,
-      // drop removed ones — then whole-table rewrite (see scaladoc)
+    // schema change = column set OR dataType drift (a same-name type change
+    // must also take the rewrite path — appending a retyped column to plain
+    // Parquet would leave readers merging incompatible footers). Partition
+    // columns are exempt: plain Parquet re-INFERS their type from directory
+    // names on read (a "2024-01-01" string partition reads back as DATE), so
+    // comparing them would flag phantom drift on every partitioned upsert
+    val retyped = delta.columns.filter(c => existing.columns.contains(c) &&
+      !partitionBy.contains(c) &&
+      existing.schema(c).dataType != delta.schema(c).dataType)
+    if (syncAllColumns && (added.nonEmpty || removed.nonEmpty || retyped.nonEmpty)) {
+      // align kept rows onto the delta's schema: NULL-pad new columns, drop
+      // removed ones, recast retyped ones — then whole-table rewrite
       val aligned = delta.columns.toSeq.map { c =>
-        if (existing.columns.contains(c)) col(c)
-        else lit(null).cast(delta.schema(c).dataType).as(c)
+        if (!existing.columns.contains(c)) lit(null).cast(delta.schema(c).dataType).as(c)
+        else if (retyped.contains(c)) col(c).cast(delta.schema(c).dataType).as(c)
+        else col(c)
       }
       val keep = existing.join(deltaKeys, keys, "left_anti").select(aligned: _*)
       overwriteAtomic(keep.unionByName(delta), path, partitionBy)
-    } else if (partitionBy.isEmpty) {
-      val keep = existing.join(deltaKeys, keys, "left_anti")
-      overwriteAtomic(keep.unionByName(delta.select(existing.columns.map(col): _*)), path)
     } else {
-      upsertTouchedPartitions(spark, path, existing, delta, keys, partitionBy)
+      // 'ignore' semantics: the target schema wins — project the delta onto
+      // it, casting any drifted type back to the existing one (partition
+      // columns keep the delta's type: the read-back type is inferred, and
+      // casting could alter the directory names the writer produces)
+      val conformed = delta.select(existing.columns.map(c =>
+        if (partitionBy.contains(c)) col(c)
+        else col(c).cast(existing.schema(c).dataType).as(c)): _*)
+      if (partitionBy.isEmpty) {
+        val keep = existing.join(deltaKeys, keys, "left_anti")
+        overwriteAtomic(keep.unionByName(conformed), path)
+      } else {
+        upsertTouchedPartitions(spark, path, existing, conformed, keys, partitionBy)
+      }
     }
   }
 
@@ -182,10 +236,21 @@ object TableIO {
     * Partition values are compared and rendered via Spark's own
     * cast-to-string so directory names agree with what the writer produces,
     * and all matching is null-safe (`<=>`) so a NULL-valued partition
-    * (`__HIVE_DEFAULT_PARTITION__`) upserts like any other. Each directory
-    * swap is two-phase (stash live dir as `.__old__`, move new in, drop the
-    * stash; deletions stage as `.__del__`) and [[recoverPartitions]] heals
-    * any crash window on the next access. */
+    * (`__HIVE_DEFAULT_PARTITION__`) upserts like any other.
+    *
+    * Concurrency contract (single WRITER; readers tolerated): each swap
+    * stages the complete new directory next to the live one under a
+    * dot-hidden name (partition discovery ignores dot-prefixed dirs, so
+    * racing readers never list swap artifacts as bogus partition values),
+    * then stash-live → commit-staged as two adjacent renames. A reader
+    * listing the table inside that rename pair can momentarily miss the one
+    * partition being swapped — per-partition old-or-new is guaranteed,
+    * point-in-time consistency across the whole table during a multi-
+    * partition upsert is not (that is what a table format's transactional
+    * commit buys; [[overwriteAtomic]] gives the whole-table guarantee).
+    * [[recoverPartitions]] rolls a crash inside the rename pair FORWARD to
+    * the new state; deletions stage as `.__del__` and complete on recovery.
+    * Re-running the same upsert after any crash converges. */
   private def upsertTouchedPartitions(spark: SparkSession, path: String,
       existing: DataFrame, rawDelta: DataFrame, keys: Seq[String], pcols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, nullif}
@@ -244,32 +309,53 @@ object TableIO {
       val src = new File(tmp, rel)
       val dst = new File(path, rel)
       if (src.exists) {
-        // two-phase swap: stash → move in → drop stash (recover heals both
-        // windows). A concurrent reader's recoverPartitions can resurrect
-        // the stash into dst between our two moves — re-stash and retry,
-        // same bounded race as overwriteAtomic's commit loop
-        val old = new File(dst.getParentFile, dst.getName + ".__old__")
-        deleteRecursively(old)
-        if (dst.exists) Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        // stage next to the live dir (same parent → the stash/commit pair
+        // below is two adjacent renames, the narrowest gap a filesystem
+        // without multi-rename transactions allows), then swap
+        val nw = new File(dst.getParentFile, "." + dst.getName + ".__new__")
+        val old = new File(dst.getParentFile, "." + dst.getName + ".__old__")
         dst.getParentFile.mkdirs()
+        deleteRecursively(nw)
+        deleteRecursively(old)
+        Files.move(src.toPath, nw.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+        if (dst.exists) Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         var attempts = 0
         var committed = false
         while (!committed) {
           try {
-            Files.move(src.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+            Files.move(nw.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
             committed = true
           } catch {
-            case _: java.nio.file.FileSystemException if dst.exists && attempts < 5 =>
-              attempts += 1
-              deleteRecursively(old)
-              Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+            case e: java.nio.file.FileSystemException =>
+              // a racing reader's recover() can ROLL OUR SWAP FORWARD
+              // (nw → dst) between our two renames: that IS the commit
+              if (!nw.exists && dst.exists) committed = true
+              else if (attempts < 5) {
+                // or it resurrected the stash into dst — re-stash and
+                // retry; the re-stash is itself guarded (dst can vanish
+                // again if yet another recover() wins the same race)
+                attempts += 1
+                deleteRecursively(old)
+                try {
+                  if (dst.exists)
+                    Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+                } catch {
+                  case _: java.nio.file.FileSystemException if !dst.exists => ()
+                }
+              } else
+                throw new java.io.IOException(
+                  s"upsert of '$path' failed to commit partition '$rel' after $attempts retries", e)
           }
         }
         deleteRecursively(old)
       } else if (dst.exists) {
         // the upsert emptied this partition: stage the deletion so a crash
-        // mid-delete cannot leave a partial (row-duplicating) directory
-        val del = new File(dst.getParentFile, dst.getName + ".__del__")
+        // mid-delete cannot leave a partial (row-duplicating) directory —
+        // and clear any stale swap artifacts so a later recover() cannot
+        // roll a superseded staging into the deliberately-deleted slot
+        deleteRecursively(new File(dst.getParentFile, "." + dst.getName + ".__new__"))
+        deleteRecursively(new File(dst.getParentFile, "." + dst.getName + ".__old__"))
+        val del = new File(dst.getParentFile, "." + dst.getName + ".__del__")
         deleteRecursively(del)
         Files.move(dst.toPath, del.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         deleteRecursively(del)

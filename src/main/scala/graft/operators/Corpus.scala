@@ -43,7 +43,12 @@ object Corpus {
     * pipelines; lower n → stricter). Returns (idCol, n_hits): the count of
     * distinct probe n-grams found in each contaminated document —
     * uncontaminated documents are absent, so `docs.join(result, semi)` is
-    * the drop filter. */
+    * the drop filter.
+    *
+    * Cache lifecycle (same convention as [[Dedup]]): the result — sized by
+    * the contaminated subset, tiny by construction — is materialized and
+    * returned cached, and the corpus shingle frame is freed before
+    * returning; `result.unpersist()` when done. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String, n: Int = 8): DataFrame = {
     val dsh = Dedup.shingleFrame(docs, idCol, textCol, n, outId = idCol)
@@ -51,8 +56,12 @@ object Corpus {
     val psh = probes.select(tokens(col(probeTextCol)).as("__t"))
       .filter(size(col("__t")) >= n)
       .select(explode(shinglesOfTokens(col("__t"), n)).as("shingle")).distinct()
-    dInv.join(broadcast(psh), Seq("shingle"), "left_semi")
+    val result = dInv.join(broadcast(psh), Seq("shingle"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits")) // shingles are per-doc distinct
+      .persist()
+    result.count(): Unit
+    dsh.unpersist()
+    result
   }
 
   /** Corpus token-length audit: doc count, total tokens, and EXACT

@@ -23,12 +23,15 @@ import graft.functions.TextFunctions._
   * All hashes are MD5-derived (hash32 / lexicographic-min hex) so every
   * operator is reproducible bit-for-bit in any SQL oracle engine.
   *
-  * Cache lifecycle: the pair generators persist small intermediates
-  * (shingle sets, candidate pairs — MBs per call) that multiple plan
-  * branches consume; they are NOT unpersisted here because the returned
-  * DataFrame still references them lazily. Callers are batch jobs (the
-  * session ends, releasing storage); a long-lived service looping over
-  * corpora should `spark.catalog.clearCache()` between corpus runs.
+  * Cache lifecycle: the pair generators persist intermediates (shingle
+  * sets, band/bucket arrays, candidate pairs) that multiple plan branches
+  * consume, MATERIALIZE their result eagerly, then unpersist every
+  * intermediate before returning — a long-lived session looping over
+  * corpora accumulates nothing. The returned frame itself is cached (it is
+  * near-dup-pair-sized — tiny by construction) so downstream consumers
+  * never recompute the pipeline; call `result.unpersist()` when done with
+  * it. [[connectedComponents]]' distributed path likewise returns its final
+  * cached label frame and frees everything else.
   */
 object Dedup {
 
@@ -147,8 +150,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .persist() // consumed twice in jaccardOfPairs (candidate ids + final join)
-    jaccardOfPairs(candidates, sh, broadcastCandidates = pairBound <= broadcastPairLimit)
-      .filter(col("jaccard") >= threshold)
+    val result =
+      jaccardOfPairs(candidates, sh, broadcastCandidates = pairBound <= broadcastPairLimit)
+        .filter(col("jaccard") >= threshold)
+        .persist()
+    result.count(): Unit // materialize, then free every intermediate (see object doc)
+    sh.unpersist(); bandArrays.unpersist(); candidates.unpersist()
+    result
   }
 
   /** 32-bit SimHash over distinct word tokens: bit b of the signature is the
@@ -187,7 +195,10 @@ object Dedup {
       .join(cold.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    scorePairs(inter, sizes).filter(col("jaccard") >= threshold)
+    val result = scorePairs(inter, sizes).filter(col("jaccard") >= threshold).persist()
+    result.count(): Unit // materialize, then free every intermediate (see object doc)
+    sh.unpersist(); inv.unpersist()
+    result
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold over LSH-banded
@@ -229,12 +240,16 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    candidates
+    val result = candidates
       .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .persist()
+    result.count(): Unit // materialize, then free every intermediate (see object doc)
+    bucketArrays.unpersist()
+    result
   }
 
   /** Near-dup CLUSTER formation — the step a dedup pipeline actually ships:

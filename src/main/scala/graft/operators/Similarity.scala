@@ -131,27 +131,29 @@ object Similarity {
     * shuffle is the final per-query top-k window. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Array[(Int, Array[Double], Double)] =
+    // centroid ids keep the corpus id's own type (int, long, string, …):
+    // they ride along as literals and an equi-join key, never arithmetic
+    val cents: Array[(Any, Array[Double], Double)] =
       corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol).cast("int"), toDouble(col(vecCol)))
+        .select(col(idCol), toDouble(col(vecCol)))
         .collect().map { r =>
           val cvec = r.getSeq[Double](1).toArray
           // norm accumulated in index order — bit-identical to
           // norm(col) = sqrt(graft_dot(v, v)), which also sums in order
           var s = 0.0; var i = 0
           while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
-          (r.getInt(0), cvec, math.sqrt(s))
+          (r.get(0), cvec, math.sqrt(s))
         }
-    // per-row ranked lists: sort (cosine, -cent_id, cent_id) structs
-    // descending — cosine desc then cent_id asc, the exact tie-break of the
-    // oracle's ORDER BY cosine DESC, cent_id
+    // per-row ranked lists: sort (-cosine, cent_id) structs ASCENDING —
+    // cosine desc then cent_id asc, the exact tie-break of the oracle's
+    // ORDER BY cosine DESC, cent_id, without needing a negatable id type
     def nearestLists(vCol: String, nCol: String, n: Int): Column = {
       val entries = array(cents.map { case (cid, cvec, cnorm) =>
         struct(
-          (dot(col(vCol), array(cvec.map(lit): _*)) / (col(nCol) * lit(cnorm))).as("c"),
-          lit(-cid).as("ni"), lit(cid).as("cid"))
+          (-(dot(col(vCol), array(cvec.map(lit): _*)) / (col(nCol) * lit(cnorm)))).as("nc"),
+          lit(cid).as("cid"))
       }: _*)
-      slice(sort_array(entries, asc = false), 1, n)
+      slice(sort_array(entries, asc = true), 1, n)
     }
     val assigned = prepCorpus(corpus, idCol, vecCol)
       .withColumn("list_id", element_at(nearestLists("cv", "cn", 1), 1).getField("cid"))

@@ -179,6 +179,68 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(!py.exists && !new java.io.File(path, "p=y.__del__").exists)
   }
 
+  test("partition-level crash recovery: staged .__new__ rolls forward; stale staging is dropped") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING",
+        Row(Int.box(1), "x", "old"), Row(Int.box(2), "y", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    // fabricate a swap that crashed between its two renames on p=x: live
+    // stashed away, complete new data staged under the dot-hidden name
+    val donor = tmp() + "/donor"
+    TableIO.upsertByKey(spark, donor,
+      df("k INT, p STRING, v STRING", Row(Int.box(1), "x", "NEW")),
+      Seq("k"), partitionBy = Seq("p"))
+    java.nio.file.Files.move(new java.io.File(path, "p=x").toPath,
+      new java.io.File(path, ".p=x.__old__").toPath)
+    java.nio.file.Files.move(new java.io.File(donor, "p=x").toPath,
+      new java.io.File(path, ".p=x.__new__").toPath)
+    val got = TableIO.read(spark, path).collect() // read triggers recovery
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got == Set((1, "NEW"), (2, "b")), s"roll-forward produced $got")
+    assert(!new java.io.File(path, ".p=x.__old__").exists)
+    assert(!new java.io.File(path, ".p=x.__new__").exists)
+    // staging whose swap never stashed (live sibling intact) is dropped
+    val donor2 = tmp() + "/donor2"
+    TableIO.upsertByKey(spark, donor2,
+      df("k INT, p STRING, v STRING", Row(Int.box(2), "y", "STALE")),
+      Seq("k"), partitionBy = Seq("p"))
+    java.nio.file.Files.move(new java.io.File(donor2, "p=y").toPath,
+      new java.io.File(path, ".p=y.__new__").toPath)
+    val got2 = TableIO.read(spark, path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got2 == Set((1, "NEW"), (2, "b")), s"stale staging resurrected: $got2")
+    assert(!new java.io.File(path, ".p=y.__new__").exists)
+  }
+
+  test("upsertByKey sync_all_columns: same-name dataType change rewrites and recasts kept rows") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v INT", Row(Int.box(1), Int.box(10)), Row(Int.box(2), Int.box(20))), Seq("k"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v DOUBLE", Row(Int.box(2), Double.box(2.5))), Seq("k"))
+    val got = spark.read.parquet(path)
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.DoubleType,
+      s"type change must follow the delta, got ${got.schema("v").dataType}")
+    val rows = got.collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")))).toSet
+    assert(rows == Set((1, 10.0), (2, 2.5)))
+  }
+
+  test("upsertByKey ignore-mode: drifted delta type is cast back to the target type") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v INT", Row(Int.box(1), Int.box(10))), Seq("k"))
+    TableIO.upsertByKey(spark, path,
+      df("k INT, v BIGINT", Row(Int.box(3), Long.box(30L))), Seq("k"), syncAllColumns = false)
+    val got = spark.read.parquet(path)
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.IntegerType,
+      s"ignore-mode must keep the target type, got ${got.schema("v").dataType}")
+    val rows = got.collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getInt(r.fieldIndex("v")))).toSet
+    assert(rows == Set((1, 10), (3, 30)))
+  }
+
   test("overwriteAtomic: self-overwrite (read table, transform, write same path)") {
     val path = tmp() + "/t"
     TableIO.overwriteAtomic(df("k INT", Row(Int.box(1)), Row(Int.box(2))), path)

@@ -191,6 +191,17 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(perQuery.forall(_.getLong(1) <= 4))
   }
 
+  test("IVF top-k: non-integer (string) ids work and agree with brute force at full probing") {
+    val vecs = df("vec_id STRING, embedding ARRAY<DOUBLE>",
+      (0 until 12).map(i => Row(f"doc_$i%02d",
+        Seq.tabulate(8)(j => math.cos(i * 8 + j) + 2.0))): _*)
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < "doc_03"), vecs, "vec_id", "embedding", 4)
+    val full = Similarity.ivfTopK(
+      vecs.filter(col("vec_id") < "doc_03"), vecs, "vec_id", "embedding", 4, nlist = 4, nprobe = 4)
+    assert(canon(full) == canon(brute))
+  }
+
   test("LSH buckets are deterministic and self-similarity search finds exact match") {
     val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
       (0 until 8).map(i => Row(Int.box(i),
