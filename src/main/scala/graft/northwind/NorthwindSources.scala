@@ -136,7 +136,11 @@ object NorthwindSources {
 
   def orderDetails(s: SparkSession, d: String, cycle: Int): DataFrame = {
     // one row per (order, product): first lineitem by line number (quantity
-    // tiebreak — the testdata has duplicate line numbers per (order, part))
+    // tiebreak — the testdata has duplicate line numbers per (order, part)).
+    // NOT persisted despite feeding three union branches: caching would pin
+    // the window's 32 shuffle partitions (cached plans keep their
+    // partitioning), turning the staging CTAS into a 96-file write — AQE's
+    // post-shuffle coalesce on the uncached plan is the cheaper barrier
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber", "l_quantity")
     val li = read(s, d, "lineitem")
@@ -202,7 +206,7 @@ object NorthwindSources {
           .otherwise(concat(lit("558-"), i)).as("fax"),
         concat(lit("sup"), i, lit(".example")).as("homepage"))
     }
-    val r = s.range(1, 101)
+    val r = s.range(1, 101, 1, 1)
     val history = r.select(cols(concat(lit("Supplier "), col("id"))) ++ ev(t1, "I"): _*)
       .unionByName(r.filter(col("id") === 5)
         .select(cols(lit("Supplier 5 Updated")) ++ ev(t2, "I"): _*))
@@ -211,7 +215,7 @@ object NorthwindSources {
 
   /** categories 1..10, static. */
   def categories(s: SparkSession, d: String, cycle: Int): DataFrame =
-    s.range(1, 11).select(
+    s.range(1, 11, 1, 1).select(
       col("id").cast("int").as("categoryid"),
       concat(lit("Category "), col("id")).as("categoryname"),
       concat(lit("Desc "), col("id")).as("description"),
@@ -242,7 +246,7 @@ object NorthwindSources {
         when(i === 1, lit(null).cast("int")).otherwise(lit(1)).as("ReportsTo"),
         lit(null).cast("string").as("PhotoPath"))
     }
-    val r = s.range(1, 11)
+    val r = s.range(1, 11, 1, 1)
     val history = r.select(cols(concat(lit("Title "), col("id") % 3)) ++ ev(t1, "I"): _*)
       .unionByName(r.filter(col("id") === 3).select(cols(lit("Senior Title")) ++ ev(t2, "I"): _*))
     cut(history, cycle)
@@ -254,7 +258,7 @@ object NorthwindSources {
       col("id").cast("int").as("shipperid"),
       phone.as("phone"),
       concat(lit("Shipper "), col("id")).as("companyname"))
-    val r = s.range(1, 4)
+    val r = s.range(1, 4, 1, 1)
     val history = r.select(cols(concat(lit("560-"), col("id"))) ++ ev(t1, "I"): _*)
       .unionByName(r.filter(col("id") === 2).select(cols(lit("560-22")) ++ ev(t2, "I"): _*))
     cut(history, cycle)
@@ -262,14 +266,14 @@ object NorthwindSources {
 
   /** regions 0..4, static. */
   def region(s: SparkSession, d: String, cycle: Int): DataFrame =
-    s.range(0, 5).select(
+    s.range(0, 5, 1, 1).select(
       col("id").cast("int").as("RegionID"),
       concat(lit("Region "), col("id")).as("RegionDescription"))
       .select(col("*") +: ev(t1, "I"): _*)
 
   /** territories 0..19 → region id % 5, static. */
   def territories(s: SparkSession, d: String, cycle: Int): DataFrame =
-    s.range(0, 20).select(
+    s.range(0, 20, 1, 1).select(
       col("id").cast("string").as("TerritoryID"),
       concat(lit("Territory "), col("id")).as("TerritoryDescription"),
       (col("id") % 5).cast("int").as("RegionID"))
@@ -277,7 +281,7 @@ object NorthwindSources {
 
   /** employee e holds territories e-1 and e+9, static. */
   def employeeTerritories(s: SparkSession, d: String, cycle: Int): DataFrame = {
-    val r = s.range(1, 11)
+    val r = s.range(1, 11, 1, 1)
     r.select(col("id").cast("int").as("EmployeeID"),
         (col("id") - 1).cast("string").as("TerritoryID"))
       .unionByName(r.select(col("id").cast("int").as("EmployeeID"),

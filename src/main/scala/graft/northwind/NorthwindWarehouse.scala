@@ -243,13 +243,28 @@ object NorthwindWarehouse {
   /** One full `dbt run` cycle (SURVEY E1/E2) against the lake state visible
     * at the cycle's batch time.
     *
-    * Independent models at the same DAG level run CONCURRENTLY from the
-    * driver (Spark's scheduler interleaves their jobs across the executor
-    * pool) — the 11 staging CTAS together, then the 4 dims, then the 2
-    * facts: the same level-parallel execution `dbt run --threads` gives the
-    * reference. Audit-table writes are read-modify-write on shared state,
-    * so registration happens before the fan-out and HWM marks after the
-    * join — only the heavy merge/write work runs in parallel. */
+    * Models run CONCURRENTLY from the driver by READINESS, not by level:
+    * each dim starts the moment its own staging inputs land (dim_customer
+    * waits only for stg_customers, not for the slow stg_order_details
+    * write), and each fact starts when its staging + dims are in — exactly
+    * `dbt run --threads`' node-readiness scheduling, and measurably faster
+    * than level barriers because the two heavy staging CTAS (orders,
+    * order_details) overlap the dim merges instead of gating them.
+    * Audit-table writes are read-modify-write on shared state, so
+    * registration happens before the fan-out and HWM marks after each
+    * group's join — only the heavy merge/write work runs in parallel. */
+  /** Phase timing for the two-cycle run, printed when GRAFT_NW_PROFILE is
+    * set — the pipeline is the bench's dominant query, so keep the cost
+    * breakdown one env var away. */
+  private def timed[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_NW_PROFILE")) f
+    else {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[nw] $label%-24s ${(System.nanoTime - t0) / 1e9}%6.2f s")
+      r
+    }
+
   def runCycle(spark: SparkSession, sfDir: String, root: String, cycle: Int): Unit = {
     import NorthwindSources._
     val cycleTs = to_timestamp(lit(if (cycle == 1) T1 else T2))
@@ -271,23 +286,28 @@ object NorthwindWarehouse {
       "stg_territories" -> NorthwindStaging.stgTerritories(territories(spark, sfDir, cycle)),
       "stg_employeeterritories" ->
         NorthwindStaging.stgEmployeeTerritories(employeeTerritories(spark, sfDir, cycle)))
-    inParallel(stagingNames.map(n => () => TableIO.overwriteAtomic(staged(n), stagingPath(n))))
     def stg(n: String): DataFrame = TableIO.read(spark, stagingPath(n))
 
     // 2. dims: audit bootstrap (C4) → intermediate delta → SCD2 merge →
     //    upsert-by-business-key (S4 at key grain) → audit HWM (C6)
     case class DimLoad(name: String, driver: String, keyDesc: String,
-        cfg: Scd2Config, skCol: String, intermediate: Column => DataFrame)
+        cfg: Scd2Config, skCol: String, stagingDeps: Seq[String],
+        intermediate: Column => DataFrame)
     val dims = Seq(
       DimLoad("dim_customer", "stg_customers", "customer_id", dimCustomerCfg,
-        "customer_sk", hwm => stgDimCustomer(spark, stg("stg_customers"), hwm)),
+        "customer_sk", Seq("stg_customers"),
+        hwm => stgDimCustomer(spark, stg("stg_customers"), hwm)),
       DimLoad("dim_shippers", "stg_shippers", "shipper_id", dimShipperCfg,
-        "shipper_sk", hwm => stgDimShipper(spark, stg("stg_shippers"), hwm)),
+        "shipper_sk", Seq("stg_shippers"),
+        hwm => stgDimShipper(spark, stg("stg_shippers"), hwm)),
       DimLoad("dim_products", "stg_products", "product_id", dimProductsCfg,
-        "product_sk", hwm => stgDimProducts(spark, stg("stg_products"),
+        "product_sk", Seq("stg_products", "stg_suppliers", "stg_categories"),
+        hwm => stgDimProducts(spark, stg("stg_products"),
           stg("stg_suppliers"), stg("stg_categories"), hwm)),
       DimLoad("dim_employee", "stg_employees", "employee_id", dimEmployeeCfg,
-        "employee_sk", hwm => stgDimEmployee(spark, stg("stg_employees"),
+        "employee_sk", Seq("stg_employees", "stg_employeeterritories",
+          "stg_territories", "stg_region"),
+        hwm => stgDimEmployee(spark, stg("stg_employees"),
           stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"), hwm)))
     // one audit RMW registers every model of the cycle up front
     audit.ensureRegisteredAll(dims.map(dl => (dl.name, dl.driver, dl.keyDesc)) ++ Seq(
@@ -295,34 +315,60 @@ object NorthwindWarehouse {
       ("fact_order_details", "stg_order_details", "order_id,product_id")))
     val auditState = audit.infoAll(dims.map(_.name) ++ Seq("fact_order", "fact_order_details"))
     val hwms = dims.map(dl => dl.name -> lit(auditState(dl.name).hwmDate)).toMap
-    val newHwms = inParallel(dims.map(dl => () => {
-      val delta = dl.intermediate(hwms(dl.name))
-      val existing = TableIO.readOrEmpty(spark, tablePath(dl.name),
-        Scd2.fromHistory(delta, dl.cfg, dl.skCol))
-      TableIO.overwriteAtomic(Scd2.merge(existing, delta, dl.cfg, dl.skCol), tablePath(dl.name))
-      dl.name -> TableIO.read(spark, tablePath(dl.name))
-        .agg(max(col("updated_at"))).first().getTimestamp(0)
-    }))
-    audit.markProcessedAll(newHwms.toMap)
 
-    // 3/4. facts (fact_order.sql with its repair post-hook; B7 composite key)
-    val factHwms = inParallel(Seq(
-      () => loadFactOrder(spark, root, auditState("fact_order").hwmDate,
-        stg("stg_orders"), cycleTs),
-      () => loadFactOrderDetails(spark, root, auditState("fact_order_details").hwmDate,
-        stg("stg_order_details"))))
-    audit.markProcessedAll(factHwms.toMap)
-  }
-
-  /** Run independent model loads concurrently; Spark's scheduler is
-    * thread-safe and interleaves their jobs. Failures propagate. */
-  private def inParallel[A](work: Seq[() => A]): Seq[A] = {
+    // readiness DAG: every node is a Future chained on exactly its inputs;
+    // Spark's scheduler (thread-safe) interleaves the concurrent jobs across
+    // the executor pool. Nothing blocks a pool thread — chains are flatMaps,
+    // the driver Awaits only at the two audit-mark joins. Failures propagate
+    // through the Awaits.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(stagingNames.size + 6)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
-    finally pool.shutdown()
+    try {
+      val stgF: Map[String, Future[Unit]] = stagingNames.map(n => n -> Future {
+        timed(s"c$cycle   $n") { TableIO.overwriteAtomic(staged(n), stagingPath(n)) }
+      }).toMap
+      def ready(deps: Seq[String]): Future[Unit] =
+        Future.sequence(deps.map(stgF)).map(_ => ())
+
+      val dimF: Map[String, Future[(String, java.sql.Timestamp)]] =
+        dims.map(dl => dl.name -> ready(dl.stagingDeps).map { _ =>
+          timed(s"c$cycle   ${dl.name}") {
+            val delta = dl.intermediate(hwms(dl.name))
+            val existing = TableIO.readOrEmpty(spark, tablePath(dl.name),
+              Scd2.fromHistory(delta, dl.cfg, dl.skCol))
+            TableIO.overwriteAtomic(Scd2.merge(existing, delta, dl.cfg, dl.skCol),
+              tablePath(dl.name))
+            dl.name -> TableIO.read(spark, tablePath(dl.name))
+              .agg(max(col("updated_at"))).first().getTimestamp(0)
+          }
+        }).toMap
+
+      // 3/4. facts (fact_order.sql with its repair post-hook; B7 composite
+      // key): start the moment their own staging + dims land
+      val factOrderF = for {
+        _ <- stgF("stg_orders")
+        _ <- dimF("dim_employee"); _ <- dimF("dim_customer"); _ <- dimF("dim_shippers")
+        r <- Future(timed(s"c$cycle   fact_order") {
+          loadFactOrder(spark, root, auditState("fact_order").hwmDate,
+            stg("stg_orders"), cycleTs)
+        })
+      } yield r
+      val factDetailsF = for {
+        _ <- stgF("stg_order_details")
+        _ <- dimF("dim_products")
+        r <- Future(timed(s"c$cycle   fact_order_details") {
+          loadFactOrderDetails(spark, root, auditState("fact_order_details").hwmDate,
+            stg("stg_order_details"))
+        })
+      } yield r
+
+      val newHwms = Await.result(Future.sequence(dims.map(dl => dimF(dl.name))), Duration.Inf)
+      audit.markProcessedAll(newHwms.toMap)
+      val factHwms = Await.result(Future.sequence(Seq(factOrderF, factDetailsF)), Duration.Inf)
+      audit.markProcessedAll(factHwms.toMap)
+    } finally pool.shutdown()
   }
 
   /** As-of SK resolution against one dim, dummy fallback (fact_order.sql:17-42). */
@@ -367,7 +413,9 @@ object NorthwindWarehouse {
       .withColumn("created_at", coalesce(col("__ex_created"), cycleTs))
       .withColumn("updated_at", cycleTs)
       .drop("__ex_hash", "__ex_status", "__ex_created")
-    TableIO.upsertByKey(spark, path, changed, Seq("order_id"), partitionBy = Seq("order_year"))
+    timed("      fo upsert") {
+      TableIO.upsertByKey(spark, path, changed, Seq("order_id"), partitionBy = Seq("order_year"))
+    }
     // post-hook 1 (C7): repair rows still carrying ANY dummy SK — re-resolve
     // all three SKs against the now-current dims and bump updated_at, even
     // when the re-lookup fails again (the reference UPDATE matches them too).
@@ -378,15 +426,21 @@ object NorthwindWarehouse {
     val fact = TableIO.read(spark, path)
     val isDummy = skCols.map(c => col(c) === dummySk).reduce(_ || _)
     val failed = fact.filter(isDummy).drop(skCols: _*)
-    val reResolved = factDims(spark, root).foldLeft(failed) {
-      case (acc, (dimName, fKey, dKey, skCol)) =>
-        resolveDim(acc, TableIO.read(spark, s"$root/dwh/$dimName"), fKey, dKey, skCol,
-          col("__fact.order_date").cast("timestamp"))
-    }.withColumn("updated_at", cycleTs).select(fact.columns.map(col): _*)
-    TableIO.upsertByKey(spark, path, reResolved, Seq("order_id"), partitionBy = Seq("order_year"))
+    // steady-state cycles usually have nothing to repair: probe first (a
+    // limit-1 scan that stops at the first dummy row) and skip the whole
+    // re-resolve + upsert chain when the repair set is empty
+    if (timed("      fo repair-probe") { !failed.isEmpty }) timed("      fo repair") {
+      val reResolved = factDims(spark, root).foldLeft(failed) {
+        case (acc, (dimName, fKey, dKey, skCol)) =>
+          resolveDim(acc, TableIO.read(spark, s"$root/dwh/$dimName"), fKey, dKey, skCol,
+            col("__fact.order_date").cast("timestamp"))
+      }.withColumn("updated_at", cycleTs).select(fact.columns.map(col): _*)
+      TableIO.upsertByKey(spark, path, reResolved, Seq("order_id"), partitionBy = Seq("order_year"))
+    }
     // post-hook 2 (C6): hwm from the fact's own updated_at
-    "fact_order" -> TableIO.read(spark, path)
-      .agg(max(col("updated_at"))).first().getTimestamp(0)
+    "fact_order" -> timed("      fo hwm") {
+      TableIO.read(spark, path).agg(max(col("updated_at"))).first().getTimestamp(0)
+    }
   }
 
   /** Returns ("fact_order_details", new HWM); the caller marks the audit row. */
