@@ -50,8 +50,12 @@ object TableIO {
     *    its two renames — roll FORWARD (the staged dir is complete by
     *    construction: it is staged only after the write job finished) and
     *    drop the stash. With a live sibling the swap never stashed — the old
-    *    state stands; drop the stale staging (leaving it could resurrect
-    *    deleted rows if the partition is later emptied).
+    *    state stands and the staging is LEFT ALONE: the writer stages before
+    *    it stashes, so this exact shape is also what an in-flight swap looks
+    *    like to a racing reader, and deleting it here would destroy that
+    *    writer's complete new data. Leaving it is safe — it is dot-hidden
+    *    (invisible to partition discovery) and the writer clears stale
+    *    staging itself before reuse and on the partition-delete path.
     *  - `.__del__` is an interrupted partition deletion — finish it
     *    (restoring it would resurrect rows the upsert moved elsewhere).
     *  - `.__old__` without a live sibling is a stash whose swap lost its
@@ -65,8 +69,7 @@ object TableIO {
       new File(dir, f.getName.stripPrefix(".").stripSuffix(suffix))
     children.filter(_.getName.endsWith(".__new__")).foreach { f =>
       val l = live(f, ".__new__")
-      if (l.exists) deleteRecursively(f)
-      else {
+      if (!l.exists) {
         try Files.move(f.toPath, l.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
         catch { case _: java.nio.file.FileSystemException if l.exists => () }
         deleteRecursively(new File(dir, "." + l.getName + ".__old__"))
@@ -140,10 +143,20 @@ object TableIO {
           // reader's recover() loses a second race in the same window
           try Files.move(Paths.get(path), old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
           catch { case _: java.nio.file.FileSystemException if !target.exists => () }
-        case e: java.nio.file.FileSystemException if attempts >= 5 =>
-          throw new java.io.IOException(
-            s"overwrite of '$path' failed to commit after $attempts retries", e)
-        case e: Throwable => throw e
+        case e: Throwable =>
+          // failing for good (retries exhausted or a non-racing error):
+          // restore the stashed live copy so the table never ends the call
+          // absent — recover() would heal `.__old__` on next access, but the
+          // next access may be another process much later
+          if (!target.exists && old.exists)
+            try Files.move(old.toPath, Paths.get(path), StandardCopyOption.ATOMIC_MOVE): Unit
+            catch { case _: java.nio.file.FileSystemException if target.exists => () }
+          e match {
+            case fse: java.nio.file.FileSystemException if attempts >= 5 =>
+              throw new java.io.IOException(
+                s"overwrite of '$path' failed to commit after $attempts retries", fse)
+            case _ => throw e
+          }
       }
     }
     deleteRecursively(old)
@@ -344,18 +357,28 @@ object TableIO {
               else if (attempts < 5) {
                 // or it resurrected the stash into dst — re-stash and
                 // retry; the re-stash is itself guarded (dst can vanish
-                // again if yet another recover() wins the same race)
+                // again if yet another recover() wins the same race).
+                // Touch the stash ONLY when dst actually holds a
+                // resurrected copy: with both nw and dst gone, `old` may
+                // be the partition's last surviving copy
                 attempts += 1
-                deleteRecursively(old)
-                try {
-                  if (dst.exists)
-                    Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
-                } catch {
-                  case _: java.nio.file.FileSystemException if !dst.exists => ()
+                if (dst.exists) {
+                  deleteRecursively(old)
+                  try Files.move(dst.toPath, old.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+                  catch { case _: java.nio.file.FileSystemException if !dst.exists => () }
                 }
-              } else
+              } else {
+                // retries exhausted: put the stashed old state back before
+                // propagating so the partition never ends the call with
+                // zero live copies (recoverPartitions would heal `.__old__`
+                // on next access, but the next access may be another
+                // process much later)
+                if (!dst.exists && old.exists)
+                  try Files.move(old.toPath, dst.toPath, StandardCopyOption.ATOMIC_MOVE): Unit
+                  catch { case _: java.nio.file.FileSystemException if dst.exists => () }
                 throw new java.io.IOException(
                   s"upsert of '$path' failed to commit partition '$rel' after $attempts retries", e)
+              }
           }
         }
         deleteRecursively(old)

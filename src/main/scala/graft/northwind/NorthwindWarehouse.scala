@@ -240,6 +240,18 @@ object NorthwindWarehouse {
     "stg_products", "stg_employees", "stg_suppliers", "stg_categories",
     "stg_shippers", "stg_region", "stg_territories", "stg_employeeterritories")
 
+  /** Phase timing for the two-cycle run, printed when GRAFT_NW_PROFILE is
+    * set — the pipeline is the bench's dominant query, so keep the cost
+    * breakdown one env var away. */
+  private def timed[A](label: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_NW_PROFILE")) f
+    else {
+      val t0 = System.nanoTime
+      val r = f
+      println(f"[nw] $label%-24s ${(System.nanoTime - t0) / 1e9}%6.2f s")
+      r
+    }
+
   /** One full `dbt run` cycle (SURVEY E1/E2) against the lake state visible
     * at the cycle's batch time.
     *
@@ -253,18 +265,6 @@ object NorthwindWarehouse {
     * Audit-table writes are read-modify-write on shared state, so
     * registration happens before the fan-out and HWM marks after each
     * group's join — only the heavy merge/write work runs in parallel. */
-  /** Phase timing for the two-cycle run, printed when GRAFT_NW_PROFILE is
-    * set — the pipeline is the bench's dominant query, so keep the cost
-    * breakdown one env var away. */
-  private def timed[A](label: String)(f: => A): A =
-    if (!sys.env.contains("GRAFT_NW_PROFILE")) f
-    else {
-      val t0 = System.nanoTime
-      val r = f
-      println(f"[nw] $label%-24s ${(System.nanoTime - t0) / 1e9}%6.2f s")
-      r
-    }
-
   def runCycle(spark: SparkSession, sfDir: String, root: String, cycle: Int): Unit = {
     import NorthwindSources._
     val cycleTs = to_timestamp(lit(if (cycle == 1) T1 else T2))
@@ -368,6 +368,17 @@ object NorthwindWarehouse {
       audit.markProcessedAll(newHwms.toMap)
       val factHwms = Await.result(Future.sequence(Seq(factOrderF, factDetailsF)), Duration.Inf)
       audit.markProcessedAll(factHwms.toMap)
+    } catch {
+      case t: Throwable =>
+        // a failed model must not leave sibling futures (e.g. a fact whose
+        // deps completed) writing into the warehouse after the failure has
+        // propagated to the caller: drop queued work, interrupt running
+        // tasks, and wait for in-flight ones to wind down before rethrowing.
+        // Continuations that fire after shutdownNow are rejected by the
+        // executor and never run.
+        pool.shutdownNow(): Unit
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+        throw t
     } finally pool.shutdown()
   }
 

@@ -200,7 +200,10 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == Set((1, "NEW"), (2, "b")), s"roll-forward produced $got")
     assert(!new java.io.File(path, ".p=x.__old__").exists)
     assert(!new java.io.File(path, ".p=x.__new__").exists)
-    // staging whose swap never stashed (live sibling intact) is dropped
+    // staging with a live sibling is indistinguishable from an IN-FLIGHT
+    // writer's (staged-before-stash window), so recovery must neither
+    // resurrect it nor delete it — it is dot-hidden and the next writer of
+    // the partition clears it itself
     val donor2 = tmp() + "/donor2"
     TableIO.upsertByKey(spark, donor2,
       df("k INT, p STRING, v STRING", Row(Int.box(2), "y", "STALE")),
@@ -210,7 +213,41 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     val got2 = TableIO.read(spark, path).collect()
       .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
     assert(got2 == Set((1, "NEW"), (2, "b")), s"stale staging resurrected: $got2")
+    assert(new java.io.File(path, ".p=y.__new__").exists,
+      "recovery deleted a staging dir it cannot prove stale (could be an in-flight writer's)")
+    // the next upsert of that partition clears the stale staging and wins
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(2), "y", "b2")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got3 = TableIO.read(spark, path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("v")))).toSet
+    assert(got3 == Set((1, "NEW"), (2, "b2")), s"post-staging upsert produced $got3")
     assert(!new java.io.File(path, ".p=y.__new__").exists)
+  }
+
+  test("partition delete path clears stale staging so recovery cannot resurrect deleted rows") {
+    val path = tmp() + "/t"
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(1), "x", "a"), Row(Int.box(2), "y", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    // leftover staging for p=y from an aborted writer, then an upsert moves
+    // key 2 out of p=y (emptying the partition): the delete path must clear
+    // the staging, or a later recovery would roll it into the deleted slot
+    val donor = tmp() + "/donor"
+    TableIO.upsertByKey(spark, donor,
+      df("k INT, p STRING, v STRING", Row(Int.box(2), "y", "ZOMBIE")),
+      Seq("k"), partitionBy = Seq("p"))
+    java.nio.file.Files.move(new java.io.File(donor, "p=y").toPath,
+      new java.io.File(path, ".p=y.__new__").toPath)
+    TableIO.upsertByKey(spark, path,
+      df("k INT, p STRING, v STRING", Row(Int.box(2), "x", "b")),
+      Seq("k"), partitionBy = Seq("p"))
+    val got = TableIO.read(spark, path).collect()
+      .map(r => (r.getInt(r.fieldIndex("k")), r.getString(r.fieldIndex("p")))).toSet
+    assert(got == Set((1, "x"), (2, "x")), s"moved-key upsert produced $got")
+    assert(!new java.io.File(path, ".p=y.__new__").exists && !new java.io.File(path, "p=y").exists)
+    TableIO.read(spark, path).count() // recovery after the delete resurrects nothing
+    assert(!new java.io.File(path, "p=y").exists, "recovery resurrected a deleted partition")
   }
 
   test("upsertByKey sync_all_columns: same-name dataType change rewrites and recasts kept rows") {
