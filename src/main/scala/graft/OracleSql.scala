@@ -442,6 +442,64 @@ SELECT user_id, session_no, count(*) AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
 FROM sess GROUP BY user_id, session_no""",
 
+    // corpus-frequency segment dedup: non-overlapping 3-token windows seen
+    // in > 5 distinct docs are dropped everywhere; docs reassemble in order
+    "q49_segment_dedup" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(generate_series(0, cast(ceil(len(toks)/3.0) AS INT) - 1)) AS pos,
+         unnest([array_to_string(toks[(i*3+1):(i*3+3)], ' ')
+                 for i in generate_series(0, cast(ceil(len(toks)/3.0) AS INT) - 1)]) AS seg
+  FROM t WHERE len(toks) > 0),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+kept AS (SELECT s.doc_id, s.pos, s.seg
+         FROM seg s JOIN freq f USING (seg) WHERE f.df <= 5),
+re AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+              string_agg(seg, ' ' ORDER BY pos) AS clean
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN len(toks) = 0 THEN 0
+            ELSE cast(ceil(len(toks)/3.0) AS BIGINT) END AS n_segs,
+       coalesce(re.n_kept, 0)::BIGINT AS n_kept,
+       md5(coalesce(re.clean, '')) AS clean_hash
+FROM t LEFT JOIN re USING (doc_id)""",
+
+    // Gopher/C4-style rule flags; r_rep compares in integer space
+    "q50_quality_filter" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_sum([len(x) for x in toks])::double / len(toks) END AS awl,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, x -> x IN $EnStop))::double / len(toks) END AS swr,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+             ELSE [] END AS g2
+      FROM t),
+f AS (SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens BETWEEN 25 AND 80 THEN 1 ELSE 0 END AS r_len,
+        CASE WHEN awl >= 4.0 AND awl <= 10.0 THEN 1 ELSE 0 END AS r_awl,
+        CASE WHEN swr >= 0.01 THEN 1 ELSE 0 END AS r_stop,
+        CASE WHEN len(list_distinct(g2))::BIGINT * 1000 >= len(g2)::BIGINT * 700
+             THEN 1 ELSE 0 END AS r_rep
+      FROM m)
+SELECT doc_id, n_tokens, r_len, r_awl, r_stop, r_rep,
+       CASE WHEN r_len = 1 AND r_awl = 1 AND r_stop = 1 AND r_rep = 1
+            THEN 1 ELSE 0 END AS keep
+FROM f""",
+
+    // deterministic stratified sampling: hash bucket under per-lang rate
+    "q51_stratified_sample" -> """
+WITH h AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 10000) AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket FROM h
+WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
+                         WHEN 'fr' THEN 3000 WHEN 'es' THEN 2000
+                         WHEN 'zh' THEN 1000 ELSE 500 END""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

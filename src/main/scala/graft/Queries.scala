@@ -398,6 +398,23 @@ object Queries {
       docs.filter(col("doc_id") < 5), "text", n = 8)
   }
 
+  /** Corpus-frequency segment dedup: 3-token windows repeated across > 5
+    * distinct docs are boilerplate — drop them everywhere and reassemble. */
+  def segmentDedup(s: SparkSession, d: String): DataFrame =
+    Corpus.dedupSegments(Tables.documents(s, d), "doc_id", "text",
+      windowTokens = 3, maxDocFreq = 5)
+
+  /** Composable quality-rule filter with per-rule audit flags. */
+  def qualityFilterQ(s: SparkSession, d: String): DataFrame =
+    Corpus.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+
+  /** Deterministic stratified sampling by language. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Corpus.sampleStratified(
+      Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+      rates = Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1),
+      defaultRate = 0.05, seed = "graft")
+
   /** Within-doc repetition counts (Gopher-style quality signal) — exact
     * integer gram counts; the ratio is a trivial downstream division
     * (emitting it would gate cross-engine float rounding, not semantics). */
@@ -543,6 +560,9 @@ object Queries {
     "q46_repetition" -> (repetitionCounts _),
     "q47_sessionize" -> (sessionizeQ _),
     "q48_corpus_stats" -> (corpusStats _),
+    "q49_segment_dedup" -> (segmentDedup _),
+    "q50_quality_filter" -> (qualityFilterQ _),
+    "q51_stratified_sample" -> (stratifiedSample _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SqlFunctions.hash32
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions.{shinglesOfTokens, tokenCount, tokens}
 
 /** Corpus-management operators a training-data pipeline needs around the
@@ -93,6 +94,122 @@ object Corpus {
     val aggs = sum(col("c")).as("n_docs") +:
       sum(col("n") * col("c")).as("total_tokens") +: pcols
     cum.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Consecutive NON-overlapping k-token windows — the segment unit for
+    * frequency-based span dedup when documents carry no explicit line
+    * structure (single-line corpora segment by token window; line-structured
+    * corpora can pass `split(text, "\n")` instead). `ts` must be a
+    * materialized attribute (binding rule as
+    * [[graft.functions.TextFunctions.shinglesOfTokens]]); the last window
+    * may be shorter than k. */
+  def tokenWindows(ts: Column, k: Int): Column = {
+    require(k > 0, "window size must be positive")
+    when(size(ts) === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), ceil(size(ts).cast("double") / k).cast("int") - 1),
+        i => concat_ws(" ", slice(ts, i * k + 1, lit(k)))))
+  }
+
+  /** Corpus-frequency segment dedup — the "remove lines that repeat across
+    * many documents" stage of web-corpus pipelines (C4 drops 3-sentence
+    * spans seen elsewhere; RefinedWeb/Dolma drop exact repeated lines),
+    * generalized to k-token windows via [[tokenWindows]]: any segment whose
+    * DISTINCT-document frequency exceeds `maxDocFreq` is boilerplate and is
+    * dropped from every document; survivors reassemble in original order.
+    *
+    * Returns one row per input document — including ones fully emptied:
+    * (idCol, n_segs, n_kept, clean_hash = md5 of the reassembled text).
+    *
+    * Scale shape: segment frequency is a map-side-combinable hash groupBy
+    * on the segment STRING (no arrays cross any exchange); the hot set
+    * (df > maxDocFreq) is tiny under any Zipfian corpus and sits on the
+    * broadcast side of the drop anti-join, so the skewed keys never drive
+    * a shuffle partition; reassembly is one shuffle keyed by document id.
+    * The segment frame is persisted across its two consumers (frequency +
+    * reassembly) behind a generator barrier (see [[Dedup.shingleFrame]]);
+    * the small result is returned materialized and the intermediate freed. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 3, maxDocFreq: Int = 5): DataFrame = {
+    val segArr = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol), tokenWindows(col("__t"), windowTokens).as("__segs"))
+      .persist()
+    try {
+      val seg = segArr.select(col(idCol), posexplode(col("__segs")).as(Seq("pos", "seg")))
+      val hot = seg.groupBy("seg").agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") > maxDocFreq).select("seg")
+      val kept = seg.join(broadcast(hot), Seq("seg"), "left_anti")
+      val re = kept.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("__clean"))
+      val out = segArr.select(col(idCol), size(col("__segs")).cast("long").as("n_segs"))
+        .join(re, Seq(idCol), "left")
+        .select(col(idCol), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("__clean"), lit("")).cast("binary")).as("clean_hash"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally segArr.unpersist(): Unit
+  }
+
+  /** Gopher/C4-style composable document-quality filter: each rule is a
+    * named integer flag (1 = pass) so downstream can audit WHY a document
+    * was dropped, plus the conjunction as `keep`. Pure per-row projection —
+    * no shuffle, fully codegen'd. Rules (all thresholds explicit):
+    *  - `r_len`:  minTokens <= token count <= maxTokens (Gopher 50..100k);
+    *  - `r_awl`:  mean word length within [minAwl, maxAwl] (Gopher 3..10);
+    *  - `r_stop`: stopword ratio >= minStopRatio (Gopher: >= 2 stopwords);
+    *  - `r_rep`:  duplicate 2-gram ratio <= maxDupPermille/1000, compared in
+    *    INTEGER space (distinct*1000 >= total*(1000-maxDupPermille)) so the
+    *    cross-engine contract never rides on float rounding. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 25, maxTokens: Int = 80,
+      minAwl: Double = 4.0, maxAwl: Double = 10.0,
+      minStopRatio: Double = 0.01, maxDupPermille: Int = 300,
+      stopwords: Seq[String] = TextFunctions.LangStopwords.toMap.apply("en")): DataFrame = {
+    val t = docs.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+    val n = size(col("__t")).cast("long")
+    val awl = when(n === 0, lit(0.0)).otherwise(
+      aggregate(col("__t"), lit(0L), (acc, x) => acc + length(x)).cast("double") / n)
+    val grams = TextFunctions.rawShinglesOfTokens(col("__t"), 2)
+    val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
+    val sw = array(stopwords.map(lit): _*)
+    val stopRatio = when(n === 0, lit(0.0))
+      .otherwise(size(filter(col("__t"), x => array_contains(sw, x))).cast("double") / n)
+    t.select(col(idCol), n.as("n_tokens"),
+        flag(n >= minTokens && n <= maxTokens).as("r_len"),
+        flag(awl >= minAwl && awl <= maxAwl).as("r_awl"),
+        flag(stopRatio >= minStopRatio).as("r_stop"),
+        flag(size(array_distinct(grams)).cast("long") * 1000 >=
+          size(grams).cast("long") * (1000 - maxDupPermille)).as("r_rep"))
+      .withColumn("keep",
+        flag(col("r_len") === 1 && col("r_awl") === 1 &&
+          col("r_stop") === 1 && col("r_rep") === 1))
+  }
+
+  /** Deterministic stratified sampling: a document is kept iff
+    * hash32(seed ‖ id) mod 10000 falls under its stratum's rate — content-
+    * stable (membership never depends on the rest of the corpus, so a
+    * grown corpus keeps every previously sampled document), seed-salted,
+    * and a pure per-row filter with no shuffle and no driver-side state.
+    * `rates` maps stratum value → sampling fraction; unlisted strata use
+    * `defaultRate`. Fractions are held at 1/10000 resolution so the
+    * threshold comparison is integer-exact in any engine. */
+  def sampleStratified(docs: DataFrame, idCol: String, strataCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      seed: String = "graft"): DataFrame = {
+    require(rates.map(_._1).distinct == rates.map(_._1), "duplicate stratum")
+    ((defaultRate +: rates.map(_._2)) foreach { r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r") })
+    val bucket = pmod(hash32(concat(lit(seed), lit(":"), col(idCol).cast("string"))),
+      lit(10000))
+    val thresh = rates.foldRight(lit((defaultRate * 10000).round.toInt): Column) {
+      case ((v, r), rest) =>
+        when(col(strataCol) === v, lit((r * 10000).round.toInt)).otherwise(rest)
+    }
+    docs.withColumn("bucket", bucket).filter(bucket < thresh)
   }
 
   /** Token-budget packing: assign documents to bins of roughly `budget`
