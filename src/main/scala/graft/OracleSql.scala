@@ -63,6 +63,39 @@ sig AS (
   FROM sh)"""
   }
 
+  /** Unrolled spherical k-means over micro-unit-quantized embeddings
+    * (mirrors [[graft.operators.Cluster.kmeansAssign]]: k lowest-id seeds,
+    * 6-dp-cosine argmax with lowest-cluster tie-break, integer-exact
+    * centroid means, empty clusters keep their previous centroid).
+    * `iters` assignment rounds, updates between rounds; the final
+    * assignment CTE is `a<iters>`. */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    def cos(v: String, c: String) =
+      s"""round(list_sum([$v.e[i] * $c.c[i] for i in generate_series(1, 64)])
+               / (sqrt(list_sum([x * x for x in $v.e])) * sqrt(list_sum([x * x for x in $c.c]))), 6)"""
+    val sb = new StringBuilder(s"""
+WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cl, e AS c
+       FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= $k)""")
+    for (i <- 1 to iters) {
+      sb ++= s""",
+a$i AS (
+  SELECT vec_id, e, cl FROM (
+    SELECT v.vec_id, v.e, c.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v", "c")} DESC, c.cl) AS rn
+    FROM v, c${i - 1} c) WHERE rn = 1)"""
+      if (i < iters) sb ++= s""",
+c$i AS (
+  SELECT p.cl, coalesce(nu.c, p.c) AS c
+  FROM c${i - 1} p LEFT JOIN (
+    SELECT cl, list(s ORDER BY d) AS c FROM (
+      SELECT cl, d, sum(e[d]) / count(*) AS s
+      FROM a$i CROSS JOIN generate_series(1, 64) AS g(d)
+      GROUP BY cl, d) GROUP BY cl) nu USING (cl))"""
+    }
+    sb.toString
+  }
+
   /** dbt-snapshot over the user event stream (q31 batch; q37 incremental). */
   private val SnapshotSql = """
 WITH ev AS (
@@ -499,6 +532,39 @@ SELECT doc_id, lang, bucket FROM h
 WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000
                          WHEN 'fr' THEN 3000 WHEN 'es' THEN 2000
                          WHEN 'zh' THEN 1000 ELSE 500 END""",
+
+    // TF-IDF top-3 terms per doc; score rounded to 6 dp before ranking,
+    // term-string tie-break (the ANN ranking contract)
+    "q52_tfidf_topk" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term, tf, df,
+        round(tf * (ln((n.n + 1.0) / (df + 1)) + 1.0), 6) AS score
+      FROM tf JOIN df USING (term), n)
+SELECT doc_id, term, tf, df, score, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s)
+WHERE rnk <= 3""",
+
+    "q53_kmeans_cluster" -> (kmeansCte(8, 3) + """
+SELECT vec_id, cl AS cluster FROM a3"""),
+
+    // within-cluster semantic near-dups over RAW double embeddings; rep =
+    // lowest qualifying id, cosine to the rep (ANN 6-dp contract)
+    "q54_semantic_dedup" -> (kmeansCte(8, 3) + """,
+v2 AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+av AS (SELECT v2.vec_id, v2.e, a3.cl FROM v2 JOIN a3 USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cl AS cluster,
+         round(list_sum([a.e[i] * b.e[i] for i in generate_series(1, 64)])
+           / (sqrt(list_sum([x * x for x in a.e])) * sqrt(list_sum([x * x for x in b.e]))), 6) AS cosine
+  FROM av a JOIN av b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+SELECT id_b AS vec_id, min(id_a) AS rep_id,
+       arg_min(cluster, id_a) AS cluster, arg_min(cosine, id_a) AS cosine
+FROM pairs WHERE cosine >= 0.45 GROUP BY id_b"""),
 
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),

@@ -415,6 +415,23 @@ object Queries {
       rates = Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1),
       defaultRate = 0.05, seed = "graft")
 
+  /** Spherical k-means cluster assignment over the embedding corpus
+    * (quantized micro-unit arithmetic — engine-exact, see
+    * [[graft.operators.Cluster]]). */
+  def kmeansQ(s: SparkSession, d: String): DataFrame =
+    Cluster.kmeansAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, iters = 3)
+
+  /** SemDeDup: within-cluster semantic near-duplicates at cosine >= 0.45
+    * (q29's global threshold — the cluster structure bounds the pair work). */
+  def semanticDedupQ(s: SparkSession, d: String): DataFrame =
+    Cluster.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, iters = 3, tau = 0.45)
+
+  /** Top-3 TF-IDF salient terms per document. */
+  def tfidfTopkQ(s: SparkSession, d: String): DataFrame =
+    Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
+
   /** Within-doc repetition counts (Gopher-style quality signal) — exact
     * integer gram counts; the ratio is a trivial downstream division
     * (emitting it would gate cross-engine float rounding, not semantics). */
@@ -563,6 +580,9 @@ object Queries {
     "q49_segment_dedup" -> (segmentDedup _),
     "q50_quality_filter" -> (qualityFilterQ _),
     "q51_stratified_sample" -> (stratifiedSample _),
+    "q52_tfidf_topk" -> (tfidfTopkQ _),
+    "q53_kmeans_cluster" -> (kmeansQ _),
+    "q54_semantic_dedup" -> (semanticDedupQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

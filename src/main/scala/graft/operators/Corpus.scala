@@ -212,6 +212,44 @@ object Corpus {
     docs.withColumn("bucket", bucket).filter(bucket < thresh)
   }
 
+  /** TF-IDF salient terms: the `k` highest-scoring terms per document over
+    * the corpus vocabulary. tf = in-document term count, df = distinct-
+    * document frequency, idf = ln((N+1)/(df+1)) + 1 (smoothed, the sklearn
+    * convention — never zero, so rare terms always outrank stopwords).
+    * Scores are rounded to 6 dp BEFORE ranking and ties break on the term
+    * string, so the ranking is engine-exact (same contract as the ANN
+    * cosine ranking in [[Similarity]]).
+    *
+    * Scale shape: the canonical distributed inverted-index build — explode
+    * behind a persisted generator barrier, then two map-side-combinable
+    * hash groupBys (one keyed (doc, term), one keyed term); the df side is
+    * vocabulary-sized and joins back on the term key (AQE broadcasts it
+    * when small); the final top-k is a per-document window over ~|vocab ∩
+    * doc| rows. N comes from one scalar count (S7 driver-action
+    * precedent). No token arrays cross an exchange. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist()
+    try {
+      val n = docs.count()
+      val tf = toks.select(col(idCol), explode(col("__t")).as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("term"))
+        .withColumn("score",
+          round(col("tf") * (log(lit(n + 1.0) / (col("df") + lit(1L))) + lit(1.0)), 6))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+      val out = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally toks.unpersist(): Unit
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees
