@@ -98,6 +98,29 @@ object PlanAudit {
     audit("q37_snapshot_incremental",
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findAllIn(p).size >= 1),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q49_segment_dedup",
+      // the hot-segment set sits on the broadcast side of the drop anti-join
+      "broadcast_anti" -> (p => p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q50_quality_filter",
+      // rule flags are a pure per-row projection
+      "no_shuffle" -> (p => !p.contains("Exchange hashpartitioning")))
+    audit("q51_stratified_sample",
+      // hash-threshold sampling is a pure per-row filter
+      "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q52_tfidf_topk",
+      // both groupBys partial-aggregate before their exchange
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q53_kmeans_cluster",
+      // assignment is a per-row argmax over literal centroids: no key
+      // shuffle, no window, no join anywhere in the scoring plan
+      "no_key_shuffle" -> (p => !p.contains("Exchange hashpartitioning")),
+      "no_window" -> (p => !p.contains("Window")),
+      "no_join" -> (p => !p.contains("Join")))
+    audit("q54_semantic_dedup",
+      // pair generation is EQUI on the cluster id — never all-pairs
+      "no_all_pairs" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     spark.stop()
   }
 }

@@ -76,4 +76,72 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"got $out")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("dedupSegments drops hot segments everywhere, reassembles in order, keeps emptied docs") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a b c d"),        // ["a b", "c d"]
+      Row(Long.box(2L), "a b x y"),        // ["a b", "x y"]
+      Row(Long.box(3L), "a b p q"),        // ["a b", "p q"]
+      Row(Long.box(4L), "a b"),            // ["a b"] → fully emptied
+      Row(Long.box(5L), "z z a b k l"))    // gap closes: "z z k l"
+    val out = Corpus.dedupSegments(docs, "doc_id", "text", windowTokens = 2, maxDocFreq = 2)
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(m(1L) == ((2L, 1L, md5Hex("c d"))), s"got ${m(1L)}")
+    assert(m(2L) == ((2L, 1L, md5Hex("x y"))))
+    assert(m(4L) == ((1L, 0L, md5Hex(""))), "emptied doc must still appear")
+    assert(m(5L) == ((3L, 2L, md5Hex("z z k l"))), "surviving segments must keep order")
+    out.unpersist(): Unit
+  }
+
+  test("qualityFilter: each rule fails independently and keep is their conjunction") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "the cat sat mat"),          // all rules pass
+      Row(Long.box(2L), "a b"),                      // too short → r_len
+      Row(Long.box(3L), "the aaaaaa bbbbbb cccccc"), // awl 5.25 > 4 → r_awl
+      Row(Long.box(4L), "cat sat mat dog"),          // no stopwords → r_stop
+      Row(Long.box(5L), "the the the the"))          // dup 2-grams → r_rep
+    val out = Corpus.qualityFilter(docs, "doc_id", "text",
+      minTokens = 3, maxTokens = 5, minAwl = 2.0, maxAwl = 4.0,
+      minStopRatio = 0.2, maxDupPermille = 300, stopwords = Seq("the"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1)), s"got ${out(1L)}")
+    assert(out(2L)._1 == 0 && out(2L)._5 == 0)
+    assert(out(3L) == ((1, 0, 1, 1, 0)))
+    assert(out(4L) == ((1, 1, 0, 1, 0)))
+    assert(out(5L) == ((1, 1, 1, 0, 0)))
+  }
+
+  test("sampleStratified: rate 1 keeps all, rate 0 keeps none, membership is content-stable") {
+    def docs(n: Int) = df("doc_id BIGINT, lang STRING",
+      (1 to n).map(i => Row(Long.box(i), if (i % 2 == 0) "a" else "b")): _*)
+    val all = Corpus.sampleStratified(docs(100), "doc_id", "lang",
+      rates = Seq("a" -> 1.0, "b" -> 0.0)).collect()
+    assert(all.length == 50 && all.forall(_.getString(1) == "a"))
+    def kept(n: Int) = Corpus.sampleStratified(docs(n), "doc_id", "lang",
+      rates = Seq("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val small = kept(50)
+    val grown = kept(200)
+    assert(small.subsetOf(grown), "a grown corpus must keep every sampled doc")
+  }
+
+  test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "x x y"),
+      Row(Long.box(2L), "y z"))
+    val out = Corpus.tfidfTopK(docs, "doc_id", "text", k = 3)
+    val m = out.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getDouble(4), r.getInt(5)))).toMap
+    // N=2; df: x=1 y=2 z=1; idf_x = idf_z = ln(3/2)+1, idf_y = ln(1)+1 = 1
+    assert(m((1L, "x")) == ((2.81093, 1)), s"got ${m((1L, "x"))}")
+    assert(m((1L, "y")) == ((1.0, 2)))
+    assert(m((2L, "z")) == ((1.405465, 1)))
+    assert(m((2L, "y")) == ((1.0, 2)))
+    out.unpersist(): Unit
+  }
 }
