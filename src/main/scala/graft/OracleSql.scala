@@ -566,6 +566,21 @@ SELECT id_b AS vec_id, min(id_a) AS rep_id,
        arg_min(cluster, id_a) AS cluster, arg_min(cosine, id_a) AS cosine
 FROM pairs WHERE cosine >= 0.45 GROUP BY id_b"""),
 
+    // linear-counting distinct sketch per source: bucket-hit count is an
+    // exact aggregation, the estimator a pure projection — engine-exact
+    "q55_distinct_sketch" -> """
+WITH f AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+b AS (SELECT source, (('0x' || substr(md5(fp), 1, 8))::BIGINT % 4096) AS bucket FROM f)
+SELECT source, count(*)::BIGINT AS n_rows,
+       count(DISTINCT bucket)::BIGINT AS buckets_hit,
+       CASE WHEN count(DISTINCT bucket) = 4096 THEN NULL
+            ELSE round(4096.0 * ln(4096.0 / (4096.0 - count(DISTINCT bucket))), 4)
+       END AS est_distinct
+FROM b GROUP BY source""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

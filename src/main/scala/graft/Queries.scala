@@ -428,6 +428,12 @@ object Queries {
     Cluster.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 8, iters = 3, tau = 0.45)
 
+  /** Linear-counting distinct sketch: estimated distinct content
+    * fingerprints per source (engine-exact, unlike HLL — see Ops scaladoc). */
+  def distinctSketchQ(s: SparkSession, d: String): DataFrame =
+    Ops.distinctSketch(Tables.documents(s, d), Seq("source"),
+      graft.functions.TextFunctions.fingerprint(col("text")), m = 4096)
+
   /** Top-3 TF-IDF salient terms per document. */
   def tfidfTopkQ(s: SparkSession, d: String): DataFrame =
     Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
@@ -583,6 +589,7 @@ object Queries {
     "q52_tfidf_topk" -> (tfidfTopkQ _),
     "q53_kmeans_cluster" -> (kmeansQ _),
     "q54_semantic_dedup" -> (semanticDedupQ _),
+    "q55_distinct_sketch" -> (distinctSketchQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -84,6 +84,35 @@ object Ops {
     * (re-runs partition identically, no `rand()`), and rows of the same hot
     * key scatter as long as their non-key columns differ. `how` supports
     * "inner" and "left" (the salted small side stays keyed 1:1 per salt). */
+  /** Linear-counting distinct estimator (Whang et al., TODS 1990) per
+    * group: bucket = md5-hash32(value) mod m, estimate = m·ln(m/empty)
+    * with empty = m − buckets hit. Chosen over HLL because the WHOLE
+    * sketch is deterministic relational algebra — the bucket-hit count is
+    * an exact aggregation and the estimator a pure projection, so any
+    * engine (and the DuckDB oracle) reproduces it bit-for-bit, while
+    * HLL implementations differ across engines and can't be hash-gated.
+    *
+    * Accuracy: standard error ≈ √m⁻¹·(e^{n/m}−n/m−1)^{1/2} — ~1-2% for
+    * n ≲ m; size m to the expected cardinality (the classic load factor
+    * tables allow n up to ~12×m at coarser error). A saturated sketch
+    * (every bucket hit) has no estimate and returns NULL — resize m.
+    *
+    * Scale shape: one map-side-combinable distinct-aggregation whose
+    * exchange carries at most m rows per group (never the value column
+    * itself), then a scalar projection. */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      m: Int = 4096): DataFrame = {
+    require(m > 0, "m must be positive")
+    val hit = count_distinct(pmod(graft.functions.SqlFunctions.hash32(
+      value.cast("string")), lit(m)))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), hit.cast("long").as("buckets_hit"))
+      .withColumn("est_distinct",
+        when(col("buckets_hit") === m, lit(null).cast("double"))
+          .otherwise(round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toDouble) - col("buckets_hit"))), 4)))
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, how: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")

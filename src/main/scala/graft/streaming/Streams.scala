@@ -43,6 +43,34 @@ object Streams {
       .select(col(s"window.start").as("window_start"), col(groupCol),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: emit only the FIRST document bearing each
+    * content fingerprint across the whole stream — the streaming skin of
+    * [[graft.operators.Dedup.exact]] for continuous ingestion. State is
+    * one flag per fingerprint in the keyed state store (partitioned by
+    * fingerprint, checkpointed, restored across restarts); within a
+    * micro-batch the lowest id wins so replays are deterministic.
+    * Append-mode output: (fp, keep_id).
+    *
+    * Scale shape: the state store shards by the groupByKey hash exactly
+    * like the batch groupBy shuffles — per-batch cost is the batch's
+    * fingerprint footprint. State never expires (a dup must be caught
+    * however late); bound memory by RocksDB state store on a cluster, or
+    * add a timeout here if the dedup contract tolerates a horizon. */
+  def dedupStream(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (fp, rows, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single((fp, rows.map(_._2).min)) }
+      }.toDF("fp", "keep_id")
+  }
+
   /** Maintain an SCD2 dimension from a CDC event stream: each micro-batch is
     * merged through the same Scd2.merge the batch path uses, persisted with
     * the atomic upsert writer. `Trigger.AvailableNow` makes this the

@@ -130,6 +130,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(small.subsetOf(grown), "a grown corpus must keep every sampled doc")
   }
 
+  test("distinctSketch: linear-counting estimate tracks true cardinality; saturation yields NULL") {
+    import graft.operators.Ops
+    // 2000 distinct values over m=4096 buckets → estimate within a few %
+    val docs = df("g STRING, v BIGINT",
+      (1 to 2000).map(i => Row("a", Long.box(i % 1500))) ++
+        (1 to 10).map(i => Row("b", Long.box(i))): _*)
+    val out = Ops.distinctSketch(docs, Seq("g"), col("v"), m = 4096)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 == 2000 && out("b")._1 == 10)
+    assert(math.abs(out("a")._3 - 1500) / 1500.0 < 0.05,
+      s"estimate ${out("a")._3} off true 1500 by > 5%")
+    assert(math.abs(out("b")._3 - 10) < 2.0)
+    // m=4 with 100 distinct values saturates every bucket → NULL estimate
+    val sat = Ops.distinctSketch(docs.filter(col("g") === "a"), Seq("g"), col("v"), m = 4)
+      .head
+    assert(sat.isNullAt(3), "saturated sketch must yield NULL, not infinity")
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),

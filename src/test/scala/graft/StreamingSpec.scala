@@ -86,4 +86,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     q.awaitTermination(60000)
     assert(canon(spark.read.parquet(dir + "/dim")) == canon(Scd2.fromHistory(all, cfg)))
   }
+
+  test("dedupStream keeps first-seen fingerprints across restarts") {
+    val dir = tmp()
+    val schema = df("doc_id BIGINT, text STRING").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+      val q = Streams.dedupStream(stream, "doc_id", "text")
+        .writeStream.format("parquet").option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    df("doc_id BIGINT, text STRING",
+      Row(Long.box(2L), "aaa"), Row(Long.box(1L), "aaa"), Row(Long.box(3L), "bbb"))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    runOnce()
+    // restart over the same checkpoint: state must remember 'aaa'/'bbb'
+    df("doc_id BIGINT, text STRING",
+      Row(Long.box(4L), "aaa"), Row(Long.box(5L), "ccc"))
+      .coalesce(1).write.mode("append").parquet(dir + "/in")
+    runOnce()
+    val out = spark.read.parquet(dir + "/out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("aaa" -> 1L, "bbb" -> 3L, "ccc" -> 5L)
+      .map { case (t, id) =>
+        java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString -> id
+      }
+    assert(out == expected, s"got $out")
+  }
 }
