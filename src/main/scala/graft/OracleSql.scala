@@ -581,6 +581,43 @@ SELECT source, count(*)::BIGINT AS n_rows,
        END AS est_distinct
 FROM b GROUP BY source""",
 
+    // unigram cross-entropy vs the corpus LM; per-token ln quantized to
+    // decimal(24,12) before the per-doc sum (order-free exact)
+    "q56_cross_entropy" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+freq AS (SELECT term, count(*)::BIGINT AS c FROM terms GROUP BY term),
+tot AS (SELECT sum(c)::BIGINT AS total FROM freq),
+s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        sum(cast(ln(c::double / total::double) AS DECIMAL(24,12))) AS s
+      FROM terms JOIN freq USING (term), tot GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(-(s::double) / n_tokens, 6) AS xent FROM s""",
+
+    // overlapping chunks [i*24, i*24+32); last chunk may be shorter
+    "q57_token_chunks" -> s"""
+WITH t AS (SELECT doc_id, toks FROM
+             (SELECT doc_id, $Toks AS toks FROM documents) WHERE len(toks) > 0),
+ch AS (SELECT doc_id,
+         unnest(generate_series(0, cast(ceil(greatest(len(toks) - 32, 0)/24.0) AS INT))) AS chunk_ix,
+         unnest([array_to_string(toks[(i*24+1):(i*24+32)], ' ')
+                 for i in generate_series(0, cast(ceil(greatest(len(toks) - 32, 0)/24.0) AS INT))]) AS chunk
+       FROM t)
+SELECT doc_id, chunk_ix::int AS chunk_ix,
+       len(list_filter(string_split_regex(chunk, '\\s+'), x -> x <> ''))::BIGINT AS n_chunk_tokens,
+       md5(chunk) AS chunk_hash
+FROM ch""",
+
+    // per-source quota: 20 survivors per source by seeded hash order
+    "q58_stratum_quota" -> """
+WITH h AS (SELECT doc_id, source,
+    ('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT AS hv
+  FROM documents)
+SELECT doc_id, source, rn::int AS rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h)
+WHERE rn <= 20""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

@@ -434,6 +434,20 @@ object Queries {
     Ops.distinctSketch(Tables.documents(s, d), Seq("source"),
       graft.functions.TextFunctions.fingerprint(col("text")), m = 4096)
 
+  /** Unigram cross-entropy quality score (CCNet perplexity-filter shape). */
+  def crossEntropyQ(s: SparkSession, d: String): DataFrame =
+    Corpus.crossEntropyScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** Overlapping token chunks (size 32, stride 24) for retrieval prep. */
+  def chunkTokensQ(s: SparkSession, d: String): DataFrame =
+    Corpus.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+      size = 32, stride = 24)
+
+  /** Per-source quota capping: at most 20 docs per source by seeded hash. */
+  def stratumQuotaQ(s: SparkSession, d: String): DataFrame =
+    Corpus.stratumQuota(Tables.documents(s, d).select("doc_id", "source"),
+      "doc_id", "source", maxPerStratum = 20, seed = "graft")
+
   /** Top-3 TF-IDF salient terms per document. */
   def tfidfTopkQ(s: SparkSession, d: String): DataFrame =
     Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
@@ -590,6 +604,9 @@ object Queries {
     "q53_kmeans_cluster" -> (kmeansQ _),
     "q54_semantic_dedup" -> (semanticDedupQ _),
     "q55_distinct_sketch" -> (distinctSketchQ _),
+    "q56_cross_entropy" -> (crossEntropyQ _),
+    "q57_token_chunks" -> (chunkTokensQ _),
+    "q58_stratum_quota" -> (stratumQuotaQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

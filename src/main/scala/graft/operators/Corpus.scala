@@ -250,6 +250,91 @@ object Corpus {
     } finally toks.unpersist(): Unit
   }
 
+  /** Unigram cross-entropy quality score (the shape of CCNet's perplexity
+    * filter, with the corpus itself as the language model): score(doc) =
+    * −(1/n)·Σ ln p(tᵢ), p(t) = corpus count / corpus total. Low = typical,
+    * high = outlier; filter on a threshold or band. Per-token ln values
+    * are quantized to decimal(24,12) BEFORE the per-document sum, so the
+    * aggregation is order-free exact and the score engine-exact — a raw
+    * double sum would vary with partition merge order.
+    *
+    * Scale shape: term frequencies are one map-side-combinable groupBy;
+    * the per-token score join is keyed by term (AQE broadcasts small
+    * vocabularies); the per-doc sum is a second combinable groupBy. The
+    * token frame is persisted across its two consumers behind the
+    * generator barrier. Returns (idCol, n_tokens, xent). */
+  def crossEntropyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist()
+    try {
+      val terms = toks.select(col(idCol), explode(col("__t")).as("term"))
+      val freq = terms.groupBy("term").agg(count(lit(1)).as("__c"))
+      val total = freq.agg(sum(col("__c"))).first().getLong(0)
+      val lnp = log(col("__c").cast("double") / lit(total.toDouble))
+        .cast("decimal(24,12)")
+      val out = terms.join(freq, Seq("term"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"), sum(lnp).as("__s"))
+        .select(col(idCol), col("n_tokens"),
+          round(-col("__s").cast("double") / col("n_tokens"), 6).as("xent"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally toks.unpersist(): Unit
+  }
+
+  /** Overlapping token chunks for retrieval/training prep: chunk i covers
+    * tokens [i·stride, i·stride + size); the last chunk may be shorter and
+    * every token belongs to at least one chunk. Pure per-row generation —
+    * the chunk count is ceil(max(n−size,0)/stride)+1 for non-empty docs.
+    * Returns (idCol, chunk_ix, n_chunk_tokens, chunk_hash). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (stride > size would skip tokens)")
+    val arr = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol), col("__t"),
+        when(size_(col("__t")) === 0, array().cast("array<string>")).otherwise(
+          transform(
+            sequence(lit(0),
+              ceil(greatest(size_(col("__t")) - size, lit(0)).cast("double") / stride)
+                .cast("int")),
+            i => concat_ws(" ", slice(col("__t"), i * stride + 1, lit(size)))))
+          .as("__chunks"))
+      .persist()
+    try {
+      val out = arr
+        .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_ix", "__chunk")))
+        .select(col(idCol), col("chunk_ix"),
+          size_(tokens(col("__chunk"))).cast("long").as("n_chunk_tokens"),
+          md5(col("__chunk").cast("binary")).as("chunk_hash"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally arr.unpersist(): Unit
+  }
+
+  // functions.size shadowed by the method parameter name in chunkTokens
+  private def size_(c: Column): Column = size(c)
+
+  /** Per-stratum quota capping (corpus balancing): keep at most
+    * `maxPerStratum` documents per stratum, chosen by seeded hash order
+    * (id tie-break) so the survivor set is deterministic and approximately
+    * uniform — the "cap any one domain's share" stage of web pipelines.
+    * One window per stratum, never a global sort.
+    * Returns kept rows: (idCol, strataCol, rn). */
+  def stratumQuota(docs: DataFrame, idCol: String, strataCol: String,
+      maxPerStratum: Int, seed: String = "graft"): DataFrame = {
+    require(maxPerStratum > 0, "maxPerStratum must be positive")
+    val h = hash32(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    docs.select(col(idCol), col(strataCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerStratum)
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees

@@ -121,6 +121,16 @@ object PlanAudit {
     audit("q54_semantic_dedup",
       // pair generation is EQUI on the cluster id — never all-pairs
       "no_all_pairs" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q55_distinct_sketch",
+      // bucket-hit counting partial-aggregates before the exchange
+      "partial_agg" -> (_.contains("partial_count")))
+    audit("q56_cross_entropy",
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q58_stratum_quota",
+      // one window per stratum, never a global sort
+      "stratum_window" -> (p => "hashpartitioning\\(source".r.findFirstIn(p).isDefined),
+      "no_global_window" -> (p => !p.contains("SinglePartition, ")))
     spark.stop()
   }
 }

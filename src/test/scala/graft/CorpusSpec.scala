@@ -149,6 +149,44 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(sat.isNullAt(3), "saturated sketch must yield NULL, not infinity")
   }
 
+  test("crossEntropyScore: hand-computed unigram cross-entropy") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a a b"),
+      Row(Long.box(2L), "b c"))
+    // counts: a=2 b=2 c=1, total 5 → p(a)=p(b)=0.4, p(c)=0.2
+    val out = Corpus.crossEntropyScore(docs, "doc_id", "text")
+    val m = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((3L, 0.916291)), s"got ${m(1L)}")   // -ln(0.4)
+    assert(m(2L) == ((2L, 1.262864)), s"got ${m(2L)}")   // -(ln.4+ln.2)/2
+    out.unpersist(): Unit
+  }
+
+  test("chunkTokens: overlap, short tail, full coverage") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "t1 t2 t3 t4 t5"),  // size 3 stride 2 → [t1..t3], [t3..t5]
+      Row(Long.box(2L), "s1 s2"),           // shorter than size → one chunk
+      Row(Long.box(3L), ""))                // empty → no chunks
+    val out = Corpus.chunkTokens(docs, "doc_id", "text", size = 3, stride = 2)
+    val m = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(m.keySet == Set((1L, 0), (1L, 1), (2L, 0)), s"got ${m.keySet}")
+    assert(m((1L, 0)) == ((3L, md5Hex("t1 t2 t3"))))
+    assert(m((1L, 1)) == ((3L, md5Hex("t3 t4 t5"))), "second chunk must overlap by size-stride")
+    assert(m((2L, 0)) == ((2L, md5Hex("s1 s2"))))
+    out.unpersist(): Unit
+  }
+
+  test("stratumQuota caps each stratum deterministically") {
+    val docs = df("doc_id BIGINT, source STRING",
+      ((1 to 5).map(i => Row(Long.box(i), "a")) :+ Row(Long.box(9L), "b")): _*)
+    def kept() = Corpus.stratumQuota(docs, "doc_id", "source", maxPerStratum = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val k1 = kept()
+    assert(k1.count(_._2 == "a") == 3 && k1.count(_._2 == "b") == 1, s"got $k1")
+    assert(k1.forall(_._3 <= 3))
+    assert(kept() == k1, "survivor set must be deterministic")
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),
