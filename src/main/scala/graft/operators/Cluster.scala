@@ -57,7 +57,8 @@ object Cluster {
 
   /** Spherical k-means assignment after `iters` rounds (updates happen
     * between rounds, so `iters = 1` scores the initial centroids).
-    * Returns (idCol, cluster). */
+    * Returns (idCol, cluster), materialized and CACHED (the [[Dedup]]
+    * lifecycle convention) — `unpersist()` the result when done. */
   def kmeansAssign(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
@@ -102,24 +103,33 @@ object Cluster {
     *
     * Scale shape: the pair join is EQUI on the cluster id — pair work is
     * Σ|cluster|², bounded by choosing k ∝ corpus size (SemDeDup's core
-    * trick), never global n². Vectors enter that shuffle once each. */
+    * trick), never global n². Vectors enter that shuffle once each. The
+    * drop list is returned materialized and CACHED ([[Dedup]] lifecycle
+    * convention) — `unpersist()` when done. */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 3, tau: Double = 0.5): DataFrame = {
     val assign = kmeansAssign(vecs, idCol, vecCol, k, iters)
+    // both self-join sides read this frame — persist once, free on return
     val prep = Ops.spread(vecs)
       .select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__e"))
       .withColumn("__n", sqrt(dot(col("__e"), col("__e"))))
       .join(assign.withColumnRenamed(idCol, "__id"), Seq("__id"))
-    val a = prep.select(col("__id").as("id_a"), col("__e").as("ea"),
-      col("__n").as("na"), col("cluster"))
-    val b = prep.select(col("__id").as("id_b"), col("__e").as("eb"),
-      col("__n").as("nb"), col("cluster"))
-    val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= tau)
-    pairs.groupBy(col("id_b"))
-      .agg(min(struct(col("id_a"), col("cluster"), col("cosine"))).as("__m"))
-      .select(col("id_b").as(idCol), col("__m.id_a").as("rep_id"),
-        col("__m.cluster").as("cluster"), col("__m.cosine").as("cosine"))
+      .persist()
+    try {
+      val a = prep.select(col("__id").as("id_a"), col("__e").as("ea"),
+        col("__n").as("na"), col("cluster"))
+      val b = prep.select(col("__id").as("id_b"), col("__e").as("eb"),
+        col("__n").as("nb"), col("cluster"))
+      val pairs = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= tau)
+      val out = pairs.groupBy(col("id_b"))
+        .agg(min(struct(col("id_a"), col("cluster"), col("cosine"))).as("__m"))
+        .select(col("id_b").as(idCol), col("__m.id_a").as("rep_id"),
+          col("__m.cluster").as("cluster"), col("__m.cosine").as("cosine"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally { prep.unpersist(); assign.unpersist(): Unit }
   }
 }

@@ -103,11 +103,20 @@ object Corpus {
     * materialized attribute (binding rule as
     * [[graft.functions.TextFunctions.shinglesOfTokens]]); the last window
     * may be shorter than k. */
-  def tokenWindows(ts: Column, k: Int): Column = {
-    require(k > 0, "window size must be positive")
+  def tokenWindows(ts: Column, k: Int): Column = tokenWindows(ts, k, k)
+
+  /** Strided variant: window i covers tokens [i·stride, i·stride + k); with
+    * stride == k the windows tile (segment dedup), with stride < k they
+    * overlap (chunking) — ceil(max(n−k,0)/stride)+1 windows for non-empty
+    * inputs, every token covered. */
+  def tokenWindows(ts: Column, k: Int, stride: Int): Column = {
+    require(k > 0 && stride > 0 && stride <= k,
+      "need 0 < stride <= window size (a larger stride would skip tokens)")
     when(size(ts) === 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), ceil(size(ts).cast("double") / k).cast("int") - 1),
-        i => concat_ws(" ", slice(ts, i * k + 1, lit(k)))))
+      transform(
+        sequence(lit(0),
+          ceil(greatest(size(ts) - k, lit(0)).cast("double") / stride).cast("int")),
+        i => concat_ws(" ", slice(ts, i * stride + 1, lit(k)))))
   }
 
   /** Corpus-frequency segment dedup — the "remove lines that repeat across
@@ -209,7 +218,10 @@ object Corpus {
       case ((v, r), rest) =>
         when(col(strataCol) === v, lit((r * 10000).round.toInt)).otherwise(rest)
     }
-    docs.withColumn("bucket", bucket).filter(bucket < thresh)
+    // filter on the projected attribute; predicate pushdown may still
+    // re-inline the hash into the Filter, but that is a cheap scalar (one
+    // md5 of a short string), not the array-generator trap
+    docs.withColumn("bucket", bucket).filter(col("bucket") < thresh)
   }
 
   /** TF-IDF salient terms: the `k` highest-scoring terms per document over
@@ -233,7 +245,9 @@ object Corpus {
       .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
       .persist()
     try {
-      val n = docs.count()
+      // 1:1 projection of docs — counting it materializes the cache AND
+      // avoids a second scan of the source table
+      val n = toks.count()
       val tf = toks.select(col(idCol), explode(col("__t")).as("term"))
         .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -270,7 +284,10 @@ object Corpus {
     try {
       val terms = toks.select(col(idCol), explode(col("__t")).as("term"))
       val freq = terms.groupBy("term").agg(count(lit(1)).as("__c"))
-      val total = freq.agg(sum(col("__c"))).first().getLong(0)
+      // an empty / all-empty corpus has a NULL total — no scorable doc
+      // exists, so return the (empty) shape instead of dividing by nothing
+      val totalRow = freq.agg(sum(col("__c"))).first()
+      val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
       val lnp = log(col("__c").cast("double") / lit(total.toDouble))
         .cast("decimal(24,12)")
       val out = terms.join(freq, Seq("term"))
@@ -295,14 +312,9 @@ object Corpus {
       "need 0 < stride <= size (stride > size would skip tokens)")
     val arr = Ops.spread(docs)
       .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
-      .select(col(idCol), col("__t"),
-        when(size_(col("__t")) === 0, array().cast("array<string>")).otherwise(
-          transform(
-            sequence(lit(0),
-              ceil(greatest(size_(col("__t")) - size, lit(0)).cast("double") / stride)
-                .cast("int")),
-            i => concat_ws(" ", slice(col("__t"), i * stride + 1, lit(size)))))
-          .as("__chunks"))
+      // __t is NOT carried into the persisted frame — the chunks duplicate
+      // its content, so caching both would double the footprint
+      .select(col(idCol), tokenWindows(col("__t"), size, stride).as("__chunks"))
       .persist()
     try {
       val out = arr

@@ -71,19 +71,6 @@ object Ops {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Skew-salted equi-join: spreads a hot key across `salt` shuffle
-    * partitions by appending a deterministic salt to the big side's key and
-    * replicating the small side once per salt value. Result is identical to
-    * `big.join(small, keys, how)`; the shuffle for a key that is 50% of the
-    * big side becomes `salt` roughly-equal partitions instead of one
-    * straggler task. AQE's skew-join handles many cases at runtime — this is
-    * the explicit tool for joins AQE can't split (e.g. under windowed or
-    * bucketed requirements) or for deterministic plan shape.
-    *
-    * The salt is `pmod(hash(all big-side columns), salt)` — deterministic
-    * (re-runs partition identically, no `rand()`), and rows of the same hot
-    * key scatter as long as their non-key columns differ. `how` supports
-    * "inner" and "left" (the salted small side stays keyed 1:1 per salt). */
   /** Linear-counting distinct estimator (Whang et al., TODS 1990) per
     * group: bucket = md5-hash32(value) mod m, estimate = m·ln(m/empty)
     * with empty = m − buckets hit. Chosen over HLL because the WHOLE
@@ -113,6 +100,19 @@ object Ops {
             log(lit(m.toDouble) / (lit(m.toDouble) - col("buckets_hit"))), 4)))
   }
 
+  /** Skew-salted equi-join: spreads a hot key across `salt` shuffle
+    * partitions by appending a deterministic salt to the big side's key and
+    * replicating the small side once per salt value. Result is identical to
+    * `big.join(small, keys, how)`; the shuffle for a key that is 50% of the
+    * big side becomes `salt` roughly-equal partitions instead of one
+    * straggler task. AQE's skew-join handles many cases at runtime — this is
+    * the explicit tool for joins AQE can't split (e.g. under windowed or
+    * bucketed requirements) or for deterministic plan shape.
+    *
+    * The salt is `pmod(hash(all big-side columns), salt)` — deterministic
+    * (re-runs partition identically, no `rand()`), and rows of the same hot
+    * key scatter as long as their non-key columns differ. `how` supports
+    * "inner" and "left" (the salted small side stays keyed 1:1 per salt). */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       salt: Int, how: String = "inner"): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")

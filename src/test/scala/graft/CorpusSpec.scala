@@ -77,10 +77,6 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L), s"got $out")
   }
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-
   test("dedupSegments drops hot segments everywhere, reassembles in order, keeps emptied docs") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "a b c d"),        // ["a b", "c d"]

@@ -7,10 +7,6 @@ import graft.functions.SqlFunctions._
 
 class SqlFunctionsSpec extends AnyFunSuite with SparkSpecBase {
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   test("surrogateKey joins string casts with '-' and hashes") {
     val out = df("a INT, b STRING", Row(Int.box(1), "x"))
       .select(surrogateKey(col("a"), col("b")).as("sk")).head.getString(0)

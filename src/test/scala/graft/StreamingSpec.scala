@@ -110,10 +110,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     val out = spark.read.parquet(dir + "/out").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = Map("aaa" -> 1L, "bbb" -> 3L, "ccc" -> 5L)
-      .map { case (t, id) =>
-        java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString -> id
-      }
+      .map { case (t, id) => md5Hex(t) -> id }
     assert(out == expected, s"got $out")
   }
 }

@@ -26,6 +26,10 @@ trait SparkSpecBase {
   def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   def df(schema: String, rows: Row*): DataFrame =
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(schema))
