@@ -618,6 +618,16 @@ SELECT doc_id, source, rn::int AS rn FROM (
   FROM h)
 WHERE rn <= 20""",
 
+    // upper-triangle Gram matrix over micro-unit-quantized embeddings —
+    // integer-exact, order-free sums (0-based dims)
+    "q59_gram_matrix" -> """
+WITH v AS (SELECT [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
+p AS (SELECT i.i AS i, j.j AS j, e
+      FROM v, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+      WHERE j.j >= i.i)
+SELECT (i - 1)::int AS i, (j - 1)::int AS j, sum(e[i] * e[j]) AS g
+FROM p GROUP BY 1, 2""",
+
     "q25_simhash" -> s"""
 WITH t AS (SELECT doc_id, list_distinct($Toks) AS toks FROM documents),
 hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv

@@ -448,6 +448,10 @@ object Queries {
     Corpus.stratumQuota(Tables.documents(s, d).select("doc_id", "source"),
       "doc_id", "source", maxPerStratum = 20, seed = "graft")
 
+  /** Gram matrix of the embedding corpus (PCA/whitening prep). */
+  def gramMatrixQ(s: SparkSession, d: String): DataFrame =
+    Cluster.gramMatrix(Tables.embeddings(s, d), "embedding")
+
   /** Top-3 TF-IDF salient terms per document. */
   def tfidfTopkQ(s: SparkSession, d: String): DataFrame =
     Corpus.tfidfTopK(Tables.documents(s, d), "doc_id", "text", k = 3)
@@ -607,6 +611,7 @@ object Queries {
     "q56_cross_entropy" -> (crossEntropyQ _),
     "q57_token_chunks" -> (chunkTokensQ _),
     "q58_stratum_quota" -> (stratumQuotaQ _),
+    "q59_gram_matrix" -> (gramMatrixQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -95,6 +95,32 @@ object Cluster {
     } finally prep.unpersist(): Unit
   }
 
+  /** Upper-triangle Gram matrix of the embedding corpus — the input to
+    * driver-side PCA / whitening (the k × dims eigendecomposition is a
+    * constant-size driver step, exactly like the centroid sync): G(i,j) =
+    * Σ_rows q_i·q_j over micro-unit-quantized vectors, so every product
+    * and sum is integer-exact and order-free (engine-exact; swap the sum
+    * to decimal(38,0) beyond ~2⁵³). Returns (i, j, g) for j ≥ i, 0-based.
+    *
+    * Scale shape: the double-generate expands dims²/2 terms per row INSIDE
+    * the scan stage and partial-aggregates them map-side — the exchange
+    * carries at most partitions × dims²/2 rows, never corpus-sized data;
+    * O(n·d²) multiply work is inherent to a Gram computation. */
+  def gramMatrix(vecs: DataFrame, vecCol: String): DataFrame = {
+    val prep = Ops.spread(vecs).select(quantize(col(vecCol)).as("__q")).persist()
+    try {
+      val out = prep
+        .select(col("__q"), posexplode(col("__q")).as(Seq("i", "vi")))
+        .select(col("i"), col("vi"), posexplode(col("__q")).as(Seq("j", "vj")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("vi") * col("vj")).as("g"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally prep.unpersist(): Unit
+  }
+
   /** SemDeDup: k-means the embeddings, then flag semantic near-duplicates
     * WITHIN each cluster — a vector is dropped when a lower-id vector in
     * its cluster has cosine ≥ `tau`; the representative is the lowest such

@@ -127,6 +127,10 @@ object PlanAudit {
     audit("q56_cross_entropy",
       "partial_agg" -> (_.contains("partial_count")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q59_gram_matrix",
+      // the dims² expansion partial-aggregates inside the scan stage
+      "partial_agg" -> (_.contains("partial_sum")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q58_stratum_quota",
       // one window per stratum, never a global sort
       "stratum_window" -> (p => "hashpartitioning\\(source".r.findFirstIn(p).isDefined),

@@ -52,6 +52,15 @@ class ClusterSpec extends AnyFunSuite with SparkSpecBase {
     assert(m(4L)._2 == 1.0 && m(2L)._2 >= 0.99)
   }
 
+  test("gramMatrix: hand-computed upper triangle in micro-units") {
+    val v = vecs(0L -> Seq(1f, 2f), 1L -> Seq(3f, 4f))
+    val out = Cluster.gramMatrix(v, "embedding")
+    val m = out.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // q-vectors (1e6,2e6) and (3e6,4e6)
+    assert(m == Map((0, 0) -> 1.0e13, (0, 1) -> 1.4e13, (1, 1) -> 2.0e13), s"got $m")
+    out.unpersist(): Unit
+  }
+
   test("quantize makes centroid arithmetic integer-exact") {
     // micro-unit quantization: every component is a whole number of 1e-6
     val v = vecs(0L -> Seq(0.1234567f, -0.000000049f, 1f, 0f))
