@@ -581,6 +581,28 @@ SELECT source, count(*)::BIGINT AS n_rows,
        END AS est_distinct
 FROM b GROUP BY source""",
 
+    // count-min sketch rebuilt cell-for-cell: same md5-hash32("r:token")
+    // bucketing, estimate = min over depth cells, one-sided error visible
+    // as n_est >= n_exact
+    "q61_heavy_hitters" -> s"""
+WITH t AS (SELECT $Toks AS toks FROM documents),
+items AS (SELECT unnest(toks) AS item FROM t),
+cells AS (
+  SELECT g.r, ('0x' || substr(md5(g.r::varchar || ':' || item), 1, 8))::BIGINT % 256 AS bucket,
+         count(*)::BIGINT AS c
+  FROM items, generate_series(0, 3) AS g(r)
+  GROUP BY 1, 2),
+cand AS (SELECT item, count(*)::BIGINT AS n_exact FROM items GROUP BY item HAVING count(*) >= 2),
+est AS (
+  SELECT cand.item, cand.n_exact, min(cells.c)::BIGINT AS n_est
+  FROM cand, generate_series(0, 3) AS g(r)
+  JOIN cells ON cells.r = g.r
+   AND cells.bucket = ('0x' || substr(md5(g.r::varchar || ':' || cand.item), 1, 8))::BIGINT % 256
+  GROUP BY 1, 2)
+SELECT item, n_exact, n_est, rnk::int AS rnk FROM
+  (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
+WHERE rnk <= 20""",
+
     // unigram cross-entropy vs the corpus LM; per-token ln quantized to
     // decimal(24,12) before the per-doc sum (order-free exact)
     "q56_cross_entropy" -> s"""
@@ -716,6 +738,39 @@ p AS (
 SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
   FROM p)
+WHERE rnk <= 5""",
+
+    // IVFPQ: coarse assignment, per-subspace PQ codes, and ADC scoring all
+    // in integer micro-unit L2 — every distance is an exact integer, so the
+    // mirror is the textbook Σ(v−w)² with no rounding anywhere; Spark's
+    // |v|²−2·v·w+|w|² factorization is bit-identical on integers
+    "q60_pq_ann" -> """
+WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
+seeds AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS j, e
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+cd AS (SELECT v.vec_id, s.j,
+              list_sum([(v.e[i] - s.e[i]) * (v.e[i] - s.e[i]) for i in generate_series(1, 64)]) AS d
+       FROM v CROSS JOIN seeds s),
+ranked AS (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS r FROM cd),
+assign AS (SELECT vec_id AS neighbor_id, j AS list_id FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, j AS list_id FROM ranked WHERE r <= 4 AND vec_id < 20),
+cw AS (SELECT s.j AS c, g.sp, [s.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
+       FROM seeds s CROSS JOIN generate_series(0, 7) AS g(sp)),
+sv AS (SELECT v.vec_id, g.sp, [v.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
+       FROM v CROSS JOIN generate_series(0, 7) AS g(sp)),
+sd AS (SELECT sv.vec_id, sv.sp, cw.c,
+              list_sum([(sv.w[i] - cw.w[i]) * (sv.w[i] - cw.w[i]) for i in generate_series(1, 8)]) AS d
+       FROM sv JOIN cw USING (sp)),
+codes AS (SELECT vec_id, sp, c FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY d, c) AS r FROM sd) WHERE r = 1),
+adc AS (SELECT p.query_id, a.neighbor_id, sum(qd.d)::BIGINT AS adc
+        FROM probes p JOIN assign a USING (list_id)
+        JOIN codes nc ON nc.vec_id = a.neighbor_id
+        JOIN sd qd ON qd.vec_id = p.query_id AND qd.sp = nc.sp AND qd.c = nc.c
+        WHERE p.query_id <> a.neighbor_id
+        GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc, rnk::int AS rnk FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk FROM adc)
 WHERE rnk <= 5""",
 
     "q29_embedding_near_dup" -> {

@@ -364,6 +364,14 @@ object Queries {
       nlist = 16, nprobe = 4)
   }
 
+  /** IVFPQ ANN: product-quantized codes + ADC scoring within probed lists
+    * (integer-exact micro-unit L2 — no rounding contract at all). */
+  def embeddingPqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= 0.45 over banded-LSH
     * candidates (12 tables × 6 sign bits — no all-pairs join; the oracle
     * regenerates the same MD5 Rademacher buckets). */
@@ -447,6 +455,12 @@ object Queries {
   def stratumQuotaQ(s: SparkSession, d: String): DataFrame =
     Corpus.stratumQuota(Tables.documents(s, d).select("doc_id", "source"),
       "doc_id", "source", maxPerStratum = 20, seed = "graft")
+
+  /** Count-min-sketch heavy hitters: top-20 tokens by sketch estimate,
+    * exact counts alongside (one-sided error made visible). */
+  def heavyHittersQ(s: SparkSession, d: String): DataFrame =
+    Corpus.heavyHittersCms(Tables.documents(s, d), "text",
+      depth = 4, width = 256, k = 20, minSupport = 2L)
 
   /** Gram matrix of the embedding corpus (PCA/whitening prep). */
   def gramMatrixQ(s: SparkSession, d: String): DataFrame =
@@ -612,6 +626,8 @@ object Queries {
     "q57_token_chunks" -> (chunkTokensQ _),
     "q58_stratum_quota" -> (stratumQuotaQ _),
     "q59_gram_matrix" -> (gramMatrixQ _),
+    "q60_pq_ann" -> (embeddingPqAnn _),
+    "q61_heavy_hitters" -> (heavyHittersQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

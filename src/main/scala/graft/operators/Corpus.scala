@@ -347,6 +347,53 @@ object Corpus {
       .filter(col("rn") <= maxPerStratum)
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a
+    * `depth` × `width` grid of counters, cell (r, b) counting every token
+    * whose r-th hash lands in bucket b; a token's estimate is the MIN over
+    * its depth cells — always ≥ its true count, within εN with probability
+    * 1−δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉. Hashing is the engine-wide
+    * md5-hash32 ("r:token"), so any engine rebuilds the identical grid.
+    * Returns the top-`k` candidate tokens by (estimate desc, token):
+    * (item, n_exact, n_est, rnk) — n_est ≥ n_exact by construction, and
+    * emitting both exhibits the one-sided error the sketch guarantees.
+    *
+    * Scale shape: the grid build replicates token rows ×depth (a constant)
+    * and partial-aggregates map-side — the exchange carries at most
+    * partitions × depth × width rows, and the grid itself is a fixed
+    * depth × width relation (mergeable across any corpus split, the reason
+    * sketches exist); candidates come from one combinable vocabulary
+    * groupBy, pruned by `minSupport` BEFORE estimation so the broadcast
+    * join against the grid and the final top-k window see only the pruned
+    * candidate set, never the corpus. */
+  def heavyHittersCms(docs: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 256, k: Int = 20, minSupport: Long = 1L): DataFrame = {
+    require(depth > 0 && width > 0 && k > 0, "depth, width, k must be positive")
+    val toks = Ops.spread(docs)
+      .select(tokens(coalesce(col(textCol), lit(""))).as("__t")).persist()
+    try {
+      val items = toks.select(explode(col("__t")).as("item"))
+      // replicate rows BEFORE hashing (the exploded array is a foldable
+      // constant, so generator re-evaluation is free — one md5 per
+      // (item, r), not depth² of them)
+      def withBucket(df: DataFrame) = df
+        .select(col("*"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+        .withColumn("bucket",
+          pmod(hash32(concat(col("r").cast("string"), lit(":"), col("item"))), lit(width)))
+      val cells = withBucket(items).groupBy("r", "bucket").agg(count(lit(1)).as("__c"))
+      val cand = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+        .filter(col("n_exact") >= minSupport)
+      val est = withBucket(cand).join(broadcast(cells), Seq("r", "bucket"))
+        .groupBy(col("item"), col("n_exact")).agg(min(col("__c")).as("n_est"))
+      // global window over the PRUNED candidate set only (vocabulary-sized
+      // at worst, minSupport-bounded in practice — never corpus rows)
+      val w = Window.orderBy(col("n_est").desc, col("item"))
+      val out = est.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .persist()
+      out.count(): Unit
+      out
+    } finally toks.unpersist(): Unit
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees

@@ -164,6 +164,88 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** IVFPQ ANN top-k — the memory-scale step past [[ivfTopK]] (Jégou et al.
+    * 2011, product quantization): corpus vectors are coarse-assigned to
+    * `nlist` inverted lists AND compressed to `m` codebook indices (one per
+    * dims/m-wide subspace); queries probe their `nprobe` closest lists and
+    * score candidates by ADC — the sum of per-subspace distances looked up
+    * from a query-local table — so the scored corpus rows carry m small ints
+    * instead of dims floats (dims·4/m bytes compression, the reason IVFPQ
+    * indexes hold 10⁹+ vectors in RAM).
+    *
+    * Every distance is squared L2 over micro-unit-quantized integers
+    * (|v|² − 2·v·w + |w|², each term an integer-valued double, exact below
+    * 2⁵³), so assignment, encoding, and ADC scores are bit-reproducible in
+    * any engine — no rounding contract needed at all. Codebooks and coarse
+    * centroids are training-free (the max(nlist, ksub) lowest-id corpus
+    * vectors; a k-means-trained table is a drop-in swap, same as
+    * [[ivfTopK]]) and inlined as literals, so list assignment and PQ
+    * encoding are pure per-row projections — no exchange between the corpus
+    * scan and the final list equi-join against the broadcast probe side.
+    * Ranking: ADC ascending, neighbor-id tie-break. Returns
+    * (query_id, neighbor_id, adc, rnk); adc is exact-integer BIGINT. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(nprobe <= nlist, "nprobe cannot exceed nlist")
+    val nSeeds = math.max(nlist, ksub)
+    val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nSeeds)
+      .select(Cluster.quantize(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == nSeeds, s"need at least $nSeeds corpus vectors")
+    val dims = seeds(0).length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    val cents = seeds.take(nlist)
+    // codeword (s, c) = subspace s of seed c — one codebook per subspace
+    val cw = Array.tabulate(m, ksub)((s, c) => seeds(c).slice(s * sub, (s + 1) * sub))
+
+    def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+    // integer-exact squared L2 to a driver-side literal; |w|² folds to a
+    // constant and |v|² is shared across all candidates of one argmin
+    def l2(v: Column, vv: Column, w: Array[Double]): Column =
+      vv - lit(2.0) * dot(v, litArr(w)) + lit(w.foldLeft(0.0)((a, x) => a + x * x))
+    // argmin by (distance, index): struct comparison is lexicographic, so
+    // equal distances break to the lowest codeword/list id — the oracle's
+    // ORDER BY d, j
+    def ranked(v: Column, vv: Column, table: Array[Array[Double]]): Column =
+      sort_array(array(table.indices.map(j =>
+        struct(l2(v, vv, table(j)).as("d"), lit(j).as("j"))): _*))
+    def argmin(v: Column, vv: Column, table: Array[Array[Double]]): Column =
+      element_at(ranked(v, vv, table), 1).getField("j")
+
+    val encoded = prepCorpus(corpus, idCol, vecCol)
+      .select(col("neighbor_id"), Cluster.quantize(col("cv")).as("__vq"))
+      .withColumn("__vv", dot(col("__vq"), col("__vq")))
+      .select(col("neighbor_id"),
+        argmin(col("__vq"), col("__vv"), cents).as("list_id"),
+        array((0 until m).map { s =>
+          val sv = slice(col("__vq"), s * sub + 1, sub)
+          argmin(sv, dot(sv, sv), cw(s))
+        }: _*).as("__codes"))
+    val dtabs = (0 until m).map { s =>
+      val sv = slice(col("__qq"), s * sub + 1, sub)
+      array(cw(s).indices.map(c => l2(sv, dot(sv, sv), cw(s)(c))): _*).as(s"__dt$s")
+    }
+    val probes = queries
+      .select(col(idCol).as("query_id"), Cluster.quantize(col(vecCol)).as("__qq"))
+      .withColumn("__qv", dot(col("__qq"), col("__qq")))
+      .select(col("query_id") +:
+        explode(slice(ranked(col("__qq"), col("__qv"), cents), 1, nprobe)).as("__l") +:
+        dtabs: _*)
+      .withColumn("list_id", col("__l").getField("j")).drop("__l")
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__dt$s"), col("__codes").getItem(s) + 1))
+      .reduce(_ + _)
+    // each corpus vector lives in exactly one list, so a (query, neighbor)
+    // pair appears at most once — no post-join dedup needed
+    val pairs = broadcast(probes).join(encoded, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.cast("long").as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
     * bucket, brute-force within the bucket. Approximate — neighbors hashed to
     * other buckets are missed (recall/planes tradeoff documented above). */

@@ -52,6 +52,14 @@ object PlanAudit {
       // the corpus side must reach the list equi-join shuffle-free: the only
       // hash exchange in the whole plan is the final top-k window
       "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+    audit("q60_pq_ann",
+      // coarse assignment + PQ encoding are per-row projections over
+      // literal codebooks: no fan-out join anywhere, probes broadcast, and
+      // the corpus reaches the list equi-join shuffle-free (the only hash
+      // exchange is the final top-k window)
+      "no_assignment_fanout" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
+      "broadcast_probes" -> (_.contains("BroadcastHashJoin")),
+      "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
     audit("q35_salted_join",
       "equi_join_on_salt" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
 

@@ -202,6 +202,32 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(full) == canon(brute))
   }
 
+  test("IVFPQ: exhaustive codebooks + full probing reproduce exact L2 ranking") {
+    val n = 12
+    val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
+      (0 until n).map(i => Row(Int.box(i),
+        Seq.tabulate(8)(j => math.cos(i * 8 + j) + 2.0))): _*)
+    // ksub >= corpus size → every subvector is its own codeword → ADC is the
+    // EXACT quantized squared L2; nprobe = nlist → nothing is missed
+    val out = Similarity.ivfPqTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", 4, nlist = 2, nprobe = 2, m = 4, ksub = n)
+    val q = Array.tabulate(n, 8)((i, j) => math.round(1e6 * (math.cos(i * 8 + j) + 2.0)).toDouble)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + (a(i) - b(i)) * (a(i) - b(i)))
+    val expected = (0 until 3).flatMap { qi =>
+      (0 until n).filter(_ != qi).map(c => (qi, c, l2(q(qi), q(c))))
+        .sortBy { case (_, c, d) => (d, c) }.take(4).zipWithIndex
+        .map { case ((_, c, d), r) => (qi, c, d.toLong, r + 1) }
+    }.toSet
+    val got = out.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // determinism: seeds, codebooks, and tie-breaks are all content-derived
+    val again = Similarity.ivfPqTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", 4, nlist = 2, nprobe = 2, m = 4, ksub = n)
+    assert(canon(again) == canon(out))
+  }
+
   test("LSH buckets are deterministic and self-similarity search finds exact match") {
     val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
       (0 until 8).map(i => Row(Int.box(i),
