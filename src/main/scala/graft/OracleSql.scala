@@ -603,6 +603,24 @@ SELECT item, n_exact, n_est, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
 WHERE rnk <= 20""",
 
+    // content-defined chunking, mirrored via the window formulation of the
+    // same cut rule (chunk_no = count of trigger tokens BEFORE this
+    // position) — Spark computes it as a shuffle-free per-row fold, but the
+    // chunk partition is identical by construction
+    "q62_cdc_chunks" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(1, len(toks))) AS pos
+        FROM t WHERE len(toks) > 0),
+ch AS (SELECT doc_id, pos, tok,
+         coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 = 0
+                           THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+       FROM pos)
+SELECT doc_id, chunk_no::BIGINT AS chunk_no, count(*)::BIGINT AS n_chunk_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM ch GROUP BY doc_id, chunk_no""",
+
     // unigram cross-entropy vs the corpus LM; per-token ln quantized to
     // decimal(24,12) before the per-doc sum (order-free exact)
     "q56_cross_entropy" -> s"""

@@ -462,6 +462,11 @@ object Queries {
     Corpus.heavyHittersCms(Tables.documents(s, d), "text",
       depth = 4, width = 256, k = 20, minSupport = 2L)
 
+  /** Content-defined chunking: hash-triggered cuts (~16-token chunks) whose
+    * identity survives upstream edits — the CDC dedup unit. */
+  def cdcChunksQ(s: SparkSession, d: String): DataFrame =
+    Corpus.cdcChunks(Tables.documents(s, d), "doc_id", "text", mod = 16)
+
   /** Gram matrix of the embedding corpus (PCA/whitening prep). */
   def gramMatrixQ(s: SparkSession, d: String): DataFrame =
     Cluster.gramMatrix(Tables.embeddings(s, d), "embedding")
@@ -628,6 +633,7 @@ object Queries {
     "q59_gram_matrix" -> (gramMatrixQ _),
     "q60_pq_ann" -> (embeddingPqAnn _),
     "q61_heavy_hitters" -> (heavyHittersQ _),
+    "q62_cdc_chunks" -> (cdcChunksQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

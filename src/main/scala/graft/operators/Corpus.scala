@@ -331,6 +331,55 @@ object Corpus {
   // functions.size shadowed by the method parameter name in chunkTokens
   private def size_(c: Column): Column = size(c)
 
+  /** Content-defined chunking (the rsync/FastCDC cut rule lifted to token
+    * streams): a chunk ends after any token whose md5-hash32 ≡ 0 (mod
+    * `mod`), giving chunks of ~`mod` tokens on average whose IDENTITY
+    * depends only on their own content — an insertion re-keys chunks only
+    * up to the next boundary, where fixed windows ([[chunkTokens]]) shift
+    * and re-key every later chunk. That stability is why chunk-level dedup
+    * over evolving corpora (web recrawls, versioned documents) uses CDC
+    * cuts. Returns one row per chunk: (idCol, chunk_no, n_chunk_tokens,
+    * chunk_hash = md5 of the space-joined chunk); empty documents yield no
+    * rows; a trailing partial chunk is kept.
+    *
+    * Scale shape: the cut rule is content-LOCAL, so chunking needs no
+    * window and no shuffle — the whole operator is a per-row array fold
+    * (one md5 per token) followed by a generator, ZERO exchanges end to
+    * end; the fold's running-chunk append is O(chunk length) per token,
+    * bounded by the ~mod-token chunk size. The chunk-array frame is
+    * persisted before exploding (the generator-inlining rule,
+    * [[Dedup.shingleFrame]]). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      mod: Int = 16): DataFrame = {
+    require(mod > 0, "mod must be positive")
+    val emptyChunks = array().cast("array<array<string>>")
+    val chunks = aggregate(
+      tokens(coalesce(col(textCol), lit(""))),
+      struct(emptyChunks.as("done"), array().cast("array<string>").as("cur")),
+      (acc, t) => {
+        val cur2 = concat(acc.getField("cur"), array(t))
+        when(pmod(hash32(t), lit(mod)) === 0,
+          struct(concat(acc.getField("done"), array(cur2)).as("done"),
+            array().cast("array<string>").as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done")))
+    val arr = Ops.spread(docs)
+      .select(col(idCol), chunks.as("__chunks")).persist()
+    try {
+      val out = arr
+        .select(col(idCol), posexplode(col("__chunks")).as(Seq("chunk_no", "__chunk")))
+        .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"),
+          size_(col("__chunk")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("__chunk")).cast("binary")).as("chunk_hash"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally arr.unpersist(): Unit
+  }
+
   /** Per-stratum quota capping (corpus balancing): keep at most
     * `maxPerStratum` documents per stratum, chosen by seeded hash order
     * (id tie-break) so the survivor set is deterministic and approximately

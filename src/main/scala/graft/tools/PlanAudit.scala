@@ -60,6 +60,18 @@ object PlanAudit {
       "no_assignment_fanout" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")),
       "broadcast_probes" -> (_.contains("BroadcastHashJoin")),
       "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+    audit("q61_heavy_hitters",
+      // the sketch grid build must partial-aggregate map-side and the grid
+      // must sit on the broadcast side of the estimation join
+      "partial_agg" -> (_.contains("partial_count")),
+      "broadcast_grid" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q62_cdc_chunks",
+      // content-local cuts: the whole operator is a per-row fold + generator
+      // — no key-based exchange end to end (the only Exchange is
+      // Ops.spread's round-robin input rebalance)
+      "no_key_shuffle" -> (p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning")))
     audit("q35_salted_join",
       "equi_join_on_salt" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
 

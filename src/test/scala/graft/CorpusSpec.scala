@@ -183,6 +183,56 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(kept() == k1, "survivor set must be deterministic")
   }
 
+  test("heavyHittersCms: estimate >= exact always, exact when width avoids collisions") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a a a a b b b c c d"),
+      Row(Long.box(2L), "a b c d e"))
+    // wide grid: no collisions plausible at 5 tokens → est == exact
+    val wide = Corpus.heavyHittersCms(docs, "text", depth = 4, width = 1024, k = 10,
+      minSupport = 2L)
+    val m = wide.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    wide.unpersist()
+    assert(m("a") == ((5L, 5L, 1)) && m("b") == ((4L, 4L, 2)) && m("c") == ((3L, 3L, 3)))
+    assert(m("d") == ((2L, 2L, 4)) && !m.contains("e")) // minSupport prunes singletons
+    // 1-bucket grid: every cell counts ALL tokens → est = N for everything,
+    // the one-sided error at its extreme; exact counts are unaffected
+    val tiny = Corpus.heavyHittersCms(docs, "text", depth = 2, width = 1, k = 10,
+      minSupport = 1L)
+    val t = tiny.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    tiny.unpersist()
+    assert(t.values.forall { case (exact, est) => est == 15L && est >= exact })
+    assert(t("e") == ((1L, 15L)))
+  }
+
+  test("cdcChunks: boundary after trigger tokens; chunk identity survives a prefix edit") {
+    // find tokens on either side of the cut rule hash32(tok) % 4 == 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8")); md.reset()
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val words = (0 until 200).map(i => s"w$i")
+    val trig = words.filter(h32(_) % 4 == 0)
+    val plain = words.filterNot(h32(_) % 4 == 0)
+    val Seq(t1, t2) = trig.take(2); val Seq(a, b, c, d, e) = plain.take(5).toSeq
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), s"$a $b $t1 $c $d $t2 $e"), // chunks: [a b t1][c d t2][e]
+      Row(Long.box(2L), s"$e $t1 $c $d $t2 $e"),    // edited prefix, same suffix
+      Row(Long.box(3L), s"$a $t1"),                 // trailing trigger: no tail chunk
+      Row(Long.box(4L), ""))                        // empty doc: no rows
+    val out = Corpus.cdcChunks(docs, "doc_id", "text", mod = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    out.unpersist()
+    assert(rows.keys.count(_._1 == 1L) == 3 && rows.keys.count(_._1 == 2L) == 3)
+    assert(rows((1L, 0L))._1 == 3 && rows((1L, 2L))._1 == 1)
+    // content-local cuts: the chunks after the edit point are IDENTICAL —
+    // the stability fixed windows cannot give
+    assert(rows((1L, 1L)) == rows((2L, 1L)) && rows((1L, 2L)) == rows((2L, 2L)))
+    assert(rows((1L, 0L)) != rows((2L, 0L)))
+    assert(rows.keys.count(_._1 == 3L) == 1 && rows((3L, 0L))._1 == 2)
+    assert(!rows.keys.exists(_._1 == 4L))
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),
