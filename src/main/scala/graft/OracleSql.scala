@@ -603,6 +603,14 @@ SELECT item, n_exact, n_est, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
 WHERE rnk <= 20""",
 
+    // the bloom prefilter is invisible to semantics (no false negatives,
+    // false positives removed by the residual exact join) — the oracle is
+    // simply the plain semi join
+    "q63_bloom_semi" -> """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)""",
+
     // content-defined chunking, mirrored via the window formulation of the
     // same cut rule (chunk_no = count of trigger tokens BEFORE this
     // position) — Spark computes it as a shuffle-free per-row fold, but the

@@ -467,6 +467,14 @@ object Queries {
   def cdcChunksQ(s: SparkSession, d: String): DataFrame =
     Corpus.cdcChunks(Tables.documents(s, d), "doc_id", "text", mod = 16)
 
+  /** Bloom-pruned semi join: lineitem against the small-size part list —
+    * exact semi-join result, non-members dropped pre-shuffle. */
+  def bloomSemiQ(s: SparkSession, d: String): DataFrame =
+    Ops.bloomSemiJoin(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity"),
+      Tables.part(s, d).filter(col("p_size") <= 5).select("p_partkey"),
+      "l_partkey", "p_partkey")
+
   /** Gram matrix of the embedding corpus (PCA/whitening prep). */
   def gramMatrixQ(s: SparkSession, d: String): DataFrame =
     Cluster.gramMatrix(Tables.embeddings(s, d), "embedding")
@@ -634,6 +642,7 @@ object Queries {
     "q60_pq_ann" -> (embeddingPqAnn _),
     "q61_heavy_hitters" -> (heavyHittersQ _),
     "q62_cdc_chunks" -> (cdcChunksQ _),
+    "q63_bloom_semi" -> (bloomSemiQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

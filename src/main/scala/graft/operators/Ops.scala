@@ -100,6 +100,57 @@ object Ops {
             log(lit(m.toDouble) / (lit(m.toDouble) - col("buckets_hit"))), 4)))
   }
 
+  /** Bloom-pruned left-semi join: EXACT `big ⋉ keys` semantics, with a
+    * Bloom filter of the key set applied to the big side BEFORE its
+    * shuffle, so definite non-members die in the scan stage. False
+    * positives survive the prefilter and are removed by the residual exact
+    * semi join; false negatives are impossible — the result is identical
+    * to the plain semi join, which is exactly what any oracle runs. The
+    * explicit, reusable counterpart of Spark's own `InjectRuntimeFilter`:
+    * the filter is deterministic (md5-hash32, like every sketch in this
+    * engine), can be built once for a standing blocklist, and its
+    * selectivity is auditable.
+    *
+    * Scale shape: the filter is built DISTRIBUTED — each key sets
+    * `numHashes` bits, bits reduce to 64-bit words via a map-side-
+    * combinable `bit_or` groupBy, and the driver collects only the
+    * mBits/64-row word table (sketch-sized, never key-sized — the same
+    * contract as the k-means centroid sync). The probe inlines the words
+    * as ONE array literal plus a 64-entry mask table, so the big side's
+    * test is a pure projection: no fan-out, no exchange, ~numHashes md5s
+    * per row. False-positive rate ≈ (1−e^(−kn/m))^k — size mBits ≳ 10×
+    * |keys| for ~1-2%. */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+      keyCol: String, mBits: Int = 1 << 16, numHashes: Int = 4): DataFrame = {
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    import graft.functions.SqlFunctions.hash32
+    val maskLit = typedlit((0 until 64).map(1L << _))
+    def bit(k: Column, r: Column): Column =
+      pmod(hash32(concat(r.cast("string"), lit(":"), k)), lit(mBits.toLong))
+    // replicate rows before hashing (one md5 per (key, r) — the generator
+    // rule, same as the count-min grid build)
+    val wordRows = keys.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .select(col("__k"), explode(sequence(lit(0), lit(numHashes - 1))).as("__r"))
+      .select(bit(col("__k"), col("__r")).as("__bit"))
+      .select(shiftright(col("__bit"), 6).cast("int").as("__w"),
+        element_at(maskLit, pmod(col("__bit"), lit(64L)).cast("int") + 1).as("__m"))
+      .groupBy("__w").agg(bit_or(col("__m")).as("__or"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wordsLit = typedlit(words.toSeq)
+    val probe = (0 until numHashes).map { r =>
+      val b = bit(col(bigKey).cast("string"), lit(r))
+      (element_at(wordsLit, shiftright(b, 6).cast("int") + 1)
+        .bitwiseAND(element_at(maskLit, pmod(b, lit(64L)).cast("int") + 1))) =!= 0L
+    }.reduce(_ && _)
+    // NULL keys: the probe evaluates NULL → filter drops the row, matching
+    // semi-join semantics (NULL never matches)
+    big.filter(probe).join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
+  }
+
   /** Skew-salted equi-join: spreads a hot key across `salt` shuffle
     * partitions by appending a deterministic salt to the big side's key and
     * replicating the small side once per salt value. Result is identical to

@@ -66,6 +66,12 @@ object PlanAudit {
       "partial_agg" -> (_.contains("partial_count")),
       "broadcast_grid" -> (_.contains("BroadcastHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q63_bloom_semi",
+      // the bloom probe must be a Filter on the big side (md5 bit tests in
+      // the scan stage), with the residual exact semi join after it
+      "bloom_prefilter" -> (_.contains("md5")),
+      "residual_semi" -> (_.contains("LeftSemi")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q62_cdc_chunks",
       // content-local cuts: the whole operator is a per-row fold + generator
       // — no key-based exchange end to end (the only Exchange is

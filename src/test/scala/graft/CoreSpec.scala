@@ -355,6 +355,25 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
       .select("k", "payload", "name")) == canon(plainLeft))
   }
 
+  test("bloomSemiJoin equals plain semi join; prefilter sits before the join; nulls drop") {
+    // built from range, not a LocalRelation — ConvertToLocalRelation would
+    // otherwise evaluate the bloom Filter at plan time and hide it
+    val big = spark.range(200).selectExpr(
+      "CASE WHEN id % 10 = 0 THEN NULL ELSE 'key' || id END AS k", "cast(id AS int) AS v")
+    val keys = df("kk STRING", (0 until 200 by 3).map(i => Row(s"key$i")): _*)
+    val out = Ops.bloomSemiJoin(big, keys, "k", "kk", mBits = 256, numHashes = 3)
+    val plain = big.join(keys.withColumnRenamed("kk", "k"), Seq("k"), "left_semi")
+    assert(canon(out) == canon(plain))
+    assert(out.filter(col("k").isNull).count() == 0)
+    // the bloom probe (md5 bit tests) must appear as a Filter in the plan —
+    // that is the entire point of the operator
+    assert(out.queryExecution.executedPlan.toString.contains("md5"))
+    // tiny filter (mBits=256, 67 keys, 3 hashes): false positives are
+    // expected and MUST be cleaned up by the residual join — same result
+    val saturated = Ops.bloomSemiJoin(big, keys, "k", "kk", mBits = 64, numHashes = 2)
+    assert(canon(saturated) == canon(plain))
+  }
+
   test("DimDate: 5844 rows 2020→2035, leap day present, ISO weekday correct") {
     val dd = DimDate(spark).cache()
     assert(dd.count() == 5844) // reference cardinality (dim_date.sql:1)
