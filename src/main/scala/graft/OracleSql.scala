@@ -603,6 +603,29 @@ SELECT item, n_exact, n_est, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
 WHERE rnk <= 20""",
 
+    // DSIR log-ratio under hashed-bigram LMs: same md5 bucketing, add-1
+    // smoothing, each ln quantized to decimal(24,12) before the exact
+    // decimal subtraction and per-doc sum (order-free, engine-exact)
+    "q64_importance" -> s"""
+WITH t AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+g AS (SELECT doc_id, lang = 'en' AS tgt,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+             ELSE [] END AS grams
+      FROM t),
+b AS (SELECT doc_id, tgt, ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT doc_id, tgt, unnest(grams) AS gram FROM g)),
+tot AS (SELECT count(*)::BIGINT AS nr, (count(*) FILTER (WHERE tgt))::BIGINT AS nt FROM b),
+raw AS (SELECT bucket, count(*)::BIGINT AS cr FROM b GROUP BY bucket),
+tg AS (SELECT bucket, count(*)::BIGINT AS ct FROM b WHERE tgt GROUP BY bucket),
+tab AS (SELECT raw.bucket,
+          ln((coalesce(tg.ct, 0) + 1)::double / (tot.nt + 1024))::decimal(24,12)
+        - ln((raw.cr + 1)::double / (tot.nr + 1024))::decimal(24,12) AS lr
+        FROM raw LEFT JOIN tg USING (bucket) CROSS JOIN tot)
+SELECT b.doc_id, count(*)::BIGINT AS n_grams, round(sum(lr)::double, 6) AS logw
+FROM b JOIN tab USING (bucket)
+GROUP BY b.doc_id""",
+
     // the bloom prefilter is invisible to semantics (no false negatives,
     // false positives removed by the residual exact join) — the oracle is
     // simply the plain semi join

@@ -467,6 +467,12 @@ object Queries {
   def cdcChunksQ(s: SparkSession, d: String): DataFrame =
     Corpus.cdcChunks(Tables.documents(s, d), "doc_id", "text", mod = 16)
 
+  /** DSIR importance weights: hashed-bigram LM log-ratio of the English
+    * slice (target) vs the whole corpus (raw). */
+  def importanceQ(s: SparkSession, d: String): DataFrame =
+    Corpus.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", n = 2, buckets = 1024)
+
   /** Bloom-pruned semi join: lineitem against the small-size part list —
     * exact semi-join result, non-members dropped pre-shuffle. */
   def bloomSemiQ(s: SparkSession, d: String): DataFrame =
@@ -643,6 +649,7 @@ object Queries {
     "q61_heavy_hitters" -> (heavyHittersQ _),
     "q62_cdc_chunks" -> (cdcChunksQ _),
     "q63_bloom_semi" -> (bloomSemiQ _),
+    "q64_importance" -> (importanceQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

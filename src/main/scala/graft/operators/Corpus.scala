@@ -301,6 +301,61 @@ object Corpus {
     } finally toks.unpersist(): Unit
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, data selection via
+    * importance resampling): score every document by
+    * ln p_target(x) − ln p_raw(x) under hashed n-gram bag-of-words models —
+    * the standard recipe for pulling in-domain training data out of a
+    * web-scale raw pool (resample ∝ exp(logw), or keep the top slice).
+    * `targetFilter` marks the in-domain exemplar docs; grams hash into
+    * `buckets` cells (md5-hash32 mod B) and bucket probabilities are add-1
+    * smoothed, so unseen buckets never divide by zero. Each gram's
+    * log-ratio is the difference of two decimal(24,12)-quantized lns (the
+    * [[crossEntropyScore]] convention) — the per-document sum is order-free
+    * exact and the 6-dp score engine-exact. Returns (idCol, n_grams, logw);
+    * documents with fewer than `n` tokens have no grams and no row.
+    *
+    * Scale shape: both language models are FIXED B-row bucket tables built
+    * by map-side-combinable groupBys (the hashing trick — vocabulary never
+    * materializes); the totals are one scalar driver action (S7 precedent);
+    * scoring joins the gram stream to the broadcast B-row ratio table and
+    * reduces per document — no token arrays cross an exchange, and the
+    * bucket frame is persisted across its three consumers. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetFilter: Column, n: Int = 2, buckets: Int = 1024): DataFrame = {
+    require(n > 0 && buckets > 0, "n and buckets must be positive")
+    val grams = Ops.spread(docs)
+      .select(col(idCol), targetFilter.as("__tgt"),
+        TextFunctions.rawShinglesOfTokens(
+          tokens(coalesce(col(textCol), lit(""))), n).as("__g"))
+    val bkt = grams
+      .select(col(idCol), col("__tgt"), explode(col("__g")).as("__gram"))
+      .select(col(idCol), col("__tgt"),
+        pmod(hash32(col("__gram")), lit(buckets)).as("bucket"))
+      .persist()
+    try {
+      val totals = bkt.agg(count(lit(1)),
+        count(when(col("__tgt"), lit(1)))).first()
+      val (nr, nt) = (totals.getLong(0), totals.getLong(1))
+      val raw = bkt.groupBy("bucket").agg(count(lit(1)).as("__cr"))
+      val tgt = bkt.filter(col("__tgt"))
+        .groupBy("bucket").agg(count(lit(1)).as("__ct"))
+      def lnp(c: Column, total: Long): Column =
+        log((c + 1L).cast("double") / lit((total + buckets).toDouble))
+          .cast("decimal(24,12)")
+      val table = raw.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (lnp(coalesce(col("__ct"), lit(0L)), nt) - lnp(col("__cr"), nr)).as("__lr"))
+      val out = bkt.join(broadcast(table), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("__s"))
+        .select(col(idCol), col("n_grams"),
+          round(col("__s").cast("double"), 6).as("logw"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally bkt.unpersist(): Unit
+  }
+
   /** Overlapping token chunks for retrieval/training prep: chunk i covers
     * tokens [i·stride, i·stride + size); the last chunk may be shorter and
     * every token belongs to at least one chunk. Pure per-row generation —

@@ -72,6 +72,12 @@ object PlanAudit {
       "bloom_prefilter" -> (_.contains("md5")),
       "residual_semi" -> (_.contains("LeftSemi")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q64_importance",
+      // both LMs are fixed bucket tables from combinable groupBys; the
+      // scoring join must broadcast the B-row ratio table
+      "partial_agg" -> (_.contains("partial_count")),
+      "broadcast_ratio_table" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q62_cdc_chunks",
       // content-local cuts: the whole operator is a per-row fold + generator
       // — no key-based exchange end to end (the only Exchange is

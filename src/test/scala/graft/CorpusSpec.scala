@@ -157,6 +157,47 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     out.unpersist(): Unit
   }
 
+  test("importanceWeights matches a driver-side reference under forced bucket collisions") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "),
+        i % 3 == 0)
+    }
+    val docs = df("doc_id BIGINT, text STRING, tgt BOOLEAN",
+      corpus.map { case (i, t, g) => Row(Long.box(i), t, Boolean.box(g)) }: _*)
+    // B=16 with up to 36 distinct bigrams forces collisions — the reference
+    // must agree through them, not around them
+    val out = Corpus.importanceWeights(docs, "doc_id", "text", col("tgt"), n = 2, buckets = 16)
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out.unpersist()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8")); md.reset()
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 16
+    }
+    val gramsOf = corpus.map { case (id, t, g) =>
+      (id, t.split("\\s+").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq, g)
+    }
+    val all = gramsOf.flatMap { case (_, gs, g) => gs.map(x => (bucket(x), g)) }
+    val (nr, nt) = (all.size.toLong, all.count(_._2).toLong)
+    val cr = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def lnq(c: Long, tot: Long): JBD =
+      new JBD(math.log((c + 1).toDouble / (tot + 16).toDouble).toString)
+        .setScale(12, RoundingMode.HALF_UP)
+    val expected = gramsOf.filter(_._2.nonEmpty).map { case (id, gs, _) =>
+      val s = gs.map { x =>
+        val b = bucket(x)
+        lnq(ct.getOrElse(b, 0L), nt).subtract(lnq(cr(b), nr))
+      }.reduce(_.add(_))
+      id -> ((gs.size.toLong,
+        new JBD(s.doubleValue.toString).setScale(6, RoundingMode.HALF_UP).doubleValue))
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("chunkTokens: overlap, short tail, full coverage") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "t1 t2 t3 t4 t5"),  // size 3 stride 2 → [t1..t3], [t3..t5]
