@@ -626,6 +626,19 @@ SELECT b.doc_id, count(*)::BIGINT AS n_grams, round(sum(lr)::double, 6) AS logw
 FROM b JOIN tab USING (bucket)
 GROUP BY b.doc_id""",
 
+    // JL projection: same global-index MD5 Rademacher signs as q29's
+    // planes, over micro-unit-quantized components — every coordinate an
+    // exact integer
+    "q65_random_projection" -> {
+      val projs = (0 until 16).map { j =>
+        s"""list_sum([e[i] * (CASE WHEN (('0x' || substr(md5('$j:' || (i - 1)), 1, 8))::BIGINT & 1) = 1
+             THEN 1.0 ELSE -1.0 END) for i in generate_series(1, 64)])::BIGINT AS p${"%02d".format(j)}"""
+      }.mkString(",\n       ")
+      s"""
+WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings)
+SELECT vec_id, $projs FROM v"""
+    },
+
     // the bloom prefilter is invisible to semantics (no false negatives,
     // false positives removed by the residual exact join) — the oracle is
     // simply the plain semi join
@@ -663,6 +676,23 @@ s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
         sum(cast(ln(c::double / total::double) AS DECIMAL(24,12))) AS s
       FROM terms JOIN freq USING (term), tot GROUP BY doc_id)
 SELECT doc_id, n_tokens, round(-(s::double) / n_tokens, 6) AS xent FROM s""",
+
+    // q56's xent, then the histogram-CDF decile: cum ties-inclusive via a
+    // RANGE frame, bucket in integer space ((10·cum + n − 1) // n)
+    "q66_curriculum_deciles" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+freq AS (SELECT term, count(*)::BIGINT AS c FROM terms GROUP BY term),
+tot AS (SELECT sum(c)::BIGINT AS total FROM freq),
+s AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        sum(cast(ln(c::double / total::double) AS DECIMAL(24,12))) AS s
+      FROM terms JOIN freq USING (term), tot GROUP BY doc_id),
+x AS (SELECT doc_id, round(-(s::double) / n_tokens, 6) AS xent FROM s),
+r AS (SELECT doc_id, xent,
+        count(*) OVER (ORDER BY xent RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        count(*) OVER () AS n
+      FROM x)
+SELECT doc_id, xent, ((10 * cum + n - 1) // n)::int AS decile FROM r""",
 
     // overlapping chunks [i*24, i*24+32); last chunk may be shorter
     "q57_token_chunks" -> s"""

@@ -473,6 +473,23 @@ object Queries {
     Corpus.importanceWeights(Tables.documents(s, d), "doc_id", "text",
       col("lang") === "en", n = 2, buckets = 1024)
 
+  /** Curriculum deciles: cross-entropy scores binned 1..10 by the
+    * histogram-CDF quantile assignment (no global row sort). */
+  def curriculumQ(s: SparkSession, d: String): DataFrame = {
+    val scored = Corpus.crossEntropyScore(Tables.documents(s, d), "doc_id", "text")
+    Corpus.quantileBuckets(scored.select(col("doc_id"), col("xent")), "xent", q = 10)
+      .select(col("doc_id"), col("xent"), col("bucket").as("decile"))
+  }
+
+  /** JL random projection 64 → 16 dims (integer-exact Rademacher signs);
+    * coordinates flattened to scalar columns for the oracle gate (the q23
+    * convention — the gate's compare can't sort array cells). */
+  def randomProjectQ(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+      outDims = 16, dims = 64)
+      .select(col("vec_id") +: (0 until 16).map(j =>
+        element_at(col("proj"), j + 1).as(f"p$j%02d")): _*)
+
   /** Bloom-pruned semi join: lineitem against the small-size part list —
     * exact semi-join result, non-members dropped pre-shuffle. */
   def bloomSemiQ(s: SparkSession, d: String): DataFrame =
@@ -650,6 +667,8 @@ object Queries {
     "q62_cdc_chunks" -> (cdcChunksQ _),
     "q63_bloom_semi" -> (bloomSemiQ _),
     "q64_importance" -> (importanceQ _),
+    "q65_random_projection" -> (randomProjectQ _),
+    "q66_curriculum_deciles" -> (curriculumQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -435,6 +435,36 @@ object Corpus {
     } finally arr.unpersist(): Unit
   }
 
+  /** Exact quantile-bucket assignment without a global row sort (the
+    * curriculum/difficulty-binning stage: order documents by a quality or
+    * perplexity score, train easy-to-hard): row's bucket =
+    * ⌈q · |rows with score ≤ mine| / n⌉, computed in INTEGER space
+    * ((q·cum + n − 1) div n) so no engine's float rounding can shift a
+    * boundary. Ties share a bucket by construction — the assignment is a
+    * pure function of the score value, deterministic in any engine. Rows
+    * with NULL score join nothing and are dropped (no defined rank).
+    *
+    * Scale shape: the same histogram trick as [[tokenStats]] — one
+    * map-side-combinable groupBy to the distinct-score histogram, a
+    * cumulative window over THAT (histogram-sized: scores are rounded
+    * upstream, ~10⁶ distinct cells at 6 dp, never corpus rows), then an
+    * equi-join back on the score value (AQE broadcasts small histograms).
+    * A global `ntile` window would sort the whole corpus on one
+    * partition; this never moves more than the histogram. */
+  def quantileBuckets(df: DataFrame, scoreCol: String, q: Int = 10): DataFrame = {
+    require(q > 0, "q must be positive")
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over())
+      .select(col(scoreCol),
+        expr(s"($q * __cum + __n - 1) div __n").cast("int").as("bucket"))
+    df.join(cum, Seq(scoreCol))
+  }
+
   /** Per-stratum quota capping (corpus balancing): keep at most
     * `maxPerStratum` documents per stratum, chosen by seeded hash order
     * (id tie-break) so the survivor set is deterministic and approximately

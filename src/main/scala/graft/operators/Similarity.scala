@@ -246,6 +246,30 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Johnson–Lindenstrauss random projection: embed `dims`-dimensional
+    * vectors into `outDims` dimensions as proj_j = Σ_i v_i·sign(j,i) with
+    * the deterministic MD5 Rademacher signs of [[planeSigns]] — the
+    * database-style JL transform (Achlioptas 2003: ±1 entries preserve
+    * pairwise distances within 1±ε for outDims ≳ 8·ln(n)/ε²). Components
+    * are micro-unit quantized first, so every projection coordinate is an
+    * integer-exact BIGINT any engine reproduces. The conventional 1/√outDims
+    * scale factor is omitted — it cancels in cosine and rank comparisons,
+    * and keeping the outputs integer keeps them hash-gateable.
+    *
+    * Scale shape: a pure per-row projection over a literal sign matrix —
+    * outDims codegen'd dot kernels per row, no exchange of any kind. The
+    * natural prefix of the ANN paths: project once, then bucket/score in
+    * the cheap space. Returns (idCol, proj array<bigint>). */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int): DataFrame = {
+    require(outDims > 0 && dims > 0, "outDims and dims must be positive")
+    val signs = planeSigns(outDims, dims)
+    val q = Cluster.quantize(col(vecCol))
+    vecs.select(col(idCol),
+      array((0 until outDims).map(j =>
+        dot(q, array(signs(j).map(lit): _*)).cast("long")): _*).as("proj"))
+  }
+
   /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
     * bucket, brute-force within the bucket. Approximate — neighbors hashed to
     * other buckets are missed (recall/planes tradeoff documented above). */

@@ -72,6 +72,16 @@ object PlanAudit {
       "bloom_prefilter" -> (_.contains("md5")),
       "residual_semi" -> (_.contains("LeftSemi")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q65_random_projection",
+      // pure per-row projection over a literal sign matrix — no key-based
+      // exchange anywhere
+      "no_key_shuffle" -> (p => !p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning")))
+    audit("q66_curriculum_deciles",
+      // the cumulative window runs over the distinct-score HISTOGRAM, never
+      // corpus rows; the assignment joins back as a plain equi-join
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q64_importance",
       // both LMs are fixed bucket tables from combinable groupBys; the
       // scoring join must broadcast the B-row ratio table

@@ -198,6 +198,21 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("quantileBuckets: integer-space CDF buckets, ties share one, nulls drop") {
+    val d = df("id INT, s DOUBLE",
+      Row(Int.box(1), Double.box(1.0)), Row(Int.box(2), Double.box(1.0)),
+      Row(Int.box(3), Double.box(2.0)), Row(Int.box(4), Double.box(3.0)),
+      Row(Int.box(5), null))
+    val out = Corpus.quantileBuckets(d, "s", q = 2)
+    val m = out.collect().map(r => r.getAs[Int]("id") -> r.getAs[Int]("bucket")).toMap
+    // n=4; cum(1.0)=2 → (2·2+3) div 4 = 1; cum(2.0)=3 → 2; cum(3.0)=4 → 2
+    assert(m == Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 2), s"got $m")
+    // q = n: every distinct rank its own bucket, still 1-based and ≤ q
+    val fine = Corpus.quantileBuckets(d, "s", q = 4)
+    val f = fine.collect().map(r => r.getAs[Int]("id") -> r.getAs[Int]("bucket")).toMap
+    assert(f == Map(1 -> 2, 2 -> 2, 3 -> 3, 4 -> 4), s"got $f")
+  }
+
   test("chunkTokens: overlap, short tail, full coverage") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "t1 t2 t3 t4 t5"),  // size 3 stride 2 → [t1..t3], [t3..t5]

@@ -228,6 +228,20 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(again) == canon(out))
   }
 
+  test("randomProject coordinates equal driver-side Rademacher sign sums") {
+    val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
+      (0 until 4).map(i => Row(Int.box(i), Seq.tabulate(8)(j => i + j * 0.5))): _*)
+    val out = Similarity.randomProject(vecs, "vec_id", "embedding", outDims = 3, dims = 8)
+    val signs = Similarity.planeSigns(3, 8)
+    val got = out.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val exp = (0 until 4).map { i =>
+      val q = Array.tabulate(8)(j => math.round(1e6 * (i + j * 0.5)).toDouble)
+      i -> (0 until 3).map(p =>
+        (0 until 8).foldLeft(0.0)((s, j) => s + q(j) * signs(p)(j)).toLong).toSeq
+    }.toMap
+    assert(got == exp)
+  }
+
   test("LSH buckets are deterministic and self-similarity search finds exact match") {
     val vecs = df("vec_id INT, embedding ARRAY<DOUBLE>",
       (0 until 8).map(i => Row(Int.box(i),
