@@ -80,6 +80,61 @@ class CorpusPropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("cdcChunks matches a direct reference over collision-heavy corpora") {
+    for (seed <- 1L to 8L) {
+      val docs = sample(corpusGen, seed)
+      val mod = 2 + (seed % 3).toInt // small mod → frequent cuts, many tail cases
+      val expected = docs.zipWithIndex.flatMap { case (t, i) =>
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+        var cur = Vector.empty[String]
+        toks(t).foreach { tok =>
+          cur :+= tok
+          if (h32(tok) % mod == 0) { chunks += cur; cur = Vector.empty }
+        }
+        if (cur.nonEmpty) chunks += cur
+        chunks.zipWithIndex.map { case (c, ix) =>
+          (i.toLong, ix.toLong) -> ((c.size.toLong, md5Hex(c.mkString(" "))))
+        }
+      }.toMap
+      val out = Corpus.cdcChunks(toDf(docs), "doc_id", "text", mod)
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(got == expected, s"seed=$seed mod=$mod")
+      out.unpersist(): Unit
+    }
+  }
+
+  test("heavyHittersCms matches a reference grid: exact-or-over, rank and tie order") {
+    for (seed <- 1L to 6L) {
+      val docs = sample(corpusGen, seed)
+      val depth = 1 + (seed % 3).toInt
+      val width = Seq(2, 16, 64)((seed % 3).toInt) // width 2 → heavy collisions
+      val items = docs.flatMap(t => toks(t))
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cells = scala.collection.mutable.Map.empty[(Int, Long), Long].withDefaultValue(0L)
+      items.foreach { it =>
+        (0 until depth).foreach { r => cells((r, h32(s"$r:$it") % width)) += 1 }
+      }
+      val est = exact.keys.map(it =>
+        it -> (0 until depth).map(r => cells((r, h32(s"$r:$it") % width))).min).toMap
+      val expected = exact.keys.toSeq.sortBy(it => (-est(it), it)).take(4).zipWithIndex
+        .map { case (it, ix) => it -> ((exact(it), est(it), ix + 1)) }.toMap
+      val out = Corpus.heavyHittersCms(toDf(docs), "text", depth, width,
+        k = 4, minSupport = 1L)
+      val got = out.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(got == expected, s"seed=$seed depth=$depth width=$width")
+      assert(got.values.forall { case (ex, es, _) => es >= ex }, "one-sided error violated")
+      out.unpersist(): Unit
+    }
+  }
+
   test("kmeansAssign matches a driver-side Lloyd reference") {
     val vecGen: Gen[List[Seq[Float]]] = for {
       n <- Gen.choose(4, 40)
