@@ -603,6 +603,57 @@ SELECT item, n_exact, n_est, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
 WHERE rnk <= 20""",
 
+    // the refinery composes the q50 / q22 / q45 / q43 stage mirrors with
+    // first-failing-stage priority; exact dedup elects min(doc_id) among
+    // quality-passers only (the cohort rule)
+    "q67_corpus_refine" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+m AS (SELECT doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE list_sum([len(x) for x in toks])::double / len(toks) END AS awl,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE len(list_filter(toks, x -> x IN $EnStop))::double / len(toks) END AS swr,
+        CASE WHEN len(toks) >= 2
+             THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+             ELSE [] END AS g2
+      FROM t),
+q AS (SELECT doc_id,
+        CASE WHEN n_tokens BETWEEN 25 AND 80
+              AND awl >= 4.0 AND awl <= 10.0 AND swr >= 0.01
+              AND len(list_distinct(g2))::BIGINT * 1000 >= len(g2)::BIGINT * 700
+             THEN 1 ELSE 0 END AS keep
+      FROM m),
+fp AS (SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+       FROM documents),
+win AS (SELECT fp.fp, min(fp.doc_id) AS win
+        FROM fp JOIN q USING (doc_id) WHERE q.keep = 1 GROUP BY fp.fp),
+dup AS (SELECT fp.doc_id FROM fp JOIN q USING (doc_id) JOIN win ON fp.fp = win.fp
+        WHERE q.keep = 1 AND fp.doc_id <> win.win),
+sh AS (SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+7], ' ')
+           for i in generate_series(1, len(toks)-7)]) AS sh
+       FROM t WHERE len(toks) >= 8),
+probe AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id < 5),
+cont AS (SELECT DISTINCT doc_id
+         FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) inv
+         JOIN probe USING (shingle)),
+sp AS (SELECT doc_id,
+         CASE WHEN (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100) < 80 THEN 'train'
+              WHEN (('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT % 100) < 90 THEN 'validation'
+              ELSE 'test' END AS split
+       FROM documents),
+st AS (SELECT d.doc_id,
+         CASE WHEN q.keep = 0 THEN 'quality'
+              WHEN d.doc_id IN (SELECT doc_id FROM dup) THEN 'exact_dup'
+              WHEN d.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+              ELSE 'kept' END AS status
+       FROM documents d JOIN q USING (doc_id))
+SELECT st.doc_id, st.status,
+       CASE WHEN st.status = 'kept' THEN sp.split END AS split
+FROM st JOIN sp USING (doc_id)""",
+
     // DSIR log-ratio under hashed-bigram LMs: same md5 bucketing, add-1
     // smoothing, each ln quantized to decimal(24,12) before the exact
     // decimal subtraction and per-doc sum (order-free, engine-exact)

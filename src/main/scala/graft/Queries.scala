@@ -473,6 +473,13 @@ object Queries {
     Corpus.importanceWeights(Tables.documents(s, d), "doc_id", "text",
       col("lang") === "en", n = 2, buckets = 1024)
 
+  /** E2E corpus refinery: quality → exact dedup → decontamination → split,
+    * one disposition row per document (docs 0-4 are the probe set). */
+  def corpusRefineQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.refine(docs, "doc_id", "text", docs.filter(col("doc_id") < 5), "text")
+  }
+
   /** Curriculum deciles: cross-entropy scores binned 1..10 by the
     * histogram-CDF quantile assignment (no global row sort). */
   def curriculumQ(s: SparkSession, d: String): DataFrame = {
@@ -669,6 +676,7 @@ object Queries {
     "q64_importance" -> (importanceQ _),
     "q65_random_projection" -> (randomProjectQ _),
     "q66_curriculum_deciles" -> (curriculumQ _),
+    "q67_corpus_refine" -> (corpusRefineQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -481,6 +481,59 @@ object Corpus {
       .filter(col("rn") <= maxPerStratum)
   }
 
+  /** End-to-end corpus refinery: the standard pretraining-data sequence —
+    * quality filter → exact dedup → benchmark decontamination → split
+    * assignment — composed from this engine's stage operators, with a
+    * FIRST-FAILING-STAGE disposition per document (the audit trail a data
+    * pipeline must keep: why a document left, not just that it vanished).
+    * Cohort rule: exact dedup elects its survivor (lowest id per
+    * fingerprint) among QUALITY-PASSING documents only — a duplicate of a
+    * rejected doc is judged on its own; decontamination and split are
+    * per-document against external inputs, so they commute with masking.
+    * Returns one row per input document:
+    * (idCol, status ∈ quality | exact_dup | contaminated | kept,
+    *  split — NULL unless kept).
+    *
+    * Scale shape: every stage is an already-audited operator — per-row
+    * quality rules, a map-side-combinable fingerprint groupBy, the
+    * broadcast-probe shingle semi-join, and a pure hash projection — glued
+    * by equi-joins on the document id; the input projection is persisted
+    * across the stage consumers and freed on return. */
+  def refine(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String): DataFrame = {
+    val base = Ops.spread(docs.select(col(idCol), col(textCol))).persist()
+    try {
+      val qual = qualityFilter(base, idCol, textCol).select(col(idCol), col("keep"))
+      val fp = base
+        .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("__fp"))
+        .join(qual.filter(col("keep") === 1), Seq(idCol))
+      val win = fp.groupBy("__fp").agg(min(col(idCol)).as("__win"))
+      val dups = fp.join(win, Seq("__fp")).filter(col(idCol) =!= col("__win"))
+        .select(col(idCol), lit(1).as("__dup"))
+      val cont = decontaminate(base, idCol, textCol, probes, probeTextCol, n = 8)
+      val contIds = cont.select(col(idCol), lit(1).as("__cont"))
+      val splits = splitAssign(base.select(col(idCol)), idCol, seed = "graft")
+        .select(col(idCol), col("split").as("__split"))
+      val status = when(col("keep") === 0, "quality")
+        .when(col("__dup") === 1, "exact_dup") // NULL (no match) falls through
+        .when(col("__cont") === 1, "contaminated")
+        .otherwise("kept")
+      val out = base.select(col(idCol))
+        .join(qual, Seq(idCol))
+        .join(dups, Seq(idCol), "left")
+        .join(contIds, Seq(idCol), "left")
+        .join(splits, Seq(idCol))
+        .withColumn("status", status)
+        .select(col(idCol), col("status"),
+          when(col("status") === "kept", col("__split"))
+            .otherwise(lit(null).cast("string")).as("split"))
+        .persist()
+      out.count(): Unit
+      cont.unpersist()
+      out
+    } finally base.unpersist(): Unit
+  }
+
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a
     * `depth` × `width` grid of counters, cell (r, b) counting every token
     * whose r-th hash lands in bucket b; a token's estimate is the MIN over

@@ -77,6 +77,12 @@ object PlanAudit {
       // exchange anywhere
       "no_key_shuffle" -> (p => !p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning")))
+    audit("q67_corpus_refine",
+      // the refinery glues per-row stages with id equi-joins: no cartesian
+      // anywhere, probe shingles broadcast, fingerprint agg partial
+      "partial_agg" -> (_.contains("partial_")),
+      "broadcast_probe" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q66_curriculum_deciles",
       // the cumulative window runs over the distinct-score HISTOGRAM, never
       // corpus rows; the assignment joins back as a plain equi-join

@@ -198,6 +198,42 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("refine: every disposition fires, priority order and the dedup cohort rule hold") {
+    // passing text: 30 tokens, awl in range, one stopword, no repetition
+    def passing(tag: String) =
+      ("the" +: (1 to 29).map(i => s"${tag}word$i")).mkString(" ")
+    val t1 = passing("a")
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(0L), passing("p")),      // probe doc: passes quality → contaminated
+      Row(Long.box(9L), t1.toUpperCase),    // same fingerprint as 10 but fails
+                                            // r_stop ('THE' is not a stopword)
+      Row(Long.box(10L), t1),               // quality-passing fingerprint winner
+      Row(Long.box(11L), t1),               // exact duplicate of 10
+      Row(Long.box(20L), passing("z")))     // unique survivor
+    val out = Corpus.refine(docs, "doc_id", "text",
+      docs.filter(col("doc_id") < 5), "text")
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    out.unpersist()
+    // cohort rule: 9 shares 10's fingerprint but failed quality, so the
+    // winner among PASSERS is 10 — were dedup run over all docs, 9 (lower
+    // id) would win and 10 would wrongly read exact_dup
+    assert(rows(9L)._1 == "quality" && rows(10L)._1 == "kept", s"got $rows")
+    assert(rows(11L)._1 == "exact_dup" && rows(0L)._1 == "contaminated")
+    assert(rows(20L)._1 == "kept")
+    // split only for kept, and exactly the seeded hash assignment
+    assert(rows.values.collect { case (s, sp) if s != "kept" => sp }.forall(_.isEmpty))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(id: Long): Long = {
+      val h = md.digest(s"graft:$id".getBytes("UTF-8")); md.reset()
+      java.lang.Long.parseLong(h.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    def splitOf(id: Long) = bucketOf(id) match {
+      case b if b < 80 => "train"; case b if b < 90 => "validation"; case _ => "test"
+    }
+    assert(rows(10L)._2.contains(splitOf(10L)) && rows(20L)._2.contains(splitOf(20L)))
+  }
+
   test("quantileBuckets: integer-space CDF buckets, ties share one, nulls drop") {
     val d = df("id INT, s DOUBLE",
       Row(Int.box(1), Double.box(1.0)), Row(Int.box(2), Double.box(1.0)),
