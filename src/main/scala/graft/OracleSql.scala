@@ -603,6 +603,14 @@ SELECT item, n_exact, n_est, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (ORDER BY n_est DESC, item) AS rnk FROM est)
 WHERE rnk <= 20""",
 
+    // the Spark side synthesizes real PNGs by this dimension rule and
+    // decodes them back with the JDK codec (header-only); the oracle states
+    // the rule — the gate proves generate∘decode = identity
+    "q68_media_decode" -> """
+SELECT doc_id, (4 + doc_id % 13)::int AS width,
+       (4 + (doc_id * 7) % 11)::int AS height, 'png' AS format
+FROM documents""",
+
     // the refinery composes the q50 / q22 / q45 / q43 stage mirrors with
     // first-failing-stage priority; exact dedup elects min(doc_id) among
     // quality-passers only (the cohort rule)

@@ -473,6 +473,15 @@ object Queries {
     Corpus.importanceWeights(Tables.documents(s, d), "doc_id", "text",
       col("lang") === "en", n = 2, buckets = 1024)
 
+  /** Real codec round-trip: synthesize deterministic PNGs, then header-only
+    * ImageIO decode — generate∘decode = identity is the oracle contract. */
+  def mediaDecodeQ(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeImages(
+      Tables.documents(s, d).select("doc_id"), "doc_id")
+    graft.multimodal.Multimodal.decodeMeta(media).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("format"))
+  }
+
   /** E2E corpus refinery: quality → exact dedup → decontamination → split,
     * one disposition row per document (docs 0-4 are the probe set). */
   def corpusRefineQ(s: SparkSession, d: String): DataFrame = {
@@ -677,6 +686,7 @@ object Queries {
     "q65_random_projection" -> (randomProjectQ _),
     "q66_curriculum_deciles" -> (curriculumQ _),
     "q67_corpus_refine" -> (corpusRefineQ _),
+    "q68_media_decode" -> (mediaDecodeQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

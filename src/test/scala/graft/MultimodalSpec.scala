@@ -59,6 +59,49 @@ class MultimodalSpec extends AnyFunSuite with SparkSpecBase {
     assert(!out(0).features.sameElements(out(1).features))
   }
 
+  test("real codec: synthesized PNGs decode to the rule dims via ImageIO, not the stub") {
+    val ids = df("doc_id BIGINT", (0L until 30L).map(i => Row(Long.box(i))): _*)
+    val m = Multimodal.synthesizeImages(ids, "doc_id")
+    val out = Multimodal.decodeMeta(m).collect().sortBy(_.doc_id)
+    assert(out.length == 30)
+    out.foreach { r =>
+      assert(r.format == "png", s"doc ${r.doc_id} fell back to the stub: ${r.format}")
+      assert(r.width == (4 + r.doc_id % 13).toInt && r.height == (4 + (r.doc_id * 7) % 11).toInt)
+      assert(r.n_bytes > 0)
+    }
+  }
+
+  test("real codec: resize round-trips through the pixel kernel to target dims") {
+    val ids = df("doc_id BIGINT", Row(Long.box(3L)), Row(Long.box(8L)))
+    val m = Multimodal.synthesizeImages(ids, "doc_id")
+    val resized = Multimodal.resize(m, 6, 5).toDF()
+      .select(col("doc_id"), lit("image/png").as("media_type"),
+        col("content").as("content"))
+    val meta = Multimodal.decodeMeta(resized).collect().sortBy(_.doc_id)
+    assert(meta.map(r => (r.width, r.height, r.format)).toSeq ==
+      Seq((6, 5, "png"), (6, 5, "png")))
+    // nearest-neighbor on a gray ramp: top-left target pixel maps to source
+    // (0,0) whose gray is id % 256 — check through a full decode
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      resized.filter(col("doc_id") === 3L).select("content").head.getAs[Array[Byte]](0)))
+    assert((img.getRGB(0, 0) & 0xff) == 3)
+  }
+
+  test("real codec: features are the luminance histogram of the raster") {
+    val ids = df("doc_id BIGINT", Row(Long.box(0L)))
+    val m = Multimodal.synthesizeImages(ids, "doc_id")
+    val f = Multimodal.extractFeatures(m, dims = 16).head().features
+    // doc 0: 4x4 raster, gray = (31x + 17y) % 256 — histogram computed here
+    val expected = new Array[Float](16)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val g = (31 * x + 17 * y) % 256
+      val luma = (77 * g + 150 * g + 29 * g) >> 8
+      expected(luma * 16 / 256) += 1f
+    }
+    assert(f.toSeq == expected.toSeq)
+    assert(f.sum == 16f, "histogram mass must equal the pixel count")
+  }
+
   test("metadata projection prunes the blob column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
     media.write.parquet(dir)
