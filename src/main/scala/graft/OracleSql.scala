@@ -878,6 +878,102 @@ SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
   FROM p)
 WHERE rnk <= 5""",
 
+    // deterministic PII augmentation (the identical expression Spark
+    // builds), then ordered redaction email → ip → phone with counts over
+    // the original text; patterns interpolate from Corpus so both engines
+    // run literally the same regex source
+    "q69_pii_redact" -> s"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' reach u' || doc_id::varchar ||
+         '@example.com or 10.0.' || (doc_id % 256)::varchar ||
+         '.7 call 555-123-' || lpad((doc_id % 10000)::varchar, 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '${graft.operators.Corpus.EmailRe}', '<EMAIL>', 'g'),
+         '${graft.operators.Corpus.Ipv4Re}', '<IP>', 'g'),
+         '${graft.operators.Corpus.PhoneRe}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(t, '${graft.operators.Corpus.EmailRe}'))::int AS n_emails,
+       len(regexp_extract_all(t, '${graft.operators.Corpus.Ipv4Re}'))::int AS n_ips,
+       len(regexp_extract_all(t, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
+FROM aug""",
+
+    // temperature-scaled mixing: p = token share, w = p^α / Σp^α (α = 0.5)
+    "q70_mixture_weights" -> s"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(len($Toks))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tokens,
+        pow(n_tokens::double / (sum(n_tokens) OVER ())::double, 0.5) AS pa
+      FROM per)
+SELECT source, n_docs, n_tokens, round(pa / sum(pa) OVER (), 6) AS weight FROM w""",
+
+    // trailing-1-hour RANGE frame in epoch-micros space; decimal-exact sum
+    "q71_rolling_window" -> """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       (sum(cast(value AS DECIMAL(18,4))) OVER w)::double AS rolling_sum,
+       count(*) OVER w AS rolling_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    // pivot = conditional aggregation with the same explicit value list
+    "q72_pivot_counts" -> """
+SELECT cast(date_trunc('day', ts) AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS "view"
+FROM events GROUP BY 1""",
+
+    "q73_rollup_revenue" -> """
+WITH t AS (SELECT year(o_orderdate)::int AS o_year, month(o_orderdate)::int AS o_month,
+                  o_totalprice FROM orders)
+SELECT o_year, o_month,
+       grouping(o_year)::int AS g_year, grouping(o_month)::int AS g_month,
+       (sum(cast(o_totalprice AS DECIMAL(18,4))))::double AS revenue,
+       count(*) AS n_orders
+FROM t GROUP BY ROLLUP(o_year, o_month)""",
+
+    // funnel in epoch-micros space end-to-end (comparisons at the same
+    // precision Spark sees after the ns→us normalization)
+    "q74_funnel" -> """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT s1.user_id, s1.t1, min(epoch_us(e.ts)) AS t2
+       FROM s1 LEFT JOIN events e
+         ON e.user_id = s1.user_id AND e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+       GROUP BY s1.user_id, s1.t1),
+s3 AS (SELECT s2.user_id, s2.t1, s2.t2, min(epoch_us(e.ts)) AS t3
+       FROM s2 LEFT JOIN events e
+         ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+       GROUP BY s2.user_id, s2.t1, s2.t2)
+SELECT user_id, t1 AS step1_us, t2 AS step2_us, t3 AS step3_us,
+       (1 + (t2 IS NOT NULL)::int + (t3 IS NOT NULL)::int) AS depth
+FROM s3""",
+
+    // session_window bounds are [start, last + gap), and windows merge when
+    // they overlap OR touch — an event exactly `gap` after the previous one
+    // extends the session, so a break needs a STRICTLY greater gap. Same
+    // rule as q47's sessionize (asserted against Spark in StreamingSpec).
+    "q75_session_window" -> """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT user_id, ts_us,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM flagged)
+SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800 * 1000000 AS end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_no""",
+
     // IVFPQ: coarse assignment, per-subspace PQ codes, and ADC scoring all
     // in integer micro-unit L2 — every distance is an exact integer, so the
     // mirror is the textbook Σ(v−w)² with no rounding anywhere; Spark's

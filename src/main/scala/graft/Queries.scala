@@ -555,6 +555,77 @@ object Queries {
       .agg(dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  /** PII scrub: deterministic synthetic PII (email, IPv4, phone) appended
+    * per doc — both engines build the identical augmented text, so the
+    * redaction + counts gate the regex kernels, not the fixture. */
+  def piiRedactQ(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" reach u"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    Corpus.redactPii(aug, "doc_id", "text")
+  }
+
+  /** Temperature-scaled source mixing weights (α = 0.5 upweights
+    * low-resource sources). */
+  def mixtureWeightsQ(s: SparkSession, d: String): DataFrame =
+    Corpus.mixtureWeights(Tables.documents(s, d), "source", "text", alpha = 0.5)
+
+  /** Trailing-1-hour rolling sum/count per user (RANGE frame over event
+    * time — W5). */
+  def rollingWindowQ(s: SparkSession, d: String): DataFrame =
+    Ops.rollingWindow(Tables.events(s, d), "user_id", "ts", col("value"), 3600)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("rolling_sum"), col("rolling_n"))
+
+  /** Pivot: daily event counts spread across one column per event type
+    * (explicit value list — the scale-safe pivot; letting Spark scan for
+    * distinct values adds a job). */
+  def pivotCountsQ(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  /** ROLLUP grouping sets: revenue by (year, month) with subtotal and
+    * grand-total rows, grouping flags disambiguating NULL keys. */
+  def rollupRevenueQ(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"), col("o_totalprice"))
+      .rollup("o_year", "o_month")
+      .agg(grouping(col("o_year")).cast("int").as("g_year"),
+        grouping(col("o_month")).cast("int").as("g_month"),
+        dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(col("o_year"), col("o_month"), col("g_year"), col("g_month"),
+        col("revenue"), col("n_orders"))
+
+  /** Ordered funnel view → click → purchase per user (steps at-or-after
+    * the previous step's earliest completion). */
+  def funnelQ(s: SparkSession, d: String): DataFrame =
+    Ops.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), micros(col("step1_ts")).as("step1_us"),
+        micros(col("step2_ts")).as("step2_us"),
+        micros(col("step3_ts")).as("step3_us"), col("depth"))
+
+  /** Native session_window sessionization, batch mode (30-min gap; closes
+    * at last event + gap; an exactly-gap-later event still extends the
+    * session — windows merge when they overlap OR touch, the same
+    * strictly-greater break rule as q47's sessionize). Streaming parity is
+    * asserted in StreamingSpec. */
+  def sessionWindowQ(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.sessionAgg(Tables.events(s, d), "ts", "user_id",
+        gap = "30 minutes")
+      .select(col("user_id"), micros(col("session_start")).as("start_us"),
+        micros(col("session_end")).as("end_us"), col("n_events"))
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -687,6 +758,13 @@ object Queries {
     "q66_curriculum_deciles" -> (curriculumQ _),
     "q67_corpus_refine" -> (corpusRefineQ _),
     "q68_media_decode" -> (mediaDecodeQ _),
+    "q69_pii_redact" -> (piiRedactQ _),
+    "q70_mixture_weights" -> (mixtureWeightsQ _),
+    "q71_rolling_window" -> (rollingWindowQ _),
+    "q72_pivot_counts" -> (pivotCountsQ _),
+    "q73_rollup_revenue" -> (rollupRevenueQ _),
+    "q74_funnel" -> (funnelQ _),
+    "q75_session_window" -> (sessionWindowQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -581,6 +581,58 @@ object Corpus {
     } finally toks.unpersist(): Unit
   }
 
+  /** PII patterns shared with the oracle formulation: plain character
+    * classes, quantifiers, and `\b` only — the subset where Java regex
+    * (Spark) and RE2 (DuckDB) agree. No lookaround (RE2 has none), no
+    * backreferences. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** PII redaction (the pre-training scrub pass): replace emails, IPv4
+    * addresses, and phone-shaped numbers with typed placeholder tokens and
+    * report per-document match counts. Patterns apply in a fixed order
+    * (email → ip → phone) so a credential like `user@1.2.3.4` redacts as
+    * one email, not an email plus an IP; counts are taken on the ORIGINAL
+    * text in the same order (deterministic, engine-independent).
+    *
+    * Scale shape: pure per-row projection — no shuffle, codegen'd regex
+    * kernels, scales with input splits. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"),
+      regexp_count(t, lit(EmailRe)).as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).as("n_phones"))
+  }
+
+  /** Temperature-scaled source mixing weights (the multinomial-sampling
+    * rule of multilingual/multi-source pretraining, Conneau & Lample 2019):
+    * per stratum, p = token share of the corpus, weight w = p^α / Σp^α.
+    * α = 1 keeps natural proportions; α → 0 flattens toward uniform,
+    * upweighting low-resource strata. Weights round to 6 dp (the
+    * cross-engine double convention).
+    *
+    * Scale shape: one map-side-combinable aggregation to stratum grain
+    * (#strata rows — sources/languages, bounded by reality), then the
+    * normalization runs in an unpartitioned window over those few rows.
+    * The corpus itself is never rescanned or shuffled. */
+  def mixtureWeights(docs: DataFrame, strataCol: String, textCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val per = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount(col(textCol))).as("n_tokens"))
+    val all = Window.partitionBy()
+    per
+      .withColumn("__p", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("__pa", pow(col("__p"), lit(alpha)))
+      .withColumn("weight", round(col("__pa") / sum(col("__pa")).over(all), 6))
+      .drop("__p", "__pa")
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees

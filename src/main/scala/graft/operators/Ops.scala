@@ -151,6 +151,58 @@ object Ops {
     big.filter(probe).join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }
 
+  /** Time-range rolling aggregation (W5 shape — RANGE frame over event
+    * time): for every row, the sum/count of `value` over the trailing
+    * `windowSeconds` window within the same key, endpoints inclusive.
+    * Same-instant rows share a frame (RANGE, not ROWS), so the result is
+    * deterministic without a tiebreak. The sum runs in decimal(18,4) and
+    * casts to double once — the cross-engine exactness convention.
+    *
+    * Scale shape: one hash shuffle on the key; frame state per window
+    * partition is bounded by the densest `windowSeconds` span of one key,
+    * never the key's whole history. Skewed keys split under AQE like any
+    * windowed shuffle. */
+  def rollingWindow(df: DataFrame, keyCol: String, tsCol: String, value: Column,
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    df.withColumn("rolling_sum",
+        sum(value.cast("decimal(18,4)")).over(w).cast("double"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+  }
+
+  /** Ordered funnel analysis: for each key, the earliest time each step of
+    * `steps` completes, where step i+1 must occur AT OR AFTER (>=) the
+    * chosen (earliest) completion of step i. Returns one row per key that
+    * completed step 1, with `step1_ts … stepN_ts` (NULL once the funnel
+    * breaks) and `depth` = number of completed steps.
+    *
+    * Scale shape: one aggregation + one equi-join (range as residual) per
+    * step — each a single key shuffle; the left side shrinks to one row
+    * per key after the first step, so later joins are key-sized, and the
+    * per-step min folds map-side. No per-key event arrays are ever
+    * collected (the all-events-per-user grouping alternative is the
+    * memory hazard this shape avoids). */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel requires at least one step")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("step1_ts"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
+      val prevC = s"step${i}_ts"
+      val curC = s"step${i + 1}_ts"
+      val nxt = df.filter(col(typeCol) === st)
+        .select(col(keyCol).as("__k"), col(tsCol).as("__t"))
+      val keep = acc.columns.map(acc(_))
+      acc.join(nxt, acc(keyCol) === nxt("__k") && nxt("__t") >= acc(prevC), "left")
+        .groupBy(keep: _*).agg(min(col("__t")).as(curC))
+    }
+    full.withColumn("depth",
+      steps.indices.map(i => when(col(s"step${i + 1}_ts").isNotNull, 1).otherwise(0))
+        .reduce(_ + _))
+  }
+
   /** Skew-salted equi-join: spreads a hot key across `salt` shuffle
     * partitions by appending a deterministic salt to the big side's key and
     * replicating the small side once per salt value. Result is identical to

@@ -43,6 +43,32 @@ object Streams {
       .select(col(s"window.start").as("window_start"), col(groupCol),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based session aggregation via the native `session_window`: one row
+    * per (key, session), where a session closes after `gap` of inactivity —
+    * the streaming-native counterpart of [[graft.operators.Ops.sessionize]].
+    * Semantics AGREE exactly: per-event windows [t, t+gap) merge when they
+    * overlap or touch, so an event exactly `gap` after the previous one
+    * still extends the session — the same strictly-greater break rule as
+    * sessionize (asserted in StreamingSpec); bounds are start = first
+    * event, end = last event + gap.
+    * Works identically in batch (q69's oracle gate) and streaming (with the
+    * watermark, append mode emits a session only once it can no longer
+    * grow — StreamingSpec asserts stream ≡ batch).
+    *
+    * Scale shape: streaming session state is keyed by (key, window) in the
+    * state store and merged incrementally as events extend a session; the
+    * watermark evicts closed sessions, so state tracks ACTIVE sessions
+    * only, not history. In batch it is one key shuffle + sort, same as the
+    * window-function formulation. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    src.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+  }
+
   /** Streaming exact dedup: emit only the FIRST document bearing each
     * content fingerprint across the whole stream — the streaming skin of
     * [[graft.operators.Dedup.exact]] for continuous ingestion. State is

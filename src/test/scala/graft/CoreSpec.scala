@@ -333,6 +333,72 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(out == Map((1, 1) -> 1L, (1, 2) -> 1L, (1, 3) -> 2L, (2, 4) -> 1L), s"got $out")
   }
 
+  test("rollingWindow: trailing range includes endpoints, resets per key, ties share a frame") {
+    val ev = df("user_id INT, ts TIMESTAMP, value DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), Double.box(1.0)),
+      Row(Int.box(1), ts("2024-01-01 10:30:00"), Double.box(2.0)), // 30m ≤ 1h: in frame
+      Row(Int.box(1), ts("2024-01-01 11:00:00"), Double.box(4.0)), // exactly 1h back: inclusive
+      Row(Int.box(1), ts("2024-01-01 13:00:00"), Double.box(8.0)), // everything expired
+      Row(Int.box(2), ts("2024-01-01 10:30:00"), Double.box(16.0)), // other key untouched
+      Row(Int.box(2), ts("2024-01-01 10:30:00"), Double.box(32.0))) // same instant: shared frame
+    val out = Ops.rollingWindow(ev, "user_id", "ts", col("value"), 3600)
+      .collect().map(r => (r.getInt(0), r.getTimestamp(1).toString, r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      (1, "2024-01-01 10:00:00.0", 1.0, 1L),
+      (1, "2024-01-01 10:30:00.0", 3.0, 2L),
+      (1, "2024-01-01 11:00:00.0", 7.0, 3L),
+      (1, "2024-01-01 13:00:00.0", 8.0, 1L),
+      (2, "2024-01-01 10:30:00.0", 48.0, 2L),
+      (2, "2024-01-01 10:30:00.0", 48.0, 2L)), s"got $out")
+  }
+
+  test("funnel: completes in order, breaks at a missing step, >= allows same-instant steps") {
+    val ev = df("u INT, ts TIMESTAMP, t STRING",
+      // user 1: full funnel, click same instant as view (>= keeps it)
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), "view"),
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), "click"),
+      Row(Int.box(1), ts("2024-01-01 11:00:00"), "buy"),
+      // user 2: click BEFORE the first view — funnel breaks at step 2
+      Row(Int.box(2), ts("2024-01-01 09:00:00"), "click"),
+      Row(Int.box(2), ts("2024-01-01 10:00:00"), "view"),
+      // user 3: never viewed — excluded entirely
+      Row(Int.box(3), ts("2024-01-01 10:00:00"), "buy"))
+    val out = Ops.funnel(ev, "u", "ts", "t", Seq("view", "click", "buy"))
+      .collect().map(r => r.getInt(0) ->
+        ((1 to 3).map(i => Option(r.getTimestamp(i)).map(_.toString)), r.getInt(4))).toMap
+    assert(out.keySet == Set(1, 2))
+    assert(out(1) == (Seq(Some("2024-01-01 10:00:00.0"), Some("2024-01-01 10:00:00.0"),
+      Some("2024-01-01 11:00:00.0")), 3))
+    assert(out(2) == (Seq(Some("2024-01-01 10:00:00.0"), None, None), 1))
+  }
+
+  test("redactPii replaces email/ip/phone in order and counts on the original text") {
+    val docs = df("id INT, text STRING",
+      Row(Int.box(1), "mail a.b@x.io and b@y.co, host 10.0.0.1, call +555 123 4567 or 555-123-4567"),
+      Row(Int.box(2), "clean text"),
+      Row(Int.box(3), null))
+    val out = graft.operators.Corpus.redactPii(docs, "id", "text")
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    assert(out(1) == (("mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> or <PHONE>", 2, 1, 2)))
+    assert(out(2) == (("clean text", 0, 0, 0)))
+    assert(out(3) == (("", 0, 0, 0)))
+  }
+
+  test("mixtureWeights: α=1 keeps natural shares; small α flattens toward uniform") {
+    val docs = df("id INT, src STRING, text STRING",
+      Row(Int.box(1), "big", "a b c d e f g h"), // 8 tokens
+      Row(Int.box(2), "small", "a b"))           // 2 tokens
+    def w(alpha: Double): Map[String, Double] =
+      graft.operators.Corpus.mixtureWeights(docs, "src", "text", alpha)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(w(1.0) == Map("big" -> 0.8, "small" -> 0.2))
+    val flat = w(0.1)
+    assert(flat("small") > 0.2 && flat("small") < flat("big"), s"got $flat")
+    assert(math.abs(flat.values.sum - 1.0) < 1e-9)
+  }
+
   test("dedupFirst keeps exactly the first row per key by the given order") {
     val d = df("k INT, v INT", Row(Int.box(1), Int.box(10)),
       Row(Int.box(1), Int.box(20)), Row(Int.box(2), Int.box(5)))

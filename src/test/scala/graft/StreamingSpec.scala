@@ -35,6 +35,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed session_window agg equals batch; exact-gap touch merges, greater splits") {
+    val dir = tmp()
+    val rows = df("user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), "view", Double.box(1.0)),
+      Row(Int.box(1), ts("2024-01-01 10:20:00"), "view", Double.box(1.0)), // 20m < gap: same
+      Row(Int.box(1), ts("2024-01-01 10:50:00"), "view", Double.box(1.0)), // exactly 30m: MERGES
+      Row(Int.box(1), ts("2024-01-01 11:25:00"), "view", Double.box(1.0)), // 35m > gap: new
+      Row(Int.box(2), ts("2024-01-01 10:00:00"), "view", Double.box(1.0)),
+      // user 2's late event drives the watermark far enough to close all
+      Row(Int.box(2), ts("2024-01-01 15:00:00"), "view", Double.box(1.0)))
+    rows.write.parquet(dir + "/in")
+    val stream = Streams.readFileStream(spark, dir + "/in", rows.schema)
+    val q = Streams.sessionAgg(stream, "ts", "user_id", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = canon(spark.table("sess_agg"))
+    val batch = canon(Streams.sessionAgg(rows, "ts", "user_id", gap = "30 minutes"))
+    assert(streamed == batch && streamed.nonEmpty)
+    // [start, last + gap) windows merge when they overlap OR touch: the
+    // exactly-gap event extends the session; only a strictly greater gap
+    // breaks — the same rule as Ops.sessionize (and q75's oracle)
+    val u1 = Streams.sessionAgg(rows, "ts", "user_id", gap = "30 minutes")
+      .filter(col("user_id") === 1).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3))).toSet
+    assert(u1 == Set(
+      ("2024-01-01 10:00:00.0", "2024-01-01 11:20:00.0", 3L),
+      ("2024-01-01 11:25:00.0", "2024-01-01 11:55:00.0", 1L)), s"got $u1")
+  }
+
   test("watermark drops late data and append mode emits only closed windows") {
     val dir = tmp()
     val schema = eventRows.schema
