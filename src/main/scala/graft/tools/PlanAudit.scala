@@ -183,6 +183,38 @@ object PlanAudit {
       // one window per stratum, never a global sort
       "stratum_window" -> (p => "hashpartitioning\\(source".r.findFirstIn(p).isDefined),
       "no_global_window" -> (p => !p.contains("SinglePartition, ")))
+    audit("q69_pii_redact",
+      // regex redaction is a pure per-row projection — no exchange anywhere
+      "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q70_mixture_weights",
+      // the corpus collapses to stratum grain map-side; the normalization
+      // window sees only #strata rows (its SinglePartition is by design)
+      "partial_agg" -> (_.contains("partial_count")))
+    audit("q71_rolling_window",
+      // one key shuffle for the RANGE window, no global sort
+      "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
+      "no_global_window" -> (p => !p.contains("SinglePartition, ")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q72_pivot_counts",
+      // Spark plans pivot two-phase: groupBy(day, type) count — combinable,
+      // the only exchange that sees event-grain data — then the pivot-first
+      // agg re-keyed on day alone over the already-aggregated rows. Both
+      // exchanges carry ≤ days×types rows post-combine; anything beyond two
+      // means the value-list pivot degraded to a distinct-scan plan
+      "partial_agg" -> (_.contains("partial_")),
+      "two_phase" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
+    audit("q73_rollup_revenue",
+      // grouping sets expand map-side into one combinable aggregation
+      "expand" -> (_.contains("Expand")),
+      "partial_agg" -> (_.contains("partial_")))
+    audit("q74_funnel",
+      // per-step joins are equi on the key with the range as residual
+      "equi_joins" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q75_session_window",
+      // session_window is one key shuffle + sort, like q47's formulation
+      "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     spark.stop()
   }
 }
