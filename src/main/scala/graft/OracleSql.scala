@@ -974,6 +974,36 @@ SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800 * 1000000 AS end_us,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_no""",
 
+    // bigram conditional LM: count (prefix, next) pairs over ALL
+    // occurrences, then per-prefix total + top-3 (count desc, token asc)
+    "q76_ngram_lm" -> s"""
+WITH t AS (SELECT $Toks AS toks FROM documents),
+g AS (SELECT unnest(toks[1:len(toks) - 1]) AS prefix,
+             unnest(toks[2:len(toks)]) AS next_tok
+      FROM t WHERE len(toks) >= 2),
+c AS (SELECT prefix, next_tok, count(*)::BIGINT AS cnt FROM g GROUP BY 1, 2),
+r AS (SELECT prefix, next_tok, cnt,
+        (sum(cnt) OVER (PARTITION BY prefix))::BIGINT AS prefix_total,
+        row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, next_tok) AS rnk
+      FROM c)
+SELECT prefix, next_tok, cnt, prefix_total,
+       round(cnt::double / prefix_total, 6) AS prob, rnk::int AS rnk
+FROM r WHERE rnk <= 3 AND prefix_total >= 100""",
+
+    // two-batch incremental dedup: batch 1 keeps min-id per fp among
+    // ids < 250; batch 2 keeps min-id per fp among the rest EXCEPT
+    // fingerprints batch 1 already registered in the state table
+    "q77_incremental_dedup" -> """
+WITH d AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+b1 AS (SELECT fp, min(doc_id) AS keep_id, 1 AS batch FROM d WHERE doc_id < 250 GROUP BY fp),
+b2 AS (SELECT fp, min(doc_id) AS keep_id, 2 AS batch FROM d WHERE doc_id >= 250
+       AND fp NOT IN (SELECT fp FROM b1) GROUP BY fp)
+SELECT fp, keep_id, batch FROM b1 UNION ALL SELECT fp, keep_id, batch FROM b2""",
+
     // IVFPQ: coarse assignment, per-subspace PQ codes, and ADC scoring all
     // in integer micro-unit L2 — every distance is an exact integer, so the
     // mirror is the textbook Σ(v−w)² with no rounding anywhere; Spark's

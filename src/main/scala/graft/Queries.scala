@@ -626,6 +626,31 @@ object Queries {
       .select(col("user_id"), micros(col("session_start")).as("start_us"),
         micros(col("session_end")).as("end_us"), col("n_events"))
 
+  /** Bigram conditional LM: top-3 next tokens per prefix with conditional
+    * probability, over prefixes seen ≥ 100 times. */
+  def ngramLmQ(s: SparkSession, d: String): DataFrame =
+    Corpus.ngramLm(Tables.documents(s, d), "text", n = 2, k = 3, minPrefixTotal = 100L)
+
+  /** One scratch state dir per JVM for q77 (the q36Root convention). */
+  private lazy val q77Root: String =
+    java.nio.file.Files.createTempDirectory("graft_dedup_state").toString
+
+  /** Incremental exact dedup across two ingestion batches sharing one
+    * persisted fingerprint state table: batch 2's duplicates of batch-1
+    * content are dropped by the state anti-join, not by luck of a global
+    * groupBy. Since batch 1's ids all precede batch 2's, the union equals
+    * single-pass exact dedup — the equivalence the oracle re-derives. */
+  def incrementalDedupQ(s: SparkSession, d: String): DataFrame = {
+    val root = q77Root
+    TableIO.clearDir(root)
+    val docs = Tables.documents(s, d)
+    val b1 = Corpus.dedupIncremental(s, s"$root/state",
+      docs.filter(col("doc_id") < 250), "doc_id", "text").withColumn("batch", lit(1))
+    val b2 = Corpus.dedupIncremental(s, s"$root/state",
+      docs.filter(col("doc_id") >= 250), "doc_id", "text").withColumn("batch", lit(2))
+    b1.unionByName(b2)
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -765,6 +790,8 @@ object Queries {
     "q73_rollup_revenue" -> (rollupRevenueQ _),
     "q74_funnel" -> (funnelQ _),
     "q75_session_window" -> (sessionWindowQ _),
+    "q76_ngram_lm" -> (ngramLmQ _),
+    "q77_incremental_dedup" -> (incrementalDedupQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

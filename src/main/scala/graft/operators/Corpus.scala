@@ -633,6 +633,74 @@ object Corpus {
       .drop("__p", "__pa")
   }
 
+  /** Corpus n-gram language model, conditional form: for every (n−1)-token
+    * prefix, the top-`k` next tokens by occurrence count with conditional
+    * probability count/Σcount(prefix) (6-dp, the cross-engine double
+    * convention) and a dense 1..k rank (count desc, token asc tiebreak).
+    * `minPrefixTotal` prunes rare prefixes — at corpus scale the long tail
+    * of singleton prefixes dominates row count while carrying no signal.
+    *
+    * Scale shape: gram extraction is a per-row generator (no doc-side
+    * array ever enters an exchange — the q24/q26 rule); counting is one
+    * map-side-combinable groupBy on (prefix, next); the probability
+    * normalizer and top-k run in ONE window partitioned by prefix over
+    * prefix-grain counted rows, never corpus rows. Hot prefixes (stopword
+    * bigrams) are bounded by vocabulary, not corpus size — the window
+    * input per prefix is its distinct-next count. */
+  def ngramLm(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 3,
+      minPrefixTotal: Long = 1L): DataFrame = {
+    require(n >= 2, s"ngramLm needs n >= 2, got $n")
+    require(k > 0, s"k must be positive, got $k")
+    val grams = Ops.spread(docs)
+      .select(tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(TextFunctions.rawShinglesOfTokens(col("__t"), n)).as("g"))
+      // tokens are whitespace-split, so the last space splits prefix | next
+      .select(substring_index(col("g"), " ", n - 1).as("prefix"),
+        substring_index(col("g"), " ", -1).as("next_tok"))
+    val counts = grams.groupBy(col("prefix"), col("next_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val wp = Window.partitionBy(col("prefix"))
+    val wr = Window.partitionBy(col("prefix")).orderBy(col("cnt").desc, col("next_tok"))
+    counts
+      .withColumn("prefix_total", sum(col("cnt")).over(wp))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k && col("prefix_total") >= minPrefixTotal)
+      .select(col("prefix"), col("next_tok"), col("cnt"), col("prefix_total"),
+        round(col("cnt").cast("double") / col("prefix_total"), 6).as("prob"),
+        col("rnk"))
+  }
+
+  /** Incremental exact dedup against a persisted fingerprint state table —
+    * the steady-state form of [[Dedup.exact]] for a corpus ingested in
+    * batches (recrawls, daily drops): a document is kept iff its content
+    * fingerprint was never seen in ANY earlier batch, with min-id-wins
+    * inside the batch. Returns this batch's newly kept (fp, keep_id) and
+    * appends them to the state table via the atomic writer (crash-safe;
+    * re-running the same batch converges because the state upsert is
+    * keyed by fp).
+    *
+    * Scale shape: the batch collapses to fingerprint grain map-side
+    * first, so the anti-join against state is fp-grain vs fp-grain — one
+    * key shuffle each, never document payloads. At 100 TB the state table
+    * is the big side; bucket it by fp (or prefilter with
+    * [[Ops.bloomSemiJoin]]'s standing filter) so the anti-join co-locates
+    * instead of reshuffling state every batch — the same seam as
+    * TableIO's Delta upgrade path. */
+  def dedupIncremental(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val batch = Dedup.exact(docs, idCol, textCol).select(col("fp"), col("keep_id"))
+    val state = graft.core.TableIO.readOrEmpty(spark, statePath, batch)
+    // localCheckpoint, not persist: it pins the result BEFORE the state
+    // write below changes the files the plan reads, and it DETACHES the
+    // lineage — a persisted plan would sit in the CacheManager still keyed
+    // on the state path and silently serve this batch's rows to the next
+    // call's identical-looking anti-join over the now-changed state
+    val fresh = batch.join(state, Seq("fp"), "left_anti").localCheckpoint(true)
+    graft.core.TableIO.upsertByKey(spark, statePath, fresh, Seq("fp"))
+    fresh
+  }
+
   /** Token-budget packing: assign documents to bins of roughly `budget`
     * tokens for sequence packing. Documents are sharded by id hash (the
     * scale axis — each shard packs independently, so the window never sees

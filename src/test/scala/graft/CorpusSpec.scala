@@ -325,6 +325,51 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(!rows.keys.exists(_._1 == 4L))
   }
 
+  test("ngramLm: hand-computed bigram counts, conditional probs, rank tiebreak") {
+    val docs = df("doc_id INT, text STRING",
+      Row(Int.box(1), "a b a b a c"),
+      Row(Int.box(2), "x")) // below n tokens: contributes nothing
+    val out = Corpus.ngramLm(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))).toMap
+    // bigrams: (a,b)x2 (b,a)x2 (a,c)x1 — prefix totals a=3, b=2
+    assert(out == Map(
+      ("a", "b") -> ((2L, 3L, 0.666667, 1)),
+      ("a", "c") -> ((1L, 3L, 0.333333, 2)),
+      ("b", "a") -> ((2L, 2L, 1.0, 1))), s"got $out")
+  }
+
+  test("ngramLm: k truncates per prefix; minPrefixTotal prunes rare prefixes") {
+    val docs = df("doc_id INT, text STRING",
+      Row(Int.box(1), "p a p b p c p a p b p a")) // p→{a:3,b:2,c:1}, a→p:2, b→p:2, c→p:1
+    val top = Corpus.ngramLm(docs, "text", n = 2, k = 2, minPrefixTotal = 6L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(5)))
+    // only prefix p survives the total cutoff (6 occurrences), and k=2
+    // keeps a (rnk 1) and b (rnk 2) — c truncated
+    assert(top.toSet == Set(("p", "a", 1), ("p", "b", 2)), s"got ${top.toSeq}")
+  }
+
+  test("dedupIncremental: cross-batch dups drop via state, min-id wins in-batch, rerun converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_spec").toString + "/state"
+    val b1 = df("doc_id BIGINT, text STRING",
+      Row(Long.box(5L), "same content"), Row(Long.box(3L), "same content"),
+      Row(Long.box(7L), "unique one"))
+    val b2 = df("doc_id BIGINT, text STRING",
+      Row(Long.box(10L), "same content"), // dup of batch 1 → dropped by state
+      Row(Long.box(11L), "brand new"))
+    val kept1 = Corpus.dedupIncremental(spark, root, b1, "doc_id", "text")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept1 == Set(3L, 7L), s"got $kept1") // min id wins within the batch
+    val kept2 = Corpus.dedupIncremental(spark, root, b2, "doc_id", "text")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(kept2 == Set(11L), s"got $kept2")
+    // replaying batch 2 is a no-op: its fingerprints are all in the state now
+    val replay = Corpus.dedupIncremental(spark, root, b2, "doc_id", "text").count()
+    assert(replay == 0L)
+    // the state table accumulated every kept fingerprint exactly once
+    assert(spark.read.parquet(root).count() == 3L)
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),
