@@ -323,36 +323,46 @@ object Corpus {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, n: Int = 2, buckets: Int = 1024): DataFrame = {
     require(n > 0 && buckets > 0, "n and buckets must be positive")
-    val grams = Ops.spread(docs)
+    // Two measured traps here (13 s → 0.5 s on the sf0.1 gram stream):
+    // tokens must land in their own projection first — passed inline, every
+    // element_at inside the interpreted shingle lambda re-runs the regex
+    // split, O(tokens²) per document — and the explode must FUSE with the
+    // shingle transform in one Generate (ngramLm's shape): a standalone
+    // Project materializing the gram array between codegen'd stages paid
+    // ~1 ms/row before the Generate ever saw it.
+    val bkt = Ops.spread(docs)
       .select(col(idCol), targetFilter.as("__tgt"),
-        TextFunctions.rawShinglesOfTokens(
-          tokens(coalesce(col(textCol), lit(""))), n).as("__g"))
-    val bkt = grams
-      .select(col(idCol), col("__tgt"), explode(col("__g")).as("__gram"))
+        tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol), col("__tgt"),
+        explode(TextFunctions.rawShinglesOfTokens(col("__t"), n)).as("__gram"))
       .select(col(idCol), col("__tgt"),
         pmod(hash32(col("__gram")), lit(buckets)).as("bucket"))
       .persist()
     try {
-      val totals = bkt.agg(count(lit(1)),
-        count(when(col("__tgt"), lit(1)))).first()
-      val (nr, nt) = (totals.getLong(0), totals.getLong(1))
-      val raw = bkt.groupBy("bucket").agg(count(lit(1)).as("__cr"))
-      val tgt = bkt.filter(col("__tgt"))
-        .groupBy("bucket").agg(count(lit(1)).as("__ct"))
-      def lnp(c: Column, total: Long): Column =
-        log((c + 1L).cast("double") / lit((total + buckets).toDouble))
-          .cast("decimal(24,12)")
-      val table = raw.join(tgt, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (lnp(coalesce(col("__ct"), lit(0L)), nt) - lnp(col("__cr"), nr)).as("__lr"))
-      val out = bkt.join(broadcast(table), Seq("bucket"))
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("__s"))
-        .select(col(idCol), col("n_grams"),
-          round(col("__s").cast("double"), 6).as("logw"))
-        .persist()
-      out.count(): Unit
-      out
+      // both LM bucket tables in ONE conditional aggregation (the separate
+      // raw/tgt groupBys + left join paid two extra shuffles for the same
+      // ≤`buckets`-row result), and the corpus totals read off the tiny
+      // aggregate instead of rescanning the gram stream
+      val cnts = bkt.groupBy("bucket").agg(count(lit(1)).as("__cr"),
+        count(when(col("__tgt"), lit(1))).as("__ct")).persist()
+      try {
+        val totals = cnts.agg(sum(col("__cr")), sum(col("__ct"))).first()
+        val (nr, nt) =
+          if (totals.isNullAt(0)) (0L, 0L) else (totals.getLong(0), totals.getLong(1))
+        def lnp(c: Column, total: Long): Column =
+          log((c + 1L).cast("double") / lit((total + buckets).toDouble))
+            .cast("decimal(24,12)")
+        val table = cnts.select(col("bucket"),
+          (lnp(col("__ct"), nt) - lnp(col("__cr"), nr)).as("__lr"))
+        val out = bkt.join(broadcast(table), Seq("bucket"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("__s"))
+          .select(col(idCol), col("n_grams"),
+            round(col("__s").cast("double"), 6).as("logw"))
+          .persist()
+        out.count(): Unit
+        out
+      } finally cnts.unpersist(): Unit
     } finally bkt.unpersist(): Unit
   }
 
