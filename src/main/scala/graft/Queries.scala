@@ -476,8 +476,10 @@ object Queries {
   /** Real codec round-trip: synthesize deterministic PNGs, then header-only
     * ImageIO decode — generate∘decode = identity is the oracle contract. */
   def mediaDecodeQ(s: SparkSession, d: String): DataFrame = {
+    // spread first: the PNG encode is CPU-bound per row, and a single-file
+    // scan would otherwise run the whole codec pass in one task
     val media = graft.multimodal.Multimodal.synthesizeImages(
-      Tables.documents(s, d).select("doc_id"), "doc_id")
+      Ops.spread(Tables.documents(s, d).select("doc_id")), "doc_id")
     graft.multimodal.Multimodal.decodeMeta(media).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("format"))
   }
@@ -540,7 +542,7 @@ object Queries {
     * the same features declaratively. */
   def mmFeatureAnn(s: SparkSession, d: String): DataFrame = {
     val media = graft.multimodal.Multimodal.asMediaTable(
-      Tables.documents(s, d), "doc_id", "text", "text/plain")
+      Ops.spread(Tables.documents(s, d)), "doc_id", "text", "text/plain")
     val feats = graft.multimodal.Multimodal.extractFeatures(media, dims = 16).toDF()
     Similarity.bruteForceTopK(feats.filter(col("doc_id") < 20), feats, "doc_id", "features", 5)
   }
