@@ -1004,6 +1004,30 @@ b2 AS (SELECT fp, min(doc_id) AS keep_id, 2 AS batch FROM d WHERE doc_id >= 250
        AND fp NOT IN (SELECT fp FROM b1) GROUP BY fp)
 SELECT fp, keep_id, batch FROM b1 UNION ALL SELECT fp, keep_id, batch FROM b2""",
 
+    // per-group percentile_disc via the q48 histogram-CDF, partitioned
+    "q78_group_quantiles" -> """
+WITH hist AS (SELECT event_type, value AS v, count(*)::BIGINT AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+  FROM hist)
+SELECT event_type, sum(c)::BIGINT AS n_rows,
+       min(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS p25,
+       min(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS p50,
+       min(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS p90,
+       min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+FROM cum GROUP BY event_type""",
+
+    "q79_cube_revenue" -> """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::int AS g_status,
+       grouping(o_orderpriority)::int AS g_priority,
+       (sum(cast(o_totalprice AS DECIMAL(18,4))))::double AS revenue,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+
     // IVFPQ: coarse assignment, per-subspace PQ codes, and ADC scoring all
     // in integer micro-unit L2 — every distance is an exact integer, so the
     // mirror is the textbook Σ(v−w)² with no rounding anywhere; Spark's

@@ -653,6 +653,24 @@ object Queries {
     b1.unionByName(b2)
   }
 
+  /** Per-group exact percentiles (histogram-CDF, percentile_disc): event
+    * value distribution per event type. */
+  def groupQuantilesQ(s: SparkSession, d: String): DataFrame =
+    Ops.groupQuantiles(Tables.events(s, d), Seq("event_type"), col("value"),
+      ps = Seq(0.25, 0.5, 0.9, 0.99))
+
+  /** CUBE grouping sets: revenue by every subset of (status, priority),
+    * grouping flags disambiguating NULL keys. */
+  def cubeRevenueQ(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("g_status"), col("g_priority"), col("revenue"), col("n_orders"))
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -794,6 +812,8 @@ object Queries {
     "q75_session_window" -> (sessionWindowQ _),
     "q76_ngram_lm" -> (ngramLmQ _),
     "q77_incremental_dedup" -> (incrementalDedupQ _),
+    "q78_group_quantiles" -> (groupQuantilesQ _),
+    "q79_cube_revenue" -> (cubeRevenueQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -151,6 +151,42 @@ object Ops {
     big.filter(probe).join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }
 
+  /** Per-group EXACT discrete percentiles without collecting group values:
+    * the [[graft.operators.Corpus.tokenStats]] histogram-CDF construction,
+    * partitioned by group. p-th percentile = the smallest value whose
+    * cumulative count reaches ceil(p·n) (percentile_disc semantics —
+    * engine-exact, no interpolation, so any SQL oracle reproduces it
+    * bit-for-bit; NULL values are excluded up front for the same
+    * sort-order reason as tokenStats).
+    *
+    * Scale shape: the corpus collapses to (group, distinct value) grain in
+    * one map-side-combinable aggregation; the cumulative window then runs
+    * per group over histogram CELLS, not rows — the memory hazard of
+    * `percentile`-style per-group value buffering never arises. Heavy
+    * groups are bounded by their distinct-value count (quantize the value
+    * first if it is continuous and adversarially unique). */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], value: Column,
+      ps: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(groupCols.nonEmpty, "groupQuantiles needs at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"percentiles must be in (0,1], got $ps")
+    val names = ps.map(p => s"p${(p * 100).round}")
+    require(names.distinct == names, s"percentiles render to duplicate column names: $names")
+    val gcols = groupCols.map(col)
+    val hist = df.select(gcols :+ value.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy(gcols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(gcols: _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wg))
+    val pcols = ps.zip(names).map { case (p, name) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(name)
+    }
+    cum.groupBy(gcols: _*).agg(sum(col("__c")).as("n_rows"), pcols: _*)
+  }
+
   /** Time-range rolling aggregation (W5 shape — RANGE frame over event
     * time): for every row, the sum/count of `value` over the trailing
     * `windowSeconds` window within the same key, endpoints inclusive.

@@ -211,6 +211,16 @@ object PlanAudit {
       // per-step joins are equi on the key with the range as residual
       "equi_joins" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q78_group_quantiles",
+      // the corpus collapses to (group, value) histogram cells map-side;
+      // the CDF window partitions by group, never a global sort
+      "partial_agg" -> (_.contains("partial_count")),
+      "group_window" -> (p => "hashpartitioning\\(event_type".r.findFirstIn(p).isDefined),
+      "no_global_window" -> (p => !p.contains("SinglePartition, ")))
+    audit("q79_cube_revenue",
+      // CUBE expands map-side into one combinable aggregation
+      "expand" -> (_.contains("Expand")),
+      "partial_agg" -> (_.contains("partial_")))
     audit("q75_session_window",
       // session_window is one key shuffle + sort, like q47's formulation
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),

@@ -399,6 +399,19 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(flat.values.sum - 1.0) < 1e-9)
   }
 
+  test("groupQuantiles: percentile_disc per group over the histogram, nulls excluded") {
+    val d = df("g STRING, v INT",
+      (Seq.tabulate(10)(i => Row("a", Int.box(i + 1))) :+ // a: 1..10
+        Row("b", Int.box(5)) :+ Row("b", Int.box(5)) :+ Row("b", Int.box(7)) :+
+        Row("b", null)): _*)
+    val out = Ops.groupQuantiles(d, Seq("g"), col("v"), ps = Seq(0.5, 0.9, 1.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // a: n=10 → p50 = smallest v with cum ≥ 5 → 5; p90 → cum ≥ 9 → 9; p100 → 10
+    // b: n=3 (null dropped) → p50: cum ≥ 2 → 5; p90: cum ≥ 3 → 7; p100 → 7
+    assert(out == Map("a" -> ((10L, 5, 9, 10)), "b" -> ((3L, 5, 7, 7))), s"got $out")
+  }
+
   test("dedupFirst keeps exactly the first row per key by the given order") {
     val d = df("k INT, v INT", Row(Int.box(1), Int.box(10)),
       Row(Int.box(1), Int.box(20)), Row(Int.box(2), Int.box(5)))
