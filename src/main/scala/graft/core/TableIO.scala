@@ -112,6 +112,28 @@ object TableIO {
   /** Remove a directory tree (e.g. a scratch warehouse root). */
   def clearDir(path: String): Unit = deleteRecursively(new File(path))
 
+  /** Write `df` as a BUCKETED managed table: rows hash-partition into
+    * `numBuckets` files per partition by `bucketCols`, and the layout is
+    * recorded in the catalog so joins/aggregations on the bucket columns
+    * read co-located data WITHOUT a shuffle (Spark requires `saveAsTable`
+    * for this — a path-only parquet write records no bucket metadata).
+    *
+    * This is the standing-table answer to the repeated-shuffle problem at
+    * 100 TB: pay one clustering write, then every bucket-keyed join/agg
+    * against another table bucketed the same way plans as zero-exchange
+    * SortMergeJoin (CoreSpec asserts the plan shape). The per-cycle
+    * warehouse tables deliberately do NOT use this — their atomic-swap
+    * contract (overwriteAtomic) trades layout for lock-free readers; at
+    * cluster scale a table format supplies both. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0, "need bucket columns and a positive count")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Atomic overwrite: write to `<path>.__tmp__`, then swap. Readers racing
     * the swap see either the old or the new table; a crash mid-swap is
     * healed by [[recover]] on the next access. */

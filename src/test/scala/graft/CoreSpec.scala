@@ -399,6 +399,33 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(math.abs(flat.values.sum - 1.0) < 1e-9)
   }
 
+  test("writeBucketed: bucket-keyed join and aggregation plan with ZERO exchanges") {
+    val left = spark.range(1000).selectExpr("id as k", "id * 2 as a")
+    val right = spark.range(500).selectExpr("id as k", "id * 3 as b")
+    TableIO.writeBucketed(left, "bk_left", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    TableIO.writeBucketed(right, "bk_right", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    // the fixture is broadcast-sized, which would sidestep the shuffle this
+    // test is about — force the shuffle-join path a 100 TB side would take
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), Seq("k"))
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange"), s"bucketed join still shuffles:\n${jplan.take(1500)}")
+      assert(joined.count() == 500)
+      // aggregation on the bucket key also skips its shuffle
+      val agg = spark.table("bk_left").groupBy("k").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() == 1000)
+      // correctness against the plain (shuffled) join
+      assert(canon(joined) == canon(left.join(right, Seq("k"))))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_left"): Unit
+      spark.sql("DROP TABLE IF EXISTS bk_right"): Unit
+    }
+  }
+
   test("groupQuantiles: percentile_disc per group over the histogram, nulls excluded") {
     val d = df("g STRING, v INT",
       (Seq.tabulate(10)(i => Row("a", Int.box(i + 1))) :+ // a: 1..10
