@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Cluster, Corpus}
+import graft.operators.{Cluster, Corpus, Ops}
 
 /** Property gates for the corpus/clustering operators: each Spark result is
   * replayed against a direct Scala reference implementation over random
@@ -32,6 +32,125 @@ class CorpusPropertySpec extends AnyFunSuite with SparkSpecBase {
 
   private def toks(s: String): Vector[String] =
     s.split("\\s+").filter(_.nonEmpty).toVector
+
+  test("rollingWindow matches an O(n²) reference over random event streams") {
+    import org.apache.spark.sql.functions.col
+    val evGen: Gen[List[(Int, Long, Double)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 4)
+        t <- Gen.choose(0L, 500L) // seconds; dense → heavy frame overlap + ties
+        v <- Gen.choose(-50, 50)
+      } yield (u, t, v / 4.0))
+    } yield rows
+    for (seed <- 1L to 8L) {
+      val rows = sample(evGen, seed)
+      val win = 1 + (seed % 100)
+      val ev = df("user_id INT, ts TIMESTAMP, value DOUBLE",
+        rows.map { case (u, t, v) =>
+          Row(Int.box(u), new java.sql.Timestamp(t * 1000L), Double.box(v)) }: _*)
+      val got = Ops.rollingWindow(ev, "user_id", "ts", col("value"), win)
+        .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime / 1000L,
+          r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      // reference: for every row, sum/count of same-user rows in (t-win, t]
+      got.foreach { case (u, t, v, sum, n) =>
+        val frame = rows.filter { case (u2, t2, _) => u2 == u && t2 <= t && t2 >= t - win }
+        val expSum = frame.map { case (_, _, v2) => BigDecimal(v2).setScale(4) }.sum
+        assert(n == frame.size && BigDecimal(sum).setScale(4) == expSum,
+          s"seed=$seed win=$win row=($u,$t,$v): got ($sum,$n), want ($expSum,${frame.size})")
+      }
+    }
+  }
+
+  test("funnel matches a driver-side greedy reference over random event streams") {
+    import org.apache.spark.sql.functions.col
+    val evGen: Gen[List[(Int, Long, String)]] = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1, 5)
+        t <- Gen.choose(0L, 50L) // coarse → frequent same-instant steps
+        e <- Gen.oneOf("view", "click", "buy", "other")
+      } yield (u, t, e))
+    } yield rows
+    val steps = Seq("view", "click", "buy")
+    for (seed <- 1L to 8L) {
+      val rows = sample(evGen, seed)
+      val ev = df("u INT, ts TIMESTAMP, t STRING",
+        rows.map { case (u, t, e) =>
+          Row(Int.box(u), new java.sql.Timestamp(t * 1000L), e) }: _*)
+      val got = Ops.funnel(ev, "u", "ts", "t", steps)
+        .collect().map(r => r.getInt(0) ->
+          ((1 to 3).map(i => Option(r.getTimestamp(i)).map(_.getTime / 1000L)), r.getInt(4)))
+        .toMap
+      // reference: earliest completion per step at-or-after the previous
+      val want = rows.map(_._1).distinct.flatMap { u =>
+        val mine = rows.filter(_._1 == u)
+        val chain = steps.foldLeft(List.empty[Option[Long]]) { (acc, st) =>
+          val lower = acc.lastOption.getOrElse(Some(Long.MinValue))
+          val hit = lower.flatMap(lo =>
+            mine.filter(r => r._3 == st && r._2 >= lo).map(_._2).minOption)
+          acc :+ hit
+        }
+        if (chain.head.isEmpty) None
+        else Some(u -> ((chain.toIndexedSeq, chain.count(_.isDefined))))
+      }.toMap
+      assert(got == want, s"seed=$seed: got $got want $want")
+    }
+  }
+
+  test("groupQuantiles matches a sorted-array reference over random groups") {
+    import org.apache.spark.sql.functions.col
+    val gen: Gen[List[(String, Int)]] = for {
+      n <- Gen.choose(1, 80)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y", "z")
+        v <- Gen.choose(0, 15) // small range → heavy ties
+      } yield (g, v))
+    } yield rows
+    val ps = Seq(0.25, 0.5, 0.9, 1.0)
+    for (seed <- 1L to 8L) {
+      val rows = sample(gen, seed)
+      val d = df("g STRING, v INT",
+        rows.map { case (g, v) => Row(g, Int.box(v)) }: _*)
+      val got = Ops.groupQuantiles(d, Seq("g"), col("v"), ps)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), (2 to 5).map(r.getInt).toList))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted.toIndexedSeq
+        g -> ((rs.size.toLong,
+          ps.map(p => sorted(math.ceil(p * sorted.size).toInt - 1)).toList))
+      }
+      assert(got == want, s"seed=$seed: got $got want $want")
+    }
+  }
+
+  test("ngramLm matches a driver-side bigram reference") {
+    val lmGen: Gen[List[String]] = for {
+      n <- Gen.choose(1, 20)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.frequency(1 -> Gen.const(0), 1 -> Gen.const(1), 8 -> Gen.choose(2, 15))
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield ws.mkString(" "))
+    } yield docs
+    for (seed <- 1L to 8L) {
+      val docs = sample(lmGen, seed)
+      val k = 1 + (seed % 3).toInt
+      val got = Corpus.ngramLm(toDf(docs), "text", n = 2, k = k)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getInt(5)))).toMap
+      val pairs = docs.flatMap(t => { val ts = toks(t); ts.zip(ts.drop(1)) })
+      val want = pairs.groupBy(_._1).flatMap { case (p, ps_) =>
+        val total = ps_.size.toLong
+        ps_.groupBy(_._2).map { case (nx, occ) => (nx, occ.size.toLong) }.toList
+          .sortBy { case (nx, c) => (-c, nx) }.take(k).zipWithIndex
+          .map { case ((nx, c), i) =>
+            (p, nx) -> ((c, total,
+              BigDecimal(c.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              i + 1)) }
+      }
+      assert(got == want, s"seed=$seed k=$k: got $got want $want")
+    }
+  }
 
   test("dedupSegments matches a direct reference implementation") {
     for (seed <- 1L to 8L) {
