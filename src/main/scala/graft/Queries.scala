@@ -541,8 +541,10 @@ object Queries {
     * batch shape, Array[Float] encoder — against an oracle that recomputes
     * the same features declaratively. */
   def mmFeatureAnn(s: SparkSession, d: String): DataFrame = {
+    // NOT spread: the stub feature kernel is md5-cheap, and the repartition
+    // would shuffle full text payloads for no codec win (A/B: 1.5 s → 2.7 s)
     val media = graft.multimodal.Multimodal.asMediaTable(
-      Ops.spread(Tables.documents(s, d)), "doc_id", "text", "text/plain")
+      Tables.documents(s, d), "doc_id", "text", "text/plain")
     val feats = graft.multimodal.Multimodal.extractFeatures(media, dims = 16).toDF()
     Similarity.bruteForceTopK(feats.filter(col("doc_id") < 20), feats, "doc_id", "features", 5)
   }

@@ -53,6 +53,10 @@ object Multimodal {
     * (width, height, format) without touching pixel data. Returns None for
     * payloads no installed reader claims (→ stub fallback). */
   private[multimodal] def realDecode(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    // memory-backed image input: the default disk cache writes a temp file
+    // per stream, which becomes filesystem churn when 32 tasks decode
+    // concurrently (payloads are already in-memory byte arrays here)
+    javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
