@@ -1004,6 +1004,26 @@ b2 AS (SELECT fp, min(doc_id) AS keep_id, 2 AS batch FROM d WHERE doc_id >= 250
        AND fp NOT IN (SELECT fp FROM b1) GROUP BY fp)
 SELECT fp, keep_id, batch FROM b1 UNION ALL SELECT fp, keep_id, batch FROM b2""",
 
+    // interval join at epoch-micros precision (the ns→us floor both
+    // engines share — same rationale as q74)
+    "q81_interval_join" -> """
+WITH b AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click')
+SELECT buy_id, click_id, user_id, buy_us, click_us
+FROM b JOIN c USING (user_id)
+WHERE click_us >= buy_us - 600 * 1000000 AND click_us <= buy_us + 600 * 1000000""",
+
+    "q80_set_ops" -> """
+WITH c95 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31 23:59:59'),
+c96 AS (SELECT o_custkey FROM orders
+        WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-12-31 23:59:59')
+SELECT o_custkey, 'both' AS tag FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS tag FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)""",
+
     // per-group percentile_disc via the q48 histogram-CDF, partitioned
     "q78_group_quantiles" -> """
 WITH hist AS (SELECT event_type, value AS v, count(*)::BIGINT AS c

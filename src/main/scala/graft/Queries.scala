@@ -673,6 +673,34 @@ object Queries {
       .select(col("o_orderstatus"), col("o_orderpriority"),
         col("g_status"), col("g_priority"), col("revenue"), col("n_orders"))
 
+  /** U2/U3 set operators: customers ordering in BOTH 1995 and 1996
+    * (INTERSECT) and in 1995 but never 1996 (EXCEPT), tagged and unioned.
+    * Spark plans both as aggregated semi/anti joins — one key shuffle each,
+    * no distinct-then-join detour. */
+  def setOpsQ(s: SparkSession, d: String): DataFrame = {
+    def custsIn(year: Int): DataFrame =
+      Tables.orders(s, d).filter(col("o_orderdate").between(
+          to_timestamp(lit(f"$year%d-01-01")), to_timestamp(lit(f"$year%d-12-31 23:59:59"))))
+        .select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).withColumn("tag", lit("both"))
+      .unionByName(custsIn(1995).except(custsIn(1996)).withColumn("tag", lit("only_1995")))
+  }
+
+  /** Interval (time-bound) join, batch mode: each purchase paired with the
+    * same user's clicks within ±10 minutes — the batch face of the
+    * watermarked stream-stream join (StreamingSpec asserts parity). */
+  def intervalJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.streaming.Streams.intervalJoin(buys, clicks, "b_user", "c_user",
+        "b_ts", "c_ts", before = "10 minutes", after = "10 minutes")
+      .select(col("buy_id"), col("click_id"), col("b_user").as("user_id"),
+        micros(col("b_ts")).as("buy_us"), micros(col("c_ts")).as("click_us"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -816,6 +844,8 @@ object Queries {
     "q77_incremental_dedup" -> (incrementalDedupQ _),
     "q78_group_quantiles" -> (groupQuantilesQ _),
     "q79_cube_revenue" -> (cubeRevenueQ _),
+    "q80_set_ops" -> (setOpsQ _),
+    "q81_interval_join" -> (intervalJoinQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

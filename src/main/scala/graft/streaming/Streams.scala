@@ -97,6 +97,35 @@ object Streams {
       }.toDF("fp", "keep_id")
   }
 
+  /** Watermarked stream-stream inner join: enrich each left event with
+    * right events of the same key whose timestamp falls in
+    * [left.ts − before, left.ts + after]. The time-bound condition is what
+    * makes an unbounded-stream join finite: with both sides watermarked,
+    * the state store can evict a buffered row once the other side's
+    * watermark passes its join window — without the bound, state grows
+    * forever and Spark rejects the query in append mode.
+    *
+    * Column convention: pass pre-renamed frames (no shared names besides
+    * nothing — the key columns are named per side); the result carries
+    * both sides' columns. Works identically in batch (same join condition,
+    * no watermark) — StreamingSpec asserts stream ≡ batch.
+    *
+    * Scale shape: one hash shuffle per side on the key (the same exchange
+    * a batch SMJ pays); state per key is bounded by the time bound × event
+    * rate, evicted by watermark — the join never holds more than the
+    * active window of either stream. */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+  }
+
   /** Maintain an SCD2 dimension from a CDC event stream: each micro-batch is
     * merged through the same Scd2.merge the batch path uses, persisted with
     * the atomic upsert writer. `Trigger.AvailableNow` makes this the

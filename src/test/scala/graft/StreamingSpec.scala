@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
       ("2024-01-01 11:25:00.0", "2024-01-01 11:55:00.0", 1L)), s"got $u1")
   }
 
+  test("stream-stream interval join equals the batch join; bound excludes far pairs") {
+    val dir = tmp()
+    val views = df("v_user INT, v_ts TIMESTAMP, page STRING",
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), "home"),
+      Row(Int.box(1), ts("2024-01-01 12:00:00"), "pricing"),
+      Row(Int.box(2), ts("2024-01-01 10:00:00"), "home"))
+    val buys = df("b_user INT, b_ts TIMESTAMP, amount DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:05:00"), Double.box(9.99)), // 5m after view: joins
+      Row(Int.box(1), ts("2024-01-01 11:00:00"), Double.box(5.0)),  // 1h from both views: excluded
+      Row(Int.box(2), ts("2024-01-01 09:58:00"), Double.box(1.0)))  // 2m BEFORE the view: joins
+    views.write.parquet(dir + "/v")
+    buys.write.parquet(dir + "/b")
+    val q = Streams.intervalJoin(
+        Streams.readFileStream(spark, dir + "/v", views.schema),
+        Streams.readFileStream(spark, dir + "/b", buys.schema),
+        "v_user", "b_user", "v_ts", "b_ts")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = canon(spark.table("ss_join"))
+    val batch = canon(Streams.intervalJoin(views, buys, "v_user", "b_user", "v_ts", "b_ts"))
+    assert(streamed == batch && streamed.nonEmpty)
+    val pairs = spark.table("ss_join").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getDouble(5))).toSet
+    assert(pairs == Set((1, "home", 9.99), (2, "home", 1.0)), s"got $pairs")
+  }
+
   test("watermark drops late data and append mode emits only closed windows") {
     val dir = tmp()
     val schema = eventRows.schema
