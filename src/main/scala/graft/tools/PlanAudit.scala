@@ -211,6 +211,15 @@ object PlanAudit {
       // per-step joins are equi on the key with the range as residual
       "equi_joins" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q80_set_ops",
+      // INTERSECT/EXCEPT must plan as aggregated semi/anti joins — one key
+      // shuffle each, never a distinct-then-nested-loop detour
+      "semi_and_anti" -> (p => p.contains("LeftSemi") && p.contains("LeftAnti")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q81_interval_join",
+      // equi on the key, the time bound as residual — never a cross product
+      "equi_key_join" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q78_group_quantiles",
       // the corpus collapses to (group, value) histogram cells map-side;
       // the CDF window partitions by group, never a global sort
