@@ -1015,6 +1015,14 @@ SELECT buy_id, click_id, user_id, buy_us, click_us
 FROM b JOIN c USING (user_id)
 WHERE click_us >= buy_us - 600 * 1000000 AND click_us <= buy_us + 600 * 1000000""",
 
+    "q82_json_extract" -> """
+SELECT event_type, count(*) AS n_events,
+       count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_bad,
+       sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::INT) AS min_k,
+       max(json_extract(props, '$.k')::INT) AS max_k
+FROM events GROUP BY event_type""",
+
     "q80_set_ops" -> """
 WITH c95 AS (SELECT o_custkey FROM orders
              WHERE o_orderdate BETWEEN '1995-01-01' AND '1995-12-31 23:59:59'),

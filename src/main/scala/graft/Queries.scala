@@ -701,6 +701,20 @@ object Queries {
         micros(col("b_ts")).as("buy_us"), micros(col("c_ts")).as("click_us"))
   }
 
+  /** Semi-structured extraction: parse the JSON `props` column with an
+    * explicit schema (`from_json` — codegen'd, no UDF) and aggregate the
+    * extracted field per event type. A malformed document yields NULL
+    * (PERMISSIVE), surfaced in `n_bad`. */
+  def jsonExtractQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("k").isNull, lit(1))).as("n_bad"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -846,6 +860,7 @@ object Queries {
     "q79_cube_revenue" -> (cubeRevenueQ _),
     "q80_set_ops" -> (setOpsQ _),
     "q81_interval_join" -> (intervalJoinQ _),
+    "q82_json_extract" -> (jsonExtractQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),
