@@ -996,8 +996,8 @@ FROM r WHERE rnk <= 3 AND prefix_total >= 100""",
     "q77_incremental_dedup" -> """
 WITH d AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'),
-                                 '\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
   FROM documents),
 b1 AS (SELECT fp, min(doc_id) AS keep_id, 1 AS batch FROM d WHERE doc_id < 250 GROUP BY fp),
 b2 AS (SELECT fp, min(doc_id) AS keep_id, 2 AS batch FROM d WHERE doc_id >= 250

@@ -42,6 +42,13 @@ case class MediaFeatures(doc_id: Long, features: Array[Float])
   */
 object Multimodal {
 
+  // memory-backed image input streams: the default disk cache writes a temp
+  // file per stream — filesystem churn when 32 tasks decode concurrently,
+  // and pointless for payloads already held as byte arrays. JVM-global, set
+  // ONCE on first use of this object in each driver/executor JVM (every
+  // kernel below is a method of this object, so touching one initializes it)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Wrap a table into the media shape: (doc_id, media_type, content binary). */
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
       mediaType: String): DataFrame =
@@ -53,10 +60,6 @@ object Multimodal {
     * (width, height, format) without touching pixel data. Returns None for
     * payloads no installed reader claims (→ stub fallback). */
   private[multimodal] def realDecode(bytes: Array[Byte]): Option[(Int, Int, String)] = {
-    // memory-backed image input: the default disk cache writes a temp file
-    // per stream, which becomes filesystem churn when 32 tasks decode
-    // concurrently (payloads are already in-memory byte arrays here)
-    javax.imageio.ImageIO.setUseCache(false)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {

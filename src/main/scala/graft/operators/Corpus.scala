@@ -602,9 +602,14 @@ object Corpus {
   /** PII redaction (the pre-training scrub pass): replace emails, IPv4
     * addresses, and phone-shaped numbers with typed placeholder tokens and
     * report per-document match counts. Patterns apply in a fixed order
-    * (email → ip → phone) so a credential like `user@1.2.3.4` redacts as
-    * one email, not an email plus an IP; counts are taken on the ORIGINAL
-    * text in the same order (deterministic, engine-independent).
+    * (email → ip → phone): a token matching several patterns is consumed
+    * by the earliest pass — e.g. `call 555-123-4567` inside an already-
+    * redacted span stays gone, and digit runs inside an email's local part
+    * never surface as phone fragments. (An IP-shaped domain like
+    * `user@1.2.3.4` is NOT an email under EmailRe — the TLD must be
+    * alphabetic — so the IP pass claims its address part.) Counts are
+    * taken on the ORIGINAL text in the same order (deterministic,
+    * engine-independent).
     *
     * Scale shape: pure per-row projection — no shuffle, codegen'd regex
     * kernels, scales with input splits. */
@@ -699,7 +704,15 @@ object Corpus {
     * TableIO's Delta upgrade path. */
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession, statePath: String,
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val batch = Dedup.exact(docs, idCol, textCol).select(col("fp"), col("keep_id"))
+    // NULL text coalesces to "" BEFORE fingerprinting: a NULL fp would
+    // break the whole state contract — the left_anti below never matches
+    // NULL against NULL, so every batch would re-keep its null-text doc
+    // (and an SQL mirror's NOT IN goes the other way, emptying the batch).
+    // For dedup identity, a null document and an empty one are the same
+    // content
+    val batch = Dedup.exact(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), idCol, textCol)
+      .select(col("fp"), col("keep_id"))
     val state = graft.core.TableIO.readOrEmpty(spark, statePath, batch)
     // localCheckpoint, not persist: it pins the result BEFORE the state
     // write below changes the files the plan reads, and it DETACHES the

@@ -51,7 +51,7 @@ object Streams {
     * still extends the session — the same strictly-greater break rule as
     * sessionize (asserted in StreamingSpec); bounds are start = first
     * event, end = last event + gap.
-    * Works identically in batch (q69's oracle gate) and streaming (with the
+    * Works identically in batch (q75's oracle gate) and streaming (with the
     * watermark, append mode emits a session only once it can no longer
     * grow — StreamingSpec asserts stream ≡ batch).
     *

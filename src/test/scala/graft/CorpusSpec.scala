@@ -356,18 +356,24 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
       Row(Long.box(7L), "unique one"))
     val b2 = df("doc_id BIGINT, text STRING",
       Row(Long.box(10L), "same content"), // dup of batch 1 → dropped by state
-      Row(Long.box(11L), "brand new"))
+      Row(Long.box(11L), "brand new"),
+      Row(Long.box(12L), null)) // NULL text: fp of "" — must dedup, not NULL-leak
     val kept1 = Corpus.dedupIncremental(spark, root, b1, "doc_id", "text")
       .collect().map(r => r.getLong(1)).toSet
     assert(kept1 == Set(3L, 7L), s"got $kept1") // min id wins within the batch
     val kept2 = Corpus.dedupIncremental(spark, root, b2, "doc_id", "text")
       .collect().map(r => r.getLong(1)).toSet
-    assert(kept2 == Set(11L), s"got $kept2")
-    // replaying batch 2 is a no-op: its fingerprints are all in the state now
+    assert(kept2 == Set(11L, 12L), s"got $kept2")
+    // replaying batch 2 is a no-op: its fingerprints are all in the state
+    // now — including the null-text doc's (a NULL fp would anti-join
+    // NULL-vs-NULL and leak the dup back out on every replay)
     val replay = Corpus.dedupIncremental(spark, root, b2, "doc_id", "text").count()
     assert(replay == 0L)
+    // a later batch's null-text doc is a dup of the registered "" content
+    val b3 = df("doc_id BIGINT, text STRING", Row(Long.box(20L), null))
+    assert(Corpus.dedupIncremental(spark, root, b3, "doc_id", "text").count() == 0L)
     // the state table accumulated every kept fingerprint exactly once
-    assert(spark.read.parquet(root).count() == 3L)
+    assert(spark.read.parquet(root).count() == 4L)
   }
 
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
