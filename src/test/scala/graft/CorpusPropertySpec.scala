@@ -152,6 +152,27 @@ class CorpusPropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("dedupIncremental over any id-ordered batch split equals single-pass exact dedup") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1L to 4L) {
+      val docs = sample(corpusGen, seed)
+      val ddf = toDf(docs)
+      val nBatches = 1 + (seed % 3).toInt
+      val root = java.nio.file.Files.createTempDirectory("graft_dedup_prop").toString + "/state"
+      // id-ordered batches: earlier batches hold strictly smaller ids, so
+      // per-batch min-id-wins composes to the global min-id-wins rule
+      val bounds = (0 to nBatches).map(i => i.toLong * docs.size / nBatches)
+      val kept = bounds.sliding(2).flatMap { case Seq(lo, hi) =>
+        Corpus.dedupIncremental(spark, root,
+          ddf.filter(col("doc_id") >= lo && col("doc_id") < hi), "doc_id", "text")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }.toSet
+      val want = graft.operators.Dedup.exact(ddf, "doc_id", "text")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kept == want, s"seed=$seed batches=$nBatches: got $kept want $want")
+    }
+  }
+
   test("dedupSegments matches a direct reference implementation") {
     for (seed <- 1L to 8L) {
       val docs = sample(corpusGen, seed)
