@@ -426,6 +426,30 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("date-partitioned layout turns the HWM predicate into partition pruning") {
+    val path = tmp() + "/events_by_day"
+    val rows = (1 to 30).map(day =>
+      Row(Long.box(day.toLong), f"2024-01-$day%02d", Double.box(day * 1.0)))
+    TableIO.overwriteAtomic(
+      df("event_id BIGINT, day STRING, value DOUBLE", rows: _*), path,
+      partitionBy = Seq("day"))
+    val hwm = spark.read.parquet(path).filter(col("day") > "2024-01-27")
+    val scan = hwm.queryExecution.executedPlan.collectLeaves().head.toString
+    // the filter must land in PartitionFilters (directory-level pruning),
+    // NOT PushedFilters (row-group level after listing everything)
+    assert(scan.contains("PartitionFilters") && scan.matches("(?s).*PartitionFilters: \\[[^\\]]*2024-01-27.*"),
+      s"HWM predicate not pruning partitions:\n${scan.take(800)}")
+    // collect() executes THIS DataFrame's queryExecution (count() would
+    // build a fresh one and leave these metrics untouched)
+    assert(hwm.collect().length == 3)
+    // the executed scan's metric counts files actually read post-pruning
+    // (df.inputFiles would report the full pre-pruning listing)
+    val numFiles = hwm.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value }
+    assert(numFiles.contains(3L), s"expected 3 pruned-in files, got $numFiles")
+  }
+
   test("groupQuantiles: percentile_disc per group over the histogram, nulls excluded") {
     val d = df("g STRING, v INT",
       (Seq.tabulate(10)(i => Row("a", Int.box(i + 1))) :+ // a: 1..10
