@@ -1015,6 +1015,16 @@ SELECT buy_id, click_id, user_id, buy_us, click_us
 FROM b JOIN c USING (user_id)
 WHERE click_us >= buy_us - 600 * 1000000 AND click_us <= buy_us + 600 * 1000000""",
 
+    // as-of spine counting: the dim mirror is q10's SCD2 CTE; the spine
+    // joins on the half-open validity interval at micros precision
+    "q83_active_versions" -> (ScdCte + """
+SELECT epoch_us(d.day) AS day_us, count(*) AS n_versions,
+       count(DISTINCT user_id) AS n_users
+FROM dim, (SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                                         TIMESTAMP '2024-01-25', INTERVAL 1 DAY)) AS day) d
+WHERE epoch_us(eff) <= epoch_us(d.day) AND epoch_us(d.day) < epoch_us(expiry)
+GROUP BY d.day"""),
+
     "q82_json_extract" -> """
 SELECT event_type, count(*) AS n_events,
        count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_bad,

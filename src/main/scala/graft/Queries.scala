@@ -715,6 +715,27 @@ object Queries {
         count(when(col("k").isNull, lit(1))).as("n_bad"),
         sum(col("k")).as("sum_k"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** As-of reporting over the SCD2 dimension: for each day of a spine, how
+    * many versions are active (eff ≤ d < exp) and how many users have one.
+    * The 21-row generated spine BROADCASTS and the range-only condition
+    * plans as BroadcastNestedLoopJoin — here that is the RIGHT plan, not a
+    * hazard: it is a per-dim-row flatmap against a constant-sized probe
+    * table (≈ spine-length comparisons per row, zero exchanges on the big
+    * side). The nested-loop danger PlanAudit hunts elsewhere is two
+    * DATA-sized sides; a bounded literal side is the exception. */
+  def activeVersionsQ(s: SparkSession, d: String): DataFrame = {
+    val dim = Scd2.fromHistory(userEvents(s, d), userScdConfig)
+    val spine = s.range(1)
+      .select(explode(sequence(
+        to_timestamp(lit("2024-01-05")), to_timestamp(lit("2024-01-25")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    dim.join(broadcast(spine),
+        col("effective_date") <= col("day") && col("day") < col("expiry_date"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_versions"), count_distinct(col("user_id")).as("n_users"))
+      .select(micros(col("day")).as("day_us"), col("n_versions"), col("n_users"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -861,6 +882,7 @@ object Queries {
     "q80_set_ops" -> (setOpsQ _),
     "q81_interval_join" -> (intervalJoinQ _),
     "q82_json_extract" -> (jsonExtractQ _),
+    "q83_active_versions" -> (activeVersionsQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),
