@@ -736,6 +736,17 @@ object Queries {
       .select(micros(col("day")).as("day_us"), col("n_versions"), col("n_users"))
   }
 
+  /** Z-order clustering key over two bounded dimensions of the event
+    * stream — the multi-dimensional data-skipping layout key (sort or
+    * range-partition by it; CoreSpec gates the locality claim). */
+  def zorderQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        (col("user_id") % 256).cast("long").as("x"),
+        (col("event_id") % 256).cast("long").as("y"))
+      .select(col("event_id"), col("x"), col("y"),
+        Ops.zorderKey(col("x"), col("y"), bits = 8).as("zkey"))
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -883,6 +894,7 @@ object Queries {
     "q81_interval_join" -> (intervalJoinQ _),
     "q82_json_extract" -> (jsonExtractQ _),
     "q83_active_versions" -> (activeVersionsQ _),
+    "q84_zorder_key" -> (zorderQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -151,6 +151,24 @@ object Ops {
     big.filter(probe).join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }
 
+  /** Z-order (Morton) interleave of two non-negative integer columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Sorting or
+    * range-partitioning a table by this key clusters BOTH dimensions at
+    * once, so parquet min/max stats narrow on both columns and a filter
+    * on either one skips most files — the layout trick behind Delta's
+    * OPTIMIZE ZORDER, here as a plain deterministic expression (pure
+    * column arithmetic, codegen'd, no shuffle of its own). Callers
+    * pre-scale values into [0, 2^bits); CoreSpec gates the interleave
+    * bit-for-bit AND the locality claim (per-file min/max widths of both
+    * columns under a z-ordered layout beat a single-column sort). */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Per-group EXACT discrete percentiles without collecting group values:
     * the [[graft.operators.Corpus.tokenStats]] histogram-CDF construction,
     * partitioned by group. p-th percentile = the smallest value whose

@@ -450,6 +450,35 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(numFiles.contains(3L), s"expected 3 pruned-in files, got $numFiles")
   }
 
+  test("zorderKey: exact Morton interleave; z-layout narrows per-file ranges on BOTH dims") {
+    // hand-computed: a=5 (101) → bits at 0,2,4 = 1+0+16; b=3 (011) → bits
+    // at 1,3,5 = 2+8+0 → 27
+    val one = df("a INT, b INT", Row(Int.box(5), Int.box(3)))
+    assert(one.select(Ops.zorderKey(col("a"), col("b"), 3)).first().getLong(0) == 27L)
+    assert(df("a INT, b INT", Row(Int.box(0), Int.box(0)))
+      .select(Ops.zorderKey(col("a"), col("b"))).first().getLong(0) == 0L)
+    // locality: 32×32 grid written as 8 range-partitioned files; under the
+    // z-key both x and y cluster, under an x-sort only x does. Compare the
+    // summed per-file (max−min) widths of both dimensions
+    val grid = spark.range(32L * 32)
+      .selectExpr("cast(id % 32 as int) as x", "cast(id div 32 as int) as y")
+    def avgWidths(sorted: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val path = tmp() + "/layout"
+      sorted.write.parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("x")) - min(col("x"))).as("wx"), (max(col("y")) - min(col("y"))).as("wy"))
+        .agg(avg(col("wx")), avg(col("wy"))).first()
+      (perFile.getDouble(0), perFile.getDouble(1))
+    }
+    val (zx, zy) = avgWidths(grid.repartitionByRange(8, Ops.zorderKey(col("x"), col("y"), 5)))
+    val (xx, xy) = avgWidths(grid.repartitionByRange(8, col("x")))
+    // x-sort: x clusters tightly but y spans the full range in every file;
+    // z-order: both stay bounded, so the combined footprint is smaller
+    assert(zx + zy < xx + xy, s"z-order ($zx, $zy) not tighter than x-sort ($xx, $xy)")
+    assert(zy < xy / 2, s"z-order y-width $zy not well below x-sort's $xy")
+  }
+
   test("groupQuantiles: percentile_disc per group over the histogram, nulls excluded") {
     val d = df("g STRING, v INT",
       (Seq.tabulate(10)(i => Row("a", Int.box(i + 1))) :+ // a: 1..10
