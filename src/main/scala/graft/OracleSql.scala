@@ -1030,6 +1030,15 @@ GROUP BY d.day"""),
 WITH t AS (SELECT event_id, (user_id % 256)::BIGINT AS x, (event_id % 256)::BIGINT AS y FROM events)
 SELECT event_id, x, y, ((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15))::BIGINT AS zkey FROM t""",
 
+    "q85_nullsafe_join" -> """
+WITH l AS (SELECT nullif(user_id, 1) AS k, event_id AS buy_id
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT nullif(user_id, 1) AS k, event_id AS sign_id
+      FROM events WHERE event_type = 'signup')
+SELECT l.k, count(*) AS n_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k""",
+
     "q82_json_extract" -> """
 SELECT event_type, count(*) AS n_events,
        count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_bad,

@@ -747,6 +747,21 @@ object Queries {
       .select(col("event_id"), col("x"), col("y"),
         Ops.zorderKey(col("x"), col("y"), bits = 8).as("zkey"))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): users whose id
+    * collapses to NULL (here: id 1, via nullif) still pair — a plain `=`
+    * would silently drop them, the classic trap when a dimension key uses
+    * a NULL sentinel. Counts per join key over a self-join of the
+    * purchase slice against the signup slice. */
+  def nullSafeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def slice(t: String, out: String) = ev.filter(col("event_type") === t)
+      .select(nullif(col("user_id"), lit(1L)).as("k"), col("event_id").as(out))
+    slice("purchase", "buy_id").as("l")
+      .join(slice("signup", "sign_id").as("r"), col("l.k") <=> col("r.k"))
+      .groupBy(col("l.k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -895,6 +910,7 @@ object Queries {
     "q82_json_extract" -> (jsonExtractQ _),
     "q83_active_versions" -> (activeVersionsQ _),
     "q84_zorder_key" -> (zorderQ _),
+    "q85_nullsafe_join" -> (nullSafeJoinQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -211,6 +211,9 @@ object PlanAudit {
       // per-step joins are equi on the key with the range as residual
       "equi_joins" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q84_zorder_key",
+      // the layout key is pure codegen'd bit arithmetic — no exchange
+      "no_shuffle" -> (p => !p.contains("Exchange")))
     audit("q80_set_ops",
       // INTERSECT/EXCEPT must plan as aggregated semi/anti joins — one key
       // shuffle each, never a distinct-then-nested-loop detour
