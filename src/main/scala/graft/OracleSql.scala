@@ -1030,6 +1030,27 @@ GROUP BY d.day"""),
 WITH t AS (SELECT event_id, (user_id % 256)::BIGINT AS x, (event_id % 256)::BIGINT AS y FROM events)
 SELECT event_id, x, y, ((((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3) | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5) | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7) | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9) | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11) | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13) | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15))::BIGINT AS zkey FROM t""",
 
+    "q86_outlier_flags" -> """
+WITH hist AS (SELECT event_type, value AS v, count(*)::BIGINT AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+        FROM hist),
+thr AS (SELECT event_type, min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS p99
+        FROM cum GROUP BY event_type)
+SELECT event_id, event_type, value, p99, (value >= p99) AS is_outlier
+FROM events JOIN thr USING (event_type)""",
+
+    "q87_fuzzy_match" -> """
+WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer)
+SELECT a.c_nationkey AS nation, count(*) AS n_close_pairs
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+GROUP BY a.c_nationkey""",
+
     "q85_nullsafe_join" -> """
 WITH l AS (SELECT nullif(user_id, 1) AS k, event_id AS buy_id
            FROM events WHERE event_type = 'purchase'),

@@ -762,6 +762,39 @@ object Queries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Sketch→filter composition: per-type p99 thresholds from
+    * [[Ops.groupQuantiles]] broadcast back onto the stream — every event at
+    * or above its type's p99 is flagged. The threshold table is
+    * group-grain (tiny), so the enrichment join is a broadcast hash join;
+    * the corpus passes through exactly once. */
+  def outlierFlagsQ(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Ops.groupQuantiles(Tables.events(s, d), Seq("event_type"),
+      col("value"), ps = Seq(0.99)).select(col("event_type"), col("p99"))
+    Tables.events(s, d)
+      .join(broadcast(thresholds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("p99"),
+        (col("value") >= col("p99")).as("is_outlier"))
+  }
+
+  /** Entity-resolution fuzzy matching: same-(nation, segment) customer
+    * pairs within edit distance 1, counted per nation. Blocking keys the
+    * join (equi on the block, distance as residual) so candidate pairs are
+    * block²-bounded, never corpus² — the standard scale shape for record
+    * linkage. */
+  def fuzzyMatchQ(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
+    val a = c.columns.foldLeft(c)((df, n) => df.withColumnRenamed(n, n + "_a"))
+    val b = c.columns.foldLeft(c)((df, n) => df.withColumnRenamed(n, n + "_b"))
+    a.join(b,
+        col("c_nationkey_a") === col("c_nationkey_b") &&
+          col("c_mktsegment_a") === col("c_mktsegment_b") &&
+          col("c_custkey_a") < col("c_custkey_b") &&
+          levenshtein(col("c_name_a"), col("c_name_b")) <= 1)
+      .groupBy(col("c_nationkey_a").as("nation"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -911,6 +944,8 @@ object Queries {
     "q83_active_versions" -> (activeVersionsQ _),
     "q84_zorder_key" -> (zorderQ _),
     "q85_nullsafe_join" -> (nullSafeJoinQ _),
+    "q86_outlier_flags" -> (outlierFlagsQ _),
+    "q87_fuzzy_match" -> (fuzzyMatchQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

@@ -211,6 +211,15 @@ object PlanAudit {
       // per-step joins are equi on the key with the range as residual
       "equi_joins" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q86_outlier_flags",
+      // group-grain thresholds broadcast; the stream passes once
+      "broadcast_thresholds" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q87_fuzzy_match",
+      // blocking keys the join EQUI with the edit distance as residual —
+      // candidate pairs are block²-bounded, never an unkeyed cross product
+      "equi_block_join" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q84_zorder_key",
       // the layout key is pure codegen'd bit arithmetic — no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))
