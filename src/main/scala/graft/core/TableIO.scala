@@ -215,7 +215,21 @@ object TableIO {
       partitionBy: Seq[String] = Nil, syncAllColumns: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     if (!exists(path)) { overwriteAtomic(delta, path, partitionBy); return }
-    val existing = spark.read.parquet(path)
+    val inferred = spark.read.parquet(path)
+    // Partition VALUE types must not be re-inferred for the writer's own
+    // bookkeeping: a directory written as m=01 reads back as int 1, which
+    // (a) re-renders the touched-partition dir name to m=1 and (b) drags
+    // the kept∪delta union into a numeric coercion that rewrites the
+    // delta's own values — the swap loop then looks for directories the
+    // write never produced and a new partition's data dies with the temp
+    // dir. Reading existing with the DELTA's partition column types keeps
+    // every value byte-identical to what the writer renders.
+    val existing =
+      if (partitionBy.isEmpty) inferred
+      else spark.read.schema(org.apache.spark.sql.types.StructType(
+        inferred.schema.fields.map(f =>
+          if (partitionBy.contains(f.name)) f.copy(dataType = delta.schema(f.name).dataType)
+          else f))).parquet(path)
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     val added = delta.columns.filterNot(existing.columns.contains)
     val removed = existing.columns.filterNot(delta.columns.contains)
