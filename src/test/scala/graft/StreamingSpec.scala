@@ -92,6 +92,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs == Set((1, "home", 9.99), (2, "home", 1.0)), s"got $pairs")
   }
 
+  test("dedupStream state survives restart under the RocksDB state store") {
+    // the scale-state claim in Streams.dedupStream's scaladoc, exercised
+    // for real: same first-seen-wins semantics, state off-heap in RocksDB,
+    // restored across a second AvailableNow run from the checkpoint
+    val dir = tmp()
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+      def runOnce(): Unit = {
+        val q = Streams.dedupStream(
+            spark.readStream.schema(schema).parquet(dir + "/in"), "doc_id", "text")
+          .writeStream.format("parquet").option("path", dir + "/out")
+          .option("checkpointLocation", dir + "/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000): Unit
+      }
+      df("doc_id BIGINT, text STRING", Row(Long.box(1L), "alpha"), Row(Long.box(2L), "beta"))
+        .coalesce(1).write.mode("append").parquet(dir + "/in")
+      runOnce()
+      // run 2: a dup of "alpha" must be suppressed by RESTORED RocksDB state
+      df("doc_id BIGINT, text STRING", Row(Long.box(3L), "alpha"), Row(Long.box(4L), "gamma"))
+        .coalesce(1).write.mode("append").parquet(dir + "/in")
+      runOnce()
+      val kept = spark.read.parquet(dir + "/out").collect().map(_.getLong(1)).toSet
+      assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("watermark drops late data and append mode emits only closed windows") {
     val dir = tmp()
     val schema = eventRows.schema
