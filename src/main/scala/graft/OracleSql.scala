@@ -1051,6 +1051,12 @@ FROM c a JOIN c b
  AND levenshtein(a.c_name, b.c_name) <= 1
 GROUP BY a.c_nationkey""",
 
+    // generate∘decode identity: the oracle recomputes the synthesis rule
+    "q88_audio_decode" -> """
+SELECT doc_id, (8000 * (1 + doc_id % 3))::INT AS sample_rate, 1 AS channels,
+       (200 + (doc_id * 37) % 600)::BIGINT AS n_frames
+FROM documents""",
+
     "q85_nullsafe_join" -> """
 WITH l AS (SELECT nullif(user_id, 1) AS k, event_id AS buy_id
            FROM events WHERE event_type = 'purchase'),

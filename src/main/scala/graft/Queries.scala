@@ -795,6 +795,15 @@ object Queries {
       .agg(count(lit(1)).as("n_close_pairs"))
   }
 
+  /** Real audio codec round-trip: synthesize deterministic RIFF/PCM WAVs,
+    * then header-only decode — generate∘decode = identity is the oracle
+    * contract (the audio counterpart of q68's PNG path). */
+  def audioDecodeQ(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeWavs(
+      Ops.spread(Tables.documents(s, d).select("doc_id")), "doc_id")
+    graft.multimodal.Multimodal.decodeAudioMeta(media)
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -946,6 +955,7 @@ object Queries {
     "q85_nullsafe_join" -> (nullSafeJoinQ _),
     "q86_outlier_flags" -> (outlierFlagsQ _),
     "q87_fuzzy_match" -> (fuzzyMatchQ _),
+    "q88_audio_decode" -> (audioDecodeQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

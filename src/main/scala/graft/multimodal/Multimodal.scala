@@ -238,6 +238,62 @@ object Multimodal {
       .select(col("doc_id"), lit("image/png").as("media_type"), col("content"))
   }
 
+  /** Deterministic synthetic WAVs (REAL RIFF/PCM payloads via the JDK's
+    * `javax.sound.sampled` writer): mono 16-bit, sample rate
+    * 8000·(1 + id mod 3), 200 + 37·id mod 600 frames of a square-ish wave.
+    * The frame/rate rule is the oracle contract (generate∘decode =
+    * identity), making audio a real-codec path like the PNG one. */
+  def synthesizeWavs(ids: DataFrame, idCol: String): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 * (1 + id % 3)).toInt
+          val n = (200 + (id * 37) % 600).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) { // deterministic 16-bit samples, little-endian
+            val s = (((i * 131 + id * 17) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "content")
+      .select(col("doc_id"), lit("audio/wav").as("media_type"), col("content"))
+  }
+
+  /** REAL header-only audio decode via the JDK's sampled-audio registry:
+    * (sample_rate, channels, n_frames) from the RIFF header without
+    * touching sample data — the audio counterpart of [[decodeMeta]]'s
+    * ImageIO path. Returns None for payloads no installed reader claims.
+    * Same distributed shape as every kernel here: per-partition map over
+    * in-memory byte arrays, no shuffle. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val f = ais.getFormat
+            (id, f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
+          } finally ais.close()
+        } catch { // classify, don't crash — the undecodable-payload rule
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            (id, -1, -1, -1L)
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "n_frames")
+  }
+
   /** Sample every `stride`-th fixed-size chunk of the payload as a "frame"
     * (the video-frame-sampling batch shape; chunking replaces real codec
     * framing in the stub). */

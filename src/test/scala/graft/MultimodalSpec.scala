@@ -102,6 +102,23 @@ class MultimodalSpec extends AnyFunSuite with SparkSpecBase {
     assert(f.sum == 16f, "histogram mass must equal the pixel count")
   }
 
+  test("real codec: synthesized WAVs decode to the rule rate/frames; junk classifies, not crashes") {
+    val ids = df("doc_id BIGINT", Row(Long.box(0L)), Row(Long.box(1L)), Row(Long.box(7L)))
+    val media = Multimodal.synthesizeWavs(ids, "doc_id")
+    // payloads are genuine RIFF containers, not stub bytes
+    val head = media.orderBy("doc_id").first().getAs[Array[Byte]]("content")
+    assert(new String(head.take(4), "US-ASCII") == "RIFF")
+    val got = Multimodal.decodeAudioMeta(media)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((8000, 1, 200L)), 1L -> ((16000, 1, 237L)), 7L -> ((16000, 1, 459L))), s"got $got")
+    // an undecodable payload yields the classified row, never an exception
+    val junk = df("doc_id BIGINT, media_type STRING, content BINARY",
+      Row(Long.box(9L), "audio/wav", "not audio".getBytes("UTF-8")))
+    val bad = Multimodal.decodeAudioMeta(junk).first()
+    assert((bad.getInt(1), bad.getInt(2), bad.getLong(3)) == ((-1, -1, -1L)))
+  }
+
   test("metadata projection prunes the blob column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString + "/media"
     media.write.parquet(dir)
