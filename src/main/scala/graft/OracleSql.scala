@@ -1057,6 +1057,20 @@ SELECT doc_id, (8000 * (1 + doc_id % 3))::INT AS sample_rate, 1 AS channels,
        (200 + (doc_id * 37) % 600)::BIGINT AS n_frames
 FROM documents""",
 
+    "q89_array_agg" -> """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+       count(*) AS n_events
+FROM events GROUP BY user_id""",
+
+    "q90_rank_functions" -> """
+SELECT event_id, event_type, value,
+       (dense_rank() OVER w)::INT AS drank,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       (ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id))::INT AS quartile
+FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value)""",
+
     "q85_nullsafe_join" -> """
 WITH l AS (SELECT nullif(user_id, 1) AS k, event_id AS buy_id
            FROM events WHERE event_type = 'purchase'),

@@ -807,6 +807,29 @@ object Queries {
     graft.multimodal.Multimodal.decodeAudioMeta(media)
   }
 
+  /** Ordered array aggregation: per user, the sorted distinct event types
+    * as one joined string (collect_set is unordered by contract — the
+    * sort_array makes the result deterministic and hash-gateable). */
+  def arrayAggQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n_events"))
+
+  /** The rank-function family over one window (value within event type):
+    * dense_rank, percent_rank, cume_dist, ntile(4). Ties on value share
+    * dense_rank/percent_rank/cume_dist by definition; the row_number-based
+    * ntile gets event_id as a deterministic tiebreak. */
+  def rankFunctionsQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d).select(col("event_id"), col("event_type"), col("value"),
+      dense_rank().over(w).as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(4).over(wt).as("quartile"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -959,6 +982,8 @@ object Queries {
     "q86_outlier_flags" -> (outlierFlagsQ _),
     "q87_fuzzy_match" -> (fuzzyMatchQ _),
     "q88_audio_decode" -> (audioDecodeQ _),
+    "q89_array_agg" -> (arrayAggQ _),
+    "q90_rank_functions" -> (rankFunctionsQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),
