@@ -1057,6 +1057,14 @@ SELECT doc_id, (8000 * (1 + doc_id % 3))::INT AS sample_rate, 1 AS channels,
        (200 + (doc_id * 37) % 600)::BIGINT AS n_frames
 FROM documents""",
 
+    // the aggregator's contract IS the window formulation
+    "q91_topk_aggregator" -> """
+SELECT o_custkey, rnk::INT AS rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3""",
+
     "q89_array_agg" -> """
 SELECT user_id,
        array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,

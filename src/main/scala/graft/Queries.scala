@@ -830,6 +830,25 @@ object Queries {
       ntile(4).over(wt).as("quartile"))
   }
 
+  /** Top-3 orders per customer through the typed partial top-k
+    * AGGREGATOR (map-side-trimmed heaps — the exchange carries ≤ k pairs
+    * per group per partition) instead of q18's window sort. Same result
+    * contract as a `row_number <= 3` formulation, which is the oracle. */
+  def topkAggQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.expressions.TopKAggregator(3).toColumn.name("top")
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg)
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+        col("p.id").as("o_orderkey"), col("p.value").as("o_totalprice"))
+  }
+
   // ------------------------------------------ northwind E2E (q36/q39-q41)
 
   /** q36: `fact_order` after the full two-cycle Northwind run — a FRESH
@@ -984,6 +1003,7 @@ object Queries {
     "q88_audio_decode" -> (audioDecodeQ _),
     "q89_array_agg" -> (arrayAggQ _),
     "q90_rank_functions" -> (rankFunctionsQ _),
+    "q91_topk_aggregator" -> (topkAggQ _),
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),

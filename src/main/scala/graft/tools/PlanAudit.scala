@@ -220,6 +220,11 @@ object PlanAudit {
       // candidate pairs are block²-bounded, never an unkeyed cross product
       "equi_block_join" -> (p => p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q91_topk_aggregator",
+      // the typed aggregator must partial-aggregate (map-side heap trim)
+      // before its exchange — the scale win over the window formulation
+      "partial_agg" -> (p => p.contains("partial_topkaggregator") || p.contains("partial_TopK")),
+      "no_window_sort" -> (p => !p.contains("Window")))
     audit("q84_zorder_key",
       // the layout key is pure codegen'd bit arithmetic — no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))

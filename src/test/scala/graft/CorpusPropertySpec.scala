@@ -173,6 +173,30 @@ class CorpusPropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("TopKAggregator: any reduce/merge split order equals the sorted-take reference") {
+    val gen: Gen[List[(Double, Long)]] = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(0, 8) // tiny range → constant ties exercising the id tiebreak
+        id <- Gen.choose(0L, 1000L)
+      } yield (v.toDouble, id))
+    } yield rows.distinctBy(_._2)
+    for (seed <- 1L to 12L) {
+      val rows = sample(gen, seed)
+      val k = 1 + (seed % 4).toInt
+      val agg = new graft.expressions.TopKAggregator(k)
+      // split into random chunks, reduce each, merge in chunk order — the
+      // result must not depend on the partitioning
+      val nChunks = 1 + (seed % 5).toInt
+      val chunks = rows.zipWithIndex.groupBy(_._2 % nChunks).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(chunks.foldLeft(agg.zero)(agg.merge))
+      val want = rows.sortBy { case (v, id) => (-v, id) }.take(k)
+        .map { case (v, id) => graft.expressions.TopKPair(v, id) }
+      assert(merged == want, s"seed=$seed k=$k chunks=$nChunks: got $merged want $want")
+    }
+  }
+
   test("dedupSegments matches a direct reference implementation") {
     for (seed <- 1L to 8L) {
       val docs = sample(corpusGen, seed)
