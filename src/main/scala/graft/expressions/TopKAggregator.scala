@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * over a fat fact table moves k·partitions rows instead of the table.
   *
   * The id tiebreak makes results deterministic under any partitioning
-  * (merge order never matters — OpsPropertySpec replays random splits).
+  * (merge order never matters — CorpusPropertySpec replays random splits).
   * Scala `List` buffer + `Encoders.product` keep the state a plain Spark
   * SQL struct; k is expected small (heap-vs-sorted-list does not matter
   * below ~100).

@@ -248,8 +248,10 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
-          val rate = (8000 * (1 + id % 3)).toInt
-          val n = (200 + (id * 37) % 600).toInt
+          // floorMod: Scala % keeps the sign, and a negative id would
+          // otherwise yield a zero sample rate or a negative buffer size
+          val rate = (8000 * (1 + java.lang.Math.floorMod(id, 3L))).toInt
+          val n = (200 + java.lang.Math.floorMod(id * 37L, 600L)).toInt
           val pcm = new Array[Byte](n * 2)
           var i = 0
           while (i < n) { // deterministic 16-bit samples, little-endian
@@ -287,9 +289,10 @@ object Multimodal {
             val f = ais.getFormat
             (id, f.getSampleRate.toInt, f.getChannels, ais.getFrameLength)
           } finally ais.close()
-        } catch { // classify, don't crash — the undecodable-payload rule
-          case _: javax.sound.sampled.UnsupportedAudioFileException =>
-            (id, -1, -1, -1L)
+        } catch { // classify, don't crash — the undecodable-payload rule.
+          // Catch-all like the image path: third-party AudioFileReader
+          // SPIs throw raw IOExceptions on malformed payloads
+          case scala.util.control.NonFatal(_) => (id, -1, -1, -1L)
         }
       }.toDF("doc_id", "sample_rate", "channels", "n_frames")
   }
