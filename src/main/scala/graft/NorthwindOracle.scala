@@ -539,6 +539,78 @@ object NorthwindOracle {
          epoch_us(effective_date) AS effective_us, epoch_us(expiry_date) AS expiry_us
   FROM dim_employee"""
 
+  /** q93: final dim_customer state. */
+  val dimCustomer: String = dimsCte + s"""
+  SELECT customer_sk, customer_id, company_name, contact_name, contact_title,
+         address, city, region, postal_code, country, phone, fax, row_hash,
+         version_no, is_active, epoch_us(updated_at) AS updated_us,
+         epoch_us(effective_date) AS effective_us, epoch_us(expiry_date) AS expiry_us
+  FROM dim_customer"""
+
+  /** q94: final dim_shipper state. */
+  val dimShipper: String = dimsCte + s"""
+  SELECT shipper_sk, shipper_id, company_name, phone, row_hash, version_no,
+         is_active, epoch_us(updated_at) AS updated_us,
+         epoch_us(effective_date) AS effective_us, epoch_us(expiry_date) AS expiry_us
+  FROM dim_shipper"""
+
+  /** q92 helper: the snapshot's 4-way current-state join at one cycle bound —
+    * snapshot conventions: no HWM filter, no dummies, no op filters, raw
+    * `region` kept (snapshots/snapshot_employee.sql:57-135). */
+  private def snapJoined(bound: String): String = s"""
+    SELECT * FROM (
+      SELECT e.employee_id, e.first_name, e.last_name, e.title, e.title_of_courtesy,
+             e.birth_date AS birthdate, e.address, e.city, e.region,
+             e.postal_code, e.country, e.home_page, e.extension,
+             r.region_description, t.territory_description,
+             greatest(e.dl, et.dl, t.dl, r.dl) AS updated_at,
+             ${hash("e.employee_id", "e.first_name", "e.last_name", "e.title",
+               "e.title_of_courtesy", "e.birth_date", "e.address", "e.city",
+               "e.region", "e.postal_code", "e.country", "e.home_page",
+               "e.extension", "r.region_description", "t.territory_description")}
+               AS row_hash,
+             row_number() OVER (PARTITION BY e.employee_id
+               ORDER BY greatest(e.dl, et.dl, t.dl, r.dl) DESC,
+                        t.territory_description) AS ranked
+      FROM (${stateAt("stg_employees_h", "employee_id", bound)}) e
+      JOIN (${stateAt("(SELECT *, src_ts AS dl FROM empterr_hist)",
+                "employee_id || '|' || territory_id", bound)}) et
+        ON et.employee_id = e.employee_id
+      JOIN (${stateAt("(SELECT *, src_ts AS dl FROM terr_hist)", "territory_id", bound)}) t
+        ON t.territory_id = et.territory_id
+      JOIN (${stateAt("(SELECT *, src_ts AS dl FROM reg_hist)", "region_id", bound)}) r
+        ON r.region_id = t.region_id)
+    WHERE ranked = 1"""
+
+  private val snapCols = "employee_id, first_name, last_name, title, " +
+    "title_of_courtesy, birthdate, address, city, region, postal_code, country, " +
+    "home_page, extension, region_description, territory_description, row_hash, updated_at"
+
+  /** q92: two-cycle snapshot_employee ≡ snapshot over both per-cycle states —
+    * hash no-op suppression (op-less), observed valid_from (no 1900 forcing),
+    * NULL-open valid_to, scd id = md5(key, epoch micros of valid_from) (B6
+    * literal-string quirk fixed on both sides). */
+  val snapshotEmployee: String = dimsCte + s""",
+  snap_events AS (
+    SELECT $snapCols FROM (${snapJoined(T1)})
+    UNION ALL
+    SELECT $snapCols FROM (${snapJoined(T2)})),
+  snap_dedup AS (
+    SELECT * FROM (
+      SELECT *, lag(row_hash) OVER w AS __ph
+      FROM snap_events WINDOW w AS (PARTITION BY employee_id ORDER BY updated_at))
+    WHERE __ph IS NULL OR __ph <> row_hash),
+  snap_v AS (
+    SELECT *, lead(updated_at) OVER (PARTITION BY employee_id ORDER BY updated_at)
+      AS valid_to
+    FROM snap_dedup)
+  SELECT ${sk(Seq("employee_id"), "updated_at")} AS employee_scd_id,
+         employee_id, first_name, last_name, title, title_of_courtesy, birthdate,
+         address, city, region, postal_code, country, home_page, extension,
+         region_description, territory_description, row_hash,
+         epoch_us(updated_at) AS valid_from_us, epoch_us(valid_to) AS valid_to_us
+  FROM snap_v"""
+
   /** q40: final fact_order_details — latest row per (order, product), joined
     * to the product version valid at its load time. */
   val factOrderDetails: String = dimsCte + s""",

@@ -118,6 +118,9 @@ FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,
     "q41_nw_dim_employee" -> NorthwindOracle.dimEmployee,
+    "q92_nw_snapshot_employee" -> NorthwindOracle.snapshotEmployee,
+    "q93_nw_dim_customer" -> NorthwindOracle.dimCustomer,
+    "q94_nw_dim_shipper" -> NorthwindOracle.dimShipper,
 
     "q01_agg_pushdown" -> """
 SELECT l_returnflag, l_linestatus,
@@ -888,16 +891,21 @@ WITH aug AS (
          coalesce(text, '') || ' reach u' || doc_id::varchar ||
          '@example.com or 10.0.' || (doc_id % 256)::varchar ||
          '.7 call 555-123-' || lpad((doc_id % 10000)::varchar, 4, '0') AS t
-  FROM documents)
+  FROM documents),
+-- counts run on the progressively-redacted text (pass i after passes
+-- 1..i-1), mirroring Corpus.redactPii: Σ counts = placeholders emitted
+r1 AS (SELECT doc_id, t,
+         regexp_replace(t, '${graft.operators.Corpus.EmailRe}', '<EMAIL>', 'g') AS t1
+       FROM aug),
+r2 AS (SELECT doc_id, t, t1,
+         regexp_replace(t1, '${graft.operators.Corpus.Ipv4Re}', '<IP>', 'g') AS t2
+       FROM r1)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(t,
-         '${graft.operators.Corpus.EmailRe}', '<EMAIL>', 'g'),
-         '${graft.operators.Corpus.Ipv4Re}', '<IP>', 'g'),
-         '${graft.operators.Corpus.PhoneRe}', '<PHONE>', 'g') AS redacted,
+       regexp_replace(t2, '${graft.operators.Corpus.PhoneRe}', '<PHONE>', 'g') AS redacted,
        len(regexp_extract_all(t, '${graft.operators.Corpus.EmailRe}'))::int AS n_emails,
-       len(regexp_extract_all(t, '${graft.operators.Corpus.Ipv4Re}'))::int AS n_ips,
-       len(regexp_extract_all(t, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
-FROM aug""",
+       len(regexp_extract_all(t1, '${graft.operators.Corpus.Ipv4Re}'))::int AS n_ips,
+       len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
+FROM r2""",
 
     // temperature-scaled mixing: p = token share, w = p^α / Σp^α (α = 0.5)
     "q70_mixture_weights" -> s"""

@@ -910,6 +910,46 @@ object Queries {
       col("description"), col("version_no"),
       micros(col("effective_date")).as("effective_us"))
 
+  /** q92: two-cycle `snapshot_employee` — the reference's dbt snapshot
+    * (snapshots/snapshot_employee.sql:4-9 timestamp strategy over the 4-way
+    * employee join), built incrementally through
+    * [[graft.scd.Scd2.snapshotMerge]] each cycle; the B6 literal-string
+    * scd-id quirk is fixed (see
+    * [[graft.northwind.NorthwindWarehouse.snapEmployee]]). */
+  def nwSnapshotEmployee(s: SparkSession, d: String): DataFrame =
+    TableIO.read(s, graft.northwind.NorthwindWarehouse.ensureBuilt(s, d) +
+        "/snapshots/snapshot_employee").select(
+      col("employee_scd_id"), col("employee_id"), col("first_name"), col("last_name"),
+      col("title"), col("title_of_courtesy"), col("birthdate"), col("address"),
+      col("city"), col("region"), col("postal_code"), col("country"),
+      col("home_page"), col("extension"), col("region_description"),
+      col("territory_description"), col("row_hash"),
+      micros(col("dbt_valid_from")).as("valid_from_us"),
+      micros(col("dbt_valid_to")).as("valid_to_us"))
+
+  /** q93: final `dim_customer` SCD2 state — the direct hash gate the q36
+    * SK resolution only exercised indirectly
+    * (reference models/dwh/dim_customer.sql:130-167). */
+  def nwDimCustomer(s: SparkSession, d: String): DataFrame =
+    nwTable(s, d, "dim_customer").select(
+      col("customer_sk"), col("customer_id"), col("company_name"),
+      col("contact_name"), col("contact_title"), col("address"), col("city"),
+      col("region"), col("postal_code"), col("country"), col("phone"), col("fax"),
+      col("row_hash"), col("version_no"), col("is_active"),
+      micros(col("updated_at")).as("updated_us"),
+      micros(col("effective_date")).as("effective_us"),
+      micros(col("expiry_date")).as("expiry_us"))
+
+  /** q94: final `dim_shipper` SCD2 state (B1's audit-target fix feeds this
+    * table; reference models/dwh/dim_shipper.sql:75-119). */
+  def nwDimShipper(s: SparkSession, d: String): DataFrame =
+    nwTable(s, d, "dim_shippers").select(
+      col("shipper_sk"), col("shipper_id"), col("company_name"), col("phone"),
+      col("row_hash"), col("version_no"), col("is_active"),
+      micros(col("updated_at")).as("updated_us"),
+      micros(col("effective_date")).as("effective_us"),
+      micros(col("expiry_date")).as("expiry_us"))
+
   /** q41: final `dim_employee` SCD2 state (4-way chain, B9 effective-inner,
     * B11 raw-region drop). */
   def nwDimEmployee(s: SparkSession, d: String): DataFrame =
@@ -1007,6 +1047,9 @@ object Queries {
     "q39_nw_dim_products" -> (nwDimProducts _),
     "q40_nw_fact_order_details" -> (nwFactOrderDetails _),
     "q41_nw_dim_employee" -> (nwDimEmployee _),
+    "q92_nw_snapshot_employee" -> (nwSnapshotEmployee _),
+    "q93_nw_dim_customer" -> (nwDimCustomer _),
+    "q94_nw_dim_shipper" -> (nwDimShipper _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

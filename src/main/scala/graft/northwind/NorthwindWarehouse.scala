@@ -193,6 +193,60 @@ object NorthwindWarehouse {
     dedupPerKeyInstant(delta.unionByName(dums), Seq("employee_id"))
   }
 
+  /** snapshot_employee source (snapshots/snapshot_employee.sql:13-135): the
+    * same 4-way current-state chain as [[stgDimEmployee]] under snapshot
+    * conventions — no HWM filter, no dummy members, no op filters (the
+    * reference snapshot joins raw staging with none), and the raw `region`
+    * column kept (B11 applies to dim_employee only). The rank-1 territory
+    * pick breaks ties on territory_description, the same documented
+    * divergence as the dim. The reference's B6 scd-id quirk — hashing the
+    * literal string 'employee_id' instead of the column
+    * (snapshot_employee.sql:137) — is fixed by Scd2's temporalSk. */
+  def snapEmployee(spark: SparkSession, employees: DataFrame, empTerr: DataFrame,
+      territories: DataFrame, region: DataFrame): DataFrame = {
+    val e = currentState(employees, Seq("employee_id"))
+      .select(col("employee_id"), col("first_name"), col("last_name"),
+        col("title"), col("title_of_courtesy"),
+        col("birth_date").cast("date").as("birthdate"),
+        col("address"), col("city"), col("region"), col("postal_code"), col("country"),
+        col("home_page"), col("extension"), col("dl_process_date").as("e_dl"))
+    val et = currentState(empTerr, Seq("employee_id", "territory_id"))
+      .select(col("territory_id"), col("employee_id"), col("dl_process_date").as("et_dl"))
+    val t = currentState(territories, Seq("territory_id"))
+      .select(col("territory_id"), col("territory_description"), col("region_id"),
+        col("dl_process_date").as("t_dl"))
+    val r = currentState(region, Seq("region_id"))
+      .select(col("region_id"), col("region_description"), col("dl_process_date").as("r_dl"))
+    val joined = e.join(broadcast(et), Seq("employee_id"))
+      .join(broadcast(t), Seq("territory_id"))
+      .join(broadcast(r), Seq("region_id"))
+      .withColumn("max_dl", greatest(col("e_dl"), col("et_dl"), col("t_dl"), col("r_dl")))
+    // same 15-column hash list as the snapshot's generate_surrogate_key
+    // (snapshot_employee.sql:93-109) — includes raw region
+    val hashed = joined.withColumn("row_hash", rowHash(
+      col("employee_id"), col("first_name"), col("last_name"), col("title"),
+      col("title_of_courtesy"), col("birthdate"), col("address"), col("city"),
+      col("region"), col("postal_code"), col("country"), col("home_page"),
+      col("extension"), col("region_description"), col("territory_description")))
+    val w = Window.partitionBy("employee_id")
+      .orderBy(col("max_dl").desc, col("territory_description"))
+    hashed.withColumn("ranked", row_number().over(w)).filter(col("ranked") === 1)
+      .select(col("employee_id"), col("first_name"), col("last_name"), col("title"),
+        col("title_of_courtesy"), col("birthdate"), col("address"), col("city"),
+        col("region"), col("postal_code"), col("country"), col("home_page"),
+        col("extension"), col("region_description"), col("territory_description"),
+        col("row_hash"), col("max_dl").cast("timestamp").as("updated_at"))
+  }
+
+  /** Timestamp-strategy snapshot config (snapshot_employee.sql:4-9):
+    * op-less — dbt snapshots carry no CDC op column. */
+  val snapEmployeeCfg: Scd2Config = Scd2Config(
+    businessKey = Seq("employee_id"), effectiveCol = "updated_at",
+    payload = Seq("first_name", "last_name", "title", "title_of_courtesy",
+      "birthdate", "address", "city", "region", "postal_code", "country",
+      "home_page", "extension", "region_description", "territory_description",
+      "updated_at"))
+
   /** rn=1 over (key, updated_at) — the intermediates' same-instant dedup
     * (stg_dim_customer.sql:149-157), with row_hash as a deterministic
     * tie-break the reference leaves to the engine. */
@@ -345,6 +399,31 @@ object NorthwindWarehouse {
           }
         }).toMap
 
+      // dbt-snapshot + static models run off the same readiness DAG but
+      // outside the audit machinery (the reference gives them no hooks):
+      // snapshot_employee re-snapshots the CURRENT 4-way employee state
+      // each cycle (dbt snapshot steady state — snapshotMerge degenerates
+      // to the batch snapshot on the empty first run), dim_date is the
+      // reference's materialized dwh model (dim_date.sql:1), rebuilt per
+      // cycle exactly as `dbt run` would
+      val snapF = ready(Seq("stg_employees", "stg_employeeterritories",
+          "stg_territories", "stg_region")).map { _ =>
+        timed(s"c$cycle   snapshot_employee") {
+          val src = snapEmployee(spark, stg("stg_employees"),
+            stg("stg_employeeterritories"), stg("stg_territories"), stg("stg_region"))
+          val path = s"$root/snapshots/snapshot_employee"
+          val existing = TableIO.readOrEmpty(spark, path,
+            Scd2.snapshot(src.limit(0), snapEmployeeCfg, "employee_scd_id"))
+          TableIO.overwriteAtomic(
+            Scd2.snapshotMerge(existing, src, snapEmployeeCfg, "employee_scd_id"), path)
+        }
+      }
+      val dimDateF = Future {
+        timed(s"c$cycle   dim_date") {
+          TableIO.overwriteAtomic(graft.operators.DimDate(spark), tablePath("dim_date"))
+        }
+      }
+
       // 3/4. facts (fact_order.sql with its repair post-hook; B7 composite
       // key): start the moment their own staging + dims land
       val factOrderF = for {
@@ -368,6 +447,7 @@ object NorthwindWarehouse {
       audit.markProcessedAll(newHwms.toMap)
       val factHwms = Await.result(Future.sequence(Seq(factOrderF, factDetailsF)), Duration.Inf)
       audit.markProcessedAll(factHwms.toMap)
+      Await.result(Future.sequence(Seq(snapF, dimDateF)), Duration.Inf): Unit
     } catch {
       case t: Throwable =>
         // a failed model must not leave sibling futures (e.g. a fact whose

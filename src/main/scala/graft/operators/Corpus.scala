@@ -607,20 +607,24 @@ object Corpus {
     * redacted span stays gone, and digit runs inside an email's local part
     * never surface as phone fragments. (An IP-shaped domain like
     * `user@1.2.3.4` is NOT an email under EmailRe — the TLD must be
-    * alphabetic — so the IP pass claims its address part.) Counts are
-    * taken on the ORIGINAL text in the same order (deterministic,
-    * engine-independent).
+    * alphabetic — so the IP pass claims its address part.) Each count is
+    * taken on the PROGRESSIVELY-redacted text (pass i counts after
+    * replacements 1..i−1 have been applied), so n_emails + n_ips +
+    * n_phones always equals the number of placeholder tokens emitted —
+    * a span consumed by an earlier pass can never be double-counted by a
+    * later one.
     *
     * Scale shape: pure per-row projection — no shuffle, codegen'd regex
     * kernels, scales with input splits. */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+    val t0 = coalesce(col(textCol), lit(""))
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
     docs.select(col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("redacted"),
-      regexp_count(t, lit(EmailRe)).as("n_emails"),
-      regexp_count(t, lit(Ipv4Re)).as("n_ips"),
-      regexp_count(t, lit(PhoneRe)).as("n_phones"))
+      regexp_replace(t2, PhoneRe, "<PHONE>").as("redacted"),
+      regexp_count(t0, lit(EmailRe)).as("n_emails"),
+      regexp_count(t1, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(t2, lit(PhoneRe)).as("n_phones"))
   }
 
   /** Temperature-scaled source mixing weights (the multinomial-sampling

@@ -158,15 +158,21 @@ object Ops {
     * on either one skips most files — the layout trick behind Delta's
     * OPTIMIZE ZORDER, here as a plain deterministic expression (pure
     * column arithmetic, codegen'd, no shuffle of its own). Callers
-    * pre-scale values into [0, 2^bits); CoreSpec gates the interleave
-    * bit-for-bit AND the locality claim (per-file min/max widths of both
+    * pre-scale values into [0, 2^bits); out-of-range or negative inputs
+    * yield NULL rather than a silently-scrambled interleave (shiftright
+    * sign-extends and high bits drop — a garbage key would quietly wreck
+    * file clustering). CoreSpec gates the interleave bit-for-bit, the
+    * NULL guard, AND the locality claim (per-file min/max widths of both
     * columns under a z-ordered layout beat a single-column sort). */
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val bound = lit(1L << bits)
+    val key = (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    when(al >= 0 && al < bound && bl >= 0 && bl < bound, key)
   }
 
   /** Per-group EXACT discrete percentiles without collecting group values:

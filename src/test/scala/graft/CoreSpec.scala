@@ -489,6 +489,13 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(one.select(Ops.zorderKey(col("a"), col("b"), 3)).first().getLong(0) == 27L)
     assert(df("a INT, b INT", Row(Int.box(0), Int.box(0)))
       .select(Ops.zorderKey(col("a"), col("b"))).first().getLong(0) == 0L)
+    // out-of-range guard: negative or >= 2^bits inputs must yield NULL,
+    // never a sign-extended / truncated garbage interleave
+    val bad = df("a INT, b INT", Row(Int.box(-1), Int.box(3)), Row(Int.box(8), Int.box(3)),
+      Row(Int.box(3), Int.box(-5)), Row(Int.box(7), Int.box(7)))
+      .select(Ops.zorderKey(col("a"), col("b"), 3).as("z")).collect()
+    assert(bad.count(_.isNullAt(0)) == 3, s"expected 3 NULL keys, got ${bad.toSeq}")
+    assert(bad.exists(r => !r.isNullAt(0) && r.getLong(0) == 63L)) // (7,7) at 3 bits
     // locality: 32×32 grid written as 8 range-partitioned files; under the
     // z-key both x and y cluster, under an x-sort only x does. Compare the
     // summed per-file (max−min) widths of both dimensions
