@@ -777,26 +777,20 @@ object Queries {
   }
 
   /** Entity-resolution fuzzy matching: same-(nation, segment) customer
-    * pairs within edit distance 1, counted per nation. Blocking keys the
-    * join (equi on the block, distance as residual) so candidate pairs are
-    * block²-bounded, never corpus² — the standard scale shape for record
-    * linkage. */
-  def fuzzyMatchQ(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_name"))
-    val a = c.columns.foldLeft(c)((df, n) => df.withColumnRenamed(n, n + "_a"))
-    val b = c.columns.foldLeft(c)((df, n) => df.withColumnRenamed(n, n + "_b"))
-    a.join(b,
-        col("c_nationkey_a") === col("c_nationkey_b") &&
-          col("c_mktsegment_a") === col("c_mktsegment_b") &&
-          col("c_custkey_a") < col("c_custkey_b") &&
-          // threshold form: banded O(len·k) with early exit (returns -1
-          // past the bound) instead of the full O(len²) matrix — 1.8M
-          // pair evaluations per run at sf0.1 make this the hot kernel
-          levenshtein(col("c_name_a"), col("c_name_b"), 1) >= 0)
+    * pairs within edit distance 1, counted per nation. Blocking is
+    * CONTENT-derived ([[Ops.editOnePairs]]: leave-one-out segment keys +
+    * the cross-length prefix/suffix pigeonhole), so block count grows with
+    * the corpus instead of being pinned to the ~125-value (nation,
+    * segment) cross product whose candidate pairs grow O(n²/125) — and
+    * the result is provably identical to the naive all-pairs formulation
+    * the oracle runs. */
+  def fuzzyMatchQ(s: SparkSession, d: String): DataFrame =
+    Ops.editOnePairs(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_name")),
+        "c_custkey", "c_name", Seq("c_nationkey", "c_mktsegment"))
       .groupBy(col("c_nationkey_a").as("nation"))
       .agg(count(lit(1)).as("n_close_pairs"))
-  }
 
   /** Real audio codec round-trip: synthesize deterministic RIFF/PCM WAVs,
     * then header-only decode — generate∘decode = identity is the oracle

@@ -700,14 +700,21 @@ object Corpus {
     * keyed by fp).
     *
     * Scale shape: the batch collapses to fingerprint grain map-side
-    * first, so the anti-join against state is fp-grain vs fp-grain — one
-    * key shuffle each, never document payloads. At 100 TB the state table
-    * is the big side; bucket it by fp (or prefilter with
-    * [[Ops.bloomSemiJoin]]'s standing filter) so the anti-join co-locates
-    * instead of reshuffling state every batch — the same seam as
-    * TableIO's Delta upgrade path. */
+    * first, so the join grain is fp vs fp — never document payloads. The
+    * state side is only ever SCANNED: a Bloom filter built FROM the batch
+    * ([[Ops.bloomProbe]], no false negatives) kills definite non-members
+    * of the batch in the state's scan stage, so the rows reaching the
+    * state-side exchange are ~|batch ∩ state| plus the false-positive
+    * residue — the full fingerprint history is never reshuffled, no
+    * matter how large it grows (size `bloomBits` ≳ 10× the batch's
+    * distinct fps for ~1-2% FP). New fingerprints APPEND (they are
+    * absent from state by construction — the anti-join is the proof), so
+    * the steady-state write is O(|fresh|), not a table rewrite. For a
+    * state table big enough that even its scan should skip shuffling
+    * work, see [[dedupIncrementalBucketed]]. */
   def dedupIncremental(spark: org.apache.spark.sql.SparkSession, statePath: String,
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String,
+      bloomBits: Int = 1 << 20): DataFrame = {
     // NULL text coalesces to "" BEFORE fingerprinting: a NULL fp would
     // break the whole state contract — the left_anti below never matches
     // NULL against NULL, so every batch would re-keep its null-text doc
@@ -717,14 +724,60 @@ object Corpus {
     val batch = Dedup.exact(
       docs.withColumn(textCol, coalesce(col(textCol), lit(""))), idCol, textCol)
       .select(col("fp"), col("keep_id"))
+      // pinned: the bloom build, the anti-join, and the append below all
+      // consume it — without this the fingerprint groupBy would run thrice
+      .localCheckpoint(true)
     val state = graft.core.TableIO.readOrEmpty(spark, statePath, batch)
     // localCheckpoint, not persist: it pins the result BEFORE the state
     // write below changes the files the plan reads, and it DETACHES the
     // lineage — a persisted plan would sit in the CacheManager still keyed
     // on the state path and silently serve this batch's rows to the next
     // call's identical-looking anti-join over the now-changed state
-    val fresh = batch.join(state, Seq("fp"), "left_anti").localCheckpoint(true)
-    graft.core.TableIO.upsertByKey(spark, statePath, fresh, Seq("fp"))
+    val fresh = freshAgainstState(batch, state, bloomBits).localCheckpoint(true)
+    // append, not upsert: re-running a crashed batch converges because the
+    // already-appended fps anti-join the rerun's batch down to the missing
+    // remainder (fp-keyed state is insert-only)
+    fresh.write.mode("append").parquet(statePath)
+    fresh
+  }
+
+  /** The per-batch freshness plan, factored so PlanAudit can pin its
+    * shape: `batch LeftAnti state` with [[Ops.bloomProbe]](batch) pushed
+    * into the state side's scan stage. Exact despite the lossy filter —
+    * Bloom false negatives are impossible, so every state fp that could
+    * match a batch fp survives to the anti-join; false positives merely
+    * ride along and fail to match. */
+  private[graft] def freshAgainstState(batch: DataFrame, state: DataFrame,
+      bloomBits: Int): DataFrame = {
+    val pruned = state.filter(Ops.bloomProbe(batch, "fp", col("fp"), bloomBits))
+    batch.join(pruned, Seq("fp"), "left_anti")
+  }
+
+  /** Bucketed-state incremental dedup — the standing-table layout answer
+    * for when the fingerprint state outgrows per-batch scan-and-shuffle:
+    * state persists as a [[graft.core.TableIO.writeBucketed]] catalog
+    * table hash-clustered on fp, so the anti-join reads state CO-LOCATED
+    * (the only exchange in the plan is the batch side shuffling to the
+    * bucket count — CorpusSpec pins `Bucketed: true` + single-exchange),
+    * and each batch's new fingerprints append one file per bucket instead
+    * of rewriting the table. Same keep semantics as [[dedupIncremental]]
+    * (min id wins in-batch, first batch wins across batches); pick the
+    * bucket count for the target state size, not the batch size. */
+  def dedupIncrementalBucketed(spark: org.apache.spark.sql.SparkSession,
+      stateTable: String, docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 64): DataFrame = {
+    val batch = Dedup.exact(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), idCol, textCol)
+      .select(col("fp"), col("keep_id"))
+    val known = spark.catalog.tableExists(stateTable)
+    val fresh =
+      if (!known) batch.localCheckpoint(true)
+      else batch.join(spark.table(stateTable), Seq("fp"), "left_anti")
+        .localCheckpoint(true) // detach lineage before appending to the table it read
+    if (!known)
+      graft.core.TableIO.writeBucketed(fresh, stateTable, Seq("fp"), numBuckets, Seq("fp"))
+    else fresh.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "fp").sortBy("fp").saveAsTable(stateTable)
     fresh
   }
 

@@ -251,6 +251,29 @@ object PlanAudit {
       // session_window is one key shuffle + sort, like q47's formulation
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    locally {
+      // q77's anti-join hides behind localCheckpoint in the returned plan,
+      // so audit the factored freshness plan directly: the state side must
+      // carry the batch-built bloom word-table probe in its own stage (the
+      // element_at literal-array tests) BELOW the LeftAnti — the full
+      // fingerprint history is pruned before any exchange
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val batch = graft.operators.Dedup.exact(
+        docs.withColumn("text", coalesce(col("text"), lit(""))), "doc_id", "text")
+        .select(col("fp"), col("keep_id"))
+      val state = batch.limit(50) // stand-in for the persisted fp state
+      val plan = graft.operators.Corpus.freshAgainstState(batch, state, 1 << 16)
+        .queryExecution.executedPlan.toString
+      val checks = Seq(
+        "bloom_scan_probe" -> plan.contains("element_at"),
+        "state_anti" -> plan.contains("LeftAnti"),
+        "no_cartesian" -> (!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop")))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q77_incremental_dedup: ${results.mkString(" ")}")
+      if (results.exists(_.endsWith("MISS"))) println(plan.take(3000))
+    }
     spark.stop()
   }
 }

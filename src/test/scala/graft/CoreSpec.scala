@@ -496,6 +496,45 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
       .select(Ops.zorderKey(col("a"), col("b"), 3).as("z")).collect()
     assert(bad.count(_.isNullAt(0)) == 3, s"expected 3 NULL keys, got ${bad.toSeq}")
     assert(bad.exists(r => !r.isNullAt(0) && r.getLong(0) == 63L)) // (7,7) at 3 bits
+  }
+
+  test("editOnePairs: equals the naive all-pairs lev<=1 self-join on random corpora") {
+    // random strings over a 3-letter alphabet with planted near-dups:
+    // substitutions, inserts, deletes, exact dups, plus group boundaries —
+    // every case class the pigeonhole blocking must not lose
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (seed <- 1 to 3; segs <- Seq(2, 3, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abc"
+      def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val bases = (1 to 25).map(_ => randStr(1 + rnd.nextInt(10)))
+      val mutated = bases.flatMap { s =>
+        val i = rnd.nextInt(s.length)
+        Seq(s,
+          s.updated(i, alpha(rnd.nextInt(alpha.length))),         // substitution (or dup)
+          s.patch(i, Seq(alpha(rnd.nextInt(alpha.length))), 0),   // insert
+          if (s.length > 1) s.patch(i, Nil, 1) else s)            // delete (or dup)
+      }
+      val rows = mutated.zipWithIndex.map { case (s, i) =>
+        Row(Long.box(i.toLong), Int.box(i % 2), s)
+      }
+      val d = df("id BIGINT, grp INT, name STRING", rows: _*)
+      val got = Ops.editOnePairs(d, "id", "name", Seq("grp"), segments = segs)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val naive = (for {
+        Row(i1: java.lang.Long, g1: Integer, s1: String) <- rows
+        Row(i2: java.lang.Long, g2: Integer, s2: String) <- rows
+        if g1 == g2 && i1 < i2 && lev(s1, s2) <= 1
+      } yield (i1.toLong, i2.toLong)).toSet
+      assert(got == naive,
+        s"seed=$seed segs=$segs: missing=${naive -- got} extra=${got -- naive}")
+    }
     // locality: 32×32 grid written as 8 range-partitioned files; under the
     // z-key both x and y cluster, under an x-sort only x does. Compare the
     // summed per-file (max−min) widths of both dimensions

@@ -376,6 +376,40 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(spark.read.parquet(root).count() == 4L)
   }
 
+  test("dedupIncrementalBucketed: same keep semantics; state scans bucketed with no state-side exchange") {
+    val tbl = "graft_dedup_bucketed_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val b1 = df("doc_id BIGINT, text STRING",
+      Row(Long.box(5L), "same content"), Row(Long.box(3L), "same content"),
+      Row(Long.box(7L), "unique one"))
+    val b2 = df("doc_id BIGINT, text STRING",
+      Row(Long.box(10L), "same content"), Row(Long.box(11L), "brand new"),
+      Row(Long.box(12L), null))
+    val kept1 = Corpus.dedupIncrementalBucketed(spark, tbl, b1, "doc_id", "text", numBuckets = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept1 == Set(3L, 7L), s"got $kept1")
+    val kept2 = Corpus.dedupIncrementalBucketed(spark, tbl, b2, "doc_id", "text", numBuckets = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept2 == Set(11L, 12L), s"got $kept2")
+    // replay converges; the appended files keep the bucket spec
+    assert(Corpus.dedupIncrementalBucketed(spark, tbl, b2, "doc_id", "text", numBuckets = 4).count() == 0L)
+    assert(spark.table(tbl).count() == 4L)
+    // the 100 TB claim: with broadcast off (state too big to ship), the
+    // anti-join must read the state CO-LOCATED — bucketed scan, and the
+    // ONLY exchange in the plan is the batch side shuffling to the bucket
+    // count; the fingerprint history never re-shuffles
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = df("fp STRING, keep_id BIGINT", Row("aa", Long.box(1L)))
+      val plan = batch.join(spark.table(tbl), Seq("fp"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),
