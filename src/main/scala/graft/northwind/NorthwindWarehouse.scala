@@ -35,9 +35,10 @@ import graft.scd.{Scd2, Scd2Config}
   * Scale shape: every dim chain is HWM-pruned before its window (the SCD2
   * shuffle is O(|delta|)); the tiny joined sides (categories, region,
   * territories, suppliers) broadcast; fact loads shuffle once on the join
-  * key with dims broadcast; fact_order is year-partitioned and upserts
+  * key with dims broadcast; BOTH facts are year-partitioned and upserts
   * (including the repair pass) rewrite only partitions containing delta
-  * keys.
+  * keys — fact_order_details derives its year from the header's current
+  * state, bloom-pruned to the delta's order ids.
   */
 object NorthwindWarehouse {
   import NorthwindSources.{T1, T2}
@@ -436,10 +437,11 @@ object NorthwindWarehouse {
       } yield r
       val factDetailsF = for {
         _ <- stgF("stg_order_details")
+        _ <- stgF("stg_orders") // order_date rides in for the year partition
         _ <- dimF("dim_products")
         r <- Future(timed(s"c$cycle   fact_order_details") {
           loadFactOrderDetails(spark, root, auditState("fact_order_details").hwmDate,
-            stg("stg_order_details"))
+            stg("stg_order_details"), stg("stg_orders"))
         })
       } yield r
 
@@ -544,27 +546,41 @@ object NorthwindWarehouse {
 
   /** Returns ("fact_order_details", new HWM); the caller marks the audit row. */
   private def loadFactOrderDetails(spark: SparkSession, root: String,
-      hwm: java.sql.Timestamp, stgDetails: DataFrame): (String, java.sql.Timestamp) = {
+      hwm: java.sql.Timestamp, stgDetails: DataFrame,
+      stgOrders: DataFrame): (String, java.sql.Timestamp) = {
     val path = s"$root/dwh/fact_order_details"
     // B8 fixed: filter on od.dl_process_date directly
     val delta = stgDetails.filter(col("dl_process_date") > lit(hwm))
       .withColumnRenamed("dl_process_date", "updated_at")
+    // year-partition the fact like fact_order (SCALE.md): order_date rides
+    // in from the header's current state, bloom-pruned to the delta's
+    // order ids so the header side never shuffles beyond the touched keys
+    // (order dates never change across versions, so any header version
+    // yields the same year). The upsert below then rewrites only the
+    // delta's year partitions instead of the whole table.
+    val ordState = currentState(stgOrders, Seq("order_id"))
+      .select(col("order_id"), col("order_date"))
+      .filter(graft.operators.Ops.bloomProbe(
+        delta.select(col("order_id")), "order_id", col("order_id")))
+    val withYear = delta.join(ordState, Seq("order_id"), "left")
+      .withColumn("order_year", year(col("order_date"))).drop("order_date")
     val dimP = TableIO.read(spark, s"$root/dwh/dim_products")
-    val resolved = AsOf.pointInTime(delta, dimP.select(col("product_id").as("__k"),
+    val resolved = AsOf.pointInTime(withYear, dimP.select(col("product_id").as("__k"),
         col("product_sk"), col("product_name"), col("quantity_per_unit"),
         col("reorder_level"), col("discontinued"), col("company_name"),
         col("address"), col("city"), col("region"), col("postal_code"),
         col("country"), col("category_name"), col("description"), col("version_no"),
         col("effective_date"), col("expiry_date")),
         "product_id", "__k", col("__fact.updated_at"))
-      .select(delta.columns.map(c => col(s"__fact.$c")) ++ Seq(
+      .select(withYear.columns.map(c => col(s"__fact.$c")) ++ Seq(
         col("__dim.product_sk"), col("__dim.product_name"),
         col("__dim.quantity_per_unit"), col("__dim.reorder_level"),
         col("__dim.discontinued"), col("__dim.company_name"), col("__dim.address"),
         col("__dim.city"), col("__dim.region"), col("__dim.postal_code"),
         col("__dim.country"), col("__dim.category_name"), col("__dim.description"),
         col("__dim.version_no"), col("__dim.effective_date")): _*)
-    TableIO.upsertByKey(spark, path, resolved, Seq("order_id", "product_id"))
+    TableIO.upsertByKey(spark, path, resolved, Seq("order_id", "product_id"),
+      partitionBy = Seq("order_year"))
     "fact_order_details" -> TableIO.read(spark, path)
       .agg(max(col("updated_at"))).first().getTimestamp(0)
   }

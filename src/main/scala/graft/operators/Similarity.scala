@@ -15,8 +15,10 @@ import graft.expressions.GraftFunctions
   *    to a small bucket id from the signs of dot products against
   *    deterministic Rademacher hyperplanes; the top-k search then joins on
   *    bucket id, turning the cross product into an equi-join shuffle. Recall
-  *    is tunable via `planes` (fewer planes → bigger buckets → higher recall);
-  *    multi-probe (flipping one sign bit) lifts recall without re-hashing.
+  *    is tunable via `planes` (fewer planes → bigger buckets → higher recall)
+  *    and `multiProbe` (per query, also probe the buckets one low-margin
+  *    sign flip away — implemented in [[lshTopK]], measured in
+  *    AnnRecallSpec, query-side-only cost).
   *  - `ivfTopK` (scale path, data-adaptive): inverted-file lists from a
   *    coarse centroid table; queries probe their nprobe closest lists.
   *
@@ -272,11 +274,38 @@ object Similarity {
 
   /** ANN top-k via LSH buckets: hash corpus and queries once, equi-join on
     * bucket, brute-force within the bucket. Approximate — neighbors hashed to
-    * other buckets are missed (recall/planes tradeoff documented above). */
+    * other buckets are missed (recall/planes tradeoff documented above).
+    *
+    * `multiProbe` = n additionally probes, per query, the n buckets
+    * obtained by flipping its n least-confident sign bits (smallest |dot|
+    * margin, plane-index tie-break — multi-probe LSH, Lv et al. 2007):
+    * the query side fans out ×(n+1) while the corpus is never re-hashed
+    * or replicated, which is the whole point at corpus scale. Probed
+    * buckets are pairwise distinct and each corpus row lives in exactly
+    * one bucket, so a (query, neighbor) pair still appears at most once —
+    * no dedup join needed. AnnRecallSpec measures the recall lift against
+    * [[bruteForceTopK]]. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 4, dims: Int = 64): DataFrame = {
-    val q = prepQueries(queries, idCol, vecCol)
+      vecCol: String, k: Int, planes: Int = 4, dims: Int = 64,
+      multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= planes,
+      s"multiProbe must be in [0, planes=$planes], got $multiProbe")
+    val qb = prepQueries(queries, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("qv"), planes, dims))
+    val q =
+      if (multiProbe == 0) qb
+      else {
+        val signs = planeSigns(planes, dims)
+        val bitLit = array((0 until planes).map(j => lit(1L << j)): _*)
+        // (|margin|, plane) sorted ascending = least-confident planes first
+        val margins = array((0 until planes).map { j =>
+          struct(abs(dot(col("qv"), array(signs(j).map(lit): _*))).as("m"),
+            lit(j).as("j"))
+        }: _*)
+        val flips = transform(slice(sort_array(margins), 1, multiProbe),
+          f => col("bucket").bitwiseXOR(element_at(bitLit, f.getField("j") + 1)))
+        qb.withColumn("bucket", explode(concat(array(col("bucket")), flips)))
+      }
     val c = prepCorpus(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
     scoreAndRank(q.join(c, Seq("bucket"))

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Recall harness for the approximate ANN paths: every method is gated on
+  * recall@5 against [[Similarity.bruteForceTopK]] on the embeddings fixture,
+  * and the table below prints per run so parameter tuning is never blind
+  * (the round-5 review: "a user tuning planes/nprobe flies blind").
+  *
+  * The fixture is WEAKLY clustered (near-random 64-dim vectors) — the
+  * hardest case for ANN, so these are floor-of-reality numbers, not
+  * showcase ones. Measured on it (deterministic, zero run variance):
+  *
+  *   lsh planes=2 mp=0/1/2      → 0.38 / 0.69 / 0.89   (multi-probe lift)
+  *   lsh planes=4 mp=0/1/2/4    → 0.15 / 0.25 / 0.34 / 0.46
+  *   ivf nlist=16 nprobe=2/4/8  → 0.83 / 0.85 / 0.94
+  *   ivfpq m=8 ksub=16          → 0.25  (the compression-for-recall trade)
+  *   ivfpq m=16 ksub=64         → 0.42
+  *
+  * Reading: single-table SRP-LSH at selective plane counts has low recall
+  * on weakly-clustered data — use multi-probe (query-side-only cost) or
+  * the banded OR-construction (`lshBandBuckets`, the q29 near-dup path);
+  * IVF is the recall workhorse (data-adaptive lists); IVFPQ trades recall
+  * for the ~dims·4/m memory compression that fits 10⁹ vectors in RAM —
+  * re-rank its shortlist with exact vectors when recall matters.
+  *
+  * Floors sit just under the measured values: a hashing or bucketing
+  * regression (wrong signs, band slicing, broken multi-probe flips)
+  * lands far below them.
+  */
+class AnnRecallSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+  test("recall@5 vs bruteForceTopK: floors hold; multi-probe lifts LSH recall monotonically") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = topkSets(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    assert(exact.size == 20 && exact.forall(_._2.size == 5))
+
+    def recall(f: => DataFrame): Double = {
+      val a = topkSets(f)
+      exact.map { case (qid, e) => a.getOrElse(qid, Set.empty[Long]).count(e) / e.size.toDouble }
+        .sum / exact.size
+    }
+    val rows = Seq(
+      "lsh(planes=2)" -> recall(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 2)),
+      "lsh(planes=2,multiProbe=2)" -> recall(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 2, multiProbe = 2)),
+      "lsh(planes=4)" -> recall(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 4)),
+      "lsh(planes=4,multiProbe=1)" -> recall(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 4, multiProbe = 1)),
+      "lsh(planes=4,multiProbe=2)" -> recall(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", 5, planes = 4, multiProbe = 2)),
+      "ivf(nlist=16,nprobe=4)" -> recall(
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4)),
+      "ivf(nlist=16,nprobe=8)" -> recall(
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)),
+      "ivfpq(nprobe=4,m=8,ksub=16)" -> recall(
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16)),
+      "ivfpq(nprobe=4,m=16,ksub=64)" -> recall(
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 4, m = 16, ksub = 64)))
+    rows.foreach { case (name, r) =>
+      println(f"[ann-recall] $name%-30s recall@5=$r%.3f")
+    }
+    val m = rows.toMap
+    // multi-probe only ADDS probed buckets → candidate superset → recall is
+    // monotone in multiProbe; on this fixture the lift is strict
+    assert(m("lsh(planes=4)") < m("lsh(planes=4,multiProbe=1)"))
+    assert(m("lsh(planes=4,multiProbe=1)") < m("lsh(planes=4,multiProbe=2)"))
+    assert(m("lsh(planes=2)") >= 0.35, s"lsh(2): ${m("lsh(planes=2)")}")
+    assert(m("lsh(planes=2,multiProbe=2)") >= 0.85,
+      s"lsh(2,mp=2): ${m("lsh(planes=2,multiProbe=2)")}")
+    assert(m("ivf(nlist=16,nprobe=4)") >= 0.80)
+    assert(m("ivf(nlist=16,nprobe=8)") >= 0.90)
+    assert(m("ivfpq(nprobe=4,m=8,ksub=16)") >= 0.20)
+    assert(m("ivfpq(nprobe=4,m=16,ksub=64)") >= 0.35)
+  }
+}

@@ -38,6 +38,45 @@ class NorthwindSpec extends AnyFunSuite with SparkSpecBase {
       s"expected order_year partition dirs, got ${dirs.toSeq}")
   }
 
+  private def yearDirBytes(path: String): Map[String, Map[String, Seq[Byte]]] = {
+    def files(f: java.io.File, prefix: String = ""): Map[String, Seq[Byte]] =
+      Option(f.listFiles).getOrElse(Array.empty).flatMap { c =>
+        if (c.isDirectory) files(c, s"$prefix${c.getName}/")
+        else if (c.getName.startsWith(".") || c.getName.startsWith("_")) Nil
+        else Seq(s"$prefix${c.getName}" ->
+          java.nio.file.Files.readAllBytes(c.toPath).toSeq)
+      }.toMap
+    Option(new java.io.File(path).listFiles).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("order_year="))
+      .map(d => d.getName -> files(d)).toMap
+  }
+
+  test("fact_order_details cycle-2 upsert rewrites EXACTLY the delta's year partitions") {
+    // independent two-cycle run with a fingerprint taken between cycles:
+    // untouched year dirs must be byte-identical, touched ones must change,
+    // and the touched set must equal the years of the cycle-2 delta
+    val r = java.nio.file.Files.createTempDirectory("graft_nw_part").toString
+    NorthwindWarehouse.runCycle(spark, sfDir, r, 1)
+    val before = yearDirBytes(s"$r/dwh/fact_order_details")
+    assert(before.size > 1, s"expected multiple year partitions, got ${before.keys}")
+    NorthwindWarehouse.runCycle(spark, sfDir, r, 2)
+    val after = yearDirBytes(s"$r/dwh/fact_order_details")
+    // cycle-2 delta = detail rows staged at T2; their years via the header
+    val t2 = to_timestamp(lit("2024-02-01"))
+    val det2 = spark.read.parquet(s"$r/staging/stg_order_details")
+      .filter(col("dl_process_date") >= t2).select("order_id").distinct()
+    val hdr = spark.read.parquet(s"$r/staging/stg_orders")
+      .select(col("order_id"), col("order_date")).dropDuplicates("order_id")
+    val deltaYears = det2.join(hdr, Seq("order_id"))
+      .select(year(col("order_date")).as("y")).distinct()
+      .collect().map(r0 => s"order_year=${r0.getInt(0)}").toSet
+    val changed = (before.keySet ++ after.keySet)
+      .filter(d => before.get(d) != after.get(d))
+    assert(changed == deltaYears,
+      s"rewritten partitions $changed != delta years $deltaYears")
+    assert((before.keySet -- changed).nonEmpty || deltaYears == before.keySet)
+  }
+
   test("audit HWMs advance to the cycle-2 batch time for every model") {
     val audit = spark.read.parquet(s"$root/audit/audit_control")
     val lagging = audit.filter(col("hwm_date") < to_timestamp(lit("2024-02-01")))
