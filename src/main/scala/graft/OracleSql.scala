@@ -113,6 +113,35 @@ SELECT md5(concat_ws('-', cast(user_id AS varchar), cast(epoch_us(ts) AS varchar
        epoch_us(lead(ts) OVER w) AS valid_to_us
 FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
+  /** Shared IVFPQ pipeline through the ADC aggregation (q60/q95): coarse
+    * assignment, nprobe=4 probes, per-subspace codes, integer micro-unit
+    * ADC — mirrors Similarity.ivfPqTopK(nlist=16, nprobe=4, m=8, ksub=16). */
+  private val PqAdcCte: String = """
+WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
+seeds AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS j, e
+          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+cd AS (SELECT v.vec_id, s.j,
+              list_sum([(v.e[i] - s.e[i]) * (v.e[i] - s.e[i]) for i in generate_series(1, 64)]) AS d
+       FROM v CROSS JOIN seeds s),
+ranked AS (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS r FROM cd),
+assign AS (SELECT vec_id AS neighbor_id, j AS list_id FROM ranked WHERE r = 1),
+probes AS (SELECT vec_id AS query_id, j AS list_id FROM ranked WHERE r <= 4 AND vec_id < 20),
+cw AS (SELECT s.j AS c, g.sp, [s.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
+       FROM seeds s CROSS JOIN generate_series(0, 7) AS g(sp)),
+sv AS (SELECT v.vec_id, g.sp, [v.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
+       FROM v CROSS JOIN generate_series(0, 7) AS g(sp)),
+sd AS (SELECT sv.vec_id, sv.sp, cw.c,
+              list_sum([(sv.w[i] - cw.w[i]) * (sv.w[i] - cw.w[i]) for i in generate_series(1, 8)]) AS d
+       FROM sv JOIN cw USING (sp)),
+codes AS (SELECT vec_id, sp, c FROM
+  (SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY d, c) AS r FROM sd) WHERE r = 1),
+adc AS (SELECT p.query_id, a.neighbor_id, sum(qd.d)::BIGINT AS adc
+        FROM probes p JOIN assign a USING (list_id)
+        JOIN codes nc ON nc.vec_id = a.neighbor_id
+        JOIN sd qd ON qd.vec_id = p.query_id AND qd.sp = nc.sp AND qd.c = nc.c
+        WHERE p.query_id <> a.neighbor_id
+        GROUP BY 1, 2)"""
+
   val all: Map[String, String] = Map(
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
@@ -907,6 +936,26 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
 FROM r2""",
 
+    // markup scrub: tags → space, entities decoded one layer (&amp; LAST —
+    // the double-decode guard), whitespace collapsed; counts pre-decode
+    "q96_clean_markup" -> s"""
+WITH aug AS (
+  SELECT doc_id, coalesce(text, '') || ' <b>doc ' || doc_id::varchar ||
+         '</b> &amp;lt; &quot;q&#39;s&quot;&nbsp;end <br/>' AS t
+  FROM documents),
+t1 AS (SELECT doc_id, t,
+         regexp_replace(t, '${graft.operators.Corpus.TagRe}', ' ', 'g') AS s1
+       FROM aug),
+dec AS (SELECT doc_id, t, s1,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    s1, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+    '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS s2
+  FROM t1)
+SELECT doc_id, trim(regexp_replace(s2, '\\s+', ' ', 'g')) AS cleaned,
+       len(regexp_extract_all(t, '${graft.operators.Corpus.TagRe}'))::int AS n_tags,
+       len(regexp_extract_all(s1, '${graft.operators.Corpus.EntityRe}'))::int AS n_entities
+FROM dec""",
+
     // temperature-scaled mixing: p = token share, w = p^α / Σp^α (α = 0.5)
     "q70_mixture_weights" -> s"""
 WITH per AS (
@@ -1141,34 +1190,27 @@ FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     // in integer micro-unit L2 — every distance is an exact integer, so the
     // mirror is the textbook Σ(v−w)² with no rounding anywhere; Spark's
     // |v|²−2·v·w+|w|² factorization is bit-identical on integers
-    "q60_pq_ann" -> """
-WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
-seeds AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS j, e
-          FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
-cd AS (SELECT v.vec_id, s.j,
-              list_sum([(v.e[i] - s.e[i]) * (v.e[i] - s.e[i]) for i in generate_series(1, 64)]) AS d
-       FROM v CROSS JOIN seeds s),
-ranked AS (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS r FROM cd),
-assign AS (SELECT vec_id AS neighbor_id, j AS list_id FROM ranked WHERE r = 1),
-probes AS (SELECT vec_id AS query_id, j AS list_id FROM ranked WHERE r <= 4 AND vec_id < 20),
-cw AS (SELECT s.j AS c, g.sp, [s.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
-       FROM seeds s CROSS JOIN generate_series(0, 7) AS g(sp)),
-sv AS (SELECT v.vec_id, g.sp, [v.e[g.sp * 8 + i] for i in generate_series(1, 8)] AS w
-       FROM v CROSS JOIN generate_series(0, 7) AS g(sp)),
-sd AS (SELECT sv.vec_id, sv.sp, cw.c,
-              list_sum([(sv.w[i] - cw.w[i]) * (sv.w[i] - cw.w[i]) for i in generate_series(1, 8)]) AS d
-       FROM sv JOIN cw USING (sp)),
-codes AS (SELECT vec_id, sp, c FROM
-  (SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY d, c) AS r FROM sd) WHERE r = 1),
-adc AS (SELECT p.query_id, a.neighbor_id, sum(qd.d)::BIGINT AS adc
-        FROM probes p JOIN assign a USING (list_id)
-        JOIN codes nc ON nc.vec_id = a.neighbor_id
-        JOIN sd qd ON qd.vec_id = p.query_id AND qd.sp = nc.sp AND qd.c = nc.c
-        WHERE p.query_id <> a.neighbor_id
-        GROUP BY 1, 2)
+    "q60_pq_ann" -> (PqAdcCte + """
 SELECT query_id, neighbor_id, adc, rnk::int AS rnk FROM
   (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk FROM adc)
-WHERE rnk <= 5""",
+WHERE rnk <= 5"""),
+
+    // IVFPQ + exact re-rank: the ADC shortlist (top 32) refetches ORIGINAL
+    // double vectors and re-scores exact cosine — q27's rounding contract
+    "q95_pq_rerank" -> (PqAdcCte + """,
+short AS (SELECT query_id, neighbor_id FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS r0 FROM adc)
+  WHERE r0 <= 32),
+vd AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_sum([q.e[i] * c.e[i] for i in generate_series(1, 64)])
+           / (sqrt(list_sum([x * x for x in q.e])) * sqrt(list_sum([x * x for x in c.e]))), 6) AS cosine
+  FROM short s JOIN vd q ON q.vec_id = s.query_id JOIN vd c ON c.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5"""),
 
     "q29_embedding_near_dup" -> {
       // banded SRP-LSH candidates: 12 tables x 6 sign bits, global plane

@@ -372,6 +372,27 @@ object Queries {
       nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
 
+  /** q96: HTML/markup cleaning over documents augmented with a
+    * deterministic markup envelope (tags, entities, a double-encoded
+    * `&amp;lt;` exercising the decode-order guard). */
+  def cleanMarkupQ(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" <b>doc "), col("doc_id").cast("string"),
+        lit("</b> &amp;lt; &quot;q&#39;s&quot;&nbsp;end <br/>")).as("text"))
+    Corpus.cleanMarkup(aug, "doc_id", "text")
+  }
+
+  /** q95: IVFPQ with the exact re-rank refine step — ADC winnows over
+    * compressed codes, the top-32 shortlist refetches original vectors and
+    * re-scores exact cosine (AnnRecallSpec measures the recall lift over
+    * raw ADC). */
+  def embeddingPqRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 32)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= 0.45 over banded-LSH
     * candidates (12 tables × 6 sign bits — no all-pairs join; the oracle
     * regenerates the same MD5 Rademacher buckets). */
@@ -1044,6 +1065,8 @@ object Queries {
     "q92_nw_snapshot_employee" -> (nwSnapshotEmployee _),
     "q93_nw_dim_customer" -> (nwDimCustomer _),
     "q94_nw_dim_shipper" -> (nwDimShipper _),
+    "q95_pq_rerank" -> (embeddingPqRerank _),
+    "q96_clean_markup" -> (cleanMarkupQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

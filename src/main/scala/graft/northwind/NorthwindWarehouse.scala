@@ -557,10 +557,15 @@ object NorthwindWarehouse {
     // order ids so the header side never shuffles beyond the touched keys
     // (order dates never change across versions, so any header version
     // yields the same year). The upsert below then rewrites only the
-    // delta's year partitions instead of the whole table.
-    val ordState = currentState(stgOrders, Seq("order_id"))
+    // delta's year partitions instead of the whole table. On the initial
+    // load (HWM at epoch) the delta IS the table — pruning buys nothing,
+    // so the bloom build job is skipped.
+    val initialLoad = hwm.getTime * 1000L <= graft.functions.SqlFunctions.EpochMicros
+    val ordCurrent = currentState(stgOrders, Seq("order_id"))
       .select(col("order_id"), col("order_date"))
-      .filter(graft.operators.Ops.bloomProbe(
+    val ordState =
+      if (initialLoad) ordCurrent
+      else ordCurrent.filter(graft.operators.Ops.bloomProbe(
         delta.select(col("order_id")), "order_id", col("order_id")))
     val withYear = delta.join(ordState, Seq("order_id"), "left")
       .withColumn("order_year", year(col("order_date"))).drop("order_date")

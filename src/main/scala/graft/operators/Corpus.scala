@@ -627,6 +627,34 @@ object Corpus {
       regexp_count(t2, lit(PhoneRe)).as("n_phones"))
   }
 
+  /** Markup patterns shared with the oracle: plain classes only — the
+    * Java-regex/RE2 common subset, like the PII patterns above. */
+  val TagRe = "<[^>]*>"
+  val EntityRe = "&(amp|lt|gt|quot|#39|nbsp);"
+
+  /** HTML/markup cleaning (the pre-training boilerplate scrub): strip
+    * tags, decode the six common entities, collapse whitespace runs, trim;
+    * report per-document tag and entity counts. Decode order is the
+    * standard double-decode guard — `&amp;` decodes LAST, so `&amp;lt;`
+    * yields the literal text `&lt;` instead of `<` (one layer per pass,
+    * exactly like an HTML parser's entity stage). Counts are taken on the
+    * tag-stripped text BEFORE any decode (leftmost non-overlapping, so
+    * `&amp;lt;` counts once — the `&amp;`).
+    *
+    * Scale shape: pure per-row projection — codegen'd regex kernels, no
+    * shuffle, scales with input splits (same as [[redactPii]]). */
+  def cleanMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = coalesce(col(textCol), lit(""))
+    val t1 = regexp_replace(t0, TagRe, " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(t1) { case (acc, (pat, rep)) => regexp_replace(acc, pat, rep) }
+    docs.select(col(idCol),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("cleaned"),
+      regexp_count(t0, lit(TagRe)).as("n_tags"),
+      regexp_count(t1, lit(EntityRe)).as("n_entities"))
+  }
+
   /** Temperature-scaled source mixing weights (the multinomial-sampling
     * rule of multilingual/multi-source pretraining, Conneau & Lample 2019):
     * per stratum, p = token share of the corpus, weight w = p^α / Σp^α.

@@ -185,10 +185,19 @@ object Similarity {
     * encoding are pure per-row projections — no exchange between the corpus
     * scan and the final list equi-join against the broadcast probe side.
     * Ranking: ADC ascending, neighbor-id tie-break. Returns
-    * (query_id, neighbor_id, adc, rnk); adc is exact-integer BIGINT. */
+    * (query_id, neighbor_id, adc, rnk); adc is exact-integer BIGINT.
+    *
+    * `rerank` = R > 0 adds the standard refine step (the recall answer to
+    * ADC's lossy codes, measured in AnnRecallSpec): the top-R candidates
+    * per query by ADC fetch their ORIGINAL vectors and re-score exact
+    * cosine; output then matches the other ANN paths — (query_id,
+    * neighbor_id, cosine, rnk). Scale shape: the shortlist is |Q|·R rows —
+    * broadcast against the corpus, so the vector fetch scans the corpus
+    * once with no shuffle; ADC still did the heavy winnowing over
+    * compressed codes. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0): DataFrame = {
     require(nprobe <= nlist, "nprobe cannot exceed nlist")
     val nSeeds = math.max(nlist, ksub)
     val seeds: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nSeeds)
@@ -245,7 +254,17 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.cast("long").as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    val byAdc = pairs.withColumn("rnk", row_number().over(w))
+    if (rerank <= 0) byAdc.filter(col("rnk") <= k)
+    else {
+      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      val shortlist = byAdc.filter(col("rnk") <= rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // |Q|·R rows + query vectors: broadcast, so the original-vector fetch
+      // streams the corpus through a BroadcastHashJoin — no corpus shuffle
+      val withQ = broadcast(shortlist.join(prepQueries(queries, idCol, vecCol), Seq("query_id")))
+      scoreAndRank(withQ.join(prepCorpus(corpus, idCol, vecCol), Seq("neighbor_id")), k)
+    }
   }
 
   /** Johnson–Lindenstrauss random projection: embed `dims`-dimensional

@@ -186,6 +186,14 @@ object PlanAudit {
     audit("q69_pii_redact",
       // regex redaction is a pure per-row projection — no exchange anywhere
       "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q96_clean_markup",
+      // markup scrub is the same shape: per-row regex kernels, no exchange
+      "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q95_pq_rerank",
+      // ADC winnows over broadcast probes; the re-rank vector fetch streams
+      // the corpus through broadcast joins — never a cartesian fan-out
+      "broadcast_refetch" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q70_mixture_weights",
       // the corpus collapses to stratum grain map-side; the normalization
       // window sees only #strata rows (its SinglePartition is by design)

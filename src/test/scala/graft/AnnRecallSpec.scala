@@ -20,6 +20,8 @@ import graft.operators.Similarity
   *   ivf nlist=16 nprobe=2/4/8  → 0.83 / 0.85 / 0.94
   *   ivfpq m=8 ksub=16          → 0.25  (the compression-for-recall trade)
   *   ivfpq m=16 ksub=64         → 0.42
+  *   ivfpq m=8 rerank=32        → 0.73  (exact re-rank of the ADC shortlist;
+  *                                       bounded by the probed lists' 0.85)
   *
   * Reading: single-table SRP-LSH at selective plane counts has low recall
   * on weakly-clustered data — use multi-probe (query-side-only cost) or
@@ -72,7 +74,10 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpecBase {
           nlist = 16, nprobe = 4, m = 8, ksub = 16)),
       "ivfpq(nprobe=4,m=16,ksub=64)" -> recall(
         Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
-          nlist = 16, nprobe = 4, m = 16, ksub = 64)))
+          nlist = 16, nprobe = 4, m = 16, ksub = 64)),
+      "ivfpq(m=8,rerank=32)" -> recall(
+        Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 4, m = 8, ksub = 16, rerank = 32)))
     rows.foreach { case (name, r) =>
       println(f"[ann-recall] $name%-30s recall@5=$r%.3f")
     }
@@ -88,5 +93,10 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpecBase {
     assert(m("ivf(nlist=16,nprobe=8)") >= 0.90)
     assert(m("ivfpq(nprobe=4,m=8,ksub=16)") >= 0.20)
     assert(m("ivfpq(nprobe=4,m=16,ksub=64)") >= 0.35)
+    // exact re-rank recovers the candidate-set recall: bounded above by
+    // ivf at the same nprobe, far above raw ADC ranking
+    assert(m("ivfpq(m=8,rerank=32)") >= 0.70,
+      s"rerank recall ${m("ivfpq(m=8,rerank=32)")}")
+    assert(m("ivfpq(m=8,rerank=32)") > m("ivfpq(nprobe=4,m=8,ksub=16)"))
   }
 }

@@ -410,6 +410,19 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
 
+  test("cleanMarkup: tags stripped, one decode layer, &amp; last, counts pre-decode") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "<p>a &amp;lt; b</p>  <br/>x &quot;y&#39;s&quot;&nbsp;z"),
+      Row(Long.box(2L), null))
+    val out = Corpus.cleanMarkup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // &amp;lt; decodes ONE layer to the literal text "&lt;" (never to "<");
+    // entity count sees &amp;, &quot;×2, &#39;, &nbsp; = 5 (the lt; tail of
+    // the double-encoded entity is not an entity token pre-decode)
+    assert(out(1L) == (("a &lt; b x \"y's\" z", 3, 5)), s"got ${out(1L)}")
+    assert(out(2L) == (("", 0, 0)))
+  }
+
   test("tfidfTopK: hand-computed smoothed scores, term tie-break") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "x x y"),
