@@ -936,6 +936,43 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
 FROM r2""",
 
+    // k-NN classification: q27's exact top-5 neighbor list votes labels,
+    // (votes desc, smallest label) tie-break
+    "q97_knn_predict" -> """
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum([q.e[i] * c.e[i] for i in generate_series(1, 64)])
+           / (sqrt(list_sum([x * x for x in q.e])) * sqrt(list_sum([x * x for x in c.e]))), 6) AS cosine
+  FROM v q, v c WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+nn AS (SELECT query_id, neighbor_id FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM p)
+  WHERE rnk <= 5),
+votes AS (SELECT nn.query_id, e.label, count(*)::BIGINT AS votes
+          FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id GROUP BY 1, 2)
+SELECT query_id, label AS pred_label, votes FROM
+  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS r FROM votes)
+WHERE r = 1""",
+
+    // linear quality classifier: exp-free logit, z's affine chain written
+    // in the identical order on both sides so the sign agrees exactly
+    "q98_quality_logit" -> s"""
+WITH t AS (SELECT doc_id, text, $Toks AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(toks)::double AS tc,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE list_sum([length(x)::double for x in toks]) / len(toks) END AS awl,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS pr,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> x IN $EnStop))::double / len(toks) END AS swr
+  FROM t)
+SELECT doc_id,
+       round(-1.5 + 0.002 * least(tc, 2000.0) + 0.8 * swr - 2.0 * pr + 0.1 * awl, 6) AS logit,
+       (-1.5 + 0.002 * least(tc, 2000.0) + 0.8 * swr - 2.0 * pr + 0.1 * awl) > 0 AS keep
+FROM m""",
+
     // markup scrub: tags → space, entities decoded one layer (&amp; LAST —
     // the double-decode guard), whitespace collapsed; counts pre-decode
     "q96_clean_markup" -> s"""

@@ -34,7 +34,7 @@ object Queries {
     * TIMESTAMP_NTZ; session TZ is UTC, so the cast is value-preserving). */
   private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
-  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val EnStop = graft.functions.TextFunctions.EnStop
 
   // ------------------------------------------------------ warehouse queries
 
@@ -371,6 +371,19 @@ object Queries {
     Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", 5,
       nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
+
+  /** q97: k-NN label prediction — majority vote of the exact top-5 cosine
+    * neighbors, (votes desc, smallest label) tie-break. */
+  def knnPredictQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnPredict(emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+      "label", 5)
+  }
+
+  /** q98: fixed-weight linear quality classifier (logit + keep sign) over
+    * the text feature set — exp-free so both engines agree bit-for-bit. */
+  def qualityLogitQ(s: SparkSession, d: String): DataFrame =
+    Corpus.qualityLogit(Tables.documents(s, d), "doc_id", "text")
 
   /** q96: HTML/markup cleaning over documents augmented with a
     * deterministic markup envelope (tags, entities, a double-encoded
@@ -1067,6 +1080,8 @@ object Queries {
     "q94_nw_dim_shipper" -> (nwDimShipper _),
     "q95_pq_rerank" -> (embeddingPqRerank _),
     "q96_clean_markup" -> (cleanMarkupQ _),
+    "q97_knn_predict" -> (knnPredictQ _),
+    "q98_quality_logit" -> (qualityLogitQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

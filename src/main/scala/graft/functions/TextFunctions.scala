@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** The engine's shared English stopword profile (mirrored literally in
+    * every oracle's `$EnStop` list — change both together). */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
   /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]+", " "), "\\s+", " "))

@@ -655,6 +655,30 @@ object Corpus {
       regexp_count(t1, lit(EntityRe)).as("n_entities"))
   }
 
+  /** Linear quality classifier (the fasttext-style scorer of pretraining
+    * filters, reduced to its deterministic core): a fixed-weight linear
+    * model over the [[graft.functions.TextFunctions]] feature set,
+    * emitting the LOGIT (6-dp) and its sign as the keep label. The
+    * weights here are documented literals — a trained model's weights are
+    * a drop-in swap, same as the IVF centroid table — and the logit is
+    * reported instead of a sigmoid probability because the affine form is
+    * bit-reproducible across engines while `exp` is libm-dependent.
+    *
+    * z = −1.5 + 0.002·min(tokens, 2000) + 0.8·stopword_ratio
+    *     − 2.0·punct_ratio + 0.1·avg_word_len
+    *
+    * Scale shape: pure per-row projection, no shuffle. */
+  def qualityLogit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val toks = tokenCount(col(textCol)).cast("double")
+    val z = lit(-1.5) +
+      lit(0.002) * least(toks, lit(2000.0)) +
+      lit(0.8) * stopwordRatio(col(textCol), EnStop) -
+      lit(2.0) * punctRatio(col(textCol)) +
+      lit(0.1) * avgWordLen(col(textCol))
+    docs.select(col(idCol), round(z, 6).as("logit"), (z > 0).as("keep"))
+  }
+
   /** Temperature-scaled source mixing weights (the multinomial-sampling
     * rule of multilingual/multi-source pretraining, Conneau & Lample 2019):
     * per stratum, p = token share of the corpus, weight w = p^α / Σp^α.

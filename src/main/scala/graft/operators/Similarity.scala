@@ -267,6 +267,30 @@ object Similarity {
     }
   }
 
+  /** k-NN label prediction over the embedding column — the
+    * nearest-neighbor classifier every labeled-corpus pipeline wants
+    * (quality-tier propagation, weak labeling): majority vote of the
+    * exact top-k cosine neighbors, ties broken by (votes desc, smallest
+    * label). Returns (query_id, pred_label, votes).
+    *
+    * Scale shape: the |Q|·k neighbor list broadcasts against the corpus's
+    * label projection, so the label fetch streams the corpus with no
+    * shuffle; the vote count groups |Q|·k rows. Swap the candidate
+    * generator for [[ivfTopK]]/[[lshTopK]] output at corpus scale — any
+    * (query_id, neighbor_id) frame votes the same way. */
+  def knnPredict(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val labels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl"))
+    val votes = broadcast(nn).join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
   /** Johnson–Lindenstrauss random projection: embed `dims`-dimensional
     * vectors into `outDims` dimensions as proj_j = Σ_i v_i·sign(j,i) with
     * the deterministic MD5 Rademacher signs of [[planeSigns]] — the

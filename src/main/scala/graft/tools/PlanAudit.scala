@@ -189,6 +189,16 @@ object PlanAudit {
     audit("q96_clean_markup",
       // markup scrub is the same shape: per-row regex kernels, no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q98_quality_logit",
+      // the linear scorer is a pure per-row projection — no exchange
+      "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q97_knn_predict",
+      // the label fetch is a broadcast equi-join of the |Q|·k neighbor
+      // list against the corpus labels, and the vote count partial-
+      // aggregates (the candidate stage is the documented brute-force
+      // baseline — swap ivf/lsh in at scale)
+      "broadcast_labels" -> (_.contains("BroadcastHashJoin")),
+      "partial_votes" -> (_.contains("partial_count")))
     audit("q95_pq_rerank",
       // ADC winnows over broadcast probes; the re-rank vector fetch streams
       // the corpus through broadcast joins — never a cartesian fan-out

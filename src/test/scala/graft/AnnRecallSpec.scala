@@ -99,4 +99,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkSpecBase {
       s"rerank recall ${m("ivfpq(m=8,rerank=32)")}")
     assert(m("ivfpq(m=8,rerank=32)") > m("ivfpq(nprobe=4,m=8,ksub=16)"))
   }
+
+  test("knnPredict: majority vote; equal votes break to the smallest label") {
+    import org.apache.spark.sql.Row
+    // 1 query at the origin-ish vector; 4 corpus points: two labeled 7 and
+    // two labeled 3 at symmetric similarity → 2-2 tie → label 3 wins
+    def v(xs: Double*) = xs
+    val rows = Seq(
+      Row(Long.box(0L), v(1.0, 0.0), Int.box(9)), // query (label ignored)
+      Row(Long.box(1L), v(1.0, 0.1), Int.box(7)),
+      Row(Long.box(2L), v(1.0, -0.1), Int.box(7)),
+      Row(Long.box(3L), v(1.0, 0.2), Int.box(3)),
+      Row(Long.box(4L), v(1.0, -0.2), Int.box(3)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    import scala.jdk.CollectionConverters._
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val got = Similarity.knnPredict(emb.filter(col("vec_id") === 0), emb,
+      "vec_id", "embedding", "label", 4).collect()
+    assert(got.length == 1)
+    assert(got(0).getInt(1) == 3 && got(0).getLong(2) == 2L, s"got ${got.toSeq}")
+  }
 }
