@@ -936,6 +936,18 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
 FROM r2""",
 
+    // the SQL front door computes exactly q02 — same oracle text
+    "q99_sql_surface" -> """
+SELECT r_name, n_name,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
     // k-NN classification: q27's exact top-5 neighbor list votes labels,
     // (votes desc, smallest label) tie-break
     "q97_knn_predict" -> """

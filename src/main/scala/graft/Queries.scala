@@ -372,6 +372,29 @@ object Queries {
       nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
 
+  /** q99: the SQL entry surface — q02's star join expressed as literal
+    * `spark.sql` text over registered temp views (with the broadcast hints
+    * as SQL hints). One engine, two front doors: a reference user can keep
+    * writing SQL and get the same Catalyst plan the DataFrame surface
+    * gets; the oracle is q02's verbatim. */
+  def sqlSurfaceQ(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem" -> Tables.lineitem(s, d), "orders" -> Tables.orders(s, d),
+      "customer" -> Tables.customer(s, d), "nation" -> Tables.nation(s, d),
+      "region" -> Tables.region(s, d))
+      .foreach { case (n, df) => df.createOrReplaceTempView(s"v_$n") }
+    s.sql("""
+      SELECT /*+ BROADCAST(v_nation), BROADCAST(v_region) */
+             r_name, n_name,
+             cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+             count(*) AS n_lines
+      FROM v_lineitem
+      JOIN v_orders   ON l_orderkey = o_orderkey
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation   ON c_nationkey = n_nationkey
+      JOIN v_region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""")
+  }
+
   /** q97: k-NN label prediction — majority vote of the exact top-5 cosine
     * neighbors, (votes desc, smallest label) tie-break. */
   def knnPredictQ(s: SparkSession, d: String): DataFrame = {
@@ -1082,6 +1105,7 @@ object Queries {
     "q96_clean_markup" -> (cleanMarkupQ _),
     "q97_knn_predict" -> (knnPredictQ _),
     "q98_quality_logit" -> (qualityLogitQ _),
+    "q99_sql_surface" -> (sqlSurfaceQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

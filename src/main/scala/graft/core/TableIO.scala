@@ -273,6 +273,42 @@ object TableIO {
     }
   }
 
+  /** Small-file compaction for standing tables — the maintenance pass
+    * append-mode accumulation needs (every [[graft.operators.Corpus]]
+    * `dedupIncremental` batch appends a fingerprint file; every streaming
+    * micro-batch more): re-pack the table into ~`targetBytes` files and
+    * atomically swap. Content-preserving by construction — same rows, and
+    * standing state tables are key-addressed, not order-addressed, so no
+    * ordering contract is lost. Partitioned tables repack to one file per
+    * partition (directory pruning intact); unpartitioned tables to
+    * ceil(bytes/targetBytes) files. Returns (filesBefore, filesAfter).
+    *
+    * At cluster scale this is OPTIMIZE without the table format: run it
+    * off the write path on whatever cadence keeps scan task counts sane —
+    * the atomic swap means readers never block. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
+      partitionBy: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def dataFiles(f: File): Seq[File] =
+      Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap { c =>
+        if (c.isDirectory) dataFiles(c)
+        else if (c.getName.startsWith(".") || c.getName.startsWith("_")) Nil
+        else Seq(c)
+      }
+    val before = dataFiles(new File(path))
+    val df = spark.read.parquet(path)
+    val packed =
+      if (partitionBy.nonEmpty)
+        df.repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        val n = math.max(1, math.ceil(
+          before.map(_.length).sum.toDouble / targetBytes).toInt)
+        df.repartition(n)
+      }
+    overwriteAtomic(packed, path, partitionBy)
+    (before.size, dataFiles(new File(path)).size)
+  }
+
   /** Hive-style partition directory name for one partition value's STRING
     * form (already cast by Spark, so it matches the writer's formatting for
     * every type — timestamps, dates, decimals included). */

@@ -189,6 +189,11 @@ object PlanAudit {
     audit("q96_clean_markup",
       // markup scrub is the same shape: per-row regex kernels, no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q99_sql_surface",
+      // the SQL front door must plan like the DataFrame q02: broadcast
+      // dims, pruned columns
+      "broadcast_joins" -> (_.contains("BroadcastHashJoin")),
+      "pruned_schema" -> (p => !p.contains("c_comment")))
     audit("q98_quality_logit",
       // the linear scorer is a pure per-row projection — no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))

@@ -59,6 +59,28 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     }.toMap
   }
 
+  test("compact: repacks append fragments; content identical; partitioned keeps dirs") {
+    val path = tmp() + "/t"
+    (1 to 6).foreach(i => df("k INT, v STRING", Row(Int.box(i), s"v$i"))
+      .coalesce(1).write.mode("append").parquet(path))
+    val before = canon(spark.read.parquet(path))
+    val (nb, na) = TableIO.compact(spark, path)
+    assert(nb >= 6 && na == 1, s"compact $nb -> $na")
+    assert(canon(spark.read.parquet(path)) == before)
+    // partitioned: one file per partition, partition dirs preserved
+    val p2 = tmp() + "/p"
+    (1 to 4).foreach(i => df("k INT, p STRING, v STRING",
+        Row(Int.box(i), s"d${i % 2}", s"v$i"))
+      .coalesce(1).write.mode("append").partitionBy("p").parquet(p2))
+    val beforeP = canon(spark.read.parquet(p2))
+    val (pb, pa) = TableIO.compact(spark, p2, partitionBy = Seq("p"))
+    assert(pb >= 4 && pa == 2, s"compact $pb -> $pa")
+    assert(canon(spark.read.parquet(p2)) == beforeP)
+    val dirs = Option(new java.io.File(p2).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("p=d0", "p=d1"), s"got $dirs")
+  }
+
   test("two-level partitioned upsertByKey: only touched (y, m) leaves rewrite, incl. NULL level") {
     val path = tmp() + "/t"
     val base = df("k INT, y STRING, m STRING, v STRING",

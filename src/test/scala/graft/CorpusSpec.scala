@@ -374,6 +374,12 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(Corpus.dedupIncremental(spark, root, b3, "doc_id", "text").count() == 0L)
     // the state table accumulated every kept fingerprint exactly once
     assert(spark.read.parquet(root).count() == 4L)
+    // maintenance loop: append-mode batches fragment the state; compaction
+    // repacks it without changing the dedup contract (replay still no-op)
+    val (nb, na) = graft.core.TableIO.compact(spark, root)
+    assert(nb >= 2 && na == 1, s"compact $nb -> $na files")
+    assert(spark.read.parquet(root).count() == 4L)
+    assert(Corpus.dedupIncremental(spark, root, b2, "doc_id", "text").count() == 0L)
   }
 
   test("dedupIncrementalBucketed: same keep semantics; state scans bucketed with no state-side exchange") {
