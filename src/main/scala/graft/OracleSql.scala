@@ -936,6 +936,41 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
 FROM r2""",
 
+    // winsorize: q78's histogram-CDF percentile_disc at p1/p99, values
+    // clamped; NULL values and threshold-less groups pass through
+    "q100_winsorize" -> """
+WITH hist AS (SELECT event_type, value AS v, count(*)::BIGINT AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+cum AS (SELECT event_type, v, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+        FROM hist),
+thr AS (SELECT event_type,
+         min(CASE WHEN cum >= ceil(0.01 * n) THEN v END) AS lo,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS hi
+        FROM cum GROUP BY event_type)
+SELECT event_id, event_type, value, lo, hi,
+       CASE WHEN value IS NULL OR lo IS NULL THEN value
+            ELSE least(greatest(value, lo), hi) END AS value_w
+FROM events LEFT JOIN thr USING (event_type)""",
+
+    // opt-out erasure: id list = doc_id % 97 = 3; content list = the
+    // normalized-md5 fingerprints of doc_id % 101 = 7 (removes all
+    // copies); id reason wins when both apply
+    "q101_opt_out" -> """
+WITH fp AS (SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+     FROM documents),
+ids AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
+fps AS (SELECT DISTINCT f.fp FROM fp f WHERE f.doc_id % 101 = 7)
+SELECT d.doc_id,
+       CASE WHEN i.doc_id IS NOT NULL THEN 'id'
+            WHEN c.fp IS NOT NULL THEN 'content' END AS removed_reason
+FROM documents d
+JOIN fp ON fp.doc_id = d.doc_id
+LEFT JOIN ids i ON i.doc_id = d.doc_id
+LEFT JOIN fps c ON c.fp = fp.fp""",
+
     // the SQL front door computes exactly q02 — same oracle text
     "q99_sql_surface" -> """
 SELECT r_name, n_name,

@@ -372,6 +372,25 @@ object Queries {
       nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
 
+  /** q100: per-group winsorization — event values clamp to the exact
+    * [p1, p99] percentile_disc band of their event type. */
+  def winsorizeQ(s: SparkSession, d: String): DataFrame =
+    Ops.winsorize(Tables.events(s, d), Seq("event_type"), "value")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("lo"), col("hi"), col("value_w"))
+
+  /** q101: opt-out erasure — deterministic id and content deletion lists;
+    * the content list removes every copy of an opted-out text, the audit
+    * reason survives per row. */
+  def optOutQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val byId = docs.filter(col("doc_id") % 97 === 3).select(col("doc_id"))
+    val byContent = docs.filter(col("doc_id") % 101 === 7)
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    Corpus.applyOptOut(docs, "doc_id", "text", byId, byContent)
+      .select(col("doc_id"), col("removed_reason"))
+  }
+
   /** q99: the SQL entry surface — q02's star join expressed as literal
     * `spark.sql` text over registered temp views (with the broadcast hints
     * as SQL hints). One engine, two front doors: a reference user can keep
@@ -1106,6 +1125,8 @@ object Queries {
     "q97_knn_predict" -> (knnPredictQ _),
     "q98_quality_logit" -> (qualityLogitQ _),
     "q99_sql_surface" -> (sqlSurfaceQ _),
+    "q100_winsorize" -> (winsorizeQ _),
+    "q101_opt_out" -> (optOutQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -655,6 +655,35 @@ object Corpus {
       regexp_count(t1, lit(EntityRe)).as("n_entities"))
   }
 
+  /** Opt-out erasure — the deletion-list pass a compliant pretraining
+    * pipeline runs before every release (takedown requests, robots
+    * opt-outs, licensing removals): a document is removed when its ID is
+    * on the id list OR its content fingerprint (the [[Dedup]] family's
+    * normalized md5, so an opted-out text removes ALL byte-variant copies)
+    * is on the content list. Returns every document with a
+    * `removed_reason` column — 'id', 'content', or NULL for kept — so the
+    * caller both filters and audits from one pass; id-match wins when
+    * both apply (deterministic reason).
+    *
+    * Scale shape: deletion lists are human-scale — both broadcast; the
+    * corpus passes once with two broadcast left joins and no shuffle of
+    * its own. */
+  def applyOptOut(docs: DataFrame, idCol: String, textCol: String,
+      optOutIds: DataFrame, optOutFps: DataFrame): DataFrame = {
+    val ids = optOutIds.select(col(optOutIds.columns.head).as(idCol)).distinct()
+      .withColumn("__by_id", lit(1))
+    val fps = optOutFps.select(col(optOutFps.columns.head).as("__fp")).distinct()
+      .withColumn("__by_fp", lit(1))
+    docs
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(broadcast(ids), Seq(idCol), "left")
+      .join(broadcast(fps), Seq("__fp"), "left")
+      .withColumn("removed_reason",
+        when(col("__by_id").isNotNull, lit("id"))
+          .when(col("__by_fp").isNotNull, lit("content")))
+      .drop("__fp", "__by_id", "__by_fp")
+  }
+
   /** Linear quality classifier (the fasttext-style scorer of pretraining
     * filters, reduced to its deterministic core): a fixed-weight linear
     * model over the [[graft.functions.TextFunctions]] feature set,

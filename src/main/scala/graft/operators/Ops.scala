@@ -334,6 +334,31 @@ object Ops {
     cum.groupBy(gcols: _*).agg(sum(col("__c")).as("n_rows"), pcols: _*)
   }
 
+  /** Per-group winsorization — the robust-scaling clip of feature
+    * preprocessing: values clamp to the group's exact [lo, hi]
+    * percentile_disc band computed by [[groupQuantiles]]'s histogram CDF,
+    * so the clip bounds are engine-exact values drawn from the data (no
+    * interpolation, no float drift). NULL values stay NULL (Spark's
+    * least/greatest skip NULLs, which would otherwise clamp a NULL to the
+    * lower bound); rows whose group has no non-NULL values pass through
+    * unclipped.
+    *
+    * Scale shape: thresholds collapse to group grain and broadcast back —
+    * the stream passes once, the sketch never shuffles with it (same
+    * shape as outlier flags / q86). */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo > 0 && hi <= 1 && lo < hi, s"need 0 < lo < hi <= 1, got ($lo, $hi)")
+    val (nLo, nHi) = (s"p${(lo * 100).round}", s"p${(hi * 100).round}")
+    val thr = groupQuantiles(df, groupCols, col(valueCol), Seq(lo, hi))
+      .select(groupCols.map(col) ++ Seq(col(nLo).as("__lo"), col(nHi).as("__hi")): _*)
+    df.join(broadcast(thr), groupCols, "left")
+      .withColumn(valueCol + "_w",
+        when(col(valueCol).isNull || col("__lo").isNull, col(valueCol))
+          .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .withColumnRenamed("__lo", "lo").withColumnRenamed("__hi", "hi")
+  }
+
   /** Time-range rolling aggregation (W5 shape — RANGE frame over event
     * time): for every row, the sum/count of `value` over the trailing
     * `windowSeconds` window within the same key, endpoints inclusive.

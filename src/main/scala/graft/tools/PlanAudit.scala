@@ -189,6 +189,15 @@ object PlanAudit {
     audit("q96_clean_markup",
       // markup scrub is the same shape: per-row regex kernels, no exchange
       "no_shuffle" -> (p => !p.contains("Exchange")))
+    audit("q100_winsorize",
+      // thresholds collapse to group grain (combinable) and broadcast back
+      "partial_agg" -> (_.contains("partial_count")),
+      "broadcast_thresholds" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q101_opt_out",
+      // deletion lists broadcast; the corpus passes once
+      "broadcast_lists" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
     audit("q99_sql_surface",
       // the SQL front door must plan like the DataFrame q02: broadcast
       // dims, pruned columns

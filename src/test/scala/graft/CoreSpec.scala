@@ -59,6 +59,27 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     }.toMap
   }
 
+  test("winsorize: clamps to the group's [lo, hi] band; NULLs and bandless groups pass through") {
+    val d = df("g STRING, v DOUBLE",
+      (Seq.tabulate(100)(i => Row("a", Double.box(i + 1.0))) ++ Seq(
+        Row("a", null), Row("b", null))): _*)
+    val out = Ops.winsorize(d, Seq("g"), "v", lo = 0.05, hi = 0.95).collect()
+    val a = out.filter(r => r.getString(0) == "a" && !r.isNullAt(1))
+    // percentile_disc on 1..100: p5 = 5, p95 = 95
+    assert(a.forall(r => r.getDouble(r.fieldIndex("lo")) == 5.0 &&
+      r.getDouble(r.fieldIndex("hi")) == 95.0))
+    assert(a.map(r => r.getDouble(r.fieldIndex("v_w"))).min == 5.0)
+    assert(a.map(r => r.getDouble(r.fieldIndex("v_w"))).max == 95.0)
+    // in-band values untouched
+    assert(a.filter(r => r.getDouble(1) == 50.0).forall(r => r.getDouble(r.fieldIndex("v_w")) == 50.0))
+    // NULL value in a thresholded group stays NULL (not clamped to lo)
+    assert(out.filter(r => r.getString(0) == "a" && r.isNullAt(1))
+      .forall(_.isNullAt(out.head.fieldIndex("v_w"))))
+    // group with no non-NULL values: no band, value passes through
+    assert(out.filter(_.getString(0) == "b").forall(r =>
+      r.isNullAt(r.fieldIndex("lo")) && r.isNullAt(r.fieldIndex("v_w"))))
+  }
+
   test("compact: repacks append fragments; content identical; partitioned keeps dirs") {
     val path = tmp() + "/t"
     (1 to 6).foreach(i => df("k INT, v STRING", Row(Int.box(i), s"v$i"))
