@@ -936,6 +936,15 @@ SELECT doc_id,
        len(regexp_extract_all(t2, '${graft.operators.Corpus.PhoneRe}'))::int AS n_phones
 FROM r2""",
 
+    // incremental rollup ≡ from-scratch GROUP BY (merge-of-partials over
+    // any batching; decimal sums make the equivalence order-free)
+    "q102_incremental_agg" -> """
+SELECT o_custkey, count(*)::BIGINT AS n_rows,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price,
+       epoch_us(min(o_orderdate)::timestamp) AS first_us,
+       epoch_us(max(o_orderdate)::timestamp) AS last_us
+FROM orders GROUP BY o_custkey""",
+
     // winsorize: q78's histogram-CDF percentile_disc at p1/p99, values
     // clamped; NULL values and threshold-less groups pass through
     "q100_winsorize" -> """

@@ -372,6 +372,31 @@ object Queries {
       nlist = 16, nprobe = 4, m = 8, ksub = 16)
   }
 
+  private lazy val q102Root: String =
+    java.nio.file.Files.createTempDirectory("graft_agg_state").toString
+
+  /** q102: incremental aggregate maintenance — a per-customer order
+    * rollup maintained across two date-split batches must equal the
+    * from-scratch GROUP BY the oracle runs (merge-of-partials ≡
+    * aggregate-of-everything; sums in decimal so batch order is
+    * irrelevant). */
+  def incrementalAggQ(s: SparkSession, d: String): DataFrame = {
+    val root = q102Root
+    TableIO.clearDir(root)
+    val path = s"$root/rollup"
+    val orders = Tables.orders(s, d)
+    val split = to_date(lit("1995-01-01"))
+    val aggs = Seq("sum" -> "o_totalprice", "min" -> "o_orderdate", "max" -> "o_orderdate")
+    TableIO.upsertAggregate(s, path, orders.filter(col("o_orderdate") < split),
+      Seq("o_custkey"), aggs)
+    TableIO.upsertAggregate(s, path, orders.filter(col("o_orderdate") >= split),
+      Seq("o_custkey"), aggs)
+    TableIO.read(s, path).select(col("o_custkey"), col("n_rows"),
+      col("sum_o_totalprice").cast("double").as("total_price"),
+      micros(col("min_o_orderdate")).as("first_us"),
+      micros(col("max_o_orderdate")).as("last_us"))
+  }
+
   /** q100: per-group winsorization — event values clamp to the exact
     * [p1, p99] percentile_disc band of their event type. */
   def winsorizeQ(s: SparkSession, d: String): DataFrame =
@@ -1127,6 +1152,7 @@ object Queries {
     "q99_sql_surface" -> (sqlSurfaceQ _),
     "q100_winsorize" -> (winsorizeQ _),
     "q101_opt_out" -> (optOutQ _),
+    "q102_incremental_agg" -> (incrementalAggQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

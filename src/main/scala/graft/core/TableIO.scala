@@ -273,6 +273,62 @@ object TableIO {
     }
   }
 
+  /** Incremental aggregate maintenance — materialized-rollup upkeep: keep
+    * a persisted groupBy table current by MERGING each batch's partial
+    * aggregates into it instead of recomputing the corpus. Supported
+    * aggregates are the commutative-monoid set (`sum`/`min`/`max`, plus
+    * an automatic `n_rows` count; avg = sum/count at read time), so
+    * merge-of-partials ≡ aggregate-of-everything regardless of how the
+    * history was batched — the q11 merge≡fromHistory equivalence applied
+    * to aggregates, and the oracle gate recomputes from scratch. Sums run
+    * in decimal(18,4) (order-free exactness, the engine's cross-engine
+    * convention); INSERT-only by construction — a retraction isn't
+    * representable in a monoid, so updates/deletes need a recompute of
+    * the touched keys.
+    *
+    * Scale shape: the batch collapses map-side to key grain, the merge
+    * joins only TOUCHED existing keys (left join from the batch side),
+    * and [[upsertByKey]] rewrites only those keys — cost is
+    * O(|batch| + |touched keys|), never O(|table|). */
+  def upsertAggregate(spark: SparkSession, path: String, rows: DataFrame,
+      keys: Seq[String], aggs: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.functions._
+    require(aggs.nonEmpty, "need at least one aggregate")
+    val bad = aggs.collect { case (fn, _) if !Set("sum", "min", "max")(fn) => fn }
+    require(bad.isEmpty, s"unsupported aggregate(s) $bad — monoid set is sum/min/max")
+    def nameOf(fn: String, c: String) = s"${fn}_$c"
+    // sums pin to decimal(28,4): Spark widens precision per addition, and a
+    // per-batch schema drift would force upsertByKey's whole-table rewrite
+    val aggCols = count(lit(1)).as("n_rows") +: aggs.map {
+      case ("sum", c) => sum(col(c).cast("decimal(18,4)"))
+        .cast("decimal(28,4)").as(nameOf("sum", c))
+      case ("min", c) => min(col(c)).as(nameOf("min", c))
+      case ("max", c) => max(col(c)).as(nameOf("max", c))
+    }
+    val batch = rows.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    if (!TableIO.exists(path)) { overwriteAtomic(batch, path); return }
+    val existing = spark.read.parquet(path)
+    val touched = batch.join(
+      existing.select(existing.columns.map(c =>
+        (if (keys.contains(c)) col(c) else col(c).as(s"__e_$c"))): _*),
+      keys, "left")
+    val merged = touched.select(keys.map(col) ++ Seq(
+      (col("n_rows") + coalesce(col("__e_n_rows"), lit(0L))).as("n_rows")) ++
+      aggs.map {
+        case ("sum", c) =>
+          val n = nameOf("sum", c)
+          (col(n) + coalesce(col(s"__e_$n"), lit(0).cast("decimal(28,4)")))
+            .cast("decimal(28,4)").as(n)
+        case ("min", c) =>
+          val n = nameOf("min", c)
+          least(col(n), coalesce(col(s"__e_$n"), col(n))).as(n)
+        case ("max", c) =>
+          val n = nameOf("max", c)
+          greatest(col(n), coalesce(col(s"__e_$n"), col(n))).as(n)
+      }: _*)
+    upsertByKey(spark, path, merged, keys)
+  }
+
   /** Small-file compaction for standing tables — the maintenance pass
     * append-mode accumulation needs (every [[graft.operators.Corpus]]
     * `dedupIncremental` batch appends a fingerprint file; every streaming

@@ -59,6 +59,36 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     }.toMap
   }
 
+  test("upsertAggregate: merge-of-partials equals from-scratch aggregate over any batching") {
+    val rows = (1 to 40).map(i => (i % 5, i.toDouble, i))
+    def toDf(xs: Seq[(Int, Double, Int)]) =
+      df("k INT, v DOUBLE, t INT", xs.map(x => Row(Int.box(x._1), Double.box(x._2), Int.box(x._3))): _*)
+    for (nBatches <- Seq(1, 3)) {
+      val path = tmp() + s"/agg$nBatches"
+      rows.grouped(math.ceil(rows.size.toDouble / nBatches).toInt).foreach { b =>
+        TableIO.upsertAggregate(spark, path, toDf(b), Seq("k"),
+          Seq("sum" -> "v", "min" -> "t", "max" -> "t"))
+      }
+      val got = spark.read.parquet(path).collect().map(r => (r.getInt(0),
+        (r.getLong(r.fieldIndex("n_rows")),
+          r.getDecimal(r.fieldIndex("sum_v")).doubleValue(),
+          r.getInt(r.fieldIndex("min_t")), r.getInt(r.fieldIndex("max_t"))))).toMap
+      val want = rows.groupBy(_._1).map { case (k, xs) =>
+        k -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).min, xs.map(_._3).max)) }
+      assert(got == want, s"nBatches=$nBatches: $got != $want")
+    }
+    // a batch of only-new keys inserts; only-existing keys combine; both at once
+    val p2 = tmp() + "/agg2"
+    TableIO.upsertAggregate(spark, p2, toDf(Seq((1, 2.0, 5))), Seq("k"), Seq("sum" -> "v"))
+    TableIO.upsertAggregate(spark, p2, toDf(Seq((1, 3.0, 6), (2, 7.0, 1))), Seq("k"), Seq("sum" -> "v"))
+    val m = spark.read.parquet(p2).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(2).doubleValue()).toMap
+    assert(m == Map(1 -> 5.0, 2 -> 7.0), s"got $m")
+    intercept[IllegalArgumentException] {
+      TableIO.upsertAggregate(spark, p2, toDf(Seq((1, 1.0, 1))), Seq("k"), Seq("avg" -> "v"))
+    }: Unit
+  }
+
   test("winsorize: clamps to the group's [lo, hi] band; NULLs and bandless groups pass through") {
     val d = df("g STRING, v DOUBLE",
       (Seq.tabulate(100)(i => Row("a", Double.box(i + 1.0))) ++ Seq(
