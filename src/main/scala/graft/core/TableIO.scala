@@ -297,14 +297,7 @@ object TableIO {
     val bad = aggs.collect { case (fn, _) if !Set("sum", "min", "max")(fn) => fn }
     require(bad.isEmpty, s"unsupported aggregate(s) $bad — monoid set is sum/min/max")
     def nameOf(fn: String, c: String) = s"${fn}_$c"
-    // sums pin to decimal(28,4): Spark widens precision per addition, and a
-    // per-batch schema drift would force upsertByKey's whole-table rewrite
-    val aggCols = count(lit(1)).as("n_rows") +: aggs.map {
-      case ("sum", c) => sum(col(c).cast("decimal(18,4)"))
-        .cast("decimal(28,4)").as(nameOf("sum", c))
-      case ("min", c) => min(col(c)).as(nameOf("min", c))
-      case ("max", c) => max(col(c)).as(nameOf("max", c))
-    }
+    val aggCols = aggExprs(aggs)
     val batch = rows.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     if (!TableIO.exists(path)) { overwriteAtomic(batch, path); return }
     val existing = spark.read.parquet(path)
@@ -327,6 +320,35 @@ object TableIO {
           greatest(col(n), coalesce(col(s"__e_$n"), col(n))).as(n)
       }: _*)
     upsertByKey(spark, path, merged, keys)
+  }
+
+  /** The monoid aggregate expressions of [[upsertAggregate]] — row grain →
+    * key grain. Shared with the streaming partials sink so both paths
+    * produce the identical schema; sums pin to decimal(28,4) (per-batch
+    * precision widening would drift the stored schema). */
+  private[graft] def aggExprs(aggs: Seq[(String, String)]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    count(lit(1)).as("n_rows") +: aggs.map {
+      case ("sum", c) => sum(col(c).cast("decimal(18,4)"))
+        .cast("decimal(28,4)").as(s"sum_$c")
+      case ("min", c) => min(col(c)).as(s"min_$c")
+      case ("max", c) => max(col(c)).as(s"max_$c")
+      case (fn, c) => throw new IllegalArgumentException(
+        s"unsupported aggregate $fn($c) — monoid set is sum/min/max")
+    }
+  }
+
+  /** The matching partial→total combiners: key grain over partials →
+    * one row per key (sum of sums, min of mins, max of maxes). */
+  private[graft] def combineExprs(aggs: Seq[(String, String)]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    sum(col("n_rows")).as("n_rows") +: aggs.map {
+      case ("sum", c) => sum(col(s"sum_$c")).cast("decimal(28,4)").as(s"sum_$c")
+      case ("min", c) => min(col(s"min_$c")).as(s"min_$c")
+      case ("max", c) => max(col(s"max_$c")).as(s"max_$c")
+      case (fn, c) => throw new IllegalArgumentException(
+        s"unsupported aggregate $fn($c) — monoid set is sum/min/max")
+    }
   }
 
   /** Small-file compaction for standing tables — the maintenance pass

@@ -126,6 +126,69 @@ object Streams {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
   }
 
+  /** Maintain a materialized rollup from an event stream, EXACTLY-ONCE
+    * under micro-batch replays: foreachBatch is at-least-once, and a
+    * replayed batch naively re-merged through
+    * [[graft.core.TableIO.upsertAggregate]] would double-count its sums.
+    * The sink therefore persists each micro-batch's PARTIAL aggregates at
+    * (__batch_id, key) grain via the keyed upsert — a replay of batch N
+    * REPLACES batch N's partial rows with identical values instead of
+    * adding to them, so the table is idempotent under any replay
+    * schedule. [[readRollup]] combines partials to key grain (the same
+    * monoid combiners upsertAggregate merges with); [[compactRollup]]
+    * folds history into one base partial per key off the write path so
+    * read cost doesn't grow with batch count.
+    *
+    * Scale shape: each micro-batch collapses map-side to key grain before
+    * touching storage; the upsert rewrites only that batch's rows. The
+    * combining read is one exchange at (already aggregated) partial
+    * grain. */
+  def aggregateSink(events: DataFrame, path: String, keys: Seq[String],
+      aggs: Seq[(String, String)], checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatchPartials(batch.sparkSession, path, batch, id, keys, aggs)
+      }
+
+  /** One micro-batch's idempotent partial merge (factored so StreamingSpec
+    * can replay a batch id directly and assert nothing double-counts). */
+  def mergeBatchPartials(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String], aggs: Seq[(String, String)]): Unit = {
+    val aggCols = TableIO.aggExprs(aggs)
+    val partial = batch.groupBy(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__batch_id", lit(batchId))
+    TableIO.upsertByKey(spark, path, partial, "__batch_id" +: keys)
+  }
+
+  /** Key-grain view over the partials table — the rollup consumers read. */
+  def readRollup(spark: SparkSession, path: String, keys: Seq[String],
+      aggs: Seq[(String, String)]): DataFrame = {
+    val combine = TableIO.combineExprs(aggs)
+    TableIO.read(spark, path).groupBy(keys.map(col): _*)
+      .agg(combine.head, combine.tail: _*)
+  }
+
+  /** Fold all partials into one base row per key (batch id −1), keeping
+    * reads O(|keys|) however many micro-batches have landed. Precondition:
+    * run QUIESCED — stream stopped with its last batch committed to the
+    * checkpoint (the same single-writer rule as every TableIO maintenance
+    * op). A batch can only be replayed when its commit never landed, and a
+    * committed batch is never replayed, so folding committed partials is
+    * safe; folding an UNCOMMITTED batch's partials and then replaying it
+    * would double-count — hence the quiesce rule (StreamingSpec's restart
+    * case exercises exactly this order). */
+  def compactRollup(spark: SparkSession, path: String, keys: Seq[String],
+      aggs: Seq[(String, String)]): Unit = {
+    val folded = readRollup(spark, path, keys, aggs)
+      .withColumn("__batch_id", lit(-1L))
+      .select(TableIO.read(spark, path).columns.map(col): _*)
+      .localCheckpoint(true) // pinned before the swap changes the files it read
+    TableIO.overwriteAtomic(folded, path)
+  }
+
   /** Maintain an SCD2 dimension from a CDC event stream: each micro-batch is
     * merged through the same Scd2.merge the batch path uses, persisted with
     * the atomic upsert writer. `Trigger.AvailableNow` makes this the

@@ -162,6 +162,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.toSeq == Seq(("2024-01-01 10:00:00.0", 1L, 1.0)))
   }
 
+  test("aggregateSink: stream rollup == batch groupBy; compaction preserves the view") {
+    val dir = tmp()
+    val path = dir + "/rollup"
+    val aggs = Seq("sum" -> "value", "max" -> "value")
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    eventRows.filter(col("user_id") === 1).write.parquet(dir + "/in")
+    eventRows.filter(col("user_id") === 2).write.mode("append").parquet(dir + "/in")
+    val stream = spark.readStream.schema(eventRows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    val q = Streams.aggregateSink(stream, path, Seq("event_type"), aggs, dir + "/ckpt").start()
+    q.awaitTermination(60000)
+    def view = Streams.readRollup(spark, path, Seq("event_type"), aggs)
+      .select(col("event_type"), col("n_rows"),
+        col("sum_value").cast("double"), col("max_value"))
+    val want = canon(eventRows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        max(col("value")).as("max_value")))
+    assert(canon(view) == want, "streamed rollup != batch groupBy")
+    // quiesced compaction folds partials to one base row per key
+    Streams.compactRollup(spark, path, Seq("event_type"), aggs)
+    assert(canon(view) == want, "compaction changed the rollup view")
+    val grain = spark.read.parquet(path).groupBy(col("event_type")).count()
+      .collect().map(_.getLong(1)).toSet
+    assert(grain == Set(1L), s"expected one base partial per key, got $grain")
+  }
+
+  test("aggregateSink replay: re-delivering a batch id with its content replaces, never adds") {
+    // at-least-once simulation with controlled batch contents: land batches
+    // 0 and 1, then replay batch 1 VERBATIM (what a post-crash foreachBatch
+    // re-delivery does) — the (batch_id, key) upsert must replace its own
+    // rows with identical values, leaving the combined view unchanged
+    val path = tmp() + "/rollup"
+    val aggs = Seq("sum" -> "value", "max" -> "value")
+    val b0 = eventRows.filter(col("user_id") === 1)
+    val b1 = eventRows.filter(col("user_id") === 2)
+    Streams.mergeBatchPartials(spark, path, b0, 0L, Seq("event_type"), aggs)
+    Streams.mergeBatchPartials(spark, path, b1, 1L, Seq("event_type"), aggs)
+    def view = Streams.readRollup(spark, path, Seq("event_type"), aggs)
+      .select(col("event_type"), col("n_rows"),
+        col("sum_value").cast("double"), col("max_value"))
+    val want = canon(view)
+    Streams.mergeBatchPartials(spark, path, b1, 1L, Seq("event_type"), aggs)
+    assert(canon(view) == want, "replayed batch double-counted")
+    Streams.mergeBatchPartials(spark, path, b1, 1L, Seq("event_type"), aggs)
+    assert(canon(view) == want, "second replay double-counted")
+  }
+
   test("foreachBatch SCD2 sink over two micro-batches converges to fromHistory") {
     val dir = tmp()
     val cfg = Scd2Config(Seq("user_id"), "ts", payload = Seq("event_type"),
