@@ -945,6 +945,33 @@ SELECT o_custkey, count(*)::BIGINT AS n_rows,
        epoch_us(max(o_orderdate)::timestamp) AS last_us
 FROM orders GROUP BY o_custkey""",
 
+    // time travel: each committed snapshot's expected contents rebuilt
+    // declaratively — v1 = pre-1996 history, v2 = everything, v3 = the
+    // keyed correction (F orders doubled) merged in
+    "q103_time_travel" -> """
+SELECT 1::BIGINT AS v, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 2::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double)
+FROM orders
+UNION ALL
+SELECT 3::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                          ELSE o_totalprice END AS decimal(18,4))) AS double)
+FROM orders""",
+
+    // pruned scan ≡ plain filtered aggregate: file skipping must be
+    // invisible to results (skip effectiveness is pinned in GraftTableSpec)
+    "q104_pruned_scan" -> """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+GROUP BY 1""",
+
     // winsorize: q78's histogram-CDF percentile_disc at p1/p99, values
     // clamped; NULL values and threshold-less groups pass through
     "q100_winsorize" -> """

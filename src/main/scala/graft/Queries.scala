@@ -375,6 +375,63 @@ object Queries {
   private lazy val q102Root: String =
     java.nio.file.Files.createTempDirectory("graft_agg_state").toString
 
+  private lazy val q103Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_travel").toString
+
+  private lazy val q104Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_pruned").toString
+
+  /** q103: versioned-table time travel (SURVEY S6, the reference's
+    * `AT (TIMESTAMP => …)` — stg_dim_customer.sql:71): three commits
+    * (history load, append of the remainder, keyed correction), then every
+    * SNAPSHOT read back by version and aggregated. The oracle rebuilds
+    * each version's expected state declaratively, so the gate proves the
+    * manifest log preserves exact point-in-time contents — not just the
+    * latest state. */
+  def timeTravelQ(s: SparkSession, d: String): DataFrame = {
+    val root = q103Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_v"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    graft.core.GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)
+    graft.core.GraftTable.append(orders.filter(col("o_orderdate") >= split), path)
+    graft.core.GraftTable.upsertByKey(s, path,
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    (1L to 3L).map { v =>
+      graft.core.GraftTable.readVersion(s, path, v).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+        .select(lit(v).as("v"), col("n_orders"), col("total_price"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q104: stats-pruned scan over a range-CLUSTERED versioned table —
+    * monthly revenue for 1995-H1 read through [[graft.core.GraftTable
+    * .readPruned]], which drops every file whose [min,max] o_orderdate
+    * range misses the predicate (file-skipping = partition pruning
+    * without a directory layout; GraftTableSpec pins the skip counts).
+    * The residual exact filter runs on the surviving files only. */
+  def prunedScanQ(s: SparkSession, d: String): DataFrame = {
+    val root = q104Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_c"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.writeClustered(orders, path, col("o_orderdate"), numFiles = 16)
+    val scan = graft.core.GraftTable.readPruned(s, path, Seq(graft.core.GraftTable.ColRange(
+      "o_orderdate", Some(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      Some(java.sql.Timestamp.valueOf("1995-07-01 00:00:00")))))
+    scan.df.filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(micros(col("month")).as("month_us"), col("n_orders"), col("revenue"))
+  }
+
   /** q102: incremental aggregate maintenance — a per-customer order
     * rollup maintained across two date-split batches must equal the
     * from-scratch GROUP BY the oracle runs (merge-of-partials ≡
@@ -1153,6 +1210,8 @@ object Queries {
     "q100_winsorize" -> (winsorizeQ _),
     "q101_opt_out" -> (optOutQ _),
     "q102_incremental_agg" -> (incrementalAggQ _),
+    "q103_time_travel" -> (timeTravelQ _),
+    "q104_pruned_scan" -> (prunedScanQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

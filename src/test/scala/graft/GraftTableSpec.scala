@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftTable
+import graft.core.GraftTable.ColRange
+import graft.operators.Ops
+
+/** The versioned table format: manifest commits, snapshot isolation,
+  * time travel, stats-based file skipping, file-granular copy-on-write
+  * upsert, vacuum, crash/conflict behavior. */
+class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_vt").toString
+
+  private def kv(rows: (Int, String)*) =
+    df("k INT, v STRING", rows.map(r => Row(Int.box(r._1), r._2)): _*)
+
+  private def dataFiles(path: String): Map[String, Seq[Byte]] = {
+    val d = new java.io.File(path, "data")
+    Option(d.listFiles).getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+  }
+
+  /** Basenames the CURRENT manifest references (unreferenced files stay
+    * on disk until vacuum — the manifest is the table). */
+  private def manifestFiles(path: String): Set[String] =
+    GraftTable.currentManifest(path).get.files.map(_.path.split('/').last).toSet
+
+  test("overwrite/append/read round-trip; versions accumulate") {
+    val path = tmp() + "/t"
+    val v1 = GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    val v2 = GraftTable.append(kv(3 -> "c"), path)
+    assert((v1, v2) == (1L, 2L))
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    assert(GraftTable.versions(path).map(v => (v._1, v._3)) ==
+      Seq((1L, "overwrite"), (2L, "append")))
+  }
+
+  test("time travel: readVersion pins each snapshot; readAsOf picks by commit ts") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    GraftTable.append(kv(2 -> "b"), path)
+    GraftTable.overwrite(kv(9 -> "z"), path)
+    assert(canon(GraftTable.readVersion(spark, path, 1)) == canon(kv(1 -> "a")))
+    assert(canon(GraftTable.readVersion(spark, path, 2)) == canon(kv(1 -> "a", 2 -> "b")))
+    assert(canon(GraftTable.readVersion(spark, path, 3)) == canon(kv(9 -> "z")))
+    val ts2 = GraftTable.versions(path)(1)._2
+    assert(canon(GraftTable.readAsOf(spark, path, ts2)) == canon(kv(1 -> "a", 2 -> "b")))
+    val err = intercept[IllegalArgumentException](
+      GraftTable.readAsOf(spark, path, GraftTable.versions(path).head._2 - 1))
+    assert(err.getMessage.contains("no snapshot"))
+  }
+
+  test("append rejects schema drift; overwrite evolves it") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    val drifted = df("k INT, v STRING, extra INT", Row(Int.box(2), "b", Int.box(9)))
+    val err = intercept[IllegalArgumentException](GraftTable.append(drifted, path))
+    assert(err.getMessage.contains("schema mismatch"))
+    GraftTable.overwrite(drifted, path)
+    assert(GraftTable.read(spark, path).columns.toSeq == Seq("k", "v", "extra"))
+    // old snapshot still reads with ITS schema
+    assert(GraftTable.readVersion(spark, path, 1).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("upsertByKey rewrites only files holding delta keys; untouched files byte-identical") {
+    val path = tmp() + "/t"
+    // clustered by k into 4 files → keys live in disjoint ranges
+    val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.writeClustered(base, path, col("k"), 4)
+    val before = manifestFiles(path)
+    val beforeBytes = dataFiles(path)
+    assert(before.size == 4)
+    val delta = df("k INT, v STRING", Row(Int.box(5), "FIVE"), Row(Int.box(7), "SEVEN"))
+    GraftTable.upsertByKey(spark, path, delta, Seq("k"))
+    val after = manifestFiles(path)
+    // manifest-level: untouched entries carried verbatim, and their bytes
+    // on disk are untouched (copy-on-write never rewrites a carried file)
+    val survivors = before.intersect(after)
+    assert(survivors.size == 3, s"expected 3 untouched files, got ${survivors.size}")
+    val afterBytes = dataFiles(path)
+    survivors.foreach(n => assert(afterBytes(n) == beforeBytes(n), s"$n was rewritten"))
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 400)
+    assert(got.filter(col("k") === 5).select("v").collect().map(_.getString(0)).toSeq
+      == Seq("FIVE"))
+    assert(got.filter(col("k") === 17).select("v").collect().map(_.getString(0)).toSeq
+      == Seq("v17"))
+  }
+
+  test("upsertByKey inserts new keys and null-safe-matches NULL keys") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(
+      df("k INT, v STRING", Row(Int.box(1), "a"), Row(null, "n")), path)
+    GraftTable.upsertByKey(spark, path,
+      df("k INT, v STRING", Row(null, "N2"), Row(Int.box(2), "b")), Seq("k"))
+    val got = GraftTable.read(spark, path).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (-1, "N2"), (2, "b")))
+  }
+
+  test("readPruned skips files by stats on a range-clustered layout") {
+    val path = tmp() + "/t"
+    val rows = spark.range(0, 800).select(col("id").cast("int").as("k"),
+      (col("id") % 100).cast("double").as("x"))
+    GraftTable.writeClustered(rows, path, col("k"), 8)
+    val scan = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(100), Some(199))))
+    assert(scan.filesTotal == 8)
+    assert(scan.filesRead <= 2, s"expected <=2 files read, got ${scan.filesRead}")
+    val exact = scan.df.filter(col("k").between(100, 199))
+    assert(exact.count() == 100)
+    // pruned+residual ≡ unpruned+residual
+    assert(canon(exact) ==
+      canon(GraftTable.read(spark, path).filter(col("k").between(100, 199))))
+  }
+
+  test("readPruned: zorder clustering skips on BOTH interleaved dimensions") {
+    val path = tmp() + "/t"
+    val rows = spark.range(0, 64 * 64).select(
+      (col("id") % 64).cast("int").as("a"), (col("id") / 64).cast("int").as("b"))
+    GraftTable.writeClustered(rows, path,
+      Ops.zorderKey(col("a"), col("b"), bits = 6), 16, statsCols = Seq("a", "b"))
+    val onA = GraftTable.readPruned(spark, path, Seq(ColRange("a", Some(0), Some(7))))
+    val onB = GraftTable.readPruned(spark, path, Seq(ColRange("b", Some(0), Some(7))))
+    assert(onA.filesRead < 16 && onB.filesRead < 16,
+      s"z-order should skip on both dims, got a=${onA.filesRead} b=${onB.filesRead} of 16")
+    assert(onA.df.filter(col("a") <= 7).count() == 8 * 64)
+    assert(onB.df.filter(col("b") <= 7).count() == 8 * 64)
+  }
+
+  test("readPruned keeps stats-less files and skips all-NULL files") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(df("k INT, v STRING", Row(Int.box(1), "a")), path,
+      statsCols = Seq("k"))
+    GraftTable.append(df("k INT, v STRING", Row(null, "n"), Row(null, "n2")), path)
+    val scan = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(0), Some(10))))
+    assert(scan.filesRead == 1, "all-NULL k files are proven out of a k range")
+    assert(scan.filesTotal == scan.filesRead + 2) // the two appended all-NULL rows' files
+    val unknown = GraftTable.readPruned(spark, path, Seq(ColRange("absent", Some(1), Some(2))))
+    assert(unknown.filesRead == scan.filesTotal) // no stats recorded → never skipped
+  }
+
+  test("commit conflict: append rebases and retries; upsert surfaces the conflict") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    // steal version 2 with a manual commit (simulating a racing writer)
+    val log = new java.io.File(path, "_graft_log")
+    val v1 = new java.io.File(log, log.list().filter(_.endsWith(".json")).max)
+    val stolen = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+      .replace("\"version\" : 1", "\"version\" : 2")
+    java.nio.file.Files.write(new java.io.File(log, "v" + "0" * 19 + "2.json").toPath,
+      stolen.getBytes("UTF-8"))
+    val v = GraftTable.append(kv(2 -> "b"), path) // lands as v3, rebased on v2
+    assert(v == 3L)
+    assert(GraftTable.read(spark, path).count() == 2) // stolen v2's file + the rebased append
+    // upsert from a STALE snapshot (a commit landed after its read) must
+    // surface the conflict, not silently drop the interleaved commit
+    val stale = GraftTable.currentManifest(path).get
+    GraftTable.append(kv(7 -> "g"), path) // the interleaved commit (v4)
+    intercept[java.util.ConcurrentModificationException](
+      GraftTable.upsertFromSnapshot(spark, path, kv(1 -> "A"), Seq("k"), Nil, stale))
+    assert(GraftTable.read(spark, path).count() == 3) // conflict left v4 intact
+  }
+
+  test("crashed stage dirs are invisible to readers; vacuum reclaims them and old versions") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    GraftTable.overwrite(kv(3 -> "c"), path) // v1's files now unreferenced by current
+    // simulate a crashed write: stage dir with data but no manifest
+    val stage = new java.io.File(path, ".stage-deadbeef")
+    stage.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stage, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(3 -> "c"))) // orphan invisible
+    val deleted = GraftTable.vacuum(path, keepVersions = 1)
+    assert(deleted >= 1, "v1's data files should be reclaimed")
+    assert(!stage.exists, "crashed stage dir should be reclaimed")
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(3 -> "c")))
+    intercept[IllegalArgumentException](GraftTable.readVersion(spark, path, 1))
+  }
+
+  test("empty overwrite yields a readable zero-row table with schema") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a").filter(lit(false)), path)
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 0 && got.columns.toSeq == Seq("k", "v"))
+    GraftTable.append(kv(1 -> "a"), path)
+    assert(GraftTable.read(spark, path).count() == 1)
+  }
+}
