@@ -962,6 +962,67 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // substring-level exact-dup spans: 6-token windows with corpus count
+    // >= 2 mark positions; gaps-and-islands merges them (break when
+    // pos > prevMaxPos + k). Oracle works on gram STRINGS — the Spark
+    // side's xxhash64 fingerprints are collision-free at this scale
+    "q105_dup_spans" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n, toks FROM t),
+g AS (SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(toks[(i+1):(i+6)], ' ')}
+                             for i in generate_series(0, n - 6)]) AS s
+      FROM b WHERE n >= 6),
+g2 AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g),
+dup AS (SELECT g FROM g2 GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM g2 WHERE g IN (SELECT g FROM dup)),
+w AS (SELECT doc_id, pos,
+        max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM hits),
+isl AS (SELECT doc_id, pos,
+          sum(CASE WHEN pm IS NULL OR pos > pm + 6 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM w),
+sp AS (SELECT doc_id, island, (max(pos) - min(pos) + 6)::BIGINT AS covered
+       FROM isl GROUP BY 1, 2),
+per AS (SELECT doc_id, sum(covered)::BIGINT AS dup_tokens, count(*)::BIGINT AS n_spans
+        FROM sp GROUP BY 1)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+       coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans
+FROM b LEFT JOIN per USING (doc_id)""",
+
+    // dup-span removal, keep-first: the min (doc_id, pos) occurrence of
+    // each duplicated gram survives; every token covered by a LOSING
+    // occurrence goes; survivors reassemble in order (md5-pinned)
+    "q106_dup_remove" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+b AS (SELECT doc_id, len(toks) AS n, toks FROM t),
+g AS (SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(toks[(i+1):(i+6)], ' ')}
+                             for i in generate_series(0, n - 6)]) AS s
+      FROM b WHERE n >= 6),
+g2 AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM g),
+byg AS (SELECT g, count(*) AS c, min({'d': doc_id, 'p': pos}) AS keep
+        FROM g2 GROUP BY g),
+losers AS (SELECT doc_id, pos FROM g2 JOIN byg USING (g)
+           WHERE c >= 2 AND NOT (doc_id = keep.d AND pos = keep.p)),
+removed AS (SELECT DISTINCT doc_id, ix FROM
+              (SELECT doc_id, unnest([pos + i for i in range(0, 6)]) AS ix FROM losers)),
+tokpos AS (SELECT doc_id, unnest([{'ix': i - 1, 'tok': toks[i]}
+                                  for i in generate_series(1, n)]) AS s
+           FROM b WHERE n > 0),
+kept AS (SELECT tp.doc_id, tp.s.ix AS ix, tp.s.tok AS tok
+         FROM tokpos tp LEFT JOIN removed r
+           ON tp.doc_id = r.doc_id AND tp.s.ix = r.ix
+         WHERE r.doc_id IS NULL),
+re AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY ix) AS clean
+       FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+       (b.n - coalesce(re.n_kept, 0))::BIGINT AS n_removed,
+       md5(coalesce(re.clean, '')) AS clean_hash
+FROM b LEFT JOIN re USING (doc_id)""",
+
     // pruned scan ≡ plain filtered aggregate: file skipping must be
     // invisible to results (skip effectiveness is pinned in GraftTableSpec)
     "q104_pruned_scan" -> """

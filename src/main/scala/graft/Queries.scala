@@ -408,6 +408,22 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** q105: substring-level exact-duplicate detection (Lee et al. 2021
+    * ExactSubstr family) — per document, tokens covered by a 6-token
+    * window that occurs >= 2 times anywhere in the corpus, merged into
+    * maximal spans. Grams shuffle as xxhash64 longs; the oracle works on
+    * the gram strings (collision-free at fixture scale by construction). */
+  def dupSpansQ(s: SparkSession, d: String): DataFrame =
+    Corpus.duplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 6)
+
+  /** q106: duplicated-span REMOVAL keeping the corpus-first occurrence
+    * (min (doc_id, pos)); the cleaned text crosses the gate as an md5 so
+    * reassembly order and boundary handling are pinned exactly. */
+  def dupRemoveQ(s: SparkSession, d: String): DataFrame =
+    Corpus.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", k = 6)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text").cast("binary")).as("clean_hash"))
+
   /** q104: stats-pruned scan over a range-CLUSTERED versioned table —
     * monthly revenue for 1995-H1 read through [[graft.core.GraftTable
     * .readPruned]], which drops every file whose [min,max] o_orderdate
@@ -1212,6 +1228,8 @@ object Queries {
     "q102_incremental_agg" -> (incrementalAggQ _),
     "q103_time_travel" -> (timeTravelQ _),
     "q104_pruned_scan" -> (prunedScanQ _),
+    "q105_dup_spans" -> (dupSpansQ _),
+    "q106_dup_remove" -> (dupRemoveQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

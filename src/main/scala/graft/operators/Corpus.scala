@@ -163,6 +163,113 @@ object Corpus {
     } finally segArr.unpersist(): Unit
   }
 
+  /** Substring-level EXACT duplicate detection (the ExactSubstr family of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021, re-derived for Spark): a k-token window occurring >=
+    * `minCount` times ANYWHERE in the corpus (across documents or
+    * repeated within one) marks its positions as duplicated; overlapping
+    * and adjacent marked windows merge into maximal spans (classic
+    * gaps-and-islands: with fixed window length, a new span starts when
+    * pos > prevMaxPos + k). Unlike [[Dedup]] doc-level near-dup, this
+    * finds VERBATIM reuse inside otherwise-distinct documents — license
+    * boilerplate, quoted passages, templated paragraphs.
+    *
+    * Returns one row per input document: (idCol, n_tokens, dup_tokens =
+    * tokens covered by >=1 duplicated window, n_spans = maximal spans).
+    *
+    * Scale shape: windows shuffle as 8-byte xxhash64 fingerprints, never
+    * as strings (at 100 TB the k-token gram text would dominate shuffle
+    * bytes ~10×; a 64-bit collision needs ~5·10⁹ distinct grams —
+    * birthday-bound safe, and the frequency threshold only OVERCOUNTS on
+    * collision, never misses). The frequency pass is one map-side-
+    * combinable groupBy; span merging is a per-document window over hit
+    * positions only. The gram-array frame persists as the generator
+    * barrier (the [[Dedup.shingleFrame]] convention). */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    require(minCount >= 2, "minCount < 2 would mark every token duplicated")
+    val gramArr = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .select(col(idCol), size(col("__t")).cast("long").as("n_tokens"),
+        when(size(col("__t")) < k, array().cast("array<bigint>")).otherwise(
+          transform(sequence(lit(0), size(col("__t")) - k),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))).as("__gh"))
+      .persist()
+    try {
+      val grams = gramArr.select(col(idCol), posexplode(col("__gh")).as(Seq("pos", "g")))
+      val dupG = grams.groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount).select("g")
+      val hits = grams.join(dupG, Seq("g"), "left_semi").select(col(idCol), col("pos"))
+      val w = Window.partitionBy(idCol).orderBy("pos")
+      val isl = hits
+        .withColumn("__pm", max(col("pos")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("__island", sum(
+          when(col("__pm").isNull || col("pos") > col("__pm") + k, 1L).otherwise(0L)).over(w))
+      val spans = isl.groupBy(col(idCol), col("__island"))
+        .agg((max(col("pos")) - min(col("pos")) + k).as("covered"))
+      val perDoc = spans.groupBy(idCol)
+        .agg(sum(col("covered")).as("dup_tokens"), count(lit(1)).as("n_spans"))
+      val out = gramArr.select(col(idCol), col("n_tokens"))
+        .join(perDoc, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally gramArr.unpersist(): Unit
+  }
+
+  /** Remove duplicated spans, KEEPING the corpus-first occurrence of each
+    * duplicated window (min (id, pos) in lexicographic order — Lee et
+    * al. remove all but one copy; removing every copy would erase the
+    * content from the corpus entirely). A token goes if it is covered by
+    * a duplicated window whose occurrence lost the argmin race; survivors
+    * reassemble in original order. Returns (idCol, n_tokens, n_removed,
+    * clean_text).
+    *
+    * Same shuffle shape as [[duplicateSpans]] plus one reassembly groupBy
+    * keyed by document; the argmin is a grouped min over (id, pos)
+    * structs — combinable, no extra join. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2, "window >= 2 tokens, minCount >= 2")
+    val tokArr = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist()
+    try {
+      val grams = tokArr
+        .select(col(idCol),
+          when(size(col("__t")) < k, array().cast("array<bigint>")).otherwise(
+            transform(sequence(lit(0), size(col("__t")) - k),
+              i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))).as("__gh"))
+        .select(col(idCol), posexplode(col("__gh")).as(Seq("pos", "g")))
+      val byGram = grams.groupBy("g").agg(count(lit(1)).as("c"),
+        min(struct(col(idCol), col("pos"))).as("keep"))
+      val losers = grams.join(byGram.filter(col("c") >= minCount), Seq("g"))
+        .filter(!(col(idCol) === col("keep")(idCol) && col("pos") === col("keep.pos")))
+        .select(col(idCol), col("pos"))
+      // every token index covered by a losing window, deduplicated
+      val removedIdx = losers
+        .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("ix"))
+        .distinct()
+      val toks = tokArr.select(col(idCol), posexplode(col("__t")).as(Seq("ix", "tok")))
+      val keptToks = toks.join(removedIdx, Seq(idCol, "ix"), "left_anti")
+      val re = keptToks.groupBy(col(idCol)).agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("ix"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+      val out = tokArr.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+        .join(re, Seq(idCol), "left")
+        .select(col(idCol), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .persist()
+      out.count(): Unit
+      out
+    } finally tokArr.unpersist(): Unit
+  }
+
   /** Gopher/C4-style composable document-quality filter: each rule is a
     * named integer flag (1 = pass) so downstream can audit WHY a document
     * was dropped, plus the conjunction as `keep`. Pure per-row projection —

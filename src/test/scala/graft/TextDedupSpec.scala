@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
 /** Text analysis, dedup family, and similarity kernels on fixed corpora. */
 class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
@@ -251,5 +251,52 @@ class TextDedupSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.filter(col("rnk") === 1).count() > 0)
     val again = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", 3, planes = 2, dims = 16)
     assert(canon(out) == canon(again)) // deterministic hyperplanes
+  }
+
+  test("duplicateSpans: cross-doc shared window marks both sides, merges overlaps") {
+    // A and B share exactly "a b c d e f g h" (8 tokens, k=8 → one window
+    // each); C shares nothing
+    val out = Corpus.duplicateSpans(docs(
+      (1, "a b c d e f g h i j"),
+      (2, "z z2 a b c d e f g h zz"),
+      (3, "totally different words here with no overlap at all")), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1, 10L, 8L, 1L), (2, 11L, 8L, 1L), (3, 9L, 0L, 0L)))
+  }
+
+  test("duplicateSpans: within-doc repetition found; separated repeats = two spans") {
+    // "m" at index 8 separates two copies of the same 8-gram
+    val rep = (1 to 8).map(i => s"x$i").mkString(" ")
+    val out = Corpus.duplicateSpans(docs((1, s"$rep m $rep")), "doc_id", "text", k = 8)
+      .head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == (17L, 16L, 2L))
+  }
+
+  test("duplicateSpans: overlapping duplicated windows merge into one maximal span") {
+    // B repeats A's first NINE tokens → two overlapping duplicated 8-windows
+    // (pos 0, 1) in each doc → one span of 9 covered tokens
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    val out = Corpus.duplicateSpans(docs(
+      (1, s"$nine tail1 tail2"), (2, s"$nine other3 other4")), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1, 9L, 1L), (2, 9L, 1L)))
+  }
+
+  test("removeDuplicateSpans keeps the corpus-first occurrence, strips the rest") {
+    val out = Corpus.removeDuplicateSpans(docs(
+      (1, "a b c d e f g h i j"),
+      (2, "z z2 a b c d e f g h zz")), "doc_id", "text", k = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // doc 1 wins the (doc_id, pos) argmin → untouched; doc 2 loses its copy
+    assert(out == Set(
+      (1, 10L, 0L, "a b c d e f g h i j"),
+      (2, 11L, 8L, "z z2 zz")))
+  }
+
+  test("removeDuplicateSpans: within-doc repeat keeps the first copy") {
+    val rep = (1 to 8).map(i => s"y$i").mkString(" ")
+    val out = Corpus.removeDuplicateSpans(docs((1, s"$rep m $rep")), "doc_id", "text", k = 8)
+      .head
+    assert(out.getLong(2) == 8L && out.getString(3) == s"$rep m")
   }
 }
