@@ -962,6 +962,25 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // version CDC: each adjacent snapshot diff re-derived declaratively.
+    // v1→v2 inserts = the appended >=1996 rows; v2→v3 updates = doubled
+    // F orders (price 0 would be a no-op diff — excluded on both engines
+    // by construction); v3→v4 deletes = the %7 rows at their v3 values
+    "q107_version_diff" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS order_us, 'insert' AS change_type,
+       1::BIGINT AS from_v, 2::BIGINT AS to_v
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       epoch_us(o_orderdate), 'update', 2::BIGINT, 3::BIGINT
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END,
+       epoch_us(o_orderdate), 'delete', 3::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderkey % 7 = 0""",
+
     // substring-level exact-dup spans: 6-token windows with corpus count
     // >= 2 mark positions; gaps-and-islands merges them (break when
     // pos > prevMaxPos + k). Oracle works on gram STRINGS — the Spark

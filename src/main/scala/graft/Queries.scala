@@ -408,6 +408,39 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  private lazy val q107Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
+
+  /** q107: version CDC — [[graft.core.GraftTable.diffVersions]] over a
+    * 4-commit history (load < 1996, append the rest, keyed correction,
+    * shrinking overwrite), every adjacent diff classified
+    * insert/update/delete and union-tagged. The oracle re-derives each
+    * diff declaratively from the raw table — the consumer side of S6
+    * (Snowflake `CHANGES`, Delta CDF). */
+  def versionDiffQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q107Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_v"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)
+    GraftTable.append(orders.filter(col("o_orderdate") >= split), path)
+    GraftTable.upsertByKey(s, path,
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    GraftTable.overwrite(
+      GraftTable.read(s, path).filter(col("o_orderkey") % 7 =!= 0), path)
+    Seq((1L, 2L), (2L, 3L), (3L, 4L)).map { case (a, b) =>
+      GraftTable.diffVersions(s, path, a, b, Seq("o_orderkey"))
+        .withColumn("from_v", lit(a)).withColumn("to_v", lit(b))
+    }.reduce(_ unionByName _)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), micros(col("o_orderdate")).as("order_us"),
+        col("change_type"), col("from_v"), col("to_v"))
+  }
+
   /** q105: substring-level exact-duplicate detection (Lee et al. 2021
     * ExactSubstr family) — per document, tokens covered by a 6-token
     * window that occurs >= 2 times anywhere in the corpus, merged into
@@ -1230,6 +1263,7 @@ object Queries {
     "q104_pruned_scan" -> (prunedScanQ _),
     "q105_dup_spans" -> (dupSpansQ _),
     "q106_dup_remove" -> (dupRemoveQ _),
+    "q107_version_diff" -> (versionDiffQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

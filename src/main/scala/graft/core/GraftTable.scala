@@ -429,6 +429,81 @@ object GraftTable {
     } finally d.unpersist(): Unit
   }
 
+  // ----------------------------------------------------------- diff / CDC
+
+  /** Row-level changes between two snapshots — the consumer side of time
+    * travel (Snowflake's `CHANGES` / Delta CDF, re-derived): full outer
+    * join of the two versions on `keys`, classifying each key as
+    * `insert` / `delete` / `update` (any non-key column differs) and
+    * dropping unchanged rows. Returns the TO-side row for inserts and
+    * updates, the FROM-side row for deletes, plus `change_type`.
+    *
+    * NULL-safe throughout: NULL keys pair up, and value comparison uses
+    * a canonical struct equality, so NULL ≠ value but NULL = NULL.
+    *
+    * Scale shape: one key-partitioned shuffle of each snapshot — and the
+    * file lists come from the manifests, so a version pair that shares
+    * most files (steady-state upserts) could skip common files entirely;
+    * that refinement is a manifest set-difference away, kept out here for
+    * clarity since the join already prunes columns to key + compared. */
+  def diffVersions(spark: SparkSession, path: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need key columns")
+    val from = readVersion(spark, path, fromV)
+    val to = readVersion(spark, path, toV)
+    require(from.schema == to.schema,
+      s"schema changed between v$fromV and v$toV — diff keys are not comparable")
+    val valCols = from.columns.filterNot(keys.contains).toSeq
+    def tagged(df: DataFrame, side: String) =
+      df.select((keys.map(k => col(k).as(s"__k_${side}_$k")) :+
+        struct(valCols.map(col): _*).as(s"__row_$side") :+
+        lit(1).as(s"__in_$side")): _*)
+    // explicit <=> join: usingColumns full-outer is NOT null-safe on keys
+    // (NULL keys would split into phantom delete+insert pairs)
+    val j = tagged(from, "a").join(tagged(to, "b"),
+        keys.map(k => col(s"__k_a_$k") <=> col(s"__k_b_$k")).reduce(_ && _), "full_outer")
+      .select(keys.map(k => coalesce(col(s"__k_a_$k"), col(s"__k_b_$k")).as(k)) ++
+        Seq(col("__row_a"), col("__row_b"), col("__in_a"), col("__in_b")): _*)
+    val changeType = when(col("__in_a").isNull, lit("insert"))
+      .when(col("__in_b").isNull, lit("delete"))
+      .when(col("__row_a") =!= col("__row_b"), lit("update"))
+    val rowOut = when(col("__in_a").isNull || col("__in_b").isNotNull, col("__row_b"))
+      .otherwise(col("__row_a"))
+    j.withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ valCols.indices.map(i =>
+        rowOut.getField(valCols(i)).as(valCols(i))) :+ col("change_type"): _*)
+  }
+
+  // ----------------------------------------------------------- compaction
+
+  /** Bin-packing compaction (OPTIMIZE): rewrite the current snapshot's
+    * small files into ~`targetBytes` files as a NEW commit — readers keep
+    * snapshot isolation, time travel keeps every prior version, vacuum
+    * eventually drops the replaced small files. Only files smaller than
+    * `targetBytes` are repacked; already-right-sized files carry over
+    * untouched (their clustering and stats survive). Returns
+    * (filesBefore, filesAfter) of the live snapshot. */
+  def compactFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20, statsCols: Seq[String] = Nil): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val (small, big) = cur.files.partition(_.bytes < targetBytes)
+    if (small.size <= 1) return (cur.files.size, cur.files.size)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val packed = spark.read.schema(schema).parquet(small.map(f => s"$path/${f.path}"): _*)
+      .repartition(math.max(1,
+        math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt))
+    val staged = stageFiles(packed, path, statsCols, None)
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
+      cur.schemaDdl, big ++ staged)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"compaction of '$path' lost the commit race — retry when quiesced")
+    (cur.files.size, next.files.size)
+  }
+
   // ---------------------------------------------------------------- vacuum
 
   /** Reclaim storage: keep the last `keepVersions` manifests (time travel

@@ -183,6 +183,42 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     intercept[IllegalArgumentException](GraftTable.readVersion(spark, path, 1))
   }
 
+  test("diffVersions classifies insert/update/delete, NULL-safe on keys and values") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(df("k INT, v STRING, x INT",
+      Row(Int.box(1), "a", Int.box(10)),   // unchanged
+      Row(Int.box(2), "b", null),          // value NULL -> NULL: unchanged
+      Row(Int.box(3), "c", null),          // NULL -> 5: update
+      Row(Int.box(4), "gone", Int.box(4)), // delete
+      Row(null, "nk", Int.box(7))), path)  // NULL key, updated
+    GraftTable.overwrite(df("k INT, v STRING, x INT",
+      Row(Int.box(1), "a", Int.box(10)),
+      Row(Int.box(2), "b", null),
+      Row(Int.box(3), "c", Int.box(5)),
+      Row(Int.box(5), "new", null),        // insert
+      Row(null, "NK", Int.box(7))), path)
+    val got = GraftTable.diffVersions(spark, path, 1, 2, Seq("k")).collect()
+      .map(r => (if (r.isNullAt(0)) -99 else r.getInt(0), r.getString(1),
+        r.getString(3))).toSet
+    assert(got == Set((3, "c", "update"), (4, "gone", "delete"),
+      (5, "new", "insert"), (-99, "NK", "update")))
+  }
+
+  test("compactFiles repacks small files as a new commit; history and contents survive") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(0 -> "v0"), path)
+    (1 to 5).foreach(i => GraftTable.append(kv(i -> s"v$i"), path)) // 6 tiny files
+    val beforeRows = canon(GraftTable.read(spark, path))
+    val (nBefore, nAfter) = GraftTable.compactFiles(spark, path, targetBytes = 1L << 20)
+    assert(nBefore >= 6 && nAfter == 1, s"expected 1 packed file, got $nBefore -> $nAfter")
+    assert(canon(GraftTable.read(spark, path)) == beforeRows)
+    // pre-compaction snapshot is intact until vacuumed
+    assert(canon(GraftTable.readVersion(spark, path, 6)) == beforeRows)
+    val deleted = GraftTable.vacuum(path, keepVersions = 1)
+    assert(deleted >= 6, s"replaced small files should be reclaimed, deleted=$deleted")
+    assert(canon(GraftTable.read(spark, path)) == beforeRows)
+  }
+
   test("empty overwrite yields a readable zero-row table with schema") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a").filter(lit(false)), path)
