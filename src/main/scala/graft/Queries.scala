@@ -408,6 +408,22 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** q108: BPE merge-table training on the documents corpus (100 merges,
+    * rare-word tail pruned). NO SQL oracle — merge learning is an
+    * iterative fixpoint (non-SQL-expressible; driver records the weaker
+    * rows-only check); `BpeSpec` pins the algorithm against hand-computed
+    * merge sequences and deterministic tie-breaks. */
+  def bpeTrainQ(s: SparkSession, d: String): DataFrame =
+    Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 100)
+
+  /** q109: corpus encoded with the q108 merges — per-doc BPE token
+    * counts and an md5 of the token stream. Rows-only gate (see q108);
+    * `BpeSpec` pins encode semantics including the memoization path. */
+  def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Bpe.applyBpe(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100)).toDF()
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1264,6 +1280,8 @@ object Queries {
     "q105_dup_spans" -> (dupSpansQ _),
     "q106_dup_remove" -> (dupRemoveQ _),
     "q107_version_diff" -> (versionDiffQ _),
+    "q108_bpe_train" -> (bpeTrainQ _),
+    "q109_bpe_encode" -> (bpeEncodeQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),
