@@ -59,8 +59,14 @@ object GraftTable {
     * that column (or the type is unsupported). */
   case class ColStats(t: String, min: Option[String], max: Option[String], nulls: Long)
   case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+
+  /** `streamMarks` is the exactly-once ledger for streaming appends: per
+    * stream id (a checkpoint-derived stable name), the highest micro-batch
+    * id whose append COMMITTED. foreachBatch is at-least-once and batches
+    * commit in order per query, so a high-water mark is a complete replay
+    * filter. Optional for manifest-format backward compatibility. */
   case class Manifest(version: Long, tsUs: Long, op: String, schemaDdl: String,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None)
 
   /** A range constraint for [[readPruned]]: keep files whose [min,max]
     * can intersect [lo,hi] (either bound optional). Bounds take ordinary
@@ -252,7 +258,7 @@ object GraftTable {
           cur.map(_.files).getOrElse(Nil) ++ staged
       }
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
-        commitTs(cur), op, df.schema.toDDL, files)
+        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks))
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -267,6 +273,38 @@ object GraftTable {
   /** Add `df`'s rows (schema must match). Returns the committed version. */
   def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
     writeOp(df, path, "append", statsCols, None)
+
+  /** EXACTLY-ONCE streaming append: a no-op if `batchId` is at or below
+    * `streamId`'s committed high-water mark (the at-least-once foreachBatch
+    * replay case — a replay can only happen when the original attempt's
+    * manifest commit never landed, or when the checkpoint commit was lost
+    * AFTER our commit; both resolve correctly against the mark). Returns
+    * the committed version, or -1 for a skipped replay. Data files written
+    * by an attempt that failed before its manifest commit are invisible
+    * orphans (vacuum reclaims) — never partial table state. */
+  def appendStream(df: DataFrame, path: String, streamId: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Long = {
+    require(streamId.nonEmpty, "need a stable stream id")
+    val hwm = currentManifest(path).flatMap(_.streamMarks).flatMap(_.get(streamId))
+    if (hwm.exists(_ >= batchId)) return -1L
+    val staged = stageFiles(df, path, statsCols, None)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path)
+      // re-check under the current snapshot: a racing replay of the same
+      // batch may have committed while we staged
+      if (cur.flatMap(_.streamMarks).flatMap(_.get(streamId)).exists(_ >= batchId))
+        return -1L
+      cur.foreach(m => require(sameSchema(m.schemaDdl, df.schema),
+        s"append schema mismatch vs '$path' v${m.version}"))
+      val marks = cur.flatMap(_.streamMarks).getOrElse(Map.empty) + (streamId -> batchId)
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
+        "stream_append", df.schema.toDDL,
+        cur.map(_.files).getOrElse(Nil) ++ staged, Some(marks))
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
 
   /** Overwrite with a CLUSTERED layout: range-partition by `clusterBy`
     * into `numFiles` files, sorted within each — so every file owns a
@@ -421,7 +459,7 @@ object GraftTable {
       val rewritten = kept.unionByName(d.select(schema.fieldNames.map(col): _*))
       val staged = stageFiles(rewritten, path, statsCols, None)
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "upsert",
-        cur.schemaDdl, untouched ++ staged)
+        cur.schemaDdl, untouched ++ staged, cur.streamMarks)
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the upsert")
@@ -497,7 +535,7 @@ object GraftTable {
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt))
     val staged = stageFiles(packed, path, statsCols, None)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
-      cur.schemaDdl, big ++ staged)
+      cur.schemaDdl, big ++ staged, cur.streamMarks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")

@@ -126,6 +126,28 @@ object Streams {
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
   }
 
+  /** Stream into a [[graft.core.GraftTable]] with EXACTLY-ONCE appends:
+    * foreachBatch is at-least-once, and a replayed micro-batch against a
+    * plain file sink duplicates rows. Here each batch append goes through
+    * [[graft.core.GraftTable.appendStream]], which records a per-stream
+    * high-water batch id IN THE SAME manifest commit as the data — replay
+    * of a committed batch is a no-op, and an attempt that crashed before
+    * its manifest commit left only invisible orphans. The stream id
+    * derives from the checkpoint path, so restarts keep their ledger.
+    * Readers get snapshot isolation and time travel over the live stream
+    * output for free. */
+  def graftTableSink(events: DataFrame, path: String, checkpoint: String,
+      statsCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val streamId = "ckpt-" + java.util.UUID.nameUUIDFromBytes(
+      checkpoint.getBytes("UTF-8")).toString.take(8)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.core.GraftTable.appendStream(batch, path, streamId, id, statsCols): Unit
+      }
+  }
+
   /** Maintain a materialized rollup from an event stream, EXACTLY-ONCE
     * under micro-batch replays: foreachBatch is at-least-once, and a
     * replayed batch naively re-merged through

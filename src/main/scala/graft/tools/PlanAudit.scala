@@ -283,6 +283,30 @@ object PlanAudit {
       // session_window is one key shuffle + sort, like q47's formulation
       "key_shuffle" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q104_pruned_scan",
+      // the residual predicate still pushes into the (file-pruned) scan,
+      // and the monthly rollup aggregates map-side
+      "pushed_filter" -> (_.contains("PushedFilters: [IsNotNull(o_orderdate)")),
+      "partial_agg" -> (_.contains("partial_")),
+      "pruned_schema" -> (p => !p.contains("o_custkey")))
+    audit("q105_dup_spans",
+      // grams cross every exchange as xxhash64 LONGS — no token-array or
+      // gram-string column may feed a hashpartitioning
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*__t#".r.findFirstIn(p).isDefined),
+      "gram_agg_combinable" -> (_.contains("partial_count")),
+      "doc_window" -> (p => "hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q106_dup_remove",
+      "no_array_shuffle" -> (p => !"Exchange hashpartitioning[^\\n]*__t#".r.findFirstIn(p).isDefined),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q107_version_diff",
+      // snapshot diff: NULL-safe key join, never a nested loop; unions of
+      // three diffs stay combinable
+      "key_join" -> (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q109_bpe_encode",
+      // encode is a pure per-partition map: broadcast merges, no exchange
+      "no_shuffle" -> (p => !p.contains("Exchange hashpartitioning")))
     locally {
       // q77's anti-join hides behind localCheckpoint in the returned plan,
       // so audit the factored freshness plan directly: the state side must

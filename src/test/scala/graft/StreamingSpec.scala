@@ -210,6 +210,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(view) == want, "second replay double-counted")
   }
 
+  test("graftTableSink: streamed GraftTable == batch input; replays are no-ops") {
+    import graft.core.GraftTable
+    val dir = tmp()
+    val path = dir + "/events_t"
+    eventRows.filter(col("user_id") === 1).write.parquet(dir + "/in")
+    eventRows.filter(col("user_id") === 2).write.mode("append").parquet(dir + "/in")
+    val stream = spark.readStream.schema(eventRows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    Streams.graftTableSink(stream, path, dir + "/ckpt").start().awaitTermination(60000)
+    assert(canon(GraftTable.read(spark, path)) == canon(eventRows))
+    val vAfter = GraftTable.currentVersion(path).get
+    // verbatim replay of an already-committed batch id: no-op, version unchanged
+    val replayed = GraftTable.appendStream(
+      eventRows.filter(col("user_id") === 2), path, "ckpt-" +
+        java.util.UUID.nameUUIDFromBytes((dir + "/ckpt").getBytes("UTF-8")).toString.take(8),
+      batchId = 1L)
+    assert(replayed == -1L && GraftTable.currentVersion(path).get == vAfter)
+    assert(canon(GraftTable.read(spark, path)) == canon(eventRows))
+    // restart on the same checkpoint with no new input appends nothing
+    val stream2 = spark.readStream.schema(eventRows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    Streams.graftTableSink(stream2, path, dir + "/ckpt").start().awaitTermination(60000)
+    assert(GraftTable.currentVersion(path).get == vAfter)
+    // genuinely new data (a later batch id from the restarted query) lands
+    val extra = df("user_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+      Row(Int.box(3), ts("2024-01-01 12:00:00"), "view", Double.box(7.0)))
+    extra.write.mode("append").parquet(dir + "/in")
+    val stream3 = spark.readStream.schema(eventRows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir + "/in")
+    Streams.graftTableSink(stream3, path, dir + "/ckpt").start().awaitTermination(60000)
+    assert(GraftTable.currentVersion(path).get > vAfter)
+    assert(canon(GraftTable.read(spark, path)) == canon(eventRows.unionByName(extra)))
+  }
+
   test("foreachBatch SCD2 sink over two micro-batches converges to fromHistory") {
     val dir = tmp()
     val cfg = Scd2Config(Seq("user_id"), "ts", payload = Seq("event_type"),
