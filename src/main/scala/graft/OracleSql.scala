@@ -962,6 +962,54 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // bucketized range join ≡ the plain BETWEEN join it re-plans
+    "q110_range_join" -> """
+SELECT b.band_id, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o.o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders o
+JOIN (SELECT i AS band_id, (i * 3000)::DOUBLE AS lo, (i * 3000 + 5999)::DOUBLE AS hi
+      FROM range(0, 200) t(i)) b
+  ON o.o_totalprice BETWEEN b.lo AND b.hi
+GROUP BY b.band_id""",
+
+    // dbt generic tests at dbt semantics: unique counts DISTINCT dup
+    // values (NULLs excluded), accepted_values passes NULLs,
+    // relationships ignores NULL child keys
+    "q111_quality_suite" -> """
+SELECT * FROM (
+SELECT 'not_null' AS check_name, 'orders.o_custkey' AS target,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT AS n_violations
+UNION ALL
+SELECT 'not_null', 'events.value',
+       (SELECT count(*) FROM events WHERE value IS NULL)::BIGINT
+UNION ALL
+SELECT 'unique', 'orders.o_orderkey',
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL
+                              GROUP BY o_orderkey HAVING count(*) > 1))::BIGINT
+UNION ALL
+SELECT 'unique', 'documents.text',
+       (SELECT count(*) FROM (SELECT text FROM documents WHERE text IS NOT NULL
+                              GROUP BY text HAVING count(*) > 1))::BIGINT
+UNION ALL
+SELECT 'accepted_values', 'orders.o_orderstatus',
+       (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+UNION ALL
+SELECT 'accepted_values', 'events.event_type',
+       (SELECT count(*) FROM events WHERE event_type IS NOT NULL
+          AND event_type NOT IN ('click', 'view'))::BIGINT
+UNION ALL
+SELECT 'relationships', 'orders.o_custkey->customer.c_custkey',
+       (SELECT count(*) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'relationships', 'lineitem.l_partkey->part.p_partkey',
+       (SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON l.l_partkey = p.p_partkey
+        WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)::BIGINT
+) ORDER BY check_name, target""",
+
     // version CDC: each adjacent snapshot diff re-derived declaratively.
     // v1→v2 inserts = the appended >=1996 rows; v2→v3 updates = doubled
     // F orders (price 0 would be a no-op diff — excluded on both engines

@@ -408,6 +408,50 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** q110: bucketized RANGE join — orders priced into overlapping price
+    * bands (stride 3000, width 6000) through [[Ops.rangeJoin]], which
+    * turns the non-equi BETWEEN into a bucket EQUI join + residual filter
+    * (a bare BETWEEN join plans BroadcastNestedLoop — the O(n·m) trap;
+    * PlanAudit pins the equi shape). Aggregated per band. */
+  def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val bands = s.range(0, 200).select(col("id").as("band_id"),
+      (col("id") * 3000).cast("double").as("lo"),
+      (col("id") * 3000 + 5999).cast("double").as("hi"))
+    val pts = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    Ops.rangeJoin(pts, bands, "o_totalprice", "lo", "hi", bucketWidth = 3000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  /** q111: dbt generic schema tests over the raw tables — the four test
+    * types at their dbt semantics (NULL handling included), one report
+    * row per check. Deliberately includes FAILING checks (events.value
+    * nulls, duplicated document texts, non-click/view event types) so the
+    * gate proves violation COUNTING, not just green paths. */
+  def qualitySuiteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.quality.Checks
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val events = Tables.events(s, d)
+    val documents = Tables.documents(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val part = Tables.part(s, d)
+    Checks.suite(Seq(
+      Checks.notNull(orders, "o_custkey", "orders.o_custkey"),
+      Checks.notNull(events, "value", "events.value"),
+      Checks.unique(orders, "o_orderkey", "orders.o_orderkey"),
+      Checks.unique(documents, "text", "documents.text"),
+      Checks.acceptedValues(orders, "o_orderstatus", Seq("O", "F", "P"),
+        "orders.o_orderstatus"),
+      Checks.acceptedValues(events, "event_type", Seq("click", "view"),
+        "events.event_type"),
+      Checks.relationships(orders, "o_custkey", customer, "c_custkey",
+        "orders.o_custkey->customer.c_custkey"),
+      Checks.relationships(lineitem, "l_partkey", part, "p_partkey",
+        "lineitem.l_partkey->part.p_partkey")))
+  }
+
   /** q108: BPE merge-table training on the documents corpus (100 merges,
     * rare-word tail pruned). NO SQL oracle — merge learning is an
     * iterative fixpoint (non-SQL-expressible; driver records the weaker
@@ -1282,6 +1326,8 @@ object Queries {
     "q107_version_diff" -> (versionDiffQ _),
     "q108_bpe_train" -> (bpeTrainQ _),
     "q109_bpe_encode" -> (bpeEncodeQ _),
+    "q110_range_join" -> (rangeJoinQ _),
+    "q111_quality_suite" -> (qualitySuiteQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -287,6 +287,51 @@ object Ops {
     * file clustering). CoreSpec gates the interleave bit-for-bit, the
     * NULL guard, AND the locality claim (per-file min/max widths of both
     * columns under a z-ordered layout beat a single-column sort). */
+  /** Scalable RANGE JOIN: each point row paired with every range row
+    * whose [lo, hi] contains its value. Spark plans a bare
+    * `p.value BETWEEN r.lo AND r.hi` as BroadcastNestedLoopJoin — O(n·m)
+    * comparisons and a broadcast-sized range side, the non-equi-join trap
+    * at any real scale. Bucketization makes it an EQUI join: ranges
+    * explode into the `bucketWidth`-wide buckets they overlap, points map
+    * to their one bucket, the join key is the bucket id, and the exact
+    * BETWEEN runs as a residual filter on the equi-matched pairs.
+    *
+    * Cost model (document against your data): range side inflates by
+    * avg(spanBuckets) = avg(hi − lo)/bucketWidth + 1 — pick bucketWidth
+    * near the TYPICAL span so inflation is ~2× and each bucket pairs few
+    * candidates. `maxSpanBuckets` fails loudly on a range that would
+    * explode into more buckets than that (one degenerate [−∞,∞] row
+    * would otherwise fan out the whole corpus).
+    *
+    * Both inputs keep all their columns (range columns win name clashes
+    * prefixed with `rangePrefix`). The residual BETWEEN is inclusive on
+    * both bounds; NULL values/bounds never match (SQL semantics). */
+  def rangeJoin(points: DataFrame, ranges: DataFrame, valueCol: String,
+      loCol: String, hiCol: String, bucketWidth: Double,
+      maxSpanBuckets: Int = 4096, rangePrefix: String = "r_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = ranges.columns.toSet.intersect(points.columns.toSet)
+    val r0 = clash.foldLeft(ranges)((df, c) => df.withColumnRenamed(c, rangePrefix + c))
+    val rLo = if (clash(loCol)) rangePrefix + loCol else loCol
+    val rHi = if (clash(hiCol)) rangePrefix + hiCol else hiCol
+    def bucketOf(c: Column) = floor(c.cast("double") / bucketWidth).cast("long")
+    // the guard lives INSIDE the sequence bound so column pruning can
+    // never elide it: a degenerate range fails the job, loudly
+    val guardedHi = when(
+      bucketOf(col(rHi)) - bucketOf(col(rLo)) >= maxSpanBuckets.toLong,
+      raise_error(concat(lit(s"rangeJoin: a range spans >= $maxSpanBuckets buckets of " +
+        s"width $bucketWidth — widen bucketWidth or pre-split: lo="), col(rLo).cast("string"),
+        lit(" hi="), col(rHi).cast("string"))).cast("long"))
+      .otherwise(bucketOf(col(rHi)))
+    val exploded = r0
+      .filter(col(rLo).isNotNull && col(rHi).isNotNull && col(rLo) <= col(rHi))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(rLo)), guardedHi)))
+    points.withColumn("__bucket", bucketOf(col(valueCol)))
+      .join(exploded, Seq("__bucket"))
+      .filter(col(valueCol) >= col(rLo) && col(valueCol) <= col(rHi))
+      .drop("__bucket")
+  }
+
   def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val (al, bl) = (a.cast("long"), b.cast("long"))

@@ -307,6 +307,15 @@ object PlanAudit {
     audit("q109_bpe_encode",
       // encode is a pure per-partition map: broadcast merges, no exchange
       "no_shuffle" -> (p => !p.contains("Exchange hashpartitioning")))
+    audit("q110_range_join",
+      // the whole point: the BETWEEN re-plans as a bucket EQUI join
+      "equi_join" -> (p => p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      "no_nested_loop" -> (p => !p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct")),
+      "partial_agg" -> (_.contains("partial_")))
+    audit("q111_quality_suite",
+      "broadcast_parent" -> (_.contains("BroadcastHashJoin")),
+      "anti_orphans" -> (_.contains("LeftAnti")),
+      "partial_agg" -> (_.contains("partial_count")))
     locally {
       // q77's anti-join hides behind localCheckpoint in the returned plan,
       // so audit the factored freshness plan directly: the state side must
