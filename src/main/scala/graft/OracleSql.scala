@@ -962,6 +962,42 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // gap fill: per-priority daily spine left-joined to the daily rollup;
+    // LOCF via last_value IGNORE NULLS, counts zero-filled
+    "q112_gap_fill" -> """
+WITH daily AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate)::DATE AS day,
+         count(*)::BIGINT AS n_orders,
+         sum(cast(o_totalprice AS decimal(18,4))) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-02-01'
+  GROUP BY 1, 2),
+spine AS (
+  SELECT p.o_orderpriority, d.day::DATE AS day
+  FROM (SELECT DISTINCT o_orderpriority FROM daily) p
+  CROSS JOIN (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                                            INTERVAL 1 DAY))::DATE AS day) d),
+j AS (SELECT s.o_orderpriority, s.day, daily.n_orders, daily.revenue
+      FROM spine s LEFT JOIN daily USING (o_orderpriority, day))
+SELECT o_orderpriority, epoch_us(day::timestamp) AS day_us,
+       coalesce(n_orders, 0)::BIGINT AS n_orders,
+       cast(last_value(revenue IGNORE NULLS) OVER (
+         PARTITION BY o_orderpriority ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS revenue
+FROM j""",
+
+    // unpivot = UNION ALL of the four measures; rollup per measure
+    "q113_unpivot" -> """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity::DOUBLE AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax::DOUBLE FROM lineitem)
+SELECT measure, count(*)::BIGINT AS n_rows,
+       cast(sum(cast(val AS decimal(18,4))) AS double) AS total,
+       min(val) AS min_val, max(val) AS max_val
+FROM long GROUP BY measure""",
+
     // bucketized range join ≡ the plain BETWEEN join it re-plans
     "q110_range_join" -> """
 SELECT b.band_id, count(*)::BIGINT AS n_orders,

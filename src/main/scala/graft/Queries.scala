@@ -408,6 +408,40 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  /** q112: time-series gap fill — daily revenue per order priority over
+    * the January-1995 spine, LOCF on the running price level, zero-fill
+    * on the additive count ([[Ops.gapFill]]); days without orders appear
+    * with carried/zeroed measures. */
+  def gapFillQ(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-02-01")))
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("revenue"))
+    Ops.gapFill(daily, Seq("o_orderpriority"), "day", "1995-01-01", "1995-01-31",
+        ffillCols = Seq("revenue"), zeroFillCols = Seq("n_orders"))
+      .select(col("o_orderpriority"), micros(col("day").cast("timestamp")).as("day_us"),
+        col("n_orders"), col("revenue").cast("double").as("revenue"))
+  }
+
+  /** q113: wide→long UNPIVOT (melt) of lineitem's four measures, then a
+    * per-measure rollup — the inverse surface of q72's pivot. Unpivot is
+    * a per-row Expand (no shuffle of its own); the rollup is one
+    * combinable aggregation. */
+  def unpivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"), col("l_discount").cast("double"),
+        col("l_tax").cast("double"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("val").cast("decimal(18,4)")).cast("double").as("total"),
+        min(col("val")).as("min_val"), max(col("val")).as("max_val"))
+
   /** q110: bucketized RANGE join — orders priced into overlapping price
     * bands (stride 3000, width 6000) through [[Ops.rangeJoin]], which
     * turns the non-equi BETWEEN into a bucket EQUI join + residual filter
@@ -1328,6 +1362,8 @@ object Queries {
     "q109_bpe_encode" -> (bpeEncodeQ _),
     "q110_range_join" -> (rangeJoinQ _),
     "q111_quality_suite" -> (qualitySuiteQ _),
+    "q112_gap_fill" -> (gapFillQ _),
+    "q113_unpivot" -> (unpivotQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -287,6 +287,38 @@ object Ops {
     * file clustering). CoreSpec gates the interleave bit-for-bit, the
     * NULL guard, AND the locality claim (per-file min/max widths of both
     * columns under a z-ordered layout beat a single-column sort). */
+  /** Time-series GAP FILL: densify a (key, date)-grain frame onto a
+    * complete daily spine [start, end] per key, then fill the generated
+    * gaps — `ffillCols` carry the last observed value forward (LOCF,
+    * NULL before the first observation), `zeroFillCols` take 0 (the
+    * count/additive-measure convention). Input contract: ONE row per
+    * (key, date) — pre-aggregate first (the spec pins the join grain).
+    *
+    * Scale shape: both join sides are (key, day)-grain — the spine is
+    * keys × days (distinct keys one combinable pass; the day sequence
+    * explodes from a literal, no shuffle of its own) and the data side
+    * is pre-aggregated by contract, so the two exchanges here (the
+    * equi-join on key+day, the fill window on key) move reporting-grain
+    * rows, never corpus rows. No global sort anywhere. */
+  def gapFill(df: DataFrame, keyCols: Seq[String], dateCol: String,
+      start: String, end: String, ffillCols: Seq[String] = Nil,
+      zeroFillCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require((ffillCols ++ zeroFillCols).nonEmpty, "nothing to fill")
+    val days = explode(sequence(
+      to_date(lit(start)), to_date(lit(end)), expr("INTERVAL 1 DAY"))).as(dateCol)
+    val spine = df.select(keyCols.map(col): _*).distinct().select(col("*"), days)
+    val joined = spine.join(
+      df.withColumn(dateCol, col(dateCol).cast("date")),
+      keyCols :+ dateCol, "left")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = ffillCols.foldLeft(joined)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    zeroFillCols.foldLeft(filled)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0).cast(df.schema(c).dataType))))
+  }
+
   /** Scalable RANGE JOIN: each point row paired with every range row
     * whose [lo, hi] contains its value. Spark plans a bare
     * `p.value BETWEEN r.lo AND r.hi` as BroadcastNestedLoopJoin — O(n·m)

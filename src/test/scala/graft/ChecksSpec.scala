@@ -70,6 +70,22 @@ class ChecksSpec extends AnyFunSuite with SparkSpecBase {
     assert(err.getMessage != null && err.getMessage.contains("rangeJoin"))
   }
 
+  test("gapFill densifies per key: LOCF carries, zero-fill zeroes, pre-first stays NULL") {
+    val daily = df("k STRING, day DATE, v DOUBLE, n BIGINT",
+      Row("A", java.sql.Date.valueOf("2024-01-01"), Double.box(10.0), Long.box(2L)),
+      Row("A", java.sql.Date.valueOf("2024-01-03"), Double.box(30.0), Long.box(1L)),
+      Row("B", java.sql.Date.valueOf("2024-01-02"), Double.box(5.0), Long.box(4L)))
+    val out = Ops.gapFill(daily, Seq("k"), "day", "2024-01-01", "2024-01-04",
+        ffillCols = Seq("v"), zeroFillCols = Seq("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("A", "2024-01-01", 10.0, 2L), ("A", "2024-01-02", 10.0, 0L),
+      ("A", "2024-01-03", 30.0, 1L), ("A", "2024-01-04", 30.0, 0L),
+      ("B", "2024-01-01", null, 0L), ("B", "2024-01-02", 5.0, 4L),
+      ("B", "2024-01-03", 5.0, 0L), ("B", "2024-01-04", 5.0, 0L)))
+  }
+
   test("rangeJoin renames clashing range columns with the prefix") {
     val pts = df("id INT, x DOUBLE", Row(Int.box(1), Double.box(5.0)))
     val ranges = df("id INT, lo DOUBLE, hi DOUBLE",
