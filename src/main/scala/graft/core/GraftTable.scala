@@ -177,13 +177,18 @@ object GraftTable {
 
   // ---------------------------------------------------------------- writing
 
-  /** Columns that get file stats: the caller's list, or every
-    * stats-capable top-level column by default. */
+  /** Default cap on auto-selected stats columns — the stats pass re-reads
+    * exactly these columns, so "all of a 500-column table" would turn a
+    * cheap post-write footer pass into a full re-read (Delta's
+    * dataSkippingNumIndexedCols draws the same line at 32). An explicit
+    * `statsCols` list bypasses the cap. */
+  val DefaultStatsCols = 32
+
+  /** Columns that get file stats: the caller's list (uncapped), or the
+    * first [[DefaultStatsCols]] stats-capable top-level columns. */
   private def resolveStatsCols(schema: StructType, statsCols: Seq[String]): Seq[StructField] = {
-    val wanted =
-      if (statsCols.nonEmpty) statsCols.map(c => schema(c))
-      else schema.fields.toSeq
-    wanted.filter(f => statTag(f.dataType).isDefined)
+    if (statsCols.nonEmpty) statsCols.map(c => schema(c)).filter(f => statTag(f.dataType).isDefined)
+    else schema.fields.toSeq.filter(f => statTag(f.dataType).isDefined).take(DefaultStatsCols)
   }
 
   /** Write `df` into a hidden stage dir, move the part files into `data/`
