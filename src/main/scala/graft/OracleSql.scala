@@ -962,6 +962,28 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // multi-format round-trip: every format must read back to the SAME
+    // aggregate — the oracle is the aggregate over the raw table, one row
+    // per format name
+    "q114_multiformat" -> """
+SELECT t.fmt, a.n_orders, a.total_price, a.min_key, a.max_key, a.last_order_us
+FROM (VALUES ('csv'), ('json'), ('orc')) t(fmt)
+CROSS JOIN (
+  SELECT count(*)::BIGINT AS n_orders,
+         cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         max(epoch_us(o_orderdate)) AS last_order_us
+  FROM orders) a""",
+
+    // k-anonymity: surviving cohorts are exactly GROUP BY ... HAVING
+    // count >= k, and n_kept == group_n (suppression removes whole
+    // cohorts, never individual rows)
+    "q115_k_anonymity" -> """
+SELECT o_orderpriority, o_orderstatus, year(o_orderdate)::BIGINT AS yr,
+       count(*)::BIGINT AS n_kept, count(*)::BIGINT AS group_n
+FROM orders
+GROUP BY 1, 2, 3 HAVING count(*) >= 150""",
+
     // gap fill: per-priority daily spine left-joined to the daily rollup;
     // LOCF via last_value IGNORE NULLS, counts zero-filled
     "q112_gap_fill" -> """

@@ -408,6 +408,49 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  private lazy val q114Root: String =
+    java.nio.file.Files.createTempDirectory("graft_formats").toString
+
+  /** q114: source/sink format round-trip — the same order rows written to
+    * and read back from CSV (header, explicit schema), JSON lines, and
+    * ORC; each format's read-back aggregates identically (timestamps,
+    * doubles, and strings survive every serialization). The gate fails if
+    * ANY format drifts a value. */
+  def multiFormatQ(s: SparkSession, d: String): DataFrame = {
+    val root = q114Root
+    TableIO.clearDir(root)
+    val rows = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val schema = rows.schema
+    rows.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+    rows.write.mode("overwrite").json(s"$root/json")
+    rows.write.mode("overwrite").orc(s"$root/orc")
+    Seq(
+      "csv" -> s.read.schema(schema).option("header", "true").csv(s"$root/csv"),
+      "json" -> s.read.schema(schema).json(s"$root/json"),
+      "orc" -> s.read.schema(schema).orc(s"$root/orc")
+    ).map { case (fmt, df) =>
+      df.agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        max(micros(col("o_orderdate"))).as("last_order_us"))
+        .select(lit(fmt).as("fmt"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** q115: k-anonymity suppression over (priority, status, order-year)
+    * quasi-identifiers — cohorts below k drop; the gate checks BOTH the
+    * surviving cohorts (size ≥ k) and the suppression audit trail
+    * (per-cohort sizes of everything), i.e. the operator keeps exactly
+    * the HAVING-count-≥-k rows. */
+  def kAnonymityQ(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderstatus"),
+      year(col("o_orderdate")).cast("long").as("yr"), col("o_orderkey"))
+    Corpus.kAnonymize(rows, Seq("o_orderpriority", "o_orderstatus", "yr"), k = 150)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n_kept"), max(col("group_n")).as("group_n"))
+  }
+
   /** q112: time-series gap fill — daily revenue per order priority over
     * the January-1995 spine, LOCF on the running price level, zero-fill
     * on the additive count ([[Ops.gapFill]]); days without orders appear
@@ -1364,6 +1407,8 @@ object Queries {
     "q111_quality_suite" -> (qualitySuiteQ _),
     "q112_gap_fill" -> (gapFillQ _),
     "q113_unpivot" -> (unpivotQ _),
+    "q114_multiformat" -> (multiFormatQ _),
+    "q115_k_anonymity" -> (kAnonymityQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

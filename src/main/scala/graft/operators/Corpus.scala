@@ -163,6 +163,27 @@ object Corpus {
     } finally segArr.unpersist(): Unit
   }
 
+  /** k-ANONYMITY suppression (Sweeney 2002, re-derived): a row survives
+    * only if at least `k` rows share its full quasi-identifier tuple —
+    * the release-gating primitive for training data carrying demographic
+    * or account-level columns. NULL quasi-values group together
+    * (null-safe grouping, matching SQL GROUP BY), so an all-NULL tuple
+    * is its own cohort, not a leak.
+    *
+    * Returns the input rows + `group_n` (cohort size) with sub-k cohorts
+    * REMOVED. Pair with an aggregate over the dropped complement for the
+    * suppression audit (q115 gates both sides).
+    *
+    * Scale shape: one window count partitioned by the quasi columns —
+    * a single key shuffle at input grain, combinable on the map side;
+    * no driver-side state, no joins. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, "need quasi columns and k >= 1")
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_n", count(lit(1)).over(w))
+      .filter(col("group_n") >= k)
+  }
+
   /** Substring-level EXACT duplicate detection (the ExactSubstr family of
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2021, re-derived for Spark): a k-token window occurring >=

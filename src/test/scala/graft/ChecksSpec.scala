@@ -86,6 +86,16 @@ class ChecksSpec extends AnyFunSuite with SparkSpecBase {
       ("B", "2024-01-03", 5.0, 0L), ("B", "2024-01-04", 5.0, 0L)))
   }
 
+  test("kAnonymize drops sub-k cohorts whole; NULL quasi-values form their own cohort") {
+    val t = df("city STRING, age INT, id INT",
+      Row("x", Int.box(30), Int.box(1)), Row("x", Int.box(30), Int.box(2)),
+      Row("x", Int.box(31), Int.box(3)),            // cohort of 1: suppressed
+      Row(null, null, Int.box(4)), Row(null, null, Int.box(5))) // NULL cohort of 2
+    val out = graft.operators.Corpus.kAnonymize(t, Seq("city", "age"), k = 2)
+      .collect().map(r => (r.getInt(r.fieldIndex("id")), r.getLong(r.fieldIndex("group_n")))).toSet
+    assert(out == Set((1, 2L), (2, 2L), (4, 2L), (5, 2L)))
+  }
+
   test("rangeJoin renames clashing range columns with the prefix") {
     val pts = df("id INT, x DOUBLE", Row(Int.box(1), Double.box(5.0)))
     val ranges = df("id INT, lo DOUBLE, hi DOUBLE",
