@@ -316,6 +316,20 @@ object PlanAudit {
       "broadcast_parent" -> (_.contains("BroadcastHashJoin")),
       "anti_orphans" -> (_.contains("LeftAnti")),
       "partial_agg" -> (_.contains("partial_count")))
+    audit("q112_gap_fill",
+      // reporting-grain exchanges only; LOCF window keyed by priority,
+      // never a global sort
+      "key_window" -> (p => "hashpartitioning\\(o_orderpriority".r.findFirstIn(p).isDefined),
+      "no_global_window" -> (p => !p.contains("SinglePartition, ")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop")))
+    audit("q113_unpivot",
+      // melt is a per-row Expand feeding one combinable aggregation
+      "expand" -> (_.contains("Expand")),
+      "partial_agg" -> (_.contains("partial_")))
+    audit("q115_k_anonymity",
+      // one key shuffle for the cohort window; no join anywhere
+      "key_window" -> (p => "hashpartitioning\\(o_orderpriority".r.findFirstIn(p).isDefined),
+      "no_join" -> (p => !p.contains("Join")))
     locally {
       // q77's anti-join hides behind localCheckpoint in the returned plan,
       // so audit the factored freshness plan directly: the state side must
