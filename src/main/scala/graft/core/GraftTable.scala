@@ -58,7 +58,13 @@ object GraftTable {
     * under `t`'s ordering ([[cmp]]); absent when the file is all-NULL in
     * that column (or the type is unsupported). */
   case class ColStats(t: String, min: Option[String], max: Option[String], nulls: Long)
-  case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats])
+  /** `renames` maps LOGICAL column name → PHYSICAL (in-file) name for
+    * columns renamed after this file was written — [[renameColumn]] is a
+    * metadata-only operation, so files keep their original field names
+    * and readers project. Absent for files written under the current
+    * schema. */
+  case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
+      renames: Option[Map[String, String]] = None)
 
   /** `streamMarks` is the exactly-once ledger for streaming appends: per
     * stream id (a checkpoint-derived stable name), the highest micro-batch
@@ -325,12 +331,25 @@ object GraftTable {
 
   // ---------------------------------------------------------------- reading
 
-  private def readManifest(spark: SparkSession, path: String, m: Manifest): DataFrame = {
-    val schema = StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(m.files.map(f => s"$path/${f.path}"): _*)
+  /** Read a subset of a manifest's files under its LOGICAL schema,
+    * applying each file's rename map (files grouped by identical map —
+    * parquet resolves columns by name, so one read + projection per
+    * group). */
+  private def readFileSubset(spark: SparkSession, path: String, m: Manifest,
+      subset: Seq[FileEntry]): DataFrame = {
+    val logical = StructType.fromDDL(m.schemaDdl)
+    if (subset.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    subset.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
+      val physical = StructType(logical.fields.map(f =>
+        f.copy(name = ren.getOrElse(f.name, f.name))))
+      spark.read.schema(physical).parquet(fs.map(f => s"$path/${f.path}"): _*)
+        .select(logical.fields.map(f => col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    }.reduce(_ unionByName _)
   }
+
+  private def readManifest(spark: SparkSession, path: String, m: Manifest): DataFrame =
+    readFileSubset(spark, path, m, m.files)
 
   /** Latest committed snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -378,12 +397,7 @@ object GraftTable {
         }
       }
     }
-    val schema = StructType.fromDDL(m.schemaDdl)
-    val df =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$path/${f.path}"): _*)
-    PrunedScan(df, kept.size, m.files.size)
+    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
   }
 
   // ---------------------------------------------------------------- upsert
@@ -449,18 +463,15 @@ object GraftTable {
       val keyCond = keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
       val touchedNames: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else spark.read.schema(schema).parquet(candidates.map(f => s"$path/${f.path}"): _*)
+        else readFileSubset(spark, path, cur, candidates)
           .select((keys.map(col) :+ input_file_name().as("__f")): _*)
           .join(deltaKeys, keyCond, "left_semi")
           .select(col("__f")).distinct().collect()
           .map(_.getString(0).split('/').last).toSet
       val (touched, untouched) =
         cur.files.partition(fe => touchedNames.contains(fe.path.split('/').last))
-      val kept =
-        if (touched.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(touched.map(f => s"$path/${f.path}"): _*)
-          .join(deltaKeys, keyCond, "left_anti")
+      val kept = readFileSubset(spark, path, cur, touched)
+        .join(deltaKeys, keyCond, "left_anti")
       val rewritten = kept.unionByName(d.select(schema.fieldNames.map(col): _*))
       val staged = stageFiles(rewritten, path, statsCols, None)
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "upsert",
@@ -470,6 +481,41 @@ object GraftTable {
           s"commit v${next.version} of '$path' lost the race — re-read and retry the upsert")
       next.version
     } finally d.unpersist(): Unit
+  }
+
+  // ------------------------------------------------------- schema renames
+
+  /** METADATA-ONLY column rename — zero data IO, exactly what renaming a
+    * column on a 100 TB table must cost (a rewrite would be petabyte
+    * churn; Delta's column mapping draws the same line, re-derived). The
+    * new manifest carries the renamed logical schema, renamed stats
+    * keys, and a per-file logical→physical map readers project through
+    * ([[readFileSubset]]). Files written AFTER the rename use the new
+    * name physically; compaction gradually retires the indirection.
+    * Historical versions keep their own schema — time travel reads the
+    * OLD name before the rename commit, by construction. */
+  def renameColumn(path: String, from: String, to: String): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(from), s"no column '$from' in [${cur.schemaDdl}]")
+    require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+    val newDdl = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL
+    val files = cur.files.map { fe =>
+      val ren = fe.renames.getOrElse(Map.empty)
+      val phys = ren.getOrElse(from, from)
+      val next = (ren - from) ++ (if (to == phys) Map.empty else Map(to -> phys))
+      fe.copy(
+        stats = fe.stats.map { case (k, v) => (if (k == from) to else k) -> v },
+        renames = if (next.isEmpty) None else Some(next))
+    }
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "rename", newDdl,
+      files, cur.streamMarks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"rename on '$path' lost the commit race — retry")
+    next.version
   }
 
   // ----------------------------------------------------------- diff / CDC
@@ -534,8 +580,9 @@ object GraftTable {
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     val (small, big) = cur.files.partition(_.bytes < targetBytes)
     if (small.size <= 1) return (cur.files.size, cur.files.size)
-    val schema = StructType.fromDDL(cur.schemaDdl)
-    val packed = spark.read.schema(schema).parquet(small.map(f => s"$path/${f.path}"): _*)
+    // compaction rewrites under the CURRENT logical schema, so packed
+    // files shed any rename indirection; carried files keep theirs
+    val packed = readFileSubset(spark, path, cur, small)
       .repartition(math.max(1,
         math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt))
     val staged = stageFiles(packed, path, statsCols, None)

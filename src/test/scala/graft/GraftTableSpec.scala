@@ -219,6 +219,50 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(GraftTable.read(spark, path)) == beforeRows)
   }
 
+  test("renameColumn is metadata-only: no file rewritten, old versions keep old name") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path, statsCols = Seq("k", "v"))
+    val bytesBefore = dataFiles(path)
+    GraftTable.renameColumn(path, "v", "label")
+    assert(dataFiles(path) == bytesBefore, "rename must not touch data files")
+    val now = GraftTable.read(spark, path)
+    assert(now.columns.toSeq == Seq("k", "label"))
+    assert(canon(now) == canon(kv(1 -> "a", 2 -> "b").withColumnRenamed("v", "label")))
+    // time travel: the pre-rename version still reads under its own schema
+    assert(GraftTable.readVersion(spark, path, 1).columns.toSeq == Seq("k", "v"))
+    intercept[IllegalArgumentException](GraftTable.renameColumn(path, "nope", "x"))
+    intercept[IllegalArgumentException](GraftTable.renameColumn(path, "k", "label"))
+  }
+
+  test("after rename: append/upsert/prune/compact all work across mixed physical names") {
+    val path = tmp() + "/t"
+    GraftTable.writeClustered(
+      spark.range(0, 100).selectExpr("cast(id as int) as k", "concat('v', id) as v"),
+      path, org.apache.spark.sql.functions.col("k"), 2, statsCols = Seq("k"))
+    GraftTable.renameColumn(path, "v", "label")
+    // new-schema append: physical name 'label' in the new file
+    GraftTable.append(df("k INT, label STRING", Row(Int.box(100), "fresh")), path)
+    assert(GraftTable.read(spark, path).count() == 101)
+    // pruning still works (stats keys renamed with the schema)
+    val scan = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(0), Some(10))))
+    assert(scan.filesRead < scan.filesTotal)
+    // upsert touches the right rows through the rename indirection
+    GraftTable.upsertByKey(spark, path,
+      df("k INT, label STRING", Row(Int.box(5), "FIVE")), Seq("k"))
+    val got = GraftTable.read(spark, path)
+    assert(got.filter(col("k") === 5).select("label").head.getString(0) == "FIVE")
+    assert(got.filter(col("k") === 100).select("label").head.getString(0) == "fresh")
+    assert(got.count() == 101)
+    // second rename composes (label -> tag maps back to physical 'v')
+    GraftTable.renameColumn(path, "label", "tag")
+    assert(GraftTable.read(spark, path).filter(col("k") === 7)
+      .select("tag").head.getString(0) == "v7")
+    // compaction rewrites smalls under the current schema and stays equal
+    val before = canon(GraftTable.read(spark, path))
+    GraftTable.compactFiles(spark, path, targetBytes = 1L << 20)
+    assert(canon(GraftTable.read(spark, path)) == before)
+  }
+
   test("empty overwrite yields a readable zero-row table with schema") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a").filter(lit(false)), path)
