@@ -545,6 +545,24 @@ object Queries {
     Bpe.applyBpe(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100)).toDF()
   }
 
+  /** q116: tokenizer fertility by language — BPE tokens per word,
+    * grouped by the n-gram language id (the standard tokenizer-eval
+    * metric: a vocabulary trained on one language mix "taxes" the
+    * others with higher fertility). Rows-only gate (BPE is non-SQL);
+    * the pieces are individually gated (q21 langid, q108/q109 BPE). */
+  def fertilityQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val enc = Bpe.applyBpe(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100))
+      .toDF().filter(col("n_words") > 0)
+    val lang = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang"))
+    enc.join(lang, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"), sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 6).as("fertility"))
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1409,6 +1427,7 @@ object Queries {
     "q113_unpivot" -> (unpivotQ _),
     "q114_multiformat" -> (multiFormatQ _),
     "q115_k_anonymity" -> (kAnonymityQ _),
+    "q116_bpe_fertility" -> (fertilityQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

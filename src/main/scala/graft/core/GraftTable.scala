@@ -364,11 +364,22 @@ object GraftTable {
     readManifest(spark, path, manifestAt(path, version))
 
   /** Time travel by timestamp: the last snapshot committed at or before
-    * `tsUs` (epoch micros) — exactly Snowflake's `AT (TIMESTAMP => …)`. */
+    * `tsUs` (epoch micros) — exactly Snowflake's `AT (TIMESTAMP => …)`.
+    * Binary search over the (version-ordered = commit-time-ordered,
+    * [[commitTs]] is strictly monotonic) manifest names, parsing only
+    * O(log versions) manifests — history length never taxes the read. */
   def readAsOf(spark: SparkSession, path: String, tsUs: Long): DataFrame = {
-    val eligible = manifestFiles(path).map(parseManifest).filter(_.tsUs <= tsUs)
-    require(eligible.nonEmpty, s"no snapshot of '$path' at or before $tsUs")
-    readManifest(spark, path, eligible.last)
+    val files = manifestFiles(path).toIndexedSeq
+    require(files.nonEmpty, s"'$path' is not a GraftTable")
+    var (lo, hi) = (0, files.size - 1)
+    var best: Option[Manifest] = None
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = parseManifest(files(mid))
+      if (m.tsUs <= tsUs) { best = Some(m); lo = mid + 1 } else hi = mid - 1
+    }
+    require(best.isDefined, s"no snapshot of '$path' at or before $tsUs")
+    readManifest(spark, path, best.get)
   }
 
   /** File-skipping scan: drop every file whose stats PROVE it cannot
