@@ -96,6 +96,38 @@ c$i AS (
     sb.toString
   }
 
+  /** Unrolled PageRank power iterations over the distinct product
+    * co-purchase graph (mirrors [[graft.operators.Graph.pageRank]]:
+    * uniform decimal(24,12) init, per-edge rank/out_deg contributions
+    * quantized to decimal(24,12) before the per-node sum, dangling mass
+    * redistributed uniformly, damped update re-quantized per iteration).
+    * The final rank CTE is `r<iters>`. */
+  private def pageRankCte(iters: Int): String = {
+    val sb = new StringBuilder("""
+WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+nd AS (SELECT node, coalesce(d.c, 0)::BIGINT AS out_deg
+       FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) nodes
+       LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d ON node = d.src),
+n AS (SELECT count(*)::BIGINT AS n FROM nd),
+r0 AS (SELECT node, out_deg, CAST(1.0 / n.n AS DECIMAL(24,12)) AS rank FROM nd, n)""")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+d$i AS (SELECT coalesce(CAST(sum(rank) AS DOUBLE), 0.0) / (SELECT n FROM n) AS dang
+        FROM r$p WHERE out_deg = 0),
+c$i AS (SELECT e.dst AS node,
+               sum(CAST(CAST(r.rank AS DOUBLE) / r.out_deg AS DECIMAL(24,12))) AS contrib
+        FROM e JOIN r$p r ON e.src = r.node GROUP BY e.dst),
+r$i AS (SELECT nd.node, nd.out_deg,
+               CAST((1.0 - 0.85) / n.n + 0.85 * (coalesce(CAST(c.contrib AS DOUBLE), 0.0) + d$i.dang)
+                    AS DECIMAL(24,12)) AS rank
+        FROM nd LEFT JOIN c$i c ON nd.node = c.node, n, d$i)"""
+    }
+    sb.toString
+  }
+
   /** dbt-snapshot over the user event stream (q31 batch; q37 incremental). */
   private val SnapshotSql = """
 WITH ev AS (
@@ -983,6 +1015,35 @@ SELECT o_orderpriority, o_orderstatus, year(o_orderdate)::BIGINT AS yr,
        count(*)::BIGINT AS n_kept, count(*)::BIGINT AS group_n
 FROM orders
 GROUP BY 1, 2, 3 HAVING count(*) >= 150""",
+
+    // BM25 top-10 (Okapi): per-(doc, term) scores quantized to
+    // decimal(24,12) before the per-doc sum, 6-dp round before ranking,
+    // doc-id tie-break — mirrors Corpus.bm25TopK operation for operation
+    "q117_bm25" -> s"""
+WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks)::BIGINT AS len FROM t),
+stats AS (SELECT count(*)::BIGINT AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM lens),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+       WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, lens.len,
+        CAST(ln(1.0 + (stats.n - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+             / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * len / stats.avgdl))
+             AS DECIMAL(24,12)) AS ts
+      FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+perdoc AS (SELECT doc_id, len, count(*)::BIGINT AS n_terms,
+                  round(CAST(sum(ts) AS DOUBLE), 6) AS score
+           FROM s GROUP BY doc_id, len)
+SELECT doc_id, len, n_terms, score, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM perdoc)
+WHERE rnk <= 10""",
+
+    // PageRank, 5 damped power iterations over the distinct co-purchase
+    // graph; per-edge contributions decimal(24,12)-quantized before the
+    // per-node sum (order-free exact) — mirrors Graph.pageRank
+    "q118_pagerank" -> (pageRankCte(5) + """
+SELECT node, out_deg, round(CAST(rank AS DOUBLE), 6) AS rank FROM r5"""),
 
     // gap fill: per-priority daily spine left-joined to the daily rollup;
     // LOCF via last_value IGNORE NULLS, counts zero-filled

@@ -563,6 +563,28 @@ object Queries {
         round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 6).as("fertility"))
   }
 
+  /** q117: BM25 top-10 retrieval for a fixed 3-term query over the
+    * documents table — the lexical-search complement to q52's TF-IDF
+    * (same inverted-index scale shape, scoring per Robertson & Zaragoza
+    * 2009). */
+  def bm25Q(s: SparkSession, d: String): DataFrame =
+    Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "merge", "window"), k = 10)
+
+  /** q118: PageRank centrality over the distinct product co-purchase
+    * graph (parts sharing an order, both directions) — the link-quality
+    * prior a web-corpus pipeline computes over its host graph, exercised
+    * here on the densest graph the star schema induces. */
+  def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    Graph.pageRank(e, "src", "dst", iterations = 5)
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1428,6 +1450,8 @@ object Queries {
     "q114_multiformat" -> (multiFormatQ _),
     "q115_k_anonymity" -> (kAnonymityQ _),
     "q116_bpe_fertility" -> (fertilityQ _),
+    "q117_bm25" -> (bm25Q _),
+    "q118_pagerank" -> (pageRankQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

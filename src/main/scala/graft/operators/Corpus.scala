@@ -392,6 +392,64 @@ object Corpus {
     } finally toks.unpersist(): Unit
   }
 
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene
+    * formulation): score(d, Q) = Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf +
+    * k1·(1 − b + b·len_d/avgdl)), idf(t) = ln(1 + (N − df + 0.5)/(df +
+    * 0.5)). tf counts query terms only; len_d is the full token length;
+    * avgdl = Σ len / N. Per-(doc, term) scores are quantized to
+    * decimal(24,12) before the per-document sum (order-free exact, the
+    * [[crossEntropyScore]] convention), the total rounded to 6 dp BEFORE
+    * ranking with doc-id tie-break — so the top-k is engine-exact: every
+    * input to the per-row double formula is an exact integer or an exact
+    * integer ratio.
+    *
+    * Scale shape: one tokenize pass persisted behind the generator
+    * barrier feeds both consumers — doc lengths (map-side-combinable
+    * groupBy) and query-term tf, where the `isin` filter prunes the
+    * exploded stream BEFORE its groupBy so only |Q|-term postings ever
+    * shuffle (the classic posting-list prune); df is |Q|-sized and
+    * broadcast back; the top-k is one window over ≤ N·|Q| scored rows.
+    * N and avgdl are two scalar actions (S7 driver-action precedent). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "queryTerms must be non-empty and distinct")
+    require(k > 0, "k must be positive")
+    val toks = Ops.spread(docs)
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__t"))
+      .persist()
+    try {
+      val n = toks.count()
+      val lens = toks.select(col(idCol), size(col("__t")).cast("long").as("len"))
+      val totRow = lens.agg(sum(col("len"))).first()
+      val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val avgdl = if (n == 0) 1.0 else tot.toDouble / n
+      val tf = toks.select(col(idCol), explode(col("__t")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / lit(avgdl))
+      val termScore = (idf * col("tf") * lit(k1 + 1.0) / (col("tf") + norm))
+        .cast("decimal(24,12)")
+      val perDoc = tf.join(broadcast(df), Seq("term"))
+        .join(lens, Seq(idCol))
+        .groupBy(col(idCol), col("len"))
+        .agg(count(lit(1)).as("n_terms"), sum(termScore).as("__s"))
+        .select(col(idCol), col("len"), col("n_terms"),
+          round(col("__s").cast("double"), 6).as("score"))
+      // distributed top-k (TakeOrderedAndProject — map-side partial heaps,
+      // never a global sort); the rank window then runs over only k rows
+      val topk = perDoc.orderBy(col("score").desc, col(idCol)).limit(k)
+      val w = Window.orderBy(col("score").desc, col(idCol))
+      val out = topk.withColumn("rnk", row_number().over(w)).persist()
+      out.count(): Unit
+      out
+    } finally toks.unpersist(): Unit
+  }
+
   /** Unigram cross-entropy quality score (the shape of CCNet's perplexity
     * filter, with the corpus itself as the language model): score(doc) =
     * −(1/n)·Σ ln p(tᵢ), p(t) = corpus count / corpus total. Low = typical,

@@ -330,6 +330,23 @@ object PlanAudit {
       // one key shuffle for the cohort window; no join anywhere
       "key_window" -> (p => "hashpartitioning\\(o_orderpriority".r.findFirstIn(p).isDefined),
       "no_join" -> (p => !p.contains("Join")))
+    audit("q117_bm25",
+      // top-k is TakeOrderedAndProject (map-side partial heaps, never a
+      // global sort); the query-term filter prunes the exploded postings
+      // BEFORE their exchange; tf/score aggregates combine map-side; the
+      // |Q|-sized df frame broadcasts back
+      "topk_no_global_sort" -> (_.contains("TakeOrderedAndProject")),
+      "postings_pruned" -> (_.contains("IN (spark,merge,window)")),
+      "partial_agg" -> (_.contains("partial_count")),
+      "broadcast_df" -> (_.contains("BroadcastHashJoin")))
+    audit("q118_pagerank",
+      // every power iteration: contribution sums combine map-side, the
+      // node-sized rank frame broadcasts into the edge join (AQE), and no
+      // step degenerates to a cartesian/nested-loop product
+      "combinable_contrib" -> (_.contains("partial_sum")),
+      "broadcast_ranks" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop")))
     locally {
       // q77's anti-join hides behind localCheckpoint in the returned plan,
       // so audit the factored freshness plan directly: the state side must

@@ -443,4 +443,27 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     assert(m((2L, "y")) == ((1.0, 2)))
     out.unpersist(): Unit
   }
+
+  test("bm25TopK: tf raises, length normalization lowers, non-matches drop") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "a a b"),   // tf(a)=2
+      Row(Long.box(2L), "a b"),     // tf(a)=1, short
+      Row(Long.box(3L), "a b b b b b"), // tf(a)=1, long — length-penalized
+      Row(Long.box(4L), "c c c"))   // no query term — absent from result
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 10)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L), s"got $rows")
+    assert(rows(1L) == 1, "highest tf ranks first")
+    assert(rows(2L) == 2 && rows(3L) == 3, "same tf: shorter doc outranks longer")
+    out.unpersist(): Unit
+  }
+
+  test("bm25TopK: k caps the result, score ties break on doc id") {
+    val docs = df("doc_id BIGINT, text STRING",
+      Row(Long.box(10L), "a b"), Row(Long.box(7L), "a b"), Row(Long.box(9L), "a b"))
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", Seq("a"), k = 2)
+    val got = out.collect().sortBy(_.getInt(4)).map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 9L), s"got $got")
+    out.unpersist(): Unit
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** PageRank power iteration: mass conservation, symmetry, hub dominance,
+  * dangling redistribution. */
+class GraphSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def edges(rows: (Long, Long)*) =
+    df("src BIGINT, dst BIGINT",
+      rows.map { case (s, d) => Row(Long.box(s), Long.box(d)) }: _*)
+
+  private def ranks(rows: (Long, Long)*): Map[Long, Double] = {
+    val out = Graph.pageRank(edges(rows: _*), "src", "dst", iterations = 5)
+    val m = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.unpersist(): Unit
+    m
+  }
+
+  test("symmetric triangle: all nodes equal, mass sums to 1") {
+    val m = ranks(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 0L, 0L -> 2L)
+    assert(m.size == 3)
+    assert(m.values.toSet.size == 1, s"expected equal ranks, got $m")
+    assert(math.abs(m.values.sum - 1.0) < 1e-4, s"mass not conserved: $m")
+  }
+
+  test("bidirectional star: hub outranks leaves, leaves equal") {
+    val m = ranks(
+      0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 0L, 0L -> 3L, 3L -> 0L)
+    assert(m(0L) > m(1L), s"hub must dominate: $m")
+    assert(m(1L) == m(2L) && m(2L) == m(3L), s"leaves must tie: $m")
+    assert(math.abs(m.values.sum - 1.0) < 1e-4, s"mass not conserved: $m")
+  }
+
+  test("dangling sink keeps total mass at 1 and outranks its source") {
+    // 0 -> 1 only: node 1 is dangling; its mass redistributes uniformly
+    val m = ranks(0L -> 1L)
+    assert(m.size == 2)
+    assert(math.abs(m.values.sum - 1.0) < 1e-4, s"dangling mass lost: $m")
+    assert(m(1L) > m(0L), s"sink collects the source's mass: $m")
+  }
+
+  test("rank is deterministic across runs") {
+    val e = Seq(0L -> 1L, 1L -> 2L, 2L -> 0L, 0L -> 2L, 2L -> 1L)
+    assert(ranks(e: _*) == ranks(e: _*))
+  }
+
+  test("guards reject bad parameters and empty graphs") {
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges(0L -> 1L), "src", "dst", iterations = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges(0L -> 1L), "src", "dst", damping = 1.0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges(), "src", "dst"))
+  }
+}
