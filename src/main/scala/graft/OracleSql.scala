@@ -1045,6 +1045,40 @@ WHERE rnk <= 10""",
     "q118_pagerank" -> (pageRankCte(5) + """
 SELECT node, out_deg, round(CAST(rank AS DOUBLE), 6) AS rank FROM r5"""),
 
+    // per-node triangle counts over the support-≥2 co-purchase graph via
+    // degree-ordered orientation (each triangle found exactly once) —
+    // mirrors Graph.triangleCounts; exact integers end to end
+    "q119_triangle_counts" -> """
+WITH und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+ornt AS (SELECT CASE WHEN da.deg <= db.deg THEN und.a ELSE und.b END AS src,
+                CASE WHEN da.deg <= db.deg THEN und.b ELSE und.a END AS dst,
+                CASE WHEN da.deg <= db.deg THEN db.deg ELSE da.deg END AS ddeg
+         FROM und JOIN deg da ON und.a = da.node JOIN deg db ON und.b = db.node),
+tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        FROM ornt e1 JOIN ornt e2
+          ON e1.src = e2.src
+         AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        JOIN ornt e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+SELECT node, count(*)::BIGINT AS n_triangles FROM (
+  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+GROUP BY node""",
+
+    // cohort retention: first-activity-ISO-week cohorts × week offset,
+    // distinct active users — cohort via window min over the distinct
+    // (user, week) frame, exactly as the Spark side plans it
+    "q120_cohort_retention" -> """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS m FROM events),
+wc AS (SELECT user_id, m, min(m) OVER (PARTITION BY user_id) AS c FROM act)
+SELECT epoch_us(c::timestamp) AS cohort_us,
+       (datediff('day', c::date, m::date) / 7)::BIGINT AS weeks_since,
+       count(*)::BIGINT AS n_users
+FROM wc GROUP BY 1, 2""",
+
     // gap fill: per-priority daily spine left-joined to the daily rollup;
     // LOCF via last_value IGNORE NULLS, counts zero-filled
     "q112_gap_fill" -> """

@@ -585,6 +585,44 @@ object Queries {
     Graph.pageRank(e, "src", "dst", iterations = 5)
   }
 
+  /** q119: per-node triangle counts over the support-≥2 co-purchase
+    * graph (parts sharing ≥2 orders — the market-basket support
+    * threshold that keeps the graph sparse as the corpus grows), via
+    * degree-ordered orientation. Exact integers end to end. */
+  def triangleQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .agg(countDistinct(col("x.l_orderkey")).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.triangleCounts(und, "src", "dst")
+  }
+
+  /** q120: cohort retention — users bucketed by first-activity ISO week,
+    * distinct-active-user counts at each week offset (the classic
+    * triangle-shaped retention table; weekly grain because the events
+    * fixture spans one month). Cohort assignment is a window min over
+    * the distinct (user, week) activity frame, so the whole query is ONE
+    * user-keyed shuffle plus the final combinable rollup. Week starts
+    * are exact multiples of 7 days apart, so the offset division is
+    * exact in either engine. */
+  def retentionQ(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("m"))
+      .distinct()
+    val c = min(col("m")).over(Window.partitionBy(col("user_id")))
+    act.withColumn("c", c)
+      .groupBy(col("c"),
+        (datediff(to_date(col("m")), to_date(col("c"))) / 7).cast("long")
+          .as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_micros(col("c")).as("cohort_us"),
+        col("weeks_since"), col("n_users"))
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1452,6 +1490,8 @@ object Queries {
     "q116_bpe_fertility" -> (fertilityQ _),
     "q117_bm25" -> (bm25Q _),
     "q118_pagerank" -> (pageRankQ _),
+    "q119_triangle_counts" -> (triangleQ _),
+    "q120_cohort_retention" -> (retentionQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -90,4 +90,60 @@ object Graph {
       out
     } finally { e.unpersist(): Unit; nd.unpersist(): Unit }
   }
+
+  /** Per-node triangle counts by degree-ordered edge orientation (the
+    * Schank & Wagner 2005 / Cohen 2009 MapReduce formulation): treat the
+    * input as undirected (canonicalize, drop self-loops, dedup), orient
+    * every edge from its lexicographically-smaller (degree, id) endpoint
+    * to the larger, enumerate wedges from each source's oriented
+    * out-neighbors, and close them against the oriented edge set. Every
+    * triangle {a,b,c} is found exactly once.
+    *
+    * Returns (node, n_triangles) for nodes in at least one triangle —
+    * exact integer counts, no float channel at all.
+    *
+    * Scale shape: orientation is THE fanout bound — oriented out-degree
+    * is O(√|E|) even at power-law hubs (a celebrity node with degree 10⁶
+    * contributes wedges only through its few HIGHER-degree neighbors,
+    * not its 10⁶ fans), so the wedge join is Σ outdeg² ≤ |E|·√|E| rather
+    * than Σ deg² ≈ |E|·max-deg. All three steps are equi-joins/groupBys
+    * (no cartesian anywhere — PlanAudit); the closing join keys on the
+    * (v, w) pair, map-side-combinable counts on both degree and triangle
+    * aggregations. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    try {
+      val deg = und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val ornt = und
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"),
+          when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddeg"))
+        .persist()
+      try {
+        val e1 = ornt.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+        val e2 = ornt.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+        val wedges = e1.join(e2, Seq("src"))
+          .filter(col("dv") < col("dw") ||
+            (col("dv") === col("dw") && col("v") < col("w")))
+        val tri = wedges
+          .join(ornt.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+          .select(col("src").as("u"), col("v"), col("w"))
+        val out = tri.select(col("u").as("node"))
+          .unionByName(tri.select(col("v").as("node")))
+          .unionByName(tri.select(col("w").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+          .persist()
+        out.count(): Unit
+        out
+      } finally ornt.unpersist(): Unit
+    } finally und.unpersist(): Unit
+  }
 }

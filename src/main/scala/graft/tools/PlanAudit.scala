@@ -339,6 +339,19 @@ object PlanAudit {
       "postings_pruned" -> (_.contains("IN (spark,merge,window)")),
       "partial_agg" -> (_.contains("partial_count")),
       "broadcast_df" -> (_.contains("BroadcastHashJoin")))
+    audit("q119_triangle_counts",
+      // all three steps (orientation, wedge enumeration, closing) are
+      // equi-joins — the degree-orientation bound only holds if nothing
+      // degenerates to a cartesian/nested-loop; counts combine map-side
+      "all_equi" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop")),
+      "partial_agg" -> (_.contains("partial_count")))
+    audit("q120_cohort_retention",
+      // one user-keyed shuffle feeds both the distinct and the cohort
+      // window; the final rollup partial-aggregates map-side
+      "user_keyed" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_join" -> (p => !p.contains("Join")))
     audit("q118_pagerank",
       // every power iteration: contribution sums combine map-side, the
       // node-sized rank frame broadcasts into the edge join (AQE), and no

@@ -47,6 +47,31 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     assert(ranks(e: _*) == ranks(e: _*))
   }
 
+  test("triangleCounts: K4 has four triangles, three per node; pendant excluded") {
+    // complete graph on {0,1,2,3} plus pendant edge 3-9 (9 in no triangle)
+    val out = Graph.triangleCounts(edges(
+      0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 9L),
+      "src", "dst")
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"got $m")
+    out.unpersist(): Unit
+  }
+
+  test("triangleCounts: reversed duplicates and self-loops don't inflate counts") {
+    val out = Graph.triangleCounts(edges(
+      0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 0L, 0L -> 0L, 1L -> 1L),
+      "src", "dst")
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"got $m")
+    out.unpersist(): Unit
+  }
+
+  test("triangleCounts: triangle-free graph returns empty") {
+    val out = Graph.triangleCounts(edges(0L -> 1L, 1L -> 2L, 2L -> 3L), "src", "dst")
+    assert(out.count() == 0)
+    out.unpersist(): Unit
+  }
+
   test("guards reject bad parameters and empty graphs") {
     intercept[IllegalArgumentException](
       Graph.pageRank(edges(0L -> 1L), "src", "dst", iterations = 0))
