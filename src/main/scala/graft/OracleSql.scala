@@ -128,6 +128,35 @@ r$i AS (SELECT nd.node, nd.out_deg,
     sb.toString
   }
 
+  /** Unrolled synchronous label propagation over the support-≥2
+    * co-purchase graph (mirrors [[graft.operators.Graph.labelPropagation]]:
+    * labels = node ids, per-round most-frequent neighbor label with
+    * smallest-label tie-break, simultaneous update). Final CTE is
+    * `l<rounds>`. */
+  private def lpaCte(rounds: Int): String = {
+    val sb = new StringBuilder("""
+WITH und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+sym AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+nodes AS (SELECT DISTINCT node FROM sym),
+l0 AS (SELECT node, node AS community FROM nodes)""")
+    for (i <- 1 to rounds) {
+      val p = i - 1
+      sb ++= s""",
+c$i AS (SELECT s.node, l.community, count(*)::BIGINT AS n
+        FROM sym s JOIN l$p l ON s.nbr = l.node GROUP BY 1, 2),
+w$i AS (SELECT node, community FROM (
+          SELECT node, community,
+                 row_number() OVER (PARTITION BY node ORDER BY n DESC, community ASC) AS rn
+          FROM c$i) WHERE rn = 1),
+l$i AS (SELECT nodes.node, coalesce(w.community, nodes.node) AS community
+        FROM nodes LEFT JOIN w$i w USING (node))"""
+    }
+    sb.toString
+  }
+
   /** dbt-snapshot over the user event stream (q31 batch; q37 incremental). */
   private val SnapshotSql = """
 WITH ev AS (
@@ -1067,6 +1096,24 @@ tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
 SELECT node, count(*)::BIGINT AS n_triangles FROM (
   SELECT u AS node FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
 GROUP BY node""",
+
+    // label-propagation communities, 3 deterministic rounds with
+    // min-label tie-break — mirrors Graph.labelPropagation round for round
+    "q121_lpa_communities" -> (lpaCte(3) + """
+SELECT node, community FROM l3"""),
+
+    // first-order Markov transition matrix over per-user event sequences;
+    // ties in the sequence order break on event_id (the q47 convention)
+    "q122_event_transitions" -> """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+p AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_type
+      FROM e),
+c AS (SELECT event_type, next_type, count(*)::BIGINT AS n
+      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+FROM c""",
 
     // cohort retention: first-activity-ISO-week cohorts × week offset,
     // distinct active users — cohort via window min over the distinct

@@ -623,6 +623,36 @@ object Queries {
         col("weeks_since"), col("n_users"))
   }
 
+  /** q121: label-propagation communities (3 deterministic rounds,
+    * min-label tie-break) over the same support-≥2 co-purchase graph as
+    * q119 — the product-affinity clustering a recommender derives from
+    * the basket graph. */
+  def lpaQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .agg(countDistinct(col("x.l_orderkey")).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    Graph.labelPropagation(und, "src", "dst", rounds = 3)
+  }
+
+  /** q122: event-type transition matrix (first-order Markov chain over
+    * each user's event sequence) — transition counts and row-normalized
+    * probabilities, the standard user-journey / next-action model. */
+  def transitionsQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type")).agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("double"), 6))
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1492,6 +1522,8 @@ object Queries {
     "q118_pagerank" -> (pageRankQ _),
     "q119_triangle_counts" -> (triangleQ _),
     "q120_cohort_retention" -> (retentionQ _),
+    "q121_lpa_communities" -> (lpaQ _),
+    "q122_event_transitions" -> (transitionsQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -91,6 +91,62 @@ object Graph {
     } finally { e.unpersist(): Unit; nd.unpersist(): Unit }
   }
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), made fully deterministic: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label; all nodes update
+    * from the previous round's labels simultaneously. A fixed round
+    * count (not convergence) bounds the loop, so the output is a pure
+    * function of the edge set — engine-exact and oracle-replayable.
+    * Input is treated as undirected (symmetrized, self-loops dropped).
+    * Returns (node, community).
+    *
+    * Scale shape: each round is one join of the symmetrized edge list
+    * with the node-sized label frame (AQE broadcasts labels while they
+    * fit), one map-side-combinable (node, label) count, and one
+    * per-node window over ≤ distinct-neighbor-label rows — O(|E|) per
+    * round, no global sort, same iteration discipline as [[pageRank]]
+    * (persist + materialize + unpersist previous). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 100, s"rounds must be in [1, 100], got $rounds")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .persist()
+    try {
+      val nodes = sym.select(col("node")).distinct().persist()
+      try {
+        var labels = nodes.select(col("node"), col("node").as("community")).persist()
+        labels.count(): Unit
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node"))
+          .orderBy(col("n").desc, col("community").asc)
+        for (_ <- 1 to rounds) {
+          val counted = sym
+            .join(labels.select(col("node").as("nbr"), col("community")), Seq("nbr"))
+            .groupBy(col("node"), col("community")).agg(count(lit(1)).as("n"))
+          val winner = counted
+            .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+            .select(col("node"), col("community"))
+          // isolated nodes (none here — every node has an edge) would
+          // keep their own label via the left join + coalesce
+          val next = nodes
+            .join(winner, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("community"), col("node")).as("community"))
+            .persist()
+          next.count(): Unit
+          val old = labels; labels = next; old.unpersist(): Unit
+        }
+        labels
+      } finally nodes.unpersist(): Unit
+    } finally sym.unpersist(): Unit
+  }
+
   /** Per-node triangle counts by degree-ordered edge orientation (the
     * Schank & Wagner 2005 / Cohen 2009 MapReduce formulation): treat the
     * input as undirected (canonicalize, drop self-loops, dedup), orient

@@ -352,6 +352,18 @@ object PlanAudit {
       "user_keyed" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
       "partial_agg" -> (_.contains("partial_count")),
       "no_join" -> (p => !p.contains("Join")))
+    audit("q121_lpa_communities",
+      // per-round: edge×label equi-join, combinable (node,label) count,
+      // per-node window — never a cartesian
+      "all_equi" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop")),
+      "partial_agg" -> (_.contains("partial_count")))
+    audit("q122_event_transitions",
+      // one user-keyed shuffle for the sequence window, then a combinable
+      // (type,next) rollup; the normalizing window runs at matrix grain
+      "user_keyed" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_join" -> (p => !p.contains("Join")))
     audit("q118_pagerank",
       // every power iteration: contribution sums combine map-side, the
       // node-sized rank frame broadcasts into the edge join (AQE), and no

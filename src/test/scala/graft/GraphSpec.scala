@@ -72,6 +72,53 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     out.unpersist(): Unit
   }
 
+  test("triangleCounts matches brute-force enumeration on random graphs") {
+    // property-style: 4 seeded Erdős–Rényi graphs on 12 nodes vs an
+    // independent O(n³) reference count
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val es = for {
+        i <- 0 until 12; j <- (i + 1) until 12
+        if rnd.nextDouble() < 0.3
+      } yield (i.toLong, j.toLong)
+      val adj = es.toSet
+      def linked(x: Long, y: Long) = adj((x min y, x max y))
+      val expected = (for {
+        a <- 0L until 12L; b <- (a + 1) until 12L; c <- (b + 1) until 12L
+        if linked(a, b) && linked(a, c) && linked(b, c)
+      } yield Seq(a, b, c)).flatten
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val out = Graph.triangleCounts(edges(es: _*), "src", "dst")
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed: got $got expected $expected")
+      out.unpersist(): Unit
+    }
+  }
+
+  test("labelPropagation separates two cliques across a bridge") {
+    val out = Graph.labelPropagation(edges(
+      0L -> 1L, 1L -> 2L, 0L -> 2L,          // clique A
+      10L -> 11L, 11L -> 12L, 10L -> 12L,    // clique B
+      2L -> 10L),                            // bridge
+      "src", "dst", rounds = 3)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).map(m).size == 1, s"clique A split: $m")
+    assert(Set(10L, 11L, 12L).map(m).size == 1, s"clique B split: $m")
+    assert(m(0L) != m(10L), s"cliques merged: $m")
+    out.unpersist(): Unit
+  }
+
+  test("labelPropagation is deterministic (fixed rounds, min-label ties)") {
+    val es = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L, 0L -> 2L)
+    def run() = {
+      val out = Graph.labelPropagation(edges(es: _*), "src", "dst", rounds = 3)
+      val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out.unpersist(): Unit
+      m
+    }
+    assert(run() == run())
+  }
+
   test("guards reject bad parameters and empty graphs") {
     intercept[IllegalArgumentException](
       Graph.pageRank(edges(0L -> 1L), "src", "dst", iterations = 0))
