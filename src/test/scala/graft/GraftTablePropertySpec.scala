@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.GraftTable
 
@@ -109,5 +110,55 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
         assert(got == history(v.toInt - 1), s"seed=$seed version $v broken by vacuum")
       }
     }
+  }
+
+  /** SURVEY S6: the reference stages dims as `FROM src AT (TIMESTAMP =>
+    * t) WHERE dl_process_date > hwm` (stg_dim_customer.sql:71-72); the
+    * production rebuild reads CURRENT state windowed `hwm_prev < pd <=
+    * hwm_at_t`. With real snapshots the equivalence is now executable,
+    * not argued: under the CDC load discipline (process dates strictly
+    * increase across loads — they are load timestamps), every
+    * (earlier, later) version pair agrees exactly. */
+  test("S6 executable equivalence: AT(ts)+HWM filter == current-state HWM window") {
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val path = java.nio.file.Files.createTempDirectory(s"graft_tt$seed").toString + "/cdc"
+      var maxPd = 0L
+      val hwms = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (b <- 0 until 5) {
+        val base = maxPd + rnd.nextInt(3) + 1 // strictly after every prior load
+        val rows = (0 until rnd.nextInt(4) + 1).map { i =>
+          Row(Long.box(rnd.nextInt(8)), s"b$b-$i", Long.box(base + rnd.nextInt(2)))
+        }
+        maxPd = rows.map(_.getLong(2)).max
+        GraftTable.append(df("id BIGINT, payload STRING, pd BIGINT", rows: _*), path)
+        hwms += maxPd
+      }
+      val vs = GraftTable.versions(path)
+      val cur = GraftTable.read(spark, path)
+      for (i <- vs.indices; j <- (i + 1) until vs.size) {
+        val atRead = GraftTable.readAsOf(spark, path, vs(j)._2)
+          .filter(col("pd") > hwms(i))
+        val batchRead = cur.filter(col("pd") > hwms(i) && col("pd") <= hwms(j))
+        assert(canon(atRead) == canon(batchRead), s"seed=$seed pair ($i,$j) diverged")
+      }
+    }
+  }
+
+  test("S6 equivalence precondition: a late row behind the snapshot HWM breaks it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ttlate").toString + "/cdc"
+    def one(id: Long, v: String, pd: Long) =
+      df("id BIGINT, payload STRING, pd BIGINT", Row(Long.box(id), v, Long.box(pd)))
+    GraftTable.append(one(1L, "a", 10L), path)    // v1, hwm 10
+    GraftTable.append(one(2L, "b", 20L), path)    // v2, hwm 20
+    GraftTable.append(one(3L, "late", 15L), path) // v3 VIOLATES monotone loads
+    val ts2 = GraftTable.versions(path)(1)._2
+    val atRead = GraftTable.readAsOf(spark, path, ts2).filter(col("pd") > 10L)
+    val batchRead = GraftTable.read(spark, path)
+      .filter(col("pd") > 10L && col("pd") <= 20L)
+    // the snapshot read cannot see the late row; the windowed batch read
+    // does — which is exactly why the CDC feed stamps pd at load time
+    assert(canon(atRead) != canon(batchRead))
+    assert(canon(batchRead).size == canon(atRead).size + 1)
   }
 }
