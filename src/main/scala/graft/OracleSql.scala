@@ -210,6 +210,8 @@ adc AS (SELECT p.query_id, a.neighbor_id, sum(qd.d)::BIGINT AS adc
     "q41_nw_dim_employee" -> NorthwindOracle.dimEmployee,
     "q92_nw_snapshot_employee" -> NorthwindOracle.snapshotEmployee,
     "q93_nw_dim_customer" -> NorthwindOracle.dimCustomer,
+    // q123 rebuilds the same dim on GraftTable storage — same final state
+    "q123_dim_on_grafttable" -> NorthwindOracle.dimCustomer,
     "q94_nw_dim_shipper" -> NorthwindOracle.dimShipper,
 
     "q01_agg_pushdown" -> """

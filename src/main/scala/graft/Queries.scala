@@ -1373,11 +1373,8 @@ object Queries {
       micros(col("dbt_valid_from")).as("valid_from_us"),
       micros(col("dbt_valid_to")).as("valid_to_us"))
 
-  /** q93: final `dim_customer` SCD2 state — the direct hash gate the q36
-    * SK resolution only exercised indirectly
-    * (reference models/dwh/dim_customer.sql:130-167). */
-  def nwDimCustomer(s: SparkSession, d: String): DataFrame =
-    nwTable(s, d, "dim_customer").select(
+  private def dimCustomerSelect(df: DataFrame): DataFrame =
+    df.select(
       col("customer_sk"), col("customer_id"), col("company_name"),
       col("contact_name"), col("contact_title"), col("address"), col("city"),
       col("region"), col("postal_code"), col("country"), col("phone"), col("fax"),
@@ -1385,6 +1382,23 @@ object Queries {
       micros(col("updated_at")).as("updated_us"),
       micros(col("effective_date")).as("effective_us"),
       micros(col("expiry_date")).as("expiry_us"))
+
+  /** q93: final `dim_customer` SCD2 state — the direct hash gate the q36
+    * SK resolution only exercised indirectly
+    * (reference models/dwh/dim_customer.sql:130-167). */
+  def nwDimCustomer(s: SparkSession, d: String): DataFrame =
+    dimCustomerSelect(nwTable(s, d, "dim_customer"))
+
+  /** q123: the same dim_customer final state REBUILT on GraftTable
+    * storage (two cycles, each committed as a table version, cycle 2
+    * reading cycle 1 back from the table) — shares q93's oracle, so the
+    * gate proves the warehouse dim is storage-format independent while
+    * gaining per-cycle time travel (NorthwindSpec pins the history). */
+  def nwDimCustomerOnGraft(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_nwgt").toString
+    val path = graft.northwind.NorthwindWarehouse.buildDimCustomerOnGraftTable(s, d, root)
+    dimCustomerSelect(graft.core.GraftTable.read(s, path))
+  }
 
   /** q94: final `dim_shipper` SCD2 state (B1's audit-target fix feeds this
     * table; reference models/dwh/dim_shipper.sql:75-119). */
@@ -1524,6 +1538,7 @@ object Queries {
     "q120_cohort_retention" -> (retentionQ _),
     "q121_lpa_communities" -> (lpaQ _),
     "q122_event_transitions" -> (transitionsQ _),
+    "q123_dim_on_grafttable" -> (nwDimCustomerOnGraft _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

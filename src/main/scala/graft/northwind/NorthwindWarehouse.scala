@@ -598,6 +598,40 @@ object NorthwindWarehouse {
     runCycle(spark, sfDir, root, 2)
   }
 
+  /** The dim_customer SCD2 chain run ON GraftTable storage: the same two
+    * CDC cycles as [[runCycle]]'s dim load (same staging model, same HWM
+    * discipline, same merge), but every cycle's state COMMITS as a table
+    * version and the next cycle reads the prior state back from the
+    * table. Final contents are identical to the plain-parquet path (q123
+    * shares q93's oracle); what the format adds for free is per-cycle
+    * history — version 1 IS cycle 1's dim, `readAsOf` any post-cycle-1
+    * instant replays it (NorthwindSpec pins both), closing the loop on
+    * the reference's `AT (TIMESTAMP => …)` staging reads
+    * (stg_dim_customer.sql:71). Returns the table path. */
+  def buildDimCustomerOnGraftTable(spark: SparkSession, sfDir: String,
+      root: String): String = {
+    import graft.core.GraftTable
+    val path = s"$root/dim_customer"
+    var hwm = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+    for (cycle <- 1 to 2) {
+      val stg = NorthwindStaging.stgCustomers(
+        NorthwindSources.customers(spark, sfDir, cycle))
+      val delta = stgDimCustomer(spark, stg, lit(hwm))
+      // first cycle merges against the typed EMPTY relation (P8), exactly
+      // as runCycle's readOrEmpty does — fromHistory supplies only schema
+      val existing =
+        if (GraftTable.currentVersion(path).isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Scd2.fromHistory(delta, dimCustomerCfg, "customer_sk").schema)
+        else GraftTable.read(spark, path)
+      GraftTable.overwrite(
+        Scd2.merge(existing, delta, dimCustomerCfg, "customer_sk"), path)
+      hwm = GraftTable.read(spark, path)
+        .agg(max(col("updated_at"))).first().getTimestamp(0)
+    }
+    path
+  }
+
   private val builtRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Memoized build per (session, sfDir): companion queries (dim state,

@@ -148,4 +148,26 @@ class NorthwindSpec extends AnyFunSuite with SparkSpecBase {
     val after = spark.read.parquet(s"$root/dwh/dim_customer").count()
     assert(before == after, "replaying an already-processed batch changed the dimension")
   }
+
+  test("dim_customer on GraftTable: same final state, per-cycle history for free") {
+    import graft.core.GraftTable
+    val gtRoot = java.nio.file.Files.createTempDirectory("graft_nw_gt").toString
+    val path = NorthwindWarehouse.buildDimCustomerOnGraftTable(spark, sfDir, gtRoot)
+    // value parity with the plain-parquet warehouse dim (q123's oracle
+    // gates this against DuckDB too; here against the sibling build)
+    assert(canon(GraftTable.read(spark, path)) ==
+      canon(spark.read.parquet(s"$root/dwh/dim_customer")),
+      "GraftTable-backed dim diverged from the plain-parquet dim")
+    // two cycles → two committed versions, and version 1 IS cycle 1:
+    // strictly fewer rows (cycle 2 adds late arrivals + new versions) and
+    // reachable both by version and by any timestamp between the commits
+    val vs = GraftTable.versions(path)
+    assert(vs.map(_._3) == Seq("overwrite", "overwrite"), s"got $vs")
+    val v1 = GraftTable.readVersion(spark, path, vs(0)._1)
+    val v2 = GraftTable.readVersion(spark, path, vs(1)._1)
+    assert(v1.count() < v2.count(), "cycle 2 added no history?")
+    assert(canon(v2) == canon(GraftTable.read(spark, path)))
+    assert(canon(GraftTable.readAsOf(spark, path, vs(0)._2)) == canon(v1),
+      "AT(cycle-1 commit instant) must replay cycle 1's dim")
+  }
 }
