@@ -1104,6 +1104,33 @@ GROUP BY node""",
     "q121_lpa_communities" -> (lpaCte(3) + """
 SELECT node, community FROM l3"""),
 
+    // pairwise association rules over per-user event-type baskets —
+    // mirrors Mining.associationRules step for step: distinct membership,
+    // oversized-basket drop, min-support pair counts, both rule
+    // directions, metrics as round(double, 6) in the same formula order
+    "q124_assoc_rules" -> """
+WITH bi0 AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS basket, event_type AS item
+             FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+kept AS (SELECT basket FROM bi0 GROUP BY basket HAVING count(*) <= 1000),
+bi AS (SELECT bi0.basket, bi0.item FROM bi0 JOIN kept USING (basket)),
+n AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+ic AS (SELECT item, count(*)::BIGINT AS n_item FROM bi GROUP BY 1),
+p AS (SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_ab
+      FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+d AS (SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM p
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_ab FROM p)
+SELECT d.antecedent, d.consequent, d.n_ab,
+       ia.n_item AS n_ant, ib.n_item AS n_con,
+       round(CAST(d.n_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 6) AS support,
+       round(CAST(d.n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS confidence,
+       round((CAST(d.n_ab AS DOUBLE) * CAST(n.n_baskets AS DOUBLE)) /
+             (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6) AS lift
+FROM d JOIN ic ia ON d.antecedent = ia.item
+       JOIN ic ib ON d.consequent = ib.item
+       CROSS JOIN n""",
+
     // first-order Markov transition matrix over per-user event sequences;
     // ties in the sequence order break on event_id (the q47 convention)
     "q122_event_transitions" -> """

@@ -653,6 +653,15 @@ object Queries {
         sum(col("n")).over(Window.partitionBy(col("event_type"))).cast("double"), 6))
   }
 
+  /** q124: pairwise association rules over per-user event-type baskets
+    * ([[graft.operators.Mining.associationRules]]) — exact integer
+    * support counts plus support/confidence/lift, the market-basket
+    * co-occurrence model applied to user event histories. */
+  def assocRulesQ(s: SparkSession, d: String): DataFrame =
+    Mining.associationRules(
+      Tables.events(s, d).select(col("user_id"), col("event_type")),
+      "user_id", "event_type", minSupportCount = 2)
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1539,6 +1548,7 @@ object Queries {
     "q121_lpa_communities" -> (lpaQ _),
     "q122_event_transitions" -> (transitionsQ _),
     "q123_dim_on_grafttable" -> (nwDimCustomerOnGraft _),
+    "q124_assoc_rules" -> (assocRulesQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -364,6 +364,15 @@ object PlanAudit {
       "user_keyed" -> (p => "hashpartitioning\\(user_id".r.findFirstIn(p).isDefined),
       "partial_agg" -> (_.contains("partial_count")),
       "no_join" -> (p => !p.contains("Join")))
+    audit("q124_assoc_rules",
+      // the pairing self-join is keyed on basket (equi — the cap bounds
+      // its fan-out); pair counts and basket sizes combine map-side; the
+      // item-sized support frames broadcast into the enrich joins
+      "basket_equi" -> (p => "hashpartitioning\\(basket".r.findFirstIn(p).isDefined ||
+        p.contains("BroadcastHashJoin")),
+      "partial_agg" -> (_.contains("partial_count")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop")))
     audit("q118_pagerank",
       // every power iteration: contribution sums combine map-side, the
       // node-sized rank frame broadcasts into the edge join (AQE), and no
