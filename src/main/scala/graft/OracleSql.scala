@@ -1104,6 +1104,15 @@ GROUP BY node""",
     "q121_lpa_communities" -> (lpaCte(3) + """
 SELECT node, community FROM l3"""),
 
+    // DELETE WHERE complement: the surviving snapshot equals the rows
+    // where the predicate is NOT TRUE (NULL-keeping SQL DELETE semantics;
+    // orders has no NULLs in these columns, so NOT() is exact here)
+    "q125_delete_where" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')""",
+
     // pairwise association rules over per-user event-type baskets —
     // mirrors Mining.associationRules step for step: distinct membership,
     // oversized-basket drop, min-support pair counts, both rule

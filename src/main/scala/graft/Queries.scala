@@ -662,6 +662,29 @@ object Queries {
       Tables.events(s, d).select(col("user_id"), col("event_type")),
       "user_id", "event_type", minSupportCount = 2)
 
+  /** q125: copy-on-write DELETE WHERE on GraftTable
+    * ([[graft.core.GraftTable.deleteWhere]]): a keyed slice of orders is
+    * deleted under a stats cover (only files whose o_orderkey range
+    * intersects the slice are even probed on the clustered layout), and
+    * the surviving snapshot must equal the declarative complement. The
+    * pre-delete version stays time-travel-readable (GraftTableSpec);
+    * vacuum completes the physical purge — the storage half of the q101
+    * opt-out erasure story. */
+  def deleteWhereQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val path = s"$root/orders_d"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    GraftTable.deleteWhere(s, path,
+      col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "F",
+      pruneRanges = Seq(GraftTable.ColRange("o_orderkey", Some(1000L), Some(3000L))))
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1549,6 +1572,7 @@ object Queries {
     "q122_event_transitions" -> (transitionsQ _),
     "q123_dim_on_grafttable" -> (nwDimCustomerOnGraft _),
     "q124_assoc_rules" -> (assocRulesQ _),
+    "q125_delete_where" -> (deleteWhereQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -394,7 +394,15 @@ object GraftTable {
     val m = version.map(manifestAt(path, _))
       .orElse(currentManifest(path))
       .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    val kept = m.files.filter { fe =>
+    val kept = statsKeep(m.files, ranges)
+    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
+  }
+
+  /** The file-skipping core shared by [[readPruned]] and [[deleteWhere]]:
+    * drop files whose stats PROVE no row can satisfy the range
+    * conjunction; keep files with no stats for a constrained column. */
+  private def statsKeep(files: Seq[FileEntry], ranges: Seq[ColRange]): Seq[FileEntry] =
+    files.filter { fe =>
       ranges.forall { r =>
         fe.stats.get(r.col) match {
           case None => true // no stats recorded — can't prove anything, read it
@@ -408,7 +416,51 @@ object GraftTable {
         }
       }
     }
-    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
+
+  /** Copy-on-write DELETE WHERE: remove every row where `pred` is TRUE
+    * (FALSE and NULL rows are kept — SQL DELETE semantics). Only files
+    * that actually HOLD a matching row are rewritten; every other file
+    * carries into the new manifest by reference, never read in full.
+    * Touched-file discovery is (1) an optional stats prefilter over
+    * `pruneRanges` — a conservative cover of `pred` under the
+    * [[readPruned]] contract, which on a [[writeClustered]] layout keyed
+    * like the predicate skips most files before any IO — then (2) an
+    * exact predicate probe over the surviving candidates (columnar
+    * projection: only the predicate's columns are read). Write
+    * amplification is O(files holding matches). Rewritten files keep the
+    * stats columns their predecessors tracked. Deleted rows remain
+    * readable through time travel until [[vacuum]] retires the older
+    * versions — run vacuum to complete a physical purge (the GDPR
+    * pairing for opt-out erasure, q101).
+    *
+    * Concurrency: optimistic, like [[upsertByKey]] — a racing commit
+    * surfaces `ConcurrentModificationException`; re-read and retry. */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+      pruneRanges: Seq[ColRange] = Nil): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val candidates = statsKeep(cur.files, pruneRanges)
+    val touchedNames: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readFileSubset(spark, path, cur, candidates)
+        .filter(pred)
+        .select(input_file_name().as("__f")).distinct().collect()
+        .map(_.getString(0).split('/').last).toSet
+    val (touched, untouched) =
+      cur.files.partition(fe => touchedNames.contains(fe.path.split('/').last))
+    val statsCols = touched.flatMap(_.stats.keys).distinct
+    // no matching file → the commit carries the file list verbatim (an
+    // empty stage would still emit one zero-row part file)
+    val staged =
+      if (touched.isEmpty) Nil
+      else stageFiles(readFileSubset(spark, path, cur, touched)
+        .filter(!coalesce(pred, lit(false))), path, statsCols, None)
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "delete",
+      cur.schemaDdl, untouched ++ staged, cur.streamMarks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"commit v${next.version} of '$path' lost the race — re-read and retry the delete")
+    next.version
   }
 
   // ---------------------------------------------------------------- upsert

@@ -103,6 +103,52 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(got == Set((1, "a"), (-1, "N2"), (2, "b")))
   }
 
+  test("deleteWhere rewrites only files holding matches; untouched files byte-identical") {
+    val path = tmp() + "/t"
+    val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.writeClustered(base, path, col("k"), 4, statsCols = Seq("k"))
+    val before = manifestFiles(path)
+    val beforeBytes = dataFiles(path)
+    // matches live in one clustered file; the prune cover makes discovery
+    // skip the other three before any IO
+    val v = GraftTable.deleteWhere(spark, path, col("k") >= 120 && col("k") < 180,
+      pruneRanges = Seq(ColRange("k", Some(120), Some(179))))
+    val after = manifestFiles(path)
+    val survivors = before.intersect(after)
+    assert(survivors.size == 3, s"expected 3 untouched files, got ${survivors.size}")
+    val afterBytes = dataFiles(path)
+    survivors.foreach(n => assert(afterBytes(n) == beforeBytes(n), s"$n was rewritten"))
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 340)
+    assert(got.filter(col("k") >= 120 && col("k") < 180).count() == 0)
+    // the pre-delete snapshot still holds every row (vacuum completes the purge)
+    assert(GraftTable.readVersion(spark, path, v - 1).count() == 400)
+    // rewritten files keep tracking the stats column: a post-delete prune
+    // still skips by k
+    val scan = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(0), Some(50))))
+    assert(scan.filesRead < scan.filesTotal)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows and supports delete-all / delete-none") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(
+      df("k INT, v STRING", Row(Int.box(1), "a"), Row(null, "n"), Row(Int.box(2), "b")), path)
+    // pred (k > 1) is NULL for the null-keyed row → kept, SQL DELETE semantics
+    GraftTable.deleteWhere(spark, path, col("k") > 1)
+    val got = GraftTable.read(spark, path).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (-1, "n")))
+    // delete-none commits a version with the file list carried verbatim
+    val before = manifestFiles(path)
+    GraftTable.deleteWhere(spark, path, col("k") === 99)
+    assert(manifestFiles(path) == before)
+    // delete-all yields a readable empty table with schema intact
+    GraftTable.deleteWhere(spark, path, lit(true))
+    val emptied = GraftTable.read(spark, path)
+    assert(emptied.count() == 0 && emptied.schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
   test("readPruned skips files by stats on a range-clustered layout") {
     val path = tmp() + "/t"
     val rows = spark.range(0, 800).select(col("id").cast("int").as("k"),
