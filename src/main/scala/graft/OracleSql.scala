@@ -1113,6 +1113,19 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
 FROM orders
 WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')""",
 
+    // UPDATE WHERE complement: CASE-WHEN per assigned column; the price
+    // adjustment runs in exact decimal then one cast to double, so both
+    // engines produce bit-identical values
+    "q126_update_where" -> """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders""",
+
     // pairwise association rules over per-user event-type baskets —
     // mirrors Mining.associationRules step for step: distinct membership,
     // oversized-basket drop, min-support pair counts, both rule

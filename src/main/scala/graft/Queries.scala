@@ -685,6 +685,31 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
 
+  /** q126: copy-on-write UPDATE WHERE on GraftTable
+    * ([[graft.core.GraftTable.updateWhere]]): a keyed slice gets a
+    * status correction and a 10% price adjustment (the assignment reads
+    * the row's own columns); the snapshot must equal the declarative
+    * CASE-WHEN complement. Same touched-file discipline as q125. */
+  def updateWhereQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val path = s"$root/orders_u"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    GraftTable.updateWhere(s, path,
+      col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "O",
+      Map("o_orderstatus" -> lit("P"),
+        // decimal-exact adjustment (the engine-portable convention):
+        // double×double + round drifts between engines on .5 edges
+        "o_totalprice" -> (col("o_totalprice").cast("decimal(18,4)") *
+          lit(BigDecimal("1.1")).cast("decimal(2,1)")).cast("double")),
+      pruneRanges = Seq(GraftTable.ColRange("o_orderkey", Some(1000L), Some(3000L))))
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
   private lazy val q107Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_diff").toString
 
@@ -1573,6 +1598,7 @@ object Queries {
     "q123_dim_on_grafttable" -> (nwDimCustomerOnGraft _),
     "q124_assoc_rules" -> (assocRulesQ _),
     "q125_delete_where" -> (deleteWhereQ _),
+    "q126_update_where" -> (updateWhereQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

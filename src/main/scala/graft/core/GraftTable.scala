@@ -417,6 +417,34 @@ object GraftTable {
       }
     }
 
+  /** Copy-on-write UPDATE WHERE: rewrite every row where `pred` is TRUE
+    * with `set`'s assignments applied (other rows — FALSE and NULL —
+    * pass through bit-unchanged); completes the DML triad with
+    * [[upsertByKey]] and [[deleteWhere]]. Assignment expressions may
+    * reference any table column (`SET a = a + b` works); assigned
+    * columns must exist and keep their type — UPDATE never evolves
+    * schema. Touched-file discovery, stats-cover prefilter, untouched
+    * carry-by-reference, stats retention, and optimistic concurrency
+    * are exactly [[deleteWhere]]'s. */
+  def updateWhere(spark: SparkSession, path: String, pred: Column, set: Map[String, Column],
+      pruneRanges: Seq[ColRange] = Nil): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missing = set.keySet -- schema.fieldNames.toSet
+    require(missing.isEmpty, s"UPDATE assigns unknown column(s) ${missing.mkString(", ")} " +
+      s"— table schema is [${cur.schemaDdl}]")
+    rewriteMatching(spark, path, pred, pruneRanges, cur, "update", touchedRows =>
+      touchedRows.select(schema.fieldNames.toSeq.map { f =>
+        set.get(f) match {
+          case Some(e) => when(coalesce(pred, lit(false)), e.cast(schema(f).dataType))
+            .otherwise(col(f)).as(f)
+          case None => col(f)
+        }
+      }: _*))
+  }
+
   /** Copy-on-write DELETE WHERE: remove every row where `pred` is TRUE
     * (FALSE and NULL rows are kept — SQL DELETE semantics). Only files
     * that actually HOLD a matching row are rewritten; every other file
@@ -439,6 +467,17 @@ object GraftTable {
       pruneRanges: Seq[ColRange] = Nil): Long = {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    rewriteMatching(spark, path, pred, pruneRanges, cur, "delete",
+      _.filter(!coalesce(pred, lit(false))))
+  }
+
+  /** The shared predicate-DML body: find the files actually holding a
+    * `pred` match (stats cover, then exact columnar probe), rewrite only
+    * those through `transform`, carry every other file by reference, and
+    * commit optimistically. */
+  private def rewriteMatching(spark: SparkSession, path: String, pred: Column,
+      pruneRanges: Seq[ColRange], cur: Manifest, op: String,
+      transform: DataFrame => DataFrame): Long = {
     val candidates = statsKeep(cur.files, pruneRanges)
     val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
@@ -453,13 +492,13 @@ object GraftTable {
     // empty stage would still emit one zero-row part file)
     val staged =
       if (touched.isEmpty) Nil
-      else stageFiles(readFileSubset(spark, path, cur, touched)
-        .filter(!coalesce(pred, lit(false))), path, statsCols, None)
-    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "delete",
+      else stageFiles(transform(readFileSubset(spark, path, cur, touched)),
+        path, statsCols, None)
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
       cur.schemaDdl, untouched ++ staged, cur.streamMarks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
-        s"commit v${next.version} of '$path' lost the race — re-read and retry the delete")
+        s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
     next.version
   }
 

@@ -149,6 +149,41 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(emptied.count() == 0 && emptied.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("updateWhere rewrites matching rows in place; untouched files byte-identical") {
+    val path = tmp() + "/t"
+    val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.writeClustered(base, path, col("k"), 4, statsCols = Seq("k"))
+    val before = manifestFiles(path)
+    val beforeBytes = dataFiles(path)
+    GraftTable.updateWhere(spark, path, col("k") >= 120 && col("k") < 180,
+      Map("v" -> concat(lit("UPD-"), col("k"))),
+      pruneRanges = Seq(ColRange("k", Some(120), Some(179))))
+    val survivors = before.intersect(manifestFiles(path))
+    assert(survivors.size == 3, s"expected 3 untouched files, got ${survivors.size}")
+    val afterBytes = dataFiles(path)
+    survivors.foreach(n => assert(afterBytes(n) == beforeBytes(n), s"$n was rewritten"))
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 400)
+    assert(got.filter(col("v").startsWith("UPD-")).count() == 60)
+    assert(got.filter(col("k") === 150).select("v").head.getString(0) == "UPD-150")
+    assert(got.filter(col("k") === 17).select("v").head.getString(0) == "v17")
+  }
+
+  test("updateWhere: NULL-pred rows pass through; unknown assignment column rejected") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(
+      df("k INT, v STRING", Row(Int.box(1), "a"), Row(null, "n"), Row(Int.box(2), "b")), path)
+    GraftTable.updateWhere(spark, path, col("k") > 1, Map("v" -> upper(col("v"))))
+    val got = GraftTable.read(spark, path).collect()
+      .map(r => (if (r.isNullAt(0)) -1 else r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "a"), (-1, "n"), (2, "B")))
+    val err = intercept[IllegalArgumentException] {
+      GraftTable.updateWhere(spark, path, lit(true), Map("nope" -> lit("x")))
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("readPruned skips files by stats on a range-clustered layout") {
     val path = tmp() + "/t"
     val rows = spark.range(0, 800).select(col("id").cast("int").as("k"),
