@@ -203,6 +203,33 @@ adc AS (SELECT p.query_id, a.neighbor_id, sum(qd.d)::BIGINT AS adc
         WHERE p.query_id <> a.neighbor_id
         GROUP BY 1, 2)"""
 
+  /** The deterministic IVF replay (lowest-id centroids, cosine ranking,
+    * nprobe=4, k=5) — gates BOTH the ad-hoc path (q34) and the
+    * persisted-index path (q127), which are equal by construction. */
+  private val ivfAnnSql = """
+WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
+n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
+cents AS (SELECT vec_id AS cent_id, e AS cvec, nrm AS cnorm FROM n ORDER BY vec_id LIMIT 16),
+ranked AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
+         row_number() OVER (PARTITION BY n.vec_id
+           ORDER BY list_sum([n.e[i] * c.cvec[i] for i in generate_series(1, 64)])
+             / (n.nrm * c.cnorm) DESC, c.cent_id) AS lr
+  FROM n CROSS JOIN cents c),
+assigned AS (SELECT cent_id AS list_id, vec_id AS neighbor_id, e AS cv, nrm AS cn
+             FROM ranked WHERE lr = 1),
+probes AS (SELECT cent_id AS list_id, vec_id AS query_id, e AS qv, nrm AS qn
+           FROM ranked WHERE lr <= 4 AND vec_id < 20),
+p AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum([qv[i] * cv[i] for i in generate_series(1, 64)]) / (qn * cn), 6) AS cosine
+  FROM probes JOIN assigned USING (list_id)
+  WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM p)
+WHERE rnk <= 5"""
+
   val all: Map[String, String] = Map(
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
@@ -949,29 +976,11 @@ SELECT p_name,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_name""",
 
-    "q34_embedding_ivf_ann" -> """
-WITH v AS (SELECT vec_id, [x::double for x in embedding] AS e FROM embeddings),
-n AS (SELECT vec_id, e, sqrt(list_sum([x * x for x in e])) AS nrm FROM v),
-cents AS (SELECT vec_id AS cent_id, e AS cvec, nrm AS cnorm FROM n ORDER BY vec_id LIMIT 16),
-ranked AS (
-  SELECT n.vec_id, n.e, n.nrm, c.cent_id,
-         row_number() OVER (PARTITION BY n.vec_id
-           ORDER BY list_sum([n.e[i] * c.cvec[i] for i in generate_series(1, 64)])
-             / (n.nrm * c.cnorm) DESC, c.cent_id) AS lr
-  FROM n CROSS JOIN cents c),
-assigned AS (SELECT cent_id AS list_id, vec_id AS neighbor_id, e AS cv, nrm AS cn
-             FROM ranked WHERE lr = 1),
-probes AS (SELECT cent_id AS list_id, vec_id AS query_id, e AS qv, nrm AS qn
-           FROM ranked WHERE lr <= 4 AND vec_id < 20),
-p AS (
-  SELECT query_id, neighbor_id,
-         round(list_sum([qv[i] * cv[i] for i in generate_series(1, 64)]) / (qn * cn), 6) AS cosine
-  FROM probes JOIN assigned USING (list_id)
-  WHERE query_id <> neighbor_id)
-SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-  FROM p)
-WHERE rnk <= 5""",
+    "q34_embedding_ivf_ann" -> ivfAnnSql,
+    // q127 runs the SAME search through the persisted IVF index
+    // (build → clustered postings → file-skipping query); shared
+    // construction makes index-then-query ≡ ad-hoc, so one oracle gates both
+    "q127_ivf_index_ann" -> ivfAnnSql,
 
     // deterministic PII augmentation (the identical expression Spark
     // builds), then ordered redaction email → ip → phone with counts over

@@ -364,6 +364,20 @@ object Queries {
       nlist = 16, nprobe = 4)
   }
 
+  /** q127: the same IVF search run through a PERSISTED index
+    * ([[Similarity.buildIvfIndex]] → [[Similarity.ivfIndexTopK]]):
+    * centroids and clustered postings committed as GraftTables, the
+    * query scan file-skipping to the probed lists. Shares q34's oracle —
+    * the gate proves index-then-query ≡ ad-hoc, the property that makes
+    * index reuse safe. */
+  def embeddingIvfIndexAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString + "/ivf"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nlist = 16)
+    Similarity.ivfIndexTopK(s, idx, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", 5, nprobe = 4)
+  }
+
   /** IVFPQ ANN: product-quantized codes + ADC scoring within probed lists
     * (integer-exact micro-unit L2 — no rounding contract at all). */
   def embeddingPqAnn(s: SparkSession, d: String): DataFrame = {
@@ -1599,6 +1613,7 @@ object Queries {
     "q124_assoc_rules" -> (assocRulesQ _),
     "q125_delete_where" -> (deleteWhereQ _),
     "q126_update_where" -> (updateWhereQ _),
+    "q127_ivf_index_ann" -> (embeddingIvfIndexAnn _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -398,6 +398,33 @@ object GraftTable {
     PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
   }
 
+  /** IN-list file skipping: keep files whose [min,max] in `column` can
+    * contain AT LEAST ONE of `values` (the point-in-range test per
+    * value) — the read pattern of an inverted-list probe, where the
+    * wanted keys are a set, not a range. Stats-less files are kept,
+    * all-NULL files skipped (an IN list never matches NULL). The exact
+    * `isin` filter stays with the caller, as in [[readPruned]]. */
+  def readPrunedIn(spark: SparkSession, path: String, column: String, values: Seq[Any],
+      version: Option[Long] = None): PrunedScan = {
+    require(values.nonEmpty, "need at least one probe value")
+    val m = version.map(manifestAt(path, _))
+      .orElse(currentManifest(path))
+      .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val kept = m.files.filter { fe =>
+      fe.stats.get(column) match {
+        case None => true // no stats — can't prove the file clean
+        case Some(st) =>
+          if (st.min.isEmpty && st.max.isEmpty) false
+          else values.exists { v =>
+            val ev = encode(st.t, v)
+            st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
+              st.max.forall(mx => cmp(st.t, mx, ev) >= 0)
+          }
+      }
+    }
+    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
+  }
+
   /** The file-skipping core shared by [[readPruned]] and [[deleteWhere]]:
     * drop files whose stats PROVE no row can satisfy the range
     * conjunction; keep files with no stats for a constrained column. */

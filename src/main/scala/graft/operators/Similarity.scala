@@ -133,36 +133,113 @@ object Similarity {
     * shuffle is the final per-query top-k window. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // centroid ids keep the corpus id's own type (int, long, string, …):
-    // they ride along as literals and an equi-join key, never arithmetic
-    val cents: Array[(Any, Array[Double], Double)] =
-      corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(idCol), toDouble(col(vecCol)))
-        .collect().map { r =>
-          val cvec = r.getSeq[Double](1).toArray
-          // norm accumulated in index order — bit-identical to
-          // norm(col) = sqrt(graft_dot(v, v)), which also sums in order
-          var s = 0.0; var i = 0
-          while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
-          (r.get(0), cvec, math.sqrt(s))
-        }
-    // per-row ranked lists: sort (-cosine, cent_id) structs ASCENDING —
-    // cosine desc then cent_id asc, the exact tie-break of the oracle's
-    // ORDER BY cosine DESC, cent_id, without needing a negatable id type
-    def nearestLists(vCol: String, nCol: String, n: Int): Column = {
-      val entries = array(cents.map { case (cid, cvec, cnorm) =>
-        struct(
-          (-(dot(col(vCol), array(cvec.map(lit): _*)) / (col(nCol) * lit(cnorm)))).as("nc"),
-          lit(cid).as("cid"))
-      }: _*)
-      slice(sort_array(entries, asc = true), 1, n)
-    }
+    val cents = collectCentroids(corpus, idCol, vecCol, nlist)
     val assigned = prepCorpus(corpus, idCol, vecCol)
-      .withColumn("list_id", element_at(nearestLists("cv", "cn", 1), 1).getField("cid"))
+      .withColumn("list_id", element_at(nearestListsCol(cents, "cv", "cn", 1), 1).getField("cid"))
     val probes = prepQueries(queries, idCol, vecCol)
-      .withColumn("__l", explode(nearestLists("qv", "qn", nprobe)))
+      .withColumn("__l", explode(nearestListsCol(cents, "qv", "qn", nprobe)))
       .withColumn("list_id", col("__l").getField("cid")).drop("__l")
     scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Centroid selection shared by [[ivfTopK]] and the persisted index:
+    * training-free and deterministic — the `nlist` lowest-id corpus
+    * vectors. Centroid ids keep the corpus id's own type (int, long,
+    * string, …): they ride along as literals and an equi-join key, never
+    * arithmetic. */
+  private def collectCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Array[(Any, Array[Double], Double)] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol), toDouble(col(vecCol)))
+      .collect().map { r =>
+        val cvec = r.getSeq[Double](1).toArray
+        // norm accumulated in index order — bit-identical to
+        // norm(col) = sqrt(graft_dot(v, v)), which also sums in order
+        var s = 0.0; var i = 0
+        while (i < cvec.length) { s += cvec(i) * cvec(i); i += 1 }
+        (r.get(0), cvec, math.sqrt(s))
+      }
+
+  /** Per-row ranked centroid lists: sort (-cosine, cent_id) structs
+    * ASCENDING — cosine desc then cent_id asc, the exact tie-break of the
+    * oracle's ORDER BY cosine DESC, cent_id, without needing a negatable
+    * id type. */
+  private def nearestListsCol(cents: Array[(Any, Array[Double], Double)],
+      vCol: String, nCol: String, n: Int): Column = {
+    val entries = array(cents.map { case (cid, cvec, cnorm) =>
+      struct(
+        (-(dot(col(vCol), array(cvec.map(lit): _*)) / (col(nCol) * lit(cnorm)))).as("nc"),
+        lit(cid).as("cid"))
+    }: _*)
+    slice(sort_array(entries, asc = true), 1, n)
+  }
+
+  // ------------------------------------------------- persisted IVF index
+
+  /** Build a PERSISTED IVF index at `indexPath`: two GraftTables —
+    * `centroids` (cent_id, cvec, cnorm) and `postings` (list_id,
+    * neighbor_id, cv, cn), the assigned corpus CLUSTERED by list_id with
+    * list_id file stats. Querying ([[ivfIndexTopK]]) then reads only the
+    * files holding probed lists, and the expensive assignment pass is
+    * paid once per corpus, not once per query — the index-reuse
+    * economics every ANN deployment runs on. Returns the postings
+    * version. Results are bit-identical to [[ivfTopK]] with the same
+    * (nlist, nprobe, k) by shared construction. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, nlist: Int = 16, numFiles: Int = 8): Long = {
+    import graft.core.GraftTable
+    val cents = collectCentroids(corpus, idCol, vecCol, nlist)
+    val centDf = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), toDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", norm(col("cvec")))
+    GraftTable.overwrite(centDf, s"$indexPath/centroids")
+    val assigned = prepCorpus(corpus, idCol, vecCol)
+      .withColumn("list_id", element_at(nearestListsCol(cents, "cv", "cn", 1), 1).getField("cid"))
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cn"))
+    GraftTable.writeClustered(assigned, s"$indexPath/postings", col("list_id"),
+      numFiles, statsCols = Seq("list_id"))
+    GraftTable.currentVersion(s"$indexPath/postings").get
+  }
+
+  private def readCentroids(spark: SparkSession, indexPath: String): Array[(Any, Array[Double], Double)] =
+    graft.core.GraftTable.read(spark, s"$indexPath/centroids")
+      .orderBy(col("cent_id")).collect()
+      .map(r => (r.get(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Incremental index maintenance: assign `delta`'s vectors against the
+    * PERSISTED centroids (no retraining — standard IVF practice; rebuild
+    * when drift warrants) and copy-on-write upsert them into the
+    * postings by neighbor_id — a re-ingested vector replaces its old
+    * posting even if its list changed. Cost: one delta-sized assignment
+    * projection plus the upsert's touched files. */
+  def refreshIvfIndex(spark: SparkSession, indexPath: String, delta: DataFrame,
+      idCol: String, vecCol: String): Long = {
+    val cents = readCentroids(spark, indexPath)
+    val assigned = prepCorpus(delta, idCol, vecCol)
+      .withColumn("list_id", element_at(nearestListsCol(cents, "cv", "cn", 1), 1).getField("cid"))
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cn"))
+    graft.core.GraftTable.upsertByKey(spark, s"$indexPath/postings", assigned,
+      Seq("neighbor_id"), statsCols = Seq("list_id"))
+  }
+
+  /** Query the persisted index: probes rank against the centroid table
+    * (driver-sized collect, the [[ivfTopK]] discipline), then the
+    * postings scan SKIPS every file whose list_id stats cover none of
+    * the probed lists ([[graft.core.GraftTable.readPrunedIn]]) — on the
+    * clustered layout that is the inverted-list read pattern realized as
+    * file skipping. The probed-list set is bounded by nlist (centroid-
+    * table-sized), never by |queries|. */
+  def ivfIndexTopK(spark: SparkSession, indexPath: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, indexPath)
+    val probes = prepQueries(queries, idCol, vecCol)
+      .withColumn("__l", explode(nearestListsCol(cents, "qv", "qn", nprobe)))
+      .withColumn("list_id", col("__l").getField("cid")).drop("__l")
+    val lists = probes.select("list_id").distinct().collect().map(_.get(0)).toSeq
+    val scan = graft.core.GraftTable.readPrunedIn(spark, s"$indexPath/postings",
+      "list_id", lists)
+    scoreAndRank(broadcast(probes).join(scan.df, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 

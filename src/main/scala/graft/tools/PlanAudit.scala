@@ -373,6 +373,13 @@ object PlanAudit {
       "partial_agg" -> (_.contains("partial_count")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop")))
+    audit("q127_ivf_index_ann",
+      // the persisted-index query: probe side broadcasts, the postings
+      // scan is an equi-join on list_id, never a cartesian; AnnIndexSpec
+      // asserts the file skipping at the scan layer
+      "broadcast_probes" -> (_.contains("BroadcastHashJoin")),
+      "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop")))
     audit("q118_pagerank",
       // every power iteration: contribution sums combine map-side, the
       // node-sized rank frame broadcasts into the edge join (AQE), and no
