@@ -1493,6 +1493,17 @@ SELECT cast(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (WHERE event_type = 'view') AS "view"
 FROM events GROUP BY 1""",
 
+    "q128_grouping_sets" -> """
+WITH t AS (SELECT year(o_orderdate)::int AS o_year, o_orderstatus,
+                  o_orderpriority, o_totalprice FROM orders)
+SELECT o_year, o_orderstatus, o_orderpriority,
+       grouping(o_year)::int AS g_year,
+       grouping(o_orderstatus)::int AS g_status,
+       grouping(o_orderpriority)::int AS g_priority,
+       (sum(cast(o_totalprice AS DECIMAL(18,4))))::double AS revenue,
+       count(*) AS n_orders
+FROM t GROUP BY GROUPING SETS ((o_year, o_orderstatus), (o_year, o_orderpriority), ())""",
+
     "q73_rollup_revenue" -> """
 WITH t AS (SELECT year(o_orderdate)::int AS o_year, month(o_orderdate)::int AS o_month,
                   o_totalprice FROM orders)

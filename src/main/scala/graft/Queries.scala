@@ -1196,6 +1196,28 @@ object Queries {
       .select(col("o_orderstatus"), col("o_orderpriority"),
         col("g_status"), col("g_priority"), col("revenue"), col("n_orders"))
 
+  /** q128: GROUPING SETS — the general form rollup (q73) and cube (q79)
+    * specialize; two orthogonal drill paths (year×status, year×priority)
+    * plus the grand total in ONE pass. Spark plans a single Expand over
+    * the scan feeding one combinable aggregation — one shuffle for all
+    * three groupings, vs three scans for three GROUP BYs. */
+  def groupingSetsQ(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("o_year"), col("o_orderstatus")),
+          Seq(col("o_year"), col("o_orderpriority")),
+          Seq.empty[Column]),
+        col("o_year"), col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_year")).cast("int").as("g_year"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(col("o_year"), col("o_orderstatus"), col("o_orderpriority"),
+        col("g_year"), col("g_status"), col("g_priority"),
+        col("revenue"), col("n_orders"))
+
   /** U2/U3 set operators: customers ordering in BOTH 1995 and 1996
     * (INTERSECT) and in 1995 but never 1996 (EXCEPT), tagged and unioned.
     * Spark plans both as aggregated semi/anti joins — one key shuffle each,
@@ -1614,6 +1636,7 @@ object Queries {
     "q125_delete_where" -> (deleteWhereQ _),
     "q126_update_where" -> (updateWhereQ _),
     "q127_ivf_index_ann" -> (embeddingIvfIndexAnn _),
+    "q128_grouping_sets" -> (groupingSetsQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

@@ -52,6 +52,36 @@ class MiningSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.collect().toSet == base.collect().toSet)
   }
 
+  test("random baskets equal a driver-side brute-force reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[List[(String, String)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.choose(1, 8); i <- Gen.choose(1, 6)
+      } yield (s"b$b", s"i$i"))
+    } yield rows
+    (1 to 12).foreach { trial =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(4000L + trial))
+      val sets = rows.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSet }
+      val n = sets.size
+      val items = sets.values.flatten.toSet.toList
+      val want = (for {
+        a <- items; c <- items if a != c
+        nab = sets.values.count(s => s(a) && s(c)) if nab >= 2
+        na = sets.values.count(_(a)); nc = sets.values.count(_(c))
+      } yield (a, c, nab.toLong, na.toLong, nc.toLong,
+        BigDecimal(nab.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(nab.toDouble / na).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(nab.toDouble * n / (na.toDouble * nc.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      val got = Mining.associationRules(baskets(rows: _*), "b", "i", minSupportCount = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("minSupportCount=1 surfaces the butter singleton pairs") {
     val out = Mining.associationRules(fixture, "b", "i", minSupportCount = 1)
     val pairs = out.collect().map(r => (r.getString(1), r.getString(0))).toSet
