@@ -117,13 +117,42 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTs: String, rightTs: String,
       before: String = "10 minutes", after: String = "10 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", how: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(how),
+      s"intervalJoin supports inner | left_outer, got '$how'")
     val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    // left_outer: a left row with no right match within its time bound
+    // emits null-padded ONCE the right watermark passes the bound — the
+    // streaming answer to "which views never converted"; identical rows
+    // to the batch left join, just delayed by watermark (StreamingSpec
+    // asserts stream ≡ batch for both modes)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"),
+      how)
+  }
+
+  /** BOUNDED-state streaming dedup — the complement of [[dedupStream]]'s
+    * never-expiring fingerprint state: `dropDuplicatesWithinWatermark`
+    * keeps a fingerprint only until the watermark passes its arrival by
+    * `delay`, so state is O(active window × rate) instead of O(corpus).
+    * The contract weakens accordingly: a duplicate arriving AFTER the
+    * window re-emits (use [[dedupStream]] on RocksDB when the corpus-
+    * lifetime guarantee matters; this when it doesn't — e.g. at-least-
+    * once upstream retries, which cluster in minutes). In batch the same
+    * call degrades to plain exact dedup (one fingerprint groupBy).
+    * Survivor choice within a window is arbitrary (Spark keeps the first
+    * it processes) — key the assertions on fingerprints, not ids. */
+  def dedupStreamBounded(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String = "1 hour"): DataFrame = {
+    val keyed = docs.select(
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+      col(idCol).cast("long").as("id"), col(tsCol).as("ts"))
+    if (docs.isStreaming)
+      keyed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("fp")
+    else keyed.dropDuplicates("fp")
   }
 
   /** Stream into a [[graft.core.GraftTable]] with EXACTLY-ONCE appends:

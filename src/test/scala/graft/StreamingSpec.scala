@@ -92,6 +92,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(pairs == Set((1, "home", 9.99), (2, "home", 1.0)), s"got $pairs")
   }
 
+  test("left-outer interval join: unconverted lefts null-pad, stream equals batch") {
+    val dir = tmp()
+    val views = df("v_user INT, v_ts TIMESTAMP, page STRING",
+      Row(Int.box(1), ts("2024-01-01 10:00:00"), "home"),
+      Row(Int.box(1), ts("2024-01-01 12:00:00"), "pricing"), // no buy within ±10m → null pad
+      Row(Int.box(2), ts("2024-01-01 10:00:00"), "home"),
+      // watermark pusher: far-future row on BOTH sides closes every
+      // earlier join window so the outer results actually emit under
+      // AvailableNow (its own row may be withheld — excluded below)
+      Row(Int.box(9), ts("2024-01-02 10:00:00"), "flush"))
+    val buys = df("b_user INT, b_ts TIMESTAMP, amount DOUBLE",
+      Row(Int.box(1), ts("2024-01-01 10:05:00"), Double.box(9.99)),
+      Row(Int.box(2), ts("2024-01-01 09:58:00"), Double.box(1.0)),
+      Row(Int.box(9), ts("2024-01-02 10:00:00"), Double.box(0.0)))
+    views.write.parquet(dir + "/v")
+    buys.write.parquet(dir + "/b")
+    val q = Streams.intervalJoin(
+        Streams.readFileStream(spark, dir + "/v", views.schema),
+        Streams.readFileStream(spark, dir + "/b", buys.schema),
+        "v_user", "b_user", "v_ts", "b_ts", how = "left_outer")
+      .writeStream.format("memory").queryName("ss_louter")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val noFlush = (d: org.apache.spark.sql.DataFrame) => d.filter(col("v_user") =!= 9)
+    val streamed = canon(noFlush(spark.table("ss_louter")))
+    val batch = canon(noFlush(Streams.intervalJoin(views, buys,
+      "v_user", "b_user", "v_ts", "b_ts", how = "left_outer")))
+    assert(streamed == batch && streamed.nonEmpty)
+    val unconverted = spark.table("ss_louter")
+      .filter(col("b_user").isNull).collect().map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(unconverted == Set((1, "pricing")), s"got $unconverted")
+  }
+
+  test("dedupStreamBounded suppresses in-window duplicates with watermark-bounded state") {
+    val dir = tmp()
+    val docs = df("doc_id INT, text STRING, ts TIMESTAMP",
+      Row(Int.box(1), "alpha", ts("2024-01-01 10:00:00")),
+      Row(Int.box(2), "alpha", ts("2024-01-01 10:05:00")), // in-window dup → suppressed
+      Row(Int.box(3), "beta", ts("2024-01-01 10:06:00")),
+      Row(Int.box(4), "beta", ts("2024-01-01 10:07:00"))) // in-window dup → suppressed
+    docs.write.parquet(dir + "/d")
+    val q = Streams.dedupStreamBounded(
+        Streams.readFileStream(spark, dir + "/d", docs.schema),
+        "doc_id", "text", "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val fps = spark.table("dedup_wm").select("fp").collect().map(_.getString(0)).toSeq
+    assert(fps.length == 2 && fps.distinct.length == 2, s"got $fps")
+    // batch degradation: same call, same fingerprint set
+    val batchFps = Streams.dedupStreamBounded(docs, "doc_id", "text", "ts")
+      .select("fp").collect().map(_.getString(0)).toSeq
+    assert(batchFps.sorted == fps.sorted)
+  }
+
   test("dedupStream state survives restart under the RocksDB state store") {
     // the scale-state claim in Streams.dedupStream's scaladoc, exercised
     // for real: same first-seen-wins semantics, state off-heap in RocksDB,
