@@ -647,6 +647,63 @@ object GraftTable {
     next.version
   }
 
+  /** METADATA-ONLY column add — zero data IO, like [[renameColumn]].
+    * The new (always-nullable) column reads as NULL from every file
+    * committed before the add; files written after carry it physically.
+    * Each existing file gets a rename-indirection entry pointing the new
+    * logical name at a physical name GUARANTEED absent from the file —
+    * not the bare name — so re-adding a previously-dropped (or
+    * physically-present-but-never-declared) column can never resurrect
+    * stale on-disk values, the hazard Delta's column-mapping ids exist
+    * for. Historical versions keep their old schema (time travel before
+    * the add does not see the column). */
+  def addColumn(path: String, name: String, ddlType: String): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists in [${cur.schemaDdl}]")
+    val dt = DataType.fromDDL(ddlType)
+    val newDdl = StructType(schema.fields :+ StructField(name, dt, nullable = true)).toDDL
+    val absent = s"__graft_absent_${java.util.UUID.randomUUID.toString.take(8)}"
+    val files = cur.files.map { fe =>
+      fe.copy(renames = Some(fe.renames.getOrElse(Map.empty) + (name -> absent)))
+    }
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_column", newDdl,
+      files, cur.streamMarks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"add_column on '$path' lost the commit race — retry")
+    next.version
+  }
+
+  /** METADATA-ONLY column drop: the logical schema loses the field;
+    * on-disk data stays (readers project it away; compaction and
+    * copy-on-write rewrites gradually shed it), historical versions
+    * still read it — exactly Delta's drop-column line. Dropped-name
+    * stats entries stay on old files and remain prune-SAFE: a range or
+    * IN probe never matches NULL, and post-drop reads of those files
+    * yield nothing for the name, so a stale-stats skip can only skip
+    * files whose surviving values could not match anyway. */
+  def dropColumn(path: String, name: String): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column '$name' in [${cur.schemaDdl}]")
+    require(schema.fields.length > 1, s"cannot drop the last column of '$path'")
+    val newDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL
+    val files = cur.files.map { fe =>
+      val next = fe.renames.getOrElse(Map.empty) - name
+      fe.copy(renames = if (next.isEmpty) None else Some(next))
+    }
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_column", newDdl,
+      files, cur.streamMarks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"drop_column on '$path' lost the commit race — retry")
+    next.version
+  }
+
   // ----------------------------------------------------------- diff / CDC
 
   /** Row-level changes between two snapshots — the consumer side of time

@@ -47,7 +47,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -83,6 +83,24 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
                   m + (k -> (v2 :: m.getOrElse(k, Nil)).sorted)
                 }
               } else assert(v == -1L, "replayed stream batch must be a no-op")
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 6 =>
+            // predicate delete: drop every row with k >= cutoff (may be a
+            // no-match; the commit still lands and the model snapshots it)
+            if (GraftTable.exists(path)) {
+              val cutoff = rnd.nextInt(14)
+              GraftTable.deleteWhere(spark, path, col("k") >= cutoff): Unit
+              multi = multi.filter { case (k, _) => k < cutoff }
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 7 =>
+            // predicate update: every row of one key takes a new value
+            if (GraftTable.exists(path)) {
+              val (target, nv) = (rnd.nextInt(12), s"u$seed-$step")
+              GraftTable.updateWhere(spark, path, col("k") === target,
+                Map("v" -> org.apache.spark.sql.functions.lit(nv))): Unit
+              multi = multi.map { case (k, vs) =>
+                k -> (if (k == target) vs.map(_ => nv) else vs)
+              }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
         }

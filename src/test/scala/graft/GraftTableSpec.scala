@@ -184,6 +184,41 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("addColumn is metadata-only: old files read NULL, new writes carry values") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    val beforeBytes = dataFiles(path)
+    val v = GraftTable.addColumn(path, "score", "INT")
+    assert(dataFiles(path) == beforeBytes, "addColumn rewrote data")
+    val got = GraftTable.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(got.filter(col("score").isNotNull).count() == 0)
+    GraftTable.append(df("k INT, v STRING, score INT", Row(Int.box(3), "c", Int.box(7))), path)
+    val rows = GraftTable.read(spark, path).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(2)) -1 else r.getInt(2))).toSet
+    assert(rows == Set((1, -1), (2, -1), (3, 7)))
+    // time travel before the add does not see the column
+    assert(GraftTable.readVersion(spark, path, v - 1).schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("dropColumn then re-add never resurrects old on-disk values") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "secret1", 2 -> "secret2"), path)
+    GraftTable.dropColumn(path, "v")
+    assert(GraftTable.read(spark, path).schema.fieldNames.toSeq == Seq("k"))
+    // the old files still physically hold 'v' — a re-added 'v' must NOT read it
+    GraftTable.addColumn(path, "v", "STRING")
+    val got = GraftTable.read(spark, path)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(got.filter(col("v").isNotNull).count() == 0,
+      "re-added column resurrected dropped data")
+    // guards: dup add, unknown drop, last-column drop
+    intercept[IllegalArgumentException](GraftTable.addColumn(path, "V", "INT"))
+    intercept[IllegalArgumentException](GraftTable.dropColumn(path, "nope"))
+    GraftTable.dropColumn(path, "v")
+    intercept[IllegalArgumentException](GraftTable.dropColumn(path, "k"))
+  }
+
   test("readPruned skips files by stats on a range-clustered layout") {
     val path = tmp() + "/t"
     val rows = spark.range(0, 800).select(col("id").cast("int").as("k"),
