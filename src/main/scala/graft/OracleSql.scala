@@ -690,6 +690,22 @@ FROM pairs WHERE cosine >= 0.45 GROUP BY id_b"""),
 
     // linear-counting distinct sketch per source: bucket-hit count is an
     // exact aggregation, the estimator a pure projection — engine-exact
+    // maintained distinct-count state: the bit_or monoid makes 3-batch
+    // maintenance ≡ one-shot, so the oracle computes straight from the
+    // corpus with q55's exact hash/bucket/estimate formulation
+    "q129_distinct_state" -> """
+WITH f AS (
+  SELECT source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+b AS (SELECT source, (('0x' || substr(md5(fp), 1, 8))::BIGINT % 4096) AS bucket FROM f)
+SELECT source,
+       count(DISTINCT bucket)::BIGINT AS buckets_hit,
+       CASE WHEN count(DISTINCT bucket) = 4096 THEN NULL
+            ELSE round(4096.0 * ln(4096.0 / (4096.0 - count(DISTINCT bucket))), 4)
+       END AS est_distinct
+FROM b GROUP BY source""",
+
     "q55_distinct_sketch" -> """
 WITH f AS (
   SELECT source,

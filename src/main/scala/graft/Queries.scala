@@ -965,6 +965,29 @@ object Queries {
     Ops.distinctSketch(Tables.documents(s, d), Seq("source"),
       graft.functions.TextFunctions.fingerprint(col("text")), m = 4096)
 
+  /** q129: incrementally MAINTAINED distinct-count state — the corpus
+    * arrives in 3 batches, each folded into a persisted bucket-bitmap
+    * table through [[graft.core.TableIO.upsertAggregate]]'s bit_or
+    * channel ([[Ops.distinctStateRows]]); the estimate read equals a
+    * one-shot sketch over everything (the bit_or monoid), which is what
+    * the declarative oracle computes. COUNT DISTINCT as a maintainable
+    * aggregate — q102's rollup upkeep extended past the sum/min/max
+    * monoid. */
+  def distinctStateQ(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_dstate").toString + "/state"
+    val docs = Tables.documents(s, d)
+    (0 until 3).foreach { b =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      TableIO.upsertAggregate(s, path,
+        Ops.distinctStateRows(batch, Seq("source"),
+          graft.functions.TextFunctions.fingerprint(col("text")), m = 4096),
+        Seq("source", "widx"), Seq("bit_or" -> "word"))
+    }
+    Ops.estimateDistinctFromState(
+      s.read.parquet(path).withColumnRenamed("bit_or_word", "word"),
+      Seq("source"), "word", 4096)
+  }
+
   /** Unigram cross-entropy quality score (CCNet perplexity-filter shape). */
   def crossEntropyQ(s: SparkSession, d: String): DataFrame =
     Corpus.crossEntropyScore(Tables.documents(s, d), "doc_id", "text")
@@ -1637,6 +1660,7 @@ object Queries {
     "q126_update_where" -> (updateWhereQ _),
     "q127_ivf_index_ann" -> (embeddingIvfIndexAnn _),
     "q128_grouping_sets" -> (groupingSetsQ _),
+    "q129_distinct_state" -> (distinctStateQ _),
     "q20_text_stats" -> (textStats _),
     "q21_langid" -> (langIdQ _),
     "q22_exact_dedup" -> (exactDedup _),

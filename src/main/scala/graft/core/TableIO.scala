@@ -276,8 +276,10 @@ object TableIO {
   /** Incremental aggregate maintenance — materialized-rollup upkeep: keep
     * a persisted groupBy table current by MERGING each batch's partial
     * aggregates into it instead of recomputing the corpus. Supported
-    * aggregates are the commutative-monoid set (`sum`/`min`/`max`, plus
-    * an automatic `n_rows` count; avg = sum/count at read time), so
+    * aggregates are the commutative-monoid set (`sum`/`min`/`max`/
+    * `bit_or`, plus an automatic `n_rows` count; avg = sum/count at read
+    * time; `bit_or` carries the [[graft.operators.Ops.distinctStateRows]]
+    * sketch words, making COUNT DISTINCT incrementally maintainable), so
     * merge-of-partials ≡ aggregate-of-everything regardless of how the
     * history was batched — the q11 merge≡fromHistory equivalence applied
     * to aggregates, and the oracle gate recomputes from scratch. Sums run
@@ -294,8 +296,8 @@ object TableIO {
       keys: Seq[String], aggs: Seq[(String, String)]): Unit = {
     import org.apache.spark.sql.functions._
     require(aggs.nonEmpty, "need at least one aggregate")
-    val bad = aggs.collect { case (fn, _) if !Set("sum", "min", "max")(fn) => fn }
-    require(bad.isEmpty, s"unsupported aggregate(s) $bad — monoid set is sum/min/max")
+    val bad = aggs.collect { case (fn, _) if !Set("sum", "min", "max", "bit_or")(fn) => fn }
+    require(bad.isEmpty, s"unsupported aggregate(s) $bad — monoid set is sum/min/max/bit_or")
     def nameOf(fn: String, c: String) = s"${fn}_$c"
     val aggCols = aggExprs(aggs)
     val batch = rows.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -318,6 +320,11 @@ object TableIO {
         case ("max", c) =>
           val n = nameOf("max", c)
           greatest(col(n), coalesce(col(s"__e_$n"), col(n))).as(n)
+        case ("bit_or", c) =>
+          // OR-monoid channel: what makes the distinct-count sketch state
+          // (Ops.distinctStateRows bitmap words) incrementally maintainable
+          val n = nameOf("bit_or", c)
+          col(n).bitwiseOR(coalesce(col(s"__e_$n"), lit(0L))).as(n)
       }: _*)
     upsertByKey(spark, path, merged, keys)
   }
@@ -333,8 +340,9 @@ object TableIO {
         .cast("decimal(28,4)").as(s"sum_$c")
       case ("min", c) => min(col(c)).as(s"min_$c")
       case ("max", c) => max(col(c)).as(s"max_$c")
+      case ("bit_or", c) => expr(s"bit_or($c)").as(s"bit_or_$c")
       case (fn, c) => throw new IllegalArgumentException(
-        s"unsupported aggregate $fn($c) — monoid set is sum/min/max")
+        s"unsupported aggregate $fn($c) — monoid set is sum/min/max/bit_or")
     }
   }
 
@@ -346,8 +354,9 @@ object TableIO {
       case ("sum", c) => sum(col(s"sum_$c")).cast("decimal(28,4)").as(s"sum_$c")
       case ("min", c) => min(col(s"min_$c")).as(s"min_$c")
       case ("max", c) => max(col(s"max_$c")).as(s"max_$c")
+      case ("bit_or", c) => expr(s"bit_or(bit_or_$c)").as(s"bit_or_$c")
       case (fn, c) => throw new IllegalArgumentException(
-        s"unsupported aggregate $fn($c) — monoid set is sum/min/max")
+        s"unsupported aggregate $fn($c) — monoid set is sum/min/max/bit_or")
     }
   }
 

@@ -100,6 +100,52 @@ object Ops {
             log(lit(m.toDouble) / (lit(m.toDouble) - col("buckets_hit"))), 4)))
   }
 
+  /** The [[distinctSketch]] linear-counting sketch factored into
+    * PERSISTABLE state: each input row becomes one (group, widx, word)
+    * row setting a single bit of the group's m-bit bucket bitmap
+    * (bucket = hash32 mod m, word `widx` = bucket/64, bit = bucket%64).
+    * `bit_or` over words is a commutative monoid, so ANY batching of the
+    * history merges to the same state —
+    * [[graft.core.TableIO.upsertAggregate]]'s `bit_or` channel maintains
+    * it incrementally at keys = group ∪ {widx}, which makes COUNT
+    * DISTINCT incrementally maintainable: the one aggregate a plain
+    * sum/min/max rollup cannot express (dropping a batch's duplicate
+    * values loses nothing — the bit was already set).
+    *
+    * Scale shape: pure per-row projection here; the maintainer's state
+    * is ≤ m/64 words per group regardless of corpus size, and its
+    * exchange carries words, never values. Same deterministic md5 hash
+    * as every sketch in the engine — a SQL oracle replays it exactly. */
+  def distinctStateRows(df: DataFrame, groupCols: Seq[String], value: Column,
+      m: Int = 4096): DataFrame = {
+    require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    val bucket = pmod(graft.functions.SqlFunctions.hash32(value.cast("string")), lit(m))
+    df.select(groupCols.map(col) :+ (bucket / 64).cast("int").as("widx") :+
+      call_function("shiftleft", lit(1L), pmod(bucket, lit(64)).cast("int")).as("word"): _*)
+  }
+
+  /** Estimate per-group distinct counts from [[distinctStateRows]] state
+    * (at ANY grain — raw rows or the maintained (group, widx) table):
+    * buckets_hit = Σ popcount(word per widx), then the identical
+    * linear-counting formula as [[distinctSketch]] — a fresh one-shot
+    * sketch and a long-maintained state estimate the same corpus
+    * identically (gated in CoreSpec). */
+  def estimateDistinctFromState(state: DataFrame, groupCols: Seq[String],
+      wordCol: String, m: Int): DataFrame = {
+    require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    val g = groupCols.map(col)
+    // OR per (group, widx) FIRST: at raw row grain the same bit arrives
+    // many times and a popcount sum would double-count it; on maintained
+    // state (one row per widx) the OR is an exact no-op
+    state.groupBy(g :+ col("widx"): _*).agg(expr(s"bit_or($wordCol)").as("__w"))
+      .groupBy(g: _*)
+      .agg(sum(bit_count(col("__w"))).cast("long").as("buckets_hit"))
+      .withColumn("est_distinct",
+        when(col("buckets_hit") === m, lit(null).cast("double"))
+          .otherwise(round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m.toDouble) - col("buckets_hit"))), 4)))
+  }
+
   /** Bloom-pruned left-semi join: EXACT `big ⋉ keys` semantics, with a
     * Bloom filter of the key set applied to the big side BEFORE its
     * shuffle, so definite non-members die in the scan stage. False

@@ -89,6 +89,36 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     }: Unit
   }
 
+  test("distinct-count state: maintained bitmap equals one-shot sketch over any batching") {
+    import graft.operators.Ops
+    val docs = df("g STRING, v STRING",
+      (1 to 200).map(i => Row(s"g${i % 3}", s"val${i % 57}")): _*)
+    // one-shot: state → estimate matches distinctSketch exactly (same
+    // hash, same formula)
+    val oneShot = Ops.estimateDistinctFromState(
+        Ops.distinctStateRows(docs, Seq("g"), col("v"), m = 256), Seq("g"), "word", 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val sketch = Ops.distinctSketch(docs, Seq("g"), col("v"), m = 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(oneShot == sketch, s"$oneShot != $sketch")
+    // incrementally maintained over 4 batches through the bit_or monoid
+    // channel: same estimates — COUNT DISTINCT survives batching, even
+    // with duplicate values repeating across batches
+    val path = tmp() + "/dstate"
+    val rows = (1 to 200).map(i => (s"g${i % 3}", s"val${i % 57}"))
+    rows.grouped(50).foreach { b =>
+      val bdf = df("g STRING, v STRING", b.map(x => Row(x._1, x._2)): _*)
+      TableIO.upsertAggregate(spark, path,
+        Ops.distinctStateRows(bdf, Seq("g"), col("v"), m = 256),
+        Seq("g", "widx"), Seq("bit_or" -> "word"))
+    }
+    val maintained = Ops.estimateDistinctFromState(
+        spark.read.parquet(path).withColumnRenamed("bit_or_word", "word"),
+        Seq("g"), "word", 256)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(maintained == sketch, s"maintained $maintained != $sketch")
+  }
+
   test("winsorize: clamps to the group's [lo, hi] band; NULLs and bandless groups pass through") {
     val d = df("g STRING, v DOUBLE",
       (Seq.tabulate(100)(i => Row("a", Double.box(i + 1.0))) ++ Seq(
