@@ -758,20 +758,35 @@ object GraftTable {
     * eventually drops the replaced small files. Only files smaller than
     * `targetBytes` are repacked; already-right-sized files carry over
     * untouched (their clustering and stats survive). Returns
-    * (filesBefore, filesAfter) of the live snapshot. */
+    * (filesBefore, filesAfter) of the live snapshot.
+    *
+    * With `clusterBy` (OPTIMIZE … ZORDER BY, pass
+    * [[graft.operators.Ops.zorderKey]] for 2-D) the WHOLE snapshot —
+    * right-sized files included — rewrites range-clustered on the
+    * expression, so per-file stats tighten on the clustered dimensions
+    * and `readPruned`/`readPrunedIn` skip hard afterward; accumulated
+    * append disorder is the reason OPTIMIZE exists. */
   def compactFiles(spark: SparkSession, path: String,
-      targetBytes: Long = 128L << 20, statsCols: Seq[String] = Nil): (Int, Int) = {
+      targetBytes: Long = 128L << 20, statsCols: Seq[String] = Nil,
+      clusterBy: Option[Column] = None): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    val (small, big) = cur.files.partition(_.bytes < targetBytes)
-    if (small.size <= 1) return (cur.files.size, cur.files.size)
+    // clustering is a whole-snapshot relayout (a carried unclustered file
+    // would poison the range order); plain bin-packing repacks small only
+    val (small, big) = clusterBy match {
+      case Some(_) => (cur.files, Nil)
+      case None => cur.files.partition(_.bytes < targetBytes)
+    }
+    if (small.size <= 1 && clusterBy.isEmpty) return (cur.files.size, cur.files.size)
+    val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     // compaction rewrites under the CURRENT logical schema, so packed
     // files shed any rename indirection; carried files keep theirs
-    val packed = readFileSubset(spark, path, cur, small)
-      .repartition(math.max(1,
-        math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt))
-    val staged = stageFiles(packed, path, statsCols, None)
+    val packed = clusterBy match {
+      case Some(_) => readFileSubset(spark, path, cur, small)
+      case None => readFileSubset(spark, path, cur, small).repartition(nOut)
+    }
+    val staged = stageFiles(packed, path, statsCols, clusterBy.map(c => (c, nOut)))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
       cur.schemaDdl, big ++ staged, cur.streamMarks)
     if (!tryCommit(path, next))

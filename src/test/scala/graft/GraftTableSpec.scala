@@ -335,6 +335,28 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(GraftTable.read(spark, path)) == beforeRows)
   }
 
+  test("compactFiles with clusterBy reclusters appends so pruning skips again") {
+    val path = tmp() + "/t"
+    // 4 interleaved appends: every file spans nearly the full key range,
+    // so a key-range prune can prove nothing
+    (0 until 4).foreach { i =>
+      val part = spark.range(0, 400).filter(col("id") % 4 === i)
+        .select(col("id").cast("int").as("k"), concat(lit("v"), col("id")).as("v"))
+      GraftTable.append(part.coalesce(1), path, statsCols = Seq("k"))
+    }
+    val before = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(0), Some(50))))
+    assert(before.filesRead == before.filesTotal, "disorder should defeat pruning")
+    GraftTable.compactFiles(spark, path, targetBytes = 2048L,
+      statsCols = Seq("k"), clusterBy = Some(col("k")))
+    val after = GraftTable.readPruned(spark, path, Seq(ColRange("k", Some(0), Some(50))))
+    assert(after.filesRead < after.filesTotal,
+      s"expected post-OPTIMIZE skipping, read ${after.filesRead}/${after.filesTotal}")
+    // contents byte-for-byte preserved; the pre-OPTIMIZE version intact
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 400 && got.select("k").distinct().count() == 400)
+    assert(GraftTable.readVersion(spark, path, 4).count() == 400)
+  }
+
   test("renameColumn is metadata-only: no file rewritten, old versions keep old name") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path, statsCols = Seq("k", "v"))
