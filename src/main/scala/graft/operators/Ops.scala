@@ -410,15 +410,30 @@ object Ops {
       .drop("__bucket")
   }
 
-  def zorderKey(a: Column, b: Column, bits: Int = 16): Column = {
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+    zorderKeyN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension d lands at key
+    * bit i·n + d, so a range filter on ANY of the n columns narrows
+    * per-file [min,max] key ranges on a z-sorted layout. Same contract
+    * as the 2-D form: inputs must be non-negative ints below 2^bits
+    * (quantize first — `floor(x / width)` or a rank bucket); out-of-range
+    * or NULL inputs yield NULL, never a silently scrambled key. n·bits
+    * must fit a signed long (≤ 63). Pure codegen'd column arithmetic —
+    * the layout write's range partitioner is the only shuffle anywhere
+    * near it. */
+  def zorderKeyN(dims: Seq[Column], bits: Int = 16): Column = {
+    require(dims.size >= 2, s"need at least 2 dimensions, got ${dims.size}")
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val (al, bl) = (a.cast("long"), b.cast("long"))
+    require(dims.size * bits <= 63,
+      s"${dims.size} dims × $bits bits = ${dims.size * bits} key bits — must be ≤ 63")
+    val longs = dims.map(_.cast("long"))
     val bound = lit(1L << bits)
-    val key = (0 until bits).map { i =>
-      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
-    when(al >= 0 && al < bound && bl >= 0 && bl < bound, key)
+    val n = dims.size
+    val key = (for { i <- 0 until bits; (d, j) <- longs.zipWithIndex } yield
+      shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ bitwiseOR _)
+    when(longs.map(d => d >= 0 && d < bound).reduce(_ && _), key)
   }
 
   /** Per-group EXACT discrete percentiles without collecting group values:

@@ -601,6 +601,25 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
     assert(bad.exists(r => !r.isNullAt(0) && r.getLong(0) == 63L)) // (7,7) at 3 bits
   }
 
+  test("zorderKeyN: 3-D interleave matches a driver Morton reference; guards hold") {
+    def morton(vals: Seq[Long], bits: Int): Long =
+      (for (i <- 0 until bits; (v, j) <- vals.zipWithIndex)
+        yield ((v >> i) & 1L) << (i * vals.size + j)).reduce(_ | _)
+    val rnd = new scala.util.Random(5)
+    val triples = Seq.fill(40)((rnd.nextInt(32).toLong, rnd.nextInt(32).toLong, rnd.nextInt(32).toLong))
+    val got = df("a BIGINT, b BIGINT, c BIGINT",
+        triples.map(t => Row(Long.box(t._1), Long.box(t._2), Long.box(t._3))): _*)
+      .select(Ops.zorderKeyN(Seq(col("a"), col("b"), col("c")), 5).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == triples.map(t => morton(Seq(t._1, t._2, t._3), 5)))
+    // 2-D compatibility: zorderKey delegates bit-identically
+    assert(df("a INT, b INT", Row(Int.box(5), Int.box(3)))
+      .select(Ops.zorderKeyN(Seq(col("a"), col("b")), 3)).first().getLong(0) == 27L)
+    // key-width guard: 3 dims × 22 bits = 66 > 63
+    intercept[IllegalArgumentException](
+      Ops.zorderKeyN(Seq(col("a"), col("b"), col("c")), 22)): Unit
+  }
+
   test("editOnePairs: equals the naive all-pairs lev<=1 self-join on random corpora") {
     // random strings over a 3-letter alphabet with planted near-dups:
     // substitutions, inserts, deletes, exact dups, plus group boundaries —
