@@ -231,6 +231,38 @@ SELECT query_id, neighbor_id, cosine, rnk::int AS rnk FROM (
 WHERE rnk <= 5"""
 
   val all: Map[String, String] = Map(
+    // OLS on identical decimal-exact moment sums: the closed form runs on
+    // bit-identical doubles in both engines (n²·cov / n²·var forms)
+    "q130_group_ols" -> """
+WITH p AS (
+  SELECT l_returnflag, l_linestatus,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+s AS (
+  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+         sum(cast(x     AS DECIMAL(24,12)))::DOUBLE AS sx,
+         sum(cast(y     AS DECIMAL(24,12)))::DOUBLE AS sy,
+         sum(cast(x * y AS DECIMAL(24,12)))::DOUBLE AS sxy,
+         sum(cast(x * x AS DECIMAL(24,12)))::DOUBLE AS sxx,
+         sum(cast(y * y AS DECIMAL(24,12)))::DOUBLE AS syy
+  FROM p GROUP BY 1, 2),
+f AS (
+  SELECT l_returnflag, l_linestatus, n,
+         sxy * n::DOUBLE - sx * sy AS covn,
+         sxx * n::DOUBLE - sx * sx AS varxn,
+         syy * n::DOUBLE - sy * sy AS varyn,
+         sx, sy
+  FROM s)
+SELECT l_returnflag, l_linestatus, n,
+       round(CASE WHEN varxn > 0 THEN covn / varxn END, 6) AS slope,
+       round(CASE WHEN varxn > 0
+                  THEN (sy - (covn / varxn) * sx) / n::DOUBLE END, 6) AS intercept,
+       round(CASE WHEN varxn > 0 AND varyn > 0
+                  THEN covn / sqrt(varxn * varyn) END, 6) AS r,
+       round(CASE WHEN varxn > 0 AND varyn > 0
+                  THEN (covn / sqrt(varxn * varyn)) * (covn / sqrt(varxn * varyn)) END, 6) AS r2
+FROM f""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

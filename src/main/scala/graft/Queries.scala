@@ -1539,9 +1539,20 @@ object Queries {
       micros(col("effective_date")).as("effective_us"),
       micros(col("expiry_date")).as("expiry_us"))
 
+  /** q130: per-group OLS regression + Pearson correlation in one
+    * combinable pass ([[Ops.groupOls]]) — extended price regressed on
+    * quantity per (returnflag, linestatus), the `regr_slope`/`corr`
+    * SQL-surface family. The oracle replays the same decimal-quantized
+    * moment sums, so both engines compute the closed form on identical
+    * exact inputs. */
+  def groupOlsQ(s: SparkSession, d: String): DataFrame =
+    Ops.groupOls(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+      "l_quantity", "l_extendedprice")
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, QFn] = Map(
+    "q130_group_ols" -> (groupOlsQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

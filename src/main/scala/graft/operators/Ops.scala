@@ -579,4 +579,51 @@ object Ops {
       .select(big.columns.map(col) ++
         small.columns.filterNot(keys.contains).map(col): _*)
   }
+
+  /** Per-group simple linear regression and correlation in ONE pass:
+    * closed-form OLS of y on x from the five moment sums
+    * (Σx, Σy, Σxy, Σx², Σy²), plus Pearson r and R². Returns
+    * (groupCols..., n, slope, intercept, r, r2), each statistic rounded
+    * to 6 dp; groups whose x (or y) is constant have an undefined
+    * slope/r and yield NULLs, and rows with a NULL x or y are excluded
+    * pairwise (the SQL `regr_*` convention).
+    *
+    * Engine-exact: each per-row term is computed in double (IEEE —
+    * bit-identical in any engine) then quantized to decimal(24,12)
+    * BEFORE the sum, so the aggregate is order-free exact (the
+    * [[Corpus.crossEntropyScore]] convention); the closed-form formulas
+    * then run on the exact sums in double. For ≤2-dp business values the
+    * quantization itself is lossless (products have ≤4 dp).
+    *
+    * Scale shape: a single map-side-combinable groupBy — five decimal
+    * sum channels and a count through one exchange at group grain; no
+    * window, no second pass, no driver math. */
+  def groupOls(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupOls needs at least one group column")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    def q(c: Column) = c.cast("decimal(24,12)")
+    val paired = df.filter(x.isNotNull && y.isNotNull)
+    val sums = paired.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(q(x)).as("__sx"), sum(q(y)).as("__sy"),
+      sum(q(x * y)).as("__sxy"),
+      sum(q(x * x)).as("__sxx"), sum(q(y * y)).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val covN = sxy * n - sx * sy       // n²·cov
+    val varxN = sxx * n - sx * sx      // n²·var(x)
+    val varyN = syy * n - sy * sy      // n²·var(y)
+    val slope = when(varxN > 0, covN / varxN)
+    val r = when(varxN > 0 && varyN > 0, covN / sqrt(varxN * varyN))
+    sums.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(slope, 6).as("slope"),
+      round(when(varxN > 0, (sy - slope * sx) / n), 6).as("intercept"),
+      round(r, 6).as("r"),
+      round(r * r, 6).as("r2")): _*)
+  }
 }

@@ -380,6 +380,14 @@ object PlanAudit {
       "broadcast_probes" -> (_.contains("BroadcastHashJoin")),
       "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop")))
+    audit("q130_group_ols",
+      // one combinable pass: the five moment sums and the count partial-
+      // aggregate map-side through a single group-grain exchange; the
+      // closed form is a projection, so there is no join and no window
+      "partial_agg" -> (p => p.contains("partial_sum") && p.contains("partial_count")),
+      "single_exchange" -> (p => "Exchange hashpartitioning".r.findAllIn(p).size == 1),
+      "no_join" -> (p => !p.contains("Join")),
+      "no_window" -> (p => !p.contains("Window")))
     audit("q118_pagerank",
       // every power iteration: contribution sums combine map-side, the
       // node-sized rank frame broadcasts into the edge join (AQE), and no

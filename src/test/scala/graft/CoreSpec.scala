@@ -620,6 +620,21 @@ class CoreSpec extends AnyFunSuite with SparkSpecBase {
       Ops.zorderKeyN(Seq(col("a"), col("b"), col("c")), 22)): Unit
   }
 
+  test("groupOls: closed-form slope/intercept/r on hand fixtures; constant-x and NULL rows") {
+    val rows = Seq(
+      Row("a", 0.0, 1.0), Row("a", 1.0, 3.0), Row("a", 2.0, 2.0), // slope .5, r .5
+      Row("b", 5.0, 1.0), Row("b", 5.0, 9.0),                     // constant x
+      Row("c", 1.0, 2.0), Row("c", 2.0, 4.0), Row("c", 3.0, 6.0), // exact line y=2x
+      Row("c", null, 9.0), Row("c", 4.0, null))                   // excluded pairwise
+    val got = Ops.groupOls(df("g STRING, x DOUBLE, y DOUBLE", rows: _*), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(got("a") == ((3L, Some(0.5), Some(1.5), Some(0.5), Some(0.25))))
+    assert(got("b") == ((2L, None, None, None, None)))
+    assert(got("c") == ((3L, Some(2.0), Some(0.0), Some(1.0), Some(1.0))))
+  }
+
   test("editOnePairs: equals the naive all-pairs lev<=1 self-join on random corpora") {
     // random strings over a 3-letter alphabet with planted near-dups:
     // substitutions, inserts, deletes, exact dups, plus group boundaries —
