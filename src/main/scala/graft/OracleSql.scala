@@ -263,6 +263,12 @@ SELECT l_returnflag, l_linestatus, n,
                   THEN (covn / sqrt(varxn * varyn)) * (covn / sqrt(varxn * varyn)) END, 6) AS r2
 FROM f""",
 
+    // bloom-pruned point lookup ≡ a plain IN-list filter (the bloom only
+    // ever skips files proven clean — q131 result is layout-independent)
+    "q131_bloom_lookup" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
+FROM orders WHERE o_orderkey % 1000 = 1""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

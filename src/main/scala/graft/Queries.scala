@@ -1539,6 +1539,34 @@ object Queries {
       micros(col("effective_date")).as("effective_us"),
       micros(col("expiry_date")).as("expiry_us"))
 
+  private lazy val q131Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_bloom").toString
+
+  /** q131: bloom-indexed point lookup on a versioned table — orders land
+    * HASH-distributed on `o_orderkey` (every file spans the whole key
+    * range, so min/max stats prune NOTHING) with a per-file bloom on the
+    * key; [[graft.core.GraftTable.readPrunedIn]] then proves most files
+    * clean for the probe list and the exact `isin` filter runs on the
+    * survivors only (GraftTableSpec pins the skip counts and the
+    * no-false-skip guarantee). The probe list is content-derived
+    * (`o_orderkey % 1000 == 1`) so the same query scales with the
+    * corpus. */
+  def bloomLookupQ(s: SparkSession, d: String): DataFrame = {
+    val root = q131Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_b"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.overwrite(orders.repartition(16, col("o_orderkey")), path,
+      bloomCols = Seq("o_orderkey"))
+    val probes = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val scan = graft.core.GraftTable.readPrunedIn(s, path, "o_orderkey", probes)
+    scan.df.filter(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
+  }
+
   /** q130: per-group OLS regression + Pearson correlation in one
     * combinable pass ([[Ops.groupOls]]) — extended price regressed on
     * quantity per (returnflag, linestatus), the `regr_slope`/`corr`
@@ -1553,6 +1581,7 @@ object Queries {
 
   val all: Map[String, QFn] = Map(
     "q130_group_ols" -> (groupOlsQ _),
+    "q131_bloom_lookup" -> (bloomLookupQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -56,8 +56,15 @@ object GraftTable {
 
   /** Per-file, per-column stats. `min`/`max` are encoded strings compared
     * under `t`'s ordering ([[cmp]]); absent when the file is all-NULL in
-    * that column (or the type is unsupported). */
-  case class ColStats(t: String, min: Option[String], max: Option[String], nulls: Long)
+    * that column (or the type is unsupported). `bloom` (only for columns
+    * the writer listed in `bloomCols`) is a split-block-free classic
+    * bloom filter over the file's non-NULL values, encoded
+    * `"<k>:<mBits>:<base64 bit array>"` — the point-lookup complement to
+    * min/max: a hash-distributed layout where every file spans the full
+    * key range prunes NOTHING by range, but a bloom proves most files
+    * clean for an IN probe ([[readPrunedIn]]). */
+  case class ColStats(t: String, min: Option[String], max: Option[String], nulls: Long,
+      bloom: Option[String] = None)
   /** `renames` maps LOGICAL column name → PHYSICAL (in-file) name for
     * columns renamed after this file was written — [[renameColumn]] is a
     * metadata-only operation, so files keep their original field names
@@ -181,6 +188,60 @@ object GraftTable {
     case _ => a.compareTo(b)
   }
 
+  // ----------------------------------------------------------------- blooms
+
+  /** Bloom shape: k hash probes per value, ~[[BloomBitsPerKey]] bits per
+    * row capped at [[MaxBloomBits]] per file per column (8 KiB — the
+    * manifest must stay planning-sized; files bigger than the cap keep a
+    * working bloom with a gracefully higher false-positive rate, and a
+    * false positive only costs a read, never a wrong result). */
+  private val BloomK = 5
+  private val BloomBitsPerKey = 10
+  private val MaxBloomBits = 1 << 16
+
+  private def bloomBits(maxRowsPerFile: Long): Int = {
+    var m = 1024
+    while (m < MaxBloomBits && m < BloomBitsPerKey * maxRowsPerFile) m <<= 1
+    m
+  }
+
+  /** The write-side and probe-side hash MUST be the same function, so both
+    * are the engine's own `xxhash64(value, probeIndex)` — the probe side
+    * evaluates it through a one-row local job ([[probeHashes]]) instead of
+    * re-implementing the hash on the driver. */
+  private def bloomPositions(c: Column, dt: DataType, k: Int, m: Int): Column =
+    array((0 until k).map(i => pmod(xxhash64(c.cast(dt), lit(i)), lit(m.toLong))): _*)
+
+  private def packBloom(k: Int, m: Int, positions: Seq[Long]): String = {
+    val bytes = new Array[Byte](m / 8)
+    positions.foreach { p => bytes(p.toInt >>> 3) = (bytes(p.toInt >>> 3) | (1 << (p.toInt & 7))).toByte }
+    s"$k:$m:${java.util.Base64.getEncoder.encodeToString(bytes)}"
+  }
+
+  /** Raw `xxhash64(v, i)` for every probe value × hash index, computed BY
+    * SPARK on literals (bit-identical to the write side by construction);
+    * one driver-local job per pruned read, probe-list-sized. Positions for
+    * a file with m bits are `floorMod(hash, m)`. */
+  private def probeHashes(spark: SparkSession, dt: DataType, values: Seq[Any],
+      k: Int): Map[Any, Seq[Long]] = {
+    val cols = for { (v, vi) <- values.zipWithIndex; i <- 0 until k }
+      yield xxhash64(lit(v).cast(dt), lit(i)).as(s"h_${vi}_$i")
+    val row = spark.range(1).select(cols: _*).head()
+    values.zipWithIndex.map { case (v, vi) =>
+      v -> (0 until k).map(i => row.getAs[Long](s"h_${vi}_$i"))
+    }.toMap
+  }
+
+  private def bloomMayContain(bloom: String, rawHashes: Seq[Long]): Boolean = {
+    val Array(kS, mS, b64) = bloom.split(":", 3)
+    val (k, m) = (kS.toInt, mS.toLong)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    rawHashes.take(k).forall { h =>
+      val p = java.lang.Math.floorMod(h, m).toInt
+      (bytes(p >>> 3) & (1 << (p & 7))) != 0
+    }
+  }
+
   // ---------------------------------------------------------------- writing
 
   /** Default cap on auto-selected stats columns — the stats pass re-reads
@@ -203,7 +264,7 @@ object GraftTable {
     * the stats columns) — the post-write pass a format without in-flight
     * footer aggregation pays; O(batch), never O(table). */
   private def stageFiles(df: DataFrame, path: String, statsCols: Seq[String],
-      clusterBy: Option[(Column, Int)]): Seq[FileEntry] = {
+      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val commitId = java.util.UUID.randomUUID.toString.take(8)
     val stage = new File(path, ".stage-" + commitId)
@@ -217,7 +278,10 @@ object GraftTable {
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).sortBy(_.getName)
     if (parts.isEmpty) { TableIO.clearDir(stage.toString); return Nil }
 
-    val fields = resolveStatsCols(df.schema, statsCols)
+    val fields0 = resolveStatsCols(df.schema, statsCols)
+    // bloom columns always get a stats entry to carry the filter
+    val fields = fields0 ++ bloomCols.filterNot(c => fields0.exists(_.name == c))
+      .map(c => df.schema(c)).filter(f => statTag(f.dataType).isDefined)
     val aggs = count(lit(1L)).as("__rows") +: fields.flatMap { f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
@@ -237,13 +301,38 @@ object GraftTable {
         base -> (r.getAs[Long]("__rows"), stats)
       }.toMap
 
+    // one distributed pass per bloom column over the staged files: the
+    // k positions explode per row, distinct at (file, position) grain
+    // (≤ mBits ints per file reach the driver, never row-scale data)
+    val blooms: Map[String, Map[String, String]] = if (bloomCols.isEmpty) Map.empty else {
+      val maxRows = statRows.values.map(_._1).maxOption.getOrElse(0L)
+      val m = bloomBits(maxRows)
+      bloomCols.map { c =>
+        val f = df.schema(c)
+        require(statTag(f.dataType).isDefined, s"column '$c' can't carry a bloom filter")
+        val perFile = spark.read.schema(df.schema).parquet(parts.map(_.toString).toSeq: _*)
+          .filter(col(c).isNotNull)
+          .select(input_file_name().as("__f"),
+            explode(bloomPositions(col(c), f.dataType, BloomK, m)).as("__p"))
+          .distinct()
+          .groupBy(col("__f")).agg(collect_list(col("__p")).as("__ps"))
+          .collect().map(r => r.getString(0).split('/').last ->
+            packBloom(BloomK, m, r.getSeq[Long](r.fieldIndex("__ps")))).toMap
+        c -> perFile
+      }.toMap
+    }
+
     val dataDir = new File(path, DataDir); dataDir.mkdirs()
     val entries = parts.map { p =>
       val name = s"$commitId-${p.getName}"
       val bytes = p.length
       Files.move(p.toPath, new File(dataDir, name).toPath): Unit
       val (rows, stats) = statRows.getOrElse(p.getName, (0L, Map.empty[String, ColStats]))
-      FileEntry(s"$DataDir/$name", rows, bytes, stats)
+      val withBlooms = stats.map { case (cn, cs) =>
+        cn -> blooms.get(cn).flatMap(_.get(p.getName))
+          .map(b => cs.copy(bloom = Some(b))).getOrElse(cs)
+      }
+      FileEntry(s"$DataDir/$name", rows, bytes, withBlooms)
     }.toSeq
     TableIO.clearDir(stage.toString)
     entries
@@ -255,8 +344,8 @@ object GraftTable {
   }
 
   private def writeOp(df: DataFrame, path: String, op: String, statsCols: Seq[String],
-      clusterBy: Option[(Column, Int)]): Long = {
-    val staged = stageFiles(df, path, statsCols, clusterBy)
+      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Long = {
+    val staged = stageFiles(df, path, statsCols, clusterBy, bloomCols)
     var committed = -1L
     while (committed < 0) {
       val cur = currentManifest(path)
@@ -277,13 +366,18 @@ object GraftTable {
   }
 
   /** Replace the table's contents (schema may change). Returns the
-    * committed version. */
-  def overwrite(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
-    writeOp(df, path, "overwrite", statsCols, None)
+    * committed version. `bloomCols` adds a per-file bloom filter on those
+    * columns for [[readPrunedIn]] point-lookup skipping (one extra
+    * staged-files pass per column at write time; copy-on-write rewrites
+    * drop the bloom for rewritten files — safe, stats only ever PRUNE). */
+  def overwrite(df: DataFrame, path: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    writeOp(df, path, "overwrite", statsCols, None, bloomCols)
 
   /** Add `df`'s rows (schema must match). Returns the committed version. */
-  def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long =
-    writeOp(df, path, "append", statsCols, None)
+  def append(df: DataFrame, path: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    writeOp(df, path, "append", statsCols, None, bloomCols)
 
   /** EXACTLY-ONCE streaming append: a no-op if `batchId` is at or below
     * `streamId`'s committed high-water mark (the at-least-once foreachBatch
@@ -324,9 +418,9 @@ object GraftTable {
     * dimensions (2-D skipping on both stats columns). One extra exchange
     * (the range partitioner) is the entire clustering cost. */
   def writeClustered(df: DataFrame, path: String, clusterBy: Column, numFiles: Int,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(numFiles > 0, "numFiles must be positive")
-    writeOp(df, path, "overwrite", statsCols, Some((clusterBy, numFiles)))
+    writeOp(df, path, "overwrite", statsCols, Some((clusterBy, numFiles)), bloomCols)
   }
 
   // ---------------------------------------------------------------- reading
@@ -401,15 +495,25 @@ object GraftTable {
   /** IN-list file skipping: keep files whose [min,max] in `column` can
     * contain AT LEAST ONE of `values` (the point-in-range test per
     * value) — the read pattern of an inverted-list probe, where the
-    * wanted keys are a set, not a range. Stats-less files are kept,
-    * all-NULL files skipped (an IN list never matches NULL). The exact
-    * `isin` filter stays with the caller, as in [[readPruned]]. */
+    * wanted keys are a set, not a range. When the file carries a bloom
+    * for `column` (written via `bloomCols`), values that pass the range
+    * test must ALSO hit all k bloom bits — on a hash-distributed layout,
+    * where every file spans the whole key range and min/max prune
+    * nothing, the bloom does all the skipping. Stats-less files are
+    * kept, all-NULL files skipped (an IN list never matches NULL). The
+    * exact `isin` filter stays with the caller, as in [[readPruned]]. */
   def readPrunedIn(spark: SparkSession, path: String, column: String, values: Seq[Any],
       version: Option[Long] = None): PrunedScan = {
     require(values.nonEmpty, "need at least one probe value")
     val m = version.map(manifestAt(path, _))
       .orElse(currentManifest(path))
       .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    // the probe-hash job runs lazily — only a manifest that actually
+    // carries a bloom on `column` pays it
+    lazy val hashes: Map[Any, Seq[Long]] = {
+      val dt = StructType.fromDDL(m.schemaDdl)(column).dataType
+      probeHashes(spark, dt, values, BloomK)
+    }
     val kept = m.files.filter { fe =>
       fe.stats.get(column) match {
         case None => true // no stats — can't prove the file clean
@@ -418,7 +522,8 @@ object GraftTable {
           else values.exists { v =>
             val ev = encode(st.t, v)
             st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
-              st.max.forall(mx => cmp(st.t, mx, ev) >= 0)
+              st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
+              st.bloom.forall(b => bloomMayContain(b, hashes(v)))
           }
       }
     }

@@ -260,6 +260,54 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(unknown.filesRead == scan.filesTotal) // no stats recorded → never skipped
   }
 
+  test("bloom skipping: IN probes skip hash-distributed files, never falsely") {
+    val path = tmp() + "/t"
+    // hash-distributed on k: every file spans the whole key range, so
+    // min/max prune nothing — the bloom does all the skipping
+    val rows = spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("key_"), col("id")).as("s"))
+    GraftTable.overwrite(rows.repartition(8, col("k")), path, bloomCols = Seq("k", "s"))
+    val present = Seq(3L, 777L, 1999L)
+    val scan = GraftTable.readPrunedIn(spark, path, "k", present)
+    assert(scan.filesTotal == 8)
+    // 3 keys live in ≤3 files; tiny FPR headroom for hash accidents
+    assert(scan.filesRead <= 4, s"bloom should skip most files, read ${scan.filesRead}/8")
+    // the no-false-skip guarantee: pruned+residual ≡ unpruned+residual
+    assert(canon(scan.df.filter(col("k").isin(present: _*))) ==
+      canon(GraftTable.read(spark, path).filter(col("k").isin(present: _*))))
+    // absent key: every file proven clean (≤1 false positive tolerated)
+    assert(GraftTable.readPrunedIn(spark, path, "k", Seq(999999L)).filesRead <= 1)
+    // string column blooms probe identically
+    val sScan = GraftTable.readPrunedIn(spark, path, "s", Seq("key_777"))
+    assert(sScan.filesRead <= 2)
+    assert(sScan.df.filter(col("s") === "key_777").count() == 1)
+    // broad no-false-skip sweep: 40 present keys in one probe list must
+    // all survive pruning
+    val sample = (0 until 40).map(i => i * 50L)
+    val wide = GraftTable.readPrunedIn(spark, path, "k", sample)
+    assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
+  }
+
+  test("bloom survives append; COW rewrite drops it for touched files only, stays correct") {
+    val path = tmp() + "/t"
+    val part1 = spark.range(0, 500).select(col("id").as("k"), lit("x").as("v"))
+    GraftTable.overwrite(part1.repartition(4, col("k")), path, bloomCols = Seq("k"))
+    GraftTable.append(spark.range(500, 1000).select(col("id").as("k"), lit("y").as("v"))
+      .repartition(4, col("k")), path, bloomCols = Seq("k"))
+    val scan = GraftTable.readPrunedIn(spark, path, "k", Seq(250L, 750L))
+    assert(scan.filesTotal == 8 && scan.filesRead <= 3,
+      s"both commits' blooms should skip, read ${scan.filesRead}/8")
+    // rewrite the file(s) holding k=250: their bloom drops, so they are
+    // always kept — degraded skipping, never a wrong result
+    GraftTable.upsertByKey(spark, path,
+      df("k BIGINT, v STRING", Row(Long.box(250L), "upd")), Seq("k"))
+    val after = GraftTable.readPrunedIn(spark, path, "k", Seq(250L))
+    assert(after.df.filter(col("k") === 250L).collect().map(_.getString(1)).toSeq == Seq("upd"))
+    val bloomless = GraftTable.currentManifest(path).get.files
+      .filter(_.stats.get("k").exists(_.bloom.isEmpty))
+    assert(bloomless.nonEmpty, "the rewritten file should have no bloom")
+  }
+
   test("commit conflict: append rebases and retries; upsert surfaces the conflict") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a"), path)
