@@ -269,6 +269,16 @@ FROM f""",
 SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
 FROM orders WHERE o_orderkey % 1000 = 1""",
 
+    // the replica's final state after insert/update/delete CDC batches,
+    // stated declaratively — the Spark side must arrive via the change
+    // stream (diff → apply → bookmark), not by recomputing this filter
+    "q132_cdc_replica" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+       CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 2
+            ELSE o_totalprice END AS total
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

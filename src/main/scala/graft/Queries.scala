@@ -1567,6 +1567,44 @@ object Queries {
         micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
   }
 
+  private lazy val q132Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_cdc").toString
+
+  /** q132: incremental CDC replication — a replica GraftTable follows a
+    * source through insert/update/delete batches via
+    * [[graft.core.GraftTable.syncReplica]] (version diff → file-granular
+    * upsert/keyed delete → bookmark commit), syncing after every batch.
+    * The oracle states the FINAL logical content declaratively; the
+    * replica must land there through the change stream alone.
+    * GraftTableSpec drives the same machinery through random op
+    * sequences and replay-convergence cases. */
+  def cdcReplicaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q132Root
+    TableIO.clearDir(root)
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src)
+    GraftTable.syncReplica(s, src, dst, Seq("o_orderkey"))
+    // batch 1: inserts
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), src)
+    GraftTable.syncReplica(s, src, dst, Seq("o_orderkey"))
+    // batch 2: updates (repricing a key slice)
+    val upd = GraftTable.read(s, src)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    GraftTable.upsertByKey(s, src, upd, Seq("o_orderkey"))
+    GraftTable.syncReplica(s, src, dst, Seq("o_orderkey"))
+    // batch 3: deletes (an opt-out id list)
+    GraftTable.deleteByKey(s, src, GraftTable.read(s, src)
+      .filter(pmod(col("o_custkey"), lit(7)) === 0)
+      .select(col("o_orderkey")), Seq("o_orderkey"))
+    GraftTable.syncReplica(s, src, dst, Seq("o_orderkey"))
+    GraftTable.read(s, dst).select(col("o_orderkey"), col("o_custkey"),
+      micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
+  }
+
   /** q130: per-group OLS regression + Pearson correlation in one
     * combinable pass ([[Ops.groupOls]]) — extended price regressed on
     * quantity per (returnflag, linestatus), the `regr_slope`/`corr`
@@ -1582,6 +1620,7 @@ object Queries {
   val all: Map[String, QFn] = Map(
     "q130_group_ols" -> (groupOlsQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
+    "q132_cdc_replica" -> (cdcReplicaQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

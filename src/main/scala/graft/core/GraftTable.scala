@@ -657,13 +657,42 @@ object GraftTable {
     upsertFromSnapshot(spark, path, delta, keys, statsCols, cur)
   }
 
+  /** Keyed copy-on-write DELETE: remove every row whose key tuple
+    * (null-safe) appears in `delKeys` — the GDPR/opt-out bulk-erasure
+    * shape, where the victims arrive as an id list, not a predicate.
+    * Same file-granular machinery as [[upsertByKey]] (stats prefilter on
+    * the key range, key-column semi-scan, rewrite only files actually
+    * holding a victim); the delete list stays distributed end to end,
+    * never collected to a driver `isin`. */
+  def deleteByKey(spark: SparkSession, path: String, delKeys: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "need at least one key column")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val missing = keys.filterNot(delKeys.columns.contains)
+    require(missing.isEmpty, s"delete-key frame lacks ${missing.mkString(", ")}")
+    cowMerge(spark, path, delKeys.select(keys.map(col): _*), None, keys, Nil, cur,
+      "delete_by_key")
+  }
+
   /** The upsert body pinned to an explicit snapshot — the seam the spec
     * uses to stage a lost commit race deterministically. */
   private[graft] def upsertFromSnapshot(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], statsCols: Seq[String], cur: Manifest): Long = {
     require(sameSchema(cur.schemaDdl, delta.schema),
       s"upsert schema mismatch vs '$path': table [${cur.schemaDdl}], delta [${delta.schema.toDDL}]")
-    val d = delta.persist()
+    cowMerge(spark, path, delta, Some(delta), keys, statsCols, cur, "upsert")
+  }
+
+  /** The keyed-COW core: drop every row of the table whose key tuple
+    * (null-safe) appears in `keyFrame`, append `replacement`'s rows if
+    * given, rewriting ONLY the files that actually hold a matched key.
+    * upsert = (delta keys, append delta); keyed delete = (victim keys,
+    * append nothing). */
+  private def cowMerge(spark: SparkSession, path: String, keyFrame: DataFrame,
+      replacement: Option[DataFrame], keys: Seq[String], statsCols: Seq[String],
+      cur: Manifest, op: String): Long = {
+    val d = keyFrame.persist()
     try {
       // stats prefilter: a file can hold a delta key in column k only if
       // its non-NULL [min,max] intersects the delta's non-NULL key range,
@@ -706,13 +735,19 @@ object GraftTable {
         cur.files.partition(fe => touchedNames.contains(fe.path.split('/').last))
       val kept = readFileSubset(spark, path, cur, touched)
         .join(deltaKeys, keyCond, "left_anti")
-      val rewritten = kept.unionByName(d.select(schema.fieldNames.map(col): _*))
-      val staged = stageFiles(rewritten, path, statsCols, None)
-      val next = Manifest(cur.version + 1, commitTs(Some(cur)), "upsert",
+      val rewritten = replacement match {
+        case Some(r) => kept.unionByName(r.select(schema.fieldNames.map(col): _*))
+        case None => kept
+      }
+      // a no-match delete has nothing to rewrite: carry the file list
+      // verbatim (staging an empty frame would emit a zero-row part file)
+      val staged = if (touched.isEmpty && replacement.isEmpty) Nil
+        else stageFiles(rewritten, path, statsCols, None)
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
         cur.schemaDdl, untouched ++ staged, cur.streamMarks)
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
-          s"commit v${next.version} of '$path' lost the race — re-read and retry the upsert")
+          s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
       next.version
     } finally d.unpersist(): Unit
   }
@@ -853,6 +888,73 @@ object GraftTable {
       .filter(col("change_type").isNotNull)
       .select(keys.map(col) ++ valCols.indices.map(i =>
         rowOut.getField(valCols(i)).as(valCols(i))) :+ col("change_type"): _*)
+  }
+
+  // ---------------------------------------------------------- replication
+
+  /** Advance `id`'s bookmark in `path`'s marks ledger as its own tiny
+    * commit (op `sync_mark`, file list carried verbatim). */
+  private def setMark(path: String, id: String, value: Long): Unit = {
+    var done = false
+    while (!done) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      val marks = cur.streamMarks.getOrElse(Map.empty) + (id -> value)
+      done = tryCommit(path, Manifest(cur.version + 1, commitTs(Some(cur)),
+        "sync_mark", cur.schemaDdl, cur.files, Some(marks)))
+    }
+  }
+
+  /** Incremental CDC replication: bring the GraftTable at `dstPath` up to
+    * date with `srcPath`'s current snapshot by applying only the CHANGES
+    * since the last sync ([[diffVersions]] keyed on `keys`): inserts and
+    * updates land through the file-granular [[upsertByKey]], deletes
+    * through [[deleteByKey]], and the synced source version commits into
+    * the replica's marks ledger. First sync (or a bookmark whose source
+    * version was vacuumed away) falls back to a full copy. Returns the
+    * source version the replica now reflects.
+    *
+    * Content-level exactly-once WITHOUT a transaction across tables: a
+    * crash after apply but before the bookmark commit makes the next sync
+    * re-derive the same diff, and both appliers are idempotent (an upsert
+    * of identical rows and a delete of absent keys leave content
+    * unchanged) — so replays converge instead of double-applying.
+    *
+    * Scale shape: the diff is ONE null-safe full-outer equi-join of two
+    * snapshots co-partitioned on `keys` (shuffle-optimal but O(table) —
+    * a per-commit change-file log, Delta CDF's trick, is the documented
+    * upgrade seam when diffs must be O(changes)); the apply side touches
+    * only files holding changed keys. Change volume per sync is
+    * batch-sized, so the replica's write amplification matches the
+    * source's. */
+  def syncReplica(spark: SparkSession, srcPath: String, dstPath: String,
+      keys: Seq[String], markId: Option[String] = None): Long = {
+    require(keys.nonEmpty, "need key columns")
+    val srcV = currentVersion(srcPath).getOrElse(
+      throw new IllegalArgumentException(s"'$srcPath' is not a GraftTable"))
+    val id = markId.getOrElse("cdc:" + new File(srcPath).getCanonicalPath)
+    val mark = currentManifest(dstPath).flatMap(_.streamMarks).flatMap(_.get(id))
+      .filter(v => new File(logDir(srcPath), manifestName(v)).exists) // vacuumed → resync
+      .filter(v => manifestAt(srcPath, v).schemaDdl ==
+        manifestAt(srcPath, srcV).schemaDdl) // schema evolved → diff keys incomparable, resync
+    mark match {
+      case Some(v) if v == srcV => srcV // already current — no commit at all
+      case Some(v) =>
+        val changes = diffVersions(spark, srcPath, v, srcV, keys).persist()
+        try {
+          val upserts = changes.filter(col("change_type") =!= "delete").drop("change_type")
+          val dels = changes.filter(col("change_type") === "delete")
+            .select(keys.map(col): _*)
+          if (!upserts.isEmpty) upsertByKey(spark, dstPath, upserts, keys): Unit
+          if (!dels.isEmpty) deleteByKey(spark, dstPath, dels, keys): Unit
+        } finally changes.unpersist(): Unit
+        setMark(dstPath, id, srcV)
+        srcV
+      case None =>
+        overwrite(read(spark, srcPath), dstPath): Unit
+        setMark(dstPath, id, srcV)
+        srcV
+    }
   }
 
   // ----------------------------------------------------------- compaction

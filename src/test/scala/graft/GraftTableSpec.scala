@@ -308,6 +308,76 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(bloomless.nonEmpty, "the rewritten file should have no bloom")
   }
 
+  test("deleteByKey removes listed keys null-safely; untouched files byte-identical") {
+    val path = tmp() + "/t"
+    val rows = df("k INT, v STRING", Row(Int.box(1), "a"), Row(Int.box(2), "b"),
+      Row(null, "n"), Row(Int.box(4), "d"))
+    // one file per row so victim targeting is observable at file grain
+    GraftTable.overwrite(rows.repartition(4, col("k")), path)
+    val before = dataFiles(path)
+    GraftTable.deleteByKey(spark, path,
+      df("k INT", Row(Int.box(2)), Row(null.asInstanceOf[Integer])), Seq("k"))
+    assert(canon(GraftTable.read(spark, path)) ==
+      canon(df("k INT, v STRING", Row(Int.box(1), "a"), Row(Int.box(4), "d"))))
+    // files not holding a victim key carried by reference, byte-identical
+    val after = dataFiles(path)
+    val carried = manifestFiles(path).filter(before.contains)
+    assert(carried.nonEmpty)
+    carried.foreach(f => assert(after(f) == before(f)))
+    // deleting absent keys is a verbatim-file-list commit, content stable
+    GraftTable.deleteByKey(spark, path, df("k INT", Row(Int.box(999))), Seq("k"))
+    assert(GraftTable.read(spark, path).count() == 2)
+  }
+
+  test("syncReplica: full copy, then incremental CDC apply; idle sync commits nothing") {
+    val root = tmp()
+    val (src, dst) = (root + "/src", root + "/dst")
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b", 3 -> "c"), src)
+    assert(GraftTable.syncReplica(spark, src, dst, Seq("k")) == 1L)
+    assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)))
+    // mutate src: insert, update, delete — one sync applies all three
+    GraftTable.append(kv(4 -> "d"), src)
+    GraftTable.upsertByKey(spark, src, kv(2 -> "B"), Seq("k"))
+    GraftTable.deleteByKey(spark, src, df("k INT", Row(Int.box(1))), Seq("k"))
+    GraftTable.syncReplica(spark, src, dst, Seq("k"))
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv(2 -> "B", 3 -> "c", 4 -> "d")))
+    // an up-to-date replica syncs without committing anything
+    val vBefore = GraftTable.currentVersion(dst).get
+    GraftTable.syncReplica(spark, src, dst, Seq("k"))
+    assert(GraftTable.currentVersion(dst).get == vBefore)
+    // replays converge: re-applying the same diff then re-syncing is stable
+    GraftTable.upsertByKey(spark, dst, kv(4 -> "d"), Seq("k")) // simulate a replayed apply
+    GraftTable.syncReplica(spark, src, dst, Seq("k"))
+    assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)))
+  }
+
+  test("syncReplica under random op sequences: replica ≡ source at every sync") {
+    for (seed <- Seq(11, 47)) {
+      val root = tmp()
+      val (src, dst) = (root + "/src", root + "/dst")
+      val rnd = new scala.util.Random(seed)
+      // keys distinct per batch: a replicated table is keyed by contract
+      def someRows() = kv(Seq.fill(rnd.nextInt(5) + 1)(
+        rnd.nextInt(30) -> rnd.alphanumeric.take(3).mkString)
+        .distinctBy(_._1): _*)
+      GraftTable.overwrite(someRows(), src)
+      for (_ <- 1 to 10) {
+        rnd.nextInt(4) match {
+          case 0 => GraftTable.append(someRows(), src): Unit
+          case 1 => GraftTable.upsertByKey(spark, src, someRows(), Seq("k")): Unit
+          case 2 => GraftTable.deleteByKey(spark, src,
+            df("k INT", Seq.fill(rnd.nextInt(3) + 1)(Row(Int.box(rnd.nextInt(30)))): _*),
+            Seq("k")): Unit
+          case 3 => GraftTable.overwrite(someRows(), src): Unit
+        }
+        GraftTable.syncReplica(spark, src, dst, Seq("k"))
+        assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)),
+          s"replica diverged at seed=$seed")
+      }
+    }
+  }
+
   test("commit conflict: append rebases and retries; upsert surfaces the conflict") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a"), path)
