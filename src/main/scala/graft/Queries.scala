@@ -1605,6 +1605,13 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
   }
 
+  /** q133: DEFLATE compressibility per document — the quality signal
+    * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
+    * has no zlib surface); the kernel itself is pinned in CorpusSpec
+    * (separation fixtures, UTF-8 accounting, determinism). */
+  def compressionRatioQ(s: SparkSession, d: String): DataFrame =
+    Corpus.compressionRatio(Ops.spread(Tables.documents(s, d)), "doc_id", "text")
+
   /** q130: per-group OLS regression + Pearson correlation in one
     * combinable pass ([[Ops.groupOls]]) — extended price regressed on
     * quantity per (returnflag, linestatus), the `regr_slope`/`corr`
@@ -1621,6 +1628,7 @@ object Queries {
     "q130_group_ols" -> (groupOlsQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
+    "q133_compression_ratio" -> (compressionRatioQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

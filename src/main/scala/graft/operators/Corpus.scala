@@ -8,6 +8,10 @@ import graft.functions.SqlFunctions.hash32
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.{shinglesOfTokens, tokenCount, tokens}
 
+/** Per-document DEFLATE compressibility ([[Corpus.compressionRatio]]). */
+case class CompressionStat(doc_id: Long, n_bytes: Long, n_deflate: Long,
+    ratio: Option[Double])
+
 /** Corpus-management operators a training-data pipeline needs around the
   * dedup/quality stages: reproducible splits and token-budget packing.
   * Both are pure column logic over content-stable hashes — rerunning on a
@@ -1065,5 +1069,45 @@ object Corpus {
       .withColumn("shard", pmod(hash32(col(idCol).cast("string")), lit(shards)))
       .withColumn("bin",
         floor((sum(col("tokens")).over(w) - col("tokens")) / budget).cast("long"))
+  }
+
+  /** DEFLATE compressibility per document — the MassiveText/Gopher-family
+    * quality signal the regex stats can't fake: heavily repetitive or
+    * templated text compresses far below prose, random noise barely at
+    * all, so `ratio = deflate_bytes / utf8_bytes` separates boilerplate
+    * (low), natural text (middle), and binary-ish junk (high ≈ 1). Zero-
+    * byte documents get a NULL ratio (no defined compressibility).
+    * Rounded to 6 dp (HALF_UP, the engine's own convention).
+    *
+    * Gate shape: DuckDB has no zlib surface, so the driver check is
+    * rows-only; `CorpusSpec` pins the kernel instead (separation on
+    * planted fixtures, UTF-8 byte accounting, empty-input NULL,
+    * run-to-run determinism — DEFLATE at a fixed level in one JVM is a
+    * pure function of the bytes).
+    *
+    * Scale shape: a per-partition `Deflater` handle streamed over the
+    * iterator ([[graft.multimodal.Multimodal]]'s decoder pattern) — one
+    * native allocation per task, no shuffle, scales with input splits. */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be in [1, 9], got $level")
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(bytes); defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          val ratio = if (bytes.isEmpty) None
+            else Some(BigDecimal(n.toDouble / bytes.length)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          CompressionStat(id, bytes.length.toLong, n, ratio)
+        } ++ { defl.end(); Iterator.empty } // free native memory at exhaustion
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
   }
 }

@@ -416,6 +416,32 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
   }
 
+
+  test("compressionRatio: repetition compresses, noise doesn't; UTF-8 bytes; NULL on empty") {
+    val rnd = new scala.util.Random(7)
+    val noise = rnd.alphanumeric.take(1000).mkString
+    val rows = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "ab" * 500),          // pure repetition
+      Row(Long.box(2L), noise),               // high-entropy
+      Row(Long.box(3L), ""),                  // empty
+      Row(Long.box(4L), null),                // NULL text = empty by contract
+      Row(Long.box(5L), "caf\u00e9"))          // multibyte UTF-8
+    val got = Corpus.compressionRatio(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (rep, noi) = (got(1L).getDouble(3), got(2L).getDouble(3))
+    assert(rep < 0.05, s"repetition should compress hard, ratio=$rep")
+    assert(noi > 0.5, s"noise should barely compress, ratio=$noi")
+    assert(got(3L).isNullAt(3) && got(3L).getLong(1) == 0L)
+    assert(got(4L).isNullAt(3))
+    assert(got(5L).getLong(1) == 5L, "caf\u00e9 is 5 UTF-8 bytes")
+    // determinism: a second run is byte-identical
+    val again = Corpus.compressionRatio(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), Option(r.get(3)))).toMap
+    got.foreach { case (id, r) =>
+      assert(again(id) == ((r.getLong(2), Option(r.get(3)))), s"doc $id not deterministic")
+    }
+  }
+
   test("cleanMarkup: tags stripped, one decode layer, &amp; last, counts pre-decode") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "<p>a &amp;lt; b</p>  <br/>x &quot;y&#39;s&quot;&nbsp;z"),
