@@ -279,6 +279,16 @@ SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
 FROM orders
 WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
 
+    // same contract as q104 — the optimizer rule must be invisible to
+    // results (it only removes provably-dead file IO)
+    "q134_ruled_scan" -> """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+GROUP BY 1""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

@@ -1605,6 +1605,31 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q134Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_rule").toString
+
+  /** q134: the q104 pruned scan with NO explicit readPruned — the
+    * [[graft.plans.GraftPrune]] optimizer rule alone must narrow the
+    * plain `.filter` over the clustered table to the stats-surviving
+    * files (GraftPruneSpec pins the planned-file counts and no-false-
+    * skip; this gate pins end-to-end correctness through the rule). */
+  def ruledScanQ(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPrune.install(s)
+    val root = q134Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_r"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.writeClustered(orders, path, col("o_orderdate"), numFiles = 16)
+    graft.core.GraftTable.read(s, path)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(micros(col("month")).as("month_us"), col("n_orders"), col("revenue"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -1629,6 +1654,7 @@ object Queries {
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),
+    "q134_ruled_scan" -> (ruledScanQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

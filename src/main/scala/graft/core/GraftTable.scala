@@ -534,20 +534,42 @@ object GraftTable {
     * drop files whose stats PROVE no row can satisfy the range
     * conjunction; keep files with no stats for a constrained column. */
   private def statsKeep(files: Seq[FileEntry], ranges: Seq[ColRange]): Seq[FileEntry] =
-    files.filter { fe =>
-      ranges.forall { r =>
-        fe.stats.get(r.col) match {
-          case None => true // no stats recorded — can't prove anything, read it
-          case Some(st) =>
-            if (st.min.isEmpty && st.max.isEmpty) false // all NULL, range can't match
-            else {
-              val loOk = r.lo.forall(lo => st.max.forall(mx => cmp(st.t, mx, encode(st.t, lo)) >= 0))
-              val hiOk = r.hi.forall(hi => st.min.forall(mn => cmp(st.t, mn, encode(st.t, hi)) <= 0))
-              loOk && hiOk
-            }
-        }
+    files.filter(fe => mayMatch(fe.stats, ranges))
+
+  /** One file's keep test — also the seam [[graft.plans.GraftPrune]]
+    * (the transparent optimizer-rule skipper) probes per scanned file. */
+  private[graft] def mayMatch(stats: Map[String, ColStats], ranges: Seq[ColRange]): Boolean =
+    ranges.forall { r =>
+      stats.get(r.col) match {
+        case None => true // no stats recorded — can't prove anything, read it
+        case Some(st) =>
+          if (st.min.isEmpty && st.max.isEmpty) false // all NULL, range can't match
+          else {
+            val loOk = r.lo.forall(lo => st.max.forall(mx => cmp(st.t, mx, encode(st.t, lo)) >= 0))
+            val hiOk = r.hi.forall(hi => st.min.forall(mn => cmp(st.t, mn, encode(st.t, hi)) <= 0))
+            loOk && hiOk
+          }
       }
     }
+
+  /** Per-file stats for every data file any retained manifest mentions,
+    * NEWEST manifest first (data files are immutable, so any manifest
+    * that lists a file carries valid stats for it). Keys are file
+    * basenames — the join key [[graft.plans.GraftPrune]] uses to map a
+    * scan's file list (which may be any version's, or a subset) back to
+    * its stats without knowing which snapshot produced it. */
+  private[graft] def statsForFiles(root: String): Map[String, Map[String, ColStats]] =
+    manifestFiles(root).reverse.iterator
+      .flatMap(f => parseManifest(f).files)
+      .map(fe => fe.path.split('/').last -> fe.stats)
+      .foldLeft(Map.empty[String, Map[String, ColStats]]) {
+        case (acc, (name, stats)) => if (acc.contains(name)) acc else acc + (name -> stats)
+      }
+
+  /** True when `dir` is a GraftTable's `data/` directory. */
+  private[graft] def isDataDir(dir: File): Boolean =
+    dir.getName == DataDir && dir.getParentFile != null &&
+      logDir(dir.getParentFile.getPath).isDirectory
 
   /** Copy-on-write UPDATE WHERE: rewrite every row where `pred` is TRUE
     * with `set`'s assignments applied (other rows — FALSE and NULL —

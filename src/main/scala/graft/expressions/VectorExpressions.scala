@@ -71,6 +71,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(MinHashFunctions.descriptor)
+    e.injectOptimizerRule(s => graft.plans.GraftPrune(s))
   }
 }
 

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftTable
+import graft.plans.GraftPrune
+
+/** The transparent file-skipping optimizer rule: a plain `.filter` over a
+  * GraftTable scan reads only the files whose manifest stats can match —
+  * no explicit readPruned call — and never changes results. */
+class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_prune").toString
+
+  /** Files the OPTIMIZED logical plan's scan will read. */
+  private def plannedFiles(q: DataFrame): Int =
+    q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.length
+        case _ => 0
+      }
+    }.sum
+
+  private def installed[A](body: => A): A = {
+    GraftPrune.install(spark)
+    try body
+    finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_.isInstanceOf[GraftPrune])
+  }
+
+  test("a plain filter over a clustered GraftTable scans only matching files") {
+    val path = tmp() + "/t"
+    val rows = spark.range(0, 800).select(col("id").cast("int").as("k"),
+      (col("id") % 100).cast("double").as("x"))
+    GraftTable.writeClustered(rows, path, col("k"), 8)
+    // exactness baseline computed with the rule NOT installed
+    val expect = canon(GraftTable.read(spark, path)
+      .filter(col("k") >= 100 && col("k") <= 199))
+    installed {
+      val q = GraftTable.read(spark, path).filter(col("k") >= 100 && col("k") <= 199)
+      assert(plannedFiles(q) <= 2, s"rule should skip, planned ${plannedFiles(q)}/8")
+      assert(q.count() == 100)
+      assert(canon(q) == expect)
+      // strict bounds relax conservatively, equality probes skip hardest
+      assert(plannedFiles(GraftTable.read(spark, path).filter(col("k") === 42)) == 1)
+      assert(plannedFiles(GraftTable.read(spark, path).filter(col("k") > 700)) <= 1)
+    }
+  }
+
+  test("version-pinned reads and string predicates skip; results exact") {
+    val path = tmp() + "/t"
+    val v1rows = spark.range(0, 400).select(col("id").as("k"),
+      format_string("u%04d", col("id")).as("u"))
+    GraftTable.writeClustered(v1rows, path, col("u"), 4)
+    GraftTable.overwrite(spark.range(0, 10).select(col("id").as("k"),
+      lit("zzz").as("u")), path) // v2 replaces everything
+    installed {
+      val q = GraftTable.readVersion(spark, path, 1).filter(col("u") >= "u0300")
+      assert(plannedFiles(q) <= 1, s"v1 skip failed: ${plannedFiles(q)}/4")
+      assert(q.count() == 100)
+    }
+  }
+
+  test("random range probes: pruned results always equal unpruned (no false skip)") {
+    val path = tmp() + "/t"
+    val rnd = new scala.util.Random(13)
+    val rows = spark.range(0, 500).select(
+      pmod(hash(col("id")), lit(1000)).cast("int").as("k"), col("id").as("v"))
+    GraftTable.writeClustered(rows, path, col("k"), 6)
+    val full = GraftTable.read(spark, path)
+    for (_ <- 1 to 8) {
+      val (a, b) = (rnd.nextInt(1000), rnd.nextInt(1000))
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val expect = canon(full.filter(col("k").between(lo, hi)))
+      val got = installed {
+        canon(GraftTable.read(spark, path).filter(col("k").between(lo, hi)))
+      }
+      assert(got == expect, s"divergence on [$lo,$hi]")
+    }
+  }
+
+  test("non-Graft parquet scans and non-range predicates are untouched") {
+    val dir = tmp() + "/plain"
+    spark.range(0, 100).select(col("id").as("k")).repartition(4)
+      .write.parquet(dir)
+    installed {
+      val q = spark.read.parquet(dir).filter(col("k") < 10)
+      assert(plannedFiles(q) == 4, "plain parquet must not be rewritten")
+      assert(q.count() == 10)
+      // a predicate the extractor can't bound → no-op, still correct
+      val path = tmp() + "/t"
+      GraftTable.writeClustered(spark.range(0, 100).select(col("id").as("k")),
+        path, col("k"), 4)
+      val odd = GraftTable.read(spark, path).filter(pmod(col("k"), lit(2)) === 1)
+      assert(plannedFiles(odd) == 4)
+      assert(odd.count() == 50)
+    }
+  }
+}
