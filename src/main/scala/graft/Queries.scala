@@ -595,8 +595,7 @@ object Queries {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    Graph.pageRank(e, "src", "dst", iterations = 5)
+    Graph.pageRank(e, "src", "dst", iterations = 5, distinctEdges = true)
   }
 
   /** q119: per-node triangle counts over the support-≥2 co-purchase

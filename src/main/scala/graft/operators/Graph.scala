@@ -24,24 +24,39 @@ object Graph {
     *
     * rank'(v) = (1−d)/N + d·(Σ_{u→v} q(rank(u)/outdeg(u)) + dang/N)
     * where q(…) quantizes to decimal(24,12) and dang is the summed rank
-    * of dangling nodes. Multi-edges count multiply — pre-`distinct` the
-    * edge list for simple-graph semantics.
+    * of dangling nodes. Multi-edges count multiply — pass
+    * `distinctEdges = true` for simple-graph semantics (cheaper than a
+    * caller-side `distinct()`: the dedup shares the repartition's
+    * exchange).
     *
-    * Scale shape: the edge list (pre-joined with out-degrees, persisted)
-    * is the only big dataset; each iteration is one join keyed src (AQE
-    * broadcasts the node-sized rank frame when it fits) and one
-    * map-side-combinable groupBy keyed dst — the canonical distributed
-    * PageRank step, cost O(|E|) per iteration with no global sort. The
-    * dangling-mass scalar is one driver action per iteration on the
-    * node-sized frame (S7 precedent). Rank frames are node-sized —
-    * orders of magnitude smaller than edges at web scale. */
+    * Scale shape: the edge list — hash-partitioned by src ONCE and
+    * persisted in that layout — is the only big dataset; each iteration
+    * is one join keyed src (broadcast of the node-sized rank frame while
+    * it fits, cached-layout reuse with no edge exchange when it does
+    * not) and one map-side-combinable groupBy keyed dst — the canonical
+    * distributed PageRank step, cost O(|E|) per iteration with no global
+    * sort and no edge-sized exchange. The dangling-mass scalar rides in
+    * the same job as a broadcast one-row aggregate, so each iteration is
+    * exactly one Spark job over node-sized shuffles. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 5, damping: Double = 0.85,
+      distinctEdges: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
-    val e = edges
+    // hash-partition the edge list by src ONCE and persist that layout:
+    // every iteration's contribution join keys on src, so a non-broadcast
+    // join plan reuses the cached partitioning instead of re-exchanging
+    // the full edge list per iteration — the only edge-sized exchange in
+    // the whole computation is this one-time repartition.
+    // `distinctEdges` dedups for simple-graph semantics INSIDE that same
+    // exchange: hash(src) satisfies the (src, dst) aggregation's required
+    // clustering, so the dedup piggybacks on the repartition instead of
+    // costing its own (src, dst) exchange like a caller-side distinct().
+    val cast = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+    val e = (if (distinctEdges) cast.dropDuplicates("src", "dst") else cast)
       .persist()
     val nd = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
@@ -63,10 +78,10 @@ object Graph {
       // dangling-ness is a property of the edges, not of the ranks
       val hasDangling = nd.filter(col("out_deg") === 0).limit(1).count() > 0
       for (_ <- 1 to iterations) {
-        val dangOverN = if (!hasDangling) 0.0 else {
-          val dangRow = ranks.filter(col("out_deg") === 0).agg(sum(col("rank"))).first()
-          if (dangRow.isNullAt(0)) 0.0 else dangRow.getDecimal(0).doubleValue() / n
-        }
+        // dangling mass rides along as a broadcast one-row frame instead
+        // of a separate driver action: one Spark job per iteration, and
+        // the double arithmetic (sum → /n) is shaped exactly like the
+        // former getDecimal(0).doubleValue() / n driver computation
         val contrib = e
           .join(ranks.select(col("node").as("src"), col("rank"), col("out_deg")),
             Seq("src"))
@@ -74,10 +89,17 @@ object Graph {
             (col("rank").cast("double") / col("out_deg"))
               .cast("decimal(24,12)").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-        val next = nd.join(contrib, Seq("node"), "left")
+        val joined = nd.join(contrib, Seq("node"), "left")
+        val withDang =
+          if (!hasDangling) joined.withColumn("__dang_over_n", lit(0.0))
+          else joined.crossJoin(broadcast(
+            ranks.filter(col("out_deg") === 0).agg(
+              (coalesce(sum(col("rank")).cast("double"), lit(0.0)) / lit(n.toDouble))
+                .as("__dang_over_n"))))
+        val next = withDang
           .select(col("node"), col("out_deg"),
             (lit(base) + lit(damping) *
-              (coalesce(col("contrib").cast("double"), lit(0.0)) + lit(dangOverN)))
+              (coalesce(col("contrib").cast("double"), lit(0.0)) + col("__dang_over_n")))
               .cast("decimal(24,12)").as("rank"))
           .persist()
         next.count(): Unit

@@ -397,6 +397,97 @@ object PlanAudit {
       "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop")))
     locally {
+      // q118's ITERATION shape, pinned directly (the registry query's final
+      // plan only shows the cached result): build the src-partitioned
+      // cached edge list and one rank frame, then assert a single power
+      // iteration (1) broadcasts the node-sized rank frame into the edge
+      // join and (2) never re-exchanges the edge list — the only
+      // ENSURE_REQUIREMENTS hash exchanges key on node-sized frames
+      // (contrib's dst groupBy / the nd left join), never on src. The
+      // one-time REPARTITION_BY_COL(src) build exchange is allowed — it is
+      // the layout investment every later iteration reuses.
+      import org.apache.spark.sql.functions.{col, count, lit, sum => fsum, coalesce}
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).limit(20000)
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .repartition(col("src")).dropDuplicates("src", "dst").persist()
+      val nd = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")),
+          Seq("node"), "left").na.fill(0L, Seq("out_deg")).persist()
+      val n = nd.count()
+      val ranks = nd.select(col("node"), col("out_deg"),
+        lit(1.0 / n).cast("decimal(24,12)").as("rank")).persist()
+      ranks.count(): Unit
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank"), col("out_deg")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank").cast("double") / col("out_deg")).cast("decimal(24,12)").as("c"))
+        .groupBy(col("node")).agg(fsum(col("c")).as("contrib"))
+      val next = nd.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("out_deg"),
+          (lit(0.03) + lit(0.85) * coalesce(col("contrib").cast("double"), lit(0.0)))
+            .cast("decimal(24,12)").as("rank"))
+      // collect() (NOT count()) finalizes THIS DataFrame's adaptive plan:
+      // count() spawns a separate QueryExecution and would leave `next`'s
+      // own plan at its initial (pre-AQE, sort-merge) shape
+      next.collect(): Unit
+      // walk the EXECUTED tree only — descending into finalized adaptive
+      // plans and materialized query stages, never into a cached
+      // relation's stored build plan or the textual "Initial Plan"
+      // sections (both legitimately contain the one-time src exchange)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case q: QueryStageExec => q +: flat(q.plan)
+        case o => o +: o.children.flatMap(flat)
+      }
+      val nodes = flat(next.queryExecution.executedPlan).map(_.verboseString(25))
+      val checks = Seq(
+        "broadcast_ranks" -> nodes.exists(_.startsWith("BroadcastHashJoin")),
+        "no_edge_reexchange" -> !nodes.exists(n =>
+          n.startsWith("Exchange hashpartitioning(src#") && n.contains("ENSURE_REQUIREMENTS")),
+        "combinable_contrib" -> nodes.exists(_.contains("partial_sum")),
+        "no_cartesian" -> !nodes.exists(n =>
+          n.startsWith("CartesianProduct") || n.startsWith("BroadcastNestedLoop")))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q118_iteration: ${results.mkString(" ")}")
+      if (results.exists(_.endsWith("MISS"))) println(nodes.mkString("\n").take(3000))
+      e.unpersist(); nd.unpersist(); ranks.unpersist(): Unit
+    }
+    locally {
+      // bucketed incremental-dedup state (q77's big-state variant): the
+      // standing fp table is read CO-LOCATED (Bucketed: true), the state
+      // side reaches the anti-join with no exchange at all, and the only
+      // hash exchange in the plan is the batch side shuffling to the
+      // bucket count
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val tbl = "plan_audit_dedup_state"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val batch = graft.operators.Dedup.exact(
+        docs.withColumn("text", coalesce(col("text"), lit(""))), "doc_id", "text")
+        .select(col("fp"), col("keep_id"))
+      graft.core.TableIO.writeBucketed(batch.limit(100), tbl, Seq("fp"), 8, Seq("fp"))
+      val anti = batch.join(spark.table(tbl), Seq("fp"), "left_anti")
+      anti.count(): Unit
+      val plan = anti.queryExecution.executedPlan.toString
+      val checks = Seq(
+        "state_bucketed_scan" -> plan.contains("Bucketed: true"),
+        "state_anti" -> plan.contains("LeftAnti"),
+        "single_exchange" -> ("Exchange hashpartitioning".r.findAllIn(plan).size <= 1),
+        "no_cartesian" -> (!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoop")))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q77_bucketed_state: ${results.mkString(" ")}")
+      if (results.exists(_.endsWith("MISS"))) println(plan.take(3000))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl"): Unit
+    }
+    locally {
       // q77's anti-join hides behind localCheckpoint in the returned plan,
       // so audit the factored freshness plan directly: the state side must
       // carry the batch-built bloom word-table probe in its own stage (the
