@@ -73,13 +73,31 @@ object GraftTable {
   case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
       renames: Option[Map[String, String]] = None)
 
+  /** A pointer to a LEAF manifest: `path` (relative to `_graft_log/`)
+    * names a JSON holding a `Seq[FileEntry]` chunk of the snapshot's file
+    * list; `stats` aggregates the chunk's per-column bounds (min of mins,
+    * max of maxes, summed null counts — a column appears only when EVERY
+    * member file carries stats for it, so leaf-level pruning is exactly as
+    * conservative as file-level). Leaves are immutable and content-
+    * addressed by UUID name, so a commit that doesn't touch a chunk
+    * carries the POINTER — the Iceberg manifest-list shape, re-derived:
+    * commit cost is O(new files + leaf count), not O(table files), and a
+    * pruned read parses only leaves whose aggregate stats intersect. */
+  case class LeafRef(path: String, files: Int, rows: Long, bytes: Long,
+      stats: Map[String, ColStats])
+
   /** `streamMarks` is the exactly-once ledger for streaming appends: per
     * stream id (a checkpoint-derived stable name), the highest micro-batch
     * id whose append COMMITTED. foreachBatch is at-least-once and batches
     * commit in order per query, so a high-water mark is a complete replay
-    * filter. Optional for manifest-format backward compatibility. */
+    * filter. Optional for manifest-format backward compatibility.
+    *
+    * A snapshot's file list is `files` (inline entries — small/recent
+    * commits) plus every [[LeafRef]] in `leaves`; both optional layers
+    * keep old single-level manifests parsing unchanged. */
   case class Manifest(version: Long, tsUs: Long, op: String, schemaDdl: String,
-      files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None)
+      files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None,
+      leaves: Option[Seq[LeafRef]] = None)
 
   /** A range constraint for [[readPruned]]: keep files whose [min,max]
     * can intersect [lo,hi] (either bound optional). Bounds take ordinary
@@ -133,7 +151,7 @@ object GraftTable {
   /** Put-if-absent commit: hard-link a written temp file to the version
     * name — atomically fails with EEXIST if another writer committed this
     * version first (the object-store analogue is a conditional PUT). */
-  private def tryCommit(path: String, m: Manifest): Boolean = {
+  private[graft] def tryCommit(path: String, m: Manifest): Boolean = {
     val dir = logDir(path); dir.mkdirs()
     val tmp = new File(dir, ".tmp-" + java.util.UUID.randomUUID.toString)
     Files.write(tmp.toPath, Serialization.writePretty(m).getBytes(UTF_8))
@@ -141,6 +159,82 @@ object GraftTable {
     try { Files.createLink(target.toPath, tmp.toPath); tmp.delete(); true }
     catch { case _: FileAlreadyExistsException => tmp.delete(); false }
   }
+
+  // ----------------------------------------------------------- leaf layer
+
+  /** Inline-entry cap: commits whose running inline list stays under this
+    * keep everything in the manifest (one JSON write, zero extra IO);
+    * larger lists spill to a leaf. Var only so LeafManifestSpec can
+    * shrink it to exercise the leaf machinery at test scale. */
+  private[graft] var InlineFileLimit = 100
+  /** Leaf-count cap: when a commit would carry more leaves than this, the
+    * smallest half merge into one — size-tiered, so total consolidation
+    * work over N appends is O(N log N) entries, amortized O(log N) per
+    * commit, while read planning stays O(leaf count) manifest-side. */
+  private[graft] var MaxLeaves = 32
+
+  private def leafFile(path: String, ref: String): File = new File(logDir(path), ref)
+
+  private def loadLeaf(path: String, ref: LeafRef): Seq[FileEntry] =
+    JsonMethods.parse(new String(Files.readAllBytes(leafFile(path, ref.path).toPath), UTF_8))
+      .extract[Seq[FileEntry]]
+
+  /** Aggregate a chunk's per-file stats into leaf-level bounds. A column
+    * qualifies only when every file tracks it (else leaf pruning could
+    * skip a stats-less file the file-level rule would read); all-NULL
+    * members contribute no bounds but keep the column qualified — rows
+    * that could match a range live only in files WITH values, so bounds
+    * over those files cover every possibly-matching row. */
+  private def aggregateStats(entries: Seq[FileEntry]): Map[String, ColStats] = {
+    val cols = entries.map(_.stats.keySet).reduceOption(_ intersect _).getOrElse(Set.empty)
+    cols.iterator.map { c =>
+      val sts = entries.map(_.stats(c))
+      val tag = sts.head.t
+      val mins = sts.flatMap(_.min)
+      val maxs = sts.flatMap(_.max)
+      c -> ColStats(tag,
+        if (mins.isEmpty) None else Some(mins.min(Ordering.fromLessThan[String](cmp(tag, _, _) < 0))),
+        if (maxs.isEmpty) None else Some(maxs.max(Ordering.fromLessThan[String](cmp(tag, _, _) < 0))),
+        sts.map(_.nulls).sum)
+    }.toMap
+  }
+
+  private[graft] def writeLeaf(path: String, entries: Seq[FileEntry]): LeafRef = {
+    val dir = logDir(path); dir.mkdirs()
+    val name = s"leaf-${java.util.UUID.randomUUID}.json"
+    Files.write(leafFile(path, name).toPath,
+      Serialization.writePretty(entries).getBytes(UTF_8))
+    LeafRef(name, entries.size, entries.map(_.rows).sum, entries.map(_.bytes).sum,
+      aggregateStats(entries))
+  }
+
+  /** Pack a snapshot's file list for the next commit: carry the parent's
+    * leaves by pointer, keep the combined inline tail while it is small,
+    * spill it to a new leaf when it is not, and size-tier-merge when the
+    * leaf count itself outgrows [[MaxLeaves]]. Old-format manifests
+    * (everything inline) roll into the policy unchanged — their inline
+    * list simply spills on the first commit that overflows the cap. */
+  private def packCommit(path: String, inline: Seq[FileEntry],
+      parentLeaves: Seq[LeafRef]): (Seq[FileEntry], Option[Seq[LeafRef]]) = {
+    val (files, leaves) =
+      if (inline.size <= InlineFileLimit) (inline, parentLeaves)
+      else (Nil, parentLeaves :+ writeLeaf(path, inline))
+    val merged =
+      if (leaves.size <= MaxLeaves) leaves
+      else {
+        val (small, big) = leaves.sortBy(_.files).splitAt(leaves.size / 2)
+        big :+ writeLeaf(path, small.flatMap(loadLeaf(path, _)))
+      }
+    (files, if (merged.isEmpty) None else Some(merged))
+  }
+
+  /** The complete file list of a snapshot — inline entries plus every
+    * leaf's, loaded in order. */
+  private[graft] def filesOf(path: String, m: Manifest): Seq[FileEntry] =
+    m.files ++ m.leaves.getOrElse(Nil).flatMap(loadLeaf(path, _))
+
+  private def totalFiles(m: Manifest): Int =
+    m.files.size + m.leaves.getOrElse(Nil).map(_.files).sum
 
   // ------------------------------------------------------------ stats codec
 
@@ -349,16 +443,18 @@ object GraftTable {
     var committed = -1L
     while (committed < 0) {
       val cur = currentManifest(path)
-      val files = op match {
-        case "overwrite" => staged
+      val (inline, parentLeaves) = op match {
+        case "overwrite" => (staged, Nil)
         case "append" =>
           cur.foreach(m => require(sameSchema(m.schemaDdl, df.schema),
             s"append schema mismatch vs '$path' v${m.version}: table has " +
               s"[${m.schemaDdl}], append has [${df.schema.toDDL}] — overwrite to evolve"))
-          cur.map(_.files).getOrElse(Nil) ++ staged
+          (cur.map(_.files).getOrElse(Nil) ++ staged,
+            cur.flatMap(_.leaves).getOrElse(Nil))
       }
+      val (files, leaves) = packCommit(path, inline, parentLeaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
-        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks))
+        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves)
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -403,9 +499,11 @@ object GraftTable {
       cur.foreach(m => require(sameSchema(m.schemaDdl, df.schema),
         s"append schema mismatch vs '$path' v${m.version}"))
       val marks = cur.flatMap(_.streamMarks).getOrElse(Map.empty) + (streamId -> batchId)
+      val (files, leaves) = packCommit(path,
+        cur.map(_.files).getOrElse(Nil) ++ staged,
+        cur.flatMap(_.leaves).getOrElse(Nil))
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
-        "stream_append", df.schema.toDDL,
-        cur.map(_.files).getOrElse(Nil) ++ staged, Some(marks))
+        "stream_append", df.schema.toDDL, files, Some(marks), leaves)
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -443,7 +541,7 @@ object GraftTable {
   }
 
   private def readManifest(spark: SparkSession, path: String, m: Manifest): DataFrame =
-    readFileSubset(spark, path, m, m.files)
+    readFileSubset(spark, path, m, filesOf(path, m))
 
   /** Latest committed snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -488,8 +586,13 @@ object GraftTable {
     val m = version.map(manifestAt(path, _))
       .orElse(currentManifest(path))
       .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    val kept = statsKeep(m.files, ranges)
-    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
+    // two-level skip: a leaf whose AGGREGATE stats can't intersect the
+    // ranges is never even parsed — planning cost is O(inline + leaf
+    // count + surviving leaves' entries), sub-linear in table files for
+    // selective predicates over a clustered layout
+    val liveLeaves = m.leaves.getOrElse(Nil).filter(l => mayMatch(l.stats, ranges))
+    val kept = statsKeep(m.files ++ liveLeaves.flatMap(loadLeaf(path, _)), ranges)
+    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, totalFiles(m))
   }
 
   /** IN-list file skipping: keep files whose [min,max] in `column` can
@@ -514,20 +617,26 @@ object GraftTable {
       val dt = StructType.fromDDL(m.schemaDdl)(column).dataType
       probeHashes(spark, dt, values, BloomK)
     }
-    val kept = m.files.filter { fe =>
+    // leaf-level point test first (range only — blooms live per file):
+    // a leaf none of whose aggregate ranges can hold any probe value is
+    // never parsed
+    def inStats(st: ColStats, withBloom: Boolean): Boolean =
+      if (st.min.isEmpty && st.max.isEmpty) false
+      else values.exists { v =>
+        val ev = encode(st.t, v)
+        st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
+          st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
+          (!withBloom || st.bloom.forall(b => bloomMayContain(b, hashes(v))))
+      }
+    val liveLeaves = m.leaves.getOrElse(Nil)
+      .filter(l => l.stats.get(column).forall(inStats(_, withBloom = false)))
+    val kept = (m.files ++ liveLeaves.flatMap(loadLeaf(path, _))).filter { fe =>
       fe.stats.get(column) match {
         case None => true // no stats — can't prove the file clean
-        case Some(st) =>
-          if (st.min.isEmpty && st.max.isEmpty) false
-          else values.exists { v =>
-            val ev = encode(st.t, v)
-            st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
-              st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
-              st.bloom.forall(b => bloomMayContain(b, hashes(v)))
-          }
+        case Some(st) => inStats(st, withBloom = true)
       }
     }
-    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, m.files.size)
+    PrunedScan(readFileSubset(spark, path, m, kept), kept.size, totalFiles(m))
   }
 
   /** The file-skipping core shared by [[readPruned]] and [[deleteWhere]]:
@@ -560,7 +669,7 @@ object GraftTable {
     * its stats without knowing which snapshot produced it. */
   private[graft] def statsForFiles(root: String): Map[String, Map[String, ColStats]] =
     manifestFiles(root).reverse.iterator
-      .flatMap(f => parseManifest(f).files)
+      .flatMap(f => filesOf(root, parseManifest(f)))
       .map(fe => fe.path.split('/').last -> fe.stats)
       .foldLeft(Map.empty[String, Map[String, ColStats]]) {
         case (acc, (name, stats)) => if (acc.contains(name)) acc else acc + (name -> stats)
@@ -632,15 +741,25 @@ object GraftTable {
   private def rewriteMatching(spark: SparkSession, path: String, pred: Column,
       pruneRanges: Seq[ColRange], cur: Manifest, op: String,
       transform: DataFrame => DataFrame): Long = {
-    val candidates = statsKeep(cur.files, pruneRanges)
+    // leaf-level stats cover first: a leaf provably clean of the predicate
+    // ranges is never parsed AND carries into the new manifest by pointer
+    val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
+      .partition(l => mayMatch(l.stats, pruneRanges))
+    val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
+    val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
     val touchedNames: Set[String] =
       if (candidates.isEmpty) Set.empty
       else readFileSubset(spark, path, cur, candidates)
         .filter(pred)
         .select(input_file_name().as("__f")).distinct().collect()
         .map(_.getString(0).split('/').last).toSet
-    val (touched, untouched) =
-      cur.files.partition(fe => touchedNames.contains(fe.path.split('/').last))
+    def isTouched(fe: FileEntry) = touchedNames.contains(fe.path.split('/').last)
+    val (inTouched, inUntouched) = cur.files.partition(isTouched)
+    // a parsed leaf with no touched member still carries by pointer; a
+    // touched leaf dissolves — survivors inline, matches rewrite
+    val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(isTouched))
+    val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(isTouched)
+    val survivors = dirtyLeaves.flatMap(_._2).filterNot(isTouched)
     val statsCols = touched.flatMap(_.stats.keys).distinct
     // no matching file → the commit carries the file list verbatim (an
     // empty stage would still emit one zero-row part file)
@@ -648,8 +767,10 @@ object GraftTable {
       if (touched.isEmpty) Nil
       else stageFiles(transform(readFileSubset(spark, path, cur, touched)),
         path, statsCols, None)
+    val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged,
+      cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
-      cur.schemaDdl, untouched ++ staged, cur.streamMarks)
+      cur.schemaDdl, files, cur.streamMarks, leaves)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -723,10 +844,10 @@ object GraftTable {
       val bcols = keys.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"),
         sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nn_$k")))
       val bounds = d.agg(bcols.head, bcols.tail: _*).collect()(0)
-      val candidates = cur.files.filter { fe =>
+      def mayHoldDelta(stats: Map[String, ColStats]): Boolean =
         keys.forall { k =>
-          fe.stats.get(k) match {
-            case None => true // no stats — can't prove the file clean
+          stats.get(k) match {
+            case None => true // no stats — can't prove the chunk clean
             case Some(st) =>
               val deltaHasNull = bounds.getAs[Long](s"__nn_$k") > 0
               val nullMatch = deltaHasNull && st.nulls > 0
@@ -740,7 +861,14 @@ object GraftTable {
               rangeMatch || nullMatch
           }
         }
-      }
+      // the same cover runs leaf-level first: a leaf whose aggregate key
+      // range can't hold a delta key is never parsed and carries by
+      // pointer — steady-state upserts against a clustered table read
+      // O(touched leaves), not O(manifest)
+      val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
+        .partition(l => mayHoldDelta(l.stats))
+      val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
+      val candidates = (cur.files ++ loaded.flatMap(_._2)).filter(fe => mayHoldDelta(fe.stats))
       val schema = StructType.fromDDL(cur.schemaDdl)
       // key columns renamed on the probe side: a self-derived frame joined
       // on same-name columns would resolve ambiguously
@@ -753,8 +881,11 @@ object GraftTable {
           .join(deltaKeys, keyCond, "left_semi")
           .select(col("__f")).distinct().collect()
           .map(_.getString(0).split('/').last).toSet
-      val (touched, untouched) =
-        cur.files.partition(fe => touchedNames.contains(fe.path.split('/').last))
+      def isTouched(fe: FileEntry) = touchedNames.contains(fe.path.split('/').last)
+      val (inTouched, inUntouched) = cur.files.partition(isTouched)
+      val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(isTouched))
+      val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(isTouched)
+      val survivors = dirtyLeaves.flatMap(_._2).filterNot(isTouched)
       val kept = readFileSubset(spark, path, cur, touched)
         .join(deltaKeys, keyCond, "left_anti")
       val rewritten = replacement match {
@@ -765,8 +896,10 @@ object GraftTable {
       // verbatim (staging an empty frame would emit a zero-row part file)
       val staged = if (touched.isEmpty && replacement.isEmpty) Nil
         else stageFiles(rewritten, path, statsCols, None)
+      val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged,
+        cleanLeaves ++ carriedLive.map(_._1))
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
-        cur.schemaDdl, untouched ++ staged, cur.streamMarks)
+        cur.schemaDdl, files, cur.streamMarks, leaves)
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -793,7 +926,10 @@ object GraftTable {
     require(!schema.fieldNames.contains(to), s"column '$to' already exists")
     val newDdl = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f)).toDDL
-    val files = cur.files.map { fe =>
+    // a schema op touches EVERY file entry, so it dissolves the leaf
+    // structure and repacks — O(files) driver work, the documented cost
+    // of the (rare) metadata ops; data IO stays zero
+    val mapped = filesOf(path, cur).map { fe =>
       val ren = fe.renames.getOrElse(Map.empty)
       val phys = ren.getOrElse(from, from)
       val next = (ren - from) ++ (if (to == phys) Map.empty else Map(to -> phys))
@@ -801,8 +937,9 @@ object GraftTable {
         stats = fe.stats.map { case (k, v) => (if (k == from) to else k) -> v },
         renames = if (next.isEmpty) None else Some(next))
     }
+    val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "rename", newDdl,
-      files, cur.streamMarks)
+      files, cur.streamMarks, leaves)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"rename on '$path' lost the commit race — retry")
@@ -828,11 +965,12 @@ object GraftTable {
     val dt = DataType.fromDDL(ddlType)
     val newDdl = StructType(schema.fields :+ StructField(name, dt, nullable = true)).toDDL
     val absent = s"__graft_absent_${java.util.UUID.randomUUID.toString.take(8)}"
-    val files = cur.files.map { fe =>
+    val mapped = filesOf(path, cur).map { fe =>
       fe.copy(renames = Some(fe.renames.getOrElse(Map.empty) + (name -> absent)))
     }
+    val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_column", newDdl,
-      files, cur.streamMarks)
+      files, cur.streamMarks, leaves)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"add_column on '$path' lost the commit race — retry")
@@ -854,12 +992,13 @@ object GraftTable {
     require(schema.fieldNames.contains(name), s"no column '$name' in [${cur.schemaDdl}]")
     require(schema.fields.length > 1, s"cannot drop the last column of '$path'")
     val newDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL
-    val files = cur.files.map { fe =>
+    val mapped = filesOf(path, cur).map { fe =>
       val next = fe.renames.getOrElse(Map.empty) - name
       fe.copy(renames = if (next.isEmpty) None else Some(next))
     }
+    val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_column", newDdl,
-      files, cur.streamMarks)
+      files, cur.streamMarks, leaves)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"drop_column on '$path' lost the commit race — retry")
@@ -923,7 +1062,7 @@ object GraftTable {
         throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
       val marks = cur.streamMarks.getOrElse(Map.empty) + (id -> value)
       done = tryCommit(path, Manifest(cur.version + 1, commitTs(Some(cur)),
-        "sync_mark", cur.schemaDdl, cur.files, Some(marks)))
+        "sync_mark", cur.schemaDdl, cur.files, Some(marks), cur.leaves))
     }
   }
 
@@ -1003,11 +1142,12 @@ object GraftTable {
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     // clustering is a whole-snapshot relayout (a carried unclustered file
     // would poison the range order); plain bin-packing repacks small only
+    val allFiles = filesOf(path, cur)
     val (small, big) = clusterBy match {
-      case Some(_) => (cur.files, Nil)
-      case None => cur.files.partition(_.bytes < targetBytes)
+      case Some(_) => (allFiles, Nil)
+      case None => allFiles.partition(_.bytes < targetBytes)
     }
-    if (small.size <= 1 && clusterBy.isEmpty) return (cur.files.size, cur.files.size)
+    if (small.size <= 1 && clusterBy.isEmpty) return (allFiles.size, allFiles.size)
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     // compaction rewrites under the CURRENT logical schema, so packed
     // files shed any rename indirection; carried files keep theirs
@@ -1016,33 +1156,41 @@ object GraftTable {
       case None => readFileSubset(spark, path, cur, small).repartition(nOut)
     }
     val staged = stageFiles(packed, path, statsCols, clusterBy.map(c => (c, nOut)))
+    val (files, leaves) = packCommit(path, big ++ staged, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
-      cur.schemaDdl, big ++ staged, cur.streamMarks)
+      cur.schemaDdl, files, cur.streamMarks, leaves)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")
-    (cur.files.size, next.files.size)
+    (allFiles.size, totalFiles(next))
   }
 
   // ---------------------------------------------------------------- vacuum
 
   /** Reclaim storage: keep the last `keepVersions` manifests (time travel
-    * horizon), delete older manifests, data files no retained manifest
-    * references, and crashed stage dirs. Run quiesced of writers (the
-    * single-maintenance-writer rule every [[TableIO]] maintenance op
-    * shares); readers are safe — retained snapshots keep every file they
-    * reference. Returns the number of data files deleted. */
+    * horizon), delete older manifests, data files and leaf manifests no
+    * retained manifest references (including leaves written by commit
+    * attempts that lost their race), and crashed stage dirs. Run quiesced
+    * of writers (the single-maintenance-writer rule every [[TableIO]]
+    * maintenance op shares); readers are safe — retained snapshots keep
+    * every file they reference. Returns the number of data files
+    * deleted. */
   def vacuum(path: String, keepVersions: Int = 2): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val all = manifestFiles(path)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
-    val referenced = keep.map(parseManifest).flatMap(_.files)
+    val kept = keep.map(parseManifest)
+    val referenced = kept.flatMap(m => filesOf(path, m))
       .map(_.path.split('/').last).toSet
+    val liveLeaves = kept.flatMap(_.leaves.getOrElse(Nil)).map(_.path).toSet
     val dataDir = new File(path, DataDir)
     val dead = Option(dataDir.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !referenced.contains(f.getName))
     dead.foreach(f => f.delete(): Unit)
     drop.foreach(f => f.delete(): Unit)
+    Option(logDir(path).listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("leaf-") && !liveLeaves.contains(f.getName))
+      .foreach(f => f.delete(): Unit)
     Option(new File(path).listFiles).getOrElse(Array.empty[File])
       .filter(_.getName.startsWith(".stage-")).foreach(f => TableIO.clearDir(f.toString))
     dead.length
