@@ -1133,6 +1133,56 @@ GROUP BY 1, 2, 3 HAVING count(*) >= 150""",
     // BM25 top-10 (Okapi): per-(doc, term) scores quantized to
     // decimal(24,12) before the per-doc sum, 6-dp round before ranking,
     // doc-id tie-break — mirrors Corpus.bm25TopK operation for operation
+    // q109/q116: BPE encode is SQL-expressible GIVEN the per-word token
+    // table (q135 — itself gated by BpeSpec's independently-formulated
+    // plain-Scala trainer): a document's encoding is split + join +
+    // aggregate over that fixture. `__GRAFT_VERIFY_OUT__` is replaced by
+    // Verify at dump time with the run's absolute output directory, so
+    // the oracle reads the SAME fixture the driver just verified rows
+    // for. The training fixpoint itself (q108/q135) stays rows-only —
+    // the only remaining non-SQL surface.
+    "q109_bpe_encode" -> """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\s+'), x -> x <> '') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos FROM t),
+v AS (SELECT * FROM read_parquet('__GRAFT_VERIFY_OUT__/q135_bpe_vocab/*.parquet')),
+agg AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_words, sum(v.n_tokens)::BIGINT AS n_bpe_tokens,
+         md5(string_agg(v.toks, ' ' ORDER BY w.pos)) AS bpe_hash
+  FROM w JOIN v USING (word) GROUP BY w.doc_id)
+SELECT t.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       coalesce(a.bpe_hash, md5('')) AS bpe_hash
+FROM t LEFT JOIN agg a USING (doc_id)""",
+
+    "q116_bpe_fertility" -> s"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '\\s+'), x -> x <> '') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+v AS (SELECT * FROM read_parquet('__GRAFT_VERIFY_OUT__/q135_bpe_vocab/*.parquet')),
+agg AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_words, sum(v.n_tokens)::BIGINT AS n_bpe_tokens
+  FROM w JOIN v USING (word) GROUP BY w.doc_id),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN $EnStop))::bigint AS en_hits,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein')))::bigint AS de_hits,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','une')))::bigint AS fr_hits,
+    len(list_filter(toks, x -> x IN ('el','los','las','y','es','una','que')))::bigint AS es_hits
+  FROM t),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+         WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'en'
+         WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'de'
+         WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'fr'
+         ELSE 'es' END AS lang
+  FROM s)
+SELECT lang.lang, count(*)::BIGINT AS n_docs, sum(agg.n_words)::BIGINT AS n_words,
+       sum(agg.n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+       round(sum(agg.n_bpe_tokens)::DOUBLE / sum(agg.n_words), 6) AS fertility
+FROM agg JOIN lang USING (doc_id)
+WHERE agg.n_words > 0
+GROUP BY lang.lang""",
+
     "q117_bm25" -> s"""
 WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
 lens AS (SELECT doc_id, len(toks)::BIGINT AS len FROM t),

@@ -552,7 +552,9 @@ object Queries {
     Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 100)
 
   /** q109: corpus encoded with the q108 merges — per-doc BPE token
-    * counts and an md5 of the token stream. Rows-only gate (see q108);
+    * counts and an md5 of the token stream. DuckDB-gated via the q135
+    * word-token fixture: document encoding factors into split + join +
+    * aggregate over the per-word table, which IS the oracle SQL;
     * `BpeSpec` pins encode semantics including the memoization path. */
   def bpeEncodeQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -562,8 +564,8 @@ object Queries {
   /** q116: tokenizer fertility by language — BPE tokens per word,
     * grouped by the n-gram language id (the standard tokenizer-eval
     * metric: a vocabulary trained on one language mix "taxes" the
-    * others with higher fertility). Rows-only gate (BPE is non-SQL);
-    * the pieces are individually gated (q21 langid, q108/q109 BPE). */
+    * others with higher fertility). DuckDB-gated like q109 (q135
+    * fixture join + the q21 langid SQL). */
   def fertilityQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val enc = Bpe.applyBpe(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100))
@@ -575,6 +577,18 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"), sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
         round(sum(col("n_bpe_tokens")) / sum(col("n_words")), 6).as("fertility"))
+  }
+
+  /** q135: the corpus's distinct words encoded with the q108 merges —
+    * (word, n_tokens, toks). The per-word half of BPE materialized as a
+    * relation: BpeSpec gates it against an independently-formulated
+    * plain-Scala trainer/encoder, and it is the FIXTURE that makes
+    * q109/q116 DuckDB-verifiable (document encoding = split + join +
+    * aggregate over this table — pure SQL). Rows-only at the driver
+    * itself (the merge fixpoint stays non-SQL). */
+  def bpeVocabQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Bpe.encodeWords(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100)).toDF()
   }
 
   /** q117: BM25 top-10 retrieval for a fixed 3-term query over the
@@ -1760,6 +1774,7 @@ object Queries {
     "q114_multiformat" -> (multiFormatQ _),
     "q115_k_anonymity" -> (kAnonymityQ _),
     "q116_bpe_fertility" -> (fertilityQ _),
+    "q135_bpe_vocab" -> (bpeVocabQ _),
     "q117_bm25" -> (bm25Q _),
     "q118_pagerank" -> (pageRankQ _),
     "q119_triangle_counts" -> (triangleQ _),

@@ -113,6 +113,42 @@ object Bpe {
     merges.result().toDF()
   }
 
+  case class BpeWord(word: String, n_tokens: Long, toks: String)
+
+  /** The corpus's distinct words, each encoded with a learned merge
+    * table: (word, n_tokens, toks = space-joined token stream). This IS
+    * the per-word half of [[applyBpe]] materialized as a relation, which
+    * makes document encoding SQL-expressible downstream: split a
+    * document into words, join each against this table, aggregate — the
+    * structure the q109/q116 DuckDB oracles verify. Scale shape: one
+    * combinable distinct at vocabulary grain, then the same broadcast-
+    * merges per-partition encode as [[applyBpe]] — no shuffle past the
+    * distinct. */
+  def encodeWords(docs: DataFrame, textCol: String, merges: DataFrame): Dataset[BpeWord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList: Array[(String, String)] = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val bc = spark.sparkContext.broadcast(mergeList)
+    docs.select(explode(tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { w =>
+          var syms = symbols(w)
+          ms.foreach { case (l, r) =>
+            var i = 0
+            var hit = false
+            while (!hit && i + 1 < syms.length) {
+              hit = syms(i) == l && syms(i + 1) == r; i += 1
+            }
+            if (hit) syms = applyMerge(syms, l, r)
+          }
+          BpeWord(w, syms.length.toLong, syms.mkString(" "))
+        }
+      }
+  }
+
   /** Encode every document with a learned merge table: per document,
     * whitespace words are BPE-encoded (merges in rank order through
     * [[applyMerge]]) and summarized as (doc_id, n_words, n_bpe_tokens,

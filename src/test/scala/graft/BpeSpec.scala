@@ -64,4 +64,66 @@ class BpeSpec extends AnyFunSuite with SparkSpecBase {
     assert(out.n_bpe_tokens == 6)
     assert(out.bpe_hash == md5Hex("h i </w> y o </w>"))
   }
+
+  // ------------------------------------------------ independent reference
+  // A from-scratch trainer/encoder written in deliberately DIFFERENT
+  // style (immutable Lists, pair counting via groupMapReduce, selection
+  // via sorted head) — shares no kernel with operators.Bpe, so agreement
+  // on the REAL corpus gates q108/q135 independently of the production
+  // code's own structure. This is the driver-side reference the q108
+  // rows-only gate leans on.
+
+  private def refTrain(words: Seq[(String, Long)], numMerges: Int): List[(String, String, Long)] = {
+    def syms(w: String): List[String] =
+      w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))) ::: List(Bpe.EndWord)
+    def mergeOne(xs: List[String], l: String, r: String): List[String] = xs match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: mergeOne(rest, l, r)
+      case a :: rest => a :: mergeOne(rest, l, r)
+      case Nil => Nil
+    }
+    var vocab = words.map { case (w, c) => (syms(w), c) }.toList
+    var out = List.empty[(String, String, Long)]
+    var stop = false
+    while (out.size < numMerges && !stop) {
+      val counts = vocab
+        .flatMap { case (s, c) => s.zip(s.drop(1)).map(p => (p, c)) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val best = counts.toList.sortBy { case ((l, r), n) => (-n, l, r) }.headOption
+      best match {
+        case Some(((l, r), n)) if n >= 2 =>
+          out = out :+ (l, r, n)
+          vocab = vocab.map { case (s, c) => (mergeOne(s, l, r), c) }
+        case _ => stop = true
+      }
+    }
+    out
+  }
+
+  test("trainBpe agrees with the independent reference on the real corpus") {
+    val real = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(real.exists, "testdata not present")
+    val d = spark.read.parquet(real.getPath)
+    val got = merges(Bpe.trainBpe(d, "text", numMerges = 60))
+      .map { case (_, l, r, c) => (l, r, c) }
+    val wordCounts = d.selectExpr("explode(filter(split(coalesce(text, ''), '\\\\s+'), t -> t != '')) AS w")
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = refTrain(wordCounts, 60)
+    assert(got == want, s"first divergence at rank ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+  }
+
+  test("encodeWords is the per-word factorization of applyBpe (q109's oracle property)") {
+    val real = new java.io.File("/root/testdata/sf0.001/documents.parquet")
+    assume(real.exists, "testdata not present")
+    val d = spark.read.parquet(real.getPath).limit(100)
+    val m = Bpe.trainBpe(d, "text", numMerges = 40)
+    val vocab = Bpe.encodeWords(d, "text", m).collect()
+      .map(w => w.word -> ((w.n_tokens, w.toks))).toMap
+    Bpe.applyBpe(d, "text", m).collect().foreach { doc =>
+      val text = d.filter(s"doc_id = ${doc.doc_id}").select("text").head.getString(0)
+      val words = Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      assert(doc.n_words == words.length)
+      assert(doc.n_bpe_tokens == words.map(vocab(_)._1).sum)
+      assert(doc.bpe_hash == md5Hex(words.map(vocab(_)._2).mkString(" ")))
+    }
+  }
 }
