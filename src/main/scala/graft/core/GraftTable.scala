@@ -1017,16 +1017,25 @@ object GraftTable {
     * NULL-safe throughout: NULL keys pair up, and value comparison uses
     * a canonical struct equality, so NULL ≠ value but NULL = NULL.
     *
-    * Scale shape: one key-partitioned shuffle of each snapshot — and the
-    * file lists come from the manifests, so a version pair that shares
-    * most files (steady-state upserts) could skip common files entirely;
-    * that refinement is a manifest set-difference away, kept out here for
-    * clarity since the join already prunes columns to key + compared. */
+    * Scale shape: the manifest SET-DIFFERENCE prunes the scan before any
+    * IO — data files are immutable and every writer rewrites a whole
+    * file when it touches any of its rows, so a file present in BOTH
+    * versions holds only rows identical on both sides (under the keyed
+    * tables this API serves, those are exactly the unchanged rows, which
+    * the diff drops anyway). Only files unique to either version are
+    * read and join — steady-state upsert histories diff at O(changed
+    * files), not O(table). The join itself is one key-partitioned
+    * shuffle of each pruned side, columns pruned to key + compared. */
   def diffVersions(spark: SparkSession, path: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need key columns")
-    val from = readVersion(spark, path, fromV)
-    val to = readVersion(spark, path, toV)
+    val mFrom = manifestAt(path, fromV)
+    val mTo = manifestAt(path, toV)
+    val fFrom = filesOf(path, mFrom)
+    val fTo = filesOf(path, mTo)
+    val common = fFrom.map(_.path).toSet intersect fTo.map(_.path).toSet
+    val from = readFileSubset(spark, path, mFrom, fFrom.filterNot(f => common(f.path)))
+    val to = readFileSubset(spark, path, mTo, fTo.filterNot(f => common(f.path)))
     require(from.schema == to.schema,
       s"schema changed between v$fromV and v$toV — diff keys are not comparable")
     val valCols = from.columns.filterNot(keys.contains).toSeq

@@ -138,6 +138,37 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("diffVersions reads only files unique to either version") {
+    val path = tmp()
+    val base = Seq.tabulate(800)(i => (i, "v1")).toDF("id", "v")
+    GraftTable.writeClustered(base, path, col("id"), 8, statsCols = Seq("id"))
+    GraftTable.upsertByKey(spark, path,
+      Seq((100, "new"), (101, "new"), (9999, "new")).toDF("id", "v"),
+      Seq("id"), statsCols = Seq("id"))
+    def runDiff() = GraftTable.diffVersions(spark, path, 1, 2, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    val want = Seq((100, "new", "update"), (101, "new", "update"), (9999, "new", "insert"))
+    assert(runDiff() === want)
+    // the proof: physically delete every data file COMMON to both
+    // manifests — the set-difference diff must neither read them nor
+    // change its answer (a full-snapshot diff would fail on the read)
+    val common = {
+      val v2 = GraftTable.filesOf(path, GraftTable.currentManifest(path).get).map(_.path).toSet
+      val logDir = new File(path, "_graft_log")
+      val v1Manifest = Option(logDir.listFiles).get
+        .filter(_.getName == f"v${1L}%020d.json").head
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val m = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(v1Manifest.toPath), "UTF-8"))
+        .extract[Manifest]
+      GraftTable.filesOf(path, m).map(_.path).toSet intersect v2
+    }
+    assert(common.nonEmpty, "an upsert touching 1-2 files must leave common files")
+    common.foreach(p => assert(new File(path, p).delete()))
+    assert(runDiff() === want, "diff after deleting common files must be unchanged")
+  }
+
   test("planning 10^4 file entries reads only the intersecting leaf") {
     val path = tmp()
     new File(path, "_graft_log").mkdirs()
