@@ -136,8 +136,13 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // hash-partitioned by nbr ONCE (the [[pageRank]] edge discipline):
+    // every round's label join keys on nbr, so a non-broadcast plan
+    // reuses the cached layout instead of re-exchanging the symmetrized
+    // edge list per round
     val sym = und.select(col("a").as("node"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr"))
       .persist()
     try {
       val nodes = sym.select(col("node")).distinct().persist()
