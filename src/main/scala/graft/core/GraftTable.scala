@@ -667,13 +667,22 @@ object GraftTable {
     * basenames — the join key [[graft.plans.GraftPrune]] uses to map a
     * scan's file list (which may be any version's, or a subset) back to
     * its stats without knowing which snapshot produced it. */
-  private[graft] def statsForFiles(root: String): Map[String, Map[String, ColStats]] =
+  private[graft] def statsForFiles(root: String): Map[String, Map[String, ColStats]] = {
+    // leaves are immutable and SHARED across versions by design — load
+    // each at most once per call, or a deep history would re-parse the
+    // same chunk per version that references it
+    val leafCache = scala.collection.mutable.HashMap.empty[String, Seq[FileEntry]]
     manifestFiles(root).reverse.iterator
-      .flatMap(f => filesOf(root, parseManifest(f)))
+      .flatMap { f =>
+        val m = parseManifest(f)
+        m.files ++ m.leaves.getOrElse(Nil).flatMap(l =>
+          leafCache.getOrElseUpdate(l.path, loadLeaf(root, l)))
+      }
       .map(fe => fe.path.split('/').last -> fe.stats)
       .foldLeft(Map.empty[String, Map[String, ColStats]]) {
         case (acc, (name, stats)) => if (acc.contains(name)) acc else acc + (name -> stats)
       }
+  }
 
   /** True when `dir` is a GraftTable's `data/` directory. */
   private[graft] def isDataDir(dir: File): Boolean =
