@@ -29,7 +29,22 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       .map(r => r.getInt(0) -> r.getString(1)).toMap
 
   test("random op sequences preserve every snapshot (seeded, 3 runs × 24 ops)") {
-    for (seed <- Seq(7, 21, 63)) {
+    for (seed <- Seq(7, 21, 63)) randomOpRun(seed)
+  }
+
+  test("random op sequences hold under forced leaf manifests") {
+    // shrink the spill/merge thresholds so every commit exercises the
+    // two-level manifest machinery (leaf spill, pointer carry, tiered
+    // merge, leaf vacuum) under the same arbitrary op interleavings
+    val (si, sm) = (GraftTable.InlineFileLimit, GraftTable.MaxLeaves)
+    GraftTable.InlineFileLimit = 2
+    GraftTable.MaxLeaves = 3
+    try for (seed <- Seq(11, 42)) randomOpRun(seed)
+    finally { GraftTable.InlineFileLimit = si; GraftTable.MaxLeaves = sm }
+  }
+
+  private def randomOpRun(seed: Int): Unit = {
+    {
       val rnd = new scala.util.Random(seed)
       val path = java.nio.file.Files.createTempDirectory(s"graft_vtp$seed").toString + "/t"
       // model: version -> full contents; multiset because append can
