@@ -103,24 +103,29 @@ c$i AS (
     * redistributed uniformly, damped update re-quantized per iteration).
     * The final rank CTE is `r<iters>`. */
   private def pageRankCte(iters: Int): String = {
+    // MATERIALIZED everywhere a CTE is referenced more than once: an
+    // inlining planner would otherwise re-evaluate r(i-1) for BOTH d_i
+    // and c_i — the whole chain re-expands per level and the replay goes
+    // exponential in iterations (observed: an sf0.1 replay spilling
+    // >80 GB of temp before the hints; linear and in-memory after)
     val sb = new StringBuilder("""
-WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
            FROM lineitem a JOIN lineitem b
              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-nd AS (SELECT node, coalesce(d.c, 0)::BIGINT AS out_deg
+nd AS MATERIALIZED (SELECT node, coalesce(d.c, 0)::BIGINT AS out_deg
        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) nodes
        LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d ON node = d.src),
-n AS (SELECT count(*)::BIGINT AS n FROM nd),
-r0 AS (SELECT node, out_deg, CAST(1.0 / n.n AS DECIMAL(24,12)) AS rank FROM nd, n)""")
+n AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nd),
+r0 AS MATERIALIZED (SELECT node, out_deg, CAST(1.0 / n.n AS DECIMAL(24,12)) AS rank FROM nd, n)""")
     for (i <- 1 to iters) {
       val p = i - 1
       sb ++= s""",
-d$i AS (SELECT coalesce(CAST(sum(rank) AS DOUBLE), 0.0) / (SELECT n FROM n) AS dang
+d$i AS MATERIALIZED (SELECT coalesce(CAST(sum(rank) AS DOUBLE), 0.0) / (SELECT n FROM n) AS dang
         FROM r$p WHERE out_deg = 0),
-c$i AS (SELECT e.dst AS node,
+c$i AS MATERIALIZED (SELECT e.dst AS node,
                sum(CAST(CAST(r.rank AS DOUBLE) / r.out_deg AS DECIMAL(24,12))) AS contrib
         FROM e JOIN r$p r ON e.src = r.node GROUP BY e.dst),
-r$i AS (SELECT nd.node, nd.out_deg,
+r$i AS MATERIALIZED (SELECT nd.node, nd.out_deg,
                CAST((1.0 - 0.85) / n.n + 0.85 * (coalesce(CAST(c.contrib AS DOUBLE), 0.0) + d$i.dang)
                     AS DECIMAL(24,12)) AS rank
         FROM nd LEFT JOIN c$i c ON nd.node = c.node, n, d$i)"""
@@ -134,24 +139,27 @@ r$i AS (SELECT nd.node, nd.out_deg,
     * smallest-label tie-break, simultaneous update). Final CTE is
     * `l<rounds>`. */
   private def lpaCte(rounds: Int): String = {
+    // MATERIALIZED for the same reason as [[pageRankCte]]: sym/nodes are
+    // referenced every round and l(i-1) feeds round i — an inlining
+    // planner re-expands the whole chain per round
     val sb = new StringBuilder("""
-WITH und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+WITH und AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
              FROM lineitem a JOIN lineitem b
                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
-sym AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
-nodes AS (SELECT DISTINCT node FROM sym),
-l0 AS (SELECT node, node AS community FROM nodes)""")
+sym AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM sym),
+l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes)""")
     for (i <- 1 to rounds) {
       val p = i - 1
       sb ++= s""",
-c$i AS (SELECT s.node, l.community, count(*)::BIGINT AS n
+c$i AS MATERIALIZED (SELECT s.node, l.community, count(*)::BIGINT AS n
         FROM sym s JOIN l$p l ON s.nbr = l.node GROUP BY 1, 2),
-w$i AS (SELECT node, community FROM (
+w$i AS MATERIALIZED (SELECT node, community FROM (
           SELECT node, community,
                  row_number() OVER (PARTITION BY node ORDER BY n DESC, community ASC) AS rn
           FROM c$i) WHERE rn = 1),
-l$i AS (SELECT nodes.node, coalesce(w.community, nodes.node) AS community
+l$i AS MATERIALIZED (SELECT nodes.node, coalesce(w.community, nodes.node) AS community
         FROM nodes LEFT JOIN w$i w USING (node))"""
     }
     sb.toString
