@@ -73,19 +73,23 @@ sig AS (
     def cos(v: String, c: String) =
       s"""round(list_sum([$v.e[i] * $c.c[i] for i in generate_series(1, 64)])
                / (sqrt(list_sum([x * x for x in $v.e])) * sqrt(list_sum([x * x for x in $c.c]))), 6)"""
+    // MATERIALIZED on every multiply-referenced CTE — c(i-1) feeds both
+    // the assignment a_i and the centroid carry c_i, so an inlining
+    // planner would re-expand the whole iteration chain per level (the
+    // pageRankCte hazard; observed exponential replay there)
     val sb = new StringBuilder(s"""
-WITH v AS (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
-c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cl, e AS c
+WITH v AS MATERIALIZED (SELECT vec_id, [round(x::double * 1000000) for x in embedding] AS e FROM embeddings),
+c0 AS MATERIALIZED (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cl, e AS c
        FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= $k)""")
     for (i <- 1 to iters) {
       sb ++= s""",
-a$i AS (
+a$i AS MATERIALIZED (
   SELECT vec_id, e, cl FROM (
     SELECT v.vec_id, v.e, c.cl,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY ${cos("v", "c")} DESC, c.cl) AS rn
     FROM v, c${i - 1} c) WHERE rn = 1)"""
       if (i < iters) sb ++= s""",
-c$i AS (
+c$i AS MATERIALIZED (
   SELECT p.cl, coalesce(nu.c, p.c) AS c
   FROM c${i - 1} p LEFT JOIN (
     SELECT cl, list(s ORDER BY d) AS c FROM (
