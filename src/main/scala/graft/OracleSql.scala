@@ -1103,6 +1103,16 @@ SELECT o_custkey, count(*)::BIGINT AS n_rows,
        epoch_us(max(o_orderdate)::timestamp) AS last_us
 FROM orders GROUP BY o_custkey""",
 
+    // schema-evolving append: the merged table is the declarative union
+    // of both generations, each reading the other's column as NULL
+    "q136_schema_evolve" -> """
+SELECT o_orderkey, o_custkey, o_totalprice AS total,
+       CAST(NULL AS VARCHAR) AS priority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1""",
+
     // time travel: each committed snapshot's expected contents rebuilt
     // declaratively — v1 = pre-1996 history, v2 = everything, v3 = the
     // keyed correction (F orders doubled) merged in

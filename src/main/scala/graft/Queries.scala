@@ -1618,6 +1618,29 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q136Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
+
+  /** q136: schema-evolving append ([[graft.core.GraftTable.appendEvolve]]
+    * — Delta mergeSchema re-derived): the table starts with price data,
+    * a later batch arrives with a priority column instead, and ONE
+    * commit widens the schema and lands the rows — old rows read the
+    * new column as NULL, new rows the old one. The oracle states the
+    * merged result declaratively. */
+  def schemaEvolveQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q136Root
+    TableIO.clearDir(root)
+    val t = s"$root/t"
+    val orders = Tables.orders(s, d)
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), t)
+    GraftTable.appendEvolve(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")), t)
+    GraftTable.read(s, t).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("total"), col("o_orderpriority").as("priority"))
+  }
+
   private lazy val q134Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_rule").toString
 
@@ -1775,6 +1798,7 @@ object Queries {
     "q115_k_anonymity" -> (kAnonymityQ _),
     "q116_bpe_fertility" -> (fertilityQ _),
     "q135_bpe_vocab" -> (bpeVocabQ _),
+    "q136_schema_evolve" -> (schemaEvolveQ _),
     "q117_bm25" -> (bm25Q _),
     "q118_pagerank" -> (pageRankQ _),
     "q119_triangle_counts" -> (triangleQ _),

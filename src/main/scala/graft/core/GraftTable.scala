@@ -475,6 +475,64 @@ object GraftTable {
       bloomCols: Seq[String] = Nil): Long =
     writeOp(df, path, "append", statsCols, None, bloomCols)
 
+  /** Schema-EVOLVING append (Delta's mergeSchema, re-derived): the
+    * committed schema becomes the union of the table's and the batch's —
+    * batch-only columns join as always-nullable (existing files read
+    * them as NULL through the guaranteed-absent indirection
+    * [[addColumn]] uses, so a re-added dropped name can never resurrect
+    * stale on-disk values), table-only columns land as NULL in the new
+    * rows (parquet schema-on-read — the staged files simply lack them),
+    * and a same-name dataType conflict refuses loudly (silent coercion
+    * on a 100 TB table is how data dies). Widening + append is ONE
+    * commit — readers never observe the half-evolved state. Zero data
+    * IO beyond the batch itself. */
+  def appendEvolve(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long = {
+    val cur = currentManifest(path).getOrElse {
+      return overwrite(df, path, statsCols)
+    }
+    val table = StructType.fromDDL(cur.schemaDdl)
+    val conflicts = df.schema.fields.flatMap { f =>
+      table.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(t => s"${f.name}: table ${t.dataType.sql} vs batch ${f.dataType.sql}")
+    }
+    require(conflicts.isEmpty,
+      s"appendEvolve type conflict(s) on '$path': ${conflicts.mkString("; ")} — " +
+        "evolution adds columns, it never retypes them")
+    val newCols = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
+    val merged = StructType(table.fields ++ newCols.map(_.copy(nullable = true)))
+    // batch rows under the merged column ORDER; table-only columns ride
+    // as typed NULLs so the staged files carry the full merged schema
+    // (stats included) — simpler and stats-richer than schema-on-read
+    val aligned = df.select(merged.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val staged = stageFiles(aligned, path, statsCols, None)
+    var committed = -1L
+    while (committed < 0) {
+      val c = currentManifest(path).getOrElse(cur)
+      require(c.schemaDdl == cur.schemaDdl,
+        s"concurrent schema change on '$path' during appendEvolve — retry")
+      // pre-existing files route each NEW column to a guaranteed-absent
+      // physical name (the addColumn discipline)
+      val absent = newCols.map(f =>
+        f.name -> s"__graft_absent_${java.util.UUID.randomUUID.toString.take(8)}").toMap
+      def evolveEntry(fe: FileEntry): FileEntry =
+        if (absent.isEmpty) fe
+        else fe.copy(renames = Some(fe.renames.getOrElse(Map.empty) ++ absent))
+      val inline = c.files.map(evolveEntry) ++ staged
+      val leaves = c.leaves.getOrElse(Nil).map { l =>
+        if (absent.isEmpty) l else writeLeaf(path, loadLeaf(path, l).map(evolveEntry))
+      }
+      val (files, packedLeaves) = packCommit(path, inline, leaves)
+      val next = Manifest(c.version + 1, commitTs(Some(c)), "append_evolve",
+        merged.toDDL, files, c.streamMarks, packedLeaves)
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
+
   /** EXACTLY-ONCE streaming append: a no-op if `batchId` is at or below
     * `streamId`'s committed high-water mark (the at-least-once foreachBatch
     * replay case — a replay can only happen when the original attempt's

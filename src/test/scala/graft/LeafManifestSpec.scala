@@ -138,6 +138,46 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("appendEvolve widens the schema in one commit; old versions keep theirs") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    // batch with a NEW column and a MISSING one
+    GraftTable.appendEvolve(
+      Seq((3, 9.5)).toDF("id", "score"), path)
+    val out = GraftTable.read(spark, path)
+    assert(out.columns.toSeq === Seq("id", "v", "score"))
+    val rows = out.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1, Some("a"), None), (2, Some("b"), None), (3, None, Some(9.5))))
+    // time travel: version 1 still has the pre-evolution schema
+    assert(GraftTable.readVersion(spark, path, 1).columns.toSeq === Seq("id", "v"))
+    // type conflict refuses loudly
+    val err = intercept[IllegalArgumentException](
+      GraftTable.appendEvolve(Seq(("x", "y")).toDF("id", "v"), path))
+    assert(err.getMessage.contains("type conflict"))
+    // a dropped-then-re-added name must NOT resurrect old values
+    GraftTable.dropColumn(path, "v")
+    GraftTable.appendEvolve(Seq((4, "fresh")).toDF("id", "v"), path)
+    val revived = GraftTable.read(spark, path).select("id", "v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(revived === Seq((1, None), (2, None), (3, None), (4, Some("fresh"))))
+  }
+
+  test("appendEvolve with an unchanged schema carries leaves by pointer") {
+    withSmallLimits(inline = 1, maxLeaves = 100) {
+      val path = tmp()
+      (1 to 4).foreach(i => GraftTable.append(
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path))
+      val before = leafNames(path).toSet
+      assert(before.nonEmpty)
+      GraftTable.appendEvolve(Seq((99, "x")).toDF("id", "v").coalesce(1), path)
+      assert(before.subsetOf(leafNames(path).toSet),
+        "same-schema evolve must not rewrite leaves")
+      assert(GraftTable.read(spark, path).count() === 5L)
+    }
+  }
+
   test("diffVersions reads only files unique to either version") {
     val path = tmp()
     val base = Seq.tabulate(800)(i => (i, "v1")).toDF("id", "v")
