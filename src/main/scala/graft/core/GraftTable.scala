@@ -123,6 +123,23 @@ object GraftTable {
   def versions(path: String): Seq[(Long, Long, String)] =
     manifestFiles(path).map(parseManifest).map(m => (m.version, m.tsUs, m.op))
 
+  /** DESCRIBE HISTORY as a relation: one row per retained commit —
+    * (version, ts_us, op, n_files, n_rows, bytes, n_leaves). Manifest-
+    * grain driver work; file counts come from leaf metadata without
+    * parsing leaf bodies, so a deep history over a huge table stays
+    * cheap to describe. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    manifestFiles(path).map(parseManifest).map { m =>
+      val leaves = m.leaves.getOrElse(Nil)
+      (m.version, m.tsUs, m.op,
+        m.files.size + leaves.map(_.files).sum,
+        m.files.map(_.rows).sum + leaves.map(_.rows).sum,
+        m.files.map(_.bytes).sum + leaves.map(_.bytes).sum,
+        leaves.size)
+    }.toDF("version", "ts_us", "op", "n_files", "n_rows", "bytes", "n_leaves")
+  }
+
   def currentVersion(path: String): Option[Long] =
     manifestFiles(path).lastOption.map(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong)
 

@@ -209,6 +209,27 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     assert(runDiff() === want, "diff after deleting common files must be unchanged")
   }
 
+  test("history describes every retained commit from manifest metadata alone") {
+    withSmallLimits(inline = 1, maxLeaves = 100) {
+      val path = tmp()
+      (1 to 3).foreach(i => GraftTable.append(
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path))
+      GraftTable.upsertByKey(spark, path, Seq((2, "new")).toDF("id", "v"), Seq("id"))
+      val h = GraftTable.history(spark, path).collect()
+      assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(h.map(_.getString(2)).toSeq === Seq("append", "append", "append", "upsert"))
+      assert(h.map(r => r.getLong(4)).toSeq === Seq(1L, 2L, 3L, 3L)) // row counts per version
+      // commit timestamps strictly increase (the readAsOf contract)
+      assert(h.map(_.getLong(1)).sliding(2).forall(p => p(0) < p(1)))
+      // leaf bodies must not be needed: corrupt them, history still works
+      GraftTable.currentManifest(path).get.leaves.getOrElse(Nil).foreach { l =>
+        java.nio.file.Files.write(new File(path + "/_graft_log", l.path).toPath,
+          "NOT JSON".getBytes("UTF-8"))
+      }
+      assert(GraftTable.history(spark, path).count() === 4L)
+    }
+  }
+
   test("planning 10^4 file entries reads only the intersecting leaf") {
     val path = tmp()
     new File(path, "_graft_log").mkdirs()
