@@ -209,6 +209,33 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     assert(runDiff() === want, "diff after deleting common files must be unchanged")
   }
 
+  test("racing appenders all land through the rebase loop under forced leaves") {
+    withSmallLimits(inline = 1, maxLeaves = 3) {
+      val path = tmp()
+      GraftTable.overwrite(Seq((0, "base")).toDF("id", "v").coalesce(1), path)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 4).map { t =>
+        new Thread(() => {
+          try (0 until 3).foreach { i =>
+            GraftTable.append(
+              Seq((t * 10 + i, s"t$t-$i")).toDF("id", "v").coalesce(1), path)
+          } catch { case e: Throwable => failures.add(e): Unit }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(failures.isEmpty, s"appender died: ${Option(failures.peek()).map(_.getMessage)}")
+      // every append landed exactly once, versions are gapless, and the
+      // loser-written orphan leaves are invisible to every snapshot
+      assert(GraftTable.read(spark, path).count() === 13L)
+      assert(GraftTable.versions(path).map(_._1) === (1L to 13L))
+      (1L to 13L).foreach(v =>
+        assert(GraftTable.readVersion(spark, path, v).count() === v))
+      GraftTable.vacuum(path, keepVersions = 2)
+      assert(GraftTable.read(spark, path).count() === 13L)
+    }
+  }
+
   test("history describes every retained commit from manifest metadata alone") {
     withSmallLimits(inline = 1, maxLeaves = 100) {
       val path = tmp()
