@@ -1144,6 +1144,25 @@ object GraftTable {
         rowOut.getField(valCols(i)).as(valCols(i))) :+ col("change_type"): _*)
   }
 
+  /** Incremental tail read: rows of every file the CURRENT snapshot
+    * references that `sinceVersion` did not — with the file-set
+    * difference done at manifest grain, so the read costs O(new files),
+    * never O(table). For append-only histories (append / appendStream /
+    * appendEvolve) this is exactly the rows added since the bookmark —
+    * the poll-the-table consumer loop: read, process, bookmark the
+    * returned version, repeat. COW rewrites (upsert/delete/update)
+    * surface their whole rewritten files — kept rows included — so
+    * consumers of mutable tables should dedup by key or use
+    * [[diffVersions]] for row-level change semantics. Returns
+    * (new rows, current version to bookmark). */
+  def readSince(spark: SparkSession, path: String, sinceVersion: Long): (DataFrame, Long) = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val oldNames = filesOf(path, manifestAt(path, sinceVersion)).map(_.path).toSet
+    val fresh = filesOf(path, cur).filterNot(fe => oldNames.contains(fe.path))
+    (readFileSubset(spark, path, cur, fresh), cur.version)
+  }
+
   // ---------------------------------------------------------- replication
 
   /** Advance `id`'s bookmark in `path`'s marks ledger as its own tiny

@@ -236,6 +236,37 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("readSince tails appends at O(new files) across the leaf layer") {
+    withSmallLimits(inline = 1, maxLeaves = 3) {
+      val path = tmp()
+      GraftTable.append(Seq((1, "a")).toDF("id", "v").coalesce(1), path)
+      var mark = GraftTable.currentVersion(path).get
+      (2 to 6).foreach(i => GraftTable.append(
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path))
+      // the consumer loop: everything since the bookmark, then bookmark
+      val (tail1, v1) = GraftTable.readSince(spark, path, mark)
+      assert(tail1.select("id").collect().map(_.getInt(0)).sorted.toSeq === (2 to 6))
+      mark = v1
+      // idle poll: nothing new
+      val (tail2, v2) = GraftTable.readSince(spark, path, mark)
+      assert(tail2.count() === 0L && v2 === mark)
+      // the O(new files) proof: delete every data file the bookmark
+      // version already covered — the tail read must not touch them
+      GraftTable.append(Seq((7, "v7")).toDF("id", "v").coalesce(1), path)
+      val covered = {
+        import org.json4s.jackson.JsonMethods
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val mf = new File(path + "/_graft_log", f"v$mark%020d.json")
+        val m = JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")).extract[Manifest]
+        GraftTable.filesOf(path, m).map(_.path)
+      }
+      covered.foreach(p => assert(new File(path, p).delete()))
+      val (tail3, _) = GraftTable.readSince(spark, path, mark)
+      assert(tail3.select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(7))
+    }
+  }
+
   test("history describes every retained commit from manifest metadata alone") {
     withSmallLimits(inline = 1, maxLeaves = 100) {
       val path = tmp()
