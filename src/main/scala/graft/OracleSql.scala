@@ -1435,6 +1435,39 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
        epoch_us(o_orderdate), 'delete', 3::BIGINT, 4::BIGINT
 FROM orders WHERE o_orderkey % 7 = 0""",
 
+    // change-log-chain CDC over multi-commit spans: v1 load < 1996,
+    // v2 append the rest, v3 F-repricing upsert (price*2), v4 delete of
+    // every 5th key. Span 1→2 is append-only inserts at v2 state; spans
+    // 1→4 / 2→4 classify against the FINAL state (to-side values for
+    // insert/update, from-side for delete)
+    "q137_cdf_chain" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS order_us, 'insert' AS change_type,
+       1::BIGINT AS from_v, 2::BIGINT AS to_v
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END,
+       epoch_us(o_orderdate), 'insert', 1::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderkey % 5 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate), 'delete', 1::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       epoch_us(o_orderdate), 'update', 1::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' AND o_orderkey % 5 <> 0
+  AND o_orderstatus = 'F' AND o_totalprice <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate), 'delete', 2::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+       epoch_us(o_orderdate), 'update', 2::BIGINT, 4::BIGINT
+FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderstatus = 'F' AND o_totalprice <> 0""",
+
     // substring-level exact-dup spans: 6-token windows with corpus count
     // >= 2 mark positions; gaps-and-islands merges them (break when
     // pos > prevMaxPos + k). Oracle works on gram STRINGS — the Spark

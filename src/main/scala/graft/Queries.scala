@@ -770,6 +770,44 @@ object Queries {
         col("change_type"), col("from_v"), col("to_v"))
   }
 
+  private lazy val q137Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_cdf").toString
+
+  /** q137: change-log-chain CDC — [[graft.core.GraftTable.diffVersions]]
+    * over MULTI-COMMIT spans of a logged history (load < 1996, append the
+    * rest, F-status repricing upsert, keyed delete of every 5th order),
+    * where the per-commit [[graft.core.GraftTable.ChangeLog]] chain —
+    * not a two-snapshot comparison — derives the changed-file sets: the
+    * 1→2 span is append-only (no join at all), 1→4 and 2→4 replay
+    * append+upsert+delete logs. LeafManifestSpec proves the chain parses
+    * no leaf manifest and reads no unchanged file (proof by deletion);
+    * this gate pins the row-level change semantics against a declarative
+    * oracle. */
+  def cdfChainQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q137Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_cdf"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)
+    GraftTable.append(orders.filter(col("o_orderdate") >= split), path)
+    GraftTable.upsertByKey(s, path,
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    GraftTable.deleteByKey(s, path,
+      orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
+      Seq("o_orderkey"))
+    Seq((1L, 2L), (1L, 4L), (2L, 4L)).map { case (a, b) =>
+      GraftTable.diffVersions(s, path, a, b, Seq("o_orderkey"))
+        .withColumn("from_v", lit(a)).withColumn("to_v", lit(b))
+    }.reduce(_ unionByName _)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), micros(col("o_orderdate")).as("order_us"),
+        col("change_type"), col("from_v"), col("to_v"))
+  }
+
   /** q105: substring-level exact-duplicate detection (Lee et al. 2021
     * ExactSubstr family) — per document, tokens covered by a 6-token
     * window that occurs >= 2 times anywhere in the corpus, merged into
@@ -1687,6 +1725,7 @@ object Queries {
 
   val all: Map[String, QFn] = Map(
     "q130_group_ols" -> (groupOlsQ _),
+    "q137_cdf_chain" -> (cdfChainQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

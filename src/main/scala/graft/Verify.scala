@@ -6,7 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    val only = args.drop(2).toSet // trailing args: run only these queries
+    // trailing args: run only these queries. q109/q116's oracles read the
+    // fixture q135 dumps, so a filtered run requesting either force-
+    // includes q135 — otherwise the oracle points at a missing parquet
+    // and fails with an opaque read error
+    val requested = args.drop(2).toSet
+    val only =
+      if (requested.intersect(Set("q109_bpe_encode", "q116_bpe_fertility")).nonEmpty)
+        requested + "q135_bpe_vocab"
+      else requested
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

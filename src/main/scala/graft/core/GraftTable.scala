@@ -86,6 +86,23 @@ object GraftTable {
   case class LeafRef(path: String, files: Int, rows: Long, bytes: Long,
       stats: Map[String, ColStats])
 
+  /** The per-commit change-file log (Delta CDF's file-grain trick,
+    * re-derived): every commit records the file entries it ADDED and the
+    * entries it REMOVED relative to its parent — both already known at
+    * commit time, so the log costs O(this commit's changes) manifest
+    * bytes and zero extra IO. `truncate` marks an overwrite, whose
+    * removed set is "everything before" (enumerating it would cost
+    * O(table) at commit — the one op where the log can't be O(changes),
+    * because the change itself isn't). A span of logged commits lets
+    * [[diffVersions]]/[[readSince]] derive net changed-file sets by
+    * chain replay — never calling [[filesOf]] on either snapshot, so a
+    * diff over a billion-file table plans at O(changed files) without
+    * parsing a single leaf manifest. Removed entries are recorded in
+    * full (stats + renames) so the from-side pre-image read needs no
+    * snapshot lookup. */
+  case class ChangeLog(added: Seq[FileEntry], removed: Seq[FileEntry],
+      truncate: Boolean = false)
+
   /** `streamMarks` is the exactly-once ledger for streaming appends: per
     * stream id (a checkpoint-derived stable name), the highest micro-batch
     * id whose append COMMITTED. foreachBatch is at-least-once and batches
@@ -93,11 +110,13 @@ object GraftTable {
     * filter. Optional for manifest-format backward compatibility.
     *
     * A snapshot's file list is `files` (inline entries — small/recent
-    * commits) plus every [[LeafRef]] in `leaves`; both optional layers
-    * keep old single-level manifests parsing unchanged. */
+    * commits) plus every [[LeafRef]] in `leaves`; `changes` is this
+    * commit's [[ChangeLog]]. All three optional layers keep old
+    * single-level manifests parsing unchanged (a missing change log just
+    * breaks the chain fast path back to the snapshot diff). */
   case class Manifest(version: Long, tsUs: Long, op: String, schemaDdl: String,
       files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None,
-      leaves: Option[Seq[LeafRef]] = None)
+      leaves: Option[Seq[LeafRef]] = None, changes: Option[ChangeLog] = None)
 
   /** A range constraint for [[readPruned]]: keep files whose [min,max]
     * can intersect [lo,hi] (either bound optional). Bounds take ordinary
@@ -181,14 +200,20 @@ object GraftTable {
 
   /** Inline-entry cap: commits whose running inline list stays under this
     * keep everything in the manifest (one JSON write, zero extra IO);
-    * larger lists spill to a leaf. Var only so LeafManifestSpec can
-    * shrink it to exercise the leaf machinery at test scale. */
-  private[graft] var InlineFileLimit = 100
+    * larger lists spill to a leaf. Volatile var ONLY so LeafManifestSpec
+    * can shrink it to exercise the leaf machinery at test scale —
+    * production code must treat it as a constant, and test suites that
+    * mutate it must restore in `finally` and not run concurrently with
+    * other writers in the JVM (sbt runs suites sequentially). Volatile
+    * guarantees a mid-commit reader sees a current value, never a torn
+    * one. */
+  @volatile private[graft] var InlineFileLimit = 100
   /** Leaf-count cap: when a commit would carry more leaves than this, the
     * smallest half merge into one — size-tiered, so total consolidation
     * work over N appends is O(N log N) entries, amortized O(log N) per
-    * commit, while read planning stays O(leaf count) manifest-side. */
-  private[graft] var MaxLeaves = 32
+    * commit, while read planning stays O(leaf count) manifest-side.
+    * Same test-only-mutation contract as [[InlineFileLimit]]. */
+  @volatile private[graft] var MaxLeaves = 32
 
   private def leafFile(path: String, ref: String): File = new File(logDir(path), ref)
 
@@ -201,7 +226,15 @@ object GraftTable {
     * skip a stats-less file the file-level rule would read); all-NULL
     * members contribute no bounds but keep the column qualified — rows
     * that could match a range live only in files WITH values, so bounds
-    * over those files cover every possibly-matching row. */
+    * over those files cover every possibly-matching row.
+    *
+    * When EVERY member file carries a bloom of identical (k, mBits)
+    * shape, the leaf carries their bitwise OR — sound (a value in any
+    * member sets its bits in the union) and the only leaf-grain pruner a
+    * HASH-distributed layout has, where every leaf spans the full key
+    * range and min/max prune nothing. Mixed shapes (writes under
+    * different batch sizes) drop the leaf bloom — conservative, never
+    * wrong. */
   private def aggregateStats(entries: Seq[FileEntry]): Map[String, ColStats] = {
     val cols = entries.map(_.stats.keySet).reduceOption(_ intersect _).getOrElse(Set.empty)
     cols.iterator.map { c =>
@@ -209,10 +242,26 @@ object GraftTable {
       val tag = sts.head.t
       val mins = sts.flatMap(_.min)
       val maxs = sts.flatMap(_.max)
+      val bloom: Option[String] =
+        if (sts.exists(_.bloom.isEmpty)) None
+        else {
+          val parsed = sts.map(_.bloom.get.split(":", 3))
+          if (parsed.map(a => (a(0), a(1))).distinct.size != 1) None
+          else {
+            val acc = java.util.Base64.getDecoder.decode(parsed.head(2)).clone()
+            parsed.tail.foreach { a =>
+              val b = java.util.Base64.getDecoder.decode(a(2))
+              var i = 0
+              while (i < acc.length) { acc(i) = (acc(i) | b(i)).toByte; i += 1 }
+            }
+            Some(s"${parsed.head(0)}:${parsed.head(1)}:" +
+              java.util.Base64.getEncoder.encodeToString(acc))
+          }
+        }
       c -> ColStats(tag,
         if (mins.isEmpty) None else Some(mins.min(Ordering.fromLessThan[String](cmp(tag, _, _) < 0))),
         if (maxs.isEmpty) None else Some(maxs.max(Ordering.fromLessThan[String](cmp(tag, _, _) < 0))),
-        sts.map(_.nulls).sum)
+        sts.map(_.nulls).sum, bloom)
     }.toMap
   }
 
@@ -471,7 +520,8 @@ object GraftTable {
       }
       val (files, leaves) = packCommit(path, inline, parentLeaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
-        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves)
+        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves,
+        Some(ChangeLog(staged, Nil, truncate = op == "overwrite")))
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -504,33 +554,45 @@ object GraftTable {
     * commit — readers never observe the half-evolved state. Zero data
     * IO beyond the batch itself. */
   def appendEvolve(df: DataFrame, path: String, statsCols: Seq[String] = Nil): Long = {
-    val cur = currentManifest(path).getOrElse {
-      return overwrite(df, path, statsCols)
+    // union-merge the batch schema into `table`, refusing type conflicts
+    def mergeInto(table: StructType): (StructType, Seq[StructField]) = {
+      val conflicts = df.schema.fields.flatMap { f =>
+        table.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(t => s"${f.name}: table ${t.dataType.sql} vs batch ${f.dataType.sql}")
+      }
+      require(conflicts.isEmpty,
+        s"appendEvolve type conflict(s) on '$path': ${conflicts.mkString("; ")} — " +
+          "evolution adds columns, it never retypes them")
+      val newCols = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
+      (StructType(table.fields ++ newCols.map(_.copy(nullable = true))), newCols.toSeq)
     }
-    val table = StructType.fromDDL(cur.schemaDdl)
-    val conflicts = df.schema.fields.flatMap { f =>
-      table.fields.find(_.name == f.name)
-        .filter(_.dataType != f.dataType)
-        .map(t => s"${f.name}: table ${t.dataType.sql} vs batch ${f.dataType.sql}")
-    }
-    require(conflicts.isEmpty,
-      s"appendEvolve type conflict(s) on '$path': ${conflicts.mkString("; ")} — " +
-        "evolution adds columns, it never retypes them")
-    val newCols = df.schema.fields.filterNot(f => table.fieldNames.contains(f.name))
-    val merged = StructType(table.fields ++ newCols.map(_.copy(nullable = true)))
-    // batch rows under the merged column ORDER; table-only columns ride
-    // as typed NULLs so the staged files carry the full merged schema
-    // (stats included) — simpler and stats-richer than schema-on-read
-    val aligned = df.select(merged.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
-    val staged = stageFiles(aligned, path, statsCols, None)
+    // Staged files carry the full merged schema at stage time (batch rows
+    // under the merged column ORDER, table-only columns as typed NULLs —
+    // stats-richer than schema-on-read). A racing schema change between
+    // stage and commit forces a RESTAGE under the new merge (a staged
+    // column could carry a type the new merge contradicts); the orphaned
+    // first stage is invisible and vacuum reclaims it. On a not-yet-
+    // existing table this rebase loop is what makes two racing creators
+    // safe: the loser re-reads the winner's manifest and evolves against
+    // it instead of overwriting — no committed batch is ever dropped.
+    var stagedAgainst: Option[Option[String]] = None
+    var staged: Seq[FileEntry] = Nil
     var committed = -1L
     while (committed < 0) {
-      val c = currentManifest(path).getOrElse(cur)
-      require(c.schemaDdl == cur.schemaDdl,
-        s"concurrent schema change on '$path' during appendEvolve — retry")
+      val cur = currentManifest(path)
+      val (merged, newCols) = cur match {
+        case Some(c) => mergeInto(StructType.fromDDL(c.schemaDdl))
+        case None => (df.schema, Nil)
+      }
+      if (!stagedAgainst.contains(cur.map(_.schemaDdl))) {
+        val aligned = df.select(merged.fields.map { f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        staged = stageFiles(aligned, path, statsCols, None)
+        stagedAgainst = Some(cur.map(_.schemaDdl))
+      }
       // pre-existing files route each NEW column to a guaranteed-absent
       // physical name (the addColumn discipline)
       val absent = newCols.map(f =>
@@ -538,13 +600,14 @@ object GraftTable {
       def evolveEntry(fe: FileEntry): FileEntry =
         if (absent.isEmpty) fe
         else fe.copy(renames = Some(fe.renames.getOrElse(Map.empty) ++ absent))
-      val inline = c.files.map(evolveEntry) ++ staged
-      val leaves = c.leaves.getOrElse(Nil).map { l =>
+      val inline = cur.map(_.files.map(evolveEntry)).getOrElse(Nil) ++ staged
+      val leaves = cur.flatMap(_.leaves).getOrElse(Nil).map { l =>
         if (absent.isEmpty) l else writeLeaf(path, loadLeaf(path, l).map(evolveEntry))
       }
       val (files, packedLeaves) = packCommit(path, inline, leaves)
-      val next = Manifest(c.version + 1, commitTs(Some(c)), "append_evolve",
-        merged.toDDL, files, c.streamMarks, packedLeaves)
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
+        "append_evolve", merged.toDDL, files, cur.flatMap(_.streamMarks), packedLeaves,
+        Some(ChangeLog(staged, Nil)))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -578,7 +641,8 @@ object GraftTable {
         cur.map(_.files).getOrElse(Nil) ++ staged,
         cur.flatMap(_.leaves).getOrElse(Nil))
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
-        "stream_append", df.schema.toDDL, files, Some(marks), leaves)
+        "stream_append", df.schema.toDDL, files, Some(marks), leaves,
+        Some(ChangeLog(staged, Nil)))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -692,23 +756,25 @@ object GraftTable {
       val dt = StructType.fromDDL(m.schemaDdl)(column).dataType
       probeHashes(spark, dt, values, BloomK)
     }
-    // leaf-level point test first (range only — blooms live per file):
-    // a leaf none of whose aggregate ranges can hold any probe value is
-    // never parsed
-    def inStats(st: ColStats, withBloom: Boolean): Boolean =
+    // leaf-level point test first: aggregate range AND (when present)
+    // the leaf's OR-union bloom — a leaf provably clean for every probe
+    // value is never even parsed, which is what makes point lookups
+    // O(candidate leaves) on BOTH clustered layouts (ranges prune) and
+    // hash layouts (the union bloom prunes)
+    def inStats(st: ColStats): Boolean =
       if (st.min.isEmpty && st.max.isEmpty) false
       else values.exists { v =>
         val ev = encode(st.t, v)
         st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
           st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
-          (!withBloom || st.bloom.forall(b => bloomMayContain(b, hashes(v))))
+          st.bloom.forall(b => bloomMayContain(b, hashes(v)))
       }
     val liveLeaves = m.leaves.getOrElse(Nil)
-      .filter(l => l.stats.get(column).forall(inStats(_, withBloom = false)))
+      .filter(l => l.stats.get(column).forall(inStats))
     val kept = (m.files ++ liveLeaves.flatMap(loadLeaf(path, _))).filter { fe =>
       fe.stats.get(column) match {
         case None => true // no stats — can't prove the file clean
-        case Some(st) => inStats(st, withBloom = true)
+        case Some(st) => inStats(st)
       }
     }
     PrunedScan(readFileSubset(spark, path, m, kept), kept.size, totalFiles(m))
@@ -854,7 +920,8 @@ object GraftTable {
     val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged,
       cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
-      cur.schemaDdl, files, cur.streamMarks, leaves)
+      cur.schemaDdl, files, cur.streamMarks, leaves,
+      Some(ChangeLog(staged, touched)))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -983,7 +1050,8 @@ object GraftTable {
       val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged,
         cleanLeaves ++ carriedLive.map(_._1))
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
-        cur.schemaDdl, files, cur.streamMarks, leaves)
+        cur.schemaDdl, files, cur.streamMarks, leaves,
+        Some(ChangeLog(staged, touched)))
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1022,8 +1090,10 @@ object GraftTable {
         renames = if (next.isEmpty) None else Some(next))
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
+    // metadata-only: file contents unchanged, so the change log is empty
+    // (chain diffs across a schema op fall back on the DDL check anyway)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "rename", newDdl,
-      files, cur.streamMarks, leaves)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"rename on '$path' lost the commit race — retry")
@@ -1054,7 +1124,7 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_column", newDdl,
-      files, cur.streamMarks, leaves)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"add_column on '$path' lost the commit race — retry")
@@ -1082,7 +1152,7 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_column", newDdl,
-      files, cur.streamMarks, leaves)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"drop_column on '$path' lost the commit race — retry")
@@ -1090,6 +1160,37 @@ object GraftTable {
   }
 
   // ----------------------------------------------------------- diff / CDC
+
+  /** Net (added, removed) file entries across `(fromV, toV]` derived by
+    * replaying the per-commit [[ChangeLog]]s, or None when any commit in
+    * the span predates the log, changes the schema (recorded entries'
+    * rename maps would be stale), or is an overwrite (its removed set is
+    * the whole prior table — enumerate via the snapshot instead).
+    * Cost is O(sum of per-commit changes) driver work; NO leaf manifest
+    * is ever parsed, so a diff over a billion-file table plans at
+    * O(changed files). A path added then removed within the span
+    * cancels (paths are commit-unique, never reused). */
+  private def chainChanges(path: String, fromDdl: String, fromV: Long,
+      toV: Long): Option[(Seq[FileEntry], Seq[FileEntry])] = {
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    val removed = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    var v = fromV + 1
+    while (v <= toV) {
+      if (!new File(logDir(path), manifestName(v)).exists) return None
+      val m = manifestAt(path, v)
+      if (m.schemaDdl != fromDdl) return None
+      m.changes match {
+        case Some(ch) if !ch.truncate =>
+          ch.removed.foreach { fe =>
+            if (added.remove(fe.path).isEmpty) removed.update(fe.path, fe)
+          }
+          ch.added.foreach(fe => added(fe.path) = fe)
+        case _ => return None
+      }
+      v += 1
+    }
+    Some((added.values.toSeq, removed.values.toSeq))
+  }
 
   /** Row-level changes between two snapshots — the consumer side of time
     * travel (Snowflake's `CHANGES` / Delta CDF, re-derived): full outer
@@ -1101,28 +1202,83 @@ object GraftTable {
     * NULL-safe throughout: NULL keys pair up, and value comparison uses
     * a canonical struct equality, so NULL ≠ value but NULL = NULL.
     *
-    * Scale shape: the manifest SET-DIFFERENCE prunes the scan before any
-    * IO — data files are immutable and every writer rewrites a whole
-    * file when it touches any of its rows, so a file present in BOTH
-    * versions holds only rows identical on both sides (under the keyed
-    * tables this API serves, those are exactly the unchanged rows, which
-    * the diff drops anyway). Only files unique to either version are
-    * read and join — steady-state upsert histories diff at O(changed
-    * files), not O(table). The join itself is one key-partitioned
-    * shuffle of each pruned side, columns pruned to key + compared. */
+    * Scale shape, best first: (1) when every commit in the span carries
+    * a [[ChangeLog]], the changed-file sets come from the LOG CHAIN —
+    * O(changed files) driver work, no snapshot file listing, not one
+    * leaf manifest parsed ([[chainChanges]]); an append-only span
+    * short-circuits further, reading just the added files and tagging
+    * every row `insert` with no join at all. (2) Otherwise the manifest
+    * SET-DIFFERENCE prunes the scan before any IO — data files are
+    * immutable and every writer rewrites a whole file when it touches
+    * any of its rows, so a file present in BOTH versions holds only
+    * rows identical on both sides. Either way only files holding
+    * changes are read and join — steady-state histories diff at
+    * O(changed files), not O(table). The join itself is one
+    * key-partitioned shuffle of each pruned side.
+    *
+    * Schema evolution: a pure WIDENING between the versions (every
+    * from-side column present, same type, in the to-side) diffs under
+    * the TO schema with absent columns read as NULL — so a routine
+    * [[appendEvolve]] widen doesn't force consumers to resync. Any
+    * other schema change refuses.
+    *
+    * Soundness requires `keys` be unique per snapshot (the file-grain
+    * pruning reasons at key granularity); the pruned sides are asserted
+    * duplicate-free — a cheap O(changes) check that catches wrong-key
+    * misuse loudly instead of emitting phantom inserts/deletes. (A
+    * duplicate split between a pruned and an unchanged file is
+    * undetectable at O(changes); duplicate-key tables must not be
+    * diffed.) */
   def diffVersions(spark: SparkSession, path: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need key columns")
     val mFrom = manifestAt(path, fromV)
     val mTo = manifestAt(path, toV)
-    val fFrom = filesOf(path, mFrom)
-    val fTo = filesOf(path, mTo)
-    val common = fFrom.map(_.path).toSet intersect fTo.map(_.path).toSet
-    val from = readFileSubset(spark, path, mFrom, fFrom.filterNot(f => common(f.path)))
-    val to = readFileSubset(spark, path, mTo, fTo.filterNot(f => common(f.path)))
-    require(from.schema == to.schema,
-      s"schema changed between v$fromV and v$toV — diff keys are not comparable")
-    val valCols = from.columns.filterNot(keys.contains).toSeq
+    val chained =
+      if (fromV < toV && mFrom.schemaDdl == mTo.schemaDdl)
+        chainChanges(path, mFrom.schemaDdl, fromV, toV)
+      else None
+    val (fromEntries, toEntries) = chained match {
+      case Some((addedNet, removedNet)) => (removedNet, addedNet)
+      case None =>
+        val fFrom = filesOf(path, mFrom)
+        val fTo = filesOf(path, mTo)
+        val common = fFrom.map(_.path).toSet intersect fTo.map(_.path).toSet
+        (fFrom.filterNot(f => common(f.path)), fTo.filterNot(f => common(f.path)))
+    }
+    val from0 = readFileSubset(spark, path, mFrom, fromEntries)
+    val to = readFileSubset(spark, path, mTo, toEntries)
+    val from =
+      if (from0.schema == to.schema) from0
+      else {
+        val widening = from0.schema.fields.forall(f =>
+          to.schema.fields.exists(t => t.name == f.name && t.dataType == f.dataType))
+        require(widening,
+          s"schema changed incompatibly between v$fromV and v$toV of '$path' — " +
+            s"only pure widening diffs (from [${mFrom.schemaDdl}] to [${mTo.schemaDdl}])")
+        from0.select(to.schema.fields.map(f =>
+          if (from0.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      }
+    val missingKeys = keys.filterNot(to.columns.contains)
+    require(missingKeys.isEmpty, s"key column(s) ${missingKeys.mkString(", ")} " +
+      s"not in schema [${mTo.schemaDdl}]")
+    val valCols = to.columns.filterNot(keys.contains).toSeq
+    // append-only span: every changed row is an insert — no join, no
+    // from-side read at all
+    if (fromEntries.isEmpty)
+      return to.select(keys.map(col) ++ valCols.map(col) :+
+        lit("insert").as("change_type"): _*)
+    def assertUniqueKeys(df: DataFrame, side: String): Unit = {
+      val r = df.agg(count(lit(1)).as("n"),
+        countDistinct(struct(keys.map(col): _*)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"diffVersions keys (${keys.mkString(", ")}) are not unique on the $side " +
+          s"side of '$path' v$fromV→v$toV — file-grain change pruning is only " +
+          "sound for keyed tables; diff with the table's true key")
+    }
+    assertUniqueKeys(from, "from")
+    assertUniqueKeys(to, "to")
     def tagged(df: DataFrame, side: String) =
       df.select((keys.map(k => col(k).as(s"__k_${side}_$k")) :+
         struct(valCols.map(col): _*).as(s"__row_$side") :+
@@ -1145,21 +1301,28 @@ object GraftTable {
   }
 
   /** Incremental tail read: rows of every file the CURRENT snapshot
-    * references that `sinceVersion` did not — with the file-set
-    * difference done at manifest grain, so the read costs O(new files),
-    * never O(table). For append-only histories (append / appendStream /
-    * appendEvolve) this is exactly the rows added since the bookmark —
-    * the poll-the-table consumer loop: read, process, bookmark the
-    * returned version, repeat. COW rewrites (upsert/delete/update)
-    * surface their whole rewritten files — kept rows included — so
-    * consumers of mutable tables should dedup by key or use
-    * [[diffVersions]] for row-level change semantics. Returns
+    * references that `sinceVersion` did not. The file-set difference
+    * comes from the [[ChangeLog]] chain when the span carries it —
+    * O(new files) driver work with no leaf parsing — else from the
+    * manifest-grain set difference; either way the READ costs O(new
+    * files), never O(table). For append-only histories (append /
+    * appendStream / appendEvolve) this is exactly the rows added since
+    * the bookmark — the poll-the-table consumer loop: read, process,
+    * bookmark the returned version, repeat. COW rewrites
+    * (upsert/delete/update) surface their whole rewritten files — kept
+    * rows included — so consumers of mutable tables should dedup by key
+    * or use [[diffVersions]] for row-level change semantics. Returns
     * (new rows, current version to bookmark). */
   def readSince(spark: SparkSession, path: String, sinceVersion: Long): (DataFrame, Long) = {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    val oldNames = filesOf(path, manifestAt(path, sinceVersion)).map(_.path).toSet
-    val fresh = filesOf(path, cur).filterNot(fe => oldNames.contains(fe.path))
+    val since = manifestAt(path, sinceVersion)
+    val fresh = chainChanges(path, since.schemaDdl, sinceVersion, cur.version) match {
+      case Some((addedNet, _)) => addedNet
+      case None =>
+        val oldNames = filesOf(path, since).map(_.path).toSet
+        filesOf(path, cur).filterNot(fe => oldNames.contains(fe.path))
+    }
     (readFileSubset(spark, path, cur, fresh), cur.version)
   }
 
@@ -1174,7 +1337,8 @@ object GraftTable {
         throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
       val marks = cur.streamMarks.getOrElse(Map.empty) + (id -> value)
       done = tryCommit(path, Manifest(cur.version + 1, commitTs(Some(cur)),
-        "sync_mark", cur.schemaDdl, cur.files, Some(marks), cur.leaves))
+        "sync_mark", cur.schemaDdl, cur.files, Some(marks), cur.leaves,
+        Some(ChangeLog(Nil, Nil))))
     }
   }
 
@@ -1193,29 +1357,45 @@ object GraftTable {
     * of identical rows and a delete of absent keys leave content
     * unchanged) — so replays converge instead of double-applying.
     *
-    * Scale shape: the diff is ONE null-safe full-outer equi-join of two
-    * snapshots co-partitioned on `keys` (shuffle-optimal but O(table) —
-    * a per-commit change-file log, Delta CDF's trick, is the documented
-    * upgrade seam when diffs must be O(changes)); the apply side touches
-    * only files holding changed keys. Change volume per sync is
-    * batch-sized, so the replica's write amplification matches the
-    * source's. */
+    * Scale shape: the changed-file sets come from the per-commit
+    * [[ChangeLog]] chain when the span carries it (O(changed files), no
+    * snapshot listing — see [[diffVersions]]), else from the manifest
+    * set-difference; the apply side touches only files holding changed
+    * keys. Change volume per sync is batch-sized, so the replica's
+    * write amplification matches the source's.
+    *
+    * Schema evolution: a pure WIDENING between bookmark and head (the
+    * routine [[appendEvolve]] case) does NOT force a full resync — the
+    * replica widens through metadata-only [[addColumn]] commits and the
+    * delta applies under the head schema (absent old-row columns read
+    * as NULL on both sides, so unchanged rows stay out of the diff).
+    * Any other schema change falls back to a full copy. */
   def syncReplica(spark: SparkSession, srcPath: String, dstPath: String,
       keys: Seq[String], markId: Option[String] = None): Long = {
     require(keys.nonEmpty, "need key columns")
     val srcV = currentVersion(srcPath).getOrElse(
       throw new IllegalArgumentException(s"'$srcPath' is not a GraftTable"))
     val id = markId.getOrElse("cdc:" + new File(srcPath).getCanonicalPath)
+    val headSchema = StructType.fromDDL(manifestAt(srcPath, srcV).schemaDdl)
     val mark = currentManifest(dstPath).flatMap(_.streamMarks).flatMap(_.get(id))
       .filter(v => new File(logDir(srcPath), manifestName(v)).exists) // vacuumed → resync
-      .filter(v => manifestAt(srcPath, v).schemaDdl ==
-        manifestAt(srcPath, srcV).schemaDdl) // schema evolved → diff keys incomparable, resync
+      .filter { v => // non-widening schema change → diff keys incomparable, resync
+        StructType.fromDDL(manifestAt(srcPath, v).schemaDdl).fields.forall(f =>
+          headSchema.fields.exists(t => t.name == f.name && t.dataType == f.dataType))
+      }
     mark match {
       case Some(v) if v == srcV => srcV // already current — no commit at all
       case Some(v) =>
+        // bring the replica's schema to the head's first — metadata-only
+        // commits, zero data IO — so the keyed apply sees matching schemas
+        val dstSchema = StructType.fromDDL(currentManifest(dstPath).getOrElse(
+          throw new IllegalArgumentException(s"'$dstPath' is not a GraftTable")).schemaDdl)
+        headSchema.fields.filterNot(f => dstSchema.fieldNames.contains(f.name))
+          .foreach(f => addColumn(dstPath, f.name, f.dataType.sql): Unit)
         val changes = diffVersions(spark, srcPath, v, srcV, keys).persist()
         try {
-          val upserts = changes.filter(col("change_type") =!= "delete").drop("change_type")
+          val upserts = changes.filter(col("change_type") =!= "delete")
+            .select(headSchema.fieldNames.toSeq.map(col): _*)
           val dels = changes.filter(col("change_type") === "delete")
             .select(keys.map(col): _*)
           if (!upserts.isEmpty) upsertByKey(spark, dstPath, upserts, keys): Unit
@@ -1270,7 +1450,8 @@ object GraftTable {
     val staged = stageFiles(packed, path, statsCols, clusterBy.map(c => (c, nOut)))
     val (files, leaves) = packCommit(path, big ++ staged, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
-      cur.schemaDdl, files, cur.streamMarks, leaves)
+      cur.schemaDdl, files, cur.streamMarks, leaves,
+      Some(ChangeLog(staged, small)))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")

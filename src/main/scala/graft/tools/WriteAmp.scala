@@ -65,7 +65,11 @@ object WriteAmp {
     val gt = s"$root/graft_fact"
     GraftTable.writeClustered(f1, gt, col("order_id"), numFiles,
       statsCols = Seq("order_id", "order_year"))
-    val v1Files = GraftTable.currentManifest(gt).get.files.map(_.path).toSet
+    // full file list (inline + leaves): inline-only would misread leaf-
+    // resident v1 files as newly staged when the initial write overflows
+    // the inline cap
+    val v1Files = GraftTable.filesOf(gt, GraftTable.currentManifest(gt).get)
+      .map(_.path).toSet
     GraftTable.upsertByKey(spark, gt, delta.select(f1.columns.map(col): _*),
       Seq("order_id"), statsCols = Seq("order_id", "order_year"))
     val m2 = GraftTable.currentManifest(gt).get
@@ -97,7 +101,8 @@ object WriteAmp {
     val gt2 = s"$root/graft_fact_inserts"
     GraftTable.writeClustered(f2.exceptAll(newKeys), gt2, col("order_id"), numFiles,
       statsCols = Seq("order_id", "order_year"))
-    val v1b = GraftTable.currentManifest(gt2).get.files.map(_.path).toSet
+    val v1b = GraftTable.filesOf(gt2, GraftTable.currentManifest(gt2).get)
+      .map(_.path).toSet
     GraftTable.upsertByKey(spark, gt2, newKeys.select(f1.columns.map(col): _*),
       Seq("order_id"), statsCols = Seq("order_id", "order_year"))
     val m2b = GraftTable.currentManifest(gt2).get

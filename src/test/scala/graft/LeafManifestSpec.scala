@@ -209,6 +209,169 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     assert(runDiff() === want, "diff after deleting common files must be unchanged")
   }
 
+  private def parseManifestAt(path: String, v: Long): Manifest = {
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val mf = new File(path + "/_graft_log", f"v$v%020d.json")
+    JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")).extract[Manifest]
+  }
+
+  private def corruptAllLeaves(path: String): Int = {
+    val leafFiles = Option(new File(path, "_graft_log").listFiles).getOrElse(Array.empty[File])
+      .filter(_.getName.startsWith("leaf-"))
+    leafFiles.foreach(f => Files.write(f.toPath, "NOT JSON".getBytes("UTF-8")))
+    leafFiles.length
+  }
+
+  test("diffVersions over a logged span parses no leaf manifest and reads no unchanged file") {
+    withSmallLimits(inline = 2, maxLeaves = 100) {
+      val path = tmp()
+      (0 until 6).foreach(i => GraftTable.append(
+        Seq.tabulate(10)(j => (i * 1000 + j, "old")).toDF("id", "v").coalesce(1),
+        path, statsCols = Seq("id")))
+      val fromV = GraftTable.currentVersion(path).get
+      GraftTable.upsertByKey(spark, path,
+        Seq((3000, "new"), (9999, "new")).toDF("id", "v"), Seq("id"),
+        statsCols = Seq("id"))
+      GraftTable.append(Seq((10000, "tail")).toDF("id", "v").coalesce(1), path,
+        statsCols = Seq("id"))
+      val toV = GraftTable.currentVersion(path).get
+      def runDiff() = GraftTable.diffVersions(spark, path, fromV, toV, Seq("id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val want = Seq((3000, "new", "update"), (9999, "new", "insert"),
+        (10000, "tail", "insert"))
+      assert(runDiff() === want)
+      // the proof the chain is O(changes): corrupt EVERY leaf manifest and
+      // delete every data file the span's change logs never mention — the
+      // chain diff must neither parse a leaf nor read an unchanged file
+      // (the snapshot-diff fallback would die on both)
+      val logged: Set[String] = (fromV + 1 to toV).flatMap { v =>
+        val ch = parseManifestAt(path, v).changes.get
+        (ch.added ++ ch.removed).map(_.path)
+      }.toSet
+      val dataFiles = Option(new File(path, "data").listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+      val untouched = dataFiles.filterNot(f => logged.contains("data/" + f.getName))
+      assert(untouched.nonEmpty, "fixture must have unchanged files to delete")
+      untouched.foreach(f => assert(f.delete()))
+      assert(corruptAllLeaves(path) > 0, "fixture must have leaves to corrupt")
+      assert(runDiff() === want,
+        "chain diff must survive losing every unchanged file and leaf manifest")
+    }
+  }
+
+  test("diffVersions insert-only spans skip the join and the from-side read entirely") {
+    withSmallLimits(inline = 1, maxLeaves = 3) {
+      val path = tmp()
+      GraftTable.append(Seq((1, "a")).toDF("id", "v").coalesce(1), path)
+      val fromV = GraftTable.currentVersion(path).get
+      (2 to 5).foreach(i => GraftTable.append(
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), path))
+      // delete the bookmark-covered file and corrupt every leaf: an
+      // append-only chain span must read ONLY the appended files
+      val covered = GraftTable.filesOf(path, parseManifestAt(path, fromV)).map(_.path)
+      covered.foreach(p => assert(new File(path, p).delete()))
+      corruptAllLeaves(path): Unit
+      val out = GraftTable.diffVersions(spark, path, fromV,
+        GraftTable.currentVersion(path).get, Seq("id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(out === (2 to 5).map(i => (i, s"v$i", "insert")))
+    }
+  }
+
+  test("diffVersions refuses non-unique keys loudly") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v"), path)
+    GraftTable.overwrite(Seq((1, "a"), (2, "d")).toDF("id", "v"), path)
+    val err = intercept[IllegalArgumentException](
+      GraftTable.diffVersions(spark, path, 1, 2, Seq("id")).collect())
+    assert(err.getMessage.contains("not unique"))
+  }
+
+  test("diffVersions across a widening evolve aligns absent columns as NULL") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    GraftTable.appendEvolve(Seq((3, "c", 9.5)).toDF("id", "v", "score"), path)
+    GraftTable.upsertByKey(spark, path,
+      Seq((2, "B", 1.5)).toDF("id", "v", "score"), Seq("id"))
+    val out = GraftTable.diffVersions(spark, path, 1, 3, Seq("id"))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq((2, "B", Some(1.5), "update"), (3, "c", Some(9.5), "insert")))
+    // a non-widening change (drop) refuses
+    GraftTable.dropColumn(path, "score")
+    val err = intercept[IllegalArgumentException](
+      GraftTable.diffVersions(spark, path, 3, 4, Seq("id")).collect())
+    assert(err.getMessage.contains("widening"))
+  }
+
+  test("syncReplica after a widening evolve applies only the delta") {
+    val (src, dst) = (tmp(), tmp())
+    GraftTable.overwrite(
+      Seq.tabulate(10)(i => (i, s"v$i")).toDF("id", "v").coalesce(2), src)
+    GraftTable.syncReplica(spark, src, dst, Seq("id"))
+    val bookmark = GraftTable.currentVersion(src).get
+    GraftTable.appendEvolve(
+      Seq((100, "x", 1.0), (101, "y", 2.0)).toDF("id", "v", "score"), src)
+    // the proof: delete every data file the bookmark already covered at
+    // the SOURCE — an incremental sync must not read them (a full resync
+    // would)
+    GraftTable.filesOf(src, parseManifestAt(src, bookmark)).map(_.path)
+      .foreach(p => assert(new File(src, p).delete()))
+    GraftTable.syncReplica(spark, src, dst, Seq("id"))
+    val out = GraftTable.read(spark, dst)
+    assert(out.columns.toSeq === Seq("id", "v", "score"))
+    val rows = out.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    assert(rows === (0 until 10).map(i => (i, None)) ++
+      Seq((100, Some(1.0)), (101, Some(2.0))))
+    // bookmark advanced: an idle re-sync is a no-op commit-wise
+    val vBefore = GraftTable.currentVersion(dst).get
+    GraftTable.syncReplica(spark, src, dst, Seq("id"))
+    assert(GraftTable.currentVersion(dst).get === vBefore)
+  }
+
+  test("appendEvolve creates a missing table as a logged append_evolve commit") {
+    val path = tmp()
+    GraftTable.appendEvolve(Seq((1, "a")).toDF("id", "v"), path)
+    assert(GraftTable.versions(path).map(_._3) === Seq("append_evolve"))
+    GraftTable.appendEvolve(Seq((2, 1.5)).toDF("id", "score"), path)
+    val out = GraftTable.read(spark, path)
+    assert(out.columns.toSeq === Seq("id", "v", "score"))
+    assert(out.count() === 2L)
+  }
+
+  test("point lookups prune at leaf granularity via range stats and union blooms") {
+    withSmallLimits(inline = 2, maxLeaves = 100) {
+      val path = tmp()
+      // hash-layout shape: every append spans nearly the full id range
+      // (interleaved even ids), so leaf RANGE stats prune nothing for an
+      // in-range probe — only the per-leaf OR-union bloom can
+      (0 until 8).foreach { i =>
+        GraftTable.append(
+          Seq.tabulate(10)(j => (j * 16 + i * 2, s"c$i")).toDF("id", "v").coalesce(1),
+          path, statsCols = Seq("id"), bloomCols = Seq("id"))
+      }
+      // positive probe: present id found, most files skipped
+      val hit = GraftTable.readPrunedIn(spark, path, "id", Seq(34))
+      assert(hit.df.filter($"id" === 34).count() === 1L)
+      assert(hit.filesRead < hit.filesTotal / 2,
+        s"blooms must skip most files: read ${hit.filesRead} of ${hit.filesTotal}")
+      // negative probe: an odd id inside every range — blooms prove every
+      // file AND every leaf clean
+      val miss = GraftTable.readPrunedIn(spark, path, "id", Seq(33))
+      assert(miss.filesRead === 0, s"expected 0 files, got ${miss.filesRead}")
+      // leaf-grain proof: corrupt every leaf body — the negative probe
+      // must still plan from leaf aggregate stats alone
+      assert(corruptAllLeaves(path) > 0)
+      val blind = GraftTable.readPrunedIn(spark, path, "id", Seq(33))
+      assert(blind.filesRead === 0 && blind.df.count() === 0L)
+    }
+  }
+
   test("racing appenders all land through the rebase loop under forced leaves") {
     withSmallLimits(inline = 1, maxLeaves = 3) {
       val path = tmp()
