@@ -112,10 +112,17 @@ c$i AS MATERIALIZED (
     // and c_i — the whole chain re-expands per level and the replay goes
     // exponential in iterations (observed: an sf0.1 replay spilling
     // >80 GB of temp before the hints; linear and in-memory after)
+    // edge build mirrors Graph.basketPairs: baskets over 64 distinct
+    // items drop WHOLE before pairing (the hot-basket fanout guarantee;
+    // a no-op on TPC-H's ≤7-item orders)
     val sb = new StringBuilder("""
-WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-           FROM lineitem a JOIN lineitem b
-             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ok AS MATERIALIZED (SELECT b FROM bi GROUP BY b HAVING count(*) <= 64),
+p AS MATERIALIZED (SELECT x.i AS src, y.i AS dst
+           FROM bi x JOIN ok USING (b) JOIN bi y
+             ON x.b = y.b AND x.i < y.i
+           GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
 nd AS MATERIALIZED (SELECT node, coalesce(d.c, 0)::BIGINT AS out_deg
        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) nodes
        LEFT JOIN (SELECT src, count(*)::BIGINT AS c FROM e GROUP BY src) d ON node = d.src),
@@ -146,11 +153,14 @@ r$i AS MATERIALIZED (SELECT nd.node, nd.out_deg,
     // MATERIALIZED for the same reason as [[pageRankCte]]: sym/nodes are
     // referenced every round and l(i-1) feeds round i — an inlining
     // planner re-expands the whole chain per round
+    // edge build mirrors Graph.basketPairs + support ≥ 2 (see q118's cap note)
     val sb = new StringBuilder("""
-WITH und AS MATERIALIZED (SELECT a.l_partkey AS a, b.l_partkey AS b
-             FROM lineitem a JOIN lineitem b
-               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-             GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+WITH bi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+ok AS MATERIALIZED (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 64),
+und AS MATERIALIZED (SELECT x.i AS a, y.i AS b
+             FROM bi x JOIN ok USING (bk) JOIN bi y
+               ON x.bk = y.bk AND x.i < y.i
+             GROUP BY 1, 2 HAVING count(*) >= 2),
 sym AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
 nodes AS MATERIALIZED (SELECT DISTINCT node FROM sym),
 l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes)""")
@@ -1235,10 +1245,12 @@ SELECT node, out_deg, round(CAST(rank AS DOUBLE), 6) AS rank FROM r5"""),
     // degree-ordered orientation (each triangle found exactly once) —
     // mirrors Graph.triangleCounts; exact integers end to end
     "q119_triangle_counts" -> """
-WITH und AS (SELECT a.l_partkey AS a, b.l_partkey AS b
-             FROM lineitem a JOIN lineitem b
-               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-             GROUP BY 1, 2 HAVING count(DISTINCT a.l_orderkey) >= 2),
+WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+ok AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 64),
+und AS (SELECT x.i AS a, y.i AS b
+             FROM bi x JOIN ok USING (bk) JOIN bi y
+               ON x.bk = y.bk AND x.i < y.i
+             GROUP BY 1, 2 HAVING count(*) >= 2),
 deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
           SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
 ornt AS (SELECT CASE WHEN da.deg <= db.deg THEN und.a ELSE und.b END AS src,

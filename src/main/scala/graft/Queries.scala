@@ -602,27 +602,26 @@ object Queries {
   /** q118: PageRank centrality over the distinct product co-purchase
     * graph (parts sharing an order, both directions) — the link-quality
     * prior a web-corpus pipeline computes over its host graph, exercised
-    * here on the densest graph the star schema induces. */
+    * here on the densest graph the star schema induces. The edge build
+    * is [[Graph.basketPairs]]: baskets over 64 items drop WHOLE before
+    * pairing (the hot-basket fanout guarantee; a no-op on TPC-H's ≤7-item
+    * orders, enforced in code and mirrored in the oracle). */
   def pageRankQ(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-    Graph.pageRank(e, "src", "dst", iterations = 5, distinctEdges = true)
+    val p = Graph.basketPairs(li, "l_orderkey", "l_partkey", maxBasketItems = 64)
+    val e = p.select(col("src"), col("dst"))
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(e, "src", "dst", iterations = 5)
   }
 
   /** q119: per-node triangle counts over the support-≥2 co-purchase
     * graph (parts sharing ≥2 orders — the market-basket support
     * threshold that keeps the graph sparse as the corpus grows), via
-    * degree-ordered orientation. Exact integers end to end. */
+    * degree-ordered orientation. Exact integers end to end. Edge build
+    * capped like q118 ([[Graph.basketPairs]], 64). */
   def triangleQ(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val und = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      .agg(countDistinct(col("x.l_orderkey")).as("w"))
+    val und = Graph.basketPairs(li, "l_orderkey", "l_partkey", maxBasketItems = 64)
       .filter(col("w") >= 2)
       .select(col("src"), col("dst"))
     Graph.triangleCounts(und, "src", "dst")
@@ -653,14 +652,11 @@ object Queries {
   /** q121: label-propagation communities (3 deterministic rounds,
     * min-label tie-break) over the same support-≥2 co-purchase graph as
     * q119 — the product-affinity clustering a recommender derives from
-    * the basket graph. */
+    * the basket graph. Edge build capped like q118
+    * ([[Graph.basketPairs]], 64). */
   def lpaQ(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val und = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      .agg(countDistinct(col("x.l_orderkey")).as("w"))
+    val und = Graph.basketPairs(li, "l_orderkey", "l_partkey", maxBasketItems = 64)
       .filter(col("w") >= 2)
       .select(col("src"), col("dst"))
     Graph.labelPropagation(und, "src", "dst", rounds = 3)

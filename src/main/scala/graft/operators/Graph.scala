@@ -19,6 +19,46 @@ import org.apache.spark.sql.functions._
   * uniformly, the standard stochastic-matrix completion. */
 object Graph {
 
+  /** The shared co-occurrence EDGE BUILD: canonical item pairs
+    * (src < dst) sharing a basket, with `w` = number of distinct baskets
+    * supporting the pair. Feeds the q118/q119/q121 graph family.
+    *
+    * The scale guarantee (not a caveat): baskets holding more than
+    * `maxBasketItems` DISTINCT items are dropped WHOLE before any
+    * pairing — the [[Mining.associationRules]] market-basket discipline.
+    * Pairing fans out O(B²) per basket, so ONE degenerate hot basket (a
+    * crawler session touching every product, a catalog-wide order) would
+    * otherwise blow the edge build regardless of how well the graph
+    * operators behave; with the cap enforced here, per-basket fanout is
+    * ≤ cap² by construction. Dropping (not truncating) keeps the
+    * semantics declarative — any SQL oracle mirrors it with a
+    * HAVING-count prefilter.
+    *
+    * Scale shape: one (basket, item) distinct; one basket-keyed
+    * exchange where the size filter (a sort-spillable window count — a
+    * degenerate basket never builds an in-memory array before the cap
+    * can drop it) and the per-basket packing share the same clustering;
+    * then a JOIN-FREE double-explode pairing (no self-join, nothing for
+    * a planner to mis-shuffle) into a map-side-combinable (src, dst)
+    * count at pair grain. */
+  def basketPairs(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasketItems: Int = 64): DataFrame = {
+    require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
+    val bi = rows
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+    val packed = bi.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBasketItems)
+      .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
+    packed
+      .select(explode(col("__is")).as("src"), col("__is"))
+      .select(col("src"), explode(col("__is")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
   /** PageRank by power iteration (Brin & Page 1998) over a directed edge
     * list; returns (node, out_deg, rank) with rank rounded to 6 dp.
     *

@@ -397,6 +397,22 @@ object PlanAudit {
       "no_cartesian" -> (p => !p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoop")))
     locally {
+      // the q118/q119/q121 EDGE BUILD, pinned: the hot-basket cap (a
+      // sort-spillable window count at basket grain) filters BEFORE any
+      // pairing, and the pairing itself is generate-based — no self-join
+      // for a planner to mis-shape, per-basket fanout ≤ cap² by
+      // construction, pair counts combine map-side
+      import org.apache.spark.sql.functions.col
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      auditDf("q118_edge_build",
+        graft.operators.Graph.basketPairs(li, "l_orderkey", "l_partkey", 64),
+        "no_pairing_join" -> (p => !p.contains("Join")),
+        "cap_before_pairing" -> (p => "__n#\\d+L? <= 64".r.findFirstIn(p).isDefined),
+        "explode_pairing" -> (_.contains("Generate explode")),
+        "combinable_pair_count" -> (_.contains("partial_count")))
+    }
+    locally {
       // q118's ITERATION shape, pinned directly (the registry query's final
       // plan only shows the cached result): build the src-partitioned
       // cached edge list and one rank frame, then assert a single power

@@ -19,6 +19,27 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
     m
   }
 
+  test("basketPairs drops hot baskets whole before pairing; boundary basket kept") {
+    import spark.implicits._
+    // basket 1: 3 items → 3 pairs; basket 2 is HOT (100 items > cap 64):
+    // dropped whole, zero edges; basket 3 re-supports (10,11) → w=2
+    val rows = (Seq((1L, 10L), (1L, 11L), (1L, 12L)) ++
+      (0 until 100).map(i => (2L, 1000L + i)) ++
+      Seq((3L, 10L), (3L, 11L))).toDF("basket", "item")
+    val p = Graph.basketPairs(rows, "basket", "item", maxBasketItems = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(p === Seq((10L, 11L, 2L), (10L, 12L, 1L), (11L, 12L, 1L)),
+      "hot basket must contribute no pairs; small baskets pair normally")
+    // boundary: exactly cap-sized basket is kept — and duplicate
+    // (basket, item) rows collapse BEFORE the size test, so a 64-distinct
+    // basket listed twice is still a 64-item basket
+    val dup = (0 until 64).flatMap(i => Seq((9L, i.toLong), (9L, i.toLong)))
+      .toDF("basket", "item")
+    assert(Graph.basketPairs(dup, "basket", "item", maxBasketItems = 64)
+      .count() === 64L * 63 / 2)
+  }
+
   test("symmetric triangle: all nodes equal, mass sums to 1") {
     val m = ranks(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 0L, 0L -> 2L)
     assert(m.size == 3)
