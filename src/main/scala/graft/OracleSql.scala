@@ -1140,6 +1140,22 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // q103's history read back through the SQL TVF surface — same
+    // declarative expectation per snapshot
+    "q138_sql_time_travel" -> """
+SELECT 1::BIGINT AS v, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 2::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double)
+FROM orders
+UNION ALL
+SELECT 3::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                          ELSE o_totalprice END AS decimal(18,4))) AS double)
+FROM orders""",
+
     // multi-format round-trip: every format must read back to the SAME
     // aggregate — the oracle is the aggregate over the raw table, one row
     // per format name

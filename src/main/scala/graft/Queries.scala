@@ -422,6 +422,40 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  private lazy val q138Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_sql").toString
+
+  /** q138: SQL-dialect time travel — the same 3-commit history as q103,
+    * but every snapshot is read back through PURE SQL TEXT via the
+    * [[graft.plans.GraftSql]] table-valued functions
+    * (`graft_table_version` for the version pins, `graft_table` for the
+    * head) — the dialect-level counterpart of the reference's
+    * `AT (TIMESTAMP => …)` (stg_dim_customer.sql:71), where q103 gates
+    * the Scala API. Same oracle shape as q103. */
+  def sqlTimeTravelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    graft.plans.GraftSql.install(s)
+    val root = q138Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_v"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)
+    GraftTable.append(orders.filter(col("o_orderdate") >= split), path)
+    GraftTable.upsertByKey(s, path,
+      orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    def agg(v: Long, from: String) =
+      s"""SELECT CAST($v AS BIGINT) AS v, count(1) AS n_orders,
+         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+         |FROM $from""".stripMargin
+    s.sql(Seq(
+      agg(1, s"graft_table_version('$path', 1)"),
+      agg(2, s"graft_table_version('$path', 2)"),
+      agg(3, s"graft_table('$path')")).mkString("\nUNION ALL\n"))
+  }
+
   private lazy val q114Root: String =
     java.nio.file.Files.createTempDirectory("graft_formats").toString
 
@@ -1722,6 +1756,7 @@ object Queries {
   val all: Map[String, QFn] = Map(
     "q130_group_ols" -> (groupOlsQ _),
     "q137_cdf_chain" -> (cdfChainQ _),
+    "q138_sql_time_travel" -> (sqlTimeTravelQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

@@ -280,7 +280,7 @@ object GraftTable {
     * leaf count itself outgrows [[MaxLeaves]]. Old-format manifests
     * (everything inline) roll into the policy unchanged — their inline
     * list simply spills on the first commit that overflows the cap. */
-  private def packCommit(path: String, inline: Seq[FileEntry],
+  private[graft] def packCommit(path: String, inline: Seq[FileEntry],
       parentLeaves: Seq[LeafRef]): (Seq[FileEntry], Option[Seq[LeafRef]]) = {
     val (files, leaves) =
       if (inline.size <= InlineFileLimit) (inline, parentLeaves)

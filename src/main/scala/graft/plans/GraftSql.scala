@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+import graft.core.GraftTable
+
+/** The SQL front door for GraftTable time travel — the dialect-level
+  * counterpart of the reference's `AT (TIMESTAMP => …)` clause
+  * (`models/intermediate/stg_dim_customer.sql:71`), which Snowflake
+  * exposes *in SQL* while our [[GraftTable.readVersion]]/[[GraftTable.readAsOf]]
+  * were Scala-only. Three TABLE-VALUED FUNCTIONS registered on the live
+  * session's `TableFunctionRegistry` (the table-grain sibling of the
+  * `graft_minhash` scalar registration,
+  * [[graft.expressions.VectorExpressions]]):
+  *
+  * {{{
+  *   SELECT … FROM graft_table('/path/t')                      -- head snapshot
+  *   SELECT … FROM graft_table_version('/path/t', 3)           -- VERSION AS OF 3
+  *   SELECT … FROM graft_table_at('/path/t', TIMESTAMP '…')    -- TIMESTAMP AS OF
+  *   SELECT … FROM graft_table_at('/path/t', 1700000000000000) -- epoch micros
+  *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between
+  * }}}
+  *
+  * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
+  * plan of the manifest-pinned parquet scan the Scala API would build —
+  * so the TVF composes with everything SQL (joins, CTEs, subqueries,
+  * views), inherits Catalyst's pushdown/pruning over the scan, and
+  * [[GraftPrune]] (when installed) file-skips it exactly like an
+  * API-built read. Arguments must be literals: a table path is plan
+  * structure, not data — the same line `read_parquet('…')`-style TVFs
+  * draw everywhere. */
+object GraftSql {
+
+  /** Register the three TVFs on `spark`'s session function registry
+    * (idempotent; session-scoped like any temp function). */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.tableFunctionRegistry
+
+    def pathOf(fn: String, e: Expression): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => fail(fn, s"a string-literal table path, got $other")
+    }
+
+    def register(name: String, builder: Seq[Expression] => LogicalPlan): Unit =
+      reg.registerFunction(FunctionIdentifier(name),
+        new ExpressionInfo(GraftSql.getClass.getName, name), builder)
+
+    register("graft_table", {
+      case Seq(p) => plan(spark, GraftTable.read(spark, pathOf("graft_table", p)))
+      case args => fail("graft_table", s"(path), got ${args.size} argument(s)")
+    })
+    register("graft_table_version", {
+      case Seq(p, v) =>
+        plan(spark, GraftTable.readVersion(spark,
+          pathOf("graft_table_version", p), longLit("graft_table_version", v)))
+      case args => fail("graft_table_version", s"(path, version), got ${args.size} argument(s)")
+    })
+    register("graft_table_at", {
+      case Seq(p, t) =>
+        plan(spark, GraftTable.readAsOf(spark,
+          pathOf("graft_table_at", p), tsMicros("graft_table_at", t)))
+      case args => fail("graft_table_at", s"(path, timestamp), got ${args.size} argument(s)")
+    })
+    // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
+    // Delta `table_changes(...)`) — row-level diff between two versions,
+    // keyed on a comma-separated key-column list
+    register("graft_table_changes", {
+      case Seq(p, f, t, k) =>
+        val keys = pathOf("graft_table_changes", k).split(",").map(_.trim).filter(_.nonEmpty)
+        plan(spark, GraftTable.diffVersions(spark, pathOf("graft_table_changes", p),
+          longLit("graft_table_changes", f), longLit("graft_table_changes", t),
+          keys.toIndexedSeq))
+      case args => fail("graft_table_changes",
+        s"(path, from_version, to_version, 'key1,key2,…'), got ${args.size} argument(s)")
+    })
+  }
+
+  private def plan(spark: SparkSession, df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  private def fail(fn: String, what: String): Nothing =
+    throw new IllegalArgumentException(s"$fn expects $what — time-travel pins are " +
+      "plan structure and must be literals")
+
+  private def longLit(fn: String, e: Expression): Long = e match {
+    case Literal(v, ByteType | ShortType | IntegerType | LongType) if v != null =>
+      v.toString.toLong
+    case other => fail(fn, s"an integer-literal version, got $other")
+  }
+
+  /** A time-travel instant: a TIMESTAMP/TIMESTAMP_NTZ literal (already
+    * epoch micros internally), an integral epoch-micros literal, or a
+    * `'yyyy-MM-dd HH:mm:ss[.ffffff]'` string parsed as UTC (the engine's
+    * session convention). */
+  private def tsMicros(fn: String, e: Expression): Long = e match {
+    case Literal(v: Long, TimestampType | TimestampNTZType) => v
+    case Literal(v, ByteType | ShortType | IntegerType | LongType) if v != null =>
+      v.toString.toLong
+    case Literal(v, StringType) if v != null =>
+      val t = java.time.LocalDateTime.parse(v.toString.trim.replace(' ', 'T'))
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    case other => fail(fn, s"a timestamp or epoch-micros literal, got $other")
+  }
+}

@@ -28,6 +28,12 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // optional 4th arg: a query to run UNTIMED at sf0.001 first (the
+    // Bench warmup discipline) — lets ordering/JIT effects be isolated
+    args.lift(3).foreach { warm =>
+      graft.SparkEntry.queries(warm)(spark, "/root/testdata/sf0.001").count(): Unit
+      println(s"[profile] warmed with $warm @ sf0.001")
+    }
     (1 to n).foreach { i =>
       spark.catalog.clearCache()
       time(s"$name run $i")(fn(spark, d).count())

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.core.GraftTable
+import graft.plans.GraftSql
+
+/** The SQL time-travel surface: graft_table / graft_table_version /
+  * graft_table_at resolve to the same snapshots as the Scala API, compose
+  * with SQL joins, and refuse non-literal pins loudly. */
+class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  GraftSql.install(spark)
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sqlspec").toString + "/t"
+
+  test("TVF reads match the Scala API per version, by timestamp, and at head") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    GraftTable.append(Seq((3, "c")).toDF("id", "v"), path)
+    GraftTable.upsertByKey(spark, path, Seq((2, "B")).toDF("id", "v"), Seq("id"))
+
+    def viaSql(from: String): Seq[(Int, String)] =
+      spark.sql(s"SELECT id, v FROM $from ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+    assert(viaSql(s"graft_table('$path')") === Seq((1, "a"), (2, "B"), (3, "c")))
+    assert(viaSql(s"graft_table_version('$path', 1)") === Seq((1, "a"), (2, "b")))
+    assert(viaSql(s"graft_table_version('$path', 2)") === Seq((1, "a"), (2, "b"), (3, "c")))
+    // timestamp pin: the instant of commit 2 (epoch-micros literal form),
+    // and a far-future TIMESTAMP string resolving to head
+    val ts2 = GraftTable.versions(path).find(_._1 == 2L).get._2
+    assert(viaSql(s"graft_table_at('$path', $ts2)") === Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(viaSql(s"graft_table_at('$path', TIMESTAMP '2999-01-01 00:00:00')") ===
+      Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("TVFs compose with SQL joins over ordinary relations") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "x"), path)
+    Seq((1, "one"), (3, "three")).toDF("id", "name").createOrReplaceTempView("names")
+    val out = spark.sql(
+      s"""SELECT n.name, t.x FROM graft_table('$path') t
+         |JOIN names n USING (id) ORDER BY n.name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out === Seq(("one", 10.0), ("three", 30.0)))
+  }
+
+  test("graft_table_changes surfaces the version diff in SQL") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    GraftTable.upsertByKey(spark, path, Seq((2, "B"), (3, "c")).toDF("id", "v"), Seq("id"))
+    val out = spark.sql(
+      s"""SELECT id, v, change_type FROM graft_table_changes('$path', 1, 2, 'id')
+         |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(out === Seq((2, "B", "update"), (3, "c", "insert")))
+  }
+
+  test("GraftPrune file-skips through the TVF exactly like an API read") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val path = tmp()
+    GraftTable.writeClustered(
+      Seq.tabulate(800)(i => (i, i % 7)).toDF("k", "grp"), path, col("k"), 8,
+      statsCols = Seq("k"))
+    graft.plans.GraftPrune.install(spark)
+    try {
+      val q = spark.sql(s"SELECT k, grp FROM graft_table('$path') WHERE k BETWEEN 100 AND 150")
+      val planned = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.inputFiles.length
+          case _ => 0
+        }
+      }.sum
+      assert(planned <= 2, s"TVF scan must file-skip through the rule: planned $planned/8")
+      assert(q.count() === 51L)
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.GraftPrune])
+  }
+
+  test("non-literal pins and missing versions refuse loudly") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a")).toDF("id", "v"), path)
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_table_version('$path', id)").collect())
+    assert(e1.getMessage.contains("literal") || e1.getMessage.contains("UNRESOLV"),
+      s"unexpected: ${e1.getMessage}")
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_table_version('$path', 99)").collect())
+    assert(e2.getMessage.contains("no version"), s"unexpected: ${e2.getMessage}")
+  }
+}
