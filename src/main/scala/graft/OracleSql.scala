@@ -291,6 +291,12 @@ FROM f""",
 SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
 FROM orders WHERE o_orderkey % 1000 = 1""",
 
+    // q131's point lookup with no explicit pruned-read call — the
+    // optimizer rule must narrow the plain isin scan; same expectation
+    "q139_ruled_bloom_scan" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
+FROM orders WHERE o_orderkey % 1000 = 1""",
+
     // the replica's final state after insert/update/delete CDC batches,
     // stated declaratively — the Spark side must arrive via the change
     // stream (diff → apply → bookmark), not by recomputing this filter

@@ -642,10 +642,8 @@ object Queries {
     * orders, enforced in code and mirrored in the oracle). */
   def pageRankQ(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val p = Graph.basketPairs(li, "l_orderkey", "l_partkey", maxBasketItems = 64)
-    val e = p.select(col("src"), col("dst"))
-      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-    Graph.pageRank(e, "src", "dst", iterations = 5)
+    val e = Graph.basketEdges(li, "l_orderkey", "l_partkey", maxBasketItems = 64)
+    Graph.pageRank(e, "src", "dst", iterations = 5, distinctEdges = true)
   }
 
   /** q119: per-node triangle counts over the support-≥2 co-purchase
@@ -1648,6 +1646,32 @@ object Queries {
         micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
   }
 
+  private lazy val q139Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_ruled_in").toString
+
+  /** q139: q131's bloom point-lookup with NO explicit readPrunedIn — a
+    * plain `.isin` filter over the hash-distributed table, narrowed to
+    * bloom-surviving files by the [[graft.plans.GraftPrune]] optimizer
+    * rule alone (its round-8 IN-list path; GraftPruneSpec pins the
+    * planned-file skipping and no-false-skip, this gate pins end-to-end
+    * correctness through the rule). */
+  def ruledBloomScanQ(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftPrune.install(s)
+    val root = q139Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_rb"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.overwrite(orders.repartition(16, col("o_orderkey")), path,
+      bloomCols = Seq("o_orderkey"))
+    val probes = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    graft.core.GraftTable.read(s, path)
+      .filter(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
+  }
+
   private lazy val q132Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_cdc").toString
 
@@ -1757,6 +1781,7 @@ object Queries {
     "q130_group_ols" -> (groupOlsQ _),
     "q137_cdf_chain" -> (cdfChainQ _),
     "q138_sql_time_travel" -> (sqlTimeTravelQ _),
+    "q139_ruled_bloom_scan" -> (ruledBloomScanQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

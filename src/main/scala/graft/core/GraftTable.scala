@@ -355,7 +355,7 @@ object GraftTable {
     * manifest must stay planning-sized; files bigger than the cap keep a
     * working bloom with a gracefully higher false-positive rate, and a
     * false positive only costs a read, never a wrong result). */
-  private val BloomK = 5
+  private[graft] val BloomK = 5
   private val BloomBitsPerKey = 10
   private val MaxBloomBits = 1 << 16
 
@@ -382,7 +382,7 @@ object GraftTable {
     * SPARK on literals (bit-identical to the write side by construction);
     * one driver-local job per pruned read, probe-list-sized. Positions for
     * a file with m bits are `floorMod(hash, m)`. */
-  private def probeHashes(spark: SparkSession, dt: DataType, values: Seq[Any],
+  private[graft] def probeHashes(spark: SparkSession, dt: DataType, values: Seq[Any],
       k: Int): Map[Any, Seq[Long]] = {
     val cols = for { (v, vi) <- values.zipWithIndex; i <- 0 until k }
       yield xxhash64(lit(v).cast(dt), lit(i)).as(s"h_${vi}_$i")
@@ -761,22 +761,10 @@ object GraftTable {
     // value is never even parsed, which is what makes point lookups
     // O(candidate leaves) on BOTH clustered layouts (ranges prune) and
     // hash layouts (the union bloom prunes)
-    def inStats(st: ColStats): Boolean =
-      if (st.min.isEmpty && st.max.isEmpty) false
-      else values.exists { v =>
-        val ev = encode(st.t, v)
-        st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
-          st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
-          st.bloom.forall(b => bloomMayContain(b, hashes(v)))
-      }
     val liveLeaves = m.leaves.getOrElse(Nil)
-      .filter(l => l.stats.get(column).forall(inStats))
-    val kept = (m.files ++ liveLeaves.flatMap(loadLeaf(path, _))).filter { fe =>
-      fe.stats.get(column) match {
-        case None => true // no stats — can't prove the file clean
-        case Some(st) => inStats(st)
-      }
-    }
+      .filter(l => mayContainIn(l.stats, column, values, hashes))
+    val kept = (m.files ++ liveLeaves.flatMap(loadLeaf(path, _)))
+      .filter(fe => mayContainIn(fe.stats, column, values, hashes))
     PrunedScan(readFileSubset(spark, path, m, kept), kept.size, totalFiles(m))
   }
 
@@ -785,6 +773,29 @@ object GraftTable {
     * conjunction; keep files with no stats for a constrained column. */
   private def statsKeep(files: Seq[FileEntry], ranges: Seq[ColRange]): Seq[FileEntry] =
     files.filter(fe => mayMatch(fe.stats, ranges))
+
+  /** The point-probe keep test shared by [[readPrunedIn]] and
+    * [[graft.plans.GraftPrune]]'s IN-list path: can `stats` hold AT
+    * LEAST ONE of `values` in `column`? Range containment per value,
+    * AND the bloom probe when the stats carry one; `hashes` supplies
+    * the write-side-identical xxhash64 probe positions (computed by
+    * Spark, see [[probeHashes]] — call it lazily, only stats that
+    * actually carry blooms pay the one-row job). No stats for the
+    * column → keep (stats prune, never filter); all-NULL → skip (an IN
+    * list never matches NULL). */
+  private[graft] def mayContainIn(stats: Map[String, ColStats], column: String,
+      values: Seq[Any], hashes: Any => Seq[Long]): Boolean =
+    stats.get(column) match {
+      case None => true
+      case Some(st) =>
+        if (st.min.isEmpty && st.max.isEmpty) false
+        else values.exists { v =>
+          val ev = encode(st.t, v)
+          st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
+            st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
+            st.bloom.forall(b => bloomMayContain(b, hashes(v)))
+        }
+    }
 
   /** One file's keep test — also the seam [[graft.plans.GraftPrune]]
     * (the transparent optimizer-rule skipper) probes per scanned file. */

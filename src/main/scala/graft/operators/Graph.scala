@@ -42,21 +42,44 @@ object Graph {
     * a planner to mis-shuffle) into a map-side-combinable (src, dst)
     * count at pair grain. */
   def basketPairs(rows: DataFrame, basketCol: String, itemCol: String,
-      maxBasketItems: Int = 64): DataFrame = {
+      maxBasketItems: Int = 64): DataFrame =
+    packedBaskets(rows, basketCol, itemCol, maxBasketItems)
+      .select(explode(col("__is")).as("src"), col("__is"))
+      .select(col("src"), explode(col("__is")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** BOTH-direction co-occurrence edges (src ≠ dst), one output row per
+    * ordered pair occurrence — the [[pageRank]] input shape. Emitting
+    * the two directions inside the SAME explode pass matters: a
+    * `pairs UNION mirrored(pairs)` would evaluate the whole pairing
+    * subtree twice (Spark reuses nothing across union branches without
+    * an explicit cache), and dedup belongs downstream where it can fuse
+    * into pageRank's one-time src repartition (`distinctEdges = true`).
+    * Same whole-basket cap discipline as [[basketPairs]]. */
+  def basketEdges(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasketItems: Int = 64): DataFrame =
+    packedBaskets(rows, basketCol, itemCol, maxBasketItems)
+      .select(explode(col("__is")).as("src"), col("__is"))
+      .select(col("src"), explode(col("__is")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** The shared capped-basket prefix: (basket, sorted distinct-item
+    * array) with oversized baskets dropped whole — the cap runs as a
+    * sort-spillable window count BEFORE any array materializes, and the
+    * per-basket packing reuses the window's basket clustering (no extra
+    * exchange between cap and pack). */
+  private def packedBaskets(rows: DataFrame, basketCol: String, itemCol: String,
+      maxBasketItems: Int): DataFrame = {
     require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
     val bi = rows
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
-    val packed = bi.withColumn("__n", count(lit(1)).over(w))
+    bi.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= maxBasketItems)
       .groupBy(col("__b")).agg(sort_array(collect_list(col("__i"))).as("__is"))
-    packed
-      .select(explode(col("__is")).as("src"), col("__is"))
-      .select(col("src"), explode(col("__is")).as("dst"))
-      .filter(col("src") < col("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
   }
 
   /** PageRank by power iteration (Brin & Page 1998) over a directed edge

@@ -15,9 +15,13 @@ import graft.core.GraftTable.ColRange
 /** TRANSPARENT manifest-stats file skipping as a Catalyst optimizer rule:
   * any `Filter` directly over a parquet scan whose files live in a
   * GraftTable's `data/` directory gets its file list narrowed to the
-  * files whose per-file [min,max] stats can satisfy the predicate —
-  * without the caller ever asking ([[GraftTable.readPruned]] is the
-  * explicit spelling of the same skip). The filter itself stays in the
+  * files whose per-file stats can satisfy the predicate — without the
+  * caller ever asking ([[GraftTable.readPruned]]/[[GraftTable.readPrunedIn]]
+  * are the explicit spellings of the same skips). Range conjuncts probe
+  * [min,max]; `IN`/`===` conjuncts additionally probe the per-file
+  * BLOOM filters when the write listed the column in `bloomCols` — on a
+  * hash-distributed layout, where every file spans the full key range,
+  * the bloom does all the skipping. The filter itself stays in the
   * plan, so the rewrite is purely a file-set refinement: Spark plans
   * fewer scan tasks, reads fewer footers, and the residual predicate
   * still runs exactly.
@@ -62,12 +66,24 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
     val dirs = files.map(p => new File(stripScheme(p)).getParentFile).distinct
     if (dirs.length != 1 || dirs(0) == null || !GraftTable.isDataDir(dirs(0))) return f
     val ranges = extractRanges(cond)
-    if (ranges.isEmpty) return f
+    val points = extractPoints(cond)
+    if (ranges.isEmpty && points.isEmpty) return f
     val root = dirs(0).getParentFile.getPath
     val stats = GraftTable.statsForFiles(root)
+    // one lazy probe-hash job per IN column — paid only when some file's
+    // stats actually carry a bloom for it (the readPrunedIn discipline)
+    val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
+    def hashesFor(p: PointProbe): Any => Seq[Long] =
+      hashCache.getOrElseUpdate(p.col, {
+        lazy val m = GraftTable.probeHashes(spark, p.dt, p.values, GraftTable.BloomK)
+        v => m(v)
+      })
     val kept = files.filter { p =>
       val name = p.split('/').last
-      stats.get(name).forall(s => GraftTable.mayMatch(s, ranges))
+      stats.get(name).forall { s =>
+        GraftTable.mayMatch(s, ranges) &&
+          points.forall(pt => GraftTable.mayContainIn(s, pt.col, pt.values, hashesFor(pt)))
+      }
     }
     if (kept.length == files.length) return f // nothing to skip — fixpoint
     val idx = new InMemoryFileIndex(spark,
@@ -109,6 +125,37 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
       case _ => Seq(ColRange(a.name, lo.flatMap(ext), hi.flatMap(ext)))
     }
   }
+
+  private case class PointProbe(col: String,
+      dt: org.apache.spark.sql.types.DataType, values: Seq[Any])
+
+  /** Conjuncts of the shape `attr IN (literals…)` (both the `In` form
+    * and the set-optimized `InSet` the optimizer rewrites long lists
+    * into) become point probes, checked through
+    * [[GraftTable.mayContainIn]] — range containment per value PLUS the
+    * per-file/per-leaf bloom when the write listed the column in
+    * `bloomCols`. On a hash-distributed layout, where every file spans
+    * the full key range and min/max prune nothing, the bloom does all
+    * the skipping — this makes q131's explicit `readPrunedIn` shape
+    * automatic for plain `isin`/`===` filters. NULL probe values drop
+    * (IN never matches NULL); an all-NULL list contributes nothing. */
+  private def extractPoints(cond: Expression): Seq[PointProbe] =
+    splitConjunctivePredicates(cond).flatMap {
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        point(a, vs.collect { case Literal(v, dt) if v != null =>
+          CatalystTypeConverters.convertToScala(v, dt) })
+      case InSet(a: AttributeReference, hset) =>
+        point(a, hset.toSeq.filter(_ != null)
+          .map(CatalystTypeConverters.convertToScala(_, a.dataType)))
+      case EqualTo(a: AttributeReference, Literal(v, dt)) if v != null =>
+        point(a, Seq(CatalystTypeConverters.convertToScala(v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) if v != null =>
+        point(a, Seq(CatalystTypeConverters.convertToScala(v, dt)))
+      case _ => Nil
+    }
+
+  private def point(a: AttributeReference, values: Seq[Any]): Seq[PointProbe] =
+    if (values.isEmpty) Nil else Seq(PointProbe(a.name, a.dataType, values))
 }
 
 object GraftPrune {

@@ -406,6 +406,14 @@ object PlanAudit {
       val li = spark.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"))
       auditDf("q118_edge_build",
+        graft.operators.Graph.basketEdges(li, "l_orderkey", "l_partkey", 64),
+        "no_pairing_join" -> (p => !p.contains("Join")),
+        "cap_before_pairing" -> (p => "__n#\\d+L? <= 64".r.findFirstIn(p).isDefined),
+        "explode_pairing" -> (_.contains("Generate explode")),
+        // both directions come from ONE explode pass — a union would
+        // recompute the pairing subtree per branch (the r8 bench lesson)
+        "single_pass_no_union" -> (p => !p.contains("Union")))
+      auditDf("q119_edge_build",
         graft.operators.Graph.basketPairs(li, "l_orderkey", "l_partkey", 64),
         "no_pairing_join" -> (p => !p.contains("Join")),
         "cap_before_pairing" -> (p => "__n#\\d+L? <= 64".r.findFirstIn(p).isDefined),

@@ -50,6 +50,36 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("IN-list and equality filters bloom-skip files on a hash layout") {
+    val path = tmp() + "/t"
+    // hash-distributed even keys: every file spans nearly the full key
+    // range, so [min,max] prunes nothing — only the bloom path can skip
+    val rows = spark.range(0, 2000).select((col("id") * 2).as("k"),
+      (col("id") % 5).cast("int").as("grp"))
+    GraftTable.overwrite(rows.repartition(8, col("k")), path, bloomCols = Seq("k"))
+    val expect = canon(GraftTable.read(spark, path)
+      .filter(col("k").isin(100L, 2000L, 3000L)))
+    installed {
+      // short IN list (Catalyst `In`)
+      val hit = GraftTable.read(spark, path).filter(col("k").isin(100L, 2000L, 3000L))
+      assert(plannedFiles(hit) < 8, s"blooms must skip: planned ${plannedFiles(hit)}/8")
+      assert(canon(hit) == expect && hit.count() == 3)
+      // long IN list (optimizer rewrites to `InSet`) — still skips, exact
+      val many = (0 until 15).map(i => java.lang.Long.valueOf(i * 2L))
+      val inset = GraftTable.read(spark, path).filter(col("k").isin(many: _*))
+      assert(plannedFiles(inset) < 8, s"InSet must skip: planned ${plannedFiles(inset)}/8")
+      assert(inset.count() == 15)
+      // equality point probe
+      val eq = GraftTable.read(spark, path).filter(col("k") === 500L)
+      assert(plannedFiles(eq) <= 2, s"=== must bloom-skip: planned ${plannedFiles(eq)}/8")
+      assert(eq.count() == 1)
+      // absent (odd) key: every file provably clean modulo bloom FPs
+      val miss = GraftTable.read(spark, path).filter(col("k") === 1001L)
+      assert(plannedFiles(miss) <= 1, s"miss planned ${plannedFiles(miss)}/8")
+      assert(miss.count() == 0)
+    }
+  }
+
   test("version-pinned reads and string predicates skip; results exact") {
     val path = tmp() + "/t"
     val v1rows = spark.range(0, 400).select(col("id").as("k"),

@@ -38,6 +38,12 @@ class GraphSpec extends AnyFunSuite with SparkSpecBase {
       .toDF("basket", "item")
     assert(Graph.basketPairs(dup, "basket", "item", maxBasketItems = 64)
       .count() === 64L * 63 / 2)
+    // basketEdges: both directions, hot basket still dropped whole
+    val e = Graph.basketEdges(rows, "basket", "item", maxBasketItems = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e.length === 3 * 2 + 1 * 2, s"expected both-direction edges, got $e")
+    assert(e.toSet === Set((10L, 11L), (11L, 10L), (10L, 12L), (12L, 10L),
+      (11L, 12L), (12L, 11L), (10L, 11L), (11L, 10L)))
   }
 
   test("symmetric triangle: all nodes equal, mass sums to 1") {
