@@ -23,6 +23,7 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_at('/path/t', TIMESTAMP '…')    -- TIMESTAMP AS OF
   *   SELECT … FROM graft_table_at('/path/t', 1700000000000000) -- epoch micros
   *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between
+  *   SELECT … FROM graft_table_history('/path/t')              -- DESCRIBE HISTORY
   * }}}
   *
   * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
@@ -64,6 +65,13 @@ object GraftSql {
         plan(spark, GraftTable.readAsOf(spark,
           pathOf("graft_table_at", p), tsMicros("graft_table_at", t)))
       case args => fail("graft_table_at", s"(path, timestamp), got ${args.size} argument(s)")
+    })
+    // DESCRIBE HISTORY as a relation — per-commit version/op/file/row
+    // counts from manifest metadata alone (no leaf bodies parsed)
+    register("graft_table_history", {
+      case Seq(p) =>
+        plan(spark, GraftTable.history(spark, pathOf("graft_table_history", p)))
+      case args => fail("graft_table_history", s"(path), got ${args.size} argument(s)")
     })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,

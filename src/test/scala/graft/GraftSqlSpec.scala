@@ -60,6 +60,16 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(out === Seq((2, "B", "update"), (3, "c", "insert")))
   }
 
+  test("graft_table_history describes commits in SQL") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a")).toDF("id", "v"), path)
+    GraftTable.append(Seq((2, "b")).toDF("id", "v"), path)
+    val h = spark.sql(
+      s"SELECT version, op, n_rows FROM graft_table_history('$path') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(h === Seq((1L, "overwrite", 1L), (2L, "append", 2L)))
+  }
+
   test("GraftPrune file-skips through the TVF exactly like an API read") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val path = tmp()

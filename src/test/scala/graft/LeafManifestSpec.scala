@@ -281,6 +281,87 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("chain-derived diffs equal snapshot-derived diffs over random keyed histories") {
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.JsonDSL._
+    // strip every manifest's change log in a COPY of the table — forcing
+    // diffVersions down the snapshot set-difference path — and require
+    // bit-identical diff output for random version spans
+    def stripLogs(src: String): String = {
+      val dst = Files.createTempDirectory("graft_nolog").toString + "/t"
+      new File(dst).mkdirs()
+      def copyDir(a: File, b: File): Unit = {
+        b.mkdirs()
+        Option(a.listFiles).getOrElse(Array.empty[File]).foreach { f =>
+          if (f.isDirectory) copyDir(f, new File(b, f.getName))
+          else Files.copy(f.toPath, new File(b, f.getName).toPath): Unit
+        }
+      }
+      copyDir(new File(src), new File(dst))
+      Option(new File(dst, "_graft_log").listFiles).getOrElse(Array.empty[File])
+        .filter(_.getName.matches("v\\d{20}\\.json")).foreach { mf =>
+        val j = JsonMethods.parse(new String(Files.readAllBytes(mf.toPath), "UTF-8"))
+        val stripped = j.removeField { case (n, _) => n == "changes" }
+        Files.write(mf.toPath, JsonMethods.compact(JsonMethods.render(stripped))
+          .getBytes("UTF-8")): Unit
+      }
+      dst
+    }
+    withSmallLimits(inline = 3, maxLeaves = 5) {
+      val rnd = new scala.util.Random(7)
+      val path = tmp()
+      var nextId = 1000
+      def rows(ids: Seq[Int], tag: String) = ids.map(i => (i, tag)).toDF("id", "v")
+      var live = (0 until 40).toSet
+      GraftTable.overwrite(rows(live.toSeq, "base").coalesce(2), path, statsCols = Seq("id"))
+      def assertUniqueSnapshot(step: String): Unit = {
+        val dups = GraftTable.read(spark, path).groupBy("id")
+          .count().filter(col("count") > 1).collect()
+        assert(dups.isEmpty,
+          s"after $step: duplicate keys in snapshot: ${dups.mkString(", ")}")
+      }
+      (1 to 12).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // append strictly-new unique keys
+            val fresh = (nextId until nextId + 5); nextId += 5
+            GraftTable.append(rows(fresh, s"a$step").coalesce(1), path, statsCols = Seq("id"))
+            live ++= fresh
+            assertUniqueSnapshot(s"append $step")
+          case 1 if live.nonEmpty => // upsert: mix of existing and new keys
+            val upd = rnd.shuffle(live.toSeq).take(4) ++ Seq({ val n = nextId; nextId += 1; n })
+            live ++= upd
+            GraftTable.upsertByKey(spark, path, rows(upd, s"u$step"), Seq("id"),
+              statsCols = Seq("id"))
+            assertUniqueSnapshot(s"upsert $step of ${upd.sorted}")
+          case 2 if live.size > 6 => // keyed delete
+            val del = rnd.shuffle(live.toSeq).take(3)
+            live --= del
+            GraftTable.deleteByKey(spark, path, del.map(Tuple1(_)).toDF("id"), Seq("id"))
+            assertUniqueSnapshot(s"delete $step")
+          case _ =>
+            GraftTable.compactFiles(spark, path, targetBytes = 1L << 20,
+              statsCols = Seq("id")): Unit
+            assertUniqueSnapshot(s"compact $step")
+        }
+      }
+      val head = GraftTable.currentVersion(path).get
+      val stripped = stripLogs(path)
+      def canonDiff(p: String, a: Long, b: Long): Seq[(Int, String, String)] =
+        GraftTable.diffVersions(spark, p, a, b, Seq("id"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+          .sortBy(x => (x._1, x._3)).toSeq
+      val spans = Seq((1L, head), (head - 1, head)) ++
+        (1 to 4).map { _ =>
+          val a = 1 + rnd.nextInt(head.toInt - 1); val b = a + 1 + rnd.nextInt(head.toInt - a)
+          (a.toLong, b.toLong)
+        }
+      spans.foreach { case (a, b) =>
+        assert(canonDiff(path, a, b) === canonDiff(stripped, a, b),
+          s"chain vs snapshot diff diverged on span v$a→v$b")
+      }
+    }
+  }
+
   test("diffVersions refuses non-unique keys loudly") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v"), path)
