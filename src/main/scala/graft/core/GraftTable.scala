@@ -103,6 +103,16 @@ object GraftTable {
   case class ChangeLog(added: Seq[FileEntry], removed: Seq[FileEntry],
       truncate: Boolean = false)
 
+  /** Entries as the change log stores them: path + rename map + row/byte
+    * counts, stats and blooms STRIPPED — a diff read needs only enough
+    * to locate and project the file ([[readFileSubset]]), and logging
+    * full stats would double-store every added entry (it already lives
+    * in `files`/a leaf) and make a wide COW commit's manifest carry
+    * thousands of bloom strings. The log stays O(paths), which is what
+    * keeps manifests planning-sized at 100 TB. */
+  private def logEntries(es: Seq[FileEntry]): Seq[FileEntry] =
+    es.map(fe => fe.copy(stats = Map.empty))
+
   /** `streamMarks` is the exactly-once ledger for streaming appends: per
     * stream id (a checkpoint-derived stable name), the highest micro-batch
     * id whose append COMMITTED. foreachBatch is at-least-once and batches
@@ -521,7 +531,7 @@ object GraftTable {
       val (files, leaves) = packCommit(path, inline, parentLeaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
         commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves,
-        Some(ChangeLog(staged, Nil, truncate = op == "overwrite")))
+        Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")))
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -607,7 +617,7 @@ object GraftTable {
       val (files, packedLeaves) = packCommit(path, inline, leaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "append_evolve", merged.toDDL, files, cur.flatMap(_.streamMarks), packedLeaves,
-        Some(ChangeLog(staged, Nil)))
+        Some(ChangeLog(logEntries(staged), Nil)))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -642,7 +652,7 @@ object GraftTable {
         cur.flatMap(_.leaves).getOrElse(Nil))
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "stream_append", df.schema.toDDL, files, Some(marks), leaves,
-        Some(ChangeLog(staged, Nil)))
+        Some(ChangeLog(logEntries(staged), Nil)))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -932,7 +942,7 @@ object GraftTable {
       cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(staged, touched)))
+      Some(ChangeLog(logEntries(staged), logEntries(touched))))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1062,7 +1072,7 @@ object GraftTable {
         cleanLeaves ++ carriedLive.map(_._1))
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
         cur.schemaDdl, files, cur.streamMarks, leaves,
-        Some(ChangeLog(staged, touched)))
+        Some(ChangeLog(logEntries(staged), logEntries(touched))))
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1462,7 +1472,7 @@ object GraftTable {
     val (files, leaves) = packCommit(path, big ++ staged, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(staged, small)))
+      Some(ChangeLog(logEntries(staged), logEntries(small))))
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")

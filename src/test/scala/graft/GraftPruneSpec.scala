@@ -112,6 +112,25 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("random IN probes over a bloomed hash layout: never a false skip") {
+    val path = tmp() + "/t"
+    val rnd = new scala.util.Random(29)
+    val rows = spark.range(0, 1500).select(
+      pmod(hash(col("id")), lit(3000)).as("k"), col("id").as("v"))
+    GraftTable.overwrite(rows.repartition(6, col("k")), path, bloomCols = Seq("k"))
+    val full = GraftTable.read(spark, path)
+    for (_ <- 1 to 8) {
+      // mix of present and absent probe values, In and InSet sizes
+      val n = 2 + rnd.nextInt(14)
+      val vals = Seq.fill(n)(rnd.nextInt(3000).toLong - 1500L)
+      val expect = canon(full.filter(col("k").isin(vals: _*)))
+      val got = installed {
+        canon(GraftTable.read(spark, path).filter(col("k").isin(vals: _*)))
+      }
+      assert(got == expect, s"divergence on IN $vals")
+    }
+  }
+
   test("non-Graft parquet scans and non-range predicates are untouched") {
     val dir = tmp() + "/plain"
     spark.range(0, 100).select(col("id").as("k")).repartition(4)
