@@ -1146,6 +1146,15 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // the streaming commit-log consumer: three source commits drained
+    // one-per-trigger through the DSv2 graft source, filtered mid-stream,
+    // exactly-once-appended to the destination — declaratively just a
+    // filtered scan; any lost/duplicated micro-batch breaks the hash
+    "q140_stream_cdc" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
+       epoch_us(o_orderdate) AS order_us
+FROM orders WHERE o_totalprice > 1000""",
+
     // q103's history read back through the SQL TVF surface — same
     // declarative expectation per snapshot
     "q138_sql_time_travel" -> """

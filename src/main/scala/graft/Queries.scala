@@ -1710,6 +1710,40 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q140Root: String =
+    java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+
+  /** q140: the STREAMING commit-log consumer end-to-end — the reference's
+    * CHANGES-consumption loop (`stg_dim_customer.sql:71-72`) run as a
+    * Structured Streaming query. Orders land in a source GraftTable over
+    * three commits; `readStream.format("graft")` (the
+    * [[graft.sources.GraftStreamSource]] DSv2 micro-batch source, offsets
+    * = versions, one file-grain partition per changed file) consumes the
+    * change log one version per trigger, a filter transform runs
+    * mid-stream, and [[graft.streaming.Streams.graftTableSink]] appends
+    * each batch EXACTLY-ONCE into a destination GraftTable. The oracle
+    * states the declarative equivalent — any dropped, duplicated, or
+    * corrupted micro-batch breaks the row hash. */
+  def streamCdcQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q140Root
+    TableIO.clearDir(root)
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), src)
+    val stream = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(src)
+      .filter(col("o_totalprice") > 1000)
+    val q = graft.streaming.Streams.graftTableSink(stream, dst, ckpt).start()
+    q.awaitTermination()
+    GraftTable.read(s, dst).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"),
+      micros(col("o_orderdate")).as("order_us"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1782,6 +1816,7 @@ object Queries {
     "q137_cdf_chain" -> (cdfChainQ _),
     "q138_sql_time_travel" -> (sqlTimeTravelQ _),
     "q139_ruled_bloom_scan" -> (ruledBloomScanQ _),
+    "q140_stream_cdc" -> (streamCdcQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

@@ -175,7 +175,7 @@ object GraftTable {
   private def parseManifest(f: File): Manifest =
     JsonMethods.parse(new String(Files.readAllBytes(f.toPath), UTF_8)).extract[Manifest]
 
-  private def manifestAt(path: String, version: Long): Manifest = {
+  private[graft] def manifestAt(path: String, version: Long): Manifest = {
     val f = new File(logDir(path), manifestName(version))
     require(f.exists, s"table '$path' has no version $version" +
       (if (manifestFiles(path).isEmpty) " (not a GraftTable)"

@@ -1,0 +1,156 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftTable
+
+/** The DSv2 streaming source over a GraftTable's commit log
+  * ([[graft.sources.GraftStreamSource]]): offsets are versions, batches
+  * are change-log file sets, checkpoints make restarts incremental, and
+  * the pinned-schema guards fail loudly instead of emitting NULLs. */
+class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+
+  private def kv(rows: (Int, String)*) =
+    df("k INT, v STRING", rows.map(r => Row(Int.box(r._1), r._2)): _*)
+
+  /** Drain the stream with AvailableNow into an in-memory sink; returns
+    * (rows, number of non-empty micro-batches). */
+  private def drain(src: DataFrame, name: String): (Seq[String], Long) = {
+    val q = src.writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (canon(spark.table(name)), batches)
+  }
+
+  test("append-only history streams in full; one micro-batch per version under the cap") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    GraftTable.append(kv(3 -> "c"), path)
+    GraftTable.append(kv(4 -> "d", 5 -> "e"), path)
+    val src = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(path)
+    val (rows, batches) = drain(src, "gss_full")
+    assert(rows == canon(kv(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d", 5 -> "e")))
+    assert(batches == 3, s"expected 3 single-version micro-batches, got $batches")
+  }
+
+  test("checkpoint restart resumes at the bookmark — exactly-once into a graft sink") {
+    val root = tmp()
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    GraftTable.overwrite(kv(1 -> "a"), src)
+    GraftTable.append(kv(2 -> "b"), src)
+
+    def run(): Unit = {
+      val stream = spark.readStream.format("graft").load(src)
+      val q = graft.streaming.Streams.graftTableSink(stream, dst, ckpt).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(canon(GraftTable.read(spark, dst)) == canon(kv(1 -> "a", 2 -> "b")))
+    // two more commits; the restarted stream must emit ONLY those
+    GraftTable.append(kv(3 -> "c"), src)
+    GraftTable.append(kv(4 -> "d"), src)
+    run()
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d")))
+    // a replayed run with nothing new is a no-op (no duplicate appends)
+    val before = GraftTable.currentVersion(dst)
+    run()
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d")))
+    assert(GraftTable.currentVersion(dst) == before)
+  }
+
+  test("startingVersion=latest skips history; a COW rewrite fails without ignoreChanges") {
+    val root = tmp()
+    val path = s"$root/t"
+    // one initial file, so the later COW rewrite's pre-image is deterministic
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b").coalesce(1), path)
+    // "latest" resolves at QUERY START: the first run bookmarks the head
+    // and emits nothing; the continuation sees only post-start commits
+    def runLatest(): Seq[String] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "latest").load(path)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt_latest")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.toString)): Unit
+        }.start()
+      q.awaitTermination()
+      got.iterator().asScala.toSeq.sorted
+    }
+    assert(runLatest().isEmpty)
+    GraftTable.append(kv(3 -> "c"), path)
+    assert(runLatest() == canon(kv(3 -> "c")))
+
+    GraftTable.upsertByKey(spark, path, kv(2 -> "B"), Seq("k"))
+    val all = spark.readStream.format("graft").load(path)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = all.writeStream.format("memory").queryName("gss_cow")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // with ignoreChanges the rewritten file re-emits (kept rows included)
+    val loose = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(path)
+    val (rows2, _) = drain(loose, "gss_cow_ok")
+    assert(rows2 == canon(kv(1 -> "a", 2 -> "b", 3 -> "c", 1 -> "a", 2 -> "B")))
+  }
+
+  test("files written before a rename stream through the maintained rename map") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    GraftTable.renameColumn(path, "v", "label")
+    GraftTable.append(df("k INT, label STRING", Row(Int.box(2), "b")), path)
+    val src = spark.readStream.format("graft").load(path)
+    val (rows, _) = drain(src, "gss_rename")
+    assert(rows == canon(df("k INT, label STRING",
+      Row(Int.box(1), "a"), Row(Int.box(2), "b"))))
+  }
+
+  test("widening mid-stream: pinned schema keeps reading; restart adopts the new column") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    val pinned = spark.readStream.format("graft").load(path) // schema pinned (k, v)
+    GraftTable.appendEvolve(df("k INT, v STRING, extra INT",
+      Row(Int.box(2), "b", Int.box(9))), path)
+    val (rows, _) = drain(pinned, "gss_widen")
+    assert(rows == canon(kv(1 -> "a", 2 -> "b"))) // extra invisible until restart
+    val fresh = spark.readStream.format("graft").load(path)
+    val (rows2, _) = drain(fresh, "gss_widen2")
+    assert(rows2 == canon(df("k INT, v STRING, extra INT",
+      Row(Int.box(1), "a", null), Row(Int.box(2), "b", Int.box(9)))))
+  }
+
+  test("projection pushdown: value types round-trip; zero-column count never opens files") {
+    val path = tmp() + "/t"
+    val data = df("id BIGINT, x DOUBLE, s STRING, t TIMESTAMP, d DATE, b BOOLEAN",
+      Row(Long.box(1L), Double.box(1.5), "one", ts("2024-01-02 03:04:05.123456"),
+        java.sql.Date.valueOf("2024-01-02"), Boolean.box(true)),
+      Row(Long.box(2L), null, null, null, null, null))
+    GraftTable.overwrite(data, path)
+    val src = spark.readStream.format("graft").load(path)
+    val (rows, _) = drain(src.select("id", "x", "s", "t", "d", "b"), "gss_types")
+    assert(rows == canon(data))
+    // count(*) projects zero columns — served from manifest row counts
+    val q = spark.readStream.format("graft").load(path)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("gss_count").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("gss_count").head().getLong(0) == 2L)
+  }
+}
