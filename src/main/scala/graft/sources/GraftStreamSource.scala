@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -35,6 +35,7 @@ import graft.core.GraftTable
   *   spark.readStream.format("graft")
   *     .option("startingVersion", 0)        // default 0 = full history; "latest" = new commits only
   *     .option("maxVersionsPerTrigger", 1)  // admission control: versions per micro-batch
+  *     .option("maxBytesPerTrigger", 128 << 20) // admission control: data bytes per micro-batch
   *     .option("ignoreChanges", "true")     // accept COW rewrites/overwrites (re-emits rewritten rows)
   *     .load(tablePath)
   * }}}
@@ -64,13 +65,17 @@ import graft.core.GraftTable
   *    files read through their entries' rename maps exactly like the
   *    batch path ([[graft.core.GraftTable.readFileSubset]] semantics).
   *  - **One partition per changed file**, rows decoded by a plain
-  *    parquet-java [[GroupReadSupport]] reader with the projection
-  *    pushed into `parquet.read.schema` — column pruning reaches the
-  *    page level. Deltas are small by construction (that's why they're
-  *    streamed), so a row-grain reader is the right cost shape; the
-  *    big-snapshot paths stay on Spark's vectorized scan. A projection
-  *    that needs NO file columns (count(*)) never opens the file at
-  *    all — the manifest's row count answers.
+  *    parquet-java [[GroupReadSupport]] reader that requests only the
+  *    scan schema's physical fields from each file (`parquet.read.schema`
+  *    projection — also how pre-rename and pre-widening files map to the
+  *    pinned schema, absent fields as NULL). Spark's streaming planner
+  *    applies no operator pushdown to micro-batch scans (the built-in
+  *    sources behave the same), so the scan delivers full-schema rows
+  *    and query filters evaluate post-scan. Deltas are small by
+  *    construction (that's why they're streamed) — a row-grain reader
+  *    is the right cost shape; the big-snapshot paths stay on Spark's
+  *    vectorized batch scan, where Catalyst pushdown and GraftPrune
+  *    file-skipping do their work.
   *
   * At 100 TB the shape holds: batch planning is O(files added in the
   * span); admission control (`maxVersionsPerTrigger`) bounds any one
@@ -111,11 +116,16 @@ private[sources] class GraftStreamTable(path: String, schema0: StructType)
 }
 
 private[sources] class GraftScanBuilder(path: String, schema: StructType,
-    options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = schema
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftScan(path, schema, required, options)
+    options: CaseInsensitiveStringMap) extends ScanBuilder {
+  // NOTE: Spark's micro-batch planner builds this scan ONCE at query
+  // start and applies NO operator pushdown to streaming DSv2 relations
+  // (verified empirically: neither SupportsPushDownRequiredColumns nor
+  // SupportsPushDownFilters hooks fire on this path, matching the
+  // built-in Kafka source's behavior) — so the scan always delivers
+  // full-schema rows and filters evaluate post-scan. Deltas are small
+  // by construction; the big-snapshot paths stay on the batch API,
+  // where GraftPrune and Catalyst pushdown do their work.
+  override def build(): Scan = new GraftScan(path, schema, schema, options)
 }
 
 private[sources] class GraftScan(path: String, tableSchema: StructType,
@@ -126,6 +136,7 @@ private[sources] class GraftScan(path: String, tableSchema: StructType,
     new GraftMicroBatchStream(path, tableSchema, required,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       options.getBoolean("ignoreChanges", false))
 }
 
@@ -136,10 +147,12 @@ private[sources] case class GraftVersionOffset(version: Long) extends Offset {
 
 private[sources] class GraftMicroBatchStream(path: String, tableSchema: StructType,
     required: StructType, startingVersion: Option[String],
-    maxVersionsPerTrigger: Option[Long], ignoreChanges: Boolean)
+    maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
+    ignoreChanges: Boolean)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be positive")
+  require(maxBytesPerTrigger.forall(_ > 0), "maxBytesPerTrigger must be positive")
   // Trigger.AvailableNow pins the end of the run at prepare time so the
   // query drains to a fixed point even while writers keep committing
   @volatile private var availableTarget: Option[Long] = None
@@ -164,7 +177,20 @@ private[sources] class GraftMicroBatchStream(path: String, tableSchema: StructTy
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].version
     val head = availableTarget.getOrElse(headVersion)
-    val end = maxVersionsPerTrigger.map(c => math.min(head, s + c)).getOrElse(head)
+    var end = maxVersionsPerTrigger.map(c => math.min(head, s + c)).getOrElse(head)
+    // bytes-grain admission: at 100 TB a single commit can be arbitrarily
+    // wide, so the real batch bound is bytes, not versions — walk the
+    // change-log byte counts (manifest metadata only) and stop once the
+    // cap is crossed, always admitting at least one version so the
+    // stream can't stall on an oversized commit
+    maxBytesPerTrigger.foreach { cap =>
+      var (v, bytes) = (s + 1, 0L)
+      while (v <= end) {
+        bytes += GraftTable.manifestAt(path, v).changes
+          .map(_.added.map(_.bytes).sum).getOrElse(0L)
+        if (bytes >= cap) { end = v; v = Long.MaxValue } else v += 1
+      }
+    }
     GraftVersionOffset(math.max(end, s))
   }
 
@@ -238,19 +264,8 @@ private[sources] case class GraftFilePartition(file: String, rows: Long,
 private[sources] class GraftGroupReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    val required = StructType.fromDDL(p.requiredDdl)
-    if (required.isEmpty) new GraftCountReader(p.rows)
-    else new GraftGroupReader(p, required)
+    new GraftGroupReader(p, StructType.fromDDL(p.requiredDdl))
   }
-}
-
-/** Zero-column projection (count(*)): the manifest already knows. */
-private[sources] class GraftCountReader(rows: Long) extends PartitionReader[InternalRow] {
-  private var remaining = rows
-  private val empty = new GenericInternalRow(0)
-  override def next(): Boolean = { remaining -= 1; remaining >= 0 }
-  override def get(): InternalRow = empty
-  override def close(): Unit = ()
 }
 
 /** Row-grain parquet reader over one file: parquet-java [[Group]]

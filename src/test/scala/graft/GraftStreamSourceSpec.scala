@@ -43,6 +43,55 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(batches == 3, s"expected 3 single-version micro-batches, got $batches")
   }
 
+  test("maxBytesPerTrigger admits at least one version per batch, never more than fit") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    GraftTable.append(kv(2 -> "b"), path)
+    GraftTable.append(kv(3 -> "c"), path)
+    // cap of 1 byte: every version overflows alone -> one version per batch
+    val src = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", 1).load(path)
+    val (rows, batches) = drain(src, "gss_bytes")
+    assert(rows == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    assert(batches == 3, s"expected 3 byte-capped micro-batches, got $batches")
+    // a huge cap admits everything in one batch
+    val loose = spark.readStream.format("graft")
+      .option("maxBytesPerTrigger", Long.MaxValue).load(path)
+    val (rows2, batches2) = drain(loose, "gss_bytes2")
+    assert(rows2 == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    assert(batches2 == 1, s"expected a single uncapped micro-batch, got $batches2")
+  }
+
+  test("random append/evolve history drains to the snapshot under any trigger caps") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val path = tmp() + s"/t$trial"
+      var nextK = 0
+      var widened = false
+      val nCommits = 2 + rnd.nextInt(4)
+      (1 to nCommits).foreach { c =>
+        val rows = (1 to (1 + rnd.nextInt(3))).map { _ =>
+          nextK += 1; (nextK, s"v$nextK")
+        }
+        val narrow = df("k INT, v STRING", rows.map(r => Row(Int.box(r._1), r._2)): _*)
+        if (c == 1) GraftTable.overwrite(narrow, path)
+        else if (rnd.nextBoolean() && !widened) GraftTable.append(narrow, path)
+        else if (rnd.nextBoolean()) { // widen mid-history: old files stream extra = NULL
+          widened = true
+          GraftTable.appendEvolve(df("k INT, v STRING, extra INT",
+            rows.map(r => Row(Int.box(r._1), r._2, Int.box(r._1 * 10))): _*), path)
+        } else GraftTable.appendEvolve(narrow, path) // narrow after widen: extra = NULL
+      }
+      val src = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1 + rnd.nextInt(3))
+        .option("maxBytesPerTrigger", if (rnd.nextBoolean()) "1" else s"${1L << 40}")
+        .load(path)
+      val (rows, _) = drain(src, s"gss_rand$trial")
+      // the stream must equal the batch snapshot read, row for row
+      assert(rows == canon(GraftTable.read(spark, path)), s"trial $trial diverged")
+    }
+  }
+
   test("checkpoint restart resumes at the bookmark — exactly-once into a graft sink") {
     val root = tmp()
     val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
@@ -135,7 +184,7 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
       Row(Int.box(1), "a", null), Row(Int.box(2), "b", Int.box(9)))))
   }
 
-  test("projection pushdown: value types round-trip; zero-column count never opens files") {
+  test("value types round-trip through the row-grain reader; streaming count is exact") {
     val path = tmp() + "/t"
     val data = df("id BIGINT, x DOUBLE, s STRING, t TIMESTAMP, d DATE, b BOOLEAN",
       Row(Long.box(1L), Double.box(1.5), "one", ts("2024-01-02 03:04:05.123456"),
@@ -145,7 +194,6 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     val src = spark.readStream.format("graft").load(path)
     val (rows, _) = drain(src.select("id", "x", "s", "t", "d", "b"), "gss_types")
     assert(rows == canon(data))
-    // count(*) projects zero columns — served from manifest row counts
     val q = spark.readStream.format("graft").load(path)
       .groupBy().count()
       .writeStream.format("memory").queryName("gss_count").outputMode("complete")
