@@ -395,6 +395,7 @@ WHERE ph IS NULL OR ph <> row_hash""",
     "q10_scd2_history" -> ScdSelect,
 
     "q11_scd2_incremental" -> ScdSelect,
+    "q141_stream_scd2" -> ScdSelect,
 
     "q12_asof_join" -> (ScdCte + """
 SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, dim.sk, dim.version_no

@@ -1744,6 +1744,35 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"))
   }
 
+  private lazy val q141Root: String =
+    java.nio.file.Files.createTempDirectory("graft_stream_scd2").toString
+
+  /** q141: the WAREHOUSE made continuous — CDC events land in a
+    * GraftTable over three commits, the DSv2 streaming source drains
+    * them one version per trigger, and [[graft.streaming.Streams.scd2Sink]]
+    * maintains the SCD2 user dimension per micro-batch through the same
+    * generic merge the batch path uses. Any batch split of an
+    * event-time-ordered history converges to the one-shot build (the C2
+    * replay-collapse property, here exercised through the streaming
+    * stack), so the oracle is exactly q10/q11's declarative SCD2 SQL. */
+  def streamScd2Q(s: SparkSession, d: String): DataFrame = {
+    val root = q141Root
+    TableIO.clearDir(root)
+    val (src, dim, ckpt) = (s"$root/src", s"$root/dim", s"$root/ckpt")
+    val ev = userEvents(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("row_hash"), col("ts"))
+    val (s1, s2) = (to_timestamp(lit("2024-01-10")), to_timestamp(lit("2024-01-20")))
+    import graft.core.GraftTable
+    GraftTable.overwrite(ev.filter(col("ts") < s1), src)
+    GraftTable.append(ev.filter(col("ts") >= s1 && col("ts") < s2), src)
+    GraftTable.append(ev.filter(col("ts") >= s2), src)
+    val stream = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(src)
+    val q = graft.streaming.Streams.scd2Sink(stream, userScdConfig, dim, ckpt).start()
+    q.awaitTermination()
+    s.read.parquet(dim).select(scdOutCols: _*)
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1817,6 +1846,7 @@ object Queries {
     "q138_sql_time_travel" -> (sqlTimeTravelQ _),
     "q139_ruled_bloom_scan" -> (ruledBloomScanQ _),
     "q140_stream_cdc" -> (streamCdcQ _),
+    "q141_stream_scd2" -> (streamScd2Q _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

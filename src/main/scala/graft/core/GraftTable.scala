@@ -1290,16 +1290,22 @@ object GraftTable {
     if (fromEntries.isEmpty)
       return to.select(keys.map(col) ++ valCols.map(col) :+
         lit("insert").as("change_type"): _*)
-    def assertUniqueKeys(df: DataFrame, side: String): Unit = {
-      val r = df.agg(count(lit(1)).as("n"),
-        countDistinct(struct(keys.map(col): _*)).as("d")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"diffVersions keys (${keys.mkString(", ")}) are not unique on the $side " +
-          s"side of '$path' v$fromV→v$toV — file-grain change pruning is only " +
-          "sound for keyed tables; diff with the table's true key")
+    // both sides checked in ONE delta-sized job (they're about to shuffle
+    // for the join anyway; two separate count-distinct jobs doubled the
+    // assert's share of q107)
+    locally {
+      val keyOf = struct(keys.map(col): _*).as("__k")
+      val bad = from.select(keyOf).withColumn("__side", lit("from"))
+        .unionByName(to.select(keyOf).withColumn("__side", lit("to")))
+        .groupBy(col("__side"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("__k")).as("d"))
+        .filter(col("n") =!= col("d")).select(col("__side")).collect()
+      require(bad.isEmpty,
+        s"diffVersions keys (${keys.mkString(", ")}) are not unique on the " +
+          s"${bad.map(_.getString(0)).mkString("/")} side of '$path' v$fromV→v$toV — " +
+          "file-grain change pruning is only sound for keyed tables; diff with " +
+          "the table's true key")
     }
-    assertUniqueKeys(from, "from")
-    assertUniqueKeys(to, "to")
     def tagged(df: DataFrame, side: String) =
       df.select((keys.map(k => col(k).as(s"__k_${side}_$k")) :+
         struct(valCols.map(col): _*).as(s"__row_$side") :+
