@@ -141,11 +141,11 @@ private[sources] class GraftScan(path: String, tableSchema: StructType,
 }
 
 /** Version-numbered stream offset: the LAST version already consumed. */
-private[sources] case class GraftVersionOffset(version: Long) extends Offset {
+private[graft] case class GraftVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-private[sources] class GraftMicroBatchStream(path: String, tableSchema: StructType,
+private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType,
     required: StructType, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     ignoreChanges: Boolean)
@@ -258,7 +258,7 @@ private[sources] class GraftMicroBatchStream(path: String, tableSchema: StructTy
   * zero-column projections without opening the file), the projected
   * logical schema as DDL, and the per-field PHYSICAL in-file names
   * (rename indirection resolved at planning). */
-private[sources] case class GraftFilePartition(file: String, rows: Long,
+private[graft] case class GraftFilePartition(file: String, rows: Long,
     requiredDdl: String, physNames: Array[String]) extends InputPartition
 
 private[sources] class GraftGroupReaderFactory extends PartitionReaderFactory {

@@ -534,6 +534,46 @@ object PlanAudit {
       println(s"[plan] q77_incremental_dedup: ${results.mkString(" ")}")
       if (results.exists(_.endsWith("MISS"))) println(plan.take(3000))
     }
+    locally {
+      // q140/q141's streaming source, audited at the PLANNING layer (no
+      // query run): offsets are versions, a batch's partitions are exactly
+      // the span's change-log files (never the snapshot), and admission
+      // control bounds the batch end by version count and byte budget
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      import org.apache.spark.sql.types.StructType
+      import graft.core.GraftTable
+      import graft.sources.{GraftMicroBatchStream, GraftVersionOffset}
+      val root = java.nio.file.Files.createTempDirectory("plan_stream").toString + "/t"
+      val orders = spark.read.parquet(s"$d/orders.parquet").limit(2000)
+      GraftTable.overwrite(orders.repartition(4), root)
+      GraftTable.append(orders.limit(500).repartition(2), root)
+      GraftTable.append(orders.limit(300).repartition(1), root)
+      val addedAt = (1L to 3L).map(v =>
+        GraftTable.manifestAt(root, v).changes.get.added.size)
+      val snapshotFiles = GraftTable.filesOf(root,
+        GraftTable.manifestAt(root, 3L)).size
+      val schema = StructType.fromDDL(GraftTable.manifestAt(root, 3L).schemaDdl)
+      def stream(maxV: Option[Long] = None, maxB: Option[Long] = None) =
+        new GraftMicroBatchStream(root, schema, schema, None, maxV, maxB, false)
+      val ms = stream()
+      val full = ms.planInputPartitions(GraftVersionOffset(0), GraftVersionOffset(3))
+      val mid = ms.planInputPartitions(GraftVersionOffset(1), GraftVersionOffset(2))
+      val checks = Seq(
+        "partitions_are_changed_files" -> (full.length == addedAt.sum &&
+          mid.length == addedAt(1) && addedAt.sum == snapshotFiles),
+        "mid_span_skips_snapshot" -> (mid.length < snapshotFiles),
+        "version_admission" -> (stream(maxV = Some(1L))
+          .latestOffset(GraftVersionOffset(0), ReadLimit.allAvailable())
+          .asInstanceOf[GraftVersionOffset].version == 1L),
+        "byte_admission_one_commit" -> (stream(maxB = Some(1L))
+          .latestOffset(GraftVersionOffset(0), ReadLimit.allAvailable())
+          .asInstanceOf[GraftVersionOffset].version == 1L),
+        "byte_admission_uncapped" -> (stream(maxB = Some(Long.MaxValue))
+          .latestOffset(GraftVersionOffset(0), ReadLimit.allAvailable())
+          .asInstanceOf[GraftVersionOffset].version == 3L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q140_stream_source: ${results.mkString(" ")}")
+    }
     spark.stop()
   }
 }
