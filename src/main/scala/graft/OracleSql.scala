@@ -1147,6 +1147,12 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // write-time CHECK enforcement: the poisoned batch never lands, the
+    // clean one fully does — declaratively the table is just all orders
+    "q142_check_constraints" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total
+FROM orders""",
+
     // the streaming commit-log consumer: three source commits drained
     // one-per-trigger through the DSv2 graft source, filtered mid-stream,
     // exactly-once-appended to the destination — declaratively just a

@@ -1773,6 +1773,39 @@ object Queries {
     s.read.parquet(dim).select(scdOutCols: _*)
   }
 
+  private lazy val q142Root: String =
+    java.nio.file.Files.createTempDirectory("graft_check").toString
+
+  /** q142: CHECK constraints on the table format (Delta table
+    * constraints re-derived, [[graft.core.GraftTable.addCheck]]) — the
+    * reference's quality gates (its dbt tests) moved INTO the storage
+    * layer: a poisoned CDC batch (negated prices) refuses at the commit
+    * boundary and leaves no trace; the clean batch lands. The oracle
+    * sees the full clean table — if enforcement either let the poison
+    * through or dropped clean rows, the hash breaks. */
+  def checkConstraintsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q142Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_gated"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), path)
+    GraftTable.addCheck(s, path, "pos_price", "o_totalprice > 0")
+    GraftTable.addCheck(s, path, "known_status", "o_orderstatus IN ('F','O','P')")
+    val poisoned = orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(97)) === 1, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+    val refused =
+      try { GraftTable.append(poisoned, path); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "the poisoned batch must refuse at the commit boundary")
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), path)
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1847,6 +1880,7 @@ object Queries {
     "q139_ruled_bloom_scan" -> (ruledBloomScanQ _),
     "q140_stream_cdc" -> (streamCdcQ _),
     "q141_stream_scd2" -> (streamScd2Q _),
+    "q142_check_constraints" -> (checkConstraintsQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

@@ -126,7 +126,8 @@ object GraftTable {
     * breaks the chain fast path back to the snapshot diff). */
   case class Manifest(version: Long, tsUs: Long, op: String, schemaDdl: String,
       files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None,
-      leaves: Option[Seq[LeafRef]] = None, changes: Option[ChangeLog] = None)
+      leaves: Option[Seq[LeafRef]] = None, changes: Option[ChangeLog] = None,
+      checks: Option[Map[String, String]] = None)
 
   /** A range constraint for [[readPruned]]: keep files whose [min,max]
     * can intersect [lo,hi] (either bound optional). Bounds take ordinary
@@ -436,6 +437,7 @@ object GraftTable {
   private def stageFiles(df: DataFrame, path: String, statsCols: Seq[String],
       clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
+    enforceChecks(df, path)
     val commitId = java.util.UUID.randomUUID.toString.take(8)
     val stage = new File(path, ".stage-" + commitId)
     TableIO.clearDir(stage.toString)
@@ -508,6 +510,29 @@ object GraftTable {
     entries
   }
 
+  /** Write-time CHECK enforcement (SQL semantics: a row violates only
+    * when the predicate evaluates FALSE — NULL passes). One limit-1 job
+    * over the batch when any checks are active, zero cost otherwise;
+    * every staged write (append/overwrite/COW rewrite/stream append/
+    * evolve) funnels through here. Checks are read at staging time — a
+    * check added between another writer's stage and commit gates that
+    * writer's NEXT batch, not the in-flight one (the add itself
+    * validated the whole table it saw). */
+  private def enforceChecks(df: DataFrame, path: String): Unit = {
+    val active = currentManifest(path).flatMap(_.checks).getOrElse(Map.empty)
+    if (active.isEmpty) return
+    val viol = active.toSeq.map { case (n, sql) => (n, expr(sql) <=> lit(false)) }
+    val hit = df.filter(viol.map(_._2).reduce(_ || _))
+      .select(viol.map { case (n, c) => c.as(n) }: _*).head(1)
+    hit.headOption.foreach { row =>
+      val names = viol.map(_._1).zipWithIndex.collect { case (n, i) if row.getBoolean(i) => n }
+      throw new IllegalArgumentException(
+        s"write to '$path' violates CHECK constraint(s) " +
+          names.map(n => s"$n [${active(n)}]").mkString(", ") +
+          " — fix the batch or dropCheck first")
+    }
+  }
+
   private def sameSchema(ddl: String, schema: StructType): Boolean = {
     val a = StructType.fromDDL(ddl).fields.map(f => (f.name, f.dataType)).toSeq
     a == schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -531,7 +556,8 @@ object GraftTable {
       val (files, leaves) = packCommit(path, inline, parentLeaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
         commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves,
-        Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")))
+        Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")),
+        checks = cur.flatMap(_.checks))
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -617,7 +643,7 @@ object GraftTable {
       val (files, packedLeaves) = packCommit(path, inline, leaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "append_evolve", merged.toDDL, files, cur.flatMap(_.streamMarks), packedLeaves,
-        Some(ChangeLog(logEntries(staged), Nil)))
+        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -652,7 +678,7 @@ object GraftTable {
         cur.flatMap(_.leaves).getOrElse(Nil))
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "stream_append", df.schema.toDDL, files, Some(marks), leaves,
-        Some(ChangeLog(logEntries(staged), Nil)))
+        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -942,7 +968,7 @@ object GraftTable {
       cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(staged), logEntries(touched))))
+      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1072,7 +1098,7 @@ object GraftTable {
         cleanLeaves ++ carriedLive.map(_._1))
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
         cur.schemaDdl, files, cur.streamMarks, leaves,
-        Some(ChangeLog(logEntries(staged), logEntries(touched))))
+        Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1114,7 +1140,7 @@ object GraftTable {
     // metadata-only: file contents unchanged, so the change log is empty
     // (chain diffs across a schema op fall back on the DDL check anyway)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "rename", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"rename on '$path' lost the commit race — retry")
@@ -1145,7 +1171,7 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_column", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"add_column on '$path' lost the commit race — retry")
@@ -1173,11 +1199,60 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_column", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)))
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"drop_column on '$path' lost the commit race — retry")
     next.version
+  }
+
+  // ------------------------------------------------------ CHECK constraints
+
+  /** Add a named CHECK constraint (Delta table constraints, re-derived):
+    * a SQL boolean expression every FUTURE write must satisfy, enforced
+    * at staging on every write path ([[enforceChecks]] — SQL semantics,
+    * NULL passes). The add itself validates the CURRENT snapshot in one
+    * limit-1 scan and refuses if any existing row violates, so a
+    * committed check is an invariant of the whole table, not just new
+    * data. The constraint map rides the manifest — versioned, snapshot-
+    * isolated, carried by every commit — and costs O(batch) per write,
+    * never O(table). A check referencing a column a later overwrite
+    * drops fails that write's analysis loudly; drop the check first. */
+  def addCheck(spark: SparkSession, path: String, name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty, "check needs a name")
+    expr(sqlExpr) // parse errors surface here, before any commit attempt
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      require(!cur.checks.exists(_.contains(name)),
+        s"check '$name' already exists on '$path'")
+      val bad = readManifest(spark, path, cur)
+        .filter(expr(sqlExpr) <=> lit(false)).limit(1).count()
+      require(bad == 0,
+        s"existing rows of '$path' violate CHECK $name [$sqlExpr] — clean the data first")
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_check",
+        cur.schemaDdl, cur.files, cur.streamMarks, cur.leaves, Some(ChangeLog(Nil, Nil)),
+        checks = Some(cur.checks.getOrElse(Map.empty) + (name -> sqlExpr)))
+      if (tryCommit(path, next)) committed = next.version
+      // else: lost the race — re-validate against the new head and retry
+    }
+    committed
+  }
+
+  /** Remove a CHECK constraint (a metadata-only commit). */
+  def dropCheck(path: String, name: String): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      require(cur.checks.exists(_.contains(name)), s"no check '$name' on '$path'")
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_check",
+        cur.schemaDdl, cur.files, cur.streamMarks, cur.leaves, Some(ChangeLog(Nil, Nil)),
+        checks = cur.checks.map(_ - name).filter(_.nonEmpty))
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
   }
 
   // ----------------------------------------------------------- diff / CDC
@@ -1365,7 +1440,7 @@ object GraftTable {
       val marks = cur.streamMarks.getOrElse(Map.empty) + (id -> value)
       done = tryCommit(path, Manifest(cur.version + 1, commitTs(Some(cur)),
         "sync_mark", cur.schemaDdl, cur.files, Some(marks), cur.leaves,
-        Some(ChangeLog(Nil, Nil))))
+        Some(ChangeLog(Nil, Nil)), checks = cur.checks))
     }
   }
 
@@ -1478,7 +1553,7 @@ object GraftTable {
     val (files, leaves) = packCommit(path, big ++ staged, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(staged), logEntries(small))))
+      Some(ChangeLog(logEntries(staged), logEntries(small))), checks = cur.checks)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")

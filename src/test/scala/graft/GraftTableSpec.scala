@@ -527,4 +527,49 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     GraftTable.append(kv(1 -> "a"), path)
     assert(GraftTable.read(spark, path).count() == 1)
   }
+
+  test("CHECK constraints gate every write path; NULL passes; drop lifts the gate") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    GraftTable.addCheck(spark, path, "pos_k", "k > 0")
+    // violating append refuses and leaves the table untouched
+    val vBefore = GraftTable.currentVersion(path)
+    val before = canon(GraftTable.read(spark, path))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(kv(-5 -> "x"), path)
+    }
+    assert(e.getMessage.contains("pos_k"))
+    assert(GraftTable.currentVersion(path) == vBefore)
+    assert(canon(GraftTable.read(spark, path)) == before)
+    // compliant append passes; NULL predicate result passes (SQL CHECK)
+    GraftTable.append(kv(3 -> "c"), path)
+    GraftTable.append(df("k INT, v STRING", Row(null, "n")), path)
+    // a COW update that would break the invariant refuses mid-rewrite
+    intercept[IllegalArgumentException] {
+      GraftTable.updateWhere(spark, path, col("v") === "a",
+        Map("k" -> lit(-1)))
+    }
+    // the gate survives every op type that commits a manifest
+    GraftTable.upsertByKey(spark, path, kv(2 -> "B"), Seq("k"))
+    GraftTable.renameColumn(path, "v", "label")
+    GraftTable.compactFiles(spark, path, targetBytes = 1L << 20)
+    GraftTable.appendEvolve(df("k INT, label STRING, extra INT",
+      Row(Int.box(9), "w", Int.box(1))), path)
+    GraftTable.appendStream(df("k INT, label STRING, extra INT",
+      Row(Int.box(10), "s", Int.box(2))), path, "ck", 1L)
+    assert(GraftTable.currentManifest(path).get.checks.get.contains("pos_k"))
+    intercept[IllegalArgumentException] {
+      GraftTable.append(df("k INT, label STRING, extra INT",
+        Row(Int.box(-7), "x", Int.box(3))), path)
+    }
+    // adding a check the existing data violates refuses
+    intercept[IllegalArgumentException] {
+      GraftTable.addCheck(spark, path, "short", "length(label) > 5")
+    }
+    // dropCheck lifts the gate
+    GraftTable.dropCheck(path, "pos_k")
+    GraftTable.append(df("k INT, label STRING, extra INT",
+      Row(Int.box(-7), "x", Int.box(3))), path)
+    assert(GraftTable.read(spark, path).filter(col("k") === -7).count() == 1)
+  }
 }
