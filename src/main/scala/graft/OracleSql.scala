@@ -1147,6 +1147,19 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // the fork diverges, the source doesn't: both lineages stated
+    // declaratively over the same raw orders
+    "q143_shallow_clone" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
+       'src' AS lineage
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+            ELSE o_totalprice END AS total,
+       'fork' AS lineage
+FROM orders""",
+
     // write-time CHECK enforcement: the poisoned batch never lands, the
     // clean one fully does — declaratively the table is just all orders
     "q142_check_constraints" -> """

@@ -1806,6 +1806,33 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q143Root: String =
+    java.nio.file.Files.createTempDirectory("graft_clone").toString
+
+  /** q143: zero-copy table forking ([[graft.core.GraftTable.cloneTable]]
+    * — Delta SHALLOW CLONE re-derived). The fork starts as a metadata-only
+    * commit referencing the source's files, then DIVERGES via a keyed COW
+    * repricing; both lineages read side by side. The oracle states both
+    * worlds declaratively — a fork that leaked its rewrite into the
+    * source (or missed rows it didn't touch) breaks the hash. */
+  def cloneQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q143Root
+    TableIO.clearDir(root)
+    val (src, fork) = (s"$root/src", s"$root/fork")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders, src)
+    GraftTable.cloneTable(s, src, fork)
+    val repriced = GraftTable.read(s, fork).filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    GraftTable.upsertByKey(s, fork, repriced, Seq("o_orderkey"))
+    GraftTable.read(s, src).withColumn("lineage", lit("src"))
+      .unionByName(GraftTable.read(s, fork).withColumn("lineage", lit("fork")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), col("lineage"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1881,6 +1908,7 @@ object Queries {
     "q140_stream_cdc" -> (streamCdcQ _),
     "q141_stream_scd2" -> (streamScd2Q _),
     "q142_check_constraints" -> (checkConstraintsQ _),
+    "q143_shallow_clone" -> (cloneQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

@@ -310,6 +310,13 @@ object GraftTable {
   private[graft] def filesOf(path: String, m: Manifest): Seq[FileEntry] =
     m.files ++ m.leaves.getOrElse(Nil).flatMap(loadLeaf(path, _))
 
+  /** A data file's readable location: entry paths are normally relative
+    * to the table root (`data/<name>.parquet`); a SHALLOW CLONE's
+    * entries reference the source table's files by ABSOLUTE path
+    * ([[cloneTable]]) and resolve as-is. */
+  private[graft] def resolveData(path: String, fe: FileEntry): String =
+    if (fe.path.startsWith("/")) fe.path else s"$path/${fe.path}"
+
   private def totalFiles(m: Manifest): Int =
     m.files.size + m.leaves.getOrElse(Nil).map(_.files).sum
 
@@ -710,7 +717,7 @@ object GraftTable {
     subset.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
       val physical = StructType(logical.fields.map(f =>
         f.copy(name = ren.getOrElse(f.name, f.name))))
-      spark.read.schema(physical).parquet(fs.map(f => s"$path/${f.path}"): _*)
+      spark.read.schema(physical).parquet(fs.map(f => resolveData(path, f)): _*)
         .select(logical.fields.map(f => col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
     }.reduce(_ unionByName _)
   }
@@ -1253,6 +1260,56 @@ object GraftTable {
       if (tryCommit(path, next)) committed = next.version
     }
     committed
+  }
+
+  // ------------------------------------------------------------------ clone
+
+  /** CLONE (Delta's CLONE re-derived): materialize `dstPath` as an
+    * independent table holding `srcPath`'s current snapshot.
+    *
+    *  - **Shallow** (default): a METADATA-ONLY commit whose entries
+    *    reference the source's data files by absolute path — zero data
+    *    IO regardless of table size, the dev/test-fork and
+    *    experiment-branch primitive. The clone owns its own history from
+    *    v1: appends land in the clone's `data/`, COW rewrites copy
+    *    touched files into the clone and carry the rest by absolute
+    *    reference, and vacuuming the CLONE never deletes source files
+    *    (it only reclaims the clone's own data dir). The one documented
+    *    hazard is Delta's too: vacuuming the SOURCE can reclaim files a
+    *    shallow clone still references — deep-clone anything that must
+    *    outlive its source's retention.
+    *  - **Deep**: byte-copy every live file into the clone — O(table)
+    *    IO, but preserves layout, stats, and blooms exactly (no
+    *    re-encode, unlike CTAS), and the result shares no fate with the
+    *    source.
+    *
+    * Either way the clone inherits schema, per-file stats (pruning works
+    * immediately), rename maps, and CHECK constraints; stream marks stay
+    * behind (the clone is a new stream target). */
+  def cloneTable(spark: SparkSession, srcPath: String, dstPath: String,
+      deep: Boolean = false): Long = {
+    val src = currentManifest(srcPath).getOrElse(
+      throw new IllegalArgumentException(s"'$srcPath' is not a GraftTable"))
+    require(currentManifest(dstPath).isEmpty, s"clone target '$dstPath' already exists")
+    val entries = filesOf(srcPath, src)
+    val cloned =
+      if (!deep) entries.map(fe =>
+        fe.copy(path = new File(resolveData(srcPath, fe)).getAbsolutePath))
+      else {
+        val dataDir = new File(dstPath, DataDir)
+        dataDir.mkdirs()
+        entries.map { fe =>
+          val from = new File(resolveData(srcPath, fe))
+          Files.copy(from.toPath, new File(dataDir, from.getName).toPath)
+          fe.copy(path = s"$DataDir/${from.getName}")
+        }
+      }
+    val (files, leaves) = packCommit(dstPath, cloned, Nil)
+    val m = Manifest(1L, commitTs(None), if (deep) "clone_deep" else "clone",
+      src.schemaDdl, files, None, leaves,
+      Some(ChangeLog(logEntries(cloned), Nil, truncate = true)), checks = src.checks)
+    require(tryCommit(dstPath, m), s"clone of '$srcPath' lost a creation race at '$dstPath'")
+    1L
   }
 
   // ----------------------------------------------------------- diff / CDC

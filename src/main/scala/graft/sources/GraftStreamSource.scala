@@ -241,7 +241,8 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
               "stream to adopt the new schema")
           ren.getOrElse(f.name, f.name)
         }
-        parts += GraftFilePartition(s"$path/${entry.path}", entry.rows, required.toDDL, phys)
+        parts += GraftFilePartition(GraftTable.resolveData(path, entry),
+          entry.rows, required.toDDL, phys)
       }
       v += 1
     }

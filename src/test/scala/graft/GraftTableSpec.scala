@@ -528,6 +528,50 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 1)
   }
 
+  test("shallow clone: zero-copy fork — independent history, source untouched") {
+    val root = tmp()
+    val (src, dst) = (s"$root/src", s"$root/clone")
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b").coalesce(1), src)
+    GraftTable.append(kv(3 -> "c"), src)
+    GraftTable.addCheck(spark, src, "pos", "k > 0")
+    GraftTable.cloneTable(spark, src, dst)
+    // clone reads the snapshot without a single data file of its own
+    assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)))
+    assert(dataFiles(dst).isEmpty)
+    // checks carry; the clone enforces them on ITS writes
+    intercept[IllegalArgumentException] { GraftTable.append(kv(-1 -> "x"), dst) }
+    // divergence: writes to the clone never touch the source
+    val srcFilesBefore = dataFiles(src)
+    GraftTable.append(kv(4 -> "d"), dst)
+    GraftTable.upsertByKey(spark, dst, kv(2 -> "B"), Seq("k"))
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d")))
+    assert(canon(GraftTable.read(spark, src)) == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    assert(dataFiles(src) == srcFilesBefore) // byte-identical source files
+    // vacuuming the clone reclaims only ITS files; the source still reads
+    GraftTable.vacuum(dst, keepVersions = 1)
+    assert(canon(GraftTable.read(spark, src)) == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "d")))
+  }
+
+  test("deep clone shares no fate with the source; stats survive for pruning") {
+    val root = tmp()
+    val (src, dst) = (s"$root/src", s"$root/deep")
+    val rows = (1 to 80).map(i => (i, s"v$i"))
+    GraftTable.writeClustered(kv(rows: _*), src, col("k"), numFiles = 4,
+      statsCols = Seq("k"))
+    GraftTable.cloneTable(spark, src, dst, deep = true)
+    assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)))
+    // stats carried: the pruned read still skips most files on the clone
+    val scan = GraftTable.readPruned(spark, dst,
+      Seq(GraftTable.ColRange("k", lo = Some(1), hi = Some(10))))
+    assert(scan.filesRead < scan.filesTotal)
+    // destroy the source entirely — the deep clone is unaffected
+    graft.core.TableIO.clearDir(src)
+    assert(canon(GraftTable.read(spark, dst)) == canon(kv(rows: _*)))
+  }
+
   test("CHECK constraints gate every write path; NULL passes; drop lifts the gate") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
