@@ -1147,6 +1147,19 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // rollback-as-commit: the restored head is the pre-mistake table,
+    // the bad version still time-travels — both worlds declarative
+    "q144_restore" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
+       epoch_us(o_orderdate) AS order_us, 'restored' AS world
+FROM orders
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+            ELSE o_totalprice END AS total,
+       epoch_us(o_orderdate) AS order_us, 'bad' AS world
+FROM orders""",
+
     // the fork diverges, the source doesn't: both lineages stated
     // declaratively over the same raw orders
     "q143_shallow_clone" -> """

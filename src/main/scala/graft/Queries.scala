@@ -1833,6 +1833,36 @@ object Queries {
         col("o_totalprice").as("total"), col("lineage"))
   }
 
+  private lazy val q144Root: String =
+    java.nio.file.Files.createTempDirectory("graft_restore").toString
+
+  /** q144: ROLLBACK as a commit ([[graft.core.GraftTable.restore]] —
+    * Delta RESTORE re-derived): a bad repricing commit is rolled back
+    * metadata-only, while the bad version stays time-travel-readable.
+    * Both worlds cross the gate: the restored head must equal the
+    * pre-mistake table, the bad snapshot must still read as the
+    * mistake. */
+  def restoreQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q144Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_rb"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)  // v1
+    GraftTable.append(orders.filter(col("o_orderdate") >= split), path)    // v2
+    GraftTable.upsertByKey(s, path,                                        // v3: the mistake
+      GraftTable.read(s, path).filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2), Seq("o_orderkey"))
+    GraftTable.restore(path, 2L)                                           // v4: rollback
+    GraftTable.read(s, path).withColumn("world", lit("restored"))
+      .unionByName(GraftTable.readVersion(s, path, 3L).withColumn("world", lit("bad")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), micros(col("o_orderdate")).as("order_us"),
+        col("world"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1909,6 +1939,7 @@ object Queries {
     "q141_stream_scd2" -> (streamScd2Q _),
     "q142_check_constraints" -> (checkConstraintsQ _),
     "q143_shallow_clone" -> (cloneQ _),
+    "q144_restore" -> (restoreQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

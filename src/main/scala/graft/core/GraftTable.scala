@@ -1262,6 +1262,45 @@ object GraftTable {
     committed
   }
 
+  // ---------------------------------------------------------------- restore
+
+  /** RESTORE the table to the content of `version` (Delta's
+    * `RESTORE TABLE … TO VERSION AS OF`, re-derived) — the write-side
+    * completion of the time-travel triad (read a version, diff versions,
+    * ROLL BACK to one). A metadata-only commit: the new head carries
+    * version N's file list, leaves, schema, and CHECK constraints
+    * verbatim — zero data IO, history PRESERVED (the bad commits stay
+    * time-travel-readable; nothing is rewritten), and the change log
+    * records the rollback as O(changed files) adds/removes, so CDC
+    * consumers see the restore as an explicit data change (the streaming
+    * source rightly refuses it without `ignoreChanges` — a rollback IS
+    * a rewrite). Stream high-water marks do NOT roll back: the
+    * exactly-once ledger must be monotone or replayed batches would
+    * double-apply. Requires `version`'s manifest (and its files) to
+    * still be retained — restore past a vacuum horizon refuses at
+    * [[manifestAt]]. */
+  def restore(path: String, version: Long): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      require(version <= cur.version, s"cannot restore '$path' to future v$version")
+      if (version == cur.version) return cur.version // no-op
+      val old = manifestAt(path, version)
+      val oldFiles = filesOf(path, old)
+      val curFiles = filesOf(path, cur)
+      val curNames = curFiles.map(_.path).toSet
+      val oldNames = oldFiles.map(_.path).toSet
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), "restore",
+        old.schemaDdl, old.files, cur.streamMarks, old.leaves,
+        Some(ChangeLog(logEntries(oldFiles.filterNot(fe => curNames(fe.path))),
+          logEntries(curFiles.filterNot(fe => oldNames(fe.path))))),
+        checks = old.checks)
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
+
   // ------------------------------------------------------------------ clone
 
   /** CLONE (Delta's CLONE re-derived): materialize `dstPath` as an

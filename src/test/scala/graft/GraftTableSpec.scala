@@ -528,6 +528,30 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 1)
   }
 
+  test("restore rolls content back as a new commit; history and marks survive") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b").coalesce(1), path)   // v1
+    GraftTable.append(kv(3 -> "c"), path)                            // v2
+    GraftTable.upsertByKey(spark, path, kv(2 -> "OOPS"), Seq("k"))   // v3: the bad commit
+    GraftTable.appendStream(kv(4 -> "d"), path, "s1", 7L)            // v4: mark s1 -> 7
+    GraftTable.restore(path, 2L)                                     // v5
+    assert(GraftTable.currentVersion(path).contains(5L))
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    // the bad history stays time-travel-readable — nothing was rewritten
+    assert(canon(GraftTable.readVersion(spark, path, 4L)) ==
+      canon(kv(1 -> "a", 2 -> "OOPS", 3 -> "c", 4 -> "d")))
+    // the exactly-once ledger did NOT roll back: batch 7 replay is a no-op
+    assert(GraftTable.appendStream(kv(4 -> "dup"), path, "s1", 7L) == -1L)
+    // row-level CDC across the restore states the rollback explicitly
+    val diff = GraftTable.diffVersions(spark, path, 4L, 5L, Seq("k"))
+      .select(col("k"), col("v"), col("change_type"))
+    assert(canon(diff) == canon(df("k INT, v STRING, change_type STRING",
+      Row(Int.box(2), "b", "update"), Row(Int.box(4), "d", "delete"))))
+    // restoring to the current version is a no-op commit-wise
+    assert(GraftTable.restore(path, 5L) == 5L)
+    assert(GraftTable.currentVersion(path).contains(5L))
+  }
+
   test("shallow clone: zero-copy fork — independent history, source untouched") {
     val root = tmp()
     val (src, dst) = (s"$root/src", s"$root/clone")
