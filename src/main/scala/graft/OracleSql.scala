@@ -1147,6 +1147,15 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // one MERGE commit: matched F repriced, matched P deleted, odd keys
+    // inserted, other matched rows untouched — pure CASE/WHERE restatement
+    "q145_merge_into" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+            THEN o_totalprice * 2 ELSE o_totalprice END AS total
+FROM orders
+WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

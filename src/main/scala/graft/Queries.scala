@@ -1863,6 +1863,33 @@ object Queries {
         col("world"))
   }
 
+  private lazy val q145Root: String =
+    java.nio.file.Files.createTempDirectory("graft_merge").toString
+
+  /** q145: MERGE INTO ([[graft.core.GraftTable.mergeInto]] — Delta's
+    * flagship DML re-derived on the COW core): one commit where a CDC
+    * batch updates matched F-orders (repricing), deletes matched
+    * P-orders, inserts everything unmatched, and leaves other matched
+    * rows untouched. The oracle is the CASE/WHERE restatement — any
+    * clause misfire (wrong rows updated, deletes leaking, inserts
+    * dropped or doubled) breaks the hash. */
+  def mergeIntoQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    import graft.core.GraftTable.srcCol
+    val root = q145Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_merge"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), path)
+    GraftTable.mergeInto(s, path, orders, Seq("o_orderkey"),
+      updateSet = Map("o_totalprice" -> srcCol("o_totalprice") * 2),
+      updateWhen = Some(srcCol("o_orderstatus") === "F"),
+      deleteWhen = Some(srcCol("o_orderstatus") === "P"))
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1940,6 +1967,7 @@ object Queries {
     "q142_check_constraints" -> (checkConstraintsQ _),
     "q143_shallow_clone" -> (cloneQ _),
     "q144_restore" -> (restoreQ _),
+    "q145_merge_into" -> (mergeIntoQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

@@ -170,6 +170,25 @@ object GraftTable {
     }.toDF("version", "ts_us", "op", "n_files", "n_rows", "bytes", "n_leaves")
   }
 
+  /** DESCRIBE DETAIL at file grain: one row per live data file of the
+    * current snapshot (or `version`) with its row/byte counts and, per
+    * requested stats column, the recorded [min, max, nulls] — the
+    * layout-debugging view (is my clustering tight? which files would a
+    * predicate skip?) from manifest metadata alone, zero data IO. */
+  def describeFiles(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = version.map(manifestAt(path, _)).orElse(currentManifest(path))
+      .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    filesOf(path, m).map { fe =>
+      val stats = fe.stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        s"$c:[${st.min.getOrElse("")}..${st.max.getOrElse("")} nulls=${st.nulls}" +
+          st.bloom.map(_ => " bloom").getOrElse("") + "]"
+      }.mkString(" ")
+      (fe.path, fe.rows, fe.bytes, fe.renames.map(_.size).getOrElse(0), stats)
+    }.toDF("file", "n_rows", "bytes", "n_renames", "stats")
+  }
+
   def currentVersion(path: String): Option[Long] =
     manifestFiles(path).lastOption.map(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong)
 
@@ -1260,6 +1279,96 @@ object GraftTable {
       if (tryCommit(path, next)) committed = next.version
     }
     committed
+  }
+
+  // ------------------------------------------------------------- MERGE INTO
+
+  /** A source column inside [[mergeInto]] clauses: conditions and SET
+    * expressions evaluate over the matched pair, target columns under
+    * their own names and source columns through this accessor. */
+  def srcCol(name: String): Column = col(s"__src_$name")
+
+  /** MERGE INTO (Delta's flagship DML, re-derived on the COW core):
+    * one commit applying, per source row against the keyed match:
+    *
+    *  - WHEN MATCHED [AND `deleteWhen`] THEN DELETE
+    *  - WHEN MATCHED [AND `updateWhen`] THEN UPDATE SET `updateSet`
+    *    (delete wins when both conditions hold, Delta's clause order)
+    *  - WHEN NOT MATCHED THEN INSERT (`insertNotMatched`)
+    *
+    * Clause expressions see target columns by name and source columns
+    * via [[srcCol]]. The scale shape is the upsert's: a stats cover on
+    * the source's key bounds prunes the match scan to candidate files
+    * BEFORE any IO (NULL source keys conservatively widen to a full
+    * scan — min/max ignore NULLs), only files actually holding matched
+    * keys rewrite, untouched files and clean leaves carry by pointer,
+    * and the whole thing is one optimistic commit with the change log
+    * recording adds/removes. Source keys must be unique (the multiple-
+    * matches-per-target-row case Delta also refuses); matched rows
+    * whose clauses don't apply rewrite unchanged (they live in touched
+    * files). CHECK constraints gate the rewritten output like every
+    * other write. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+      updateSet: Map[String, Column] = Map.empty, updateWhen: Option[Column] = None,
+      deleteWhen: Option[Column] = None, insertNotMatched: Boolean = true,
+      statsCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "need at least one key column")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty, s"source lacks key column(s) ${missingKeys.mkString(", ")}")
+    if (insertNotMatched) {
+      val missing = schema.fieldNames.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"insertNotMatched needs the full target schema in the source; missing ${missing.mkString(", ")}")
+    }
+    // Delta's multiple-match refusal + the key bounds for the stats cover,
+    // one source-sized job
+    val aggs = Seq(count(lit(1)).as("__n"),
+      countDistinct(struct(keys.map(col): _*)).as("__d")) ++
+      keys.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"),
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nn_$k")))
+    val b = source.agg(aggs.head, aggs.tail: _*).head()
+    require(b.getLong(0) == b.getLong(1),
+      s"merge source has duplicate keys (${keys.mkString(", ")}) — each target row " +
+        "may match at most one source row")
+    // candidate rows: files whose key stats can hold a source key; NULL
+    // source keys mean the cover can't prune (min/max ignore NULLs)
+    val srcHasNullKey = keys.exists(k => b.getAs[Long](s"__nn_$k") > 0)
+    val cand =
+      if (srcHasNullKey) readManifest(spark, path, cur)
+      else readPruned(spark, path, keys.map(k => ColRange(k,
+        Option(b.get(b.fieldIndex(s"__lo_$k"))), Option(b.get(b.fieldIndex(s"__hi_$k"))))),
+        version = Some(cur.version)).df
+    val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
+    val matchCond = keys.map(k => col(k) <=> srcCol(k)).reduce(_ && _)
+    val matched = cand.join(src, matchCond, "inner")
+    val survivors0 = deleteWhen match {
+      case Some(c) => matched.filter(!coalesce(c.cast("boolean"), lit(false)))
+      case None => matched
+    }
+    val updGate = coalesce(updateWhen.getOrElse(lit(true)).cast("boolean"), lit(false))
+    val survivors = survivors0.select(schema.fields.map { f =>
+      (updateSet.get(f.name) match {
+        case Some(e) => when(updGate, e.cast(f.dataType)).otherwise(col(f.name))
+        case None => col(f.name)
+      }).as(f.name)
+    }.toSeq: _*)
+    val delta =
+      if (!insertNotMatched) survivors
+      else {
+        val candKeys = cand.select(keys.map(k => col(k).as(s"__tk_$k")): _*).distinct()
+        val antiCond = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+        // cand is a stats-sound superset: every file that may hold any
+        // source key survives the cover, so absence from cand IS absence
+        // from the table
+        val inserts = source.join(candKeys, antiCond, "left_anti")
+          .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        survivors.unionByName(inserts)
+      }
+    cowMerge(spark, path, source.select(keys.map(col): _*), Some(delta),
+      keys, statsCols, cur, "merge")
   }
 
   // ---------------------------------------------------------------- restore

@@ -24,6 +24,7 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_at('/path/t', 1700000000000000) -- epoch micros
   *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between
   *   SELECT … FROM graft_table_history('/path/t')              -- DESCRIBE HISTORY
+  *   SELECT … FROM graft_table_files('/path/t'[, 2])            -- DESCRIBE DETAIL (file grain)
   * }}}
   *
   * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
@@ -72,6 +73,16 @@ object GraftSql {
       case Seq(p) =>
         plan(spark, GraftTable.history(spark, pathOf("graft_table_history", p)))
       case args => fail("graft_table_history", s"(path), got ${args.size} argument(s)")
+    })
+    // DESCRIBE DETAIL at file grain — layout debugging from manifest
+    // metadata alone (zero data IO)
+    register("graft_table_files", {
+      case Seq(p) =>
+        plan(spark, GraftTable.describeFiles(spark, pathOf("graft_table_files", p)))
+      case Seq(p, v) =>
+        plan(spark, GraftTable.describeFiles(spark, pathOf("graft_table_files", p),
+          Some(longLit("graft_table_files", v))))
+      case args => fail("graft_table_files", s"(path[, version]), got ${args.size} argument(s)")
     })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,

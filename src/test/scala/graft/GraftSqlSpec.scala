@@ -17,6 +17,20 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
   private def tmp(): String =
     Files.createTempDirectory("graft_sqlspec").toString + "/t"
 
+  test("graft_table_files describes the live layout from metadata alone") {
+    val path = tmp()
+    GraftTable.writeClustered(Seq.tabulate(40)(i => (i, s"v$i")).toDF("id", "v"),
+      path, col("id"), numFiles = 4, statsCols = Seq("id"))
+    val rows = spark.sql(
+      s"SELECT file, n_rows, stats FROM graft_table_files('$path') ORDER BY file").collect()
+    assert(rows.length == 4 && rows.map(_.getLong(1)).sum == 40)
+    assert(rows.forall(_.getString(2).contains("id:[")), "per-column stats rendered")
+    // version pin shows the historical layout
+    GraftTable.append(Seq((99, "x")).toDF("id", "v"), path)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table_files('$path')").head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT count(*) FROM graft_table_files('$path', 1)").head.getLong(0) == 4)
+  }
+
   test("TVF reads match the Scala API per version, by timestamp, and at head") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)

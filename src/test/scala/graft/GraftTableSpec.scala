@@ -528,6 +528,45 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 1)
   }
 
+  test("mergeInto applies conditional update/delete/insert in one commit") {
+    import GraftTable.srcCol
+    val path = tmp() + "/t"
+    GraftTable.writeClustered(kv((1 to 6).map(i => i -> s"v$i"): _*), path,
+      col("k"), numFiles = 3, statsCols = Seq("k"))
+    val filesBefore = dataFiles(path)
+    val source = df("k INT, v STRING, op STRING",
+      Row(Int.box(4), "x", "D"),       // matched -> delete
+      Row(Int.box(5), "V5", "U"),      // matched -> update
+      Row(Int.box(6), "ignored", "X"), // matched, no clause -> unchanged
+      Row(Int.box(7), "v7", "I"),      // not matched -> insert
+      Row(Int.box(8), "v8", "I"))
+    GraftTable.mergeInto(spark, path, source, Seq("k"),
+      updateSet = Map("v" -> srcCol("v")),
+      updateWhen = Some(srcCol("op") === "U"),
+      deleteWhen = Some(srcCol("op") === "D"))
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(
+      1 -> "v1", 2 -> "v2", 3 -> "v3", 5 -> "V5", 6 -> "v6", 7 -> "v7", 8 -> "v8")))
+    // files outside the source's key range carried byte-identically
+    val carried = dataFiles(path).keySet.intersect(filesBefore.keySet)
+    assert(carried.nonEmpty, "expected at least one untouched file to carry")
+    carried.foreach(n => assert(dataFiles(path)(n) == filesBefore(n)))
+  }
+
+  test("mergeInto: NULL keys match null-safely; duplicate source keys refuse") {
+    import GraftTable.srcCol
+    val path = tmp() + "/t"
+    GraftTable.overwrite(df("k INT, v STRING", Row(null, "nv"), Row(Int.box(1), "v1")), path)
+    GraftTable.mergeInto(spark, path,
+      df("k INT, v STRING", Row(null, "NV")), Seq("k"),
+      updateSet = Map("v" -> srcCol("v")))
+    assert(canon(GraftTable.read(spark, path)) ==
+      canon(df("k INT, v STRING", Row(null, "NV"), Row(Int.box(1), "v1"))))
+    intercept[IllegalArgumentException] {
+      GraftTable.mergeInto(spark, path,
+        df("k INT, v STRING", Row(Int.box(1), "a"), Row(Int.box(1), "b")), Seq("k"))
+    }
+  }
+
   test("restore rolls content back as a new commit; history and marks survive") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b").coalesce(1), path)   // v1
