@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(8) match {
+        rnd.nextInt(10) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -115,6 +115,32 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
                 Map("v" -> org.apache.spark.sql.functions.lit(nv))): Unit
               multi = multi.map { case (k, vs) =>
                 k -> (if (k == target) vs.map(_ => nv) else vs)
+              }
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 8 =>
+            // restore: roll content back to a random retained version
+            // (self-restore is a version no-op — the history loop records
+            // either way); marks stay monotone so later stream replays
+            // still no-op
+            if (GraftTable.exists(path)) {
+              val cur = GraftTable.currentVersion(path).get
+              val target = 1L + rnd.nextInt(cur.toInt)
+              GraftTable.restore(path, target): Unit
+              if (target != cur) multi = history(target.toInt - 1)
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 9 =>
+            // conditional MERGE: matched high keys delete, other matched
+            // rows take the source value (every row of a duplicated key),
+            // unmatched source rows insert
+            if (GraftTable.exists(path)) {
+              val delta = fresh.toMap.toSeq // source must be key-unique
+              GraftTable.mergeInto(spark, path, kvRows(delta), Seq("k"),
+                updateSet = Map("v" -> GraftTable.srcCol("v")),
+                deleteWhen = Some(GraftTable.srcCol("k") >= 9)): Unit
+              multi = delta.foldLeft(multi) { case (m, (k, v)) =>
+                if (m.contains(k)) {
+                  if (k >= 9) m - k else m + (k -> m(k).map(_ => v))
+                } else m + (k -> List(v)) // not matched -> insert (any k)
               }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
