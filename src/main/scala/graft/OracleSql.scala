@@ -1147,6 +1147,13 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // in-place conversion + a post-convert append: declaratively the
+    // whole orders table
+    "q146_convert_in_place" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
+       epoch_us(o_orderdate) AS order_us
+FROM orders""",
+
     // one MERGE commit: matched F repriced, matched P deleted, odd keys
     // inserted, other matched rows untouched — pure CASE/WHERE restatement
     "q145_merge_into" -> """

@@ -1890,6 +1890,33 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q146Root: String =
+    java.nio.file.Files.createTempDirectory("graft_convert").toString
+
+  /** q146: in-place migration ([[graft.core.GraftTable.convertParquetDir]]
+    * — Delta CONVERT TO DELTA re-derived): a pre-existing plain-parquet
+    * directory becomes a GraftTable without rewriting a byte, then lives
+    * a normal versioned life (an append lands as v2). The gate reads the
+    * converted table through the format; the oracle reads the same rows
+    * declaratively. */
+  def convertQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q146Root
+    TableIO.clearDir(root)
+    val dir = s"$root/orders_plain"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    // the inherited layout: a date-range-partitioned plain parquet dir
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartitionByRange(4, col("o_orderdate")).sortWithinPartitions(col("o_orderdate"))
+      .write.parquet(dir)
+    GraftTable.convertParquetDir(s, dir, statsCols = Seq("o_orderdate"))
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), dir)
+    GraftTable.read(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"),
+      micros(col("o_orderdate")).as("order_us"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1968,6 +1995,7 @@ object Queries {
     "q143_shallow_clone" -> (cloneQ _),
     "q144_restore" -> (restoreQ _),
     "q145_merge_into" -> (mergeIntoQ _),
+    "q146_convert_in_place" -> (convertQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

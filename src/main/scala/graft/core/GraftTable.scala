@@ -1281,6 +1281,54 @@ object GraftTable {
     committed
   }
 
+  // ---------------------------------------------------------------- convert
+
+  /** CONVERT an existing plain-parquet directory into a GraftTable IN
+    * PLACE (Delta's `CONVERT TO DELTA`, re-derived) — the migration
+    * primitive: no rewrite, no copy. The root-level `*.parquet` files
+    * are registered as v1's entries (with per-file [min,max,nulls]
+    * stats for `statsCols`, computed by one grouped scan — pruning
+    * works from the first read), and every subsequent commit behaves
+    * normally: appends land in `data/`, COW rewrites replace converted
+    * files by reference, vacuum reclaims only `data/` so the original
+    * files are never deleted out from under a non-graft reader. After
+    * conversion the MANIFEST is the table — plain directory readers
+    * won't see later commits; read through [[read]]. */
+  def convertParquetDir(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Nil): Long = {
+    require(!exists(dir), s"'$dir' is already a GraftTable")
+    val parts = Option(new File(dir).listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"no parquet files at '$dir' to convert")
+    val df = spark.read.parquet(parts.map(_.toString).toSeq: _*)
+    val fields = resolveStatsCols(df.schema, statsCols)
+    val aggs = count(lit(1L)).as("__rows") +: fields.flatMap { f =>
+      Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+    }
+    val perFile = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0).split('/').last -> r).toMap
+    val entries = parts.map { p =>
+      val r = perFile.getOrElse(p.getName,
+        throw new IllegalStateException(s"no stats row for ${p.getName}"))
+      val stats = fields.flatMap { f =>
+        statTag(f.dataType).map { tag =>
+          f.name -> ColStats(tag,
+            Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _)),
+            Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _)),
+            r.getAs[Long](s"__nulls_${f.name}"))
+        }
+      }.toMap
+      FileEntry(p.getName, r.getAs[Long]("__rows"), p.length, stats)
+    }.toSeq
+    val (files, leaves) = packCommit(dir, entries, Nil)
+    val m = Manifest(1L, commitTs(None), "convert", df.schema.toDDL, files, None,
+      leaves, Some(ChangeLog(logEntries(entries), Nil, truncate = true)))
+    require(tryCommit(dir, m), s"convert of '$dir' lost a creation race")
+    1L
+  }
+
   // ------------------------------------------------------------- MERGE INTO
 
   /** A source column inside [[mergeInto]] clauses: conditions and SET

@@ -528,6 +528,34 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 1)
   }
 
+  test("convertParquetDir registers plain parquet in place; pruning and DML work after") {
+    val dir = tmp() + "/plain"
+    // a range-layout plain-parquet table (what a migration inherits)
+    kv((1 to 60).map(i => i -> s"v$i"): _*)
+      .repartitionByRange(3, col("k")).sortWithinPartitions(col("k"))
+      .write.parquet(dir)
+    val before = Option(new java.io.File(dir).listFiles).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    GraftTable.convertParquetDir(spark, dir, statsCols = Seq("k"))
+    assert(canon(GraftTable.read(spark, dir)) == canon(kv((1 to 60).map(i => i -> s"v$i"): _*)))
+    // stats computed at convert time prune from the first read
+    val scan = GraftTable.readPruned(spark, dir,
+      Seq(GraftTable.ColRange("k", lo = Some(1), hi = Some(5))))
+    assert(scan.filesRead < scan.filesTotal)
+    // normal life after conversion: append + COW update + time travel
+    GraftTable.append(kv(61 -> "v61"), dir)
+    GraftTable.upsertByKey(spark, dir, kv(1 -> "V1"), Seq("k"))
+    assert(GraftTable.read(spark, dir).count() == 61)
+    assert(canon(GraftTable.readVersion(spark, dir, 1L)) ==
+      canon(kv((1 to 60).map(i => i -> s"v$i"): _*)))
+    // vacuum reclaims only data/: the original files never vanish from
+    // under a plain directory reader
+    GraftTable.vacuum(dir, keepVersions = 1)
+    val rootAfter = Option(new java.io.File(dir).listFiles).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.subsetOf(rootAfter))
+  }
+
   test("mergeInto applies conditional update/delete/insert in one commit") {
     import GraftTable.srcCol
     val path = tmp() + "/t"
