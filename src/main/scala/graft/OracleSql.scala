@@ -307,6 +307,16 @@ SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
 FROM orders
 WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
 
+    // q132's replica rebuilt by FOLDING THE STREAMED CHANGE FEED
+    // (delete pre-images + insert post-images, one version per trigger)
+    // — same declarative end state
+    "q147_cdf_stream_replica" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+       CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 2
+            ELSE o_totalprice END AS total
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
+
     // same contract as q104 — the optimizer rule must be invisible to
     // results (it only removes provably-dead file IO)
     "q134_ruled_scan" -> """

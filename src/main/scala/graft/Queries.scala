@@ -1917,6 +1917,53 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"))
   }
 
+  private lazy val q147Root: String =
+    java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
+
+  /** q147: the ROW-LEVEL change feed streamed — q132's replica rebuilt
+    * through `readChangeFeed=true` (Delta CDF streaming re-derived):
+    * COW rewrites arrive as explicit delete pre-images + insert
+    * post-images tagged `_commit_version`, one version per trigger, and
+    * the consumer folds them into a replica GraftTable with
+    * delete-then-upsert per batch — idempotent under micro-batch
+    * replays, no `syncReplica` machinery involved. The oracle is q132's
+    * declarative end state. */
+  def cdfStreamReplicaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q147Root
+    TableIO.clearDir(root)
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), src)
+    val upd = GraftTable.read(s, src)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    GraftTable.upsertByKey(s, src, upd, Seq("o_orderkey"))
+    GraftTable.deleteByKey(s, src, GraftTable.read(s, src)
+      .filter(pmod(col("o_custkey"), lit(7)) === 0)
+      .select(col("o_orderkey")), Seq("o_orderkey"))
+    val feed = s.readStream.format("graft")
+      .option("readChangeFeed", "true").option("maxVersionsPerTrigger", 1).load(src)
+    val q = feed.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val dels = b.filter(col("_change_type") === "delete")
+          .select(col("o_orderkey")).distinct()
+        val ins = b.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        if (GraftTable.exists(dst) && dels.head(1).nonEmpty)
+          GraftTable.deleteByKey(b.sparkSession, dst, dels, Seq("o_orderkey")): Unit
+        if (ins.head(1).nonEmpty)
+          GraftTable.upsertByKey(b.sparkSession, dst, ins, Seq("o_orderkey")): Unit
+      }.start()
+    q.awaitTermination()
+    GraftTable.read(s, dst).select(col("o_orderkey"), col("o_custkey"),
+      micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
+  }
+
   private lazy val q136Root: String =
     java.nio.file.Files.createTempDirectory("graft_vt_evolve").toString
 
@@ -1996,6 +2043,7 @@ object Queries {
     "q144_restore" -> (restoreQ _),
     "q145_merge_into" -> (mergeIntoQ _),
     "q146_convert_in_place" -> (convertQ _),
+    "q147_cdf_stream_replica" -> (cdfStreamReplicaQ _),
     "q131_bloom_lookup" -> (bloomLookupQ _),
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),

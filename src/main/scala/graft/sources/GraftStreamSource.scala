@@ -95,28 +95,32 @@ class GraftStreamSource extends TableProvider with DataSourceRegister {
     val path = pathOf(options)
     val m = GraftTable.currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    StructType.fromDDL(m.schemaDdl)
+    val base = StructType.fromDDL(m.schemaDdl)
+    if (options.getBoolean("readChangeFeed", false))
+      base.add("_change_type", StringType).add("_commit_version", LongType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftStreamTable(properties.get("path"), schema)
+    new GraftStreamTable(properties.get("path"), schema,
+      new CaseInsensitiveStringMap(properties).getBoolean("readChangeFeed", false))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class GraftStreamTable(path: String, schema0: StructType)
-    extends Table with SupportsRead {
+private[sources] class GraftStreamTable(path: String, schema0: StructType,
+    cdf: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, schema0, options)
+    new GraftScanBuilder(path, schema0, cdf, options)
 }
 
 private[sources] class GraftScanBuilder(path: String, schema: StructType,
-    options: CaseInsensitiveStringMap) extends ScanBuilder {
+    cdf: Boolean, options: CaseInsensitiveStringMap) extends ScanBuilder {
   // NOTE: Spark's micro-batch planner builds this scan ONCE at query
   // start and applies NO operator pushdown to streaming DSv2 relations
   // (verified empirically: neither SupportsPushDownRequiredColumns nor
@@ -125,19 +129,24 @@ private[sources] class GraftScanBuilder(path: String, schema: StructType,
   // full-schema rows and filters evaluate post-scan. Deltas are small
   // by construction; the big-snapshot paths stay on the batch API,
   // where GraftPrune and Catalyst pushdown do their work.
-  override def build(): Scan = new GraftScan(path, schema, schema, options)
+  override def build(): Scan = new GraftScan(path, schema, cdf, options)
 }
 
 private[sources] class GraftScan(path: String, tableSchema: StructType,
-    required: StructType, options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = required
+    cdf: Boolean, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = tableSchema
   override def description(): String = s"GraftStream $path"
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(path, tableSchema, required,
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // in CDF mode the scan schema carries the two trailing metadata
+    // columns; the DATA schema (what files hold) is everything before
+    val dataSchema =
+      if (cdf) StructType(tableSchema.fields.dropRight(2)) else tableSchema
+    new GraftMicroBatchStream(path, dataSchema, dataSchema, cdf,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       options.getBoolean("ignoreChanges", false))
+  }
 }
 
 /** Version-numbered stream offset: the LAST version already consumed. */
@@ -146,7 +155,7 @@ private[graft] case class GraftVersionOffset(version: Long) extends Offset {
 }
 
 private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType,
-    required: StructType, startingVersion: Option[String],
+    required: StructType, cdf: Boolean, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     ignoreChanges: Boolean)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
@@ -209,26 +218,14 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
     var v = s + 1
     while (v <= e) {
       val m = GraftTable.manifestAt(path, v)
-      val added: Seq[GraftTable.FileEntry] = m.changes match {
-        case Some(ch) =>
-          // the table-creating commit is an "overwrite" of nothing — an
-          // initial load, not a replace
-          val initialLoad = v == 1 && ch.removed.isEmpty
-          if ((ch.removed.nonEmpty || (ch.truncate && !initialLoad)) && !ignoreChanges)
-            throw new IllegalStateException(
-              s"version $v of '$path' (op ${m.op}) removed or replaced files — a " +
-                "streaming read is append-only; set ignoreChanges=true to re-emit " +
-                "rewritten rows, or stream a table that only receives appends")
-          ch.added
-        case None => // pre-change-log manifest: fall back to the parent set difference
-          val prev = if (v == 1) Set.empty[String]
-            else GraftTable.filesOf(path, GraftTable.manifestAt(path, v - 1)).map(_.path).toSet
-          GraftTable.filesOf(path, m).filterNot(fe => prev.contains(fe.path))
-      }
       val vNames = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
-      added.foreach { logged =>
-        val entry = headEntries.getOrElse(logged.path, logged)
-        val fromHead = headEntries.contains(logged.path)
+      def emit(logged: GraftTable.FileEntry, meta: Option[(String, Long)]): Unit = {
+        // a REMOVED file never appears in the head snapshot — its logged
+        // entry (renames recorded in full) is the source of truth
+        val entry =
+          if (meta.exists(_._1 == "delete")) logged
+          else headEntries.getOrElse(logged.path, logged)
+        val fromHead = meta.forall(_._1 != "delete") && headEntries.contains(logged.path)
         val ren = entry.renames.getOrElse(Map.empty)
         val phys = required.fields.map { f =>
           // resolvable = the logical name still exists where this entry's
@@ -242,7 +239,44 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
           ren.getOrElse(f.name, f.name)
         }
         parts += GraftFilePartition(GraftTable.resolveData(path, entry),
-          entry.rows, required.toDDL, phys)
+          entry.rows, required.toDDL, phys, meta)
+      }
+      val (added, removed): (Seq[GraftTable.FileEntry], Seq[GraftTable.FileEntry]) =
+        m.changes match {
+          case Some(ch) =>
+            // the table-creating commit is an "overwrite" of nothing — an
+            // initial load, not a replace
+            val initialLoad = v == 1 && ch.removed.isEmpty
+            if (ch.truncate && !initialLoad)
+              throw new IllegalStateException(
+                s"version $v of '$path' (op ${m.op}) truncated the table — its " +
+                  "removed rows are not enumerated in the change log; restart the " +
+                  "stream from a fresh snapshot (startingVersion)")
+            if (ch.removed.nonEmpty && !cdf && !ignoreChanges)
+              throw new IllegalStateException(
+                s"version $v of '$path' (op ${m.op}) removed or replaced files — a " +
+                  "streaming read is append-only; set ignoreChanges=true to re-emit " +
+                  "rewritten rows, readChangeFeed=true for explicit row-level " +
+                  "deletes/inserts, or stream a table that only receives appends")
+            (ch.added, ch.removed)
+          case None => // pre-change-log manifest: fall back to the parent set difference
+            val prev = if (v == 1) Map.empty[String, GraftTable.FileEntry]
+              else GraftTable.filesOf(path, GraftTable.manifestAt(path, v - 1))
+                .map(fe => fe.path -> fe).toMap
+            val curF = GraftTable.filesOf(path, m)
+            val curNames = curF.map(_.path).toSet
+            (curF.filterNot(fe => prev.contains(fe.path)),
+              prev.values.filterNot(fe => curNames(fe.path)).toSeq)
+        }
+      if (cdf) {
+        // row-level change feed: pre-images of removed files stream as
+        // explicit deletes BEFORE the version's inserts (a COW rewrite
+        // is delete(old file rows) + insert(new file rows); consumers
+        // fold per _commit_version in order)
+        removed.foreach(fe => emit(fe, Some(("delete", v))))
+        added.foreach(fe => emit(fe, Some(("insert", v))))
+      } else {
+        added.foreach(fe => emit(fe, None))
       }
       v += 1
     }
@@ -260,7 +294,8 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
   * logical schema as DDL, and the per-field PHYSICAL in-file names
   * (rename indirection resolved at planning). */
 private[graft] case class GraftFilePartition(file: String, rows: Long,
-    requiredDdl: String, physNames: Array[String]) extends InputPartition
+    requiredDdl: String, physNames: Array[String],
+    meta: Option[(String, Long)] = None) extends InputPartition
 
 private[sources] class GraftGroupReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -311,7 +346,8 @@ private[sources] class GraftGroupReader(p: GraftFilePartition, required: StructT
     if (reader == null) { emptyRemaining -= 1; return emptyRemaining >= 0 }
     val g = reader.read()
     if (g == null) return false
-    val vals = new Array[Any](required.size)
+    val extra = if (p.meta.isDefined) 2 else 0
+    val vals = new Array[Any](required.size + extra)
     var i = 0
     while (i < required.size) {
       val ri = presentIdx(i)
@@ -319,6 +355,10 @@ private[sources] class GraftGroupReader(p: GraftFilePartition, required: StructT
         vals(i) = GraftGroupReader.convert(g, ri, required.fields(i).dataType,
           requested.getType(ri).asPrimitiveType())
       i += 1
+    }
+    p.meta.foreach { case (changeType, version) =>
+      vals(required.size) = UTF8String.fromString(changeType)
+      vals(required.size + 1) = version
     }
     row = new GenericInternalRow(vals)
     true

@@ -554,7 +554,7 @@ object PlanAudit {
         GraftTable.manifestAt(root, 3L)).size
       val schema = StructType.fromDDL(GraftTable.manifestAt(root, 3L).schemaDdl)
       def stream(maxV: Option[Long] = None, maxB: Option[Long] = None) =
-        new GraftMicroBatchStream(root, schema, schema, None, maxV, maxB, false)
+        new GraftMicroBatchStream(root, schema, schema, false, None, maxV, maxB, false)
       val ms = stream()
       val full = ms.planInputPartitions(GraftVersionOffset(0), GraftVersionOffset(3))
       val mid = ms.planInputPartitions(GraftVersionOffset(1), GraftVersionOffset(2))

@@ -159,6 +159,55 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows2 == canon(kv(1 -> "a", 2 -> "b", 3 -> "c", 1 -> "a", 2 -> "B")))
   }
 
+  test("readChangeFeed streams COW rewrites as explicit delete/insert with versions") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b").coalesce(1), path) // v1: one file
+    GraftTable.append(kv(3 -> "c"), path)                          // v2
+    GraftTable.upsertByKey(spark, path, kv(2 -> "B"), Seq("k"))    // v3: rewrites v1's file
+    GraftTable.deleteByKey(spark, path, kv(3 -> "c").select("k"), Seq("k")) // v4
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Long)]()
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true").load(path)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3)))): Unit
+      }.start()
+    q.awaitTermination()
+    val events = got.iterator().asScala.toSet
+    assert(events == Set(
+      (1, "a", "insert", 1L), (2, "b", "insert", 1L),      // initial load
+      (3, "c", "insert", 2L),                              // append
+      (1, "a", "delete", 3L), (2, "b", "delete", 3L),      // COW pre-image
+      (1, "a", "insert", 3L), (2, "B", "insert", 3L),      // COW post-image
+      (3, "c", "delete", 4L)),                             // keyed delete
+      s"got $events")
+    // a CDF consumer folding per version converges to the head snapshot
+    val replica = scala.collection.mutable.Map.empty[Int, String]
+    events.toSeq.sortBy(e => (e._4, e._3 == "insert")).foreach {
+      case (k, _, "delete", _) => replica -= k
+      case (k, v, "insert", _) => replica(k) = v
+      case _ => ()
+    }
+    assert(replica.toMap == Map(1 -> "a", 2 -> "B"))
+    assert(canon(GraftTable.read(spark, path)) ==
+      canon(kv(replica.toSeq.sortBy(_._1): _*)))
+  }
+
+  test("readChangeFeed refuses a mid-history truncate loudly") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    GraftTable.overwrite(kv(9 -> "z"), path) // v2 truncates
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.format("memory").queryName("gss_cdf_trunc")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val msg = err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("truncated"))
+  }
+
   test("files written before a rename stream through the maintained rename map") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a"), path)
