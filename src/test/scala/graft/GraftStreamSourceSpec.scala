@@ -193,6 +193,50 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
       canon(kv(replica.toSeq.sortBy(_._1): _*)))
   }
 
+  test("readChangeFeed over random COW histories folds to the head snapshot") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 2).foreach { trial =>
+      val path = tmp() + s"/t$trial"
+      var live = Map(1 -> "a", 2 -> "b") // model of head, keyed (unique keys)
+      var nextK = 2
+      GraftTable.overwrite(kv(live.toSeq: _*), path)
+      (1 to (3 + rnd.nextInt(3))).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // append fresh unique keys
+            val fresh = (1 to 1 + rnd.nextInt(2)).map { _ => nextK += 1; nextK -> s"v$nextK" }
+            GraftTable.append(kv(fresh: _*), path); live ++= fresh
+          case 1 if live.nonEmpty => // upsert a random existing key + one new
+            val k = live.keys.toSeq(rnd.nextInt(live.size)); nextK += 1
+            val delta = Seq(k -> s"u$k-$nextK", nextK -> s"v$nextK")
+            GraftTable.upsertByKey(spark, path, kv(delta: _*), Seq("k")); live ++= delta
+          case _ if live.nonEmpty => // delete a random key
+            val k = live.keys.toSeq(rnd.nextInt(live.size))
+            GraftTable.deleteByKey(spark, path, kv(k -> "x").select("k"), Seq("k"))
+            live -= k
+          case _ => ()
+        }
+      }
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, String, Long)]()
+      val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", 1).load(path)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((r.getInt(0), r.getString(1),
+            r.getString(2), r.getLong(3)))): Unit
+        }.start()
+      q.awaitTermination()
+      val replica = scala.collection.mutable.Map.empty[Int, String]
+      got.iterator().asScala.toSeq.sortBy(e => (e._4, e._3 == "insert")).foreach {
+        case (k, _, "delete", _) => replica -= k
+        case (k, v, "insert", _) => replica(k) = v
+        case _ => ()
+      }
+      assert(replica.toMap == live, s"trial $trial: folded feed diverged from model")
+      assert(canon(GraftTable.read(spark, path)) ==
+        canon(kv(live.toSeq.sortBy(_._1): _*)), s"trial $trial: model diverged from table")
+    }
+  }
+
   test("readChangeFeed refuses a mid-history truncate loudly") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a"), path)
