@@ -1266,6 +1266,15 @@ object GraftTable {
     committed
   }
 
+  /** The active CHECK constraints as a relation (name, expression) —
+    * the DESCRIBE surface for [[addCheck]], manifest metadata alone. */
+  def describeChecks(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    m.checks.getOrElse(Map.empty).toSeq.sortBy(_._1).toDF("name", "expr")
+  }
+
   /** Remove a CHECK constraint (a metadata-only commit). */
   def dropCheck(path: String, name: String): Long = {
     var committed = -1L

@@ -25,6 +25,7 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between
   *   SELECT … FROM graft_table_history('/path/t')              -- DESCRIBE HISTORY
   *   SELECT … FROM graft_table_files('/path/t'[, 2])            -- DESCRIBE DETAIL (file grain)
+  *   SELECT … FROM graft_table_checks('/path/t')               -- active CHECK constraints
   * }}}
   *
   * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
@@ -83,6 +84,12 @@ object GraftSql {
         plan(spark, GraftTable.describeFiles(spark, pathOf("graft_table_files", p),
           Some(longLit("graft_table_files", v))))
       case args => fail("graft_table_files", s"(path[, version]), got ${args.size} argument(s)")
+    })
+    // the active CHECK constraints as a relation
+    register("graft_table_checks", {
+      case Seq(p) =>
+        plan(spark, GraftTable.describeChecks(spark, pathOf("graft_table_checks", p)))
+      case args => fail("graft_table_checks", s"(path), got ${args.size} argument(s)")
     })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,

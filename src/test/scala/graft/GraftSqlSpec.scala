@@ -31,6 +31,16 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(spark.sql(s"SELECT count(*) FROM graft_table_files('$path', 1)").head.getLong(0) == 4)
   }
 
+  test("graft_table_checks lists active constraints; drop removes the row") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a")).toDF("id", "v"), path)
+    GraftTable.addCheck(spark, path, "pos_id", "id > 0")
+    val rows = spark.sql(s"SELECT name, expr FROM graft_table_checks('$path')").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("pos_id", "id > 0")))
+    GraftTable.dropCheck(path, "pos_id")
+    assert(spark.sql(s"SELECT * FROM graft_table_checks('$path')").isEmpty)
+  }
+
   test("TVF reads match the Scala API per version, by timestamp, and at head") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
