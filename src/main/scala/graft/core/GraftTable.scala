@@ -536,16 +536,25 @@ object GraftTable {
     entries
   }
 
+  private def activeChecks(path: String): Map[String, String] =
+    currentManifest(path).flatMap(_.checks).getOrElse(Map.empty)
+
   /** Write-time CHECK enforcement (SQL semantics: a row violates only
     * when the predicate evaluates FALSE — NULL passes). One limit-1 job
     * over the batch when any checks are active, zero cost otherwise;
     * every staged write (append/overwrite/COW rewrite/stream append/
-    * evolve) funnels through here. Checks are read at staging time — a
-    * check added between another writer's stage and commit gates that
-    * writer's NEXT batch, not the in-flight one (the add itself
-    * validated the whole table it saw). */
-  private def enforceChecks(df: DataFrame, path: String): Unit = {
-    val active = currentManifest(path).flatMap(_.checks).getOrElse(Map.empty)
+    * evolve) funnels through here. Staging validates the then-current
+    * set; the retry loops RE-validate whenever the rebased head carries
+    * a different set (a concurrent [[addCheck]] scanned the table it
+    * saw, never our uncommitted stage — without the re-check the loser
+    * would attach a check it never ran, and addCheck's whole-table
+    * invariant would be silently false). The COW paths need no loop
+    * guard: any concurrent commit fails them loudly. */
+  private def enforceChecks(df: DataFrame, path: String): Unit =
+    enforceChecks(df, path, activeChecks(path))
+
+  private def enforceChecks(df: DataFrame, path: String,
+      active: Map[String, String]): Unit = {
     if (active.isEmpty) return
     val viol = active.toSeq.map { case (n, sql) => (n, expr(sql) <=> lit(false)) }
     val hit = df.filter(viol.map(_._2).reduce(_ || _))
@@ -564,12 +573,24 @@ object GraftTable {
     a == schema.fields.map(f => (f.name, f.dataType)).toSeq
   }
 
+  /** Test seam: runs between staging and the first commit attempt — the
+    * window a concurrent commit (e.g. [[addCheck]]) can land in. The spec
+    * uses it to stage the check-attach race deterministically. */
+  private[graft] var betweenStageAndCommitForTests: () => Unit = () => ()
+
   private def writeOp(df: DataFrame, path: String, op: String, statsCols: Seq[String],
       clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Long = {
+    var validatedChecks = activeChecks(path)
     val staged = stageFiles(df, path, statsCols, clusterBy, bloomCols)
+    betweenStageAndCommitForTests()
     var committed = -1L
     while (committed < 0) {
       val cur = currentManifest(path)
+      val curChecks = cur.flatMap(_.checks).getOrElse(Map.empty)
+      if (curChecks != validatedChecks) {
+        enforceChecks(df, path, curChecks)
+        validatedChecks = curChecks
+      }
       val (inline, parentLeaves) = op match {
         case "overwrite" => (staged, Nil)
         case "append" =>
@@ -640,6 +661,8 @@ object GraftTable {
     // it instead of overwriting — no committed batch is ever dropped.
     var stagedAgainst: Option[Option[String]] = None
     var staged: Seq[FileEntry] = Nil
+    var stagedDf: DataFrame = df
+    var validatedChecks = activeChecks(path)
     var committed = -1L
     while (committed < 0) {
       val cur = currentManifest(path)
@@ -652,8 +675,15 @@ object GraftTable {
           if (df.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }.toSeq: _*)
+        validatedChecks = activeChecks(path)
         staged = stageFiles(aligned, path, statsCols, None)
+        stagedDf = aligned
         stagedAgainst = Some(cur.map(_.schemaDdl))
+      }
+      val curChecks = cur.flatMap(_.checks).getOrElse(Map.empty)
+      if (curChecks != validatedChecks) {
+        enforceChecks(stagedDf, path, curChecks)
+        validatedChecks = curChecks
       }
       // pre-existing files route each NEW column to a guaranteed-absent
       // physical name (the addColumn discipline)
@@ -688,6 +718,7 @@ object GraftTable {
     require(streamId.nonEmpty, "need a stable stream id")
     val hwm = currentManifest(path).flatMap(_.streamMarks).flatMap(_.get(streamId))
     if (hwm.exists(_ >= batchId)) return -1L
+    var validatedChecks = activeChecks(path)
     val staged = stageFiles(df, path, statsCols, None)
     var committed = -1L
     while (committed < 0) {
@@ -696,6 +727,11 @@ object GraftTable {
       // batch may have committed while we staged
       if (cur.flatMap(_.streamMarks).flatMap(_.get(streamId)).exists(_ >= batchId))
         return -1L
+      val curChecks = cur.flatMap(_.checks).getOrElse(Map.empty)
+      if (curChecks != validatedChecks) {
+        enforceChecks(df, path, curChecks)
+        validatedChecks = curChecks
+      }
       cur.foreach(m => require(sameSchema(m.schemaDdl, df.schema),
         s"append schema mismatch vs '$path' v${m.version}"))
       val marks = cur.flatMap(_.streamMarks).getOrElse(Map.empty) + (streamId -> batchId)
@@ -1316,20 +1352,33 @@ object GraftTable {
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
     }
+    // input_file_name() is the URI form — decode before taking the
+    // basename, or any percent-encoded name (spaces etc.) fails to match
+    // File.getName and refuses an otherwise convertible directory
     val perFile = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
-      .collect().map(r => r.getString(0).split('/').last -> r).toMap
-    val entries = parts.map { p =>
-      val r = perFile.getOrElse(p.getName,
-        throw new IllegalStateException(s"no stats row for ${p.getName}"))
-      val stats = fields.flatMap { f =>
-        statTag(f.dataType).map { tag =>
-          f.name -> ColStats(tag,
-            Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _)),
-            Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _)),
-            r.getAs[Long](s"__nulls_${f.name}"))
+      .collect().map { r =>
+        val base = new java.net.URI(r.getString(0)).getPath match {
+          case null => r.getString(0).split('/').last // not a parseable URI — raw basename
+          case p => p.split('/').last
         }
+        base -> r
       }.toMap
-      FileEntry(p.getName, r.getAs[Long]("__rows"), p.length, stats)
+    val entries = parts.map { p =>
+      perFile.get(p.getName) match {
+        case Some(r) =>
+          val stats = fields.flatMap { f =>
+            statTag(f.dataType).map { tag =>
+              f.name -> ColStats(tag,
+                Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _)),
+                Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _)),
+                r.getAs[Long](s"__nulls_${f.name}"))
+            }
+          }.toMap
+          FileEntry(p.getName, r.getAs[Long]("__rows"), p.length, stats)
+        // a zero-row part file produces no groupBy row at all — still a
+        // valid member; register it with rows=0 and no stats
+        case None => FileEntry(p.getName, 0L, p.length, Map.empty)
+      }
     }.toSeq
     val (files, leaves) = packCommit(dir, entries, Nil)
     val m = Manifest(1L, commitTs(None), "convert", df.schema.toDDL, files, None,
@@ -1375,6 +1424,11 @@ object GraftTable {
     val schema = StructType.fromDDL(cur.schemaDdl)
     val missingKeys = keys.filterNot(source.columns.contains)
     require(missingKeys.isEmpty, s"source lacks key column(s) ${missingKeys.mkString(", ")}")
+    // an unresolved SET column is a typo, not a no-op (Delta rejects too)
+    val badSet = updateSet.keySet.filterNot(schema.fieldNames.contains)
+    require(badSet.isEmpty,
+      s"updateSet column(s) ${badSet.mkString(", ")} do not exist on '$path' " +
+        s"[${schema.fieldNames.mkString(", ")}]")
     if (insertNotMatched) {
       val missing = schema.fieldNames.filterNot(source.columns.contains)
       require(missing.isEmpty,

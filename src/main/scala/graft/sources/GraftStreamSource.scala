@@ -170,7 +170,10 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
 
   override def initialOffset(): Offset = GraftVersionOffset(startingVersion match {
     case Some("latest") => headVersion
-    case Some(v) => v.toLong - 1 // "start at version v" = v is the first consumed
+    // "start at version v" = v is the first consumed; versions start at 1,
+    // so 0 (and anything below) clamps to the full-history offset — the
+    // scaladoc's "startingVersion=0 means full history" contract
+    case Some(v) => math.max(0L, v.toLong - 1)
     case None => 0L
   })
 
@@ -380,7 +383,11 @@ private[sources] object GraftGroupReader {
       case PrimitiveTypeName.INT32 => g.getInteger(i, 0).toLong
       case other => unsupported(dt, other)
     }
-    case IntegerType | ShortType | ByteType => g.getInteger(i, 0)
+    case IntegerType => g.getInteger(i, 0)
+    // GenericInternalRow.getShort/getByte cast the stored box — a
+    // java.lang.Integer there is a runtime ClassCastException
+    case ShortType => g.getInteger(i, 0).toShort
+    case ByteType => g.getInteger(i, 0).toByte
     case DoubleType => g.getDouble(i, 0)
     case FloatType => g.getFloat(i, 0)
     case BooleanType => g.getBoolean(i, 0)

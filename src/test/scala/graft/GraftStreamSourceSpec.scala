@@ -92,6 +92,32 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("numeric startingVersion: 0 is full history, N skips the versions before N") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path) // v1
+    GraftTable.append(kv(2 -> "b"), path) // v2
+    GraftTable.append(kv(3 -> "c"), path) // v3
+    // startingVersion=0 = full history (the scaladoc contract), with the
+    // byte walk exercised too — neither may plan the nonexistent version 0
+    val (all, _) = drain(spark.readStream.format("graft")
+      .option("startingVersion", 0).option("maxBytesPerTrigger", 1).load(path), "gss_sv0")
+    assert(all == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    // startingVersion=2: version 2 is the first consumed
+    val (tail, _) = drain(spark.readStream.format("graft")
+      .option("startingVersion", 2).load(path), "gss_sv2")
+    assert(tail == canon(kv(2 -> "b", 3 -> "c")))
+  }
+
+  test("SMALLINT/TINYINT columns stream with correct internal boxing") {
+    val path = tmp() + "/t"
+    val d = df("k INT, s SMALLINT, b TINYINT",
+      Row(Int.box(1), Short.box(7), Byte.box(3)),
+      Row(Int.box(2), Short.box(-2), Byte.box(-1)))
+    GraftTable.overwrite(d, path)
+    val (rows, _) = drain(spark.readStream.format("graft").load(path), "gss_shortbyte")
+    assert(rows == canon(d))
+  }
+
   test("checkpoint restart resumes at the bookmark — exactly-once into a graft sink") {
     val root = tmp()
     val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")

@@ -707,4 +707,71 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
       Row(Int.box(-7), "x", Int.box(3))), path)
     assert(GraftTable.read(spark, path).filter(col("k") === -7).count() == 1)
   }
+
+  test("a check landing between stage and commit re-gates the in-flight batch") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    val before = canon(GraftTable.read(spark, path))
+    // stage the race: addCheck commits inside the window after the append
+    // staged (validating against a check-free manifest) and before its
+    // first commit attempt — the rebase loop must re-validate, not attach
+    GraftTable.betweenStageAndCommitForTests = () => {
+      GraftTable.betweenStageAndCommitForTests = () => ()
+      GraftTable.addCheck(spark, path, "pos_k", "k > 0"): Unit
+    }
+    try {
+      val e = intercept[IllegalArgumentException](GraftTable.append(kv(-3 -> "x"), path))
+      assert(e.getMessage.contains("pos_k"))
+    } finally GraftTable.betweenStageAndCommitForTests = () => ()
+    // the check is attached to the head; the violating batch never landed
+    assert(GraftTable.currentManifest(path).get.checks.get.contains("pos_k"))
+    assert(canon(GraftTable.read(spark, path)) == before)
+    // a COMPLIANT batch racing a check lands through the same window
+    GraftTable.betweenStageAndCommitForTests = () => {
+      GraftTable.betweenStageAndCommitForTests = () => ()
+      GraftTable.addCheck(spark, path, "nonempty", "length(v) > 0"): Unit
+    }
+    try GraftTable.append(kv(5 -> "ok"), path)
+    finally GraftTable.betweenStageAndCommitForTests = () => ()
+    assert(GraftTable.read(spark, path).count() == 2)
+    assert(GraftTable.currentManifest(path).get.checks.get.keySet == Set("pos_k", "nonempty"))
+  }
+
+  test("convertParquetDir: zero-row part files and space-named files convert") {
+    val root = tmp()
+    val full = s"$root/full"
+    kv(1 -> "a", 2 -> "b").coalesce(1).write.parquet(full)
+    val empty = s"$root/empty"
+    kv().coalesce(1).write.parquet(empty)
+    def partOf(d: String) = Option(new java.io.File(d).listFiles).get
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    val dir = s"$root/conv"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.copy(partOf(full).toPath,
+      new java.io.File(dir, "part with space.parquet").toPath)
+    java.nio.file.Files.copy(partOf(empty).toPath,
+      new java.io.File(dir, "zero rows.parquet").toPath)
+    GraftTable.convertParquetDir(spark, dir, statsCols = Seq("k"))
+    assert(canon(GraftTable.read(spark, dir)) == canon(kv(1 -> "a", 2 -> "b")))
+    // both files registered; the zero-row one carries rows=0 and no stats,
+    // the space-named one carries real stats (the URI decode matched it)
+    val m = GraftTable.currentManifest(dir).get
+    val entries = GraftTable.filesOf(dir, m).map(fe => fe.path -> fe).toMap
+    assert(entries.keySet == Set("part with space.parquet", "zero rows.parquet"))
+    assert(entries("zero rows.parquet").rows == 0L)
+    assert(entries("part with space.parquet").rows == 2L)
+    assert(entries("part with space.parquet").stats.contains("k"))
+  }
+
+  test("mergeInto refuses unresolved SET columns instead of no-opping") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.mergeInto(spark, path, kv(1 -> "A"), Seq("k"),
+        updateSet = Map("vv" -> GraftTable.srcCol("v")))
+    }
+    assert(e.getMessage.contains("vv"))
+    // nothing committed
+    assert(GraftTable.currentVersion(path).contains(1L))
+  }
 }
