@@ -327,6 +327,22 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
 GROUP BY 1""",
 
+    // q134 consumed through the batch format("graft") source — the
+    // manifest FileIndex must be invisible to results (it only removes
+    // provably-dead file IO at planning time)
+    "q148_source_scan" -> """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+       count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+GROUP BY 1""",
+
+    // q139's bloom point lookup through the batch source — same contract
+    "q149_source_bloom_scan" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
+FROM orders WHERE o_orderkey % 1000 = 1""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

@@ -2012,6 +2012,56 @@ object Queries {
       .select(micros(col("month")).as("month_us"), col("n_orders"), col("revenue"))
   }
 
+  private lazy val q148Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_srcscan").toString
+
+  /** q148: q134's pruned aggregation consumed through the BATCH
+    * `format("graft")` source — NO GraftPrune.install, no explicit
+    * readPruned: the manifest-backed FileIndex skips files by stats
+    * inside `listFiles` for every consumer by construction
+    * ([[graft.sources.GraftBatchRead]]; GraftBatchReadSpec pins the
+    * planned-file counts, this gate pins end-to-end correctness
+    * through the source). */
+  def sourceScanQ(s: SparkSession, d: String): DataFrame = {
+    val root = q148Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_s"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.writeClustered(orders, path, col("o_orderdate"), numFiles = 16)
+    s.read.format("graft").load(path)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+      .groupBy(date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(micros(col("month")).as("month_us"), col("n_orders"), col("revenue"))
+  }
+
+  private lazy val q149Root: String =
+    java.nio.file.Files.createTempDirectory("graft_vt_srcbloom").toString
+
+  /** q149: q139's bloom point lookup consumed through the BATCH
+    * `format("graft")` source — a plain `.isin` over the
+    * hash-distributed table, narrowed to bloom-surviving files inside
+    * the source's own `listFiles` (no optimizer-rule install, no
+    * readPrunedIn). */
+  def sourceBloomScanQ(s: SparkSession, d: String): DataFrame = {
+    val root = q149Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_sb"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    graft.core.GraftTable.overwrite(orders.repartition(16, col("o_orderkey")), path,
+      bloomCols = Seq("o_orderkey"))
+    val probes = orders.filter(pmod(col("o_orderkey"), lit(1000)) === 1)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    s.read.format("graft").load(path)
+      .filter(col("o_orderkey").isin(probes: _*))
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2048,6 +2098,8 @@ object Queries {
     "q132_cdc_replica" -> (cdcReplicaQ _),
     "q133_compression_ratio" -> (compressionRatioQ _),
     "q134_ruled_scan" -> (ruledScanQ _),
+    "q148_source_scan" -> (sourceScanQ _),
+    "q149_source_bloom_scan" -> (sourceBloomScanQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -764,7 +764,7 @@ object GraftTable {
     * applying each file's rename map (files grouped by identical map —
     * parquet resolves columns by name, so one read + projection per
     * group). */
-  private def readFileSubset(spark: SparkSession, path: String, m: Manifest,
+  private[graft] def readFileSubset(spark: SparkSession, path: String, m: Manifest,
       subset: Seq[FileEntry]): DataFrame = {
     val logical = StructType.fromDDL(m.schemaDdl)
     if (subset.isEmpty)
@@ -797,7 +797,12 @@ object GraftTable {
     * Binary search over the (version-ordered = commit-time-ordered,
     * [[commitTs]] is strictly monotonic) manifest names, parsing only
     * O(log versions) manifests — history length never taxes the read. */
-  def readAsOf(spark: SparkSession, path: String, tsUs: Long): DataFrame = {
+  def readAsOf(spark: SparkSession, path: String, tsUs: Long): DataFrame =
+    readManifest(spark, path, manifestAsOf(path, tsUs))
+
+  /** The manifest the timestamp pin resolves to — also the batch
+    * `format("graft")` `timestampAsOf` resolver. */
+  private[graft] def manifestAsOf(path: String, tsUs: Long): Manifest = {
     val files = manifestFiles(path).toIndexedSeq
     require(files.nonEmpty, s"'$path' is not a GraftTable")
     var (lo, hi) = (0, files.size - 1)
@@ -808,7 +813,7 @@ object GraftTable {
       if (m.tsUs <= tsUs) { best = Some(m); lo = mid + 1 } else hi = mid - 1
     }
     require(best.isDefined, s"no snapshot of '$path' at or before $tsUs")
-    readManifest(spark, path, best.get)
+    best.get
   }
 
   /** File-skipping scan: drop every file whose stats PROVE it cannot

@@ -61,19 +61,23 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
       case r: HadoopFsRelation => r
       case _ => return f
     }
+    // a format("graft") batch relation already prunes inside its own
+    // manifest-backed FileIndex listing — replacing it with a static
+    // pruned list would be redundant work, not a better plan
+    if (fs.location.isInstanceOf[graft.sources.GraftFileIndex]) return f
     val files = fs.location.inputFiles
     if (files.isEmpty) return f
     val dirs = files.map(p => new File(stripScheme(p)).getParentFile).distinct
     if (dirs.length != 1 || dirs(0) == null || !GraftTable.isDataDir(dirs(0))) return f
-    val ranges = extractRanges(cond)
-    val points = extractPoints(cond)
+    val ranges = GraftPrune.extractRanges(cond)
+    val points = GraftPrune.extractPoints(cond)
     if (ranges.isEmpty && points.isEmpty) return f
     val root = dirs(0).getParentFile.getPath
     val stats = GraftTable.statsForFiles(root)
     // one lazy probe-hash job per IN column — paid only when some file's
     // stats actually carry a bloom for it (the readPrunedIn discipline)
     val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
-    def hashesFor(p: PointProbe): Any => Seq[Long] =
+    def hashesFor(p: GraftPrune.PointProbe): Any => Seq[Long] =
       hashCache.getOrElseUpdate(p.col, {
         lazy val m = GraftTable.probeHashes(spark, p.dt, p.values, GraftTable.BloomK)
         v => m(v)
@@ -94,13 +98,25 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}
+
+object GraftPrune extends PredicateHelper {
+  /** Idempotent per-session install into the experimental optimizer
+    * hook — the in-session counterpart of the `spark.sql.extensions`
+    * registration. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[GraftPrune]))
+      spark.experimental.extraOptimizations = cur :+ GraftPrune(spark)
+  }
 
   /** Conjuncts of the shape `attr <op> literal` (either side) become
     * inclusive [[ColRange]]s; everything else contributes nothing (the
     * residual filter keeps exactness). NULL literals yield no range —
     * a NULL comparison matches no row, but proving THAT is the
-    * filter's job, not the skipper's. */
-  private def extractRanges(cond: Expression): Seq[ColRange] =
+    * filter's job, not the skipper's. Shared by the optimizer rule and
+    * the `format("graft")` batch [[graft.sources.GraftFileIndex]]. */
+  private[graft] def extractRanges(cond: Expression): Seq[ColRange] =
     splitConjunctivePredicates(cond).flatMap {
       case GreaterThan(a: AttributeReference, l: Literal) => range(a, lo = Some(l))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => range(a, lo = Some(l))
@@ -126,7 +142,7 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
     }
   }
 
-  private case class PointProbe(col: String,
+  private[graft] case class PointProbe(col: String,
       dt: org.apache.spark.sql.types.DataType, values: Seq[Any])
 
   /** Conjuncts of the shape `attr IN (literals…)` (both the `In` form
@@ -139,7 +155,7 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
     * the skipping — this makes q131's explicit `readPrunedIn` shape
     * automatic for plain `isin`/`===` filters. NULL probe values drop
     * (IN never matches NULL); an all-NULL list contributes nothing. */
-  private def extractPoints(cond: Expression): Seq[PointProbe] =
+  private[graft] def extractPoints(cond: Expression): Seq[PointProbe] =
     splitConjunctivePredicates(cond).flatMap {
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         point(a, vs.collect { case Literal(v, dt) if v != null =>
@@ -156,15 +172,4 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
 
   private def point(a: AttributeReference, values: Seq[Any]): Seq[PointProbe] =
     if (values.isEmpty) Nil else Seq(PointProbe(a.name, a.dataType, values))
-}
-
-object GraftPrune {
-  /** Idempotent per-session install into the experimental optimizer
-    * hook — the in-session counterpart of the `spark.sql.extensions`
-    * registration. */
-  def install(spark: SparkSession): Unit = {
-    val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[GraftPrune]))
-      spark.experimental.extraOptimizations = cur :+ GraftPrune(spark)
-  }
 }

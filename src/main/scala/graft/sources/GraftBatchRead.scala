@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And => CatalystAnd, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.GraftTable
+import graft.core.GraftTable.{ColRange, FileEntry, Manifest}
+import graft.plans.GraftPrune
+
+/** BATCH READ of a GraftTable via `format("graft")` — the batch half of
+  * the DataSource registration ([[GraftStreamSource]] carries the
+  * streaming half; this object builds the relation its
+  * `RelationProvider` fallback returns):
+  *
+  * {{{
+  *   spark.read.format("graft").load(path)                        // head snapshot
+  *   spark.read.format("graft").option("versionAsOf", 3).load(path)
+  *   spark.read.format("graft").option("timestampAsOf", "2026-01-01 00:00:00").load(path)
+  * }}}
+  *
+  * The scale story — what subsumes the explicit [[GraftPrune.install]]
+  * opt-in: the relation is a plain vectorized parquet
+  * [[HadoopFsRelation]] whose [[FileIndex]] is the MANIFEST
+  * ([[GraftFileIndex]]). Spark's file-source planner hands the pushed
+  * data filters to `FileIndex.listFiles` at planning time, where the
+  * per-file [min,max,nulls] stats and bloom filters prove files clean
+  * BEFORE any task is planned — stats/bloom file-skipping happens for
+  * every consumer (SQL, DataFrame, TVF-over-this) with no rule install
+  * and no API opt-in, exactly Delta's `TahoeFileIndex` shape
+  * re-derived. Everything downstream is stock Spark: row-group
+  * pushdown, vectorized decode, whole-stage codegen. No directory
+  * listing ever happens (the manifest IS the listing — on an object
+  * store at 100 TB that is the difference between one metadata read
+  * and a million S3 LISTs).
+  *
+  * Tables whose live files carry rename maps (post-[[GraftTable.renameColumn]]
+  * layouts or widened histories with guaranteed-absent indirections)
+  * can't be served as one by-name parquet scan; they fall back to
+  * [[GraftProjectedRelation]], which keeps stats skipping and filter
+  * pushdown but routes rows through the per-rename-group projections
+  * of [[GraftTable.readFileSubset]] (correctness first; compaction
+  * retires the indirection and restores the fast path).
+  *
+  * Reference analogue: the dialect-native table access every model
+  * uses (`models/intermediate/stg_dim_customer.sql:71`) — reading a
+  * managed table must not require knowing how its files are laid out. */
+object GraftBatchRead {
+
+  /** Pin the manifest the options select: `versionAsOf` wins, then
+    * `timestampAsOf` (epoch micros or `yyyy-MM-dd HH:mm:ss[.ffffff]`
+    * UTC — the [[graft.plans.GraftSql]] literal convention), else the
+    * head. */
+  def resolveManifest(path: String, options: CaseInsensitiveStringMap): Manifest = {
+    val ver = Option(options.get("versionAsOf"))
+    val ts = Option(options.get("timestampAsOf"))
+    require(ver.isEmpty || ts.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    ver.map(v => GraftTable.manifestAt(path, v.toLong))
+      .orElse(ts.map(t => GraftTable.manifestAsOf(path, tsMicros(t))))
+      .orElse(GraftTable.currentManifest(path))
+      .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+  }
+
+  private def tsMicros(s: String): Long = {
+    val t = s.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else {
+      val ldt = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+    }
+  }
+
+  def relation(spark: SparkSession, path: String, m: Manifest): BaseRelation = {
+    val entries = GraftTable.filesOf(path, m)
+    val logical = StructType.fromDDL(m.schemaDdl)
+    if (entries.forall(_.renames.forall(_.isEmpty)))
+      HadoopFsRelation(
+        location = new GraftFileIndex(spark, path, m, entries),
+        partitionSchema = new StructType(),
+        dataSchema = logical,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty)(spark)
+    else new GraftProjectedRelation(spark, path, m, entries, logical)
+  }
+
+  /** The manifest-stats keep test over catalyst data filters — ranges
+    * probe [min,max], point probes additionally hit the blooms (one
+    * lazy probe-hash job per IN column, paid only when some file
+    * actually carries a bloom). Throws nothing: any unexpected shape
+    * degrades to keep-everything (stats only ever PRUNE). */
+  private[sources] def keepByStats(spark: SparkSession, logical: StructType,
+      entries: Seq[FileEntry], dataFilters: Seq[Expression]): Seq[FileEntry] = {
+    if (dataFilters.isEmpty || entries.isEmpty) return entries
+    try {
+      val cond = dataFilters.reduce(CatalystAnd(_, _))
+      val ranges = GraftPrune.extractRanges(cond)
+      val points = GraftPrune.extractPoints(cond)
+      if (ranges.isEmpty && points.isEmpty) return entries
+      val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
+      def hashesFor(p: GraftPrune.PointProbe): Any => Seq[Long] =
+        hashCache.getOrElseUpdate(p.col, {
+          lazy val m = GraftTable.probeHashes(spark, p.dt, p.values, GraftTable.BloomK)
+          v => m(v)
+        })
+      entries.filter(fe => GraftTable.mayMatch(fe.stats, ranges) &&
+        points.forall(pt => GraftTable.mayContainIn(fe.stats, pt.col, pt.values, hashesFor(pt))))
+    } catch { case scala.util.control.NonFatal(_) => entries }
+  }
+}
+
+/** The manifest AS a Spark [[FileIndex]]: `listFiles` never lists a
+  * directory — the pinned manifest's entries are the file set, and the
+  * pushed data filters narrow it through the per-file stats/blooms at
+  * planning time. File sizes come from the manifest too, so split
+  * planning (`maxPartitionBytes` packing) costs zero filesystem calls. */
+private[graft] class GraftFileIndex(spark: SparkSession, root: String,
+    m: Manifest, entries: Seq[FileEntry]) extends FileIndex {
+
+  private val logical = StructType.fromDDL(m.schemaDdl)
+  private val withStatus: Seq[(FileEntry, FileStatus)] = entries.map { fe =>
+    fe -> new FileStatus(fe.bytes, false, 1, 128L << 20, m.tsUs / 1000L,
+      new HPath(new java.io.File(GraftTable.resolveData(root, fe)).toURI))
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(new java.io.File(root).toURI))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] = withStatus.map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val keep = GraftBatchRead.keepByStats(spark, logical, entries, dataFilters)
+      .map(_.path).toSet
+    Seq(PartitionDirectory(InternalRow.empty,
+      withStatus.collect { case (fe, st) if keep(fe.path) => st }.toArray[FileStatus]))
+  }
+}
+
+/** The rename-aware fallback relation: correctness over vectorization
+  * for layouts where live files carry logical→physical rename maps.
+  * Still prunes files by stats/bloom from the pushed V1 filters and
+  * pushes the translatable ones into the inner per-group parquet scans
+  * (row-group pushdown survives); Spark re-applies every filter
+  * post-scan ([[unhandledFilters]] default), so the translation only
+  * ever has to be conservative. */
+private[sources] class GraftProjectedRelation(spark: SparkSession, path: String,
+    m: Manifest, entries: Seq[FileEntry], logical: StructType)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = logical
+  override def needConversion: Boolean = true
+  override def sizeInBytes: Long = entries.map(_.bytes).sum
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val kept = try {
+      val ranges = filters.toSeq.flatMap(v1Ranges)
+      val points = filters.toSeq.flatMap(v1Points)
+      val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
+      def hashesFor(c: String, vs: Seq[Any]): Any => Seq[Long] =
+        hashCache.getOrElseUpdate(c, {
+          lazy val h = GraftTable.probeHashes(spark, logical(c).dataType, vs, GraftTable.BloomK)
+          v => h(v)
+        })
+      entries.filter(fe => GraftTable.mayMatch(fe.stats, ranges) &&
+        points.forall { case (c, vs) =>
+          GraftTable.mayContainIn(fe.stats, c, vs, hashesFor(c, vs)) })
+    } catch { case scala.util.control.NonFatal(_) => entries }
+    val base = GraftTable.readFileSubset(spark, path, m, kept)
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  private def v1Ranges(f: Filter): Seq[ColRange] = f match {
+    case EqualTo(a, v) if v != null => Seq(ColRange(a, Some(v), Some(v)))
+    case GreaterThan(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
+    case GreaterThanOrEqual(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
+    case LessThan(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
+    case LessThanOrEqual(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
+    case And(l, r) => v1Ranges(l) ++ v1Ranges(r)
+    case _ => Nil
+  }
+
+  private def v1Points(f: Filter): Seq[(String, Seq[Any])] = f match {
+    case EqualTo(a, v) if v != null && logical.fieldNames.contains(a) =>
+      Seq(a -> Seq(v))
+    case In(a, vs) if logical.fieldNames.contains(a) =>
+      val nn = vs.toSeq.filter(_ != null)
+      if (nn.isEmpty) Nil else Seq(a -> nn)
+    case And(l, r) => v1Points(l) ++ v1Points(r)
+    case _ => Nil
+  }
+
+  /** Conservative V1-filter → Column translation so the exact
+    * predicate reaches the inner parquet scans (row-group pushdown);
+    * untranslatable shapes drop — Spark re-applies everything. */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

@@ -82,13 +82,31 @@ import graft.core.GraftTable
   * micro-batch; a replica consumer processes commit N+1's files and
   * nothing else, forever. Flat schemas only (the warehouse/CDC grain);
   * nested columns refuse loudly. */
-class GraftStreamSource extends TableProvider with DataSourceRegister {
+class GraftStreamSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.RelationProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft source needs .load(<table path>)")
     p
+  }
+
+  /** BATCH read path: the streaming table advertises only
+    * MICRO_BATCH_READ, so `spark.read.format("graft")` falls back to
+    * this V1 relation — a vectorized parquet scan whose FileIndex IS
+    * the manifest, with stats/bloom file-skipping inside `listFiles`
+    * (see [[GraftBatchRead]]). `versionAsOf` / `timestampAsOf` pin a
+    * snapshot. */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val path = pathOf(options)
+    require(!options.getBoolean("readChangeFeed", false),
+      "readChangeFeed is a streaming option — for batch change reads use " +
+        "GraftTable.diffVersions or the graft_table_changes TVF")
+    GraftBatchRead.relation(sqlContext.sparkSession, path,
+      GraftBatchRead.resolveManifest(path, options))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

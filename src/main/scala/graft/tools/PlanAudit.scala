@@ -574,6 +574,51 @@ object PlanAudit {
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q140_stream_source: ${results.mkString(" ")}")
     }
+    locally {
+      // q148/q149's batch format("graft") source: the EXECUTED scan's
+      // input partitions must be exactly the stats/bloom-surviving files
+      // (the numFiles metric vs the explicit readPruned/readPrunedIn
+      // counts), with NO optimizer rule installed — the skip comes from
+      // the manifest-backed FileIndex's own listFiles, nothing else
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.GraftPrune])
+      val base = java.nio.file.Files.createTempDirectory("plan_batch_src").toString
+      val rows = spark.range(0, 1600).selectExpr(
+        "cast(id * 2 as int) AS k", "cast(id % 100 as double) AS x")
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(find)
+        }
+        find(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+      }
+      val rootR = s"$base/range"
+      GraftTable.writeClustered(rows, rootR, col("k"), 16)
+      val expR = GraftTable.readPruned(spark, rootR,
+        Seq(GraftTable.ColRange("k", Some(200), Some(399)))).filesRead
+      val nR = scanFiles(spark.read.format("graft").load(rootR)
+        .filter(col("k") >= 200 && col("k") <= 399))
+      val rootB = s"$base/bloom"
+      GraftTable.overwrite(rows.repartition(16, col("k")), rootB, bloomCols = Seq("k"))
+      val expB = GraftTable.readPrunedIn(spark, rootB, "k", Seq(34, 1040)).filesRead
+      val nB = scanFiles(spark.read.format("graft").load(rootB)
+        .filter(col("k").isin(34, 1040)))
+      val checks = Seq(
+        "no_rule_installed" -> !spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.GraftPrune]),
+        "range_scan_is_stats_survivors" -> (nR == expR && nR < 16),
+        "bloom_scan_is_bloom_survivors" -> (nB == expB && nB < 16))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q148_batch_source: ${results.mkString(" ")}" +
+        s" (range $nR/16 expect $expR; bloom $nB/16 expect $expB)")
+    }
     spark.stop()
   }
 }
