@@ -343,6 +343,31 @@ GROUP BY 1""",
 SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us, o_totalprice
 FROM orders WHERE o_orderkey % 1000 = 1""",
 
+    // q125/q126/q145 expressed as SQL TEXT through the DML router — the
+    // dialect must be invisible to results (same oracles verbatim)
+    "q150_sql_delete" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')""",
+
+    "q151_sql_update" -> """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders""",
+
+    "q152_sql_merge" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+            THEN o_totalprice * 2 ELSE o_totalprice END AS total
+FROM orders
+WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

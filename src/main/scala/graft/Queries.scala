@@ -2062,6 +2062,67 @@ object Queries {
         micros(col("o_orderdate")).as("order_us"), col("o_totalprice"))
   }
 
+  /** q150: q125's COW DELETE expressed as SQL TEXT
+    * ([[graft.plans.GraftSql.dml]] — Spark's own grammar parses it, the
+    * router lands it on [[graft.core.GraftTable.deleteWhere]] with the
+    * stats-cover ranges derived from the optimized predicate). Same
+    * oracle as q125: the dialect must be invisible to results. */
+  def sqlDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel").toString
+    val path = s"$root/orders_d"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"DELETE FROM graft.`$path` " +
+      "WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F'")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
+  /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
+    * own columns, the decimal-exact price adjustment spelled in SQL. */
+  def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlupd").toString
+    val path = s"$root/orders_u"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"""UPDATE graft.`$path` SET o_orderstatus = 'P',
+      o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+      WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'""")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
+  private lazy val q152Root: String =
+    java.nio.file.Files.createTempDirectory("graft_sqlmerge").toString
+
+  /** q152: q145's MERGE INTO as SQL TEXT — conditional DELETE/UPDATE
+    * matched clauses plus INSERT *, the full Delta-style statement
+    * routed onto the keyed-COW merge. */
+  def sqlMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q152Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_merge"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), path)
+    orders.createOrReplaceTempView("q152_merge_src")
+    graft.plans.GraftSql.dml(s, s"""
+      MERGE INTO graft.`$path` AS t USING q152_merge_src AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+      WHEN MATCHED AND s.o_orderstatus = 'F' THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+      WHEN NOT MATCHED THEN INSERT *""")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2100,6 +2161,9 @@ object Queries {
     "q134_ruled_scan" -> (ruledScanQ _),
     "q148_source_scan" -> (sourceScanQ _),
     "q149_source_bloom_scan" -> (sourceBloomScanQ _),
+    "q150_sql_delete" -> (sqlDeleteQ _),
+    "q151_sql_update" -> (sqlUpdateQ _),
+    "q152_sql_merge" -> (sqlMergeQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -72,6 +72,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectFunction(MinHashFunctions.descriptor)
     e.injectOptimizerRule(s => graft.plans.GraftPrune(s))
+    // SQL DML over graft.`/path` targets becomes runnable commands at
+    // parse time — spark.sql("MERGE INTO graft.`…` …") executes natively
+    // (parser-level, because the analyzer's ResolveSQLOnFile would refuse
+    // the non-file direct-query identifier before any injected
+    // resolution rule could claim it)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

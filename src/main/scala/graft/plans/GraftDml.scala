@@ -1,0 +1,274 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.ClassicBridge
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.lit
+
+import graft.core.GraftTable
+import graft.sources.{GraftFileIndex, GraftProjectedRelation}
+
+/** SQL TEXT for the write path — `MERGE INTO` / `DELETE FROM` / `UPDATE`
+  * over `graft.`/path`` targets routed to the existing COW operators
+  * ([[GraftTable.mergeInto]]/[[GraftTable.deleteWhere]]/[[GraftTable.updateWhere]]),
+  * the write-side sibling of [[GraftSql]]'s read TVFs. The reference
+  * expresses ALL mutation as SQL (the dbt incremental merge on
+  * `unique_key`, `models/dwh/dim_customer.sql:1-6`; the join-UPDATE,
+  * `macros/fact_order_fail_lookup.sql:3-18`) — this closes that half of
+  * the dialect story.
+  *
+  * Statements parse through Spark's OWN SQL grammar
+  * (`sessionState.sqlParser` → [[DeleteFromTable]]/[[UpdateTable]]/
+  * [[MergeIntoTable]]) — no hand-rolled SQL dialect — and the
+  * unresolved Catalyst plans are translated onto the Scala API:
+  *
+  * {{{
+  *   GraftSql.dml(spark, "DELETE FROM graft.`/path/t` WHERE k > 5")
+  *   GraftSql.dml(spark, "UPDATE graft.`/path/t` SET v = 'x' WHERE k = 1")
+  *   GraftSql.dml(spark, """
+  *     MERGE INTO graft.`/path/t` AS t USING updates AS s
+  *     ON t.k = s.k
+  *     WHEN MATCHED AND s.op = 'D' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET v = s.v
+  *     WHEN NOT MATCHED THEN INSERT *""")
+  * }}}
+  *
+  * Sessions built with `spark.sql.extensions=graft.expressions.GraftExtensions`
+  * get the same routing natively inside `spark.sql(...)`: an injected
+  * resolution rule ([[GraftDmlRule]]) rewrites the DML plan over a graft
+  * target into a runnable command, so the dialect needs no special entry
+  * point at all. (A rule can be injected only at session build — Spark
+  * fixes the analyzer then — hence the `GraftSql.dml` door for sessions
+  * created without the extension.)
+  *
+  * Scale shape: identical to the Scala ops by construction — DELETE and
+  * UPDATE derive their stats-cover prune ranges from the optimized
+  * predicate (the [[GraftPrune.extractRanges]] extractor over the
+  * resolved filter), MERGE inherits the upsert's key-bounds cover; only
+  * files provably holding matches rewrite.
+  *
+  * Translation contract (refusals are loud, never silent drops):
+  * DELETE/UPDATE take any row predicate. MERGE `ON` must be a
+  * conjunction of `target.key = source.key` same-name equalities (the
+  * API's keyed-COW shape; keys match null-safely); matched clauses are
+  * at most one UPDATE and one DELETE (delete wins when both conditions
+  * hold); the not-matched clause is an unconditional `INSERT *`;
+  * `WHEN NOT MATCHED BY SOURCE` is not supported. In clause expressions,
+  * source columns must be qualified with the source alias; unqualified
+  * names bind to the target. */
+object GraftDml extends PredicateHelper {
+
+  /** Route a PARSED plan if it is a graft DML statement. Returns the
+    * committed version, or None when the plan is not graft DML. */
+  def route(spark: SparkSession, plan: LogicalPlan): Option[Long] = rewrite(plan) match {
+    case c: GraftDeleteCommand => Some(c.execute(spark))
+    case c: GraftUpdateCommand => Some(c.execute(spark))
+    case c: GraftMergeCommand => Some(c.execute(spark))
+    case _ => None
+  }
+
+  /** The plan-level rewrite the injected parser applies: graft DML
+    * becomes a runnable command, everything else passes through
+    * untouched. Done at PARSE time because the analyzer's own
+    * `ResolveSQLOnFile` (which runs before any injectable resolution
+    * rule) refuses direct-query identifiers of non-file sources — the
+    * target must never reach it. The clause translation happens HERE
+    * (commands carry [[Column]]s, not raw Catalyst expressions), so the
+    * command is fully resolved in the analyzer's eyes — its predicates
+    * bind against the table frame at execution, exactly like the Scala
+    * API calls they route to. */
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(GraftTarget(path, alias), cond) =>
+      val quals = alias.toSet + "graft"
+      GraftDeleteCommand(path,
+        Option(cond).map(clauseCol(_, quals, None)).getOrElse(lit(true)))
+    case UpdateTable(GraftTarget(path, alias), assigns, cond) =>
+      val quals = alias.toSet + "graft"
+      GraftUpdateCommand(path,
+        cond.map(clauseCol(_, quals, None)).getOrElse(lit(true)),
+        assigns.map(a => assignName(a.key) -> clauseCol(a.value, quals, None)).toMap)
+    case m: MergeIntoTable if GraftTarget.unapply(m.targetTable).isDefined =>
+      GraftMergeCommand(m)
+    case other => other
+  }
+
+  /** Strip `quals`-qualified prefixes so clause expressions bind against
+    * the operator's evaluation frame (target columns by plain name,
+    * source columns through the `__src_` accessor when `srcAlias`
+    * matches). Flat schemas — the engine's table grain — so a 2-part
+    * name is alias.column, never a struct path. */
+  /** The conjuncts of a predicate (PredicateHelper's split, exposed to
+    * the command classes). */
+  private[plans] def conjuncts(e: Expression): Seq[Expression] =
+    splitConjunctivePredicates(e)
+
+  private[plans] def clauseCol(e: Expression, targetQuals: Set[String],
+      srcAlias: Option[String]): Column =
+    ClassicBridge.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+          srcAlias.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq("__src_" + a.nameParts.last))
+      case a: UnresolvedAttribute if a.nameParts.size > 1 &&
+          targetQuals.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    })
+
+  private[plans] def assignName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"SET target must be a column name, got $other")
+  }
+
+  /** The stats-cover ranges implied by the DML predicate: resolve it
+    * against the table's frame and reuse the optimizer rule's extractor
+    * over the OPTIMIZED filter (casts folded, literals normalized). */
+  private[plans] def pruneRangesOf(spark: SparkSession, path: String,
+      pred: Column): Seq[GraftTable.ColRange] =
+    try GraftTable.read(spark, path).filter(pred).queryExecution.optimizedPlan
+      .collect { case f: Filter => GraftPrune.extractRanges(f.condition) }.flatten
+    catch { case scala.util.control.NonFatal(_) => Nil }
+}
+
+/** Matches a DML target that is a graft table: the unresolved
+  * `graft.`/path`` identifier, or the already-resolved batch relation
+  * (ResolveSQLOnFile may run before injected rules). */
+private[plans] object GraftTarget {
+  def unapply(p: LogicalPlan): Option[(String, Option[String])] = p match {
+    case SubqueryAlias(id, child) => unapply(child).map { case (path, _) => (path, Some(id.name)) }
+    case u: UnresolvedRelation if u.multipartIdentifier.size == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some((u.multipartIdentifier(1), None))
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation => fs.location match {
+        case gi: GraftFileIndex => Some((gi.tableRoot, None))
+        case _ => None
+      }
+      case gp: GraftProjectedRelation => Some((gp.tablePath, None))
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
+private[plans] case class GraftDeleteCommand(path: String, pred: Column)
+    extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    GraftTable.deleteWhere(spark, path, pred,
+      GraftDml.pruneRangesOf(spark, path, pred))
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand $path, $pred"
+}
+
+private[plans] case class GraftUpdateCommand(path: String, pred: Column,
+    set: Map[String, Column]) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    GraftTable.updateWhere(spark, path, pred, set,
+      GraftDml.pruneRangesOf(spark, path, pred))
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand $path, $pred, SET ${set.keys.mkString(", ")}"
+}
+
+private[plans] case class GraftMergeCommand(m: MergeIntoTable) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+
+  def execute(spark: SparkSession): Long = {
+    val (path, tAlias) = GraftTarget.unapply(m.targetTable).getOrElse(
+      throw new IllegalArgumentException("MERGE target is not a graft table"))
+    val sAlias = m.sourceTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+      case _ => None
+    }
+    val source = ClassicBridge.ofRows(spark, m.sourceTable)
+    val tQuals = tAlias.toSet + "graft"
+    def col(e: Expression) = GraftDml.clauseCol(e, tQuals, sAlias)
+    def sideOf(a: UnresolvedAttribute): String =
+      if (a.nameParts.size > 1 && sAlias.exists(_.equalsIgnoreCase(a.nameParts.head))) "src"
+      else "tgt"
+    val keys = GraftDml.conjuncts(m.mergeCondition).map {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if Set(sideOf(l), sideOf(r)) == Set("src", "tgt") =>
+        val (ln, rn) = (l.nameParts.last, r.nameParts.last)
+        require(ln.equalsIgnoreCase(rn),
+          s"ON equality must pair the SAME key column on both sides, got $ln = $rn " +
+            "(the keyed-COW merge matches by shared key names)")
+        ln
+      case other => throw new IllegalArgumentException(
+        "MERGE ON must be a conjunction of target.key = source.key equalities, " +
+          s"got $other")
+    }
+    var updateSet = Map.empty[String, Column]
+    var updateWhen: Option[Column] = None
+    var sawUpdate = false
+    var deleteWhen: Option[Column] = None
+    m.matchedActions.foreach {
+      case DeleteAction(c) =>
+        require(deleteWhen.isEmpty, "at most one WHEN MATCHED ... DELETE clause")
+        deleteWhen = Some(c.map(col).getOrElse(lit(true)))
+      case UpdateAction(c, assigns, _) =>
+        require(!sawUpdate, "at most one WHEN MATCHED ... UPDATE clause")
+        sawUpdate = true
+        updateWhen = c.map(col)
+        updateSet = assigns.map(a => GraftDml.assignName(a.key) -> col(a.value)).toMap
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    val insert = m.notMatchedActions match {
+      case Nil => false
+      case Seq(InsertStarAction(None)) => true
+      case other => throw new IllegalArgumentException(
+        "the not-matched clause must be an unconditional INSERT * " +
+          s"(the keyed merge inserts full source rows), got $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+    GraftTable.mergeInto(spark, path, source, keys,
+      updateSet = updateSet, updateWhen = updateWhen, deleteWhen = deleteWhen,
+      insertNotMatched = insert)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** The plan rewrite in analyzer-rule form (what [[GraftSqlParser]]
+  * applies at parse time; also directly applicable to a parsed plan). */
+case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = GraftDml.rewrite(plan)
+}
+
+/** Parser wrapper for extension-built sessions
+  * ([[graft.expressions.GraftExtensions]] injects it): statements parse
+  * through Spark's full grammar via the delegate, then graft DML plans
+  * rewrite to runnable commands — `spark.sql("MERGE INTO graft.`…` …")`
+  * executes natively, every other statement is byte-identical to stock
+  * Spark. */
+class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDml.rewrite(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): org.apache.spark.sql.catalyst.TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -105,6 +105,20 @@ object GraftSql {
     })
   }
 
+  /** SQL TEXT for the write path — parse `MERGE INTO` / `DELETE FROM` /
+    * `UPDATE` through Spark's own grammar and route graft targets to the
+    * COW operators (see [[GraftDml]] for the dialect contract). Returns
+    * the committed version. Sessions built with the GraftExtensions get
+    * the same routing inside plain `spark.sql(...)`; this entry serves
+    * sessions created without it (the analyzer is fixed at build time). */
+  def dml(spark: SparkSession, sql: String): Long = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    GraftDml.route(spark, parsed).getOrElse(
+      throw new IllegalArgumentException(
+        "not a graft DML statement (expected MERGE INTO / DELETE FROM / UPDATE " +
+          "over a graft.`/path` target): " + sql.trim.take(120)))
+  }
+
   private def plan(spark: SparkSession, df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical
 

@@ -126,6 +126,10 @@ object GraftBatchRead {
 private[graft] class GraftFileIndex(spark: SparkSession, root: String,
     m: Manifest, entries: Seq[FileEntry]) extends FileIndex {
 
+  /** The GraftTable root this index serves — how the SQL DML rule
+    * recovers the write target from a resolved batch relation. */
+  private[graft] def tableRoot: String = root
+
   private val logical = StructType.fromDDL(m.schemaDdl)
   private val withStatus: Seq[(FileEntry, FileStatus)] = entries.map { fe =>
     fe -> new FileStatus(fe.bytes, false, 1, 128L << 20, m.tsUs / 1000L,
@@ -154,9 +158,12 @@ private[graft] class GraftFileIndex(spark: SparkSession, root: String,
   * (row-group pushdown survives); Spark re-applies every filter
   * post-scan ([[unhandledFilters]] default), so the translation only
   * ever has to be conservative. */
-private[sources] class GraftProjectedRelation(spark: SparkSession, path: String,
+private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
     m: Manifest, entries: Seq[FileEntry], logical: StructType)
     extends BaseRelation with PrunedFilteredScan {
+
+  /** See [[GraftFileIndex.tableRoot]]. */
+  private[graft] def tablePath: String = path
 
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = logical

@@ -12,6 +12,10 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the full extension surface (functions, GraftPrune, SQL DML
+      // parser) — static conf, so this JVM is where the extension-built
+      // session gets audited end to end
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def audit(name: String, checks: (String, String => Boolean)*): Unit = {
@@ -618,6 +622,40 @@ object PlanAudit {
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q148_batch_source: ${results.mkString(" ")}" +
         s" (range $nR/16 expect $expR; bloom $nB/16 expect $expB)")
+    }
+    locally {
+      // q150-152's SQL DML, end to end through the EXTENSION-built
+      // session: plain spark.sql text mutates the graft table via the
+      // injected parser — the dialect-native proof a unit test of the
+      // wrapper can't give (spark.sql.extensions is a static conf, so
+      // only this JVM's context carries it)
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_sql_dml").toString + "/t"
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      GraftTable.overwrite(orders.limit(2000).repartition(4), root)
+      val before = GraftTable.read(spark, root).count()
+      spark.sql(s"DELETE FROM graft.`$root` WHERE o_orderstatus = 'F'")
+      val afterDelete = GraftTable.read(spark, root)
+      spark.sql(s"UPDATE graft.`$root` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'P'")
+      val doubled = GraftTable.read(spark, root)
+      GraftTable.read(spark, root).limit(100)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .createOrReplaceTempView("plan_dml_src")
+      val vMerge = spark.sql(s"MERGE INTO graft.`$root` t USING plan_dml_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice")
+      val checks = Seq(
+        "sql_delete_applied" -> (afterDelete.filter(col("o_orderstatus") === "F").count() == 0L
+          && afterDelete.count() < before),
+        "sql_update_applied" -> (doubled.count() == afterDelete.count()),
+        "sql_merge_ran" -> (vMerge != null && GraftTable.currentVersion(root).exists(_ >= 3L)),
+        "parser_injected" -> spark.sessionState.sqlParser
+          .isInstanceOf[graft.plans.GraftSqlParser])
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q150_sql_dml: ${results.mkString(" ")}")
     }
     spark.stop()
   }
