@@ -106,6 +106,59 @@ c$i AS MATERIALIZED (
     * quantized to decimal(24,12) before the per-node sum, dangling mass
     * redistributed uniformly, damped update re-quantized per iteration).
     * The final rank CTE is `r<iters>`. */
+  /** BPE merge training as a bounded iterative CTE chain — the per-word
+    * symbol state lives as rows (word, pos, sym, word-count), and each
+    * iteration replays one merge exactly as `Bpe.trainBpe` does: pair
+    * counts from adjacent symbols, argmax with the (count DESC, left,
+    * right) tie-break and the count≥2 stop (an empty best makes every
+    * later level a fixpoint no-op, mirroring the early stop), then the
+    * LEFT-TO-RIGHT NON-OVERLAPPING application via gaps-and-islands
+    * (consecutive match runs keep their odd-ranked members — "aaa" with
+    * merge (a,a) fuses positions 1-2 and leaves 3, exactly the greedy
+    * kernel). MATERIALIZED everywhere or the chain re-expands
+    * exponentially (the pageRankCte lesson). `b<k>` holds merge k's
+    * (l, r, cnt); `s<n>` is the fully-merged symbol state — which IS the
+    * per-word encoding (training and encode share the single-merge
+    * kernel, so the final training state equals encode(corpus words)). */
+  private def bpeCte(iters: Int): String = {
+    val sb = new StringBuilder(s"""
+WITH wc AS MATERIALIZED (SELECT w, count(*)::BIGINT AS c FROM (
+        SELECT unnest($Toks) AS w FROM (SELECT text FROM documents)) GROUP BY w),
+chars AS MATERIALIZED (SELECT w, c, list_append(regexp_extract_all(w, '.'), '</w>') AS cs FROM wc),
+s0 AS MATERIALIZED (SELECT w, c, u.pos AS pos, u.sym AS sym FROM (
+        SELECT w, c, unnest([{'pos': i, 'sym': cs[i]} for i in generate_series(1, len(cs))]) AS u
+        FROM chars))""")
+    for (k <- 1 to iters) {
+      val p = s"s${k - 1}"
+      sb ++= s""",
+p$k AS MATERIALIZED (SELECT xa.sym AS l, xb.sym AS r, sum(xa.c)::BIGINT AS cnt
+        FROM $p xa JOIN $p xb ON xa.w = xb.w AND xb.pos = xa.pos + 1
+        GROUP BY 1, 2),
+b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1),
+m$k AS MATERIALIZED (SELECT xa.w, xa.pos FROM $p xa JOIN $p xb ON xa.w = xb.w AND xb.pos = xa.pos + 1, b$k bb
+        WHERE xa.sym = bb.l AND xb.sym = bb.r),
+r$k AS MATERIALIZED (SELECT w, pos FROM (
+          SELECT w, pos, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY pos) AS rn
+          FROM (SELECT w, pos, pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+                FROM m$k)) WHERE rn % 2 = 1),
+s$k AS MATERIALIZED (SELECT w, c, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+               CASE WHEN is_m THEN (SELECT l || r FROM b$k) ELSE sym END AS sym
+        FROM (SELECT xa.w, xa.c, xa.pos, xa.sym, (cur.pos IS NOT NULL) AS is_m
+              FROM $p xa
+              LEFT JOIN r$k cur ON xa.w = cur.w AND xa.pos = cur.pos
+              LEFT JOIN r$k prv ON xa.w = prv.w AND xa.pos = prv.pos + 1
+              WHERE prv.pos IS NULL))"""
+    }
+    sb.toString
+  }
+
+  /** The q108 merge-table SELECT over [[bpeCte]]'s per-level bests. */
+  private def bpeMergesSql(iters: Int): String =
+    bpeCte(iters) + "\nSELECT * FROM (\n" +
+      (1 to iters).map(k =>
+        s"""SELECT ${k - 1}::INTEGER AS rank, l AS "left", r AS "right", cnt AS pair_count FROM b$k""")
+        .mkString("\nUNION ALL ") + "\n)"
+
   private def pageRankCte(iters: Int): String = {
     // MATERIALIZED everywhere a CTE is referenced more than once: an
     // inlining planner would otherwise re-evaluate r(i-1) for BOTH d_i
@@ -345,6 +398,18 @@ FROM orders WHERE o_orderkey % 1000 = 1""",
 
     // q125/q126/q145 expressed as SQL TEXT through the DML router — the
     // dialect must be invisible to results (same oracles verbatim)
+    // BPE merge training replayed as a bounded iterative CTE (100
+    // levels, the materialized-chain discipline of pageRankCte applied
+    // to the merge loop) — the last two rows-only gates become full
+    // tri-check gates
+    "q108_bpe_train" -> bpeMergesSql(100),
+
+    // the final symbol state IS the per-word encoding (training and
+    // encode share the single-merge kernel) — q135 aggregates s100
+    "q135_bpe_vocab" -> (bpeCte(100) + """
+SELECT w AS word, max(pos)::BIGINT AS n_tokens, string_agg(sym, ' ' ORDER BY pos) AS toks
+FROM s100 GROUP BY w"""),
+
     "q150_sql_delete" -> """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        epoch_us(o_orderdate) AS odate_us

@@ -578,10 +578,11 @@ object Queries {
   }
 
   /** q108: BPE merge-table training on the documents corpus (100 merges,
-    * rare-word tail pruned). NO SQL oracle — merge learning is an
-    * iterative fixpoint (non-SQL-expressible; driver records the weaker
-    * rows-only check); `BpeSpec` pins the algorithm against hand-computed
-    * merge sequences and deterministic tie-breaks. */
+    * rare-word tail pruned). Fully DuckDB-gated since round 9: the merge
+    * loop replays as a bounded iterative CTE (OracleSql.bpeCte — pair
+    * counts → tie-broken argmax → greedy non-overlapping application per
+    * level); `BpeSpec` additionally pins the algorithm against
+    * hand-computed merge sequences and deterministic tie-breaks. */
   def bpeTrainQ(s: SparkSession, d: String): DataFrame =
     Bpe.trainBpe(Tables.documents(s, d), "text", numMerges = 100)
 
@@ -615,11 +616,13 @@ object Queries {
 
   /** q135: the corpus's distinct words encoded with the q108 merges —
     * (word, n_tokens, toks). The per-word half of BPE materialized as a
-    * relation: BpeSpec gates it against an independently-formulated
-    * plain-Scala trainer/encoder, and it is the FIXTURE that makes
-    * q109/q116 DuckDB-verifiable (document encoding = split + join +
-    * aggregate over this table — pure SQL). Rows-only at the driver
-    * itself (the merge fixpoint stays non-SQL). */
+    * relation: the FIXTURE that makes q109/q116 DuckDB-verifiable
+    * (document encoding = split + join + aggregate over this table).
+    * Fully DuckDB-gated since round 9: the final symbol state of the
+    * OracleSql.bpeCte training replay IS the per-word encoding (training
+    * and encode share the single-merge kernel); BpeSpec additionally
+    * gates it against an independently-formulated plain-Scala
+    * trainer/encoder. */
   def bpeVocabQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Bpe.encodeWords(docs, "text", Bpe.trainBpe(docs, "text", numMerges = 100)).toDF()
