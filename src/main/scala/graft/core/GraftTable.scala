@@ -1883,18 +1883,86 @@ object GraftTable {
 
   // ---------------------------------------------------------------- vacuum
 
-  /** Reclaim storage: keep the last `keepVersions` manifests (time travel
-    * horizon), delete older manifests, data files and leaf manifests no
-    * retained manifest references (including leaves written by commit
-    * attempts that lost their race), and crashed stage dirs. Run quiesced
-    * of writers (the single-maintenance-writer rule every [[TableIO]]
-    * maintenance op shares); readers are safe — retained snapshots keep
-    * every file they reference. Returns the number of data files
-    * deleted. */
-  def vacuum(path: String, keepVersions: Int = 2): Int = {
+  /** Record that consumer `id` (a CDC replica, an external tailing job —
+    * the streaming source registers itself via its `consumerId` option)
+    * has fully processed `path` up to and including `version`. Vacuum
+    * will then never drop a manifest the consumer still needs (any
+    * version > the bookmark) — the retention contract that makes
+    * `keepVersions=2` safe to run against live consumers at a
+    * 100 TB/hourly-commit cadence, where a count-based horizon alone
+    * races every lagging reader. One metadata-only commit per advance;
+    * monotone (a stale or replayed registration is a no-op). */
+  def registerConsumer(path: String, id: String, version: Long): Unit = {
+    require(id.nonEmpty, "need a stable consumer id")
+    val key = ConsumerMarkPrefix + id
+    val prev = currentManifest(path).flatMap(_.streamMarks).flatMap(_.get(key))
+    if (prev.forall(_ < version)) setMark(path, key, version)
+  }
+
+  private[graft] val ConsumerMarkPrefix = "consumer:"
+
+  /** The streaming source's auto-registration: advance the bookmark only
+    * when the consumed span carried something beyond bookkeeping — a
+    * registration is itself a `sync_mark` commit, so registering empty
+    * spans would feed a continuous trigger an endless stream of empty
+    * batches (each registration creating the next batch's "new"
+    * version). */
+  private[graft] def registerStreamConsumer(path: String, id: String, version: Long): Unit = {
+    val key = ConsumerMarkPrefix + id
+    val prev = currentManifest(path).flatMap(_.streamMarks).flatMap(_.get(key)).getOrElse(0L)
+    if (version <= prev) return
+    val hasData = ((prev + 1) to version).exists { v =>
+      try manifestAt(path, v).op != "sync_mark"
+      catch { case _: IllegalArgumentException => true } // pre-bookmark vacuumed span
+    }
+    if (hasData) setMark(path, key, version)
+  }
+
+  /** Reclaim storage: delete old manifests, the data files and leaf
+    * manifests no retained manifest references (including leaves written
+    * by commit attempts that lost their race), and crashed stage dirs.
+    * Run quiesced of writers (the single-maintenance-writer rule every
+    * [[TableIO]] maintenance op shares); readers are safe — retained
+    * snapshots keep every file they reference. Returns the number of
+    * data files deleted.
+    *
+    * Retention is the UNION of three guards (a manifest survives if ANY
+    * keeps it):
+    *  - `keepVersions` — the minimum-versions floor (time-travel horizon);
+    *  - `retainAgeUs` — age-based retention: nothing committed within the
+    *    last `retainAgeUs` microseconds is dropped (Delta's
+    *    `RETAIN n HOURS`, re-derived — at an hourly commit cadence a
+    *    count floor alone ages out in hours, not days);
+    *  - registered consumer bookmarks ([[registerConsumer]] /
+    *    the streaming source's `consumerId` option): every version a
+    *    consumer has not yet processed is kept, so a lagging stream or
+    *    replica finds its next-planned manifest intact instead of dying
+    *    on the vacuum horizon. `ignoreConsumers=true` overrides (the
+    *    explicit "that consumer is decommissioned" escape hatch —
+    *    consumers whose span was force-dropped fail loudly at
+    *    [[manifestAt]], never silently skip). */
+  def vacuum(path: String, keepVersions: Int = 2, retainAgeUs: Option[Long] = None,
+      ignoreConsumers: Boolean = false): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
+    require(retainAgeUs.forall(_ >= 0), "retainAgeUs must be non-negative")
     val all = manifestFiles(path)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    def versionOf(f: File): Long = f.getName.stripPrefix("v").stripSuffix(".json").toLong
+    // index of the first RETAINED manifest; guards only ever lower it
+    var cut = math.max(0, all.size - keepVersions)
+    retainAgeUs.foreach { age =>
+      val cutoffTs = System.currentTimeMillis * 1000L - age
+      val idx = all.indexWhere(f => parseManifest(f).tsUs > cutoffTs)
+      if (idx >= 0) cut = math.min(cut, idx)
+    }
+    if (!ignoreConsumers) {
+      val bookmarks = currentManifest(path).flatMap(_.streamMarks).getOrElse(Map.empty)
+        .collect { case (k, v) if k.startsWith(ConsumerMarkPrefix) => v }
+      bookmarks.minOption.foreach { minBookmark =>
+        val idx = all.indexWhere(f => versionOf(f) > minBookmark)
+        if (idx >= 0) cut = math.min(cut, idx)
+      }
+    }
+    val (drop, keep) = all.splitAt(cut)
     val kept = keep.map(parseManifest)
     val referenced = kept.flatMap(m => filesOf(path, m))
       .map(_.path.split('/').last).toSet

@@ -37,6 +37,7 @@ import graft.core.GraftTable
   *     .option("maxVersionsPerTrigger", 1)  // admission control: versions per micro-batch
   *     .option("maxBytesPerTrigger", 128 << 20) // admission control: data bytes per micro-batch
   *     .option("ignoreChanges", "true")     // accept COW rewrites/overwrites (re-emits rewritten rows)
+  *     .option("consumerId", "etl-a")       // register progress so vacuum never drops a needed manifest
   *     .load(tablePath)
   * }}}
   *
@@ -163,7 +164,8 @@ private[sources] class GraftScan(path: String, tableSchema: StructType,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      options.getBoolean("ignoreChanges", false))
+      options.getBoolean("ignoreChanges", false),
+      Option(options.get("consumerId")))
   }
 }
 
@@ -175,7 +177,7 @@ private[graft] case class GraftVersionOffset(version: Long) extends Offset {
 private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType,
     required: StructType, cdf: Boolean, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, consumerId: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be positive")
@@ -206,6 +208,13 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].version
+    // `start` is durably processed (Spark constructs batch N+1 only after
+    // batch N completed and entered the commit log), so it is the safe
+    // registration point — `commit(end)` alone fires one batch late and
+    // not at all after an AvailableNow run's final batch. Registering an
+    // offset from an UNcommitted batch would let vacuum eat a replay span;
+    // this hook can't see one.
+    consumerId.foreach(id => GraftTable.registerStreamConsumer(path, id, s))
     val head = availableTarget.getOrElse(headVersion)
     var end = maxVersionsPerTrigger.map(c => math.min(head, s + c)).getOrElse(head)
     // bytes-grain admission: at 100 TB a single commit can be arbitrarily
@@ -306,7 +315,15 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftGroupReaderFactory
 
-  override def commit(end: Offset): Unit = ()
+  // with a consumerId, completed batches register the stream's progress
+  // in the SOURCE table's marks ledger, so vacuum never drops a manifest
+  // this stream still needs (the retention contract —
+  // [[GraftTable.registerConsumer]]); data-bearing spans only, or the
+  // registration commit itself would feed an endless empty-batch loop
+  override def commit(end: Offset): Unit = consumerId.foreach { id =>
+    GraftTable.registerStreamConsumer(path, id,
+      end.asInstanceOf[GraftVersionOffset].version)
+  }
   override def stop(): Unit = ()
 }
 

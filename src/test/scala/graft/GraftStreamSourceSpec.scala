@@ -118,6 +118,55 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(rows == canon(d))
   }
 
+  test("a registered lagging stream survives the vacuum that used to kill it") {
+    val root = tmp()
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    GraftTable.overwrite(kv(1 -> "a"), src) // v1
+    GraftTable.append(kv(2 -> "b"), src) // v2
+    def run(): Unit = {
+      val st = spark.readStream.format("graft")
+        .option("consumerId", "lagger").load(src)
+      val q = graft.streaming.Streams.graftTableSink(st, dst, ckpt).start()
+      q.awaitTermination()
+    }
+    run() // consumes to v2; commit registers bookmark 2 (a sync_mark commit, v3)
+    assert(GraftTable.currentManifest(src).get.streamMarks
+      .exists(_.get("consumer:lagger").contains(2L)))
+    // four data commits land while the stream is down (v4..v7)
+    (3 to 6).foreach(i => GraftTable.append(kv(i -> s"v$i"), src))
+    // count-based retention alone would drop v3..v5 — including manifests
+    // the stream's next batches must plan. The bookmark keeps them.
+    GraftTable.vacuum(src, keepVersions = 2)
+    assert(GraftTable.versions(src).map(_._1) == (3L to 7L),
+      "bookmark must protect every version after the consumer's mark")
+    run() // resumes at offset 2 and drains the protected span
+    assert(canon(GraftTable.read(spark, dst)) ==
+      canon(kv((1 to 6).map(i => i -> (if (i == 1) "a" else if (i == 2) "b" else s"v$i")): _*)))
+    // the bookmark advanced past the drained span
+    assert(GraftTable.currentManifest(src).get.streamMarks
+      .exists(_.get("consumer:lagger").exists(_ >= 7L)))
+  }
+
+  test("an UNregistered lagging stream fails loudly when vacuum drops its span") {
+    val root = tmp()
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    GraftTable.overwrite(kv(1 -> "a"), src)
+    GraftTable.append(kv(2 -> "b"), src)
+    def run(): Unit = {
+      val st = spark.readStream.format("graft").load(src) // no consumerId
+      val q = graft.streaming.Streams.graftTableSink(st, dst, ckpt).start()
+      q.awaitTermination()
+    }
+    run()
+    (3 to 6).foreach(i => GraftTable.append(kv(i -> s"v$i"), src))
+    GraftTable.vacuum(src, keepVersions = 2) // drops v3..v4 the stream still needs
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("vacuumed") || m.contains("no version")),
+      s"expected a loud vacuum-horizon failure, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("checkpoint restart resumes at the bookmark — exactly-once into a graft sink") {
     val root = tmp()
     val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")

@@ -763,6 +763,30 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(entries("part with space.parquet").stats.contains("k"))
   }
 
+  test("vacuum: age retention and consumer bookmarks extend the keep horizon") {
+    val path = tmp() + "/t"
+    (1 to 5).foreach(i => if (i == 1) GraftTable.overwrite(kv(i -> s"v$i"), path)
+      else GraftTable.append(kv(i -> s"v$i"), path))
+    // a generous retention age keeps everything despite keepVersions=1
+    GraftTable.vacuum(path, keepVersions = 1, retainAgeUs = Some(Long.MaxValue / 2))
+    assert(GraftTable.versions(path).map(_._1) == (1L to 5L))
+    // a registered consumer at version 2 protects every later version
+    GraftTable.registerConsumer(path, "replica-a", 2L) // sync_mark commit -> v6
+    GraftTable.vacuum(path, keepVersions = 1)
+    assert(GraftTable.versions(path).map(_._1) == (3L to 6L))
+    // re-registration at the same version is a no-op commit-wise
+    GraftTable.registerConsumer(path, "replica-a", 2L)
+    assert(GraftTable.currentVersion(path).contains(6L))
+    // the explicit decommission override drops the protected span; the
+    // consumer then fails loudly at the horizon instead of silently skipping
+    GraftTable.vacuum(path, keepVersions = 1, ignoreConsumers = true)
+    assert(GraftTable.versions(path).map(_._1) == Seq(6L))
+    val e = intercept[IllegalArgumentException](GraftTable.readVersion(spark, path, 5))
+    assert(e.getMessage.contains("vacuumed"))
+    // content of the head survives it all
+    assert(GraftTable.read(spark, path).count() == 5)
+  }
+
   test("mergeInto refuses unresolved SET columns instead of no-opping") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a"), path)
