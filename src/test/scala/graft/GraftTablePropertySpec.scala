@@ -171,6 +171,102 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  /** Racing writers over the round-8 DML ops: one thread issues keyed
+    * MERGEs (retrying lost races — the documented caller contract), the
+    * other interleaves appends and RESTOREs (whose internal rebase loops
+    * absorb races). Because every commit is put-if-absent at
+    * parent+1, a SUCCESSFUL commit's parent is exactly the snapshot the
+    * op computed from — so each landed version re-verifies against its
+    * parent through the op's own model, with no global interleaving
+    * model needed. Gapless versions + per-op exactness = no commit
+    * lost, none double-applied, under real thread interleavings. */
+  test("racing merge/restore/append writers: every landed version verifies against its parent") {
+    for (seed <- Seq(5, 17)) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_race$seed").toString + "/t"
+      def kvRows(m: Seq[(Int, String)]) =
+        if (m.isEmpty) kvDf(Map.empty)
+        else df("k INT, v STRING", m.map { case (k, v) => Row(Int.box(k), v) }: _*)
+      GraftTable.overwrite(kvRows((0 until 6).map(k => k -> s"init$k")), path) // v1
+      case class OpRec(version: Long, kind: String, payload: Any)
+      val recs = new java.util.concurrent.ConcurrentLinkedQueue[OpRec]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def retrying(body: => Long): Long = {
+        var out = -1L
+        var n = 0
+        var done = false
+        while (!done) {
+          try { out = body; done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException if n < 100 => n += 1
+          }
+        }
+        out
+      }
+      val tMerge = new Thread(() => {
+        val rnd = new scala.util.Random(seed)
+        try (0 until 5).foreach { i =>
+          val delta = (0 until rnd.nextInt(3) + 1)
+            .map(_ => (rnd.nextInt(12), s"m$seed-$i-${rnd.nextInt(100)}")).toMap.toSeq
+          val v = retrying(GraftTable.mergeInto(spark, path, kvRows(delta), Seq("k"),
+            updateSet = Map("v" -> GraftTable.srcCol("v")),
+            deleteWhen = Some(GraftTable.srcCol("k") >= 9)))
+          recs.add(OpRec(v, "merge", delta)): Unit
+        } catch { case e: Throwable => failures.add(e): Unit }
+      })
+      val tOther = new Thread(() => {
+        val rnd = new scala.util.Random(seed + 1000)
+        try (0 until 5).foreach { i =>
+          if (rnd.nextBoolean()) {
+            val rows = Seq((20 + rnd.nextInt(5), s"a$seed-$i"))
+            val v = retrying(GraftTable.append(kvRows(rows), path))
+            recs.add(OpRec(v, "append", rows)): Unit
+          } else {
+            val target = 1L + rnd.nextInt(GraftTable.currentVersion(path).get.toInt)
+            val v = retrying(GraftTable.restore(path, target))
+            recs.add(OpRec(v, "restore", target)): Unit
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      })
+      tMerge.start(); tOther.start()
+      tMerge.join(); tOther.join()
+      assert(failures.isEmpty,
+        s"seed=$seed writer died: ${Option(failures.peek()).map(_.toString)}")
+      import scala.jdk.CollectionConverters._
+      val ops = recs.asScala.toSeq
+      // every non-self-restore op committed exactly one version; gapless
+      val selfRestores = ops.count {
+        case OpRec(v, "restore", t: Long) => v == t
+        case _ => false
+      }
+      val head = GraftTable.currentVersion(path).get
+      assert(head == 1L + ops.size - selfRestores,
+        s"seed=$seed: head $head vs ${ops.size} ops ($selfRestores self-restores)")
+      assert(GraftTable.versions(path).map(_._1) == (1L to head))
+      def contents(v: Long): Map[Int, List[String]] =
+        GraftTable.readVersion(spark, path, v).collect()
+          .map(r => (r.getInt(0), r.getString(1))).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
+      ops.foreach {
+        case OpRec(v, "merge", delta: Seq[(Int, String)] @unchecked) =>
+          val parent = contents(v - 1)
+          val expect = delta.foldLeft(parent) { case (m, (k, value)) =>
+            if (m.contains(k)) { if (k >= 9) m - k else m + (k -> m(k).map(_ => value)) }
+            else m + (k -> List(value))
+          }
+          assert(contents(v) == expect, s"seed=$seed merge v$v diverged from parent model")
+        case OpRec(v, "append", rows: Seq[(Int, String)] @unchecked) =>
+          val expect = rows.foldLeft(contents(v - 1)) { case (m, (k, value)) =>
+            m + (k -> (value :: m.getOrElse(k, Nil)).sorted)
+          }
+          assert(contents(v) == expect, s"seed=$seed append v$v diverged from parent model")
+        case OpRec(v, "restore", target: Long) =>
+          assert(contents(v) == contents(target),
+            s"seed=$seed restore v$v != its target v$target")
+        case other => fail(s"unexpected record $other")
+      }
+    }
+  }
+
   /** SURVEY S6: the reference stages dims as `FROM src AT (TIMESTAMP =>
     * t) WHERE dl_process_date > hwm` (stg_dim_customer.sql:71-72); the
     * production rebuild reads CURRENT state windowed `hwm_prev < pd <=
