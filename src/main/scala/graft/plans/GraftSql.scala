@@ -22,7 +22,8 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_version('/path/t', 3)           -- VERSION AS OF 3
   *   SELECT … FROM graft_table_at('/path/t', TIMESTAMP '…')    -- TIMESTAMP AS OF
   *   SELECT … FROM graft_table_at('/path/t', 1700000000000000) -- epoch micros
-  *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between
+  *   SELECT … FROM graft_table_changes('/path/t', 1, 4, 'id')  -- CHANGES between versions
+  *   SELECT … FROM graft_table_changes_at('/path/t', TIMESTAMP 'a', TIMESTAMP 'b', 'id') -- CHANGES AT/END
   *   SELECT … FROM graft_table_history('/path/t')              -- DESCRIBE HISTORY
   *   SELECT … FROM graft_table_files('/path/t'[, 2])            -- DESCRIBE DETAIL (file grain)
   *   SELECT … FROM graft_table_checks('/path/t')               -- active CHECK constraints
@@ -102,6 +103,22 @@ object GraftSql {
           keys.toIndexedSeq))
       case args => fail("graft_table_changes",
         s"(path, from_version, to_version, 'key1,key2,…'), got ${args.size} argument(s)")
+    })
+    // the timestamp-pinned CHANGES span — Snowflake's `CHANGES … AT
+    // (TIMESTAMP => a) END (TIMESTAMP => b)` habit (the reference pins
+    // by timestamp, `models/intermediate/stg_dim_customer.sql:71`):
+    // each instant resolves to the last version committed at or before
+    // it, then the span diffs exactly like the version form
+    register("graft_table_changes_at", {
+      case Seq(p, f, t, k) =>
+        val path = pathOf("graft_table_changes_at", p)
+        val keys = pathOf("graft_table_changes_at", k).split(",").map(_.trim).filter(_.nonEmpty)
+        plan(spark, GraftTable.diffVersions(spark, path,
+          GraftTable.manifestAsOf(path, tsMicros("graft_table_changes_at", f)).version,
+          GraftTable.manifestAsOf(path, tsMicros("graft_table_changes_at", t)).version,
+          keys.toIndexedSeq))
+      case args => fail("graft_table_changes_at",
+        s"(path, from_timestamp, to_timestamp, 'key1,key2,…'), got ${args.size} argument(s)")
     })
   }
 

@@ -34,6 +34,7 @@ import graft.core.GraftTable
   * {{{
   *   spark.readStream.format("graft")
   *     .option("startingVersion", 0)        // default 0 = full history; "latest" = new commits only
+  *     .option("startingTimestamp", "2026-01-01 00:00:00") // or epoch micros: first commit at/after it
   *     .option("maxVersionsPerTrigger", 1)  // admission control: versions per micro-batch
   *     .option("maxBytesPerTrigger", 128 << 20) // admission control: data bytes per micro-batch
   *     .option("ignoreChanges", "true")     // accept COW rewrites/overwrites (re-emits rewritten rows)
@@ -160,12 +161,16 @@ private[sources] class GraftScan(path: String, tableSchema: StructType,
     // columns; the DATA schema (what files hold) is everything before
     val dataSchema =
       if (cdf) StructType(tableSchema.fields.dropRight(2)) else tableSchema
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     new GraftMicroBatchStream(path, dataSchema, dataSchema, cdf,
       Option(options.get("startingVersion")),
       Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       options.getBoolean("ignoreChanges", false),
-      Option(options.get("consumerId")))
+      Option(options.get("consumerId")),
+      Option(options.get("startingTimestamp")))
   }
 }
 
@@ -177,7 +182,8 @@ private[graft] case class GraftVersionOffset(version: Long) extends Offset {
 private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType,
     required: StructType, cdf: Boolean, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
-    ignoreChanges: Boolean, consumerId: Option[String] = None)
+    ignoreChanges: Boolean, consumerId: Option[String] = None,
+    startingTimestamp: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be positive")
@@ -194,7 +200,14 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
     // so 0 (and anything below) clamps to the full-history offset — the
     // scaladoc's "startingVersion=0 means full history" contract
     case Some(v) => math.max(0L, v.toLong - 1)
-    case None => 0L
+    // startingTimestamp: the first consumed version is the first committed
+    // AT or AFTER the instant (Delta's startingTimestamp contract) — the
+    // offset is the last version committed strictly BEFORE it
+    case None => startingTimestamp.map { s =>
+      val ts = GraftBatchRead.tsMicros(s)
+      try GraftTable.manifestAsOf(path, ts - 1).version
+      catch { case _: IllegalArgumentException => 0L } // everything is newer
+    }.getOrElse(0L)
   })
 
   override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)

@@ -84,6 +84,30 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(out === Seq((2, "B", "update"), (3, "c", "insert")))
   }
 
+  test("graft_table_changes_at pins the CDF span by timestamps") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path) // v1
+    GraftTable.upsertByKey(spark, path, Seq((2, "B"), (3, "c")).toDF("id", "v"), Seq("id")) // v2
+    GraftTable.deleteWhere(spark, path, col("id") === 1) // v3
+    val ts = GraftTable.versions(path).map(t => t._1 -> t._2).toMap
+    def span(f: String, t: String): Seq[(Int, String)] =
+      spark.sql(s"""SELECT id, change_type FROM graft_table_changes_at('$path', $f, $t, 'id')
+         |ORDER BY id, change_type""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // each instant resolves to the last version at or before it — the
+    // (v1, v2] span via timestamps equals the version form
+    assert(span(s"${ts(1L)}", s"${ts(2L)}") === Seq((2, "update"), (3, "insert")))
+    // the (v1, v3] span sees the later delete too
+    assert(span(s"${ts(1L)}", s"${ts(3L)}") ===
+      Seq((1, "delete"), (2, "update"), (3, "insert")))
+    // a from-instant between commits rounds DOWN to the earlier version
+    assert(span(s"${ts(1L) + 1}", s"${ts(2L)}") === Seq((2, "update"), (3, "insert")))
+    // a far-future TIMESTAMP string end pins the head, matching the
+    // reference's AT(TIMESTAMP) habit
+    assert(span(s"${ts(2L)}", "TIMESTAMP '2999-01-01 00:00:00'") ===
+      Seq((1, "delete")))
+  }
+
   test("graft_table_history describes commits in SQL") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a")).toDF("id", "v"), path)

@@ -108,6 +108,34 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(tail == canon(kv(2 -> "b", 3 -> "c")))
   }
 
+  test("startingTimestamp: the first consumed version is the first at/after the instant") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a"), path) // v1
+    GraftTable.append(kv(2 -> "b"), path) // v2
+    GraftTable.append(kv(3 -> "c"), path) // v3
+    val ts = GraftTable.versions(path).map(t => t._1 -> t._2).toMap
+    // pin exactly at v2's commit instant: v2 is the first consumed
+    val (tail, _) = drain(spark.readStream.format("graft")
+      .option("startingTimestamp", ts(2L).toString).load(path), "gss_ts2")
+    assert(tail == canon(kv(2 -> "b", 3 -> "c")))
+    // an instant before every commit is full history
+    val (all, _) = drain(spark.readStream.format("graft")
+      .option("startingTimestamp", (ts(1L) - 10).toString).load(path), "gss_ts0")
+    assert(all == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    // an instant after the head consumes nothing (until new commits)
+    val (none, _) = drain(spark.readStream.format("graft")
+      .option("startingTimestamp", (ts(3L) + 10).toString).load(path), "gss_tsf")
+    assert(none.isEmpty)
+    // the two starting pins refuse together
+    intercept[Exception] {
+      spark.readStream.format("graft").option("startingVersion", 1)
+        .option("startingTimestamp", ts(1L).toString).load(path)
+        .writeStream.format("memory").queryName("gss_tsx")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+  }
+
   test("SMALLINT/TINYINT columns stream with correct internal boxing") {
     val path = tmp() + "/t"
     val d = df("k INT, s SMALLINT, b TINYINT",
