@@ -1686,26 +1686,25 @@ object GraftTable {
     if (fromEntries.isEmpty)
       return to.select(keys.map(col) ++ valCols.map(col) :+
         lit("insert").as("change_type"): _*)
-    // both sides checked in ONE delta-sized job (they're about to shuffle
-    // for the join anyway; two separate count-distinct jobs doubled the
-    // assert's share of q107)
-    locally {
-      val keyOf = struct(keys.map(col): _*).as("__k")
-      val bad = from.select(keyOf).withColumn("__side", lit("from"))
-        .unionByName(to.select(keyOf).withColumn("__side", lit("to")))
-        .groupBy(col("__side"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("__k")).as("d"))
-        .filter(col("n") =!= col("d")).select(col("__side")).collect()
-      require(bad.isEmpty,
+    // duplicate-key soundness assert, folded INTO the join's own
+    // key-partitioned shuffle: a per-key window count on each side feeds
+    // an assert_true inside the presence flag, so the check rides the
+    // exchange+sort the full-outer join needs anyway — zero extra jobs,
+    // zero extra reads of the delta files (the round-8 one-job variant
+    // still re-read both pruned sides; q107 times three diffs per run,
+    // so that extra read was the whole 2× regression)
+    def tagged(df: DataFrame, side: String) = {
+      val dupCount = count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*))
+      val sideName = if (side == "a") "from" else "to"
+      val guard = assert_true(dupCount <= 1, lit(
         s"diffVersions keys (${keys.mkString(", ")}) are not unique on the " +
-          s"${bad.map(_.getString(0)).mkString("/")} side of '$path' v$fromV→v$toV — " +
-          "file-grain change pruning is only sound for keyed tables; diff with " +
-          "the table's true key")
-    }
-    def tagged(df: DataFrame, side: String) =
+          s"$sideName side of '$path' v$fromV→v$toV — file-grain change pruning is " +
+          "only sound for keyed tables; diff with the table's true key"))
       df.select((keys.map(k => col(k).as(s"__k_${side}_$k")) :+
         struct(valCols.map(col): _*).as(s"__row_$side") :+
-        lit(1).as(s"__in_$side")): _*)
+        when(guard.isNull, lit(1)).as(s"__in_$side")): _*)
+    }
     // explicit <=> join: usingColumns full-outer is NOT null-safe on keys
     // (NULL keys would split into phantom delete+insert pairs)
     val j = tagged(from, "a").join(tagged(to, "b"),

@@ -366,9 +366,14 @@ class LeafManifestSpec extends AnyFunSuite with SparkSpecBase {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (1, "b"), (2, "c")).toDF("id", "v"), path)
     GraftTable.overwrite(Seq((1, "a"), (2, "d")).toDF("id", "v"), path)
-    val err = intercept[IllegalArgumentException](
+    // the guard now rides the join's own shuffle (assert_true in the
+    // presence flag), so it surfaces as a task-time SparkException chain
+    val err = intercept[Exception](
       GraftTable.diffVersions(spark, path, 1, 2, Seq("id")).collect())
-    assert(err.getMessage.contains("not unique"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("not unique")),
+      s"expected the dup-key refusal, got: ${messages(err).take(3).mkString(" | ")}")
   }
 
   test("diffVersions across a widening evolve aligns absent columns as NULL") {
