@@ -763,12 +763,24 @@ object GraftTable {
   /** Read a subset of a manifest's files under its LOGICAL schema,
     * applying each file's rename map (files grouped by identical map —
     * parquet resolves columns by name, so one read + projection per
-    * group). */
+    * group).
+    *
+    * The rename-free case (by far the common one) reads through the
+    * manifest-backed [[graft.sources.GraftFileIndex]] relation — the
+    * same vectorized scan a plain file read plans, but with the
+    * per-file stats/bloom skipping running inside `listFiles` against
+    * whatever filters Catalyst pushes down. Every Scala-API consumer
+    * (`read`/`readVersion`/`readAsOf`, the COW candidate scans, diffs,
+    * replicas) therefore gets automatic file skipping with no
+    * GraftPrune install and no explicit readPruned — the `format
+    * ("graft")` batch-source guarantee extended to the whole API. */
   private[graft] def readFileSubset(spark: SparkSession, path: String, m: Manifest,
       subset: Seq[FileEntry]): DataFrame = {
     val logical = StructType.fromDDL(m.schemaDdl)
     if (subset.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    if (subset.forall(_.renames.forall(_.isEmpty)))
+      return graft.sources.GraftBatchRead.subsetDf(spark, path, m, subset, logical)
     subset.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
       val physical = StructType(logical.fields.map(f =>
         f.copy(name = ren.getOrElse(f.name, f.name))))

@@ -83,15 +83,27 @@ object GraftBatchRead {
     val entries = GraftTable.filesOf(path, m)
     val logical = StructType.fromDDL(m.schemaDdl)
     if (entries.forall(_.renames.forall(_.isEmpty)))
-      HadoopFsRelation(
-        location = new GraftFileIndex(spark, path, m, entries),
-        partitionSchema = new StructType(),
-        dataSchema = logical,
-        bucketSpec = None,
-        fileFormat = new ParquetFileFormat,
-        options = Map.empty)(spark)
+      fsRelation(spark, path, m, entries, logical)
     else new GraftProjectedRelation(spark, path, m, entries, logical)
   }
+
+  private def fsRelation(spark: SparkSession, path: String, m: Manifest,
+      entries: Seq[FileEntry], logical: StructType): HadoopFsRelation =
+    HadoopFsRelation(
+      location = new GraftFileIndex(spark, path, m, entries),
+      partitionSchema = new StructType(),
+      dataSchema = logical,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  /** The manifest-FileIndex scan as a DataFrame over an explicit entry
+    * subset — what [[GraftTable.readFileSubset]] routes rename-free
+    * reads through, making stats/bloom file-skipping automatic for the
+    * whole Scala API (not just `format("graft")` consumers). */
+  private[graft] def subsetDf(spark: SparkSession, path: String, m: Manifest,
+      entries: Seq[FileEntry], logical: StructType): DataFrame =
+    spark.baseRelationToDataFrame(fsRelation(spark, path, m, entries, logical))
 
   /** The manifest-stats keep test over catalyst data filters — ranges
     * probe [min,max], point probes additionally hit the blooms (one

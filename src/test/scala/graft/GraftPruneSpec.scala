@@ -7,22 +7,34 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.GraftTable
 import graft.plans.GraftPrune
 
-/** The transparent file-skipping optimizer rule: a plain `.filter` over a
-  * GraftTable scan reads only the files whose manifest stats can match —
-  * no explicit readPruned call — and never changes results. */
+/** Transparent file skipping: a plain `.filter` over a GraftTable scan
+  * reads only the files whose manifest stats can match — no explicit
+  * readPruned call — and never changes results. Since round 9 the
+  * skipping itself lives in the manifest-backed FileIndex every
+  * rename-free read plans through ([[graft.sources.GraftFileIndex]]);
+  * the [[GraftPrune]] RULE remains the net for scans built OUTSIDE the
+  * API (hand-rolled `spark.read.parquet` over graft-managed files).
+  * These specs pin the end-to-end contract at the EXECUTED scan
+  * (`numFiles` metric), whichever layer provides it. */
 class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_prune").toString
 
-  /** Files the OPTIMIZED logical plan's scan will read. */
-  private def plannedFiles(q: DataFrame): Int =
-    q.queryExecution.optimizedPlan.collect {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => fs.location.inputFiles.length
-        case _ => 0
-      }
-    }.sum
+  /** Files the EXECUTED scan actually planned (after FileIndex
+    * listFiles skipping and/or the rule's file-list rewrite). */
+  private def plannedFiles(q: DataFrame): Long = {
+    q.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(find)
+    }
+    find(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
 
   private def installed[A](body: => A): A = {
     GraftPrune.install(spark)
@@ -146,6 +158,27 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
       val odd = GraftTable.read(spark, path).filter(pmod(col("k"), lit(2)) === 1)
       assert(plannedFiles(odd) == 4)
       assert(odd.count() == 50)
+    }
+  }
+
+  test("the rule still skips for HAND-BUILT parquet scans over graft data files") {
+    val path = tmp() + "/t"
+    GraftTable.writeClustered(
+      spark.range(0, 400).select(col("id").cast("int").as("k"), col("id").as("v")),
+      path, col("k"), 8)
+    // a reader that bypasses the API entirely — plain spark.read.parquet
+    // over the table's data files (the external-tool escape hatch the
+    // rule exists for, now that API reads skip via their own FileIndex)
+    val dataFiles = new java.io.File(path, "data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(dataFiles.length == 8)
+    def hand() = spark.read.parquet(dataFiles.toIndexedSeq: _*).filter(col("k") === 42)
+    val expect = canon(hand()) // rule NOT installed: all 8 files read
+    assert(plannedFiles(hand()) == 8)
+    installed {
+      val q = hand()
+      assert(plannedFiles(q) == 1, s"rule should skip, planned ${plannedFiles(q)}/8")
+      assert(canon(q) == expect)
     }
   }
 }

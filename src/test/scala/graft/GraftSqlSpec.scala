@@ -118,26 +118,26 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(h === Seq((1L, "overwrite", 1L), (2L, "append", 2L)))
   }
 
-  test("GraftPrune file-skips through the TVF exactly like an API read") {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  test("TVF scans file-skip exactly like an API read — no rule install needed") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val path = tmp()
     GraftTable.writeClustered(
       Seq.tabulate(800)(i => (i, i % 7)).toDF("k", "grp"), path, col("k"), 8,
       statsCols = Seq("k"))
-    graft.plans.GraftPrune.install(spark)
-    try {
-      val q = spark.sql(s"SELECT k, grp FROM graft_table('$path') WHERE k BETWEEN 100 AND 150")
-      val planned = q.queryExecution.optimizedPlan.collect {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => fs.location.inputFiles.length
-          case _ => 0
-        }
-      }.sum
-      assert(planned <= 2, s"TVF scan must file-skip through the rule: planned $planned/8")
-      assert(q.count() === 51L)
-    } finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations
-        .filterNot(_.isInstanceOf[graft.plans.GraftPrune])
+    // since round 9 the TVF's plan reads through the manifest FileIndex,
+    // so the skip happens inside the executed scan's listFiles with NO
+    // GraftPrune install — measure at the numFiles metric
+    val q = spark.sql(s"SELECT k, grp FROM graft_table('$path') WHERE k BETWEEN 100 AND 150")
+    assert(q.count() === 51L)
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(find)
+    }
+    val planned = find(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    assert(planned <= 2, s"TVF scan must file-skip: planned $planned/8")
   }
 
   test("non-literal pins and missing versions refuse loudly") {
