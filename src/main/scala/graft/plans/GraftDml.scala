@@ -70,6 +70,8 @@ object GraftDml extends PredicateHelper {
     case c: GraftDeleteCommand => Some(c.execute(spark))
     case c: GraftUpdateCommand => Some(c.execute(spark))
     case c: GraftMergeCommand => Some(c.execute(spark))
+    case c: GraftAddCheckCommand => Some(c.execute(spark))
+    case c: GraftDropCheckCommand => Some(c.execute(spark))
     case _ => None
   }
 
@@ -95,6 +97,29 @@ object GraftDml extends PredicateHelper {
         assigns.map(a => assignName(a.key) -> clauseCol(a.value, quals, None)).toMap)
     case m: MergeIntoTable if GraftTarget.unapply(m.targetTable).isDefined =>
       GraftMergeCommand(m)
+    // ALTER TABLE graft.`p` ADD CONSTRAINT c CHECK (expr) / DROP CONSTRAINT c —
+    // Spark 4's own constraint grammar routed to addCheck/dropCheck. The
+    // parser wraps the CHECK's target in a Filter(NOT expr, relation)
+    // child (the violation scan a v2 catalog would run) — unwrap to the
+    // relation for the target match; addCheck runs its own whole-table
+    // validation scan.
+    case ac: AddCheckConstraint =>
+      val target = ac.child.collectFirst {
+        case GraftTarget(path, _) => path
+      }
+      target match {
+        case Some(path) =>
+          val c = ac.checkConstraint
+          require(c.userProvidedName != null && c.userProvidedName.nonEmpty,
+            "graft CHECK constraints need an explicit name")
+          GraftAddCheckCommand(path, c.userProvidedName, c.condition)
+        case None => ac
+      }
+    case dc: DropConstraint =>
+      GraftTarget.unapply(dc.table) match {
+        case Some((path, _)) => GraftDropCheckCommand(path, dc.name, dc.ifExists)
+        case None => dc
+      }
     case other => other
   }
 
@@ -136,13 +161,18 @@ object GraftDml extends PredicateHelper {
 }
 
 /** Matches a DML target that is a graft table: the unresolved
-  * `graft.`/path`` identifier, or the already-resolved batch relation
-  * (ResolveSQLOnFile may run before injected rules). */
+  * `graft.`/path`` identifier (relation or ALTER-command form), or the
+  * already-resolved batch relation (ResolveSQLOnFile may run before
+  * injected rules). */
 private[plans] object GraftTarget {
   def unapply(p: LogicalPlan): Option[(String, Option[String])] = p match {
     case SubqueryAlias(id, child) => unapply(child).map { case (path, _) => (path, Some(id.name)) }
     case u: UnresolvedRelation if u.multipartIdentifier.size == 2 &&
         u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some((u.multipartIdentifier(1), None))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if u.multipartIdentifier.size == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some((u.multipartIdentifier(1), None))
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
@@ -240,6 +270,85 @@ private[plans] case class GraftMergeCommand(m: MergeIntoTable) extends LeafRunna
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
 }
 
+private[plans] case class GraftAddCheckCommand(path: String, name: String,
+    conditionSql: String) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    GraftTable.addCheck(spark, path, name, conditionSql)
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+private[plans] case class GraftDropCheckCommand(path: String, name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long = {
+    val present = GraftTable.describeChecks(spark, path)
+      .filter(org.apache.spark.sql.functions.col("name") === name).count() > 0
+    if (!present && ifExists) GraftTable.currentVersion(path).getOrElse(0L)
+    else GraftTable.dropCheck(path, name)
+  }
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `VACUUM graft.`p`` — the maintenance statement Spark's grammar lacks;
+  * parsed by [[GraftMaintenance]] (the same move Delta's own parser
+  * makes for its VACUUM/OPTIMIZE). Returns the deleted-file count. */
+private[plans] case class GraftVacuumCommand(path: String,
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "deleted_files", org.apache.spark.sql.types.IntegerType, nullable = false)())
+  def execute(spark: SparkSession): Long =
+    GraftTable.vacuum(path, keepVersions = 2,
+      retainAgeUs = retainHours.map(h => (h * 3600d * 1e6).toLong)).toLong
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark).toInt))
+}
+
+/** `OPTIMIZE graft.`p` [ZORDER BY (col)]` — bin-pack compaction, or a
+  * whole-snapshot range recluster on one column. Multi-column
+  * interleaved z-order needs data-dependent quantization — use
+  * `compactFiles` + `Ops.zorderKeyN` directly (refused loudly here
+  * rather than silently range-clustering and calling it z-order). */
+private[plans] case class GraftOptimizeCommand(path: String,
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  require(zorderCols.size <= 1,
+    "OPTIMIZE ... ZORDER BY takes ONE column in SQL (a multi-column interleave " +
+      "needs data-dependent quantization — use GraftTable.compactFiles with " +
+      "Ops.zorderKeyN)")
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.IntegerType
+    Seq(AttributeReference("files_before", IntegerType, nullable = false)(),
+      AttributeReference("files_after", IntegerType, nullable = false)())
+  }
+  def execute(spark: SparkSession): (Int, Int) =
+    GraftTable.compactFiles(spark, path,
+      clusterBy = zorderCols.headOption.map(org.apache.spark.sql.functions.col))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (b, a) = execute(spark)
+    Seq(Row(b, a))
+  }
+}
+
+/** The two maintenance statements Spark's grammar does not know —
+  * recognized BEFORE delegating to the real parser (Delta's
+  * DeltaSqlParser pattern). Anything else falls through untouched. */
+object GraftMaintenance {
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Vacuum(path, hours) =>
+      Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble)))
+    case Optimize(path, zcols) =>
+      Some(GraftOptimizeCommand(path,
+        Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+    case _ => None
+  }
+}
+
 /** The plan rewrite in analyzer-rule form (what [[GraftSqlParser]]
   * applies at parse time; also directly applicable to a parsed plan). */
 case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -255,7 +364,8 @@ case class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftDml.rewrite(delegate.parsePlan(sqlText))
+    GraftMaintenance.parse(sqlText)
+      .getOrElse(GraftDml.rewrite(delegate.parsePlan(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -122,17 +122,28 @@ object GraftSql {
     })
   }
 
-  /** SQL TEXT for the write path — parse `MERGE INTO` / `DELETE FROM` /
-    * `UPDATE` through Spark's own grammar and route graft targets to the
-    * COW operators (see [[GraftDml]] for the dialect contract). Returns
-    * the committed version. Sessions built with the GraftExtensions get
-    * the same routing inside plain `spark.sql(...)`; this entry serves
-    * sessions created without it (the analyzer is fixed at build time). */
+  /** SQL TEXT for the write path — `MERGE INTO` / `DELETE FROM` /
+    * `UPDATE` / `ALTER TABLE … ADD/DROP CONSTRAINT` parse through
+    * Spark's own grammar; `VACUUM` / `OPTIMIZE [ZORDER BY (col)]`
+    * through the tiny [[GraftMaintenance]] grammar Spark lacks — all
+    * routed to the existing table operators (see [[GraftDml]] for the
+    * dialect contract). Returns the committed version (DML and
+    * constraint ops), the deleted-file count (VACUUM), or the
+    * files-after count (OPTIMIZE). Sessions built with the
+    * GraftExtensions get the same statements inside plain
+    * `spark.sql(...)`; this entry serves sessions created without it
+    * (the analyzer is fixed at build time). */
   def dml(spark: SparkSession, sql: String): Long = {
+    GraftMaintenance.parse(sql) match {
+      case Some(c: GraftVacuumCommand) => return c.execute(spark)
+      case Some(c: GraftOptimizeCommand) => return c.execute(spark)._2.toLong
+      case _ => ()
+    }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
     GraftDml.route(spark, parsed).getOrElse(
       throw new IllegalArgumentException(
-        "not a graft DML statement (expected MERGE INTO / DELETE FROM / UPDATE " +
+        "not a graft DML/maintenance statement (expected MERGE INTO / DELETE FROM / " +
+          "UPDATE / ALTER TABLE ADD|DROP CONSTRAINT / VACUUM / OPTIMIZE " +
           "over a graft.`/path` target): " + sql.trim.take(120)))
   }
 

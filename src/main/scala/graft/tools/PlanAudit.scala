@@ -637,21 +637,35 @@ object PlanAudit {
       GraftTable.overwrite(orders.limit(2000).repartition(4), root)
       val before = GraftTable.read(spark, root).count()
       spark.sql(s"DELETE FROM graft.`$root` WHERE o_orderstatus = 'F'")
-      val afterDelete = GraftTable.read(spark, root)
+      // force the snapshot counts NOW — the VACUUM below reclaims these
+      // versions' files, so a lazy re-read later would hit deleted parquet
+      val afterDeleteF = GraftTable.read(spark, root)
+        .filter(col("o_orderstatus") === "F").count()
+      val afterDeleteN = GraftTable.read(spark, root).count()
       spark.sql(s"UPDATE graft.`$root` SET o_totalprice = o_totalprice * 2 " +
         "WHERE o_orderstatus = 'P'")
-      val doubled = GraftTable.read(spark, root)
+      val doubledN = GraftTable.read(spark, root).count()
       GraftTable.read(spark, root).limit(100)
         .withColumn("o_totalprice", col("o_totalprice") + 1)
         .createOrReplaceTempView("plan_dml_src")
       val vMerge = spark.sql(s"MERGE INTO graft.`$root` t USING plan_dml_src s " +
         "ON t.o_orderkey = s.o_orderkey " +
         "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice")
+      // the maintenance dialect: constraints, OPTIMIZE, VACUUM — all
+      // through plain spark.sql in the extension session
+      spark.sql(s"ALTER TABLE graft.`$root` ADD CONSTRAINT pos_price " +
+        "CHECK (o_totalprice > 0)")
+      val hasCheck = GraftTable.currentManifest(root)
+        .exists(_.checks.exists(_.contains("pos_price")))
+      val opt = spark.sql(s"OPTIMIZE graft.`$root`").collect()
+      val vac = spark.sql(s"VACUUM graft.`$root`").collect()
       val checks = Seq(
-        "sql_delete_applied" -> (afterDelete.filter(col("o_orderstatus") === "F").count() == 0L
-          && afterDelete.count() < before),
-        "sql_update_applied" -> (doubled.count() == afterDelete.count()),
+        "sql_delete_applied" -> (afterDeleteF == 0L && afterDeleteN < before),
+        "sql_update_applied" -> (doubledN == afterDeleteN),
         "sql_merge_ran" -> (vMerge != null && GraftTable.currentVersion(root).exists(_ >= 3L)),
+        "sql_constraint_added" -> hasCheck,
+        "sql_optimize_ran" -> (opt.length == 1 && opt(0).getInt(1) <= opt(0).getInt(0)),
+        "sql_vacuum_ran" -> (vac.length == 1 && vac(0).getInt(0) >= 0),
         "parser_injected" -> spark.sessionState.sqlParser
           .isInstanceOf[graft.plans.GraftSqlParser])
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }

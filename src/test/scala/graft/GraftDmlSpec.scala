@@ -92,6 +92,72 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
       GraftSql.dml(spark, "DELETE FROM some_table WHERE x = 1"))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes to addCheck/dropCheck") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` ADD CONSTRAINT pos_k CHECK (k > 0)")
+    assert(GraftTable.currentManifest(path).get.checks.get.contains("pos_k"))
+    // the constraint actually gates writes
+    intercept[IllegalArgumentException](GraftTable.append(kv(-1 -> "x"), path))
+    // adding a violated constraint refuses (addCheck's whole-table scan)
+    intercept[Exception] {
+      GraftSql.dml(spark, s"ALTER TABLE graft.`$path` ADD CONSTRAINT big CHECK (k > 100)")
+    }
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP CONSTRAINT pos_k")
+    assert(!GraftTable.currentManifest(path).get.checks.exists(_.contains("pos_k")))
+    GraftTable.append(kv(-1 -> "x"), path) // gate lifted
+    // DROP CONSTRAINT IF EXISTS on a missing name is a no-op; without
+    // IF EXISTS it refuses
+    val v = GraftTable.currentVersion(path)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP CONSTRAINT IF EXISTS nope")
+    assert(GraftTable.currentVersion(path) == v)
+    intercept[Exception](
+      GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP CONSTRAINT nope"))
+  }
+
+  test("VACUUM and OPTIMIZE statements route to vacuum/compactFiles") {
+    val path = tmp() + "/t"
+    (1 to 5).foreach(i => if (i == 1) GraftTable.overwrite(kv(i -> s"v$i"), path)
+      else GraftTable.append(kv(i -> s"v$i"), path))
+    // OPTIMIZE bin-packs the 5 small files as a new commit (v6)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$path`")
+    assert(GraftTable.currentVersion(path).contains(6L))
+    assert(GraftTable.read(spark, path).count() == 5)
+    // VACUUM with a generous retention age deletes nothing
+    assert(GraftSql.dml(spark, s"VACUUM graft.`$path` RETAIN 1000000 HOURS") == 0L)
+    assert(GraftTable.versions(path).map(_._1) == (1L to 6L))
+    // plain VACUUM reclaims to the keepVersions floor; v5 still references
+    // the pre-compaction files so no DATA file dies yet
+    GraftSql.dml(spark, s"VACUUM graft.`$path`")
+    assert(GraftTable.versions(path).map(_._1) == Seq(5L, 6L))
+    // one more commit pushes v5 out — its small files become unreferenced
+    GraftTable.append(kv(6 -> "v6"), path)
+    assert(GraftSql.dml(spark, s"VACUUM graft.`$path`") > 0L)
+    assert(GraftTable.versions(path).map(_._1) == Seq(6L, 7L))
+    assert(GraftTable.read(spark, path).count() == 6)
+    // OPTIMIZE ZORDER BY on one column reclusters; ranges then skip
+    val p2 = tmp() + "/t2"
+    GraftTable.overwrite(df("k INT, v STRING",
+      (0 until 64).map(i => Row(Int.box(i), s"v$i")): _*).repartition(8), p2,
+      statsCols = Seq("k"))
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p2` ZORDER BY (k)")
+    val scan = GraftTable.readPruned(spark, p2,
+      Seq(GraftTable.ColRange("k", Some(1), Some(2))))
+    assert(scan.filesRead <= 1 && scan.df.count() >= 2)
+    // multi-column ZORDER refuses with the quantization pointer
+    val e = intercept[Exception](
+      GraftSql.dml(spark, s"OPTIMIZE graft.`$p2` ZORDER BY (k, v)"))
+    assert(e.getMessage.contains("zorderKeyN"))
+    // and the parser wrapper serves the same statements for spark.sql
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(wrapped.parsePlan(s"VACUUM graft.`$p2`")
+      .getClass.getSimpleName == "GraftVacuumCommand")
+    assert(wrapped.parsePlan(s"OPTIMIZE graft.`$p2`")
+      .getClass.getSimpleName == "GraftOptimizeCommand")
+    assert(wrapped.parsePlan(s"ALTER TABLE graft.`$p2` ADD CONSTRAINT c CHECK (k >= 0)")
+      .getClass.getSimpleName == "GraftAddCheckCommand")
+  }
+
   test("the injected parser rewrites graft DML at parse time, passes the rest through") {
     // spark.sql.extensions is a STATIC conf — a true extension session
     // needs its own SparkContext, which PlanAudit's JVM provides (its
