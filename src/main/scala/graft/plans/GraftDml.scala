@@ -37,6 +37,13 @@ import graft.sources.{GraftFileIndex, GraftProjectedRelation}
   *     WHEN MATCHED AND s.op = 'D' THEN DELETE
   *     WHEN MATCHED THEN UPDATE SET v = s.v
   *     WHEN NOT MATCHED THEN INSERT *""")
+  *   // constraint + maintenance statements (same routing):
+  *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` ADD CONSTRAINT c CHECK (k > 0)")
+  *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` DROP CONSTRAINT IF EXISTS c")
+  *   GraftSql.dml(spark, "VACUUM graft.`/path/t` RETAIN 168 HOURS")
+  *   GraftSql.dml(spark, "OPTIMIZE graft.`/path/t` ZORDER BY (k)")
+  *   GraftSql.dml(spark, "RESTORE TABLE graft.`/path/t` TO VERSION AS OF 3")
+  *   GraftSql.dml(spark, "CREATE TABLE graft.`/path/fork` SHALLOW CLONE graft.`/path/t`")
   * }}}
   *
   * Sessions built with `spark.sql.extensions=graft.expressions.GraftExtensions`
@@ -330,14 +337,42 @@ private[plans] case class GraftOptimizeCommand(path: String,
   }
 }
 
-/** The two maintenance statements Spark's grammar does not know —
-  * recognized BEFORE delegating to the real parser (Delta's
-  * DeltaSqlParser pattern). Anything else falls through untouched. */
+private[plans] case class GraftRestoreCommand(path: String,
+    version: Option[Long], tsText: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "restored_to_version", org.apache.spark.sql.types.LongType, nullable = false)())
+  def execute(spark: SparkSession): Long = {
+    val target = version.getOrElse(GraftTable.manifestAsOf(path,
+      graft.sources.GraftBatchRead.tsMicros(tsText.get)).version)
+    GraftTable.restore(path, target)
+  }
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark)))
+}
+
+private[plans] case class GraftCloneCommand(dstPath: String, srcPath: String,
+    deep: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    GraftTable.cloneTable(spark, srcPath, dstPath, deep)
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** The maintenance statements Spark's grammar does not know — VACUUM,
+  * OPTIMIZE, RESTORE, CLONE — recognized BEFORE delegating to the real
+  * parser (Delta's DeltaSqlParser pattern). Anything else falls
+  * through untouched. */
 object GraftMaintenance {
   private val Vacuum =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+  private val RestoreV =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreT =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case Vacuum(path, hours) =>
@@ -345,6 +380,10 @@ object GraftMaintenance {
     case Optimize(path, zcols) =>
       Some(GraftOptimizeCommand(path,
         Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+    case RestoreV(path, v) => Some(GraftRestoreCommand(path, Some(v.toLong), None))
+    case RestoreT(path, ts) => Some(GraftRestoreCommand(path, None, Some(ts)))
+    case Clone(dst, kind, src) =>
+      Some(GraftCloneCommand(dst, src, kind.equalsIgnoreCase("DEEP")))
     case _ => None
   }
 }

@@ -137,6 +137,8 @@ object GraftSql {
     GraftMaintenance.parse(sql) match {
       case Some(c: GraftVacuumCommand) => return c.execute(spark)
       case Some(c: GraftOptimizeCommand) => return c.execute(spark)._2.toLong
+      case Some(c: GraftRestoreCommand) => return c.execute(spark)
+      case Some(c: GraftCloneCommand) => return c.execute(spark)
       case _ => ()
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)

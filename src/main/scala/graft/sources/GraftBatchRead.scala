@@ -70,7 +70,7 @@ object GraftBatchRead {
       .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
   }
 
-  private[sources] def tsMicros(s: String): Long = {
+  private[graft] def tsMicros(s: String): Long = {
     val t = s.trim
     if (t.forall(_.isDigit)) t.toLong
     else {

@@ -158,6 +158,32 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
       .getClass.getSimpleName == "GraftAddCheckCommand")
   }
 
+  test("RESTORE and CLONE statements route to restore/cloneTable") {
+    val root = tmp()
+    val (src, sh, dp) = (s"$root/src", s"$root/shallow", s"$root/deep")
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), src) // v1
+    GraftTable.append(kv(3 -> "c"), src) // v2
+    val v1ts = GraftTable.versions(src).head._2
+    GraftSql.dml(spark, s"CREATE TABLE graft.`$sh` SHALLOW CLONE graft.`$src`")
+    GraftSql.dml(spark, s"CREATE TABLE graft.`$dp` DEEP CLONE graft.`$src`")
+    assert(canon(GraftTable.read(spark, sh)) == canon(GraftTable.read(spark, src)))
+    assert(canon(GraftTable.read(spark, dp)) == canon(GraftTable.read(spark, src)))
+    // RESTORE by version rolls the source back; clones are unaffected
+    GraftSql.dml(spark, s"RESTORE TABLE graft.`$src` TO VERSION AS OF 1")
+    assert(canon(GraftTable.read(spark, src)) == canon(kv(1 -> "a", 2 -> "b")))
+    assert(GraftTable.read(spark, sh).count() == 3)
+    // RESTORE by timestamp (v1's commit instant, epoch-micros string form)
+    GraftTable.append(kv(9 -> "z"), src)
+    GraftSql.dml(spark, s"RESTORE graft.`$src` TO TIMESTAMP AS OF '$v1ts'")
+    assert(canon(GraftTable.read(spark, src)) == canon(kv(1 -> "a", 2 -> "b")))
+    // and through the parser wrapper for spark.sql sessions
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(wrapped.parsePlan(s"RESTORE TABLE graft.`$src` TO VERSION AS OF 1")
+      .getClass.getSimpleName == "GraftRestoreCommand")
+    assert(wrapped.parsePlan(s"CREATE TABLE graft.`$root/c2` SHALLOW CLONE graft.`$src`")
+      .getClass.getSimpleName == "GraftCloneCommand")
+  }
+
   test("the injected parser rewrites graft DML at parse time, passes the rest through") {
     // spark.sql.extensions is a STATIC conf — a true extension session
     // needs its own SparkContext, which PlanAudit's JVM provides (its
