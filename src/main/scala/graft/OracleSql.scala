@@ -433,6 +433,12 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders
 WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
 
+    // the maintenance dialect end to end: OPTIMIZE + CLONE + DELETE +
+    // RESTORE must net out to the source selection exactly
+    "q153_sql_maintenance" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total
+FROM orders""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

@@ -2126,6 +2126,32 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q153Root: String =
+    java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
+
+  /** q153: the maintenance dialect end to end as SQL TEXT — OPTIMIZE
+    * ZORDER BY reclusters the table, CREATE TABLE … SHALLOW CLONE forks
+    * it, DELETE mutates the fork, RESTORE rolls the fork back, and the
+    * fork must read byte-identical to the source it was cloned from
+    * (every statement through [[graft.plans.GraftSql.dml]]; the oracle
+    * is the declarative source selection — any statement misfire,
+    * clone/source fate-sharing, or restore drift breaks the hash). */
+  def sqlMaintenanceQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q153Root
+    TableIO.clearDir(root)
+    val (src, fork) = (s"$root/orders_m", s"$root/orders_fork")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.repartition(8), src, statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"OPTIMIZE graft.`$src` ZORDER BY (o_orderkey)")
+    graft.plans.GraftSql.dml(s, s"CREATE TABLE graft.`$fork` SHALLOW CLONE graft.`$src`")
+    graft.plans.GraftSql.dml(s, s"DELETE FROM graft.`$fork` WHERE o_orderstatus = 'F'")
+    graft.plans.GraftSql.dml(s, s"RESTORE TABLE graft.`$fork` TO VERSION AS OF 1")
+    GraftTable.read(s, fork).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2167,6 +2193,7 @@ object Queries {
     "q150_sql_delete" -> (sqlDeleteQ _),
     "q151_sql_update" -> (sqlUpdateQ _),
     "q152_sql_merge" -> (sqlMergeQ _),
+    "q153_sql_maintenance" -> (sqlMaintenanceQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),
