@@ -439,6 +439,13 @@ WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total
 FROM orders""",
 
+    // the multi-column z-order relayout + pruned read must net out to
+    // the plain declarative selection
+    "q154_sql_zorder_multi" -> """
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
+FROM lineitem
+WHERE l_partkey BETWEEN 1 AND 200""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

@@ -2152,6 +2152,32 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q154Root: String =
+    java.nio.file.Files.createTempDirectory("graft_zorder2").toString
+
+  /** q154: multi-column z-order as SQL TEXT — `OPTIMIZE … ZORDER BY
+    * (l_orderkey, l_partkey)` auto-quantizes both dimensions against the
+    * snapshot's live bounds (orderkey off the manifest stats, partkey off
+    * the measured fallback — stats were collected on orderkey only) and
+    * relayouts on the Morton interleave; the read back is a pruned scan
+    * on the SECOND dimension, the one a single-column sort can't skip on.
+    * The oracle is the declarative selection — a relayout that loses,
+    * duplicates, or reorders-within-file-corrupts rows breaks the hash;
+    * PlanAudit pins the skip rates on both dimensions. */
+  def sqlZorderQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q154Root
+    TableIO.clearDir(root)
+    val t = s"$root/lineitem_z"
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_linenumber"))
+    GraftTable.overwrite(li.repartition(8), t, statsCols = Seq("l_orderkey"))
+    graft.plans.GraftSql.dml(s, s"OPTIMIZE graft.`$t` ZORDER BY (l_orderkey, l_partkey)")
+    GraftTable.readPruned(s, t,
+      Seq(GraftTable.ColRange("l_partkey", Some(1), Some(200)))).df
+      .filter(col("l_partkey").between(1, 200))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2194,6 +2220,7 @@ object Queries {
     "q151_sql_update" -> (sqlUpdateQ _),
     "q152_sql_merge" -> (sqlMergeQ _),
     "q153_sql_maintenance" -> (sqlMaintenanceQ _),
+    "q154_sql_zorder_multi" -> (sqlZorderQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -1892,6 +1892,97 @@ object GraftTable {
     (allFiles.size, totalFiles(next))
   }
 
+  /** The default stats-column selection for `path`'s current schema plus
+    * `extra` — OPTIMIZE ZORDER BY must guarantee the clustered columns
+    * keep file stats even past the [[DefaultStatsCols]] cap, or the
+    * relayout would tighten per-file ranges that nobody records. */
+  private[graft] def statsColsPlus(path: String, extra: Seq[String]): Seq[String] = {
+    val schema = StructType.fromDDL(currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable")).schemaDdl)
+    val base = resolveStatsCols(schema, Nil).map(_.name)
+    base ++ extra.filterNot(base.contains)
+  }
+
+  /** Data-dependent multi-column z-order key for `cols` of the CURRENT
+    * snapshot: each dimension quantized into [0, 2^bits) against its
+    * live min/max, then Morton-interleaved with
+    * [[graft.operators.Ops.zorderKeyN]]. Bounds come from the manifest's
+    * per-file stats when every live file carries them (metadata-only,
+    * zero jobs — the 100 TB path after any stats-collecting write) and
+    * from one columnar min/max scan otherwise. NULLs quantize to the low
+    * corner (bucket 0) so a nullable dimension never NULLs the whole
+    * key; a constant column contributes a constant bucket (dead
+    * interleave bits, still a valid key). String columns refuse loudly:
+    * lexical order has no numeric quantization, and a hash would
+    * scramble the locality z-order exists to create — range-cluster on
+    * the string alone instead (single-column ZORDER BY). */
+  private[graft] def zorderClusterExpr(spark: SparkSession, path: String,
+      cols: Seq[String]): Column = {
+    require(cols.size >= 2, "interleave needs at least 2 columns")
+    require(cols.distinct.size == cols.size, s"duplicate ZORDER column in $cols")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val bits = math.max(1, math.min(16, 63 / cols.size))
+    val tagged = cols.map { c =>
+      require(schema.fieldNames.contains(c), s"no column '$c' in [${cur.schemaDdl}]")
+      val dt = schema(c).dataType
+      val tag = statTag(dt).getOrElse(throw new IllegalArgumentException(
+        s"ZORDER BY '$c': ${dt.simpleString} has no orderable file stats to cluster on"))
+      require(tag != "string",
+        s"ZORDER BY '$c': string columns have no numeric quantization for an " +
+          "interleave — range-cluster on the string alone (single-column ZORDER BY) " +
+          "or z-order the numeric/date/timestamp dimensions")
+      (c, dt, tag)
+    }
+    // the quantizer input must agree EXACTLY with whatever produced the
+    // bounds; these match the stats codec (epoch day / epoch micros)
+    def toDouble(c: String, dt: DataType, tag: String): Column = (tag, dt) match {
+      case ("ts", TimestampType) => unix_micros(col(c)).cast("double")
+      case ("ts", _) => unix_micros(col(c).cast(TimestampType)).cast("double")
+      case ("date", _) => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val files = filesOf(path, cur)
+    // manifest bounds only when every live file has stats for the column
+    // and the codec matches toDouble (NTZ casts through the session zone
+    // while its stats encode UTC — it measures instead, same expression
+    // both sides so the bounds can never drift from the data)
+    def manifestBounds(c: String, dt: DataType, tag: String): Option[(Double, Double)] = {
+      if (tag == "ts" && dt != TimestampType) return None
+      val per = files.map(_.stats.get(c))
+      if (files.isEmpty || per.exists(_.isEmpty)) return None
+      val dec: String => Double = tag match {
+        case "long" | "date" | "ts" => s => s.toLong.toDouble
+        case _ => s => new java.math.BigDecimal(s).doubleValue
+      }
+      val los = per.flatMap(_.get.min).map(dec) // an all-NULL file has no bounds
+      val his = per.flatMap(_.get.max).map(dec)
+      if (los.isEmpty) Some((0d, 0d)) else Some((los.min, his.max))
+    }
+    val need = tagged.filter(t => manifestBounds(t._1, t._2, t._3).isEmpty)
+    val measured: Map[String, (Double, Double)] = if (need.isEmpty) Map.empty else {
+      val aggs = need.flatMap { case (c, dt, tag) =>
+        val d = toDouble(c, dt, tag)
+        Seq(min(d).as(s"__lo_$c"), max(d).as(s"__hi_$c"))
+      }
+      val r = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
+      need.map { case (c, _, _) =>
+        def v(n: String) = { val i = r.fieldIndex(n); if (r.isNullAt(i)) 0d else r.getDouble(i) }
+        c -> ((v(s"__lo_$c"), v(s"__hi_$c")))
+      }.toMap
+    }
+    val levels = (1L << bits) - 1
+    val dims = tagged.map { case (c, dt, tag) =>
+      val (lo, hi) = manifestBounds(c, dt, tag).getOrElse(measured(c))
+      val d = coalesce(toDouble(c, dt, tag), lit(lo))
+      if (hi <= lo) lit(0L)
+      else least(lit(levels), greatest(lit(0L),
+        floor((d - lit(lo)) / lit(hi - lo) * lit(levels.toDouble)).cast("long")))
+    }
+    graft.operators.Ops.zorderKeyN(dims, bits)
+  }
+
   // ---------------------------------------------------------------- vacuum
 
   /** Record that consumer `id` (a CDC replica, an external tailing job —

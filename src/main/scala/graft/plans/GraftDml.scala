@@ -311,26 +311,32 @@ private[plans] case class GraftVacuumCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark).toInt))
 }
 
-/** `OPTIMIZE graft.`p` [ZORDER BY (col)]` — bin-pack compaction, or a
-  * whole-snapshot range recluster on one column. Multi-column
-  * interleaved z-order needs data-dependent quantization — use
-  * `compactFiles` + `Ops.zorderKeyN` directly (refused loudly here
-  * rather than silently range-clustering and calling it z-order). */
+/** `OPTIMIZE graft.`p` [ZORDER BY (col, ...)]` — bin-pack compaction, a
+  * whole-snapshot range recluster on one column, or a true multi-column
+  * Morton interleave: ≥2 columns auto-quantize against the snapshot's
+  * live min/max ([[GraftTable.zorderClusterExpr]] — manifest-stats
+  * bounds when available, one min/max scan otherwise) and range-cluster
+  * on the interleaved key, so per-file ranges tighten on EVERY listed
+  * dimension at once. Clustered columns are forced into the stats set
+  * even past the default cap — a relayout whose ranges nobody records
+  * would prune nothing. */
 private[plans] case class GraftOptimizeCommand(path: String,
     zorderCols: Seq[String]) extends LeafRunnableCommand {
-  require(zorderCols.size <= 1,
-    "OPTIMIZE ... ZORDER BY takes ONE column in SQL (a multi-column interleave " +
-      "needs data-dependent quantization — use GraftTable.compactFiles with " +
-      "Ops.zorderKeyN)")
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.IntegerType
     Seq(AttributeReference("files_before", IntegerType, nullable = false)(),
       AttributeReference("files_after", IntegerType, nullable = false)())
   }
-  def execute(spark: SparkSession): (Int, Int) =
-    GraftTable.compactFiles(spark, path,
-      clusterBy = zorderCols.headOption.map(org.apache.spark.sql.functions.col))
+  def execute(spark: SparkSession): (Int, Int) = zorderCols match {
+    case Seq() => GraftTable.compactFiles(spark, path)
+    case cols =>
+      val cluster =
+        if (cols.size == 1) org.apache.spark.sql.functions.col(cols.head)
+        else GraftTable.zorderClusterExpr(spark, path, cols)
+      GraftTable.compactFiles(spark, path,
+        statsCols = GraftTable.statsColsPlus(path, cols), clusterBy = Some(cluster))
+  }
   override def run(spark: SparkSession): Seq[Row] = {
     val (b, a) = execute(spark)
     Seq(Row(b, a))

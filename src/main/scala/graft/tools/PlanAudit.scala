@@ -671,6 +671,40 @@ object PlanAudit {
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q150_sql_dml: ${results.mkString(" ")}")
     }
+    locally {
+      // q154's multi-column z-order: after a 16-file relayout on the
+      // auto-quantized Morton interleave, a 1/8 slice of EITHER
+      // dimension must skip files — and the comparative claim: a
+      // single-column sort on x leaves the y slice reading everything
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val base = java.nio.file.Files.createTempDirectory("plan_zorder2").toString
+      val grid = spark.range(0, 64L * 64).selectExpr(
+        "cast(id / 64 as int) AS x", "cast(id % 64 as int) AS y")
+        .repartition(8) // shuffled: no incidental clustering
+      def sliceReads(root: String, c: String): Int = GraftTable.readPruned(spark,
+        root, Seq(GraftTable.ColRange(c, Some(0), Some(7)))).filesRead
+      val rootZ = s"$base/z"
+      GraftTable.overwrite(grid, rootZ, statsCols = Seq("x", "y"))
+      // the dialect statement itself routes in the extension session
+      val opt = spark.sql(s"OPTIMIZE graft.`$rootZ` ZORDER BY (x, y)").collect()
+      GraftTable.writeClustered(GraftTable.read(spark, rootZ), rootZ,
+        GraftTable.zorderClusterExpr(spark, rootZ, Seq("x", "y")), numFiles = 16,
+        statsCols = Seq("x", "y"))
+      val rootS = s"$base/sorted"
+      GraftTable.writeClustered(grid, rootS, col("x"), numFiles = 16,
+        statsCols = Seq("x", "y"))
+      val (zx, zy) = (sliceReads(rootZ, "x"), sliceReads(rootZ, "y"))
+      val sy = sliceReads(rootS, "y")
+      val checks = Seq(
+        "sql_zorder_multi_ran" -> (opt.length == 1),
+        "x_slice_skips" -> (zx <= 8),
+        "y_slice_skips" -> (zy <= 8),
+        "single_sort_cannot" -> (sy == 16))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q154_zorder_multi: ${results.mkString(" ")}" +
+        s" (z x=$zx/16 y=$zy/16; sorted y=$sy/16)")
+    }
     spark.stop()
   }
 }

@@ -144,10 +144,11 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     val scan = GraftTable.readPruned(spark, p2,
       Seq(GraftTable.ColRange("k", Some(1), Some(2))))
     assert(scan.filesRead <= 1 && scan.df.count() >= 2)
-    // multi-column ZORDER refuses with the quantization pointer
+    // multi-column ZORDER on a string dimension refuses (no numeric
+    // quantization preserves lexical locality)
     val e = intercept[Exception](
       GraftSql.dml(spark, s"OPTIMIZE graft.`$p2` ZORDER BY (k, v)"))
-    assert(e.getMessage.contains("zorderKeyN"))
+    assert(e.getMessage.contains("quantization"))
     // and the parser wrapper serves the same statements for spark.sql
     val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
     assert(wrapped.parsePlan(s"VACUUM graft.`$p2`")
@@ -156,6 +157,58 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
       .getClass.getSimpleName == "GraftOptimizeCommand")
     assert(wrapped.parsePlan(s"ALTER TABLE graft.`$p2` ADD CONSTRAINT c CHECK (k >= 0)")
       .getClass.getSimpleName == "GraftAddCheckCommand")
+  }
+
+  test("OPTIMIZE ZORDER BY (x, y) interleaves with auto-quantized bounds") {
+    // a 64×64 grid shuffled across 8 files: before the relayout every
+    // file spans the full range of BOTH dimensions, so nothing prunes
+    val p = tmp() + "/grid"
+    val rnd = new scala.util.Random(7)
+    val cells = rnd.shuffle((for { x <- 0 until 64; y <- 0 until 64 }
+      yield Row(Int.box(x), Int.box(y), s"p$x-$y")).toList)
+    // stats on x ONLY: y's bounds must come off the measured fallback
+    // scan while x's come off the manifest — both paths in one relayout
+    GraftTable.overwrite(df("x INT, y INT, payload STRING", cells: _*).repartition(8),
+      p, statsCols = Seq("x"))
+    val before = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(0), Some(7))))
+    assert(before.filesRead == before.filesTotal, "unclustered layout must not prune")
+    // the SQL statement routes, relayouts, and forces stats onto x AND y
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` ZORDER BY (x, y)")
+    assert(canon(GraftTable.read(spark, p)) ==
+      canon(df("x INT, y INT, payload STRING", cells: _*)))
+    // the tiny table packed into one file — relayout again at a file
+    // count that makes locality observable, via the same expression
+    GraftTable.writeClustered(GraftTable.read(spark, p), p,
+      GraftTable.zorderClusterExpr(spark, p, Seq("x", "y")), numFiles = 16,
+      statsCols = Seq("x", "y"))
+    val px = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(0), Some(7))))
+    val py = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("y", Some(0), Some(7))))
+    assert(px.filesTotal == 16 && py.filesTotal == 16)
+    // a 1/8 slice of EITHER dimension skips at least half the files —
+    // the both-dimensions-at-once property a single-column sort lacks
+    assert(px.filesRead <= 8, s"x-slice read ${px.filesRead}/16")
+    assert(py.filesRead <= 8, s"y-slice read ${py.filesRead}/16")
+    // candidate files hold every matching row (callers apply the exact
+    // predicate on top of the pruned scan)
+    assert(px.df.filter(col("x") <= 7).count() == 8 * 64)
+    assert(py.df.filter(col("y") <= 7).count() == 8 * 64)
+    // NULL dimensions quantize to the low corner instead of NULLing the
+    // key: a relayout over nullable data keeps every row
+    val pn = tmp() + "/nulls"
+    GraftTable.overwrite(df("x INT, y INT",
+      Row(Int.box(1), null), Row(null, Int.box(2)), Row(Int.box(3), Int.box(4))), pn)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$pn` ZORDER BY (x, y)")
+    assert(GraftTable.read(spark, pn).count() == 3)
+    // date dimensions quantize on the epoch-day codec
+    val pd = tmp() + "/dates"
+    GraftTable.overwrite(df("d DATE, n INT",
+      Row(java.sql.Date.valueOf("2024-01-01"), Int.box(1)),
+      Row(java.sql.Date.valueOf("2024-06-30"), Int.box(2))), pd)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$pd` ZORDER BY (d, n)")
+    assert(GraftTable.read(spark, pd).count() == 2)
   }
 
   test("RESTORE and CLONE statements route to restore/cloneTable") {
