@@ -446,6 +446,13 @@ SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber
 FROM lineitem
 WHERE l_partkey BETWEEN 1 AND 200""",
 
+    // the ANALYZE stats backfill + pruned read must net out to the
+    // plain declarative selection
+    "q155_sql_analyze" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey BETWEEN 1 AND 150""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

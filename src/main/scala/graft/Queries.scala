@@ -2178,6 +2178,33 @@ object Queries {
       .filter(col("l_partkey").between(1, 200))
   }
 
+  private lazy val q155Root: String =
+    java.nio.file.Files.createTempDirectory("graft_analyze").toString
+
+  /** q155: ANALYZE stats backfill as SQL TEXT — the table lands
+    * clustered on o_custkey but indexed only on o_orderkey (the layout
+    * could skip, nothing records the ranges); `ANALYZE … COMPUTE STATS
+    * FOR COLUMNS (o_custkey)` backfills per-file bounds in a
+    * metadata-only commit with no data rewrite, and the read back is a
+    * pruned scan on the newly indexed dimension. The oracle is the
+    * declarative selection — stats that misstate any file's range drop
+    * or duplicate rows and break the hash; PlanAudit pins the no-rewrite
+    * and skip-rate claims. */
+  def sqlAnalyzeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q155Root
+    TableIO.clearDir(root)
+    val t = s"$root/orders_a"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"))
+    GraftTable.writeClustered(orders, t, col("o_custkey"), numFiles = 8,
+      statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"ANALYZE graft.`$t` COMPUTE STATS FOR COLUMNS (o_custkey)")
+    GraftTable.readPruned(s, t,
+      Seq(GraftTable.ColRange("o_custkey", Some(1), Some(150)))).df
+      .filter(col("o_custkey").between(1, 150))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2221,6 +2248,7 @@ object Queries {
     "q152_sql_merge" -> (sqlMergeQ _),
     "q153_sql_maintenance" -> (sqlMaintenanceQ _),
     "q154_sql_zorder_multi" -> (sqlZorderQ _),
+    "q155_sql_analyze" -> (sqlAnalyzeQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

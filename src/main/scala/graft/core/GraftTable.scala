@@ -1343,6 +1343,114 @@ object GraftTable {
     committed
   }
 
+  // ---------------------------------------------------------------- analyze
+
+  /** Backfill per-file stats (and bloom filters, for `bloomCols`) onto
+    * the CURRENT snapshot WITHOUT rewriting any data — ANALYZE, the
+    * post-hoc half of the stats story: file skipping ([[readPruned]],
+    * [[readPrunedIn]], the `format("graft")` FileIndex) becomes
+    * available on columns nobody indexed at write time. Scan cost is
+    * one columnar read of ONLY the listed columns over ONLY the files
+    * that lack them — a re-run after appends scans just the new files,
+    * the incremental maintenance cadence at 100 TB — and commit cost is
+    * one metadata-only version (op `analyze`, empty change set: CDF
+    * consumers and streams see no rows). Already-covered files keep
+    * their stats and blooms untouched; an analyze with nothing to do
+    * commits nothing and returns the current version. A lost commit
+    * race re-derives against the new head, re-scanning only files the
+    * per-file cache has not already covered. */
+  def analyzeStats(spark: SparkSession, path: String, cols: Seq[String],
+      bloomCols: Seq[String] = Nil): Long = {
+    require(cols.nonEmpty || bloomCols.nonEmpty, "nothing to analyze")
+    val want = (cols ++ bloomCols).distinct
+    val bloomSet = bloomCols.toSet
+    // input_file_name() is the URI form — decode before taking the
+    // basename (the convertParquetDir lesson)
+    def base(uri: String): String = new java.net.URI(uri).getPath match {
+      case null => uri.split('/').last
+      case p => p.split('/').last
+    }
+    val cache = scala.collection.mutable.Map.empty[String, Map[String, ColStats]]
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      val logical = StructType.fromDDL(cur.schemaDdl)
+      val fields = want.map { c =>
+        require(logical.fieldNames.contains(c), s"no column '$c' in [${cur.schemaDdl}]")
+        val f = logical(c)
+        require(statTag(f.dataType).isDefined,
+          s"ANALYZE '$c': ${f.dataType.simpleString} carries no file stats")
+        f
+      }
+      val live = filesOf(path, cur)
+      def needsWork(fe: FileEntry): Boolean =
+        cols.exists(c => !fe.stats.contains(c)) ||
+          bloomCols.exists(c => !fe.stats.get(c).exists(_.bloom.isDefined))
+      val todo = live.filter(needsWork)
+      if (todo.isEmpty) return cur.version
+      val missing = todo.filterNot(fe => cache.contains(fe.path.split('/').last))
+      if (missing.nonEmpty) {
+        val mBits = bloomBits(missing.map(_.rows).maxOption.getOrElse(0L))
+        missing.groupBy(_.renames.getOrElse(Map.empty)).foreach { case (ren, fs) =>
+          val phys = StructType(fields.map(f => f.copy(name = ren.getOrElse(f.name, f.name))))
+          val dfp = spark.read.schema(phys).parquet(fs.map(fe => resolveData(path, fe)): _*)
+            .select(fields.map(f => col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+          val aggs = fields.flatMap { f =>
+            Seq(min(col(f.name)).as(s"__min_${f.name}"),
+              max(col(f.name)).as(s"__max_${f.name}"),
+              sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+          }
+          val perFile = dfp.groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+            .map(r => base(r.getString(0)) -> r).toMap
+          // one distributed pass per bloom column, (file, position) grain
+          // — ≤ mBits ints per file reach the driver (the stageFiles shape)
+          val blooms: Map[String, Map[String, String]] =
+            bloomSet.intersect(fields.map(_.name).toSet).map { c =>
+              val pos = dfp.filter(col(c).isNotNull)
+                .select(input_file_name().as("__f"),
+                  explode(bloomPositions(col(c), logical(c).dataType, BloomK, mBits)).as("__p"))
+                .distinct().collect()
+              c -> pos.groupBy(r => base(r.getString(0)))
+                .map { case (bn, rs) => bn -> packBloom(BloomK, mBits, rs.map(_.getLong(1)).toSeq) }
+            }.toMap
+          fs.foreach { fe =>
+            val bn = fe.path.split('/').last
+            cache(bn) = perFile.get(bn) match {
+              case Some(r) => fields.map { f =>
+                val tag = statTag(f.dataType).get
+                f.name -> ColStats(tag,
+                  Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _)),
+                  Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _)),
+                  r.getAs[Long](s"__nulls_${f.name}"),
+                  bloom = blooms.get(f.name).flatMap(_.get(bn)))
+              }.toMap
+              // a zero-row file yields no groupBy row: register empty
+              // stats (and an all-clear bloom) rather than refusing
+              case None => fields.map(f => f.name -> ColStats(statTag(f.dataType).get,
+                None, None, 0L,
+                bloom = if (bloomSet(f.name)) Some(packBloom(BloomK, mBits, Nil)) else None)).toMap
+            }
+          }
+        }
+      }
+      val merged = live.map { fe =>
+        if (!needsWork(fe)) fe
+        else fe.copy(stats = fe.stats ++ cache(fe.path.split('/').last).map {
+          // never clobber a bloom this pass didn't compute
+          case (k, v) => k -> v.copy(bloom = v.bloom.orElse(fe.stats.get(k).flatMap(_.bloom)))
+        })
+      }
+      val (files, leaves) = packCommit(path, merged, Nil)
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), "analyze",
+        cur.schemaDdl, files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)),
+        checks = cur.checks)
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
+
   // ---------------------------------------------------------------- convert
 
   /** CONVERT an existing plain-parquet directory into a GraftTable IN

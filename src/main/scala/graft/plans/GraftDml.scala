@@ -343,6 +343,23 @@ private[plans] case class GraftOptimizeCommand(path: String,
   }
 }
 
+/** `ANALYZE graft.`p` COMPUTE STATS|BLOOM FOR COLUMNS (a, b)` — backfill
+  * per-file stats or bloom filters onto the current snapshot without
+  * rewriting data ([[GraftTable.analyzeStats]]): one columnar scan of
+  * just the listed columns over just the files that lack them, then a
+  * metadata-only commit. Makes file skipping available post-hoc on
+  * columns nobody indexed at write time. */
+private[plans] case class GraftAnalyzeCommand(path: String,
+    cols: Seq[String], bloom: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  def execute(spark: SparkSession): Long =
+    if (bloom) GraftTable.analyzeStats(spark, path, Nil, bloomCols = cols)
+    else GraftTable.analyzeStats(spark, path, cols)
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark)))
+}
+
 private[plans] case class GraftRestoreCommand(path: String,
     version: Option[Long], tsText: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -379,8 +396,14 @@ object GraftMaintenance {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+(STATS|BLOOM)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Analyze(path, kind, cols) =>
+      Some(GraftAnalyzeCommand(path,
+        cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        kind.equalsIgnoreCase("BLOOM")))
     case Vacuum(path, hours) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble)))
     case Optimize(path, zcols) =>

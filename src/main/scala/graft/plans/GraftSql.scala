@@ -124,7 +124,8 @@ object GraftSql {
 
   /** SQL TEXT for the write path — `MERGE INTO` / `DELETE FROM` /
     * `UPDATE` / `ALTER TABLE … ADD/DROP CONSTRAINT` parse through
-    * Spark's own grammar; `VACUUM` / `OPTIMIZE [ZORDER BY (col)]`
+    * Spark's own grammar; `VACUUM` / `OPTIMIZE [ZORDER BY (cols…)]` /
+    * `RESTORE` / `CLONE` / `ANALYZE … COMPUTE STATS|BLOOM`
     * through the tiny [[GraftMaintenance]] grammar Spark lacks — all
     * routed to the existing table operators (see [[GraftDml]] for the
     * dialect contract). Returns the committed version (DML and
@@ -139,6 +140,7 @@ object GraftSql {
       case Some(c: GraftOptimizeCommand) => return c.execute(spark)._2.toLong
       case Some(c: GraftRestoreCommand) => return c.execute(spark)
       case Some(c: GraftCloneCommand) => return c.execute(spark)
+      case Some(c: GraftAnalyzeCommand) => return c.execute(spark)
       case _ => ()
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)

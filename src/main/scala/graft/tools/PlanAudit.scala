@@ -705,6 +705,37 @@ object PlanAudit {
       println(s"[plan] q154_zorder_multi: ${results.mkString(" ")}" +
         s" (z x=$zx/16 y=$zy/16; sorted y=$sy/16)")
     }
+    locally {
+      // q155's ANALYZE backfill: a metadata-only commit (data files
+      // byte-untouched) that turns an unindexed clustered layout into a
+      // pruning one — and the incremental claim: a second analyze with
+      // nothing to do commits nothing
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_analyze").toString + "/t"
+      val rows = spark.range(0, 4096).selectExpr(
+        "cast(id as int) AS k", "cast(id / 16 as int) AS x")
+      GraftTable.writeClustered(rows, root, col("x"), numFiles = 16,
+        statsCols = Seq("k"))
+      def slice() = GraftTable.readPruned(spark, root,
+        Seq(GraftTable.ColRange("x", Some(0), Some(31))))
+      def files() = Option(new java.io.File(root, "data").listFiles).get
+        .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      val before = slice().filesRead
+      val snap = files()
+      val v = spark.sql(s"ANALYZE graft.`$root` COMPUTE STATS FOR COLUMNS (x)")
+        .collect()(0).getLong(0)
+      val after = slice().filesRead
+      val checks = Seq(
+        "unindexed_reads_all" -> (before == 16),
+        "backfill_prunes" -> (after <= 4),
+        "no_data_rewrite" -> (files() == snap),
+        "metadata_only_commit" -> (v == 2L),
+        "idempotent_no_commit" -> (GraftTable.analyzeStats(spark, root, Seq("x")) == 2L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q155_analyze: ${results.mkString(" ")}" +
+        s" (slice $before/16 -> $after/16)")
+    }
     spark.stop()
   }
 }

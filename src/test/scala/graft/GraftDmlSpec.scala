@@ -211,6 +211,56 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, pd).count() == 2)
   }
 
+  test("ANALYZE backfills stats and blooms without rewriting data") {
+    val p = tmp() + "/t"
+    def dataFiles() = Option(new java.io.File(p, "data").listFiles).get
+      .map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq
+    // clustered on x but indexed only on k: the layout could skip on x,
+    // nothing records the ranges
+    val rows = df("k INT, x INT",
+      (0 until 256).map(i => Row(Int.box(i), Int.box(i / 2))): _*)
+    GraftTable.writeClustered(rows, p, col("x"), numFiles = 8, statsCols = Seq("k"))
+    val before = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(0), Some(15))))
+    assert(before.filesRead == 8, "no stats on x: nothing prunes")
+    val snapshot = dataFiles()
+    // the SQL statement backfills; data files untouched byte-for-byte
+    val v = GraftSql.dml(spark, s"ANALYZE graft.`$p` COMPUTE STATS FOR COLUMNS (x)")
+    assert(v == 2L && GraftTable.currentVersion(p).contains(2L))
+    assert(dataFiles() == snapshot, "analyze must not rewrite data files")
+    val after = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(0), Some(15))))
+    assert(after.filesRead <= 2, s"backfilled stats must prune, read ${after.filesRead}/8")
+    assert(canon(GraftTable.read(spark, p)) == canon(rows))
+    // idempotent: nothing left to do → no commit, same version
+    assert(GraftTable.analyzeStats(spark, p, Seq("x")) == 2L)
+    assert(GraftTable.currentVersion(p).contains(2L))
+    // incremental: an append adds an unindexed file; re-analyze covers
+    // just that file and pruning holds across old + new
+    GraftTable.append(df("k INT, x INT", Row(Int.box(999), Int.box(500))), p,
+      statsCols = Seq("k"))
+    assert(GraftSql.dml(spark, s"ANALYZE graft.`$p` COMPUTE STATS FOR COLUMNS (x)") == 4L)
+    val inc = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(500), Some(500))))
+    assert(inc.filesRead == 1 && inc.df.count() == 1)
+    // time travel to the pre-analyze snapshot still reads
+    assert(GraftTable.readVersion(spark, p, 1L).count() == 256)
+    // bloom backfill: hash layout prunes nothing by range, a backfilled
+    // bloom proves files clean for a point probe
+    val pb = tmp() + "/b"
+    GraftTable.overwrite(rows.repartition(8, col("k")), pb, statsCols = Seq("x"))
+    assert(GraftTable.readPrunedIn(spark, pb, "k", Seq(7)).filesRead == 8)
+    GraftSql.dml(spark, s"ANALYZE graft.`$pb` COMPUTE BLOOM FOR COLUMNS (k)")
+    val probe = GraftTable.readPrunedIn(spark, pb, "k", Seq(7))
+    assert(probe.filesRead < 8 && probe.df.filter(col("k") === 7).count() == 1)
+    // refusals: unknown column, and the parser wrapper routes the text
+    intercept[Exception](
+      GraftSql.dml(spark, s"ANALYZE graft.`$pb` COMPUTE STATS FOR COLUMNS (nope)"))
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(wrapped.parsePlan(s"ANALYZE TABLE graft.`$pb` COMPUTE BLOOM FOR COLUMNS (k)")
+      .getClass.getSimpleName == "GraftAnalyzeCommand")
+  }
+
   test("RESTORE and CLONE statements route to restore/cloneTable") {
     val root = tmp()
     val (src, sh, dp) = (s"$root/src", s"$root/shallow", s"$root/deep")
