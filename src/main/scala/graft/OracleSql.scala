@@ -453,6 +453,13 @@ SELECT o_orderkey, o_custkey, o_orderstatus
 FROM orders
 WHERE o_custkey BETWEEN 1 AND 150""",
 
+    // the bounded compaction + pruned window read must net out to the
+    // plain declarative selection
+    "q156_sql_optimize_where" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_orderkey <= 3000""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

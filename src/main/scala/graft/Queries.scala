@@ -2205,6 +2205,38 @@ object Queries {
       .filter(col("o_custkey").between(1, 150))
   }
 
+  private lazy val q156Root: String =
+    java.nio.file.Files.createTempDirectory("graft_optwhere").toString
+
+  /** q156: bounded compaction as SQL TEXT — the table lands as a
+    * clustered archive (o_orderkey > 3000) plus three small appends
+    * that all fall in the low window, then `OPTIMIZE … WHERE
+    * o_orderkey <= 3000` repacks JUST that window (the archive's files
+    * carry over untouched — Delta's partition-scoped OPTIMIZE
+    * generalized to stats ranges, the only compaction cadence that
+    * stays O(window) at 100 TB). The read back is a pruned scan of the
+    * repacked window; the oracle is the declarative selection — a
+    * rewrite that loses, duplicates, or mixes rows across the window
+    * boundary breaks the hash. PlanAudit pins the carried-untouched
+    * and O(window)-commit claims. */
+  def sqlOptimizeWhereQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q156Root
+    TableIO.clearDir(root)
+    val t = s"$root/orders_w"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"))
+    GraftTable.writeClustered(orders.filter(col("o_orderkey") > 3000), t,
+      col("o_orderkey"), numFiles = 8, statsCols = Seq("o_orderkey"))
+    val low = orders.filter(col("o_orderkey") <= 3000)
+    (0 until 3).foreach(i => GraftTable.append(
+      low.filter(col("o_orderkey") % 3 === i), t, statsCols = Seq("o_orderkey")))
+    graft.plans.GraftSql.dml(s, s"OPTIMIZE graft.`$t` WHERE o_orderkey <= 3000")
+    GraftTable.readPruned(s, t,
+      Seq(GraftTable.ColRange("o_orderkey", None, Some(3000)))).df
+      .filter(col("o_orderkey") <= 3000)
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2249,6 +2281,7 @@ object Queries {
     "q153_sql_maintenance" -> (sqlMaintenanceQ _),
     "q154_sql_zorder_multi" -> (sqlZorderQ _),
     "q155_sql_analyze" -> (sqlAnalyzeQ _),
+    "q156_sql_optimize_where" -> (sqlOptimizeWhereQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

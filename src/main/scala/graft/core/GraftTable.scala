@@ -1967,21 +1967,41 @@ object GraftTable {
     * right-sized files included — rewrites range-clustered on the
     * expression, so per-file stats tighten on the clustered dimensions
     * and `readPruned`/`readPrunedIn` skip hard afterward; accumulated
-    * append disorder is the reason OPTIMIZE exists. */
+    * append disorder is the reason OPTIMIZE exists.
+    *
+    * With `where` (OPTIMIZE … WHERE, Delta's partition-scoped OPTIMIZE
+    * generalized to stats ranges) the rewrite is BOUNDED: only files
+    * whose stats may intersect the range conjunction are candidates —
+    * everything provably outside carries over untouched, so the commit
+    * (and its change set) is O(window), never O(table). That is the
+    * maintenance cadence at 100 TB: compact or recluster the partition
+    * that just took appends, not the archive. Files with no stats on a
+    * constrained column count as inside (stats prune, never filter).
+    * Combined with `clusterBy`, only the window reclusters — sound
+    * because every carried file is provably disjoint from the window
+    * on the constrained columns, so it cannot straddle the rewritten
+    * range order. */
   def compactFiles(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20, statsCols: Seq[String] = Nil,
-      clusterBy: Option[Column] = None): (Int, Int) = {
+      clusterBy: Option[Column] = None, where: Seq[ColRange] = Nil): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    // clustering is a whole-snapshot relayout (a carried unclustered file
-    // would poison the range order); plain bin-packing repacks small only
+    // clustering is a whole-window relayout (a carried unclustered file
+    // inside the window would poison the range order); plain bin-packing
+    // repacks small files only
     val allFiles = filesOf(path, cur)
+    val (inWindow, outside) =
+      if (where.isEmpty) (allFiles, Nil)
+      else allFiles.partition(fe => mayMatch(fe.stats, where))
     val (small, big) = clusterBy match {
-      case Some(_) => (allFiles, Nil)
-      case None => allFiles.partition(_.bytes < targetBytes)
+      case Some(_) => (inWindow, outside)
+      case None =>
+        val (s, b) = inWindow.partition(_.bytes < targetBytes)
+        (s, b ++ outside)
     }
-    if (small.size <= 1 && clusterBy.isEmpty) return (allFiles.size, allFiles.size)
+    if (small.isEmpty || (small.size <= 1 && clusterBy.isEmpty))
+      return (allFiles.size, allFiles.size)
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     // compaction rewrites under the CURRENT logical schema, so packed
     // files shed any rename indirection; carried files keep theirs

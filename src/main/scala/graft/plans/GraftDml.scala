@@ -311,31 +311,65 @@ private[plans] case class GraftVacuumCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark).toInt))
 }
 
-/** `OPTIMIZE graft.`p` [ZORDER BY (col, ...)]` — bin-pack compaction, a
-  * whole-snapshot range recluster on one column, or a true multi-column
-  * Morton interleave: ≥2 columns auto-quantize against the snapshot's
-  * live min/max ([[GraftTable.zorderClusterExpr]] — manifest-stats
-  * bounds when available, one min/max scan otherwise) and range-cluster
-  * on the interleaved key, so per-file ranges tighten on EVERY listed
-  * dimension at once. Clustered columns are forced into the stats set
-  * even past the default cap — a relayout whose ranges nobody records
-  * would prune nothing. */
+/** `OPTIMIZE graft.`p` [WHERE bounds] [ZORDER BY (col, ...)]` —
+  * bin-pack compaction, a range recluster on one column, or a true
+  * multi-column Morton interleave: ≥2 columns auto-quantize against the
+  * snapshot's live min/max ([[GraftTable.zorderClusterExpr]] —
+  * manifest-stats bounds when available, one min/max scan otherwise)
+  * and range-cluster on the interleaved key, so per-file ranges tighten
+  * on EVERY listed dimension at once. Clustered columns are forced into
+  * the stats set even past the default cap — a relayout whose ranges
+  * nobody records would prune nothing. A `WHERE` bounds the rewrite to
+  * the files whose stats may intersect it (conjunctions of `col >= v`,
+  * `col <= v`, `col = v`, `col BETWEEN a AND b`) — the
+  * partition-scoped-OPTIMIZE move, generalized to stats ranges. */
 private[plans] case class GraftOptimizeCommand(path: String,
-    zorderCols: Seq[String]) extends LeafRunnableCommand {
+    zorderCols: Seq[String],
+    where: Seq[(String, Option[String], Option[String])] = Nil)
+    extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.IntegerType
     Seq(AttributeReference("files_before", IntegerType, nullable = false)(),
       AttributeReference("files_after", IntegerType, nullable = false)())
   }
-  def execute(spark: SparkSession): (Int, Int) = zorderCols match {
-    case Seq() => GraftTable.compactFiles(spark, path)
-    case cols =>
-      val cluster =
-        if (cols.size == 1) org.apache.spark.sql.functions.col(cols.head)
-        else GraftTable.zorderClusterExpr(spark, path, cols)
-      GraftTable.compactFiles(spark, path,
-        statsCols = GraftTable.statsColsPlus(path, cols), clusterBy = Some(cluster))
+  private def typedRanges(): Seq[GraftTable.ColRange] = {
+    if (where.isEmpty) return Nil
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(GraftTable.currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable")).schemaDdl)
+    def lit(dt: DataType, s0: String): Any = {
+      val s = if (s0.length >= 2 && s0.startsWith("'") && s0.endsWith("'"))
+        s0.substring(1, s0.length - 1) else s0
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => java.lang.Long.parseLong(s)
+        case FloatType | DoubleType => java.lang.Double.parseDouble(s)
+        case d: DecimalType => new java.math.BigDecimal(s)
+        case DateType => java.sql.Date.valueOf(s)
+        case TimestampType | TimestampNTZType => java.sql.Timestamp.valueOf(s)
+        case StringType => s
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE on ${other.simpleString} is not supported")
+      }
+    }
+    where.map { case (c, lo, hi) =>
+      require(schema.fieldNames.contains(c), s"no column '$c' in [${schema.toDDL}]")
+      val dt = schema(c).dataType
+      GraftTable.ColRange(c, lo.map(lit(dt, _)), hi.map(lit(dt, _)))
+    }
+  }
+  def execute(spark: SparkSession): (Int, Int) = {
+    val ranges = typedRanges()
+    zorderCols match {
+      case Seq() => GraftTable.compactFiles(spark, path, where = ranges)
+      case cols =>
+        val cluster =
+          if (cols.size == 1) org.apache.spark.sql.functions.col(cols.head)
+          else GraftTable.zorderClusterExpr(spark, path, cols)
+        GraftTable.compactFiles(spark, path,
+          statsCols = GraftTable.statsColsPlus(path, cols),
+          clusterBy = Some(cluster), where = ranges)
+    }
   }
   override def run(spark: SparkSession): Seq[Row] = {
     val (b, a) = execute(spark)
@@ -389,7 +423,37 @@ object GraftMaintenance {
   private val Vacuum =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+  private val BoundBetween =
+    """(?is)^(\w+)\s+BETWEEN\s+('[^']*'|[^\s']+)\s+AND\s+('[^']*'|[^\s']+)$""".r
+  private val BoundCmp = """(?is)^(\w+)\s*(>=|<=|=|<|>)\s*('[^']*'|[^\s']+)$""".r
+
+  /** Parse an OPTIMIZE WHERE conjunction into raw (col, lo, hi) string
+    * bounds — the grammar is deliberately tiny (>=, <=, =, <, >,
+    * BETWEEN, joined by AND): these bounds drive STATS pruning of the
+    * rewrite set, not row filtering, so anything richer belongs in a
+    * real predicate and a real query. Strict bounds relax to inclusive
+    * ones (a SUPERSET of candidate files — at file granularity that
+    * only ever rewrites one extra boundary file, never loses a row).
+    * Splitting on AND re-joins the one AND that BETWEEN owns. */
+  private[plans] def parseBounds(text: String): Seq[(String, Option[String], Option[String])] = {
+    val parts = text.trim.split("""(?i)\s+AND\s+""").toList
+    val joined = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).matches("""(?is)\w+\s+BETWEEN\s+.*""") && i + 1 < parts.length) {
+        joined += s"${parts(i)} AND ${parts(i + 1)}"; i += 2
+      } else { joined += parts(i); i += 1 }
+    }
+    joined.toList.map(_.trim).map {
+      case BoundBetween(c, lo, hi) => (c, Some(lo), Some(hi))
+      case BoundCmp(c, ">=" | ">", v) => (c, Some(v), None)
+      case BoundCmp(c, "<=" | "<", v) => (c, None, Some(v))
+      case BoundCmp(c, "=", v) => (c, Some(v), Some(v))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE supports conjunctions of col >=|<=|=|BETWEEN literals, got: $other")
+    }
+  }
   private val RestoreV =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val RestoreT =
@@ -406,9 +470,10 @@ object GraftMaintenance {
         kind.equalsIgnoreCase("BLOOM")))
     case Vacuum(path, hours) =>
       Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble)))
-    case Optimize(path, zcols) =>
+    case Optimize(path, whereText, zcols) =>
       Some(GraftOptimizeCommand(path,
-        Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)))
+        Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        Option(whereText).map(parseBounds).getOrElse(Nil)))
     case RestoreV(path, v) => Some(GraftRestoreCommand(path, Some(v.toLong), None))
     case RestoreT(path, ts) => Some(GraftRestoreCommand(path, None, Some(ts)))
     case Clone(dst, kind, src) =>

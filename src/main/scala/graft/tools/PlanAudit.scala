@@ -736,6 +736,41 @@ object PlanAudit {
       println(s"[plan] q155_analyze: ${results.mkString(" ")}" +
         s" (slice $before/16 -> $after/16)")
     }
+    locally {
+      // q156's bounded compaction: OPTIMIZE WHERE rewrites only the
+      // stats window — carried files byte-untouched, and the commit's
+      // change set is O(window), never O(table)
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_optwhere").toString + "/t"
+      val rows = spark.range(0, 4096).selectExpr("cast(id as int) AS x",
+        "cast(id % 97 as int) AS y")
+      GraftTable.writeClustered(rows.filter(col("x") >= 512), root,
+        col("x"), numFiles = 14, statsCols = Seq("x"))
+      (0 until 4).foreach(i => GraftTable.append(
+        rows.filter(col("x") < 512 && col("x") % 4 === i), root,
+        statsCols = Seq("x")))
+      def live() = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .map(fe => fe.path -> fe.bytes).toMap
+      val before = live()
+      // inclusive bound: `x < 512` would relax to `<= 512` and pull the
+      // boundary archive file (min = 512) into the window — documented
+      spark.sql(s"OPTIMIZE graft.`$root` WHERE x <= 511")
+      val after = live()
+      val m = GraftTable.currentManifest(root).get
+      val carried = after.keySet.intersect(before.keySet)
+      val removed = m.changes.map(_.removed.size).getOrElse(-1)
+      val checks = Seq(
+        "sql_where_ran" -> (m.op == "compact"),
+        "archive_untouched" -> (carried.size == 14 &&
+          carried.forall(n => after(n) == before(n))),
+        "window_repacked" -> (after.size < before.size),
+        "commit_is_o_window" -> (removed == before.size - 14 && removed < before.size),
+        "rows_intact" -> (GraftTable.read(spark, root).count() == 4096))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q156_optimize_where: ${results.mkString(" ")}" +
+        s" (files ${before.size} -> ${after.size}, removed $removed)")
+    }
     spark.stop()
   }
 }

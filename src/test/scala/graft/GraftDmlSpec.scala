@@ -211,6 +211,51 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, pd).count() == 2)
   }
 
+  test("OPTIMIZE WHERE bounds the rewrite to the stats window") {
+    val p = tmp() + "/t"
+    def dataFiles() = Option(new java.io.File(p, "data").listFiles).get
+      .map(f => f.getName -> ((f.lastModified, f.length))).toMap
+    // 8 clustered files over x = 0..255, then 4 tiny appends that all
+    // land in the low window — the append-disorder OPTIMIZE exists for
+    val rows = df("x INT, v STRING",
+      (0 until 256).map(i => Row(Int.box(i), s"v$i")): _*)
+    GraftTable.writeClustered(rows, p, col("x"), numFiles = 8, statsCols = Seq("x"))
+    (0 until 4).foreach(i => GraftTable.append(
+      df("x INT, v STRING", Row(Int.box(i), s"a$i")), p, statsCols = Seq("x")))
+    // the LIVE set (the data dir keeps replaced files until vacuum)
+    def liveFiles() = GraftTable.filesOf(p, GraftTable.currentManifest(p).get)
+      .map(fe => fe.path.split('/').last -> ((fe.rows, fe.bytes))).toMap
+    val before = liveFiles()
+    val physBefore = dataFiles()
+    assert(before.size == 12)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x BETWEEN 0 AND 31")
+    val after = liveFiles()
+    // everything provably outside the window carried over byte-untouched
+    val carried = after.keySet.intersect(before.keySet)
+    assert(carried.size >= 7, s"expected >=7 carried files, got ${carried.size}")
+    assert(carried.forall(n => after(n) == before(n) && dataFiles()(n) == physBefore(n)),
+      "carried files must be untouched")
+    assert(after.size < before.size, "the window must have repacked")
+    // the low window now reads as one repacked file; data is intact
+    val low = GraftTable.readPruned(spark, p,
+      Seq(GraftTable.ColRange("x", Some(0), Some(31))))
+    assert(low.filesRead <= 2, s"low window reads ${low.filesRead}")
+    assert(GraftTable.read(spark, p).count() == 260)
+    // a window that is already one right-sized file is a no-op commit
+    val v = GraftTable.currentVersion(p)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x >= 224")
+    assert(GraftTable.currentVersion(p) == v, "single-file window must not commit")
+    // WHERE + ZORDER BY reclusters just the window
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x <= 31 ZORDER BY (x)")
+    assert(GraftTable.read(spark, p).count() == 260)
+    // a string bound routes through the literal parser
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE v = 'v3'")
+    assert(GraftTable.read(spark, p).count() == 260)
+    // anything richer than bounds refuses loudly
+    intercept[Exception](
+      GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x % 2 = 0"))
+  }
+
   test("ANALYZE backfills stats and blooms without rewriting data") {
     val p = tmp() + "/t"
     def dataFiles() = Option(new java.io.File(p, "data").listFiles).get
