@@ -189,6 +189,27 @@ object GraftTable {
     }.toDF("file", "n_rows", "bytes", "n_renames", "stats")
   }
 
+  /** Per-column stats COVERAGE of the current snapshot as a relation —
+    * the "what should I ANALYZE?" introspection behind [[analyzeStats]]:
+    * for every schema column, how many live files carry min/max stats
+    * and how many carry a bloom, against the live file total. Manifest
+    * metadata alone, zero data IO. A column with partial coverage
+    * prunes only its covered files (stats prune, never filter) — this
+    * relation is how an operator spots that before paying for a scan
+    * that reads everything. */
+  def describeStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val files = filesOf(path, m)
+    StructType.fromDDL(m.schemaDdl).fields.toSeq.map { f =>
+      val per = files.flatMap(_.stats.get(f.name))
+      (f.name, f.dataType.simpleString, statTag(f.dataType).isDefined,
+        per.size.toLong, per.count(_.bloom.isDefined).toLong, files.size.toLong)
+    }.toDF("column", "type", "stats_capable", "files_with_stats",
+      "files_with_bloom", "files_total")
+  }
+
   def currentVersion(path: String): Option[Long] =
     manifestFiles(path).lastOption.map(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong)
 
@@ -2170,9 +2191,14 @@ object GraftTable {
     *    on the vacuum horizon. `ignoreConsumers=true` overrides (the
     *    explicit "that consumer is decommissioned" escape hatch —
     *    consumers whose span was force-dropped fail loudly at
-    *    [[manifestAt]], never silently skip). */
+    *    [[manifestAt]], never silently skip).
+    *
+    * `dryRun=true` (VACUUM … DRY RUN) computes the same retention cut
+    * and returns the data-file count that WOULD be deleted, touching
+    * nothing — the operational preflight before pointing a destructive
+    * maintenance job at a 100 TB table. */
   def vacuum(path: String, keepVersions: Int = 2, retainAgeUs: Option[Long] = None,
-      ignoreConsumers: Boolean = false): Int = {
+      ignoreConsumers: Boolean = false, dryRun: Boolean = false): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     require(retainAgeUs.forall(_ >= 0), "retainAgeUs must be non-negative")
     val all = manifestFiles(path)
@@ -2200,6 +2226,7 @@ object GraftTable {
     val dataDir = new File(path, DataDir)
     val dead = Option(dataDir.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !referenced.contains(f.getName))
+    if (dryRun) return dead.length
     dead.foreach(f => f.delete(): Unit)
     drop.foreach(f => f.delete(): Unit)
     Option(logDir(path).listFiles).getOrElse(Array.empty[File])

@@ -297,17 +297,20 @@ private[plans] case class GraftDropCheckCommand(path: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
 }
 
-/** `VACUUM graft.`p`` — the maintenance statement Spark's grammar lacks;
-  * parsed by [[GraftMaintenance]] (the same move Delta's own parser
-  * makes for its VACUUM/OPTIMIZE). Returns the deleted-file count. */
+/** `VACUUM graft.`p` [RETAIN n HOURS] [DRY RUN]` — the maintenance
+  * statement Spark's grammar lacks; parsed by [[GraftMaintenance]] (the
+  * same move Delta's own parser makes for its VACUUM/OPTIMIZE). Returns
+  * the deleted-file count — or, with DRY RUN, the count that WOULD be
+  * deleted, touching nothing. */
 private[plans] case class GraftVacuumCommand(path: String,
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double], dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "deleted_files", org.apache.spark.sql.types.IntegerType, nullable = false)())
   def execute(spark: SparkSession): Long =
     GraftTable.vacuum(path, keepVersions = 2,
-      retainAgeUs = retainHours.map(h => (h * 3600d * 1e6).toLong)).toLong
+      retainAgeUs = retainHours.map(h => (h * 3600d * 1e6).toLong),
+      dryRun = dryRun).toLong
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark).toInt))
 }
 
@@ -421,7 +424,7 @@ private[plans] case class GraftCloneCommand(dstPath: String, srcPath: String,
   * through untouched. */
 object GraftMaintenance {
   private val Vacuum =
-    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
   private val BoundBetween =
@@ -468,8 +471,8 @@ object GraftMaintenance {
       Some(GraftAnalyzeCommand(path,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         kind.equalsIgnoreCase("BLOOM")))
-    case Vacuum(path, hours) =>
-      Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble)))
+    case Vacuum(path, hours, dry) =>
+      Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble), dry != null))
     case Optimize(path, whereText, zcols) =>
       Some(GraftOptimizeCommand(path,
         Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),

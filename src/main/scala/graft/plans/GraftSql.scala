@@ -27,6 +27,7 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_history('/path/t')              -- DESCRIBE HISTORY
   *   SELECT … FROM graft_table_files('/path/t'[, 2])            -- DESCRIBE DETAIL (file grain)
   *   SELECT … FROM graft_table_checks('/path/t')               -- active CHECK constraints
+  *   SELECT … FROM graft_table_stats('/path/t')                -- per-column stats/bloom coverage
   * }}}
   *
   * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
@@ -91,6 +92,13 @@ object GraftSql {
       case Seq(p) =>
         plan(spark, GraftTable.describeChecks(spark, pathOf("graft_table_checks", p)))
       case args => fail("graft_table_checks", s"(path), got ${args.size} argument(s)")
+    })
+    // per-column stats/bloom coverage — the "what should I ANALYZE?"
+    // introspection (manifest metadata alone, zero data IO)
+    register("graft_table_stats", {
+      case Seq(p) =>
+        plan(spark, GraftTable.describeStats(spark, pathOf("graft_table_stats", p)))
+      case args => fail("graft_table_stats", s"(path), got ${args.size} argument(s)")
     })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,

@@ -132,7 +132,12 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.versions(path).map(_._1) == Seq(5L, 6L))
     // one more commit pushes v5 out — its small files become unreferenced
     GraftTable.append(kv(6 -> "v6"), path)
-    assert(GraftSql.dml(spark, s"VACUUM graft.`$path`") > 0L)
+    // DRY RUN reports what a real vacuum would reclaim, touching nothing
+    val wouldDelete = GraftSql.dml(spark, s"VACUUM graft.`$path` DRY RUN")
+    assert(wouldDelete > 0L)
+    assert(GraftTable.versions(path).map(_._1) == Seq(5L, 6L, 7L),
+      "dry run must not drop manifests")
+    assert(GraftSql.dml(spark, s"VACUUM graft.`$path`") == wouldDelete)
     assert(GraftTable.versions(path).map(_._1) == Seq(6L, 7L))
     assert(GraftTable.read(spark, path).count() == 6)
     // OPTIMIZE ZORDER BY on one column reclusters; ranges then skip

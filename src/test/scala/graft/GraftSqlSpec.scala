@@ -41,6 +41,25 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(spark.sql(s"SELECT * FROM graft_table_checks('$path')").isEmpty)
   }
 
+  test("graft_table_stats reports per-column coverage and tracks ANALYZE") {
+    val path = tmp()
+    // stats on k only, then a stats-free append: k covered 4/5, x 0/5
+    GraftTable.writeClustered(Seq.tabulate(40)(i => (i, i * 2, s"v$i"))
+      .toDF("k", "x", "v"), path, col("k"), numFiles = 4, statsCols = Seq("k"))
+    GraftTable.append(Seq((99, 198, "a")).toDF("k", "x", "v"), path,
+      statsCols = Seq("k"))
+    def cov() = spark.sql(s"SELECT column, files_with_stats, files_with_bloom, " +
+      s"files_total FROM graft_table_stats('$path')").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val before = cov()
+    assert(before("k") == ((5L, 0L, 5L)) && before("x") == ((0L, 0L, 5L)))
+    assert(before("v") == ((0L, 0L, 5L)))
+    // the introspection drives the maintenance: ANALYZE closes the gap
+    GraftTable.analyzeStats(spark, path, Seq("x"), bloomCols = Seq("k"))
+    val after = cov()
+    assert(after("x") == ((5L, 0L, 5L)) && after("k") == ((5L, 5L, 5L)))
+  }
+
   test("TVF reads match the Scala API per version, by timestamp, and at head") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
