@@ -37,9 +37,12 @@ import graft.sources.{GraftFileIndex, GraftProjectedRelation}
   *     WHEN MATCHED AND s.op = 'D' THEN DELETE
   *     WHEN MATCHED THEN UPDATE SET v = s.v
   *     WHEN NOT MATCHED THEN INSERT *""")
-  *   // constraint + maintenance statements (same routing):
+  *   // constraint + evolution + maintenance statements (same routing):
   *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` ADD CONSTRAINT c CHECK (k > 0)")
   *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` DROP CONSTRAINT IF EXISTS c")
+  *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` ADD COLUMNS (n INT, note STRING)")
+  *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` RENAME COLUMN v TO label")
+  *   GraftSql.dml(spark, "ALTER TABLE graft.`/path/t` DROP COLUMN IF EXISTS note")
   *   GraftSql.dml(spark, "VACUUM graft.`/path/t` RETAIN 168 HOURS")
   *   GraftSql.dml(spark, "OPTIMIZE graft.`/path/t` ZORDER BY (k)")
   *   GraftSql.dml(spark, "RESTORE TABLE graft.`/path/t` TO VERSION AS OF 3")
@@ -79,6 +82,9 @@ object GraftDml extends PredicateHelper {
     case c: GraftMergeCommand => Some(c.execute(spark))
     case c: GraftAddCheckCommand => Some(c.execute(spark))
     case c: GraftDropCheckCommand => Some(c.execute(spark))
+    case c: GraftAddColumnsCommand => Some(c.execute(spark))
+    case c: GraftRenameColumnCommand => Some(c.execute(spark))
+    case c: GraftDropColumnsCommand => Some(c.execute(spark))
     case _ => None
   }
 
@@ -127,6 +133,34 @@ object GraftDml extends PredicateHelper {
         case Some((path, _)) => GraftDropCheckCommand(path, dc.name, dc.ifExists)
         case None => dc
       }
+    // ALTER TABLE graft.`p` ADD COLUMNS / RENAME COLUMN / DROP COLUMN —
+    // Spark's own evolution grammar routed to the metadata-only schema
+    // ops (the dialect half of addColumn/renameColumn/dropColumn).
+    // Flat schemas only; position/default/comment refuse loudly.
+    case ac: AddColumns if GraftTarget.unapply(ac.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(ac.table)
+      val cols = ac.columnsToAdd.map { q =>
+        require(q.path.isEmpty && q.name.size == 1,
+          s"graft tables have flat schemas — cannot add nested '${q.name.mkString(".")}'")
+        require(q.position.isEmpty && q.default.isEmpty && q.comment.isEmpty,
+          s"ADD COLUMN '${q.name.head}': position/default/comment are not supported " +
+            "on graft tables (columns append, always nullable)")
+        (q.name.head, q.dataType.sql)
+      }
+      GraftAddColumnsCommand(path, cols)
+    case rc: RenameColumn if GraftTarget.unapply(rc.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(rc.table)
+      require(rc.column.name.size == 1,
+        s"graft tables have flat schemas — cannot rename nested '${rc.column.name.mkString(".")}'")
+      GraftRenameColumnCommand(path, rc.column.name.head, rc.newName)
+    case dcol: DropColumns if GraftTarget.unapply(dcol.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(dcol.table)
+      val names = dcol.columnsToDrop.map { f =>
+        require(f.name.size == 1,
+          s"graft tables have flat schemas — cannot drop nested '${f.name.mkString(".")}'")
+        f.name.head
+      }
+      GraftDropColumnsCommand(path, names, dcol.ifExists)
     case other => other
   }
 
@@ -294,6 +328,46 @@ private[plans] case class GraftDropCheckCommand(path: String, name: String,
     if (!present && ifExists) GraftTable.currentVersion(path).getOrElse(0L)
     else GraftTable.dropCheck(path, name)
   }
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `ALTER TABLE graft.`p` ADD COLUMNS (c TYPE, …)` — the metadata-only
+  * schema append ([[GraftTable.addColumn]]; zero data IO, new columns
+  * read NULL from pre-add files, re-adds can never resurrect dropped
+  * on-disk values). Multiple columns commit one version each, in
+  * statement order. */
+private[plans] case class GraftAddColumnsCommand(path: String,
+    cols: Seq[(String, String)]) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    cols.map { case (n, t) => GraftTable.addColumn(path, n, t) }.last
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `ALTER TABLE graft.`p` RENAME COLUMN a TO b` — metadata-only
+  * ([[GraftTable.renameColumn]]; files keep their physical names via
+  * the rename-indirection map). */
+private[plans] case class GraftRenameColumnCommand(path: String,
+    from: String, to: String) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long = GraftTable.renameColumn(path, from, to)
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `ALTER TABLE graft.`p` DROP COLUMN [IF EXISTS] a[, b]` —
+  * metadata-only ([[GraftTable.dropColumn]]; on-disk data stays until
+  * rewrites shed it, historical versions still read it). */
+private[plans] case class GraftDropColumnsCommand(path: String,
+    names: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    names.map { n =>
+      val there = GraftTable.currentManifest(path).exists(m =>
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .fieldNames.contains(n))
+      if (!there && ifExists) GraftTable.currentVersion(path).getOrElse(0L)
+      else GraftTable.dropColumn(path, n)
+    }.last
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
 }
 

@@ -659,6 +659,11 @@ object PlanAudit {
         .exists(_.checks.exists(_.contains("pos_price")))
       val opt = spark.sql(s"OPTIMIZE graft.`$root`").collect()
       val vac = spark.sql(s"VACUUM graft.`$root`").collect()
+      // schema evolution through plain spark.sql in the same session
+      spark.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (flag STRING)")
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN flag TO tag")
+      val evolved = GraftTable.read(spark, root).columns.toSeq
+      spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN tag")
       val checks = Seq(
         "sql_delete_applied" -> (afterDeleteF == 0L && afterDeleteN < before),
         "sql_update_applied" -> (doubledN == afterDeleteN),
@@ -666,6 +671,8 @@ object PlanAudit {
         "sql_constraint_added" -> hasCheck,
         "sql_optimize_ran" -> (opt.length == 1 && opt(0).getInt(1) <= opt(0).getInt(0)),
         "sql_vacuum_ran" -> (vac.length == 1 && vac(0).getInt(0) >= 0),
+        "sql_evolution_ran" -> (evolved.contains("tag") && !evolved.contains("flag") &&
+          !GraftTable.read(spark, root).columns.contains("tag")),
         "parser_injected" -> spark.sessionState.sqlParser
           .isInstanceOf[graft.plans.GraftSqlParser])
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }

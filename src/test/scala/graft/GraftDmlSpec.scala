@@ -216,6 +216,46 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, pd).count() == 2)
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN route to the metadata-only schema ops") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    // ADD COLUMNS: appended nullable columns, NULL from pre-add files
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` ADD COLUMNS (n INT, note STRING)")
+    val added = GraftTable.read(spark, path)
+    assert(added.columns.toSeq == Seq("k", "v", "n", "note"))
+    assert(added.filter(col("n").isNull && col("note").isNull).count() == 2)
+    // RENAME COLUMN: logical name moves, data intact
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` RENAME COLUMN v TO label")
+    assert(canon(GraftTable.read(spark, path).select("k", "label")) ==
+      canon(kv(1 -> "a", 2 -> "b").toDF("k", "label")))
+    // DROP COLUMN: gone from the head, still in history
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP COLUMN note")
+    assert(GraftTable.read(spark, path).columns.toSeq == Seq("k", "label", "n"))
+    assert(GraftTable.readVersion(spark, path, 3L).columns.contains("note"))
+    // IF EXISTS on a missing column is a no-op; without it, loud
+    val v = GraftTable.currentVersion(path)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP COLUMN IF EXISTS nope")
+    assert(GraftTable.currentVersion(path) == v)
+    intercept[Exception](
+      GraftSql.dml(spark, s"ALTER TABLE graft.`$path` DROP COLUMN nope"))
+    // nested adds and defaults refuse loudly (flat schemas, no defaults)
+    intercept[Exception](GraftSql.dml(spark,
+      s"ALTER TABLE graft.`$path` ADD COLUMNS (s STRUCT<a: INT>, s.b INT)"))
+    intercept[Exception](GraftSql.dml(spark,
+      s"ALTER TABLE graft.`$path` ADD COLUMNS (d INT DEFAULT 7)"))
+    // the parser wrapper serves the same statements for spark.sql
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(wrapped.parsePlan(s"ALTER TABLE graft.`$path` RENAME COLUMN n TO m")
+      .getClass.getSimpleName == "GraftRenameColumnCommand")
+    assert(wrapped.parsePlan(s"ALTER TABLE graft.`$path` ADD COLUMNS (x DOUBLE)")
+      .getClass.getSimpleName == "GraftAddColumnsCommand")
+    assert(wrapped.parsePlan(s"ALTER TABLE graft.`$path` DROP COLUMN n")
+      .getClass.getSimpleName == "GraftDropColumnsCommand")
+    // non-graft ALTERs pass through untouched
+    assert(wrapped.parsePlan("ALTER TABLE other RENAME COLUMN a TO b") ==
+      spark.sessionState.sqlParser.parsePlan("ALTER TABLE other RENAME COLUMN a TO b"))
+  }
+
   test("OPTIMIZE WHERE bounds the rewrite to the stats window") {
     val p = tmp() + "/t"
     def dataFiles() = Option(new java.io.File(p, "data").listFiles).get
