@@ -460,6 +460,12 @@ SELECT o_orderkey, o_custkey, o_orderstatus
 FROM orders
 WHERE o_orderkey <= 3000""",
 
+    // CTAS half + INSERT INTO half + a BY-NAME insert that is deleted
+    // again must net out to the full source selection
+    "q157_sql_ctas_insert" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

@@ -2237,6 +2237,34 @@ object Queries {
       .filter(col("o_orderkey") <= 3000)
   }
 
+  private lazy val q157Root: String =
+    java.nio.file.Files.createTempDirectory("graft_ctas").toString
+
+  /** q157: the dialect's CREATE/INSERT surface end to end — the table
+    * materializes from a SQL CTAS over half the source, the other half
+    * arrives via `INSERT INTO … SELECT`, and a third slice replays
+    * through `INSERT INTO … BY NAME` with its SELECT columns reordered
+    * (then is deleted again, exercising both binds); the oracle is the
+    * plain declarative union — a positional mis-bind, a BY-NAME
+    * mis-bind, or an insert that double-writes breaks the hash. */
+  def sqlCtasInsertQ(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftSql
+    val root = q157Root
+    TableIO.clearDir(root)
+    val t = s"$root/orders_c"
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus")).createOrReplaceTempView("q157_src")
+    GraftSql.dml(s, s"CREATE TABLE graft.`$t` AS " +
+      "SELECT * FROM q157_src WHERE o_orderkey % 2 = 0")
+    GraftSql.dml(s, s"INSERT INTO graft.`$t` " +
+      "SELECT * FROM q157_src WHERE o_orderkey % 2 = 1")
+    GraftSql.dml(s, s"INSERT INTO graft.`$t` BY NAME " +
+      "SELECT o_orderstatus, o_orderkey + 10000000 AS o_orderkey, o_custkey " +
+      "FROM q157_src WHERE o_orderkey % 100 = 7")
+    GraftSql.dml(s, s"DELETE FROM graft.`$t` WHERE o_orderkey > 10000000")
+    graft.core.GraftTable.read(s, t)
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2282,6 +2310,7 @@ object Queries {
     "q154_sql_zorder_multi" -> (sqlZorderQ _),
     "q155_sql_analyze" -> (sqlAnalyzeQ _),
     "q156_sql_optimize_where" -> (sqlOptimizeWhereQ _),
+    "q157_sql_ctas_insert" -> (sqlCtasInsertQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

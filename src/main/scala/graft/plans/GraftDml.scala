@@ -85,6 +85,8 @@ object GraftDml extends PredicateHelper {
     case c: GraftAddColumnsCommand => Some(c.execute(spark))
     case c: GraftRenameColumnCommand => Some(c.execute(spark))
     case c: GraftDropColumnsCommand => Some(c.execute(spark))
+    case c: GraftInsertCommand => Some(c.execute(spark))
+    case c: GraftCreateTableCommand => Some(c.execute(spark))
     case _ => None
   }
 
@@ -161,6 +163,35 @@ object GraftDml extends PredicateHelper {
         f.name.head
       }
       GraftDropColumnsCommand(path, names, dcol.ifExists)
+    // INSERT INTO / INSERT OVERWRITE graft.`p` SELECT … — append /
+    // overwrite through the table's own write path (checks enforced,
+    // stats collected, schema verified). SQL positional semantics:
+    // the SELECT's columns bind to the target schema by position (and
+    // cast to it); `BY NAME` binds by name.
+    case ins: InsertIntoStatement if GraftTarget.unapply(ins.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(ins.table)
+      require(ins.partitionSpec.isEmpty,
+        "graft tables take no PARTITION spec — file stats partition the reads")
+      require(ins.userSpecifiedCols.isEmpty,
+        "INSERT with a column list is not supported on graft tables — " +
+          "project the full schema in the SELECT (columns are never silently defaulted)")
+      GraftInsertCommand(path, ins.query, ins.overwrite, ins.byName)
+    // CREATE [OR REPLACE] TABLE graft.`p` AS SELECT … — materialize a
+    // query as a new GraftTable (the dialect's CTAS)
+    case ctas: CreateTableAsSelect => ctas.name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+          if u.nameParts.size == 2 && u.nameParts.head.equalsIgnoreCase("graft") =>
+        GraftCreateTableCommand(u.nameParts(1), ctas.query,
+          ignoreIfExists = ctas.ignoreIfExists, replace = false)
+      case _ => ctas
+    }
+    case rtas: ReplaceTableAsSelect => rtas.name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+          if u.nameParts.size == 2 && u.nameParts.head.equalsIgnoreCase("graft") =>
+        GraftCreateTableCommand(u.nameParts(1), rtas.query,
+          ignoreIfExists = false, replace = true, orCreate = rtas.orCreate)
+      case _ => rtas
+    }
     case other => other
   }
 
@@ -368,6 +399,65 @@ private[plans] case class GraftDropColumnsCommand(path: String,
       if (!there && ifExists) GraftTable.currentVersion(path).getOrElse(0L)
       else GraftTable.dropColumn(path, n)
     }.last
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `INSERT INTO|OVERWRITE graft.`p` SELECT …` — the dialect's basic
+  * write surface, routed through [[GraftTable.append]]/
+  * [[GraftTable.overwrite]] so CHECK constraints, stats collection,
+  * and schema verification all apply. Positional SQL semantics: the
+  * SELECT's columns bind to the target schema by position and cast to
+  * its types; `BY NAME` binds by name. The query plan resolves at
+  * EXECUTE time (temp views in the SELECT see the session as-of the
+  * run, like any SQL insert). */
+private[plans] case class GraftInsertCommand(path: String, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val m = GraftTable.currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable — " +
+        "CREATE TABLE graft.`…` AS SELECT creates one"))
+    val target = StructType.fromDDL(m.schemaDdl)
+    val df0 = ClassicBridge.ofRows(spark, query)
+    val bound =
+      if (byName) {
+        val missing = target.fieldNames.filterNot(df0.columns.contains)
+        require(missing.isEmpty,
+          s"INSERT BY NAME: query is missing target column(s) ${missing.mkString(", ")}")
+        df0.select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+      } else {
+        require(df0.schema.length == target.length,
+          s"INSERT: query has ${df0.schema.length} column(s), target has ${target.length}")
+        df0.toDF(target.fieldNames.toSeq: _*)
+          .select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+      }
+    if (overwrite) GraftTable.overwrite(bound, path) else GraftTable.append(bound, path)
+  }
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `CREATE [OR REPLACE] TABLE [IF NOT EXISTS] graft.`p` AS SELECT …` —
+  * materialize a query as a new GraftTable (v1 overwrite commit;
+  * OR REPLACE evolves an existing table's schema the way
+  * [[GraftTable.overwrite]] always has, keeping its history). */
+private[plans] case class GraftCreateTableCommand(path: String, query: LogicalPlan,
+    ignoreIfExists: Boolean, replace: Boolean, orCreate: Boolean = false)
+    extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long = {
+    val exists = GraftTable.exists(path)
+    if (exists && !replace) {
+      if (ignoreIfExists) return GraftTable.currentVersion(path).getOrElse(0L)
+      throw new IllegalArgumentException(
+        s"graft table '$path' already exists (use OR REPLACE, or IF NOT EXISTS to no-op)")
+    }
+    if (!exists && replace && !orCreate)
+      throw new IllegalArgumentException(
+        s"REPLACE TABLE: no graft table at '$path' (use CREATE OR REPLACE)")
+    GraftTable.overwrite(ClassicBridge.ofRows(spark, query), path)
+  }
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
 }
 

@@ -664,7 +664,19 @@ object PlanAudit {
       spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN flag TO tag")
       val evolved = GraftTable.read(spark, root).columns.toSeq
       spark.sql(s"ALTER TABLE graft.`$root` DROP COLUMN tag")
+      // and the basic write surface: INSERT INTO / CTAS natively (the
+      // CTAS reads through a TVF — the read and write dialects compose)
+      graft.plans.GraftSql.install(spark)
+      val preIns = GraftTable.read(spark, root).count()
+      spark.sql(s"INSERT INTO graft.`$root` SELECT -1, 'X', 1.0")
+      val insOk = GraftTable.read(spark, root).count() == preIns + 1
+      spark.sql(s"CREATE TABLE graft.`$root-ctas` AS " +
+        s"SELECT * FROM graft_table('$root') WHERE o_totalprice > 0")
+      val ctasOk = GraftTable.exists(s"$root-ctas") &&
+        GraftTable.read(spark, s"$root-ctas").count() > 0
       val checks = Seq(
+        "sql_insert_ran" -> insOk,
+        "sql_ctas_ran" -> ctasOk,
         "sql_delete_applied" -> (afterDeleteF == 0L && afterDeleteN < before),
         "sql_update_applied" -> (doubledN == afterDeleteN),
         "sql_merge_ran" -> (vMerge != null && GraftTable.currentVersion(root).exists(_ >= 3L)),

@@ -216,6 +216,56 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, pd).count() == 2)
   }
 
+  test("INSERT INTO/OVERWRITE and CREATE TABLE AS SELECT route to append/overwrite") {
+    val root = tmp()
+    val p = s"$root/t"
+    // CTAS creates v1; IF NOT EXISTS no-ops; a bare re-CREATE refuses
+    GraftSql.dml(spark,
+      s"CREATE TABLE graft.`$p` AS SELECT id AS k, concat('v', id) AS v FROM range(3)")
+    assert(GraftTable.read(spark, p).count() == 3)
+    intercept[Exception](
+      GraftSql.dml(spark, s"CREATE TABLE graft.`$p` AS SELECT 1 AS x"))
+    val v1 = GraftTable.currentVersion(p)
+    GraftSql.dml(spark, s"CREATE TABLE IF NOT EXISTS graft.`$p` AS SELECT 1 AS x")
+    assert(GraftTable.currentVersion(p) == v1, "IF NOT EXISTS must no-op")
+    // INSERT INTO appends positionally, casting to the target types
+    GraftSql.dml(spark, s"INSERT INTO graft.`$p` SELECT 10, 'ten'")
+    assert(GraftTable.read(spark, p).count() == 4)
+    // BY NAME binds by name regardless of SELECT order
+    GraftSql.dml(spark, s"INSERT INTO graft.`$p` BY NAME SELECT 'eleven' AS v, 11 AS k")
+    assert(GraftTable.read(spark, p)
+      .filter(col("k") === 11 && col("v") === "eleven").count() == 1)
+    // INSERT OVERWRITE replaces the snapshot; history keeps the old one
+    GraftSql.dml(spark, s"INSERT OVERWRITE graft.`$p` SELECT id AS k, 'x' AS v FROM range(2)")
+    assert(GraftTable.read(spark, p).count() == 2)
+    assert(GraftTable.readVersion(spark, p, 3L).count() == 5)
+    // CHECK constraints gate SQL inserts like any write
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$p` ADD CONSTRAINT pos CHECK (k >= 0)")
+    intercept[Exception](GraftSql.dml(spark, s"INSERT INTO graft.`$p` SELECT -1, 'bad'"))
+    // arity mismatches and column lists refuse loudly
+    intercept[Exception](GraftSql.dml(spark, s"INSERT INTO graft.`$p` SELECT 1"))
+    intercept[Exception](GraftSql.dml(spark, s"INSERT INTO graft.`$p` (k) SELECT 1"))
+    // OR REPLACE evolves the schema in place; REPLACE of nothing refuses.
+    // (The CHECK references k, which the new schema drops — the
+    // documented contract is to drop the check first, or the write
+    // fails its analysis loudly.)
+    intercept[Exception](
+      GraftSql.dml(spark, s"CREATE OR REPLACE TABLE graft.`$p` AS SELECT 1.5 AS d"))
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$p` DROP CONSTRAINT pos")
+    GraftSql.dml(spark, s"CREATE OR REPLACE TABLE graft.`$p` AS SELECT 1.5 AS d")
+    assert(GraftTable.read(spark, p).columns.toSeq == Seq("d"))
+    intercept[Exception](
+      GraftSql.dml(spark, s"REPLACE TABLE graft.`$root/none` AS SELECT 1 AS x"))
+    // the parser wrapper serves the same statements; non-graft untouched
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    assert(wrapped.parsePlan(s"INSERT INTO graft.`$p` SELECT 1.0")
+      .getClass.getSimpleName == "GraftInsertCommand")
+    assert(wrapped.parsePlan(s"CREATE TABLE graft.`$root/t2` AS SELECT 1 AS x")
+      .getClass.getSimpleName == "GraftCreateTableCommand")
+    assert(wrapped.parsePlan("INSERT INTO other SELECT 1") ==
+      spark.sessionState.sqlParser.parsePlan("INSERT INTO other SELECT 1"))
+  }
+
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route to the metadata-only schema ops") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
