@@ -85,7 +85,8 @@ import graft.core.GraftTable
   * nothing else, forever. Flat schemas only (the warehouse/CDC grain);
   * nested columns refuse loudly. */
 class GraftStreamSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.RelationProvider {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
@@ -111,14 +112,48 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       GraftBatchRead.resolveManifest(path, options))
   }
 
+  /** BATCH write path: `df.write.format("graft").mode(…).save(path)` —
+    * the write half of the Spark-native idiom, routed through the
+    * table's own ops so CHECK constraints, stats collection, and
+    * schema verification all apply. `statsCols` / `bloomCols` options
+    * (comma lists) choose the indexed columns; SaveMode semantics are
+    * standard (Append creates on first write, Overwrite may evolve the
+    * schema, ErrorIfExists refuses an existing table, Ignore no-ops). */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val path = pathOf(options)
+    def csv(k: String): Seq[String] = Option(options.get(k)).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val (statsCols, bloomCols) = (csv("statsCols"), csv("bloomCols"))
+    val exists = GraftTable.exists(path)
+    mode match {
+      case SaveMode.Append => GraftTable.append(data, path, statsCols, bloomCols)
+      case SaveMode.Overwrite => GraftTable.overwrite(data, path, statsCols, bloomCols)
+      case SaveMode.ErrorIfExists if exists => throw new IllegalArgumentException(
+        s"graft table '$path' already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case _ => GraftTable.overwrite(data, path, statsCols, bloomCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
-    val m = GraftTable.currentManifest(path).getOrElse(
-      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
-    val base = StructType.fromDDL(m.schemaDdl)
-    if (options.getBoolean("readChangeFeed", false))
-      base.add("_change_type", StringType).add("_commit_version", LongType)
-    else base
+    GraftTable.currentManifest(path) match {
+      // Spark's writer probes the V2 table (and so this schema) BEFORE
+      // deciding to fall back to the V1 CreatableRelationProvider — a
+      // first write to a fresh path must not die here. Reads of a
+      // missing table still fail loudly in the relation/stream.
+      case None => new StructType()
+      case Some(m) =>
+        val base = StructType.fromDDL(m.schemaDdl)
+        if (options.getBoolean("readChangeFeed", false))
+          base.add("_change_type", StringType).add("_commit_version", LongType)
+        else base
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

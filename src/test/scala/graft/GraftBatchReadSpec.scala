@@ -36,6 +36,33 @@ class GraftBatchReadSpec extends AnyFunSuite with SparkSpecBase {
   private def graftDf(path: String): DataFrame =
     spark.read.format("graft").load(path)
 
+  test("format(\"graft\") writes: SaveMode semantics through the table's own ops") {
+    val path = tmp() + "/t"
+    // Append on a fresh path creates the table (v1), with indexed cols
+    kv(1 -> "a", 2 -> "b").write.format("graft")
+      .option("statsCols", "k").option("bloomCols", "k").mode("append").save(path)
+    assert(GraftTable.currentVersion(path).contains(1L))
+    assert(canon(graftDf(path)) == canon(kv(1 -> "a", 2 -> "b")))
+    assert(GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .forall(_.stats.get("k").exists(_.bloom.isDefined)), "bloomCols option applied")
+    // a second append accumulates; overwrite replaces and keeps history
+    kv(3 -> "c").write.format("graft").mode("append").save(path)
+    assert(graftDf(path).count() == 3)
+    kv(9 -> "z").write.format("graft").mode("overwrite").save(path)
+    assert(canon(graftDf(path)) == canon(kv(9 -> "z")))
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(path).count() == 3)
+    // CHECK constraints gate the writer path too
+    GraftTable.addCheck(spark, path, "pos", "k > 0")
+    intercept[Exception](
+      kv(-1 -> "bad").write.format("graft").mode("append").save(path))
+    // ErrorIfExists refuses an existing table; Ignore no-ops
+    intercept[Exception](
+      kv(1 -> "x").write.format("graft").mode("errorifexists").save(path))
+    val v = GraftTable.currentVersion(path)
+    kv(1 -> "x").write.format("graft").mode("ignore").save(path)
+    assert(GraftTable.currentVersion(path) == v && graftDf(path).count() == 1)
+  }
+
   test("batch load reads the head snapshot; versionAsOf/timestampAsOf pin history") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path) // v1
