@@ -86,7 +86,8 @@ import graft.core.GraftTable
   * nested columns refuse loudly. */
 class GraftStreamSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.RelationProvider
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
 
   private def pathOf(options: CaseInsensitiveStringMap): String = {
@@ -140,6 +141,36 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
     createRelation(sqlContext, parameters)
   }
 
+  /** STREAMING write path: `df.writeStream.format("graft")` — an
+    * exactly-once append sink over [[GraftTable.appendStream]]: the
+    * stream's high-water mark rides the manifest (`streamMarks`), so a
+    * replayed micro-batch (foreachBatch-style at-least-once delivery)
+    * commits exactly once, and the sink's state IS the table — no side
+    * ledger. The stable stream identity comes from `streamId` (or the
+    * `checkpointLocation` option), surviving restarts. Append-only by
+    * design: update/complete modes belong to foreachBatch + the
+    * merge/SCD2 operators. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val options = new CaseInsensitiveStringMap(parameters.asJava)
+    val path = pathOf(options)
+    require(partitionColumns.isEmpty,
+      "graft sink takes no partitionBy — file stats partition the reads")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink is append-only, got $outputMode — use foreachBatch with " +
+        "the merge/SCD2 operators for update semantics")
+    val streamId = Option(options.get("streamId"))
+      .orElse(Option(options.get("checkpointLocation")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a stable stream identity: set .option(\"streamId\", …) " +
+          "or .option(\"checkpointLocation\", …)"))
+    val statsCols = Option(options.get("statsCols")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new GraftSink(path, streamId, statsCols)
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = pathOf(options)
     GraftTable.currentManifest(path) match {
@@ -162,6 +193,18 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       new CaseInsensitiveStringMap(properties).getBoolean("readChangeFeed", false))
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+/** The exactly-once streaming append sink: one [[GraftTable.appendStream]]
+  * commit per micro-batch, replay-deduplicated by the manifest's
+  * per-stream high-water mark. */
+private[sources] class GraftSink(path: String, streamId: String,
+    statsCols: Seq[String]) extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graftbridge.ClassicBridge.capturedBatch(data)
+    GraftTable.appendStream(batch, path, streamId, batchId, statsCols): Unit
+  }
+  override def toString: String = s"GraftSink[$path]"
 }
 
 private[sources] class GraftStreamTable(path: String, schema0: StructType,

@@ -16,4 +16,14 @@ object ClassicBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Rebind a streaming micro-batch's ALREADY-COMPUTED rows as a batch
+    * DataFrame (the `Sink.addBatch` contract hands a DF that cannot be
+    * re-planned for a batch write) — the standard V1-sink capture:
+    * `toRdd` of the executed batch, wrapped without recompute. */
+  def capturedBatch(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rows = data.queryExecution.toRdd.map(_.copy())
+    spark.internalCreateDataFrame(rows, data.schema, isStreaming = false)
+  }
 }

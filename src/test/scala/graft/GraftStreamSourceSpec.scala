@@ -222,6 +222,49 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.currentVersion(dst) == before)
   }
 
+  test("writeStream.format(\"graft\") is a native exactly-once append sink") {
+    val root = tmp()
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ckpt")
+    GraftTable.overwrite(kv(1 -> "a"), src)
+    GraftTable.append(kv(2 -> "b"), src)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("statsCols", "k")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    assert(canon(GraftTable.read(spark, dst)) == canon(kv(1 -> "a", 2 -> "b")))
+    // restart picks up only the new commits
+    GraftTable.append(kv(3 -> "c"), src)
+    run()
+    assert(canon(GraftTable.read(spark, dst)) == canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    // a replayed run with nothing new commits nothing (the manifest
+    // high-water mark, not the checkpoint, is the dedup ledger)
+    val before = GraftTable.currentVersion(dst)
+    run()
+    assert(GraftTable.currentVersion(dst) == before)
+    // the statsCols option indexed the sink's files
+    assert(GraftTable.filesOf(dst, GraftTable.currentManifest(dst).get)
+      .forall(_.stats.contains("k")))
+    // non-append modes and partitionBy refuse at sink construction
+    intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").outputMode("update")
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(Trigger.AvailableNow()).start(s"$root/dst2")
+    }
+    intercept[Exception] {
+      spark.readStream.format("graft").load(src)
+        .writeStream.format("graft").partitionBy("k")
+        .option("checkpointLocation", s"$root/ckpt3")
+        .trigger(Trigger.AvailableNow()).start(s"$root/dst3")
+    }
+  }
+
   test("startingVersion=latest skips history; a COW rewrite fails without ignoreChanges") {
     val root = tmp()
     val path = s"$root/t"
