@@ -466,6 +466,12 @@ WHERE o_orderkey <= 3000""",
 SELECT o_orderkey, o_custkey, o_orderstatus
 FROM orders""",
 
+    // two format("graft") writer appends + a no-op Ignore write must
+    // net out to the full source selection
+    "q158_source_write" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders""",
+
     "q36_nw_fact_order" -> NorthwindOracle.factOrder,
     "q39_nw_dim_products" -> NorthwindOracle.dimProducts,
     "q40_nw_fact_order_details" -> NorthwindOracle.factOrderDetails,

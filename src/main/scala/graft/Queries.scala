@@ -2265,6 +2265,30 @@ object Queries {
     graft.core.GraftTable.read(s, t)
   }
 
+  private lazy val q158Root: String =
+    java.nio.file.Files.createTempDirectory("graft_srcwrite").toString
+
+  /** q158: the `format("graft")` WRITER end to end — half the source
+    * arrives through a creating append, half through a second append,
+    * an `Ignore`-mode write against the existing table must no-op, and
+    * the read back goes through the batch source (manifest FileIndex,
+    * stats skipping live). The oracle is the plain selection — a
+    * writer that drops, duplicates, or lets the Ignore write through
+    * breaks the hash. */
+  def sourceWriteQ(s: SparkSession, d: String): DataFrame = {
+    val root = q158Root
+    TableIO.clearDir(root)
+    val t = s"$root/orders_fw"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"))
+    orders.filter(col("o_orderkey") % 2 === 0).write.format("graft")
+      .option("statsCols", "o_orderkey").mode("append").save(t)
+    orders.filter(col("o_orderkey") % 2 === 1).write.format("graft")
+      .option("statsCols", "o_orderkey").mode("append").save(t)
+    orders.limit(7).write.format("graft").mode("ignore").save(t)
+    s.read.format("graft").load(t)
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2311,6 +2335,7 @@ object Queries {
     "q155_sql_analyze" -> (sqlAnalyzeQ _),
     "q156_sql_optimize_where" -> (sqlOptimizeWhereQ _),
     "q157_sql_ctas_insert" -> (sqlCtasInsertQ _),
+    "q158_source_write" -> (sourceWriteQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),
