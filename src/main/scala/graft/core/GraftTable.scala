@@ -735,12 +735,12 @@ object GraftTable {
     * by an attempt that failed before its manifest commit are invisible
     * orphans (vacuum reclaims) — never partial table state. */
   def appendStream(df: DataFrame, path: String, streamId: String, batchId: Long,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(streamId.nonEmpty, "need a stable stream id")
     val hwm = currentManifest(path).flatMap(_.streamMarks).flatMap(_.get(streamId))
     if (hwm.exists(_ >= batchId)) return -1L
     var validatedChecks = activeChecks(path)
-    val staged = stageFiles(df, path, statsCols, None)
+    val staged = stageFiles(df, path, statsCols, None, bloomCols)
     var committed = -1L
     while (committed < 0) {
       val cur = currentManifest(path)
@@ -1445,7 +1445,12 @@ object GraftTable {
                   Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _)),
                   Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _)),
                   r.getAs[Long](s"__nulls_${f.name}"),
-                  bloom = blooms.get(f.name).flatMap(_.get(bn)))
+                  // an all-NULL column produced no positions: attach the
+                  // all-clear bloom anyway, or needsWork stays true and
+                  // every future ANALYZE re-scans this file and commits
+                  // a do-nothing version
+                  bloom = blooms.get(f.name).flatMap(_.get(bn)).orElse(
+                    if (bloomSet(f.name)) Some(packBloom(BloomK, mBits, Nil)) else None))
               }.toMap
               // a zero-row file yields no groupBy row: register empty
               // stats (and an all-clear bloom) rather than refusing

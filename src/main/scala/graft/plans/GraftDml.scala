@@ -423,10 +423,23 @@ private[plans] case class GraftInsertCommand(path: String, query: LogicalPlan,
     val df0 = ClassicBridge.ofRows(spark, query)
     val bound =
       if (byName) {
-        val missing = target.fieldNames.filterNot(df0.columns.contains)
+        // resolve case-insensitively (SQL name semantics) and refuse
+        // extra query columns like native INSERT BY NAME does — a typo'd
+        // column must never silently drop
+        val byLower = df0.columns.groupBy(_.toLowerCase)
+        byLower.collectFirst { case (_, vs) if vs.length > 1 => vs } .foreach(vs =>
+          throw new IllegalArgumentException(
+            s"INSERT BY NAME: ambiguous query columns ${vs.mkString(", ")}"))
+        val missing = target.fieldNames.filterNot(f => byLower.contains(f.toLowerCase))
         require(missing.isEmpty,
           s"INSERT BY NAME: query is missing target column(s) ${missing.mkString(", ")}")
-        df0.select(target.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+        val extra = df0.columns.filterNot(c =>
+          target.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(extra.isEmpty,
+          s"INSERT BY NAME: query column(s) ${extra.mkString(", ")} are not in the " +
+            s"target schema [${m.schemaDdl}]")
+        df0.select(target.fields.map(f =>
+          col(byLower(f.name.toLowerCase).head).cast(f.dataType).as(f.name)).toSeq: _*)
       } else {
         require(df0.schema.length == target.length,
           s"INSERT: query has ${df0.schema.length} column(s), target has ${target.length}")
@@ -513,7 +526,11 @@ private[plans] case class GraftOptimizeCommand(path: String,
         case FloatType | DoubleType => java.lang.Double.parseDouble(s)
         case d: DecimalType => new java.math.BigDecimal(s)
         case DateType => java.sql.Date.valueOf(s)
-        case TimestampType | TimestampNTZType => java.sql.Timestamp.valueOf(s)
+        case TimestampType => java.sql.Timestamp.valueOf(s)
+        // NTZ stats encode UTC wall-clock (LocalDateTime) — a
+        // zone-interpreted Timestamp here would shift the window by the
+        // JVM offset (the zorderClusterExpr codec lesson)
+        case TimestampNTZType => java.time.LocalDateTime.parse(s.replace(" ", "T"))
         case StringType => s
         case other => throw new IllegalArgumentException(
           s"OPTIMIZE WHERE on ${other.simpleString} is not supported")
@@ -530,6 +547,20 @@ private[plans] case class GraftOptimizeCommand(path: String,
     zorderCols match {
       case Seq() => GraftTable.compactFiles(spark, path, where = ranges)
       case cols =>
+        // the windowed-recluster soundness argument (carried files are
+        // provably disjoint from the window on the CONSTRAINED columns,
+        // so they cannot straddle the rewritten range order) only holds
+        // when every cluster column is constrained — refuse the
+        // silently-poisoned layout otherwise
+        if (ranges.nonEmpty) {
+          val whereCols = ranges.map(_.col).toSet
+          val loose = cols.filterNot(whereCols.contains)
+          require(loose.isEmpty,
+            s"OPTIMIZE WHERE + ZORDER BY: cluster column(s) ${loose.mkString(", ")} " +
+              "are not bounded by the WHERE — carried files outside the window " +
+              "would span their full range and defeat the recluster. Bound every " +
+              "ZORDER column in the WHERE, or drop the WHERE for a full recluster")
+        }
         val cluster =
           if (cols.size == 1) org.apache.spark.sql.functions.col(cols.head)
           else GraftTable.zorderClusterExpr(spark, path, cols)

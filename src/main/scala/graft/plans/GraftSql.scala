@@ -155,7 +155,9 @@ object GraftSql {
     GraftDml.route(spark, parsed).getOrElse(
       throw new IllegalArgumentException(
         "not a graft DML/maintenance statement (expected MERGE INTO / DELETE FROM / " +
-          "UPDATE / ALTER TABLE ADD|DROP CONSTRAINT / VACUUM / OPTIMIZE " +
+          "UPDATE / INSERT INTO|OVERWRITE / CREATE [OR REPLACE] TABLE … AS SELECT / " +
+          "ALTER TABLE ADD|DROP CONSTRAINT / ALTER TABLE ADD|RENAME|DROP COLUMN / " +
+          "VACUUM / OPTIMIZE / RESTORE / CLONE / ANALYZE " +
           "over a graft.`/path` target): " + sql.trim.take(120)))
   }
 

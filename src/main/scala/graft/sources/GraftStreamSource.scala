@@ -96,6 +96,9 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
     p
   }
 
+  private def csv(options: CaseInsensitiveStringMap, k: String): Seq[String] =
+    Option(options.get(k)).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** BATCH read path: the streaming table advertises only
     * MICRO_BATCH_READ, so `spark.read.format("graft")` falls back to
     * this V1 relation — a vectorized parquet scan whose FileIndex IS
@@ -126,9 +129,7 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
     import org.apache.spark.sql.SaveMode
     val options = new CaseInsensitiveStringMap(parameters.asJava)
     val path = pathOf(options)
-    def csv(k: String): Seq[String] = Option(options.get(k)).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val (statsCols, bloomCols) = (csv("statsCols"), csv("bloomCols"))
+    val (statsCols, bloomCols) = (csv(options, "statsCols"), csv(options, "bloomCols"))
     val exists = GraftTable.exists(path)
     mode match {
       case SaveMode.Append => GraftTable.append(data, path, statsCols, bloomCols)
@@ -166,9 +167,7 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
       .getOrElse(throw new IllegalArgumentException(
         "graft sink needs a stable stream identity: set .option(\"streamId\", …) " +
           "or .option(\"checkpointLocation\", …)"))
-    val statsCols = Option(options.get("statsCols")).toSeq
-      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    new GraftSink(path, streamId, statsCols)
+    new GraftSink(path, streamId, csv(options, "statsCols"), csv(options, "bloomCols"))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -199,10 +198,11 @@ class GraftStreamSource extends TableProvider with DataSourceRegister
   * commit per micro-batch, replay-deduplicated by the manifest's
   * per-stream high-water mark. */
 private[sources] class GraftSink(path: String, streamId: String,
-    statsCols: Seq[String]) extends org.apache.spark.sql.execution.streaming.Sink {
+    statsCols: Seq[String], bloomCols: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftbridge.ClassicBridge.capturedBatch(data)
-    GraftTable.appendStream(batch, path, streamId, batchId, statsCols): Unit
+    GraftTable.appendStream(batch, path, streamId, batchId, statsCols, bloomCols): Unit
   }
   override def toString: String = s"GraftSink[$path]"
 }

@@ -231,10 +231,15 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     // INSERT INTO appends positionally, casting to the target types
     GraftSql.dml(spark, s"INSERT INTO graft.`$p` SELECT 10, 'ten'")
     assert(GraftTable.read(spark, p).count() == 4)
-    // BY NAME binds by name regardless of SELECT order
-    GraftSql.dml(spark, s"INSERT INTO graft.`$p` BY NAME SELECT 'eleven' AS v, 11 AS k")
+    // BY NAME binds by name regardless of SELECT order, resolves
+    // case-insensitively, and refuses extra columns (native semantics —
+    // a typo'd column must never silently drop)
+    GraftSql.dml(spark, s"INSERT INTO graft.`$p` BY NAME SELECT 'eleven' AS V, 11 AS K")
     assert(GraftTable.read(spark, p)
       .filter(col("k") === 11 && col("v") === "eleven").count() == 1)
+    val ex = intercept[Exception](GraftSql.dml(spark,
+      s"INSERT INTO graft.`$p` BY NAME SELECT 12 AS k, 'x' AS v, 1 AS extraa"))
+    assert(ex.getMessage.contains("extraa"))
     // INSERT OVERWRITE replaces the snapshot; history keeps the old one
     GraftSql.dml(spark, s"INSERT OVERWRITE graft.`$p` SELECT id AS k, 'x' AS v FROM range(2)")
     assert(GraftTable.read(spark, p).count() == 2)
@@ -340,9 +345,14 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     val v = GraftTable.currentVersion(p)
     GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x >= 224")
     assert(GraftTable.currentVersion(p) == v, "single-file window must not commit")
-    // WHERE + ZORDER BY reclusters just the window
+    // WHERE + ZORDER BY reclusters just the window — but only when every
+    // cluster column is bounded (carried files span the full range of an
+    // unbounded one, which would silently poison the recluster)
     GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x <= 31 ZORDER BY (x)")
     assert(GraftTable.read(spark, p).count() == 260)
+    val pz = intercept[Exception](
+      GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x <= 31 ZORDER BY (v)"))
+    assert(pz.getMessage.contains("not bounded"))
     // a string bound routes through the literal parser
     GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE v = 'v3'")
     assert(GraftTable.read(spark, p).count() == 260)
@@ -393,6 +403,12 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     GraftSql.dml(spark, s"ANALYZE graft.`$pb` COMPUTE BLOOM FOR COLUMNS (k)")
     val probe = GraftTable.readPrunedIn(spark, pb, "k", Seq(7))
     assert(probe.filesRead < 8 && probe.df.filter(col("k") === 7).count() == 1)
+    // an all-NULL bloom column (a freshly ADDed one) still converges:
+    // the files get an all-clear bloom, so a second ANALYZE is a no-op
+    GraftTable.addColumn(pb, "tag", "STRING")
+    val vb = GraftSql.dml(spark, s"ANALYZE graft.`$pb` COMPUTE BLOOM FOR COLUMNS (tag)")
+    assert(GraftTable.analyzeStats(spark, pb, Nil, bloomCols = Seq("tag")) == vb,
+      "all-NULL bloom backfill must be idempotent")
     // refusals: unknown column, and the parser wrapper routes the text
     intercept[Exception](
       GraftSql.dml(spark, s"ANALYZE graft.`$pb` COMPUTE STATS FOR COLUMNS (nope)"))

@@ -232,6 +232,7 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
         .writeStream.format("graft")
         .option("checkpointLocation", ckpt)
         .option("statsCols", "k")
+        .option("bloomCols", "k")
         .trigger(Trigger.AvailableNow())
         .start(dst)
       q.awaitTermination()
@@ -247,9 +248,9 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     val before = GraftTable.currentVersion(dst)
     run()
     assert(GraftTable.currentVersion(dst) == before)
-    // the statsCols option indexed the sink's files
+    // the statsCols/bloomCols options indexed the sink's files
     assert(GraftTable.filesOf(dst, GraftTable.currentManifest(dst).get)
-      .forall(_.stats.contains("k")))
+      .forall(_.stats.get("k").exists(_.bloom.isDefined)))
     // non-append modes and partitionBy refuse at sink construction
     intercept[Exception] {
       spark.readStream.format("graft").load(src)
