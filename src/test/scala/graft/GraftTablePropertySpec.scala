@@ -180,6 +180,40 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
     * parent through the op's own model, with no global interleaving
     * model needed. Gapless versions + per-op exactness = no commit
     * lost, none double-applied, under real thread interleavings. */
+  test("racing ANALYZE and append writers: coverage converges, history stays intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_race_an").toString + "/t"
+    // v deliberately unindexed: the analyzer backfills while the
+    // appender keeps landing new unindexed files
+    GraftTable.overwrite(kvDf(Map(0 -> "init")), path, statsCols = Seq("k"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tAppend = new Thread(() => {
+      try (1 to 8).foreach(i =>
+        GraftTable.append(kvDf(Map(100 + i -> s"a$i")), path, statsCols = Seq("k")))
+      catch { case e: Throwable => failures.add(e): Unit }
+    })
+    val tAnalyze = new Thread(() => {
+      try (0 until 8).foreach { _ =>
+        GraftTable.analyzeStats(spark, path, Seq("v")): Unit
+        Thread.sleep(3)
+      } catch { case e: Throwable => failures.add(e): Unit }
+    })
+    tAppend.start(); tAnalyze.start()
+    tAppend.join(); tAnalyze.join()
+    assert(failures.isEmpty, s"racer died: ${Option(failures.peek()).map(_.toString)}")
+    // one final analyze covers whatever the last appends left; a second
+    // is a no-op (the convergence contract under contention)
+    val v = GraftTable.analyzeStats(spark, path, Seq("v"))
+    assert(GraftTable.analyzeStats(spark, path, Seq("v")) == v)
+    val cov = GraftTable.describeStats(spark, path).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(5))).toMap
+    assert(cov("v")._1 == cov("v")._2, s"v coverage ${cov("v")}")
+    // no row lost, no version corrupted, history gapless
+    assert(GraftTable.read(spark, path).count() == 9)
+    val head = GraftTable.currentVersion(path).get
+    assert(GraftTable.versions(path).map(_._1) == (1L to head))
+    (1L to head).foreach(v => GraftTable.readVersion(spark, path, v).count())
+  }
+
   test("racing merge/restore/append writers: every landed version verifies against its parent") {
     for (seed <- Seq(5, 17)) {
       val path = java.nio.file.Files.createTempDirectory(s"graft_race$seed").toString + "/t"
