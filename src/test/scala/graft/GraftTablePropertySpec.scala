@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -82,10 +82,14 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
             GraftTable.upsertByKey(spark, path, kvRows(delta), Seq("k"))
             multi = delta.foldLeft(multi) { case (m, (k, v)) => m + (k -> List(v)) }
           case 4 =>
-            // compact: contents must not change; may be a version no-op
-            // (≤1 small file) — the history loop below records either way
+            // compact (sometimes WINDOWED on a random k range): contents
+            // must not change; may be a version no-op (≤1 small file in
+            // the window) — the history loop below records either way
             if (GraftTable.exists(path)) {
-              GraftTable.compactFiles(spark, path, targetBytes = 1L << 20): Unit
+              val window = if (rnd.nextBoolean()) Nil
+                else Seq(GraftTable.ColRange("k", Some(rnd.nextInt(8)), None))
+              GraftTable.compactFiles(spark, path, targetBytes = 1L << 20,
+                where = window): Unit
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case 5 =>
             if (GraftTable.exists(path)) {
@@ -143,6 +147,13 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
                 } else m + (k -> List(v)) // not matched -> insert (any k)
               }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 10 =>
+            // ANALYZE backfill: metadata-only, contents invariant; a
+            // fully-covered table makes it a version no-op
+            if (GraftTable.exists(path)) {
+              GraftTable.analyzeStats(spark, path, Seq("v"),
+                bloomCols = if (rnd.nextBoolean()) Seq("k") else Nil): Unit
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
         }
         // history tracking: one snapshot per committed version
@@ -171,15 +182,6 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
-  /** Racing writers over the round-8 DML ops: one thread issues keyed
-    * MERGEs (retrying lost races — the documented caller contract), the
-    * other interleaves appends and RESTOREs (whose internal rebase loops
-    * absorb races). Because every commit is put-if-absent at
-    * parent+1, a SUCCESSFUL commit's parent is exactly the snapshot the
-    * op computed from — so each landed version re-verifies against its
-    * parent through the op's own model, with no global interleaving
-    * model needed. Gapless versions + per-op exactness = no commit
-    * lost, none double-applied, under real thread interleavings. */
   test("racing ANALYZE and append writers: coverage converges, history stays intact") {
     val path = java.nio.file.Files.createTempDirectory("graft_race_an").toString + "/t"
     // v deliberately unindexed: the analyzer backfills while the
@@ -214,6 +216,15 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
     (1L to head).foreach(v => GraftTable.readVersion(spark, path, v).count())
   }
 
+  /** Racing writers over the round-8 DML ops: one thread issues keyed
+    * MERGEs (retrying lost races — the documented caller contract), the
+    * other interleaves appends and RESTOREs (whose internal rebase loops
+    * absorb races). Because every commit is put-if-absent at
+    * parent+1, a SUCCESSFUL commit's parent is exactly the snapshot the
+    * op computed from — so each landed version re-verifies against its
+    * parent through the op's own model, with no global interleaving
+    * model needed. Gapless versions + per-op exactness = no commit
+    * lost, none double-applied, under real thread interleavings. */
   test("racing merge/restore/append writers: every landed version verifies against its parent") {
     for (seed <- Seq(5, 17)) {
       val path = java.nio.file.Files.createTempDirectory(s"graft_race$seed").toString + "/t"
