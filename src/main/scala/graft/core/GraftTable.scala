@@ -210,6 +210,23 @@ object GraftTable {
       "files_with_bloom", "files_total")
   }
 
+  /** Registered consumers (CDC replicas, streaming checkpoints — the
+    * vacuum retention contract's bookmark holders) as a relation:
+    * consumer id, the last version it fully processed, the table head,
+    * and its lag in versions. Manifest metadata alone. The operational
+    * question this answers: "which lagging consumer is pinning my
+    * vacuum horizon?" */
+  def describeConsumers(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    m.streamMarks.getOrElse(Map.empty).toSeq
+      .collect { case (k, v) if k.startsWith(ConsumerMarkPrefix) =>
+        (k.stripPrefix(ConsumerMarkPrefix), v, m.version, m.version - v) }
+      .sortBy(_._1)
+      .toDF("consumer", "processed_version", "head_version", "lag_versions")
+  }
+
   def currentVersion(path: String): Option[Long] =
     manifestFiles(path).lastOption.map(f => f.getName.stripPrefix("v").stripSuffix(".json").toLong)
 

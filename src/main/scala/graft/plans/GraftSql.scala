@@ -28,6 +28,7 @@ import graft.core.GraftTable
   *   SELECT … FROM graft_table_files('/path/t'[, 2])            -- DESCRIBE DETAIL (file grain)
   *   SELECT … FROM graft_table_checks('/path/t')               -- active CHECK constraints
   *   SELECT … FROM graft_table_stats('/path/t')                -- per-column stats/bloom coverage
+  *   SELECT … FROM graft_table_consumers('/path/t')            -- consumer bookmarks + lag
   * }}}
   *
   * Each call resolves, at ANALYSIS time, to the snapshot-isolated logical
@@ -99,6 +100,13 @@ object GraftSql {
       case Seq(p) =>
         plan(spark, GraftTable.describeStats(spark, pathOf("graft_table_stats", p)))
       case args => fail("graft_table_stats", s"(path), got ${args.size} argument(s)")
+    })
+    // registered consumer bookmarks + lag — "which lagging consumer is
+    // pinning my vacuum horizon?" (the retention contract's ledger)
+    register("graft_table_consumers", {
+      case Seq(p) =>
+        plan(spark, GraftTable.describeConsumers(spark, pathOf("graft_table_consumers", p)))
+      case args => fail("graft_table_consumers", s"(path), got ${args.size} argument(s)")
     })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,

@@ -60,6 +60,22 @@ class GraftSqlSpec extends AnyFunSuite with SparkSpecBase {
     assert(after("x") == ((5L, 0L, 5L)) && after("k") == ((5L, 5L, 5L)))
   }
 
+  test("graft_table_consumers reports bookmarks and lag against the head") {
+    val path = tmp()
+    GraftTable.overwrite(Seq((1, "a")).toDF("k", "v"), path) // v1
+    GraftTable.append(Seq((2, "b")).toDF("k", "v"), path) // v2
+    GraftTable.registerConsumer(path, "replica_a", 1L) // registration commits v3
+    GraftTable.append(Seq((3, "c")).toDF("k", "v"), path) // v4
+    val rows = spark.sql(s"SELECT consumer, processed_version, head_version, " +
+      s"lag_versions FROM graft_table_consumers('$path')").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("replica_a", 1L, 4L, 3L)))
+    // advancing the bookmark shrinks the lag; no consumers → empty
+    GraftTable.registerConsumer(path, "replica_a", 4L)
+    assert(spark.sql(s"SELECT lag_versions FROM graft_table_consumers('$path')")
+      .head.getLong(0) == 1L) // the registration itself advanced the head
+  }
+
   test("TVF reads match the Scala API per version, by timestamp, and at head") {
     val path = tmp()
     GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
