@@ -52,6 +52,7 @@ object GraftTable {
 
   private val LogDir = "_graft_log"
   private val DataDir = "data"
+  private val DvDir = "_dv"
   private implicit val formats: Formats = DefaultFormats
 
   /** Per-file, per-column stats. `min`/`max` are encoded strings compared
@@ -70,8 +71,19 @@ object GraftTable {
     * metadata-only operation, so files keep their original field names
     * and readers project. Absent for files written under the current
     * schema. */
+  /** A data file's deletion vector ([[DeletionVector]]): `path` names
+    * the sidecar (relative to the table root, absolute for shallow
+    * clones — [[resolveDv]]), `rows` is the TOTAL deleted-position
+    * count (vectors only grow, so successive refs on one data file
+    * have monotone `rows` and `newRows - oldRows` is the exact count
+    * one commit deleted), `bytes` the encoded sidecar size. */
+  case class DvRef(path: String, rows: Long, bytes: Long)
+
   case class FileEntry(path: String, rows: Long, bytes: Long, stats: Map[String, ColStats],
-      renames: Option[Map[String, String]] = None)
+      renames: Option[Map[String, String]] = None, dv: Option[DvRef] = None) {
+    /** Rows a read of this entry returns: physical minus deleted. */
+    def liveRows: Long = rows - dv.map(_.rows).getOrElse(0L)
+  }
 
   /** A pointer to a LEAF manifest: `path` (relative to `_graft_log/`)
     * names a JSON holding a `Seq[FileEntry]` chunk of the snapshot's file
@@ -84,7 +96,7 @@ object GraftTable {
     * commit cost is O(new files + leaf count), not O(table files), and a
     * pruned read parses only leaves whose aggregate stats intersect. */
   case class LeafRef(path: String, files: Int, rows: Long, bytes: Long,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats], dvRows: Long = 0L)
 
   /** The per-commit change-file log (Delta CDF's file-grain trick,
     * re-derived): every commit records the file entries it ADDED and the
@@ -164,7 +176,7 @@ object GraftTable {
       val leaves = m.leaves.getOrElse(Nil)
       (m.version, m.tsUs, m.op,
         m.files.size + leaves.map(_.files).sum,
-        m.files.map(_.rows).sum + leaves.map(_.rows).sum,
+        m.files.map(_.liveRows).sum + leaves.map(l => l.rows - l.dvRows).sum,
         m.files.map(_.bytes).sum + leaves.map(_.bytes).sum,
         leaves.size)
     }.toDF("version", "ts_us", "op", "n_files", "n_rows", "bytes", "n_leaves")
@@ -185,8 +197,9 @@ object GraftTable {
         s"$c:[${st.min.getOrElse("")}..${st.max.getOrElse("")} nulls=${st.nulls}" +
           st.bloom.map(_ => " bloom").getOrElse("") + "]"
       }.mkString(" ")
-      (fe.path, fe.rows, fe.bytes, fe.renames.map(_.size).getOrElse(0), stats)
-    }.toDF("file", "n_rows", "bytes", "n_renames", "stats")
+      (fe.path, fe.liveRows, fe.bytes, fe.renames.map(_.size).getOrElse(0),
+        fe.dv.map(_.rows).getOrElse(0L), stats)
+    }.toDF("file", "n_rows", "bytes", "n_renames", "n_deleted", "stats")
   }
 
   /** Per-column stats COVERAGE of the current snapshot as a relation —
@@ -339,7 +352,7 @@ object GraftTable {
     Files.write(leafFile(path, name).toPath,
       Serialization.writePretty(entries).getBytes(UTF_8))
     LeafRef(name, entries.size, entries.map(_.rows).sum, entries.map(_.bytes).sum,
-      aggregateStats(entries))
+      aggregateStats(entries), entries.map(fe => fe.dv.map(_.rows).getOrElse(0L)).sum)
   }
 
   /** Pack a snapshot's file list for the next commit: carry the parent's
@@ -373,6 +386,11 @@ object GraftTable {
     * ([[cloneTable]]) and resolve as-is. */
   private[graft] def resolveData(path: String, fe: FileEntry): String =
     if (fe.path.startsWith("/")) fe.path else s"$path/${fe.path}"
+
+  /** A deletion-vector sidecar's readable location — same relative/
+    * absolute convention as [[resolveData]]. */
+  private[graft] def resolveDv(path: String, ref: DvRef): String =
+    if (ref.path.startsWith("/")) ref.path else s"$path/${ref.path}"
 
   private def totalFiles(m: Manifest): Int =
     m.files.size + m.leaves.getOrElse(Nil).map(_.files).sum
@@ -817,15 +835,71 @@ object GraftTable {
     val logical = StructType.fromDDL(m.schemaDdl)
     if (subset.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-    if (subset.forall(_.renames.forall(_.isEmpty)))
-      return graft.sources.GraftBatchRead.subsetDf(spark, path, m, subset, logical)
-    subset.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
-      val physical = StructType(logical.fields.map(f =>
-        f.copy(name = ren.getOrElse(f.name, f.name))))
-      spark.read.schema(physical).parquet(fs.map(f => resolveData(path, f)): _*)
-        .select(logical.fields.map(f => col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
-    }.reduce(_ unionByName _)
+    // deletion-vectored entries read through the SAME vectorized scan
+    // plus a per-row position filter; everything else stays on the
+    // unfiltered fast path (the common case: a table with one dv'd file
+    // pays the probe only on that file's rows)
+    val (dvd, plain) = subset.partition(_.dv.isDefined)
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty) {
+      if (plain.forall(_.renames.forall(_.isEmpty)))
+        parts += graft.sources.GraftBatchRead.subsetDf(spark, path, m, plain, logical)
+      else parts ++= renameGroupReads(spark, path, plain, logical, dvFilter = None)
+    }
+    if (dvd.nonEmpty)
+      parts ++= renameGroupReads(spark, path, dvd, logical,
+        Some(dvLiveFilter(path, dvd,
+          substring_index(col("_metadata.file_path"), "/", -1),
+          col("_metadata.row_index"))))
+    parts.result().reduce(_ unionByName _)
   }
+
+  /** Per-rename-group reads of `entries` under the logical schema —
+    * optionally filtered by a deletion-vector liveness predicate, which
+    * must apply BEFORE the rename projection (it references the scan's
+    * hidden `_metadata` struct). Rename-free groups ride the manifest
+    * FileIndex (vectorized, stats-skipped); renamed groups read by
+    * physical schema and project. */
+  private def renameGroupReads(spark: SparkSession, path: String,
+      entries: Seq[FileEntry], logical: StructType,
+      dvFilter: Option[Column]): Seq[DataFrame] =
+    entries.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
+      val base =
+        if (ren.isEmpty)
+          graft.sources.GraftBatchRead.subsetDf(spark, path,
+            currentOrSynthetic(path, logical), fs, logical)
+        else spark.read.schema(StructType(logical.fields.map(f =>
+            f.copy(name = ren.getOrElse(f.name, f.name)))))
+          .parquet(fs.map(f => resolveData(path, f)): _*)
+      val filtered = dvFilter.map(base.filter).getOrElse(base)
+      if (ren.isEmpty) filtered
+      else filtered.select(logical.fields.map(f =>
+        col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+    }.toSeq
+
+  /** The liveness predicate for dv'd entries: a row survives when its
+    * (file, position) is NOT in the file's deletion vector. Vectors
+    * load lazily per executor ([[DeletionVector.load]]'s cache) from a
+    * broadcast-small basename→sidecar map; the probe is a binary
+    * search per row, paid only on dv'd files. `fCol`/`pCol` supply the
+    * file basename and row position (the scan's `_metadata` struct, or
+    * already-projected columns). */
+  private def dvLiveFilter(path: String, dvd: Seq[FileEntry],
+      fCol: Column, pCol: Column): Column = {
+    val dvByFile: Map[String, String] = dvd.flatMap(fe =>
+      fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
+    val live = udf((f: String, p: Long) => dvByFile.get(f) match {
+      case Some(dv) => !DeletionVector.contains(DeletionVector.load(dv), p)
+      case None => true
+    })
+    live(fCol, pCol)
+  }
+
+  /** [[renameGroupReads]] needs a manifest only for its schema DDL when
+    * routing a group through the FileIndex scan — synthesize one so the
+    * helper can serve arbitrary entry subsets of any snapshot. */
+  private def currentOrSynthetic(path: String, logical: StructType): Manifest =
+    Manifest(0L, 0L, "subset", logical.toDDL, Nil)
 
   private def readManifest(spark: SparkSession, path: String, m: Manifest): DataFrame =
     readFileSubset(spark, path, m, filesOf(path, m))
@@ -1046,6 +1120,111 @@ object GraftTable {
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     rewriteMatching(spark, path, pred, pruneRanges, cur, "delete",
       _.filter(!coalesce(pred, lit(false))))
+  }
+
+  /** MERGE-ON-READ DELETE WHERE — same semantics as [[deleteWhere]]
+    * (rows where `pred` is TRUE disappear; FALSE/NULL rows stay), a
+    * different cost shape: NO data file is rewritten. Matching row
+    * POSITIONS (parquet `_metadata.row_index`) are found by the same
+    * stats-cover + exact-probe discovery, written as per-file
+    * [[DeletionVector]] sidecars from the executors (one tiny encoded
+    * file per touched data file, merged with any existing vector), and
+    * the commit swaps dv POINTERS on the touched entries. Write
+    * amplification is O(deleted rows) sidecar bytes — deleting 100
+    * rows from a 1 GB file costs a ~KB sidecar instead of a 1 GB
+    * rewrite, which is the merge-on-read contract Delta's deletion
+    * vectors and Iceberg's positional deletes exist for. A file whose
+    * vector would cover EVERY row drops from the manifest entirely.
+    *
+    * The tradeoffs, stated plainly: reads of dv'd files pay a per-row
+    * position probe (a binary search against the executor-cached
+    * vector), and deleted bytes stay on disk until [[purgeDeletes]] /
+    * [[compactFiles]] folds the vector into a rewrite — so MOR is for
+    * frequent-small-delete workloads, COW for wide ones, and a
+    * physical GDPR purge is MOR delete + purge + vacuum. Time travel,
+    * [[diffVersions]], CDC replication, and the streaming change feed
+    * all see exact row-level deletes (each snapshot pins its own
+    * vector; vectors only grow, so one commit's deletions are
+    * `new minus old`).
+    *
+    * Concurrency: optimistic, like [[deleteWhere]] — a racing commit
+    * surfaces `ConcurrentModificationException`; re-read and retry. */
+  def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
+      pruneRanges: Seq[ColRange] = Nil): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val logical = StructType.fromDDL(cur.schemaDdl)
+    require(!logical.fieldNames.contains("_metadata"),
+      "merge-on-read DELETE positions rows via the hidden _metadata struct — a " +
+        "table with a literal _metadata column must use copy-on-write deleteWhere")
+    val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
+      .partition(l => mayMatch(l.stats, pruneRanges))
+    val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
+    val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
+    // matching LIVE positions per file (already-deleted rows are
+    // filtered out, so re-deleting is a no-op and counts stay exact),
+    // then one sidecar write per touched file FROM THE EXECUTORS —
+    // the driver never holds a position list
+    val matched: Map[String, (String, Long, Long)] = // basename -> (dv name, total, bytes)
+      if (candidates.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val dvdC = candidates.filter(_.dv.isDefined)
+        val posFrames = candidates.groupBy(_.renames.getOrElse(Map.empty)).toSeq
+          .map { case (ren, fs) =>
+            val base =
+              if (ren.isEmpty) graft.sources.GraftBatchRead.subsetDf(spark, path,
+                currentOrSynthetic(path, logical), fs, logical)
+              else spark.read.schema(StructType(logical.fields.map(f =>
+                  f.copy(name = ren.getOrElse(f.name, f.name)))))
+                .parquet(fs.map(f => resolveData(path, f)): _*)
+            base.select(logical.fields.map(f =>
+                col(ren.getOrElse(f.name, f.name)).as(f.name)) :+
+              substring_index(col("_metadata.file_path"), "/", -1).as("__f") :+
+              col("_metadata.row_index").as("__p"): _*)
+          }
+        val live = posFrames.reduce(_ union _)
+        val scoped =
+          if (dvdC.isEmpty) live
+          else live.filter(dvLiveFilter(path, dvdC, col("__f"), col("__p")))
+        val oldDvByFile: Map[String, String] = dvdC.flatMap(fe =>
+          fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
+        val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
+        scoped.filter(pred).select(col("__f"), col("__p")).as[(String, Long)]
+          .groupByKey(_._1).mapGroups { (f, it) =>
+            val fresh = it.map(_._2).toArray.distinct.sorted
+            val merged = DeletionVector.union(
+              oldDvByFile.get(f).map(DeletionVector.load)
+                .getOrElse(Array.emptyLongArray), fresh)
+            val name = s"dv-${java.util.UUID.randomUUID}.dv"
+            val bytes = DeletionVector.write(new File(dvDirAbs, name), merged)
+            (f, name, merged.length.toLong, bytes)
+          }
+          .collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
+      }
+    def touchedBy(fe: FileEntry) = matched.contains(fe.path.split('/').last)
+    // a file whose vector now covers every physical row leaves the
+    // manifest (its orphaned sidecar is vacuum fodder)
+    def updatedEntry(fe: FileEntry): Option[FileEntry] = {
+      val (dvName, total, bytes) = matched(fe.path.split('/').last)
+      if (total >= fe.rows) None
+      else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
+    }
+    val (inTouched, inUntouched) = cur.files.partition(touchedBy)
+    val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(touchedBy))
+    val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(touchedBy)
+    val survivors = dirtyLeaves.flatMap(_._2).filterNot(touchedBy)
+    val updatedEntries = touched.flatMap(updatedEntry(_))
+    val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ updatedEntries,
+      cleanLeaves ++ carriedLive.map(_._1))
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "delete_mor",
+      cur.schemaDdl, files, cur.streamMarks, leaves,
+      Some(ChangeLog(logEntries(updatedEntries), logEntries(touched))),
+      checks = cur.checks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"commit v${next.version} of '$path' lost the race — re-read and retry the delete")
+    next.version
   }
 
   /** The shared predicate-DML body: find the files actually holding a
@@ -1721,14 +1900,24 @@ object GraftTable {
     val entries = filesOf(srcPath, src)
     val cloned =
       if (!deep) entries.map(fe =>
-        fe.copy(path = new File(resolveData(srcPath, fe)).getAbsolutePath))
+        fe.copy(path = new File(resolveData(srcPath, fe)).getAbsolutePath,
+          // deletion vectors travel with their data file: the clone
+          // must see the same live rows, by absolute reference
+          dv = fe.dv.map(d => d.copy(path =
+            new File(resolveDv(srcPath, d)).getAbsolutePath))))
       else {
         val dataDir = new File(dstPath, DataDir)
         dataDir.mkdirs()
         entries.map { fe =>
           val from = new File(resolveData(srcPath, fe))
           Files.copy(from.toPath, new File(dataDir, from.getName).toPath)
-          fe.copy(path = s"$DataDir/${from.getName}")
+          val dvCopied = fe.dv.map { d =>
+            val dvFrom = new File(resolveDv(srcPath, d))
+            val dvDir = new File(dstPath, DvDir); dvDir.mkdirs()
+            Files.copy(dvFrom.toPath, new File(dvDir, dvFrom.getName).toPath)
+            d.copy(path = s"$DvDir/${dvFrom.getName}")
+          }
+          fe.copy(path = s"$DataDir/${from.getName}", dv = dvCopied)
         }
       }
     val (files, leaves) = packCommit(dstPath, cloned, Nil)
@@ -1823,8 +2012,12 @@ object GraftTable {
       case None =>
         val fFrom = filesOf(path, mFrom)
         val fTo = filesOf(path, mTo)
-        val common = fFrom.map(_.path).toSet intersect fTo.map(_.path).toSet
-        (fFrom.filterNot(f => common(f.path)), fTo.filterNot(f => common(f.path)))
+        // identity is (path, dv): a merge-on-read delete changes a
+        // file's LIVE rows without changing its path, so same-path
+        // entries with different vectors must survive into the diff
+        def ident(fe: FileEntry) = (fe.path, fe.dv.map(_.path))
+        val common = fFrom.map(ident).toSet intersect fTo.map(ident).toSet
+        (fFrom.filterNot(f => common(ident(f))), fTo.filterNot(f => common(ident(f))))
     }
     val from0 = readFileSubset(spark, path, mFrom, fromEntries)
     val to = readFileSubset(spark, path, mTo, toEntries)
@@ -1905,8 +2098,11 @@ object GraftTable {
     val fresh = chainChanges(path, since.schemaDdl, sinceVersion, cur.version) match {
       case Some((addedNet, _)) => addedNet
       case None =>
-        val oldNames = filesOf(path, since).map(_.path).toSet
-        filesOf(path, cur).filterNot(fe => oldNames.contains(fe.path))
+        // (path, dv) identity — a MOR delete changes a file's live rows
+        // in place, so its entry re-surfaces (kept rows included, the
+        // documented COW-rewrite contract extended to vector swaps)
+        val oldIds = filesOf(path, since).map(fe => (fe.path, fe.dv.map(_.path))).toSet
+        filesOf(path, cur).filterNot(fe => oldIds((fe.path, fe.dv.map(_.path))))
     }
     (readFileSubset(spark, path, cur, fresh), cur.version)
   }
@@ -2061,6 +2257,41 @@ object GraftTable {
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")
     (allFiles.size, totalFiles(next))
+  }
+
+  /** Fold every live deletion vector into a rewrite (Delta's
+    * `REORG TABLE … APPLY (PURGE)`, re-derived): exactly the dv'd
+    * files rewrite — vector applied, sidecar pointer dropped — and
+    * every clean file carries by reference, so the commit is O(dv'd
+    * files), not O(table). Dirty-leaf discovery is metadata-only
+    * ([[LeafRef.dvRows]] marks leaves holding vectored entries — a
+    * clean leaf is never parsed). This is the second half of a
+    * physical GDPR erasure ([[deleteWhereMor]] masks, purge + [[vacuum]]
+    * destroys) and the maintenance valve that restores the
+    * filter-free vectorized read path when vectors accumulate.
+    * Returns (dv'd files rewritten, new version) — (0, current) when
+    * the table has no vectors (no commit at all). */
+  def purgeDeletes(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil): (Int, Long) = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val (dirtyRefs, cleanRefs) = cur.leaves.getOrElse(Nil).partition(_.dvRows > 0)
+    val loaded = dirtyRefs.map(l => loadLeaf(path, l))
+    val (inTouched, inUntouched) = cur.files.partition(_.dv.isDefined)
+    val (leafTouched, survivors) = loaded.flatten.partition(_.dv.isDefined)
+    val touched = inTouched ++ leafTouched
+    if (touched.isEmpty) return (0, cur.version)
+    val cols = if (statsCols.nonEmpty) statsCols
+      else touched.flatMap(_.stats.keys).distinct
+    val staged = stageFiles(readFileSubset(spark, path, cur, touched), path, cols, None)
+    val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged, cleanRefs)
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "purge_dv",
+      cur.schemaDdl, files, cur.streamMarks, leaves,
+      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"purge of '$path' lost the commit race — retry when quiesced")
+    (touched.size, next.version)
   }
 
   /** The default stats-column selection for `path`'s current schema plus
@@ -2242,20 +2473,28 @@ object GraftTable {
     }
     val (drop, keep) = all.splitAt(cut)
     val kept = keep.map(parseManifest)
-    val referenced = kept.flatMap(m => filesOf(path, m))
-      .map(_.path.split('/').last).toSet
+    val keptEntries = kept.flatMap(m => filesOf(path, m))
+    val referenced = keptEntries.map(_.path.split('/').last).toSet
     val liveLeaves = kept.flatMap(_.leaves.getOrElse(Nil)).map(_.path).toSet
     val dataDir = new File(path, DataDir)
     val dead = Option(dataDir.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !referenced.contains(f.getName))
-    if (dryRun) return dead.length
+    // deletion-vector sidecars: live while ANY retained snapshot's
+    // entry points at them (time travel reads that version's exact
+    // delete state); orphans — superseded vectors, purge leftovers,
+    // losers of commit races — reclaim with the data files
+    val referencedDv = keptEntries.flatMap(_.dv).map(_.path.split('/').last).toSet
+    val deadDv = Option(new File(path, DvDir).listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.getName.endsWith(".dv") && !referencedDv.contains(f.getName))
+    if (dryRun) return dead.length + deadDv.length
     dead.foreach(f => f.delete(): Unit)
+    deadDv.foreach(f => f.delete(): Unit)
     drop.foreach(f => f.delete(): Unit)
     Option(logDir(path).listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith("leaf-") && !liveLeaves.contains(f.getName))
       .foreach(f => f.delete(): Unit)
     Option(new File(path).listFiles).getOrElse(Array.empty[File])
       .filter(_.getName.startsWith(".stage-")).foreach(f => TableIO.clearDir(f.toString))
-    dead.length
+    dead.length + deadDv.length
   }
 }

@@ -82,7 +82,10 @@ object GraftBatchRead {
   def relation(spark: SparkSession, path: String, m: Manifest): BaseRelation = {
     val entries = GraftTable.filesOf(path, m)
     val logical = StructType.fromDDL(m.schemaDdl)
-    if (entries.forall(_.renames.forall(_.isEmpty)))
+    // deletion-vectored entries need the per-row liveness filter of
+    // [[GraftTable.readFileSubset]] — same correctness-first fallback
+    // as renames (purge/compaction retires both and restores this path)
+    if (entries.forall(e => e.renames.forall(_.isEmpty) && e.dv.isEmpty))
       fsRelation(spark, path, m, entries, logical)
     else new GraftProjectedRelation(spark, path, m, entries, logical)
   }

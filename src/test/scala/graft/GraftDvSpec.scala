@@ -1,0 +1,272 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftTable
+
+/** Merge-on-read DELETE via deletion vectors ([[GraftTable.deleteWhereMor]]):
+  * no data-file rewrite, exact semantics, and composition with time
+  * travel, DML, purge, compaction, vacuum, diff/CDC, and clones. */
+class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_dv").toString
+
+  private def nums(path: String, n: Int = 100, files: Int = 4): Unit =
+    GraftTable.overwrite(
+      (1 to n).map(i => (i, s"v$i", i % 10)).toDF("k", "v", "g").repartition(files),
+      path, statsCols = Seq("k")): Unit
+
+  private def dataFiles(path: String): Map[String, (Long, Long)] =
+    Option(new File(path, "data").listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> ((f.length, f.lastModified))).toMap
+
+  private def keys(path: String): Seq[Int] =
+    GraftTable.read(spark, path).select("k").as[Int].collect().sorted.toSeq
+
+  test("MOR delete removes rows without touching any data file") {
+    val path = tmp(); nums(path)
+    val before = dataFiles(path)
+    val v = GraftTable.deleteWhereMor(spark, path, col("k") % 10 === 3)
+    assert(v == 2L)
+    assert(keys(path) == (1 to 100).filterNot(_ % 10 == 3))
+    // not one data file rewritten, moved, or added
+    assert(dataFiles(path) == before)
+    // history shows the op and the live row count
+    val h = GraftTable.history(spark, path).filter(col("version") === 2).head
+    assert(h.getAs[String]("op") == "delete_mor")
+    assert(h.getAs[Long]("n_rows") == 90L)
+    // the per-file detail exposes the vectors
+    val det = GraftTable.describeFiles(spark, path)
+    assert(det.agg(sum("n_deleted")).head.getLong(0) == 10L)
+    assert(det.agg(sum("n_rows")).head.getLong(0) == 90L)
+  }
+
+  test("NULL predicate rows are kept — SQL DELETE semantics") {
+    val path = tmp()
+    GraftTable.overwrite(
+      df("k INT, v STRING", org.apache.spark.sql.Row(Int.box(1), "a"),
+        org.apache.spark.sql.Row(Int.box(2), null),
+        org.apache.spark.sql.Row(Int.box(3), "c")), path)
+    GraftTable.deleteWhereMor(spark, path, col("v") < "b")
+    assert(keys(path) == Seq(2, 3)) // NULL comparison kept row 2
+  }
+
+  test("successive deletes merge vectors; re-deleting is a no-op") {
+    val path = tmp(); nums(path)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 5)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 10) // overlap 1..5
+    assert(keys(path) == (11 to 100).toSeq)
+    val det = GraftTable.describeFiles(spark, path)
+    assert(det.agg(sum("n_deleted")).head.getLong(0) == 10L)
+    // deleting already-deleted rows commits a version with no new vectors
+    val v3 = GraftTable.deleteWhereMor(spark, path, col("k") <= 10)
+    assert(keys(path) == (11 to 100).toSeq)
+    assert(GraftTable.describeFiles(spark, path)
+      .agg(sum("n_deleted")).head.getLong(0) == 10L)
+    assert(v3 == 4L)
+  }
+
+  test("a fully-deleted file drops from the manifest") {
+    val path = tmp()
+    // two files split by range so one dies entirely
+    GraftTable.writeClustered((1 to 40).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, col("k"), numFiles = 2, statsCols = Seq("k"))
+    val filesBefore = GraftTable.describeFiles(spark, path).count()
+    assert(filesBefore == 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 20)
+    assert(GraftTable.describeFiles(spark, path).count() == 1)
+    assert(keys(path) == (21 to 40).toSeq)
+  }
+
+  test("time travel reads each version's exact delete state") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 5)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 10)
+    assert(GraftTable.readVersion(spark, path, 1).count() == 20)
+    assert(GraftTable.readVersion(spark, path, 2).select("k").as[Int].collect().sorted.toSeq ==
+      (6 to 20).toSeq)
+    assert(GraftTable.readVersion(spark, path, 3).count() == 10)
+  }
+
+  test("COW update and upsert over a dv'd file never resurrect deleted rows") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") === 7)
+    // update rewrites the touched file, folding its vector
+    GraftTable.updateWhere(spark, path, col("k") === 8, Map("v" -> lit("X")))
+    assert(keys(path) == (1 to 20).filterNot(_ == 7))
+    assert(GraftTable.read(spark, path).filter(col("k") === 8)
+      .select("v").as[String].head == "X")
+    // upsert on top
+    GraftTable.upsertByKey(spark, path,
+      Seq((9, "Y", 9)).toDF("k", "v", "g"), Seq("k"))
+    assert(keys(path) == (1 to 20).filterNot(_ == 7))
+    // a rewritten file folds its vector — total deleted never exceeds
+    // the one masked row, and re-reading stays exact
+    assert(GraftTable.describeFiles(spark, path)
+      .agg(sum("n_deleted")).head.getLong(0) <= 1L)
+  }
+
+  test("purgeDeletes rewrites exactly the dv'd files") {
+    val path = tmp()
+    GraftTable.writeClustered((1 to 60).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, col("k"), numFiles = 3, statsCols = Seq("k"))
+    GraftTable.deleteWhereMor(spark, path, col("k") === 5,
+      pruneRanges = Seq(GraftTable.ColRange("k", Some(5), Some(5))))
+    val before = dataFiles(path)
+    val (purged, v) = GraftTable.purgeDeletes(spark, path)
+    assert(purged == 1 && v == 3L)
+    // the two clean files carried byte-identical; one file replaced
+    val after = dataFiles(path)
+    val carried = before.keySet intersect after.keySet
+    assert(carried.size >= 2)
+    carried.foreach(f => assert(before(f) == after(f)))
+    assert(keys(path) == (1 to 60).filterNot(_ == 5))
+    assert(GraftTable.describeFiles(spark, path)
+      .agg(sum("n_deleted")).head.getLong(0) == 0L)
+    // idempotent: nothing left to purge → no commit
+    assert(GraftTable.purgeDeletes(spark, path) == ((0, 3L)))
+  }
+
+  test("compaction folds vectors too") {
+    val path = tmp(); nums(path, n = 50, files = 5)
+    GraftTable.deleteWhereMor(spark, path, col("k") % 7 === 0)
+    GraftTable.compactFiles(spark, path, targetBytes = 1L << 30, statsCols = Seq("k"))
+    assert(keys(path) == (1 to 50).filterNot(_ % 7 == 0))
+    assert(GraftTable.describeFiles(spark, path)
+      .agg(sum("n_deleted")).head.getLong(0) == 0L)
+  }
+
+  test("vacuum keeps referenced sidecars and reclaims orphans") {
+    val path = tmp()
+    // clustered layout so both deletes touch exactly ONE file — the
+    // sidecar arithmetic below is deterministic
+    GraftTable.writeClustered((1 to 30).map(i => (i, s"v$i", i % 10))
+      .toDF("k", "v", "g"), path, col("k"), numFiles = 3, statsCols = Seq("k"))
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 3)  // v2: dv A
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 6)  // v3: dv B (A now orphanable)
+    def dvFiles() = Option(new File(path, "_dv").listFiles).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".dv"))
+    assert(dvFiles() >= 2)
+    // keep v2+v3: both vectors still referenced
+    GraftTable.vacuum(path, keepVersions = 2)
+    assert(dvFiles() == 2)
+    assert(keys(path) == (7 to 30).toSeq)
+    assert(GraftTable.readVersion(spark, path, 2).count() == 27)
+    // drop to head only: superseded vector reclaims
+    GraftTable.vacuum(path, keepVersions = 1)
+    assert(dvFiles() == 1)
+    assert(keys(path) == (7 to 30).toSeq)
+    // purge then vacuum: physical erasure completes, zero sidecars
+    GraftTable.purgeDeletes(spark, path)
+    GraftTable.vacuum(path, keepVersions = 1)
+    assert(dvFiles() == 0)
+    assert(keys(path) == (7 to 30).toSeq)
+  }
+
+  test("diffVersions sees exact row-level deletes through a vector swap") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") === 4 || col("k") === 15)
+    val d = GraftTable.diffVersions(spark, path, 1, 2, Seq("k"))
+    val rows = d.select("k", "change_type").as[(Int, String)].collect().sorted.toSeq
+    assert(rows == Seq((4, "delete"), (15, "delete")))
+    // and across a span mixing MOR delete with an append
+    GraftTable.append(Seq((100, "new", 0)).toDF("k", "v", "g"), path)
+    val d2 = GraftTable.diffVersions(spark, path, 1, 3, Seq("k"))
+    assert(d2.select("k", "change_type").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((4, "delete"), (15, "delete"), (100, "insert")))
+  }
+
+  test("readSince surfaces a vector swap as a changed file") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") === 4)
+    val (df1, v) = GraftTable.readSince(spark, path, 1)
+    assert(v == 2L)
+    // the touched file re-surfaces with CURRENT live rows (no k=4)
+    val got = df1.select("k").as[Int].collect().sorted.toSeq
+    assert(got.nonEmpty && !got.contains(4))
+  }
+
+  test("CDC replica converges through a MOR delete") {
+    val src = tmp(); val dst = tmp()
+    nums(src, n = 20, files = 2)
+    GraftTable.syncReplica(spark, src, dst, Seq("k"))
+    GraftTable.deleteWhereMor(spark, src, col("k") <= 3)
+    GraftTable.syncReplica(spark, src, dst, Seq("k"))
+    assert(keys(dst) == (4 to 20).toSeq)
+  }
+
+  test("shallow and deep clones carry the vectors") {
+    val src = tmp()
+    nums(src, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, src, col("k") <= 5)
+    val sh = tmp() + "/clone_s"; val dp = tmp() + "/clone_d"
+    GraftTable.cloneTable(spark, src, sh)
+    GraftTable.cloneTable(spark, src, dp, deep = true)
+    assert(GraftTable.read(spark, sh).select("k").as[Int].collect().sorted.toSeq ==
+      (6 to 20).toSeq)
+    assert(GraftTable.read(spark, dp).select("k").as[Int].collect().sorted.toSeq ==
+      (6 to 20).toSeq)
+    // a MOR delete in the shallow clone merges against the source's
+    // vector without touching the source
+    GraftTable.deleteWhereMor(spark, sh, col("k") === 6)
+    assert(GraftTable.read(spark, sh).count() == 14)
+    assert(GraftTable.read(spark, src).count() == 15)
+  }
+
+  test("restore to a pre-delete version resurrects the rows") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 10)
+    assert(GraftTable.read(spark, path).count() == 10)
+    GraftTable.restore(path, 1L)
+    assert(keys(path) == (1 to 20).toSeq)
+  }
+
+  test("format(\"graft\") and the TVFs read dv'd tables") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.deleteWhereMor(spark, path, col("k") % 2 === 0)
+    val viaSource = spark.read.format("graft").load(path)
+      .select("k").as[Int].collect().sorted.toSeq
+    assert(viaSource == (1 to 20).filter(_ % 2 == 1))
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(path).count() == 20)
+    // pushdown interplay: a filter over the dv'd relation stays exact
+    assert(spark.read.format("graft").load(path)
+      .filter(col("k") <= 6).count() == 3)
+  }
+
+  test("stats pruning composes with vectors") {
+    val path = tmp()
+    GraftTable.writeClustered((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, col("k"), numFiles = 4, statsCols = Seq("k"))
+    GraftTable.deleteWhereMor(spark, path, col("k") === 10)
+    val scan = GraftTable.readPruned(spark, path,
+      Seq(GraftTable.ColRange("k", Some(1), Some(12))))
+    assert(scan.filesRead < scan.filesTotal) // pruning still prunes
+    assert(scan.df.filter(col("k") <= 12).count() == 11) // and k=10 stays dead
+  }
+
+  test("MOR delete composes with renamed columns") {
+    val path = tmp(); nums(path, n = 20, files = 2)
+    GraftTable.renameColumn(path, "k", "id")
+    GraftTable.deleteWhereMor(spark, path, col("id") <= 5)
+    assert(GraftTable.read(spark, path).select("id").as[Int].collect().sorted.toSeq ==
+      (6 to 20).toSeq)
+    // and the rename projection still resolves under time travel
+    assert(GraftTable.readVersion(spark, path, 2).count() == 20)
+  }
+
+  test("old manifests without dv fields still parse (format compatibility)") {
+    val path = tmp(); nums(path, n = 10, files = 1)
+    // the v1 manifest was written by THIS code but contains no dv keys
+    // (None fields are omitted); re-reading proves absence-tolerant parse
+    assert(GraftTable.read(spark, path).count() == 10)
+    val m = new File(path, "_graft_log").listFiles.filter(_.getName.endsWith(".json")).head
+    val txt = new String(java.nio.file.Files.readAllBytes(m.toPath))
+    assert(!txt.contains("\"dv\"") && !txt.contains("dvRows"))
+  }
+}
