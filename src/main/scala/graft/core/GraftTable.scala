@@ -1856,12 +1856,17 @@ object GraftTable {
       val old = manifestAt(path, version)
       val oldFiles = filesOf(path, old)
       val curFiles = filesOf(path, cur)
-      val curNames = curFiles.map(_.path).toSet
-      val oldNames = oldFiles.map(_.path).toSet
+      // (path, dv) identity: rolling back across a MOR delete keeps the
+      // data file but swaps its vector — that IS a data change, and the
+      // log must record it (remove current-dv entry, add old-dv entry)
+      // or CDC consumers would never see the un-deleted rows
+      def ident(fe: FileEntry) = (fe.path, fe.dv.map(_.path))
+      val curIds = curFiles.map(ident).toSet
+      val oldIds = oldFiles.map(ident).toSet
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "restore",
         old.schemaDdl, old.files, cur.streamMarks, old.leaves,
-        Some(ChangeLog(logEntries(oldFiles.filterNot(fe => curNames(fe.path))),
-          logEntries(curFiles.filterNot(fe => oldNames(fe.path))))),
+        Some(ChangeLog(logEntries(oldFiles.filterNot(fe => curIds(ident(fe)))),
+          logEntries(curFiles.filterNot(fe => oldIds(ident(fe)))))),
         checks = old.checks)
       if (tryCommit(path, next)) committed = next.version
     }

@@ -316,8 +316,14 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
     maxBytesPerTrigger.foreach { cap =>
       var (v, bytes) = (s + 1, 0L)
       while (v <= end) {
-        bytes += GraftTable.manifestAt(path, v).changes
-          .map(_.added.map(_.bytes).sum).getOrElse(0L)
+        GraftTable.manifestAt(path, v).changes.foreach { c =>
+          // a same-path add+remove is a merge-on-read vector swap: the
+          // batch reads the sidecar delta, not the data file again
+          val swapped = c.removed.map(_.path).toSet
+          bytes += c.added.map(fe =>
+            if (swapped(fe.path)) fe.dv.map(_.bytes).getOrElse(fe.bytes)
+            else fe.bytes).sum
+        }
         if (bytes >= cap) { end = v; v = Long.MaxValue } else v += 1
       }
     }
@@ -340,15 +346,14 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
     while (v <= e) {
       val m = GraftTable.manifestAt(path, v)
       val vNames = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
-      def emit(logged: GraftTable.FileEntry, meta: Option[(String, Long)]): Unit = {
+      def physNames(logged: GraftTable.FileEntry, isDelete: Boolean): Array[String] = {
         // a REMOVED file never appears in the head snapshot — its logged
         // entry (renames recorded in full) is the source of truth
         val entry =
-          if (meta.exists(_._1 == "delete")) logged
-          else headEntries.getOrElse(logged.path, logged)
-        val fromHead = meta.forall(_._1 != "delete") && headEntries.contains(logged.path)
+          if (isDelete) logged else headEntries.getOrElse(logged.path, logged)
+        val fromHead = !isDelete && headEntries.contains(logged.path)
         val ren = entry.renames.getOrElse(Map.empty)
-        val phys = required.fields.map { f =>
+        required.fields.map { f =>
           // resolvable = the logical name still exists where this entry's
           // rename map is maintained; otherwise a later rename/drop made
           // the pinned scan schema unreadable — fail loudly, not NULLs
@@ -359,8 +364,39 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
               "stream to adopt the new schema")
           ren.getOrElse(f.name, f.name)
         }
-        parts += GraftFilePartition(GraftTable.resolveData(path, entry),
-          entry.rows, required.toDDL, phys, meta)
+      }
+      def emit(logged: GraftTable.FileEntry, meta: Option[(String, Long)]): Unit =
+        // dv comes from the LOGGED entry, never the head: the emitted
+        // image is this VERSION's live rows (a later delete must not
+        // reach back into an earlier commit's batch)
+        parts += GraftFilePartition(GraftTable.resolveData(path, logged),
+          logged.liveRows, required.toDDL,
+          physNames(logged, meta.exists(_._1 == "delete")), meta,
+          dvSkip = logged.dv.map(d => GraftTable.resolveDv(path, d)))
+      /** A MERGE-ON-READ commit: same data file on both sides of the
+        * log, different deletion vector. Emit ONLY the delta rows —
+        * positions in (after \ before) stream as DELETE pre-images,
+        * positions in (before \ after) as INSERT post-images (the
+        * restore/un-delete direction) — so a 3-row MOR delete on a
+        * 1 GB file streams 3 rows, not the file twice. Vector loads
+        * here are driver-side, swap-commit-sized, and cached. */
+      def emitSwap(r: GraftTable.FileEntry, a: GraftTable.FileEntry): Unit = {
+        def posOf(fe: GraftTable.FileEntry): Array[Long] =
+          fe.dv.map(d => graft.core.DeletionVector.load(
+            new java.io.File(GraftTable.resolveDv(path, d)).getAbsolutePath))
+            .getOrElse(Array.emptyLongArray)
+        val (before, after) = (posOf(r), posOf(a))
+        val dels = graft.core.DeletionVector.minus(after, before)
+        val ins = graft.core.DeletionVector.minus(before, after)
+        def emitOnly(logged: GraftTable.FileEntry, change: String, count: Long,
+            newDv: Option[GraftTable.DvRef], priorDv: Option[GraftTable.DvRef]): Unit =
+          parts += GraftFilePartition(GraftTable.resolveData(path, logged),
+            count, required.toDDL, physNames(logged, change == "delete"),
+            Some((change, v)),
+            dvOnlyNew = newDv.map(d => GraftTable.resolveDv(path, d)),
+            dvOnlyPrior = priorDv.map(d => GraftTable.resolveDv(path, d)))
+        if (dels.nonEmpty) emitOnly(r, "delete", dels.length, a.dv, r.dv)
+        if (ins.nonEmpty) emitOnly(a, "insert", ins.length, r.dv, a.dv)
       }
       val (added, removed): (Seq[GraftTable.FileEntry], Seq[GraftTable.FileEntry]) =
         m.changes match {
@@ -393,9 +429,15 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
         // row-level change feed: pre-images of removed files stream as
         // explicit deletes BEFORE the version's inserts (a COW rewrite
         // is delete(old file rows) + insert(new file rows); consumers
-        // fold per _commit_version in order)
-        removed.foreach(fe => emit(fe, Some(("delete", v))))
-        added.foreach(fe => emit(fe, Some(("insert", v))))
+        // fold per _commit_version in order). Same-path pairs are
+        // merge-on-read vector swaps and emit only their delta rows.
+        val addedByPath = added.map(fe => fe.path -> fe).toMap
+        val (swapped, pureRemoved) = removed.partition(fe => addedByPath.contains(fe.path))
+        pureRemoved.foreach(fe => emit(fe, Some(("delete", v))))
+        swapped.foreach(r => emitSwap(r, addedByPath(r.path)))
+        val swappedPaths = swapped.map(_.path).toSet
+        added.filterNot(fe => swappedPaths(fe.path))
+          .foreach(fe => emit(fe, Some(("insert", v))))
       } else {
         added.foreach(fe => emit(fe, None))
       }
@@ -418,13 +460,22 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
   override def stop(): Unit = ()
 }
 
-/** One changed data file: absolute path, manifest row count (serves
-  * zero-column projections without opening the file), the projected
+/** One changed data file: absolute path, EMITTED row count (serves
+  * zero-column projections without opening the file — live rows for a
+  * whole-file image, the delta count for a vector swap), the projected
   * logical schema as DDL, and the per-field PHYSICAL in-file names
-  * (rename indirection resolved at planning). */
+  * (rename indirection resolved at planning). Deletion-vector
+  * selection, mutually exclusive: `dvSkip` masks deleted positions of
+  * a whole-file image; `dvOnlyNew`/`dvOnlyPrior` emit ONLY positions
+  * in (new \ prior) — the merge-on-read delta. Sidecar paths, not
+  * position arrays: the executor loads through its bounded cache, so
+  * a wide swap never rides the task closure. */
 private[graft] case class GraftFilePartition(file: String, rows: Long,
     requiredDdl: String, physNames: Array[String],
-    meta: Option[(String, Long)] = None) extends InputPartition
+    meta: Option[(String, Long)] = None,
+    dvSkip: Option[String] = None,
+    dvOnlyNew: Option[String] = None,
+    dvOnlyPrior: Option[String] = None) extends InputPartition
 
 private[sources] class GraftGroupReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -471,26 +522,46 @@ private[sources] class GraftGroupReader(p: GraftFilePartition, required: StructT
   private var row: InternalRow = _
   private var emptyRemaining = if (requestedTypes.isEmpty) p.rows else 0L
 
-  override def next(): Boolean = {
+  // deletion-vector row selection: `only` (a merge-on-read delta —
+  // emit exactly new \ prior) beats `skip` (whole-file image minus
+  // deleted positions); both resolve through the executor-side cache
+  private lazy val onlySet: Array[Long] = p.dvOnlyNew.map { n =>
+    val next = graft.core.DeletionVector.load(n)
+    p.dvOnlyPrior.map(pr => graft.core.DeletionVector.minus(next,
+      graft.core.DeletionVector.load(pr))).getOrElse(next)
+  }.orNull
+  private lazy val skipSet: Array[Long] =
+    p.dvSkip.map(graft.core.DeletionVector.load).getOrElse(Array.emptyLongArray)
+  private var pos = -1L
+
+  @annotation.tailrec
+  override final def next(): Boolean = {
     if (reader == null) { emptyRemaining -= 1; return emptyRemaining >= 0 }
     val g = reader.read()
+    pos += 1
     if (g == null) return false
-    val extra = if (p.meta.isDefined) 2 else 0
-    val vals = new Array[Any](required.size + extra)
-    var i = 0
-    while (i < required.size) {
-      val ri = presentIdx(i)
-      if (ri >= 0 && g.getFieldRepetitionCount(ri) > 0)
-        vals(i) = GraftGroupReader.convert(g, ri, required.fields(i).dataType,
-          requested.getType(ri).asPrimitiveType())
-      i += 1
+    val keep =
+      if (onlySet != null) graft.core.DeletionVector.contains(onlySet, pos)
+      else skipSet.isEmpty || !graft.core.DeletionVector.contains(skipSet, pos)
+    if (!keep) next()
+    else {
+      val extra = if (p.meta.isDefined) 2 else 0
+      val vals = new Array[Any](required.size + extra)
+      var i = 0
+      while (i < required.size) {
+        val ri = presentIdx(i)
+        if (ri >= 0 && g.getFieldRepetitionCount(ri) > 0)
+          vals(i) = GraftGroupReader.convert(g, ri, required.fields(i).dataType,
+            requested.getType(ri).asPrimitiveType())
+        i += 1
+      }
+      p.meta.foreach { case (changeType, version) =>
+        vals(required.size) = UTF8String.fromString(changeType)
+        vals(required.size + 1) = version
+      }
+      row = new GenericInternalRow(vals)
+      true
     }
-    p.meta.foreach { case (changeType, version) =>
-      vals(required.size) = UTF8String.fromString(changeType)
-      vals(required.size + 1) = version
-    }
-    row = new GenericInternalRow(vals)
-    true
   }
 
   override def get(): InternalRow =

@@ -260,6 +260,62 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.readVersion(spark, path, 2).count() == 20)
   }
 
+  test("CDC stream emits ONLY the delta rows through a vector swap") {
+    import org.apache.spark.sql.streaming.Trigger
+    import scala.collection.JavaConverters._
+    val path = tmp() + "/t"
+    GraftTable.overwrite((1 to 50).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1),
+      path, statsCols = Seq("k"))                       // v1: one 50-row file
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 3) // v2: dv swap, 3 rows
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+    val q = spark.readStream.format("graft").option("readChangeFeed", "true").load(path)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getInt(0), r.getString(2), r.getLong(3)))): Unit
+      }.start()
+    q.awaitTermination()
+    val events = got.iterator().asScala.toSeq
+    // the MOR commit streamed 3 delete rows — NOT the 50-row file twice
+    assert(events.filter(_._3 == 2L) ==
+      events.filter(_._3 == 2L).filter(_._2 == "delete"))
+    assert(events.filter(_._3 == 2L).map(_._1).sorted == Seq(1, 2, 3))
+    assert(events.count(_._3 == 1L) == 50)
+    // restore un-deletes: the swap reverses and streams 3 INSERTS
+    GraftTable.restore(path, 1L)                          // v3
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+    val q2 = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "3").load(path)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got2.add((r.getInt(0), r.getString(2), r.getLong(3)))): Unit
+      }.start()
+    q2.awaitTermination()
+    val ev2 = got2.iterator().asScala.toSeq
+    assert(ev2.map(e => (e._1, e._2)).sorted ==
+      Seq((1, "insert"), (2, "insert"), (3, "insert")))
+  }
+
+  test("append-only stream refuses a MOR delete; ignoreChanges re-emits live rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = tmp() + "/t"
+    GraftTable.overwrite((1 to 10).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1), path)
+    GraftTable.deleteWhereMor(spark, path, col("k") <= 4)
+    val strict = spark.readStream.format("graft").load(path)
+      .writeStream.format("memory").queryName("dv_strict")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("append-only"))
+    val loose = spark.readStream.format("graft").option("ignoreChanges", "true")
+      .load(path).writeStream.format("memory").queryName("dv_loose")
+      .trigger(Trigger.AvailableNow()).start()
+    loose.awaitTermination()
+    // v1 emitted all 10; v2 re-emitted the file's LIVE rows (6) only
+    val ks = spark.table("dv_loose").select("k").as[Int].collect().toSeq
+    assert(ks.sorted == ((1 to 10) ++ (5 to 10)).sorted)
+  }
+
   test("old manifests without dv fields still parse (format compatibility)") {
     val path = tmp(); nums(path, n = 10, files = 1)
     // the v1 manifest was written by THIS code but contains no dv keys
