@@ -416,6 +416,21 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
 FROM orders
 WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')""",
 
+    // merge-on-read twins: the deletion-vector read path and the
+    // purge rewrite must both land on the declarative complement
+    "q159_mor_delete" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')
+  AND NOT (o_orderkey BETWEEN 2000 AND 4000 AND o_orderstatus = 'O')""",
+
+    "q160_sql_mor_purge" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')""",
+
     "q151_sql_update" -> """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'

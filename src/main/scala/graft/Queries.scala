@@ -2289,6 +2289,58 @@ object Queries {
     s.read.format("graft").load(t)
   }
 
+  /** q159: MERGE-ON-READ DELETE via deletion vectors
+    * ([[graft.core.GraftTable.deleteWhereMor]]): two successive keyed
+    * deletes land as vector-swap commits — zero data files rewritten,
+    * O(deleted rows) sidecar bytes, the second delete MERGING into the
+    * first file's vector — and the read-back must equal the
+    * declarative complement of both predicates (the per-row liveness
+    * probe is invisible to results). The cost shape vs q125's COW
+    * twin is the whole point: a 100 TB GDPR point delete commits in
+    * sidecar bytes, not file rewrites (PlanAudit pins the
+    * zero-rewrite claim; purge + vacuum complete the physical
+    * erasure). */
+  def morDeleteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_mordel").toString
+    val path = s"$root/orders_mor"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    GraftTable.deleteWhereMor(s, path,
+      col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "F",
+      pruneRanges = Seq(GraftTable.ColRange("o_orderkey", Some(1000L), Some(3000L))))
+    GraftTable.deleteWhereMor(s, path,
+      col("o_orderkey").between(2000L, 4000L) && col("o_orderstatus") === "O",
+      pruneRanges = Seq(GraftTable.ColRange("o_orderkey", Some(2000L), Some(4000L))))
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
+  /** q160: the MOR dialect end to end — TBLPROPERTIES flips the SAME
+    * `DELETE FROM` text to deletion vectors, `REORG … APPLY (PURGE)`
+    * folds them back into a rewrite, and the post-purge read rides the
+    * batch source's vectorized fast path (no liveness filter left).
+    * Same complement oracle: property, vectors, and purge must all be
+    * invisible to results. */
+  def sqlMorPurgeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlmor").toString
+    val path = s"$root/orders_mp"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"ALTER TABLE graft.`$path` " +
+      "SET TBLPROPERTIES('graft.deletionVectors'='true')")
+    graft.plans.GraftSql.dml(s, s"DELETE FROM graft.`$path` " +
+      "WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F'")
+    graft.plans.GraftSql.dml(s, s"REORG TABLE graft.`$path` APPLY (PURGE)")
+    s.read.format("graft").load(path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2336,6 +2388,8 @@ object Queries {
     "q156_sql_optimize_where" -> (sqlOptimizeWhereQ _),
     "q157_sql_ctas_insert" -> (sqlCtasInsertQ _),
     "q158_source_write" -> (sourceWriteQ _),
+    "q159_mor_delete" -> (morDeleteQ _),
+    "q160_sql_mor_purge" -> (sqlMorPurgeQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

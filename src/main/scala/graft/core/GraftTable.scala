@@ -139,7 +139,8 @@ object GraftTable {
   case class Manifest(version: Long, tsUs: Long, op: String, schemaDdl: String,
       files: Seq[FileEntry], streamMarks: Option[Map[String, Long]] = None,
       leaves: Option[Seq[LeafRef]] = None, changes: Option[ChangeLog] = None,
-      checks: Option[Map[String, String]] = None)
+      checks: Option[Map[String, String]] = None,
+      properties: Option[Map[String, String]] = None)
 
   /** A range constraint for [[readPruned]]: keep files whose [min,max]
     * can intersect [lo,hi] (either bound optional). Bounds take ordinary
@@ -660,7 +661,7 @@ object GraftTable {
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
         commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves,
         Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")),
-        checks = cur.flatMap(_.checks))
+        checks = cur.flatMap(_.checks), properties = cur.flatMap(_.properties))
       if (tryCommit(path, next)) committed = next.version
       // else: another writer took this version — rebase on its snapshot and retry
     }
@@ -755,7 +756,7 @@ object GraftTable {
       val (files, packedLeaves) = packCommit(path, inline, leaves)
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "append_evolve", merged.toDDL, files, cur.flatMap(_.streamMarks), packedLeaves,
-        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks))
+        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks), properties = cur.flatMap(_.properties))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -796,7 +797,7 @@ object GraftTable {
         cur.flatMap(_.leaves).getOrElse(Nil))
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
         "stream_append", df.schema.toDDL, files, Some(marks), leaves,
-        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks))
+        Some(ChangeLog(logEntries(staged), Nil)), checks = cur.flatMap(_.checks), properties = cur.flatMap(_.properties))
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -1220,7 +1221,7 @@ object GraftTable {
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "delete_mor",
       cur.schemaDdl, files, cur.streamMarks, leaves,
       Some(ChangeLog(logEntries(updatedEntries), logEntries(touched))),
-      checks = cur.checks)
+      checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the delete")
@@ -1264,7 +1265,7 @@ object GraftTable {
       cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
+      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1394,7 +1395,7 @@ object GraftTable {
         cleanLeaves ++ carriedLive.map(_._1))
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
         cur.schemaDdl, files, cur.streamMarks, leaves,
-        Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
+        Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks, properties = cur.properties)
       if (!tryCommit(path, next))
         throw new java.util.ConcurrentModificationException(
           s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
@@ -1436,7 +1437,7 @@ object GraftTable {
     // metadata-only: file contents unchanged, so the change log is empty
     // (chain diffs across a schema op fall back on the DDL check anyway)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "rename", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"rename on '$path' lost the commit race — retry")
@@ -1467,7 +1468,7 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_column", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"add_column on '$path' lost the commit race — retry")
@@ -1495,7 +1496,7 @@ object GraftTable {
     }
     val (files, leaves) = packCommit(path, mapped, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_column", newDdl,
-      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks)
+      files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"drop_column on '$path' lost the commit race — retry")
@@ -1529,7 +1530,8 @@ object GraftTable {
         s"existing rows of '$path' violate CHECK $name [$sqlExpr] — clean the data first")
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "add_check",
         cur.schemaDdl, cur.files, cur.streamMarks, cur.leaves, Some(ChangeLog(Nil, Nil)),
-        checks = Some(cur.checks.getOrElse(Map.empty) + (name -> sqlExpr)))
+        checks = Some(cur.checks.getOrElse(Map.empty) + (name -> sqlExpr)),
+        properties = cur.properties)
       if (tryCommit(path, next)) committed = next.version
       // else: lost the race — re-validate against the new head and retry
     }
@@ -1554,7 +1556,8 @@ object GraftTable {
       require(cur.checks.exists(_.contains(name)), s"no check '$name' on '$path'")
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "drop_check",
         cur.schemaDdl, cur.files, cur.streamMarks, cur.leaves, Some(ChangeLog(Nil, Nil)),
-        checks = cur.checks.map(_ - name).filter(_.nonEmpty))
+        checks = cur.checks.map(_ - name).filter(_.nonEmpty),
+        properties = cur.properties)
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -1667,7 +1670,7 @@ object GraftTable {
       val (files, leaves) = packCommit(path, merged, Nil)
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), "analyze",
         cur.schemaDdl, files, cur.streamMarks, leaves, Some(ChangeLog(Nil, Nil)),
-        checks = cur.checks)
+        checks = cur.checks, properties = cur.properties)
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -1867,7 +1870,7 @@ object GraftTable {
         old.schemaDdl, old.files, cur.streamMarks, old.leaves,
         Some(ChangeLog(logEntries(oldFiles.filterNot(fe => curIds(ident(fe)))),
           logEntries(curFiles.filterNot(fe => oldIds(ident(fe)))))),
-        checks = old.checks)
+        checks = old.checks, properties = cur.properties)
       if (tryCommit(path, next)) committed = next.version
     }
     committed
@@ -1928,7 +1931,7 @@ object GraftTable {
     val (files, leaves) = packCommit(dstPath, cloned, Nil)
     val m = Manifest(1L, commitTs(None), if (deep) "clone_deep" else "clone",
       src.schemaDdl, files, None, leaves,
-      Some(ChangeLog(logEntries(cloned), Nil, truncate = true)), checks = src.checks)
+      Some(ChangeLog(logEntries(cloned), Nil, truncate = true)), checks = src.checks, properties = src.properties)
     require(tryCommit(dstPath, m), s"clone of '$srcPath' lost a creation race at '$dstPath'")
     1L
   }
@@ -2124,7 +2127,7 @@ object GraftTable {
       val marks = cur.streamMarks.getOrElse(Map.empty) + (id -> value)
       done = tryCommit(path, Manifest(cur.version + 1, commitTs(Some(cur)),
         "sync_mark", cur.schemaDdl, cur.files, Some(marks), cur.leaves,
-        Some(ChangeLog(Nil, Nil)), checks = cur.checks))
+        Some(ChangeLog(Nil, Nil)), checks = cur.checks, properties = cur.properties))
     }
   }
 
@@ -2257,7 +2260,7 @@ object GraftTable {
     val (files, leaves) = packCommit(path, big ++ staged, Nil)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "compact",
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(staged), logEntries(small))), checks = cur.checks)
+      Some(ChangeLog(logEntries(staged), logEntries(small))), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"compaction of '$path' lost the commit race — retry when quiesced")
@@ -2292,7 +2295,7 @@ object GraftTable {
     val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged, cleanRefs)
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), "purge_dv",
       cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks)
+      Some(ChangeLog(logEntries(staged), logEntries(touched))), checks = cur.checks, properties = cur.properties)
     if (!tryCommit(path, next))
       throw new java.util.ConcurrentModificationException(
         s"purge of '$path' lost the commit race — retry when quiesced")
@@ -2389,6 +2392,68 @@ object GraftTable {
     }
     graft.operators.Ops.zorderKeyN(dims, bits)
   }
+
+  // ------------------------------------------------------------ properties
+
+  /** Table properties — the configuration channel that rides the
+    * manifest (Delta's TBLPROPERTIES, re-derived): free-form string
+    * pairs carried by every commit, settable/unsettable as
+    * metadata-only commits. The engine consults `graft.deletionVectors`
+    * (`"true"` routes SQL `DELETE FROM` through [[deleteWhereMor]]
+    * instead of copy-on-write — exactly Delta's
+    * `delta.enableDeletionVectors` contract); everything else is
+    * opaque operator metadata. RESTORE keeps the CURRENT properties
+    * (configuration is not data; Delta draws the same line), clones
+    * inherit the source's. */
+  def propertiesOf(path: String): Map[String, String] =
+    currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      .properties.getOrElse(Map.empty)
+
+  /** Merge `props` into the table's properties (one rebasing
+    * metadata-only commit, op `set_properties`). */
+  def setProperties(path: String, props: Map[String, String]): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    commitProperties(path, cur => cur ++ props)
+  }
+
+  /** Remove `keys`; absent keys are a no-op unless `strict`. */
+  def unsetProperties(path: String, keys: Seq[String], strict: Boolean = false): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    if (strict) {
+      val have = propertiesOf(path).keySet
+      val missing = keys.filterNot(have)
+      require(missing.isEmpty,
+        s"no such table propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} on '$path' (use IF EXISTS to ignore)")
+    }
+    commitProperties(path, cur => cur -- keys)
+  }
+
+  private def commitProperties(path: String, f: Map[String, String] => Map[String, String]): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+      val next = f(cur.properties.getOrElse(Map.empty))
+      val m = Manifest(cur.version + 1, commitTs(Some(cur)), "set_properties",
+        cur.schemaDdl, cur.files, cur.streamMarks, cur.leaves,
+        Some(ChangeLog(Nil, Nil)), checks = cur.checks,
+        properties = if (next.isEmpty) None else Some(next))
+      if (tryCommit(path, m)) committed = m.version
+    }
+    committed
+  }
+
+  /** SHOW TBLPROPERTIES as a relation: (key, value), sorted. */
+  def describeProperties(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    propertiesOf(path).toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
+  /** Does SQL DELETE on this table go merge-on-read? */
+  private[graft] def deletionVectorsEnabled(path: String): Boolean =
+    propertiesOf(path).get("graft.deletionVectors").exists(_.equalsIgnoreCase("true"))
 
   // ---------------------------------------------------------------- vacuum
 

@@ -87,6 +87,8 @@ object GraftDml extends PredicateHelper {
     case c: GraftDropColumnsCommand => Some(c.execute(spark))
     case c: GraftInsertCommand => Some(c.execute(spark))
     case c: GraftCreateTableCommand => Some(c.execute(spark))
+    case c: GraftSetPropertiesCommand => Some(c.execute(spark))
+    case c: GraftUnsetPropertiesCommand => Some(c.execute(spark))
     case _ => None
   }
 
@@ -155,6 +157,19 @@ object GraftDml extends PredicateHelper {
       require(rc.column.name.size == 1,
         s"graft tables have flat schemas — cannot rename nested '${rc.column.name.mkString(".")}'")
       GraftRenameColumnCommand(path, rc.column.name.head, rc.newName)
+    // ALTER TABLE graft.`p` SET/UNSET TBLPROPERTIES + SHOW TBLPROPERTIES
+    // — the configuration channel (graft.deletionVectors routes SQL
+    // DELETE through merge-on-read, Delta's enableDeletionVectors
+    // contract); metadata-only commits either way
+    case sp: SetTableProperties if GraftTarget.unapply(sp.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(sp.table)
+      GraftSetPropertiesCommand(path, sp.properties)
+    case up: UnsetTableProperties if GraftTarget.unapply(up.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(up.table)
+      GraftUnsetPropertiesCommand(path, up.propertyKeys, up.ifExists)
+    case st: ShowTableProperties if GraftTarget.unapply(st.table).isDefined =>
+      val Some((path, _)) = GraftTarget.unapply(st.table)
+      GraftShowPropertiesCommand(path, st.propertyKey)
     case dcol: DropColumns if GraftTarget.unapply(dcol.table).isDefined =>
       val Some((path, _)) = GraftTarget.unapply(dcol.table)
       val names = dcol.columnsToDrop.map { f =>
@@ -246,6 +261,11 @@ private[plans] object GraftTarget {
         if u.multipartIdentifier.size == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some((u.multipartIdentifier(1), None))
+    // SHOW TBLPROPERTIES parses its target as table-or-view
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if u.multipartIdentifier.size == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some((u.multipartIdentifier(1), None))
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case gi: GraftFileIndex => Some((gi.tableRoot, None))
@@ -261,8 +281,15 @@ private[plans] object GraftTarget {
 private[plans] case class GraftDeleteCommand(path: String, pred: Column)
     extends LeafRunnableCommand {
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  // TBLPROPERTIES dispatch: graft.deletionVectors=true routes the SQL
+  // DELETE merge-on-read (an O(deleted rows) sidecar commit); default
+  // stays copy-on-write. Same statement text, table-configured cost —
+  // Delta's enableDeletionVectors contract.
   def execute(spark: SparkSession): Long =
-    GraftTable.deleteWhere(spark, path, pred,
+    if (GraftTable.deletionVectorsEnabled(path))
+      GraftTable.deleteWhereMor(spark, path, pred,
+        GraftDml.pruneRangesOf(spark, path, pred))
+    else GraftTable.deleteWhere(spark, path, pred,
       GraftDml.pruneRangesOf(spark, path, pred))
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
   override def simpleString(maxFields: Int): String =
@@ -613,11 +640,63 @@ private[plans] case class GraftCloneCommand(dstPath: String, srcPath: String,
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
 }
 
+/** `ALTER TABLE graft.`p` SET TBLPROPERTIES('k'='v', …)` — merge into
+  * the manifest-carried property map, one metadata-only commit. */
+private[plans] case class GraftSetPropertiesCommand(path: String,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long = GraftTable.setProperties(path, props)
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `ALTER TABLE graft.`p` UNSET TBLPROPERTIES [IF EXISTS] ('k', …)`. */
+private[plans] case class GraftUnsetPropertiesCommand(path: String,
+    keys: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  def execute(spark: SparkSession): Long =
+    GraftTable.unsetProperties(path, keys, strict = !ifExists)
+  override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
+}
+
+/** `SHOW TBLPROPERTIES graft.`p` [('key')]` — (key, value) rows. */
+private[plans] case class GraftShowPropertiesCommand(path: String,
+    key: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.StringType
+    Seq(AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+  }
+  override def run(spark: SparkSession): Seq[Row] = {
+    val all = GraftTable.propertiesOf(path)
+    key match {
+      case Some(k) => all.get(k).map(v => Row(k, v)).toSeq
+      case None => all.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `REORG TABLE graft.`p` APPLY (PURGE)` — fold every deletion vector
+  * into a rewrite of exactly the dv'd files ([[GraftTable.purgeDeletes]];
+  * Delta's REORG…PURGE re-derived). The physical half of GDPR erasure
+  * (vacuum then reclaims the superseded files and sidecars) and the
+  * valve that returns a vector-heavy table to the filter-free
+  * vectorized read path. */
+private[plans] case class GraftReorgCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "purged_files", org.apache.spark.sql.types.IntegerType, nullable = false)())
+  def execute(spark: SparkSession): Long = GraftTable.purgeDeletes(spark, path)._1.toLong
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark).toInt))
+}
+
 /** The maintenance statements Spark's grammar does not know — VACUUM,
-  * OPTIMIZE, RESTORE, CLONE — recognized BEFORE delegating to the real
-  * parser (Delta's DeltaSqlParser pattern). Anything else falls
-  * through untouched. */
+  * OPTIMIZE, RESTORE, CLONE, REORG — recognized BEFORE delegating to
+  * the real parser (Delta's DeltaSqlParser pattern). Anything else
+  * falls through untouched. */
 object GraftMaintenance {
+  private val Reorg =
+    """(?is)\s*REORG\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val Optimize =
@@ -662,6 +741,7 @@ object GraftMaintenance {
     """(?is)\s*ANALYZE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+(STATS|BLOOM)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case Reorg(path) => Some(GraftReorgCommand(path))
     case Analyze(path, kind, cols) =>
       Some(GraftAnalyzeCommand(path,
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,

@@ -108,6 +108,13 @@ object GraftSql {
         plan(spark, GraftTable.describeConsumers(spark, pathOf("graft_table_consumers", p)))
       case args => fail("graft_table_consumers", s"(path), got ${args.size} argument(s)")
     })
+    // manifest-carried table properties (SHOW TBLPROPERTIES as a TVF —
+    // joinable, filterable)
+    register("graft_table_properties", {
+      case Seq(p) =>
+        plan(spark, GraftTable.describeProperties(spark, pathOf("graft_table_properties", p)))
+      case args => fail("graft_table_properties", s"(path), got ${args.size} argument(s)")
+    })
     // the CHANGES consumer surface (Snowflake `CHANGES ... AT/END`,
     // Delta `table_changes(...)`) — row-level diff between two versions,
     // keyed on a comma-separated key-column list
@@ -157,6 +164,7 @@ object GraftSql {
       case Some(c: GraftRestoreCommand) => return c.execute(spark)
       case Some(c: GraftCloneCommand) => return c.execute(spark)
       case Some(c: GraftAnalyzeCommand) => return c.execute(spark)
+      case Some(c: GraftReorgCommand) => return c.execute(spark)
       case _ => ()
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)

@@ -790,6 +790,54 @@ object PlanAudit {
       println(s"[plan] q156_optimize_where: ${results.mkString(" ")}" +
         s" (files ${before.size} -> ${after.size}, removed $removed)")
     }
+    locally {
+      // q159/q160's merge-on-read delete: the scale claims, machine-
+      // checked — zero data files rewritten, the commit costs sidecar
+      // bytes (O(deleted rows)), a second delete merges into the same
+      // file's vector, and REORG…PURGE restores the filter-free
+      // vectorized read path
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_mor").toString + "/t"
+      val rows = spark.range(0, 65536).selectExpr("cast(id as int) AS k",
+        "repeat(uuid(), 4) AS payload")
+      GraftTable.writeClustered(rows, root, col("k"), numFiles = 16,
+        statsCols = Seq("k"))
+      def dataFiles() = Option(new java.io.File(root, "data").listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      def dvBytes() = Option(new java.io.File(root, "_dv").listFiles)
+        .getOrElse(Array.empty[java.io.File]).map(_.length).sum
+      val snap = dataFiles()
+      val dataBytes = snap.map(_._3).sum
+      spark.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES(" +
+        "'graft.deletionVectors'='true')")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k BETWEEN 100 AND 163")
+      val dv1 = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .flatMap(_.dv)
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k BETWEEN 164 AND 227")
+      val m2 = GraftTable.currentManifest(root).get
+      val dv2 = GraftTable.filesOf(root, m2).flatMap(_.dv)
+      val afterDeletes = dataFiles() // purge below legitimately rewrites
+      val purged = spark.sql(s"REORG TABLE graft.`$root` APPLY (PURGE)")
+        .collect()(0).getInt(0)
+      val entriesAfter = GraftTable.filesOf(root,
+        GraftTable.currentManifest(root).get)
+      val checks = Seq(
+        "sql_routed_mor" -> (m2.op == "delete_mor"),
+        "no_data_rewrite" -> (afterDeletes == snap),
+        "commit_is_sidecar_bytes" -> (dvBytes() > 0 && dvBytes() * 100 < dataBytes),
+        "second_delete_merges" -> (dv1.size == 1 && dv2.size == 1 &&
+          dv1.head.rows == 64 && dv2.head.rows == 128 &&
+          dv2.head.path != dv1.head.path),
+        "purge_rewrites_only_dvd" -> (purged == 1 &&
+          entriesAfter.count(fe => !snap.exists(_._1 == fe.path.split('/').last)) == 1),
+        "purge_restores_fast_path" -> entriesAfter.forall(_.dv.isEmpty),
+        "rows_exact" -> (GraftTable.read(spark, root).count() == 65536 - 128))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q159_mor_delete: ${results.mkString(" ")}" +
+        s" (dv ${dvBytes()} B vs data $dataBytes B)")
+    }
     spark.stop()
   }
 }

@@ -113,6 +113,33 @@ object WriteAmp {
       f"${stagedB.map(_.bytes).sum} bytes staged (${stagedB.size} files), " +
       f"${v2bAll.size - stagedB.size} carried — " +
       f"${stagedB.map(_.bytes).sum.toDouble / baseBytes}%.3f of table")
+
+    // the point-delete shape (GDPR erasure of a sparse key set): COW
+    // rewrites every file holding a victim; merge-on-read commits
+    // deletion-vector sidecars and touches no data file. Same predicate,
+    // same final content — the bytes ARE the comparison.
+    val delPred = col("order_id") % 97 === 0
+    val gtCow = s"$root/graft_fact_del_cow"
+    val gtMor = s"$root/graft_fact_del_mor"
+    Seq(gtCow, gtMor).foreach(p => GraftTable.writeClustered(f2, p,
+      col("order_id"), numFiles, statsCols = Seq("order_id")))
+    val cowV1 = GraftTable.filesOf(gtCow, GraftTable.currentManifest(gtCow).get)
+      .map(_.path).toSet
+    GraftTable.deleteWhere(spark, gtCow, delPred)
+    val cowStaged = GraftTable.filesOf(gtCow, GraftTable.currentManifest(gtCow).get)
+      .filterNot(fe => cowV1.contains(fe.path))
+    GraftTable.deleteWhereMor(spark, gtMor, delPred)
+    val morEntries = GraftTable.filesOf(gtMor, GraftTable.currentManifest(gtMor).get)
+    val morBytes = morEntries.flatMap(_.dv).map(_.bytes).sum
+    val nVictims = morEntries.flatMap(_.dv).map(_.rows).sum
+    val delDiff = GraftTable.read(spark, gtCow)
+      .exceptAll(GraftTable.read(spark, gtMor)).count() +
+      GraftTable.read(spark, gtMor).exceptAll(GraftTable.read(spark, gtCow)).count()
+    require(delDiff == 0, s"COW and MOR deletes diverged by $delDiff rows")
+    println(f"[writeamp] point delete ($nVictims rows): COW " +
+      f"${cowStaged.map(_.bytes).sum} bytes (${cowStaged.size} files rewritten) vs " +
+      f"MOR $morBytes sidecar bytes (0 files) — " +
+      f"${cowStaged.map(_.bytes).sum.toDouble / math.max(1L, morBytes)}%.0fx reduction")
     spark.stop()
   }
 }

@@ -12,6 +12,7 @@ import graft.core.GraftTable
   * travel, DML, purge, compaction, vacuum, diff/CDC, and clones. */
 class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
   import spark.implicits._
+  graft.plans.GraftSql.install(spark)
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft_dv").toString
@@ -314,6 +315,63 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
     // v1 emitted all 10; v2 re-emitted the file's LIVE rows (6) only
     val ks = spark.table("dv_loose").select("k").as[Int].collect().toSeq
     assert(ks.sorted == ((1 to 10) ++ (5 to 10)).sorted)
+  }
+
+  test("TBLPROPERTIES: set/unset/show, carried by every commit, clone inherits") {
+    import graft.plans.GraftSql
+    val path = tmp() + "/t"
+    nums(path, n = 10, files = 1)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+      "'graft.deletionVectors'='true', 'team'='data-eng')")
+    assert(GraftTable.propertiesOf(path) ==
+      Map("graft.deletionVectors" -> "true", "team" -> "data-eng"))
+    // carried through ordinary commits
+    GraftTable.append(Seq((11, "x", 1)).toDF("k", "v", "g"), path)
+    assert(GraftTable.propertiesOf(path).size == 2)
+    // SHOW via the wrapped parser and via the TVF
+    val wrapped = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val show = wrapped.parsePlan(s"SHOW TBLPROPERTIES graft.`$path`")
+      .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(spark)
+    assert(show.map(r => (r.getString(0), r.getString(1))).toMap ==
+      GraftTable.propertiesOf(path))
+    assert(spark.sql(s"SELECT value FROM graft_table_properties('$path') " +
+      "WHERE key = 'team'").head.getString(0) == "data-eng")
+    // UNSET; strict refusal without IF EXISTS
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    intercept[Exception](GraftSql.dml(spark,
+      s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('nope')"))
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` UNSET TBLPROPERTIES ('team')")
+    assert(GraftTable.propertiesOf(path) == Map("graft.deletionVectors" -> "true"))
+    // a clone inherits
+    val c = tmp() + "/c"
+    GraftTable.cloneTable(spark, path, c)
+    assert(GraftTable.propertiesOf(c) == Map("graft.deletionVectors" -> "true"))
+  }
+
+  test("DELETE FROM dispatches on graft.deletionVectors") {
+    import graft.plans.GraftSql
+    val path = tmp() + "/t"
+    nums(path, n = 40, files = 2)
+    // default: copy-on-write — the touched data file is REPLACED
+    val before = dataFiles(path)
+    GraftSql.dml(spark, s"DELETE FROM graft.`$path` WHERE k = 1")
+    assert(dataFiles(path).keySet != before.keySet)
+    assert(keys(path) == (2 to 40).toSeq)
+    // enable vectors: same statement, merge-on-read — files untouched
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+      "'graft.deletionVectors'='true')")
+    val cow = dataFiles(path)
+    GraftSql.dml(spark, s"DELETE FROM graft.`$path` WHERE k <= 5")
+    assert(dataFiles(path) == cow)
+    assert(keys(path) == (6 to 40).toSeq)
+    assert(GraftTable.history(spark, path)
+      .orderBy(col("version").desc).head.getAs[String]("op") == "delete_mor")
+    // REORG APPLY (PURGE) folds the vectors physically
+    val purged = GraftSql.dml(spark, s"REORG TABLE graft.`$path` APPLY (PURGE)")
+    assert(purged >= 1)
+    assert(keys(path) == (6 to 40).toSeq)
+    assert(GraftTable.describeFiles(spark, path)
+      .agg(sum("n_deleted")).head.getLong(0) == 0L)
   }
 
   test("old manifests without dv fields still parse (format compatibility)") {

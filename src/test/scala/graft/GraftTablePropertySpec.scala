@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(11) match {
+        rnd.nextInt(13) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -153,6 +153,21 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
             if (GraftTable.exists(path)) {
               GraftTable.analyzeStats(spark, path, Seq("v"),
                 bloomCols = if (rnd.nextBoolean()) Seq("k") else Nil): Unit
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 11 =>
+            // merge-on-read delete: same model as predicate delete, a
+            // vector-swap commit instead of a rewrite — interleaves with
+            // every COW op, restore, compaction, and vacuum below
+            if (GraftTable.exists(path)) {
+              val target = rnd.nextInt(14)
+              GraftTable.deleteWhereMor(spark, path, col("k") === target): Unit
+              multi = multi - target
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 12 =>
+            // purge: fold every vector into a rewrite — contents
+            // invariant; vector-free tables make it a version no-op
+            if (GraftTable.exists(path)) {
+              GraftTable.purgeDeletes(spark, path): Unit
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
         }
