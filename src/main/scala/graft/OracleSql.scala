@@ -425,6 +425,16 @@ FROM orders
 WHERE NOT (o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'F')
   AND NOT (o_orderkey BETWEEN 2000 AND 4000 AND o_orderstatus = 'O')""",
 
+    "q161_mor_update" -> """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+            ELSE o_totalprice END AS o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders""",
+
     "q160_sql_mor_purge" -> """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        epoch_us(o_orderdate) AS odate_us

@@ -2341,6 +2341,30 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
 
+  /** q161: MERGE-ON-READ UPDATE ([[graft.core.GraftTable.updateWhereMor]]):
+    * q126's status-correction + price-adjustment slice, but the old
+    * images mask via deletion vectors and only the changed rows' new
+    * images write — O(changed rows) amplification instead of O(touched
+    * files). Identical CASE-WHEN complement oracle as q126: the cost
+    * shape must be invisible to results. */
+  def morUpdateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_morupd").toString
+    val path = s"$root/orders_mu"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    GraftTable.updateWhereMor(s, path,
+      col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "O",
+      Map("o_orderstatus" -> lit("P"),
+        "o_totalprice" -> (col("o_totalprice").cast("decimal(18,4)") *
+          lit(BigDecimal("1.1")).cast("decimal(2,1)")).cast("double")),
+      pruneRanges = Seq(GraftTable.ColRange("o_orderkey", Some(1000L), Some(3000L))))
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2390,6 +2414,7 @@ object Queries {
     "q158_source_write" -> (sourceWriteQ _),
     "q159_mor_delete" -> (morDeleteQ _),
     "q160_sql_mor_purge" -> (sqlMorPurgeQ _),
+    "q161_mor_update" -> (morUpdateQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

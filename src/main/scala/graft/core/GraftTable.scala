@@ -1151,21 +1151,61 @@ object GraftTable {
     * Concurrency: optimistic, like [[deleteWhere]] — a racing commit
     * surfaces `ConcurrentModificationException`; re-read and retry. */
   def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
-      pruneRanges: Seq[ColRange] = Nil): Long = {
+      pruneRanges: Seq[ColRange] = Nil): Long =
+    morDml(spark, path, pred, pruneRanges, "delete_mor", None)
+
+  /** MERGE-ON-READ UPDATE WHERE — [[updateWhere]] semantics at
+    * [[deleteWhereMor]]'s cost shape: matched rows' OLD images are
+    * masked by deletion-vector sidecars (no data file rewrites) and
+    * their NEW images stage as a fresh appended file, so write
+    * amplification is O(changed rows) — sidecar bytes plus the changed
+    * rows' parquet — instead of COW's O(files holding matches). CHECK
+    * constraints validate the staged images; CDC consumers see the
+    * update as the vector swap's delta DELETEs plus the staged file's
+    * INSERTs, which a fold-by-key replica applies as the update it is.
+    * The tradeoff mirrors the delete: updated-away bytes stay on disk
+    * (and readable via time travel) until [[purgeDeletes]]/compaction,
+    * and the hot keys migrate out of the clustered layout into the
+    * append tail — OPTIMIZE restores clustering. */
+  def updateWhereMor(spark: SparkSession, path: String, pred: Column,
+      set: Map[String, Column], pruneRanges: Seq[ColRange] = Nil): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missing = set.keySet -- schema.fieldNames.toSet
+    require(missing.isEmpty, s"UPDATE assigns unknown column(s) ${missing.mkString(", ")} " +
+      s"— table schema is [${cur.schemaDdl}]")
+    morDml(spark, path, pred, pruneRanges, "update_mor", Some(matched =>
+      // every row here matched pred and is live — assignments apply
+      // unconditionally, cast to the column's declared type
+      matched.select(schema.fields.map(f => set.get(f.name)
+        .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))).toSeq: _*)))
+  }
+
+  /** The shared merge-on-read body: find matching LIVE rows with their
+    * file positions (already-deleted rows filtered out, so re-deleting
+    * is a no-op and counts stay exact), write one merged
+    * [[DeletionVector]] sidecar per touched file FROM THE EXECUTORS
+    * (the driver never holds a position list), optionally stage
+    * `replace`'s transformed images of the matched rows as new files,
+    * and commit dv pointer swaps + staged adds. A file whose vector
+    * covers every physical row drops from the manifest (its orphaned
+    * sidecar is vacuum fodder). */
+  private def morDml(spark: SparkSession, path: String, pred: Column,
+      pruneRanges: Seq[ColRange], op: String,
+      replace: Option[DataFrame => DataFrame]): Long = {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     val logical = StructType.fromDDL(cur.schemaDdl)
     require(!logical.fieldNames.contains("_metadata"),
-      "merge-on-read DELETE positions rows via the hidden _metadata struct — a " +
-        "table with a literal _metadata column must use copy-on-write deleteWhere")
+      "merge-on-read DML positions rows via the hidden _metadata struct — a " +
+        "table with a literal _metadata column must use the copy-on-write ops")
     val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
       .partition(l => mayMatch(l.stats, pruneRanges))
     val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
     val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
-    // matching LIVE positions per file (already-deleted rows are
-    // filtered out, so re-deleting is a no-op and counts stay exact),
-    // then one sidecar write per touched file FROM THE EXECUTORS —
-    // the driver never holds a position list
+    var matchedRows: DataFrame = null
     val matched: Map[String, (String, Long, Long)] = // basename -> (dv name, total, bytes)
       if (candidates.isEmpty) Map.empty
       else {
@@ -1191,7 +1231,11 @@ object GraftTable {
         val oldDvByFile: Map[String, String] = dvdC.flatMap(fe =>
           fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
         val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
-        scoped.filter(pred).select(col("__f"), col("__p")).as[(String, Long)]
+        // an update reads the matched rows twice (positions + images) —
+        // persist so the candidate scan runs once
+        matchedRows = scoped.filter(pred)
+        if (replace.isDefined) matchedRows.persist(): Unit
+        matchedRows.select(col("__f"), col("__p")).as[(String, Long)]
           .groupByKey(_._1).mapGroups { (f, it) =>
             val fresh = it.map(_._2).toArray.distinct.sorted
             val merged = DeletionVector.union(
@@ -1203,29 +1247,36 @@ object GraftTable {
           }
           .collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
       }
-    def touchedBy(fe: FileEntry) = matched.contains(fe.path.split('/').last)
-    // a file whose vector now covers every physical row leaves the
-    // manifest (its orphaned sidecar is vacuum fodder)
-    def updatedEntry(fe: FileEntry): Option[FileEntry] = {
-      val (dvName, total, bytes) = matched(fe.path.split('/').last)
-      if (total >= fe.rows) None
-      else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
-    }
-    val (inTouched, inUntouched) = cur.files.partition(touchedBy)
-    val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(touchedBy))
-    val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(touchedBy)
-    val survivors = dirtyLeaves.flatMap(_._2).filterNot(touchedBy)
-    val updatedEntries = touched.flatMap(updatedEntry(_))
-    val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ updatedEntries,
-      cleanLeaves ++ carriedLive.map(_._1))
-    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "delete_mor",
-      cur.schemaDdl, files, cur.streamMarks, leaves,
-      Some(ChangeLog(logEntries(updatedEntries), logEntries(touched))),
-      checks = cur.checks, properties = cur.properties)
-    if (!tryCommit(path, next))
-      throw new java.util.ConcurrentModificationException(
-        s"commit v${next.version} of '$path' lost the race — re-read and retry the delete")
-    next.version
+    try {
+      def touchedBy(fe: FileEntry) = matched.contains(fe.path.split('/').last)
+      def updatedEntry(fe: FileEntry): Option[FileEntry] = {
+        val (dvName, total, bytes) = matched(fe.path.split('/').last)
+        if (total >= fe.rows) None
+        else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
+      }
+      val (inTouched, inUntouched) = cur.files.partition(touchedBy)
+      val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(touchedBy))
+      val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(touchedBy)
+      val survivors = dirtyLeaves.flatMap(_._2).filterNot(touchedBy)
+      val updatedEntries = touched.flatMap(updatedEntry(_))
+      val staged = replace match {
+        case Some(f) if matched.nonEmpty =>
+          stageFiles(f(matchedRows.drop("__f", "__p")), path,
+            touched.flatMap(_.stats.keys).distinct, None)
+        case _ => Nil
+      }
+      val (files, leaves) = packCommit(path,
+        inUntouched ++ survivors ++ updatedEntries ++ staged,
+        cleanLeaves ++ carriedLive.map(_._1))
+      val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
+        cur.schemaDdl, files, cur.streamMarks, leaves,
+        Some(ChangeLog(logEntries(updatedEntries ++ staged), logEntries(touched))),
+        checks = cur.checks, properties = cur.properties)
+      if (!tryCommit(path, next))
+        throw new java.util.ConcurrentModificationException(
+          s"commit v${next.version} of '$path' lost the race — re-read and retry the $op")
+      next.version
+    } finally if (matchedRows != null && replace.isDefined) matchedRows.unpersist(): Unit
   }
 
   /** The shared predicate-DML body: find the files actually holding a

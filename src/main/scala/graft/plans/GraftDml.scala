@@ -299,8 +299,13 @@ private[plans] case class GraftDeleteCommand(path: String, pred: Column)
 private[plans] case class GraftUpdateCommand(path: String, pred: Column,
     set: Map[String, Column]) extends LeafRunnableCommand {
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  // same TBLPROPERTIES dispatch as DELETE: vectors mask the old images,
+  // the new ones append — O(changed rows), not O(touched files)
   def execute(spark: SparkSession): Long =
-    GraftTable.updateWhere(spark, path, pred, set,
+    if (GraftTable.deletionVectorsEnabled(path))
+      GraftTable.updateWhereMor(spark, path, pred, set,
+        GraftDml.pruneRangesOf(spark, path, pred))
+    else GraftTable.updateWhere(spark, path, pred, set,
       GraftDml.pruneRangesOf(spark, path, pred))
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }
   override def simpleString(maxFields: Int): String =

@@ -374,6 +374,61 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
       .agg(sum("n_deleted")).head.getLong(0) == 0L)
   }
 
+  test("MOR update masks old images and appends only the changed rows") {
+    val path = tmp()
+    GraftTable.writeClustered((1 to 60).map(i => (i, s"v$i")).toDF("k", "v"),
+      path, col("k"), numFiles = 3, statsCols = Seq("k"))
+    val before = dataFiles(path)
+    GraftTable.updateWhereMor(spark, path, col("k") % 20 === 0,
+      Map("v" -> lit("UPDATED")),
+      pruneRanges = Seq(GraftTable.ColRange("k", Some(20), Some(60))))
+    // original data files untouched; only appended image files are new
+    val after = dataFiles(path)
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (f, sig) => assert(after(f) == sig) }
+    assert(after.size > before.size)
+    // semantics exact
+    val got = GraftTable.read(spark, path).as[(Int, String)].collect().toMap
+    assert(got == (1 to 60).map(i =>
+      i -> (if (i % 20 == 0) "UPDATED" else s"v$i")).toMap)
+    // time travel reads the pre-update images
+    assert(GraftTable.readVersion(spark, path, 1).filter(col("k") === 20)
+      .select("v").as[String].head == "v20")
+    // diff classifies the change as an update
+    val d = GraftTable.diffVersions(spark, path, 1, 2, Seq("k"))
+    assert(d.select("k", "change_type").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((20, "update"), (40, "update"), (60, "update")))
+    // op recorded; a second update composes (merges vectors, appends again)
+    assert(GraftTable.history(spark, path)
+      .orderBy(col("version").desc).head.getAs[String]("op") == "update_mor")
+    GraftTable.updateWhereMor(spark, path, col("k") === 20, Map("v" -> lit("TWICE")))
+    assert(GraftTable.read(spark, path).filter(col("k") === 20)
+      .select("v").as[String].head == "TWICE")
+    assert(GraftTable.read(spark, path).count() == 60)
+  }
+
+  test("SQL UPDATE dispatches merge-on-read under the property; CHECKs gate images") {
+    import graft.plans.GraftSql
+    val path = tmp() + "/t"
+    nums(path, n = 30, files = 2)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+      "'graft.deletionVectors'='true')")
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` ADD CONSTRAINT pos_k CHECK (k > 0)")
+    val before = dataFiles(path)
+    GraftSql.dml(spark, s"UPDATE graft.`$path` SET v = 'X' WHERE k = 7")
+    before.foreach { case (f, sig) => assert(dataFiles(path)(f) == sig) }
+    assert(GraftTable.history(spark, path)
+      .orderBy(col("version").desc).head.getAs[String]("op") == "update_mor")
+    assert(GraftTable.read(spark, path).filter(col("k") === 7)
+      .select("v").as[String].head == "X")
+    // an update whose IMAGES violate a CHECK refuses before committing
+    val v = GraftTable.currentVersion(path).get
+    intercept[Exception](GraftSql.dml(spark,
+      s"UPDATE graft.`$path` SET k = -1 WHERE k = 8"))
+    assert(GraftTable.currentVersion(path).get == v)
+    assert(GraftTable.read(spark, path).filter(col("k") === 8).count() == 1)
+  }
+
   test("old manifests without dv fields still parse (format compatibility)") {
     val path = tmp(); nums(path, n = 10, files = 1)
     // the v1 manifest was written by THIS code but contains no dv keys

@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -168,6 +168,17 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
             // invariant; vector-free tables make it a version no-op
             if (GraftTable.exists(path)) {
               GraftTable.purgeDeletes(spark, path): Unit
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 13 =>
+            // merge-on-read update: case 7's model (every row of one key
+            // takes a new value) via vector-mask + image append
+            if (GraftTable.exists(path)) {
+              val (target, nv) = (rnd.nextInt(12), s"mu$seed-$step")
+              GraftTable.updateWhereMor(spark, path, col("k") === target,
+                Map("v" -> org.apache.spark.sql.functions.lit(nv))): Unit
+              multi = multi.map { case (k, vs) =>
+                k -> (if (k == target) vs.map(_ => nv) else vs)
+              }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
         }
