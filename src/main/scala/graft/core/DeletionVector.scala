@@ -57,6 +57,13 @@ object DeletionVector {
     require(bytes.length >= 8 && readInt(bytes, 0) == Magic,
       "not a graft deletion vector (bad magic)")
     val n = readInt(bytes, 4)
+    // sanity-bound the header count before sizing allocations by it: a
+    // bit-flipped sidecar claiming 2^31 positions must refuse loudly,
+    // not OOM the executor. Deflate's theoretical max expansion is
+    // ~1032:1 and every position costs ≥1 pre-compression byte.
+    require(n >= 0 && n.toLong <= (bytes.length - 8).toLong * 1040 + 64,
+      s"corrupt deletion vector: header claims $n positions in " +
+        s"${bytes.length - 8} compressed bytes")
     val inflater = new Inflater()
     inflater.setInput(bytes, 8, bytes.length - 8)
     val raw = new ByteArrayOutputStream(n + 16)
@@ -143,13 +150,17 @@ object DeletionVector {
       size() > MaxCached
   }
 
-  def load(absPath: String): Array[Long] = cache.synchronized {
-    val hit = cache.get(absPath)
-    if (hit != null) hit
-    else {
-      val v = decode(Files.readAllBytes(new File(absPath).toPath))
-      cache.put(absPath, v)
-      v
+  def load(absPath: String): Array[Long] = {
+    val hit = cache.synchronized(cache.get(absPath))
+    if (hit != null) return hit
+    // read + decode OUTSIDE the lock: sidecars are immutable, so the
+    // worst concurrent case is a duplicate decode of the same file —
+    // never a cold-cache load queue serializing every scan task's
+    // first probe behind one executor-wide lock
+    val v = decode(Files.readAllBytes(new File(absPath).toPath))
+    cache.synchronized {
+      val raced = cache.get(absPath)
+      if (raced != null) raced else { cache.put(absPath, v); v }
     }
   }
 }

@@ -855,27 +855,39 @@ object GraftTable {
     parts.result().reduce(_ unionByName _)
   }
 
+  /** Internal column names the MOR DML projections append for row
+    * positions — guarded against collision at the operation entry. */
+  private val PosFileCol = "__gdv_file"
+  private val PosIdxCol = "__gdv_pos"
+
   /** Per-rename-group reads of `entries` under the logical schema —
     * optionally filtered by a deletion-vector liveness predicate, which
     * must apply BEFORE the rename projection (it references the scan's
     * hidden `_metadata` struct). Rename-free groups ride the manifest
     * FileIndex (vectorized, stats-skipped); renamed groups read by
-    * physical schema and project. */
+    * physical schema and project. With `withPos` the output carries
+    * two extra columns ([[PosFileCol]], [[PosIdxCol]]) — the file
+    * basename and row position the MOR DML path keys its sidecars
+    * on. */
   private def renameGroupReads(spark: SparkSession, path: String,
       entries: Seq[FileEntry], logical: StructType,
-      dvFilter: Option[Column]): Seq[DataFrame] =
+      dvFilter: Option[Column], withPos: Boolean = false): Seq[DataFrame] =
     entries.groupBy(_.renames.getOrElse(Map.empty)).map { case (ren, fs) =>
       val base =
         if (ren.isEmpty)
           graft.sources.GraftBatchRead.subsetDf(spark, path,
-            currentOrSynthetic(path, logical), fs, logical)
+            syntheticManifest(logical), fs, logical)
         else spark.read.schema(StructType(logical.fields.map(f =>
             f.copy(name = ren.getOrElse(f.name, f.name)))))
           .parquet(fs.map(f => resolveData(path, f)): _*)
       val filtered = dvFilter.map(base.filter).getOrElse(base)
-      if (ren.isEmpty) filtered
+      if (ren.isEmpty && !withPos) filtered
       else filtered.select(logical.fields.map(f =>
-        col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+        col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
+        (if (withPos)
+          Seq(substring_index(col("_metadata.file_path"), "/", -1).as(PosFileCol),
+            col("_metadata.row_index").as(PosIdxCol))
+        else Nil): _*)
     }.toSeq
 
   /** The liveness predicate for dv'd entries: a row survives when its
@@ -899,8 +911,24 @@ object GraftTable {
   /** [[renameGroupReads]] needs a manifest only for its schema DDL when
     * routing a group through the FileIndex scan — synthesize one so the
     * helper can serve arbitrary entry subsets of any snapshot. */
-  private def currentOrSynthetic(path: String, logical: StructType): Manifest =
+  private def syntheticManifest(logical: StructType): Manifest =
     Manifest(0L, 0L, "subset", logical.toDDL, Nil)
+
+  /** The shared touched-file split every file-granular DML commit does:
+    * partition the inline list, dissolve leaves holding a touched
+    * member (survivors inline), carry clean and untouched-parsed
+    * leaves by pointer. Returns (touched, untouched inline,
+    * carried leaf refs). */
+  private def splitByTouched(cur: Manifest,
+      loaded: Seq[(LeafRef, Seq[FileEntry])], cleanLeaves: Seq[LeafRef],
+      isTouched: FileEntry => Boolean)
+      : (Seq[FileEntry], Seq[FileEntry], Seq[LeafRef]) = {
+    val (inTouched, inUntouched) = cur.files.partition(isTouched)
+    val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(isTouched))
+    (inTouched ++ dirtyLeaves.flatMap(_._2).filter(isTouched),
+      inUntouched ++ dirtyLeaves.flatMap(_._2).filterNot(isTouched),
+      cleanLeaves ++ carriedLive.map(_._1))
+  }
 
   private def readManifest(spark: SparkSession, path: String, m: Manifest): DataFrame =
     readFileSubset(spark, path, m, filesOf(path, m))
@@ -1198,9 +1226,12 @@ object GraftTable {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     val logical = StructType.fromDDL(cur.schemaDdl)
-    require(!logical.fieldNames.contains("_metadata"),
-      "merge-on-read DML positions rows via the hidden _metadata struct — a " +
-        "table with a literal _metadata column must use the copy-on-write ops")
+    val reserved = Seq("_metadata", PosFileCol, PosIdxCol)
+      .filter(logical.fieldNames.contains)
+    require(reserved.isEmpty,
+      s"merge-on-read DML positions rows via the hidden _metadata struct and the " +
+        s"${PosFileCol}/${PosIdxCol} projections — a table with literal column(s) " +
+        s"${reserved.mkString(", ")} must use the copy-on-write ops")
     val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
       .partition(l => mayMatch(l.stats, pruneRanges))
     val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
@@ -1211,31 +1242,20 @@ object GraftTable {
       else {
         import spark.implicits._
         val dvdC = candidates.filter(_.dv.isDefined)
-        val posFrames = candidates.groupBy(_.renames.getOrElse(Map.empty)).toSeq
-          .map { case (ren, fs) =>
-            val base =
-              if (ren.isEmpty) graft.sources.GraftBatchRead.subsetDf(spark, path,
-                currentOrSynthetic(path, logical), fs, logical)
-              else spark.read.schema(StructType(logical.fields.map(f =>
-                  f.copy(name = ren.getOrElse(f.name, f.name)))))
-                .parquet(fs.map(f => resolveData(path, f)): _*)
-            base.select(logical.fields.map(f =>
-                col(ren.getOrElse(f.name, f.name)).as(f.name)) :+
-              substring_index(col("_metadata.file_path"), "/", -1).as("__f") :+
-              col("_metadata.row_index").as("__p"): _*)
-          }
-        val live = posFrames.reduce(_ union _)
-        val scoped =
-          if (dvdC.isEmpty) live
-          else live.filter(dvLiveFilter(path, dvdC, col("__f"), col("__p")))
+        val dvF = if (dvdC.isEmpty) None
+          else Some(dvLiveFilter(path, dvdC,
+            substring_index(col("_metadata.file_path"), "/", -1),
+            col("_metadata.row_index")))
+        val live = renameGroupReads(spark, path, candidates, logical,
+          dvF, withPos = true).reduce(_ union _)
         val oldDvByFile: Map[String, String] = dvdC.flatMap(fe =>
           fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
         val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
         // an update reads the matched rows twice (positions + images) —
         // persist so the candidate scan runs once
-        matchedRows = scoped.filter(pred)
+        matchedRows = live.filter(pred)
         if (replace.isDefined) matchedRows.persist(): Unit
-        matchedRows.select(col("__f"), col("__p")).as[(String, Long)]
+        matchedRows.select(col(PosFileCol), col(PosIdxCol)).as[(String, Long)]
           .groupByKey(_._1).mapGroups { (f, it) =>
             val fresh = it.map(_._2).toArray.distinct.sorted
             val merged = DeletionVector.union(
@@ -1249,25 +1269,24 @@ object GraftTable {
       }
     try {
       def touchedBy(fe: FileEntry) = matched.contains(fe.path.split('/').last)
+      // a file whose vector now covers every physical row leaves the
+      // manifest (its orphaned sidecar is vacuum fodder)
       def updatedEntry(fe: FileEntry): Option[FileEntry] = {
         val (dvName, total, bytes) = matched(fe.path.split('/').last)
         if (total >= fe.rows) None
         else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
       }
-      val (inTouched, inUntouched) = cur.files.partition(touchedBy)
-      val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(touchedBy))
-      val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(touchedBy)
-      val survivors = dirtyLeaves.flatMap(_._2).filterNot(touchedBy)
+      val (touched, untouched, carriedRefs) =
+        splitByTouched(cur, loaded, cleanLeaves, touchedBy)
       val updatedEntries = touched.flatMap(updatedEntry(_))
       val staged = replace match {
         case Some(f) if matched.nonEmpty =>
-          stageFiles(f(matchedRows.drop("__f", "__p")), path,
+          stageFiles(f(matchedRows.drop(PosFileCol, PosIdxCol)), path,
             touched.flatMap(_.stats.keys).distinct, None)
         case _ => Nil
       }
       val (files, leaves) = packCommit(path,
-        inUntouched ++ survivors ++ updatedEntries ++ staged,
-        cleanLeaves ++ carriedLive.map(_._1))
+        untouched ++ updatedEntries ++ staged, carriedRefs)
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
         cur.schemaDdl, files, cur.streamMarks, leaves,
         Some(ChangeLog(logEntries(updatedEntries ++ staged), logEntries(touched))),

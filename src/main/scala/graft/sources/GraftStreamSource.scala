@@ -317,11 +317,15 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
       var (v, bytes) = (s + 1, 0L)
       while (v <= end) {
         GraftTable.manifestAt(path, v).changes.foreach { c =>
-          // a same-path add+remove is a merge-on-read vector swap: the
-          // batch reads the sidecar delta, not the data file again
+          // a same-path add+remove is a merge-on-read vector swap. In
+          // CDF mode the batch reads only the sidecar delta — price it
+          // so. In ignoreChanges mode the swap RE-EMITS the file's
+          // whole live image, so it must be priced at data bytes or a
+          // run of small deletes over wide files would blow straight
+          // through the cap the option exists for.
           val swapped = c.removed.map(_.path).toSet
           bytes += c.added.map(fe =>
-            if (swapped(fe.path)) fe.dv.map(_.bytes).getOrElse(fe.bytes)
+            if (cdf && swapped(fe.path)) fe.dv.map(_.bytes).getOrElse(fe.bytes)
             else fe.bytes).sum
         }
         if (bytes >= cap) { end = v; v = Long.MaxValue } else v += 1
