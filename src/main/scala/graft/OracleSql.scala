@@ -505,6 +505,10 @@ FROM orders""",
     "q93_nw_dim_customer" -> NorthwindOracle.dimCustomer,
     // q123 rebuilds the same dim on GraftTable storage — same final state
     "q123_dim_on_grafttable" -> NorthwindOracle.dimCustomer,
+    // q162 runs the same chain through catalog-NAMED tables (named CTAS,
+    // spark.table reads, named INSERT OVERWRITE) — the catalog must be
+    // invisible to the final SCD2 state
+    "q162_catalog_warehouse" -> NorthwindOracle.dimCustomer,
     "q94_nw_dim_shipper" -> NorthwindOracle.dimShipper,
 
     "q01_agg_pushdown" -> """
@@ -1327,6 +1331,24 @@ SELECT 3::BIGINT, count(*)::BIGINT,
                           ELSE o_totalprice END AS decimal(18,4))) AS double)
 FROM orders""",
 
+    // q163 replays q103's three commits behind a catalog name (the
+    // correction landing as a named MERGE) and reads every snapshot back
+    // through grammar-native VERSION AS OF — identical declarative
+    // per-version expectation
+    "q163_catalog_version_asof" -> """
+SELECT 1::BIGINT AS v, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS total_price
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+UNION ALL
+SELECT 2::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double)
+FROM orders
+UNION ALL
+SELECT 3::BIGINT, count(*)::BIGINT,
+       cast(sum(cast(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                          ELSE o_totalprice END AS decimal(18,4))) AS double)
+FROM orders""",
+
     // in-place conversion + a post-convert append: declaratively the
     // whole orders table
     "q146_convert_in_place" -> """
@@ -1337,6 +1359,16 @@ FROM orders""",
     // one MERGE commit: matched F repriced, matched P deleted, odd keys
     // inserted, other matched rows untouched — pure CASE/WHERE restatement
     "q145_merge_into" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+            THEN o_totalprice * 2 ELSE o_totalprice END AS total
+FROM orders
+WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
+
+    // q164 runs the SAME merge merge-on-read (deletion vectors masking
+    // the clause-fired rows, images/inserts appended) — identical
+    // declarative expectation, the cost shape invisible to results
+    "q164_mor_merge" -> """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
             THEN o_totalprice * 2 ELSE o_totalprice END AS total

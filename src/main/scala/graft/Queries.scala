@@ -1893,6 +1893,38 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q164Root: String =
+    java.nio.file.Files.createTempDirectory("graft_mormerge").toString
+
+  /** q164: q145's MERGE INTO at the MERGE-ON-READ cost shape
+    * ([[graft.core.GraftTable.mergeIntoMor]], dispatched by the
+    * `graft.deletionVectors` property through the same SQL text) — the
+    * clause-fired matched rows mask via vector sidecars, only the
+    * repriced images and the inserts append, untouched files stay
+    * byte-identical (GraftDvSpec pins that). Shares q145's oracle: the
+    * cost shape must be invisible to results. */
+  def morMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = q164Root
+    TableIO.clearDir(root)
+    val path = s"$root/orders_merge"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.writeClustered(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      path, col("o_orderkey"), 8, statsCols = Seq("o_orderkey"))
+    graft.plans.GraftSql.dml(s, s"ALTER TABLE graft.`$path` " +
+      "SET TBLPROPERTIES('graft.deletionVectors'='true')")
+    orders.createOrReplaceTempView("q164_merge_src")
+    graft.plans.GraftSql.dml(s, s"""
+      MERGE INTO graft.`$path` AS t USING q164_merge_src AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+      WHEN MATCHED AND s.o_orderstatus = 'F' THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+      WHEN NOT MATCHED THEN INSERT *""")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   private lazy val q146Root: String =
     java.nio.file.Files.createTempDirectory("graft_convert").toString
 
@@ -2365,6 +2397,69 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
 
+  /** One JVM-stable warehouse root for the catalog queries, registered
+    * lazily on the harness session — catalog confs (unlike extensions)
+    * load dynamically at first name resolution, so no special session
+    * build is needed. */
+  private lazy val catalogWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_catalog_wh").toString
+
+  private def ensureCatalog(s: SparkSession): String = {
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", catalogWarehouse)
+    }
+    catalogWarehouse
+  }
+
+  /** q162: the dim_customer SCD2 warehouse chain run entirely through
+    * CATALOG-NAMED tables ([[graft.catalog.GraftCatalog]]) — named CTAS,
+    * `spark.table` reads, named `INSERT OVERWRITE` — the reference's
+    * layered-namespace model shape (`models/source.yml:4-19`,
+    * `macros/generate_schema_name.sql:1-3`) with zero paths outside the
+    * warehouse mapping. Shares q93's oracle: the catalog must be
+    * invisible to results. */
+  def catalogDimCustomerQ(s: SparkSession, d: String): DataFrame = {
+    val wh = ensureCatalog(s)
+    TableIO.clearDir(s"$wh/nwc")
+    val name = graft.northwind.NorthwindWarehouse.buildDimCustomerOnCatalog(s, d, "nwc")
+    dimCustomerSelect(s.table(name))
+  }
+
+  /** q163: q103's three-commit time travel read back through GRAMMAR-
+    * NATIVE `VERSION AS OF` over a catalog name — Spark only enables the
+    * time-travel clause for catalog tables, so this is the true
+    * counterpart of the reference's `AT (TIMESTAMP => …)`
+    * (`models/intermediate/stg_dim_customer.sql:71`). The correction
+    * commit lands as a NAMED `MERGE INTO`; every snapshot is then a pure
+    * SQL text read. Same oracle as q103: each version's state rebuilt
+    * declaratively. */
+  def catalogVersionAsOfQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val wh = ensureCatalog(s)
+    TableIO.clearDir(s"$wh/tt163")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt163")
+    val path = s"$wh/tt163/orders_v"
+    val split = to_timestamp(lit("1996-01-01"))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(col("o_orderdate") < split), path)
+    GraftTable.append(orders.filter(col("o_orderdate") >= split), path)
+    orders.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("q163_corrections")
+    graft.plans.GraftSql.dml(s, """
+      MERGE INTO graft.tt163.orders_v AS t USING q163_corrections AS s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN INSERT *""")
+    (1L to 3L).map { v =>
+      s.sql(s"""SELECT ${v}L AS v, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM graft.tt163.orders_v VERSION AS OF $v""")
+    }.reduce(_ unionByName _)
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2415,6 +2510,9 @@ object Queries {
     "q159_mor_delete" -> (morDeleteQ _),
     "q160_sql_mor_purge" -> (sqlMorPurgeQ _),
     "q161_mor_update" -> (morUpdateQ _),
+    "q162_catalog_warehouse" -> (catalogDimCustomerQ _),
+    "q163_catalog_version_asof" -> (catalogVersionAsOfQ _),
+    "q164_mor_merge" -> (morMergeQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

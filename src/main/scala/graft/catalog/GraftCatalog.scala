@@ -1,0 +1,426 @@
+package graft.catalog
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.GraftTable
+import graft.sources.{GraftBatchRead, GraftMicroBatchStream}
+
+/** A DSv2 [[TableCatalog]] over a directory warehouse of GraftTables —
+  * the piece that turns "a table format with a SQL dialect" into a
+  * lakehouse: NAMED tables in layered namespaces, exactly the
+  * reference's model (every model reads/writes a schema-qualified name
+  * — `kings.load` → `staging` → `intermediate` → `dwh`,
+  * `models/source.yml:4-19`, `macros/generate_schema_name.sql:1-3`).
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   CREATE NAMESPACE graft.dwh
+  *   CREATE TABLE graft.dwh.dim_customer (customer_sk STRING, …)
+  *   INSERT INTO graft.dwh.dim_customer SELECT …
+  *   SELECT * FROM graft.dwh.dim_customer VERSION AS OF 3      -- grammar-native
+  *   SELECT * FROM graft.dwh.dim_customer TIMESTAMP AS OF '…'  -- time travel
+  *   spark.readStream.table("graft.dwh.dim_customer")
+  * }}}
+  *
+  * Mapping is the obvious one: namespace = directory chain under the
+  * warehouse root, table = a GraftTable directory ([[GraftTable.exists]]
+  * distinguishes the two). The catalog is PURE METADATA — every data
+  * operation routes to the same [[GraftTable]] operators the
+  * path-addressed surface uses, so named and path access see identical
+  * snapshots, stats skipping, and commit semantics.
+  *
+  * Scale shape: catalog calls are manifest-grain driver metadata (one
+  * directory listing per namespace op, one manifest head read per
+  * loadTable — never a data file touched). Reads plan through the
+  * manifest FileIndex exactly like `format("graft")`:
+  * with [[graft.expressions.GraftExtensions]] installed,
+  * [[GraftCatalogScanRule]] swaps the v2 relation for the vectorized
+  * manifest-FileIndex scan at analysis; sessions without extensions fall
+  * back to [[V1Scan]] (row-boundary at the relation, but the INNER scan
+  * is the same stats/bloom-skipped vectorized parquet read, and pushed
+  * filters reach [[graft.sources.GraftFileIndex.listFiles]] through the
+  * DataFrame it wraps).
+  *
+  * Time travel: Spark's grammar only enables `VERSION AS OF` /
+  * `TIMESTAMP AS OF` for catalog tables — [[loadTable(ident,version)]]
+  * pins the manifest, closing the dialect gap with the reference's
+  * `AT (TIMESTAMP => …)` reads (`models/intermediate/stg_dim_customer.sql:71`).
+  *
+  * As-a-path bridge: `graft.`/abs/path`` (empty namespace, name starting
+  * `/`) resolves to that table directly, so plain SQL `SELECT … FROM
+  * graft.`/p` VERSION AS OF 2` works on path-addressed tables too. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<directory>"))
+  }
+
+  override def name(): String = catalogName
+
+  /** namespace chain + name → directory; the `/abs/path` escape hatch
+    * keeps the DML dialect's path-addressed habit readable through the
+    * same catalog. */
+  private[catalog] def tablePath(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
+    else (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def nsDir(ns: Array[String]): File =
+    new File((warehouse +: ns.toSeq).mkString("/"))
+
+  private def visibleDirs(d: File): Seq[File] =
+    Option(d.listFiles).getOrElse(Array.empty[File]).toSeq
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  // ------------------------------------------------------------- namespaces
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    visibleDirs(new File(warehouse)).filterNot(f => GraftTable.exists(f.getPath))
+      .map(f => Array(f.getName)).sortBy(_.head).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    if (!d.isDirectory || GraftTable.exists(d.getPath))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    visibleDirs(d).filterNot(f => GraftTable.exists(f.getPath))
+      .map(f => namespace :+ f.getName).sortBy(_.last).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = nsDir(namespace)
+    namespace.nonEmpty && d.isDirectory && !GraftTable.exists(d.getPath)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).getPath).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    val d = nsDir(namespace)
+    if (d.exists) throw new NamespaceAlreadyExistsException(namespace)
+    require(d.mkdirs(), s"cannot create namespace directory '$d'")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories — they carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && visibleDirs(d).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    def rm(f: File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(d); true
+  }
+
+  // ----------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (namespace.isEmpty || !d.isDirectory)
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    visibleDirs(d).filter(f => GraftTable.exists(f.getPath))
+      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    new GraftNamedTable(fullName(ident), path, pin = None)
+  }
+
+  /** `VERSION AS OF v` — grammar-native time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    require(version.forall(_.isDigit),
+      s"VERSION AS OF takes a version number, got '$version'")
+    new GraftNamedTable(fullName(ident), path,
+      pin = Some(GraftTable.manifestAt(path, version.toLong).version))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands the instant as epoch MICROS. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    new GraftNamedTable(fullName(ident), path,
+      pin = Some(GraftTable.manifestAsOf(path, timestamp).version))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  /** Spark-managed metadata keys a directory-backed table does not
+    * store (location IS the identity; provider/owner are catalog-level
+    * concepts). Everything else — including `comment` and user
+    * properties — lands in the manifest. */
+  private val DroppedProps = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+    TableCatalog.PROP_COLLATION)
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables have no static partitioning — cluster with writeClustered / " +
+        "OPTIMIZE ZORDER BY, prune through per-file stats")
+    val path = tablePath(ident)
+    if (GraftTable.exists(path)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => DroppedProps(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    GraftTable.create(path, schema, props)
+    new GraftNamedTable(fullName(ident), path, pin = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"graft tables are flat — cannot add nested field ${a.fieldNames.mkString(".")}")
+        require(a.position == null,
+          "graft ADD COLUMN appends — column position is parquet-physical, not logical")
+        GraftTable.addColumn(path, a.fieldNames.head, a.dataType.sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"graft tables are flat — cannot rename nested field ${r.fieldNames.mkString(".")}")
+        GraftTable.renameColumn(path, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"graft tables are flat — cannot drop nested field ${d.fieldNames.mkString(".")}")
+        GraftTable.dropColumn(path, d.fieldNames.head)
+      case s: TableChange.SetProperty =>
+        GraftTable.setProperties(path, Map(s.property -> s.value))
+      case r: TableChange.RemoveProperty =>
+        GraftTable.unsetProperties(path, Seq(r.property))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog does not support table change $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    if (!GraftTable.exists(path)) return false
+    def rm(f: File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    rm(new File(path)); true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!GraftTable.exists(from)) throw new NoSuchTableException(oldIdent)
+    if (GraftTable.exists(to) || new File(to).exists)
+      throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
+    java.nio.file.Files.move(new File(from).toPath, new File(to).toPath)
+  }
+}
+
+/** A named GraftTable as a DSv2 [[Table]]: batch read (V1Scan fallback,
+  * or the vectorized manifest scan via [[GraftCatalogScanRule]] in
+  * extension sessions), micro-batch streaming read (the SAME
+  * [[GraftMicroBatchStream]] the path-addressed source uses — named and
+  * path streams share offsets semantics), V1 batch write (append +
+  * INSERT OVERWRITE), and native DELETE. `pin` is a version pinned by
+  * time travel: pinned tables are read-only. */
+private[graft] class GraftNamedTable(tableName: String, val path: String,
+    val pin: Option[Long]) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  private def manifest: GraftTable.Manifest = pin match {
+    case Some(v) => GraftTable.manifestAt(path, v)
+    case None => GraftTable.currentManifest(path).getOrElse(
+      throw new IllegalStateException(s"graft table '$path' vanished"))
+  }
+
+  override def name(): String = tableName
+  override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): JMap[String, String] =
+    GraftTable.propertiesOf(path).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    if (pin.isEmpty) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftNamedScanBuilder(path, schema(), pin, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pin.isEmpty, s"cannot write to time-travel pinned '$tableName'")
+    new GraftNamedWriteBuilder(path)
+  }
+
+  /** Native `DELETE FROM graft.ns.t WHERE …` in sessions WITHOUT the
+    * extension parser (with it, the parse-time rewrite claims the
+    * statement first). Spark hands the V1 filters; untranslatable
+    * shapes refuse via [[canDeleteWhere]] — loud, never partial. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftBatchRead.v1FilterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pin.isEmpty, s"cannot DELETE from time-travel pinned '$tableName'")
+    val spark = SparkSession.active
+    val cols = filters.toSeq.map(f => GraftBatchRead.v1FilterToColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"cannot translate DELETE filter $f")))
+    val pred = cols.reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    if (GraftTable.deletionVectorsEnabled(path))
+      GraftTable.deleteWhereMor(spark, path, pred)
+    else GraftTable.deleteWhere(spark, path, pred)
+  }
+}
+
+private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType,
+    pin: Option[Long], options: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  /** Advisory pushdown: accept every filter but report ALL as residual —
+    * Spark re-applies them post-scan, so a partially-translatable
+    * conjunction can still prune files inside [[GraftNamedV1Relation]]
+    * without any correctness exposure. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters; filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftNamedScan(path, tableSchema, required, pushed, pin, options)
+}
+
+private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
+    required: StructType, pushed: Array[Filter], pin: Option[Long],
+    options: CaseInsensitiveStringMap) extends Scan with V1Scan {
+
+  override def readSchema(): StructType = required
+  override def description(): String = s"GraftNamed $path" +
+    pin.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftNamedV1Relation(context.sparkSession, path, required, pushed, pin)
+      .asInstanceOf[T]
+
+  /** `spark.readStream.table("graft.ns.t")` — the same micro-batch
+    * stream as `readStream.format("graft").load(path)`, so named and
+    * path-addressed consumers share offset/limit/consumer semantics.
+    * Change-feed reads stay on the path-addressed form (the CDF schema
+    * carries metadata columns the catalog-declared schema cannot). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(pin.isEmpty, "cannot stream from a time-travel pinned snapshot")
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    new GraftMicroBatchStream(path, tableSchema, tableSchema, cdf = false,
+      Option(options.get("startingVersion")),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      options.getBoolean("ignoreChanges", false),
+      Option(options.get("consumerId")),
+      Option(options.get("startingTimestamp")))
+  }
+}
+
+/** The batch fallback for sessions without the extension rule: a V1
+  * [[TableScan]] whose row RDD comes from the SAME manifest-FileIndex
+  * DataFrame the Scala API plans — pushed filters applied INSIDE it, so
+  * Catalyst pushes them through to [[graft.sources.GraftFileIndex]]'s
+  * stats/bloom file skipping and the parquet row-group pushdown before
+  * the V1 row boundary is paid. */
+private[graft] class GraftNamedV1Relation(spark: SparkSession, path: String,
+    required: StructType, pushed: Array[Filter], pin: Option[Long])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = required
+  override def needConversion: Boolean = true
+
+  override def buildScan(): RDD[Row] = {
+    val base = pin match {
+      case Some(v) => GraftTable.readVersion(spark, path, v)
+      case None => GraftTable.read(spark, path)
+    }
+    val filtered = pushed.flatMap(GraftBatchRead.v1FilterToColumn)
+      .foldLeft(base)(_ filter _)
+    val projected =
+      if (required.isEmpty) filtered.select()
+      else filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Batch writes as a [[V1Write]]: the analyzer has already aligned the
+  * query schema to the table's, so append/overwrite route straight to
+  * the manifest-committing operators (same CAS rebase loop, same CHECK
+  * enforcement as every other write). */
+private[graft] class GraftNamedWriteBuilder(path: String) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+        if (overwriteAll || overwrite) GraftTable.overwrite(data, path)
+        else GraftTable.append(data, path)
+      }
+    }
+  }
+}

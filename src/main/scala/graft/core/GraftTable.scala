@@ -682,6 +682,23 @@ object GraftTable {
       bloomCols: Seq[String] = Nil): Long =
     writeOp(df, path, "append", statsCols, None, bloomCols)
 
+  /** Create an EMPTY table: a schema-only v1 commit (op `create`) so
+    * DDL-first workflows — `CREATE TABLE graft.dwh.t (k INT, …)` through
+    * [[graft.catalog.GraftCatalog]] — get a readable zero-row table
+    * whose first data write is an ordinary append. Racing creators are
+    * safe: the v1 conditional PUT admits exactly one winner, the loser
+    * fails loudly (reference analogue: every model materializes into a
+    * schema-qualified named table, `macros/generate_schema_name.sql:1-3`). */
+  def create(path: String, schema: StructType,
+      properties: Map[String, String] = Map.empty): Long = {
+    require(schema.nonEmpty, s"CREATE TABLE '$path' needs at least one column")
+    require(!exists(path), s"graft table '$path' already exists")
+    val m = Manifest(1L, commitTs(None), "create", schema.toDDL, Nil,
+      properties = if (properties.isEmpty) None else Some(properties))
+    require(tryCommit(path, m), s"graft table '$path' already exists (racing creator won)")
+    1L
+  }
+
   /** Schema-EVOLVING append (Delta's mergeSchema, re-derived): the
     * committed schema becomes the union of the table's and the batch's —
     * batch-only columns join as always-nullable (existing files read
@@ -1180,7 +1197,7 @@ object GraftTable {
     * surfaces `ConcurrentModificationException`; re-read and retry. */
   def deleteWhereMor(spark: SparkSession, path: String, pred: Column,
       pruneRanges: Seq[ColRange] = Nil): Long =
-    morDml(spark, path, pred, pruneRanges, "delete_mor", None)
+    morDml(spark, path, _.filter(pred), pruneRanges, "delete_mor", None)
 
   /** MERGE-ON-READ UPDATE WHERE — [[updateWhere]] semantics at
     * [[deleteWhereMor]]'s cost shape: matched rows' OLD images are
@@ -1204,25 +1221,107 @@ object GraftTable {
     val missing = set.keySet -- schema.fieldNames.toSet
     require(missing.isEmpty, s"UPDATE assigns unknown column(s) ${missing.mkString(", ")} " +
       s"— table schema is [${cur.schemaDdl}]")
-    morDml(spark, path, pred, pruneRanges, "update_mor", Some(matched =>
+    morDml(spark, path, _.filter(pred), pruneRanges, "update_mor", Some(matched =>
       // every row here matched pred and is live — assignments apply
       // unconditionally, cast to the column's declared type
       matched.select(schema.fields.map(f => set.get(f.name)
         .map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))).toSeq: _*)))
   }
 
-  /** The shared merge-on-read body: find matching LIVE rows with their
-    * file positions (already-deleted rows filtered out, so re-deleting
-    * is a no-op and counts stay exact), write one merged
-    * [[DeletionVector]] sidecar per touched file FROM THE EXECUTORS
-    * (the driver never holds a position list), optionally stage
-    * `replace`'s transformed images of the matched rows as new files,
-    * and commit dv pointer swaps + staged adds. A file whose vector
-    * covers every physical row drops from the manifest (its orphaned
-    * sidecar is vacuum fodder). */
-  private def morDml(spark: SparkSession, path: String, pred: Column,
-      pruneRanges: Seq[ColRange], op: String,
-      replace: Option[DataFrame => DataFrame]): Long = {
+  /** MERGE-ON-READ MERGE INTO — [[mergeInto]] semantics at the
+    * deletion-vector cost shape (Delta's DV-backed merge, re-derived):
+    * matched rows where a clause ACTUALLY fires (DELETE's condition
+    * holds, or UPDATE's does and there are assignments) mask via
+    * vector sidecars; the updated rows' new images plus the unmatched
+    * source rows' inserts stage as fresh appended files. Matched rows
+    * no clause touches stay byte-untouched in place — unlike COW,
+    * which must rewrite every row of every file holding ANY source
+    * key, MOR's write amplification is O(rows actually changed +
+    * inserts). Same refusals as [[mergeInto]] (duplicate source keys,
+    * unknown SET columns, full-schema source for inserts); same
+    * stats-cover candidate pruning from the source's key bounds; CHECK
+    * constraints validate the staged images at staging. CDC consumers
+    * see the masked rows as delta DELETEs and the staged files as
+    * INSERTs — the fold-by-key replica applies them as the merge it
+    * is. */
+  def mergeIntoMor(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], updateSet: Map[String, Column] = Map.empty,
+      updateWhen: Option[Column] = None, deleteWhen: Option[Column] = None,
+      insertNotMatched: Boolean = true): Long = {
+    require(keys.nonEmpty, "need at least one key column")
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty, s"source lacks key column(s) ${missingKeys.mkString(", ")}")
+    val badSet = updateSet.keySet.filterNot(schema.fieldNames.contains)
+    require(badSet.isEmpty,
+      s"updateSet column(s) ${badSet.mkString(", ")} do not exist on '$path' " +
+        s"[${schema.fieldNames.mkString(", ")}]")
+    if (insertNotMatched) {
+      val missing = schema.fieldNames.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"insertNotMatched needs the full target schema in the source; missing ${missing.mkString(", ")}")
+    }
+    // duplicate-source-key refusal + key bounds for the stats cover —
+    // one source-sized job, exactly [[mergeInto]]'s
+    val aggs = Seq(count(lit(1)).as("__n"),
+      countDistinct(struct(keys.map(col): _*)).as("__d")) ++
+      keys.flatMap(k => Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k"),
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nn_$k")))
+    val b = source.agg(aggs.head, aggs.tail: _*).head()
+    require(b.getLong(0) == b.getLong(1),
+      s"merge source has duplicate keys (${keys.mkString(", ")}) — each target row " +
+        "may match at most one source row")
+    val srcHasNullKey = keys.exists(k => b.getAs[Long](s"__nn_$k") > 0)
+    val pruneRanges =
+      if (srcHasNullKey) Nil
+      else keys.map(k => ColRange(k,
+        Option(b.get(b.fieldIndex(s"__lo_$k"))), Option(b.get(b.fieldIndex(s"__hi_$k")))))
+    val src = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
+    val matchCond = keys.map(k => col(k) <=> srcCol(k)).reduce(_ && _)
+    val delApplies = deleteWhen.map(c => coalesce(c.cast("boolean"), lit(false)))
+      .getOrElse(lit(false))
+    val updApplies =
+      if (updateSet.isEmpty) lit(false)
+      else coalesce(updateWhen.getOrElse(lit(true)).cast("boolean"), lit(false))
+    // mask ONLY rows a clause changes; delete wins over update
+    val matcher: DataFrame => DataFrame = live =>
+      live.join(src, matchCond, "inner").filter(delApplies || updApplies)
+    val images: DataFrame => DataFrame = masked =>
+      masked.filter(!delApplies && updApplies).select(schema.fields.map { f =>
+        updateSet.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+      }.toSeq: _*)
+    val inserts: Option[DataFrame => DataFrame] =
+      if (!insertNotMatched) None
+      else Some { live =>
+        // the candidate live set is a stats-sound superset of every file
+        // that may hold a source key, so absence from it IS absence from
+        // the table (same cover argument as the COW merge)
+        val candKeys = live.select(keys.map(k => col(k).as(s"__tk_$k")): _*).distinct()
+        val antiCond = keys.map(k => col(k) <=> col(s"__tk_$k")).reduce(_ && _)
+        source.join(candKeys, antiCond, "left_anti")
+          .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      }
+    morDml(spark, path, matcher, pruneRanges, "merge_mor", Some(images), inserts)
+  }
+
+  /** The shared merge-on-read body: `matcher` selects the to-be-masked
+    * LIVE rows (with their file positions; already-deleted rows are
+    * filtered out, so re-deleting is a no-op and counts stay exact —
+    * for DELETE/UPDATE a predicate filter, for MERGE the key join plus
+    * clause gates), one merged [[DeletionVector]] sidecar per touched
+    * file writes FROM THE EXECUTORS (the driver never holds a position
+    * list), `replace`'s transformed images of the matched rows and
+    * `extraAppend`'s rows (MERGE's not-matched inserts, given the full
+    * candidate live set) stage as new files, and the commit is dv
+    * pointer swaps + staged adds. A file whose vector covers every
+    * physical row drops from the manifest (its orphaned sidecar is
+    * vacuum fodder). */
+  private def morDml(spark: SparkSession, path: String,
+      matcher: DataFrame => DataFrame, pruneRanges: Seq[ColRange], op: String,
+      replace: Option[DataFrame => DataFrame],
+      extraAppend: Option[DataFrame => DataFrame] = None): Long = {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     val logical = StructType.fromDDL(cur.schemaDdl)
@@ -1236,24 +1335,35 @@ object GraftTable {
       .partition(l => mayMatch(l.stats, pruneRanges))
     val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
     val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
+    // the candidate live set (positions attached): empty-typed when no
+    // file can match, so MERGE's insert stage still sees the schema
+    val live =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(logical.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(PosFileCol, org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(PosIdxCol, org.apache.spark.sql.types.LongType))))
+      else {
+        val dvdC = candidates.filter(_.dv.isDefined)
+        val dvF = if (dvdC.isEmpty) None
+          else Some(dvLiveFilter(path, dvdC,
+            substring_index(col("_metadata.file_path"), "/", -1),
+            col("_metadata.row_index")))
+        renameGroupReads(spark, path, candidates, logical,
+          dvF, withPos = true).reduce(_ union _)
+      }
     var matchedRows: DataFrame = null
     val matched: Map[String, (String, Long, Long)] = // basename -> (dv name, total, bytes)
       if (candidates.isEmpty) Map.empty
       else {
         import spark.implicits._
         val dvdC = candidates.filter(_.dv.isDefined)
-        val dvF = if (dvdC.isEmpty) None
-          else Some(dvLiveFilter(path, dvdC,
-            substring_index(col("_metadata.file_path"), "/", -1),
-            col("_metadata.row_index")))
-        val live = renameGroupReads(spark, path, candidates, logical,
-          dvF, withPos = true).reduce(_ union _)
         val oldDvByFile: Map[String, String] = dvdC.flatMap(fe =>
           fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
         val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
         // an update reads the matched rows twice (positions + images) —
         // persist so the candidate scan runs once
-        matchedRows = live.filter(pred)
+        matchedRows = matcher(live)
         if (replace.isDefined) matchedRows.persist(): Unit
         matchedRows.select(col(PosFileCol), col(PosIdxCol)).as[(String, Long)]
           .groupByKey(_._1).mapGroups { (f, it) =>
@@ -1279,12 +1389,17 @@ object GraftTable {
       val (touched, untouched, carriedRefs) =
         splitByTouched(cur, loaded, cleanLeaves, touchedBy)
       val updatedEntries = touched.flatMap(updatedEntry(_))
-      val staged = replace match {
+      val images = replace match {
         case Some(f) if matched.nonEmpty =>
-          stageFiles(f(matchedRows.drop(PosFileCol, PosIdxCol)), path,
-            touched.flatMap(_.stats.keys).distinct, None)
-        case _ => Nil
+          Some(f(matchedRows.drop(PosFileCol, PosIdxCol))
+            .drop(PosFileCol, PosIdxCol))
+        case _ => None
       }
+      val appended = extraAppend.map(_(live))
+      val statsCols =
+        (touched.flatMap(_.stats.keys) ++ candidates.flatMap(_.stats.keys)).distinct
+      val staged = (images.toSeq ++ appended.toSeq).reduceOption(_ unionByName _)
+        .map(df => stageFiles(df, path, statsCols, None)).getOrElse(Nil)
       val (files, leaves) = packCommit(path,
         untouched ++ updatedEntries ++ staged, carriedRefs)
       val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,

@@ -632,6 +632,42 @@ object NorthwindWarehouse {
     path
   }
 
+  /** The dim_customer SCD2 chain through CATALOG-NAMED tables — the
+    * reference's actual model shape (every read/write is a
+    * schema-qualified NAME inside layered namespaces,
+    * `macros/generate_schema_name.sql:1-3`, `models/source.yml:4-19`):
+    * cycle 1 materializes `graft.<ns>.dim_customer` via a named CTAS
+    * (DataFrameWriterV2.create → [[graft.catalog.GraftCatalog]]), cycle
+    * 2 reads it back with `spark.table` and lands the merged state with
+    * a named `INSERT OVERWRITE` — no path ever appears outside the
+    * catalog's warehouse mapping. Same SCD2 operators, same final state
+    * as the path builders (q93's oracle gates it). */
+  def buildDimCustomerOnCatalog(spark: SparkSession, sfDir: String,
+      ns: String): String = {
+    import graft.core.GraftTable
+    val name = s"graft.$ns.dim_customer"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    var hwm = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+    for (cycle <- 1 to 2) {
+      val stg = NorthwindStaging.stgCustomers(
+        NorthwindSources.customers(spark, sfDir, cycle))
+      val delta = stgDimCustomer(spark, stg, lit(hwm))
+      if (cycle == 1) {
+        val merged = Scd2.merge(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Scd2.fromHistory(delta, dimCustomerCfg, "customer_sk").schema),
+          delta, dimCustomerCfg, "customer_sk")
+        merged.writeTo(name).create()
+      } else {
+        val merged = Scd2.merge(spark.table(name), delta, dimCustomerCfg, "customer_sk")
+        merged.createOrReplaceTempView("nw_cat_dim_customer_merged")
+        spark.sql(s"INSERT OVERWRITE $name SELECT * FROM nw_cat_dim_customer_merged")
+      }
+      hwm = spark.table(name).agg(max(col("updated_at"))).first().getTimestamp(0)
+    }
+    name
+  }
+
   private val builtRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Memoized build per (session, sfDir): companion queries (dim state,

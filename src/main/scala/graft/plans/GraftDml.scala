@@ -252,6 +252,21 @@ object GraftDml extends PredicateHelper {
   * already-resolved batch relation (ResolveSQLOnFile may run before
   * injected rules). */
 private[plans] object GraftTarget {
+  /** A ≥3-part `graft.ns….table` identifier resolved through the
+    * [[graft.catalog.GraftCatalog]] warehouse mapping (namespace chain =
+    * directory chain) — so the parse-time DML rewrite serves NAMED
+    * tables with the same commands as path targets. Resolution reads
+    * the catalog's warehouse conf off the active session (parsing is a
+    * driver-side act under one); unset conf → no match, and the
+    * statement falls through to the analyzer's catalog machinery for a
+    * loud standard error. */
+  private def namedPath(parts: Seq[String]): Option[String] =
+    if (parts.size >= 3 && parts.head.equalsIgnoreCase("graft"))
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => s.conf.getOption("spark.sql.catalog.graft.warehouse"))
+        .map(w => (w.stripSuffix("/") +: parts.tail).mkString("/"))
+    else None
+
   def unapply(p: LogicalPlan): Option[(String, Option[String])] = p match {
     case SubqueryAlias(id, child) => unapply(child).map { case (path, _) => (path, Some(id.name)) }
     case u: UnresolvedRelation if u.multipartIdentifier.size == 2 &&
@@ -266,6 +281,14 @@ private[plans] object GraftTarget {
         if u.multipartIdentifier.size == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
       Some((u.multipartIdentifier(1), None))
+    case u: UnresolvedRelation if namedPath(u.multipartIdentifier).isDefined =>
+      namedPath(u.multipartIdentifier).map((_, None))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if namedPath(u.multipartIdentifier).isDefined =>
+      namedPath(u.multipartIdentifier).map((_, None))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if namedPath(u.multipartIdentifier).isDefined =>
+      namedPath(u.multipartIdentifier).map((_, None))
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
         case gi: GraftFileIndex => Some((gi.tableRoot, None))
@@ -366,9 +389,18 @@ private[plans] case class GraftMergeCommand(m: MergeIntoTable) extends LeafRunna
     }
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported")
-    GraftTable.mergeInto(spark, path, source, keys,
-      updateSet = updateSet, updateWhen = updateWhen, deleteWhen = deleteWhen,
-      insertNotMatched = insert)
+    // TBLPROPERTIES dispatch, same as DELETE/UPDATE: under
+    // graft.deletionVectors=true the statement goes merge-on-read —
+    // masked rows + appended images at O(changed rows), not COW's
+    // O(files holding source keys)
+    if (GraftTable.deletionVectorsEnabled(path))
+      GraftTable.mergeIntoMor(spark, path, source, keys,
+        updateSet = updateSet, updateWhen = updateWhen, deleteWhen = deleteWhen,
+        insertNotMatched = insert)
+    else
+      GraftTable.mergeInto(spark, path, source, keys,
+        updateSet = updateSet, updateWhen = updateWhen, deleteWhen = deleteWhen,
+        insertNotMatched = insert)
   }
 
   override def run(spark: SparkSession): Seq[Row] = { execute(spark); Nil }

@@ -108,6 +108,29 @@ object GraftBatchRead {
       entries: Seq[FileEntry], logical: StructType): DataFrame =
     spark.baseRelationToDataFrame(fsRelation(spark, path, m, entries, logical))
 
+  /** Conservative V1-filter → Column translation (shared by the
+    * projected-relation fallback and the catalog's V1Scan fallback) so
+    * the exact predicate reaches the inner parquet scans (manifest
+    * file-skipping + row-group pushdown); untranslatable shapes return
+    * None and the caller drops them — Spark re-applies every filter
+    * post-scan, so dropping is only ever a missed prune. */
+  private[graft] def v1FilterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for (lc <- v1FilterToColumn(l); rc <- v1FilterToColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- v1FilterToColumn(l); rc <- v1FilterToColumn(r)) yield lc || rc
+    case Not(c) => v1FilterToColumn(c).map(!_)
+    case _ => None
+  }
+
   /** The manifest-stats keep test over catalyst data filters — ranges
     * probe [min,max], point probes additionally hit the blooms (one
     * lazy probe-hash job per IN column, paid only when some file
@@ -179,6 +202,12 @@ private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
 
   /** See [[GraftFileIndex.tableRoot]]. */
   private[graft] def tablePath: String = path
+  /** The pinned snapshot — how [[graft.catalog.GraftCatalogScanRule]]
+    * rebuilds this relation as the per-file-split vectorized plan in
+    * extension sessions (one dirty file must not row-convert the clean
+    * ones). */
+  private[graft] def pinnedManifest: Manifest = m
+  private[graft] def pinnedEntries: Seq[FileEntry] = entries
 
   override def sqlContext: SQLContext = spark.sqlContext
   override def schema: StructType = logical
@@ -201,7 +230,7 @@ private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
           GraftTable.mayContainIn(fe.stats, c, vs, hashesFor(c, vs)) })
     } catch { case scala.util.control.NonFatal(_) => entries }
     val base = GraftTable.readFileSubset(spark, path, m, kept)
-    val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
+    val filtered = filters.flatMap(GraftBatchRead.v1FilterToColumn).foldLeft(base)(_ filter _)
     val projected =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
@@ -228,23 +257,4 @@ private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
     case _ => Nil
   }
 
-  /** Conservative V1-filter → Column translation so the exact
-    * predicate reaches the inner parquet scans (row-group pushdown);
-    * untranslatable shapes drop — Spark re-applies everything. */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
 }

@@ -691,6 +691,101 @@ object PlanAudit {
       println(s"[plan] q150_sql_dml: ${results.mkString(" ")}")
     }
     locally {
+      // q162/q163's catalog surface in the EXTENSION session: named
+      // reads must plan through GraftCatalogScanRule onto the vectorized
+      // manifest FileIndex (a parquet FileSourceScan with stats
+      // file-skipping — NOT the V1Scan row fallback), grammar-native
+      // VERSION AS OF must resolve through the catalog, and named DML
+      // text must route through the parse-time rewrite
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_catalog_wh").toString
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      spark.sql("CREATE NAMESPACE graft.dwh")
+      val root = s"$wh/dwh/orders"
+      val rows = spark.range(0, 4096).selectExpr("cast(id as int) AS k",
+        "cast(id % 7 as int) AS g")
+      GraftTable.writeClustered(rows, root, col("k"), numFiles = 16,
+        statsCols = Seq("k"))
+      def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+        df.collect() // execute so AQE finalizes the stages
+        def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+          p match {
+            case q: QueryStageExec => find(q.plan)
+            case f: FileSourceScanExec => Seq(f)
+            case o => o.children.flatMap(find)
+          }
+        find(df.queryExecution.executedPlan)
+      }
+      val sliced = spark.table("graft.dwh.orders").filter(col("k") between (256, 511))
+      val fs = scans(sliced)
+      val expect = GraftTable.readPruned(spark, root,
+        Seq(GraftTable.ColRange("k", Some(256), Some(511)))).filesRead
+      val nFiles = fs.map(_.metrics("numFiles").value).sum
+      val planStr = sliced.queryExecution.executedPlan.toString
+      // grammar-native time travel through the catalog name
+      GraftTable.append(rows.selectExpr("k + 10000 AS k", "g"), root)
+      val v1n = spark.sql(
+        "SELECT count(*) FROM graft.dwh.orders VERSION AS OF 1").head.getLong(0)
+      val headN = spark.table("graft.dwh.orders").count()
+      // named DML text routes through the parse-time rewrite
+      spark.sql("DELETE FROM graft.dwh.orders WHERE k >= 10000")
+      val afterDel = spark.table("graft.dwh.orders").count()
+      val checks = Seq(
+        "catalog_read_vectorized" -> (fs.nonEmpty &&
+          !planStr.contains("RowDataSourceScan")),
+        "catalog_scan_skips_files" -> (nFiles == expect && nFiles < 16),
+        "version_asof_native" -> (v1n == 4096L && headN == 8192L),
+        "named_dml_routed" -> (afterDel == 4096L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q162_catalog: ${results.mkString(" ")}" +
+        s" (slice $nFiles/16 expect $expect)")
+    }
+    locally {
+      // q159/q161's MOR read path through format("graft") in the
+      // EXTENSION session: a deletion vector on ONE file must not
+      // change the scan class of the others — GraftCatalogScanRule
+      // re-plans the V1 fallback as the per-file split, so the executed
+      // plan is vectorized FileSourceScans (clean files unfiltered,
+      // the dirty file's branch carrying the liveness filter), never a
+      // whole-relation RowDataSourceScan
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_morvec").toString + "/t"
+      val rows = spark.range(0, 4096).selectExpr("cast(id as int) AS k",
+        "cast(id % 7 as int) AS g")
+      GraftTable.writeClustered(rows, root, col("k"), numFiles = 16,
+        statsCols = Seq("k"))
+      // one point delete -> exactly one file carries a vector
+      GraftTable.deleteWhereMor(spark, root, col("k") === 100,
+        pruneRanges = Seq(GraftTable.ColRange("k", Some(100), Some(100))))
+      val dvd = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .count(_.dv.isDefined)
+      val df = spark.read.format("graft").load(root)
+      val n = df.count()
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p match {
+          case q: QueryStageExec => find(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(find)
+        }
+      val planned = df.queryExecution.executedPlan
+      val fs = find(planned)
+      val planStr = planned.toString
+      val checks = Seq(
+        "one_file_dirty" -> (dvd == 1),
+        "mor_scan_vectorized" -> (fs.nonEmpty && !planStr.contains("RowDataSourceScan")),
+        "clean_branch_unfiltered" -> (fs.size >= 2),
+        "complement_exact" -> (n == 4095L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q159_mor_vectorized: ${results.mkString(" ")} (scans=${fs.size})")
+    }
+    locally {
       // q154's multi-column z-order: after a 16-file relayout on the
       // auto-quantized Morton interleave, a 1/8 slice of EITHER
       // dimension must skip files — and the comparative claim: a

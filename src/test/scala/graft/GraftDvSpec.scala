@@ -429,6 +429,88 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).filter(col("k") === 8).count() == 1)
   }
 
+  test("MOR merge masks only clause-fired rows, appends images + inserts") {
+    val path = tmp()
+    GraftTable.writeClustered(
+      (1 to 60).map(i => (i, s"v$i", if (i % 3 == 0) "F" else "O")).toDF("k", "v", "st"),
+      path, col("k"), numFiles = 3, statsCols = Seq("k"))
+    val before = dataFiles(path)
+    // source: k in 10..70 — delete F rows, re-label O rows, insert 61..70
+    val src = (10 to 70).map(i => (i, s"s$i", "S")).toDF("k", "v", "st")
+    GraftTable.mergeIntoMor(spark, path, src, Seq("k"),
+      updateSet = Map("v" -> GraftTable.srcCol("v")),
+      updateWhen = Some(col("st") === "O"),
+      deleteWhen = Some(col("st") === "F"))
+    // untouched-file byte identity: every original data file still
+    // byte-identical — the merge wrote only sidecars + appended images
+    val after = dataFiles(path)
+    assert(before.keySet.subsetOf(after.keySet))
+    before.foreach { case (f, sig) => assert(after(f) == sig) }
+    assert(GraftTable.history(spark, path)
+      .orderBy(col("version").desc).head.getAs[String]("op") == "merge_mor")
+    // exact COW-merge semantics
+    val got = GraftTable.read(spark, path).as[(Int, String, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val expect = ((1 to 60).flatMap { i =>
+      if (i >= 10 && i % 3 == 0) None // matched F -> deleted
+      else if (i >= 10) Some(i -> ((s"s$i", if (i % 3 == 0) "F" else "O"))) // matched O -> relabeled v
+      else Some(i -> ((s"v$i", if (i % 3 == 0) "F" else "O"))) // below source range: untouched
+    } ++ (61 to 70).map(i => i -> ((s"s$i", "S")))).toMap
+    assert(got == expect)
+    // rows matched by key but no clause fired stay unmasked: only F
+    // (delete) and O (update) exist here, so check a sub-case — a merge
+    // whose clauses fire nowhere commits no masks and no images
+    val v = GraftTable.currentVersion(path).get
+    GraftTable.mergeIntoMor(spark, path,
+      (1 to 5).map(i => (i, "zz", "Z")).toDF("k", "v", "st"), Seq("k"),
+      updateSet = Map("v" -> GraftTable.srcCol("v")),
+      updateWhen = Some(col("st") === "NEVER"),
+      insertNotMatched = false)
+    val m = GraftTable.currentManifest(path).get
+    assert(m.version == v + 1)
+    assert(m.changes.get.added.isEmpty && m.changes.get.removed.isEmpty,
+      "no clause fired -> no masks, no images")
+    // CDC classification: the merge's masked+appended rows fold as the
+    // update/delete/insert mix it is
+    val d = GraftTable.diffVersions(spark, path, 1, 2, Seq("k"))
+      .groupBy(col("change_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(d("delete") == (10 to 60).count(_ % 3 == 0).toLong)
+    assert(d("update") == (10 to 60).count(_ % 3 != 0).toLong)
+    assert(d("insert") == 10L)
+    // time travel: pre-merge images intact
+    assert(GraftTable.readVersion(spark, path, 1).count() == 60)
+  }
+
+  test("SQL MERGE dispatches merge-on-read under the property") {
+    import graft.plans.GraftSql
+    val path = tmp() + "/t"
+    nums(path, n = 30, files = 2)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+      "'graft.deletionVectors'='true')")
+    val before = dataFiles(path)
+    (28 to 35).map(i => (i, s"m$i", 0)).toDF("k", "v", "g")
+      .createOrReplaceTempView("dv_merge_src")
+    GraftSql.dml(spark, s"""
+      MERGE INTO graft.`$path` AS t USING dv_merge_src AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    before.foreach { case (f, sig) => assert(dataFiles(path)(f) == sig) }
+    assert(GraftTable.history(spark, path)
+      .orderBy(col("version").desc).head.getAs[String]("op") == "merge_mor")
+    val got = GraftTable.read(spark, path).select("k", "v").as[(Int, String)]
+      .collect().toMap
+    assert(got == ((1 to 27).map(i => i -> s"v$i") ++
+      (28 to 35).map(i => i -> s"m$i")).toMap)
+    // REORG PURGE folds the merge's vectors back into clean files
+    GraftSql.dml(spark, s"REORG TABLE graft.`$path` APPLY (PURGE)")
+    assert(GraftTable.filesOf(path,
+      GraftTable.currentManifest(path).get).forall(_.dv.isEmpty))
+    assert(GraftTable.read(spark, path).select("k", "v").as[(Int, String)]
+      .collect().toMap == got)
+  }
+
   test("old manifests without dv fields still parse (format compatibility)") {
     val path = tmp(); nums(path, n = 10, files = 1)
     // the v1 manifest was written by THIS code but contains no dv keys

@@ -138,9 +138,16 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
             // unmatched source rows insert
             if (GraftTable.exists(path)) {
               val delta = fresh.toMap.toSeq // source must be key-unique
-              GraftTable.mergeInto(spark, path, kvRows(delta), Seq("k"),
-                updateSet = Map("v" -> GraftTable.srcCol("v")),
-                deleteWhen = Some(GraftTable.srcCol("k") >= 9)): Unit
+              // COW and MOR merges share one model — semantics must be
+              // identical, only the commit's cost shape differs
+              val doMerge =
+                if (rnd.nextBoolean()) GraftTable.mergeInto(spark, path, kvRows(delta),
+                  Seq("k"), updateSet = Map("v" -> GraftTable.srcCol("v")),
+                  deleteWhen = Some(GraftTable.srcCol("k") >= 9))
+                else GraftTable.mergeIntoMor(spark, path, kvRows(delta),
+                  Seq("k"), updateSet = Map("v" -> GraftTable.srcCol("v")),
+                  deleteWhen = Some(GraftTable.srcCol("k") >= 9))
+              doMerge: Unit
               multi = delta.foldLeft(multi) { case (m, (k, v)) =>
                 if (m.contains(k)) {
                   if (k >= 9) m - k else m + (k -> m(k).map(_ => v))
@@ -335,6 +342,72 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
             s"seed=$seed restore v$v != its target v$target")
         case other => fail(s"unexpected record $other")
       }
+    }
+  }
+
+  test("racing MOR merge and purge writers: masks, images, and folds all verify") {
+    for (seed <- Seq(7, 23)) {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_morrace$seed").toString + "/t"
+      def kvRows(m: Seq[(Int, String)]) =
+        if (m.isEmpty) kvDf(Map.empty)
+        else df("k INT, v STRING", m.map { case (k, v) => Row(Int.box(k), v) }: _*)
+      GraftTable.overwrite(kvRows((0 until 8).map(k => k -> s"init$k")), path) // v1
+      case class OpRec(version: Long, kind: String, payload: Any)
+      val recs = new java.util.concurrent.ConcurrentLinkedQueue[OpRec]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def retrying[A](body: => A): A = {
+        var out: Option[A] = None
+        var n = 0
+        while (out.isEmpty) {
+          try out = Some(body)
+          catch { case _: java.util.ConcurrentModificationException if n < 100 => n += 1 }
+        }
+        out.get
+      }
+      val tMerge = new Thread(() => {
+        val rnd = new scala.util.Random(seed)
+        try (0 until 5).foreach { i =>
+          val delta = (0 until rnd.nextInt(3) + 1)
+            .map(_ => (rnd.nextInt(12), s"m$seed-$i-${rnd.nextInt(100)}")).toMap.toSeq
+          val v = retrying(GraftTable.mergeIntoMor(spark, path, kvRows(delta), Seq("k"),
+            updateSet = Map("v" -> GraftTable.srcCol("v")),
+            deleteWhen = Some(GraftTable.srcCol("k") >= 9)))
+          recs.add(OpRec(v, "merge", delta)): Unit
+        } catch { case e: Throwable => failures.add(e): Unit }
+      })
+      val tPurge = new Thread(() => {
+        try (0 until 5).foreach { _ =>
+          val (touched, v) = retrying(GraftTable.purgeDeletes(spark, path))
+          if (touched > 0) recs.add(OpRec(v, "purge", touched)): Unit
+          Thread.sleep(30)
+        } catch { case e: Throwable => failures.add(e): Unit }
+      })
+      tMerge.start(); tPurge.start()
+      tMerge.join(); tPurge.join()
+      assert(failures.isEmpty,
+        s"seed=$seed writer died: ${Option(failures.peek()).map(_.toString)}")
+      import scala.jdk.CollectionConverters._
+      def contents(v: Long): Map[Int, List[String]] =
+        GraftTable.readVersion(spark, path, v).collect()
+          .map(r => (r.getInt(0), r.getString(1))).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
+      recs.asScala.toSeq.foreach {
+        case OpRec(v, "merge", delta: Seq[(Int, String)] @unchecked) =>
+          val parent = contents(v - 1)
+          val expect = delta.foldLeft(parent) { case (m, (k, value)) =>
+            if (m.contains(k)) { if (k >= 9) m - k else m + (k -> m(k).map(_ => value)) }
+            else m + (k -> List(value))
+          }
+          assert(contents(v) == expect, s"seed=$seed MOR merge v$v diverged from parent")
+        case OpRec(v, "purge", _) =>
+          assert(contents(v) == contents(v - 1),
+            s"seed=$seed purge v$v changed contents")
+          assert(GraftTable.filesOf(path, GraftTable.manifestAt(path, v))
+            .forall(_.dv.isEmpty), s"seed=$seed purge v$v left vectors")
+        case other => fail(s"unexpected record $other")
+      }
+      // the final head still reads clean after the dust settles
+      assert(contents(GraftTable.currentVersion(path).get).values.flatten.nonEmpty)
     }
   }
 
