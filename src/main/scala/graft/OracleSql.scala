@@ -1375,6 +1375,13 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders
 WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
 
+    // q140's drain re-run through writeStream.toTable + the catalog:
+    // the V2 distributed sink and named resolution invisible to results
+    "q165_stream_totable" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
+       epoch_us(o_orderdate) AS order_us
+FROM orders WHERE o_totalprice > 1000""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

@@ -2460,6 +2460,42 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  private lazy val q165Root: String =
+    java.nio.file.Files.createTempDirectory("graft_stream_totable").toString
+
+  /** q165: the streaming half of the catalog surface — q140's 3-commit
+    * drain re-run as `writeStream.toTable("graft.st165.orders_hot")`:
+    * the V2 [[graft.sources.GraftStreamingWrite]] sink (executor-written
+    * parquet, one manifest commit per epoch, exactly-once by the
+    * `q:<queryId>` stream HWM), with the sink table auto-created
+    * through [[graft.catalog.GraftCatalog]] from the query schema.
+    * Same declarative oracle as q140: the distributed sink must be
+    * invisible to results. */
+  def streamToTableQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val wh = ensureCatalog(s)
+    TableIO.clearDir(s"$wh/st165")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.st165")
+    val root = q165Root
+    TableIO.clearDir(root)
+    val (src, ckpt) = (s"$root/src", s"$root/ckpt")
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), src)
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(src)
+      .filter(col("o_totalprice") > 1000)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.st165.orders_hot")
+    q.awaitTermination()
+    s.table("graft.st165.orders_hot").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"),
+      micros(col("o_orderdate")).as("order_us"))
+  }
+
   /** q133: DEFLATE compressibility per document — the quality signal
     * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
     * has no zlib surface); the kernel itself is pinned in CorpusSpec
@@ -2513,6 +2549,7 @@ object Queries {
     "q162_catalog_warehouse" -> (catalogDimCustomerQ _),
     "q163_catalog_version_asof" -> (catalogVersionAsOfQ _),
     "q164_mor_merge" -> (morMergeQ _),
+    "q165_stream_totable" -> (streamToTableQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

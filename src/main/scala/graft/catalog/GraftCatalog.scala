@@ -287,6 +287,7 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     if (pin.isEmpty) {
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }
@@ -296,7 +297,7 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pin.isEmpty, s"cannot write to time-travel pinned '$tableName'")
-    new GraftNamedWriteBuilder(path)
+    new GraftNamedWriteBuilder(path, info)
   }
 
   /** Native `DELETE FROM graft.ns.t WHERE …` in sessions WITHOUT the
@@ -404,16 +405,26 @@ private[graft] class GraftNamedV1Relation(spark: SparkSession, path: String,
   }
 }
 
-/** Batch writes as a [[V1Write]]: the analyzer has already aligned the
+/** Batch writes as a [[V1Write]] (the analyzer has already aligned the
   * query schema to the table's, so append/overwrite route straight to
-  * the manifest-committing operators (same CAS rebase loop, same CHECK
-  * enforcement as every other write). */
-private[graft] class GraftNamedWriteBuilder(path: String) extends WriteBuilder
-    with SupportsTruncate {
+  * the manifest-committing operators — same CAS rebase loop, same CHECK
+  * enforcement as every other write); streaming writes as the
+  * distributed [[graft.sources.GraftStreamingWrite]]
+  * (`writeStream.toTable`), keyed by the query's STABLE id so the
+  * manifest high-water mark survives restarts (exactly-once across the
+  * checkpoint/commit race). Append-only, like the V1 path sink:
+  * Complete mode (truncate) refuses, Update mode is rejected by Spark
+  * itself (no SupportsStreamingUpdateAsAppend — use foreachBatch with
+  * the merge/SCD2 operators). */
+private[graft] class GraftNamedWriteBuilder(path: String,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
 
   private var overwriteAll = false
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  private def csv(k: String): Seq[String] =
+    Option(info.options.get(k)).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
@@ -421,6 +432,14 @@ private[graft] class GraftNamedWriteBuilder(path: String) extends WriteBuilder
         if (overwriteAll || overwrite) GraftTable.overwrite(data, path)
         else GraftTable.append(data, path)
       }
+    }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwriteAll,
+        s"graft streaming writes are append-only — Complete mode would " +
+          "truncate per epoch; use foreachBatch with the merge/SCD2 operators")
+      new graft.sources.GraftStreamingWrite(path, "q:" + info.queryId,
+        info.schema, csv("statsCols"), csv("bloomCols"), SparkSession.active)
     }
   }
 }

@@ -141,14 +141,16 @@ object DeletionVector {
 
   /** Executor-side bounded cache of decoded vectors, keyed by absolute
     * sidecar path. Sidecars are immutable, so a cached entry is valid
-    * forever; the LRU bound (not bytes-precise — position counts are
-    * the working-set proxy) keeps a wide scan from pinning every
-    * vector of a 100 TB table in one executor heap. */
-  private val MaxCached = 512
-  private val cache = new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-      size() > MaxCached
-  }
+    * forever. Eviction is weighted by RETAINED POSITION COUNT (8 bytes
+    * per position — the actual heap), not entry count: a wide MOR scan
+    * over many small vectors keeps them all, while a handful of
+    * million-position vectors evict early instead of pinning multi-GB
+    * of Long arrays per executor. LRU order; the most-recent entry is
+    * never evicted (a vector wider than the whole budget must still
+    * serve its own scan — it just won't linger). */
+  private[graft] val MaxCachedPositions = 16L << 20 // ≈128 MB of decoded Longs
+  private var cachedPositions = 0L
+  private val cache = new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true)
 
   def load(absPath: String): Array[Long] = {
     val hit = cache.synchronized(cache.get(absPath))
@@ -160,7 +162,23 @@ object DeletionVector {
     val v = decode(Files.readAllBytes(new File(absPath).toPath))
     cache.synchronized {
       val raced = cache.get(absPath)
-      if (raced != null) raced else { cache.put(absPath, v); v }
+      if (raced != null) raced
+      else {
+        cache.put(absPath, v)
+        cachedPositions += v.length
+        val it = cache.entrySet().iterator()
+        while (cachedPositions > MaxCachedPositions && cache.size() > 1 && it.hasNext) {
+          val eldest = it.next()
+          if (!(eldest.getValue eq v)) { // never evict the entry we just loaded
+            cachedPositions -= eldest.getValue.length
+            it.remove()
+          }
+        }
+        v
+      }
     }
   }
+
+  /** Test seam: current cached-position total. */
+  private[graft] def cachedPositionCount: Long = cache.synchronized(cachedPositions)
 }

@@ -184,10 +184,19 @@ object GraftTable {
   }
 
   /** DESCRIBE DETAIL at file grain: one row per live data file of the
-    * current snapshot (or `version`) with its row/byte counts and, per
-    * requested stats column, the recorded [min, max, nulls] — the
-    * layout-debugging view (is my clustering tight? which files would a
-    * predicate skip?) from manifest metadata alone, zero data IO. */
+    * current snapshot (or `version`) with its row/byte counts, its
+    * deletion-vector load, and, per requested stats column, the
+    * recorded [min, max, nulls] — the layout-debugging view (is my
+    * clustering tight? which files would a predicate skip?) from
+    * manifest metadata alone, zero data IO.
+    *
+    * The DV columns are the PURGE-SCHEDULING signal: `deleted_frac`
+    * (masked rows / physical rows) is the per-row probe tax every scan
+    * of that file pays and the dead fraction of its bytes read;
+    * `dv_bytes` the sidecar weight. `SELECT * FROM graft_table_files(p)
+    * WHERE deleted_frac > 0.2` is the operator's "what should REORG
+    * PURGE fold?" query — SCALE.md documents the measured
+    * read-amplification crossover. */
   def describeFiles(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     import spark.implicits._
@@ -199,8 +208,12 @@ object GraftTable {
           st.bloom.map(_ => " bloom").getOrElse("") + "]"
       }.mkString(" ")
       (fe.path, fe.liveRows, fe.bytes, fe.renames.map(_.size).getOrElse(0),
-        fe.dv.map(_.rows).getOrElse(0L), stats)
-    }.toDF("file", "n_rows", "bytes", "n_renames", "n_deleted", "stats")
+        fe.dv.map(_.rows).getOrElse(0L),
+        fe.dv.map(_.bytes).getOrElse(0L),
+        if (fe.rows == 0) 0.0 else fe.dv.map(_.rows).getOrElse(0L).toDouble / fe.rows,
+        stats)
+    }.toDF("file", "n_rows", "bytes", "n_renames", "n_deleted",
+      "dv_bytes", "deleted_frac", "stats")
   }
 
   /** Per-column stats COVERAGE of the current snapshot as a relation —
@@ -532,18 +545,33 @@ object GraftTable {
     val parts = Option(stage.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).sortBy(_.getName)
     if (parts.isEmpty) { TableIO.clearDir(stage.toString); return Nil }
+    val entries = stagePartEntries(spark, df.schema, path, commitId, parts.toSeq,
+      statsCols, bloomCols)
+    TableIO.clearDir(stage.toString)
+    entries
+  }
 
-    val fields0 = resolveStatsCols(df.schema, statsCols)
+  /** The shared tail of every staged write: given parquet part files
+    * already on disk (the driver's staged `df.write`, or files streamed
+    * straight from executor DataWriters — [[commitStreamFiles]]), run
+    * the stats/bloom pass over exactly those files and MOVE them into
+    * `data/` under commit-unique names, returning their manifest
+    * entries. O(batch) reads, column-pruned to the indexed columns;
+    * never O(table). */
+  private def stagePartEntries(spark: SparkSession, schema: StructType,
+      path: String, commitId: String, parts: Seq[File], statsCols: Seq[String],
+      bloomCols: Seq[String]): Seq[FileEntry] = {
+    val fields0 = resolveStatsCols(schema, statsCols)
     // bloom columns always get a stats entry to carry the filter
     val fields = fields0 ++ bloomCols.filterNot(c => fields0.exists(_.name == c))
-      .map(c => df.schema(c)).filter(f => statTag(f.dataType).isDefined)
+      .map(c => schema(c)).filter(f => statTag(f.dataType).isDefined)
     val aggs = count(lit(1L)).as("__rows") +: fields.flatMap { f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
     }
     // explicit FILE paths, not the stage dir: the dir is dot-prefixed
     // (hidden to any directory listing), leaf files by name are not
-    val statRows = spark.read.schema(df.schema).parquet(parts.map(_.toString).toSeq: _*)
+    val statRows = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
       .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val base = r.getString(0).split('/').last
@@ -563,9 +591,9 @@ object GraftTable {
       val maxRows = statRows.values.map(_._1).maxOption.getOrElse(0L)
       val m = bloomBits(maxRows)
       bloomCols.map { c =>
-        val f = df.schema(c)
+        val f = schema(c)
         require(statTag(f.dataType).isDefined, s"column '$c' can't carry a bloom filter")
-        val perFile = spark.read.schema(df.schema).parquet(parts.map(_.toString).toSeq: _*)
+        val perFile = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
           .filter(col(c).isNotNull)
           .select(input_file_name().as("__f"),
             explode(bloomPositions(col(c), f.dataType, BloomK, m)).as("__p"))
@@ -578,7 +606,7 @@ object GraftTable {
     }
 
     val dataDir = new File(path, DataDir); dataDir.mkdirs()
-    val entries = parts.map { p =>
+    parts.map { p =>
       val name = s"$commitId-${p.getName}"
       val bytes = p.length
       Files.move(p.toPath, new File(dataDir, name).toPath): Unit
@@ -589,8 +617,6 @@ object GraftTable {
       }
       FileEntry(s"$DataDir/$name", rows, bytes, withBlooms)
     }.toSeq
-    TableIO.clearDir(stage.toString)
-    entries
   }
 
   private def activeChecks(path: String): Map[String, String] =
@@ -820,6 +846,68 @@ object GraftTable {
     committed
   }
 
+  /** EXACTLY-ONCE streaming commit of files ALREADY WRITTEN by
+    * executor-side `DataWriter` tasks — the V2 `StreamingWrite` half of
+    * [[appendStream]] (`writeStream.toTable("graft.ns.t")`,
+    * [[graft.sources.GraftStreamingWrite]]). The rows never pass
+    * through the driver: each task streamed its partition straight to a
+    * staged parquet file; this commit runs the same stats/bloom pass +
+    * move as every other write ([[stagePartEntries]] — O(batch)), then
+    * the same HWM-guarded CAS loop as [[appendStream]]. A replayed
+    * epoch (at-least-once delivery after a checkpoint/commit race)
+    * deletes its re-staged files and commits nothing; CHECK constraints
+    * enforce on a read-back of the staged files (one limit-1 job, only
+    * when checks are active). Returns the committed version, -1 for a
+    * skipped replay. */
+  def commitStreamFiles(spark: SparkSession, path: String, streamId: String,
+      batchId: Long, staged: Seq[File], schema: StructType,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    require(streamId.nonEmpty, "need a stable stream id")
+    def stagedDf = spark.read.schema(schema).parquet(staged.map(_.toString): _*)
+    def markOf(m: Option[Manifest]) = m.flatMap(_.streamMarks).flatMap(_.get(streamId))
+    if (markOf(currentManifest(path)).exists(_ >= batchId)) {
+      staged.foreach(_.delete()); return -1L
+    }
+    var validatedChecks = activeChecks(path)
+    if (staged.nonEmpty && validatedChecks.nonEmpty)
+      try enforceChecks(stagedDf, path, validatedChecks)
+      catch { case e: Throwable => staged.foreach(_.delete()); throw e }
+    val entries =
+      if (staged.isEmpty) Nil
+      else stagePartEntries(spark, schema, path,
+        java.util.UUID.randomUUID.toString.take(8), staged, statsCols, bloomCols)
+    def movedDf = spark.read.schema(schema).parquet(
+      entries.map(fe => new File(path, fe.path).toString): _*)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path)
+      if (markOf(cur).exists(_ >= batchId)) {
+        // replay raced us after staging: the moved files are in data/
+        // but in no manifest — reclaim them now rather than waiting for
+        // vacuum
+        entries.foreach(fe => new File(path, fe.path).delete())
+        return -1L
+      }
+      val curChecks = cur.flatMap(_.checks).getOrElse(Map.empty)
+      if (curChecks != validatedChecks) {
+        if (entries.nonEmpty) enforceChecks(movedDf, path, curChecks)
+        validatedChecks = curChecks
+      }
+      cur.foreach(m => require(sameSchema(m.schemaDdl, schema),
+        s"streaming write schema mismatch vs '$path' v${m.version}"))
+      val marks = cur.flatMap(_.streamMarks).getOrElse(Map.empty) + (streamId -> batchId)
+      val (files, leaves) = packCommit(path,
+        cur.map(_.files).getOrElse(Nil) ++ entries,
+        cur.flatMap(_.leaves).getOrElse(Nil))
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
+        "stream_append", schema.toDDL, files, Some(marks), leaves,
+        Some(ChangeLog(logEntries(entries), Nil)), checks = cur.flatMap(_.checks),
+        properties = cur.flatMap(_.properties))
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
+
   /** Overwrite with a CLUSTERED layout: range-partition by `clusterBy`
     * into `numFiles` files, sorted within each — so every file owns a
     * tight `clusterBy` range and [[readPruned]] on that expression skips
@@ -867,10 +955,20 @@ object GraftTable {
     if (dvd.nonEmpty)
       parts ++= renameGroupReads(spark, path, dvd, logical,
         Some(dvLiveFilter(path, dvd,
-          substring_index(col("_metadata.file_path"), "/", -1),
-          col("_metadata.row_index"))))
+          col("_metadata.file_path"), col("_metadata.row_index"))))
     parts.result().reduce(_ unionByName _)
   }
+
+  /** The scan-visible identity of a data file: its qualified URI,
+    * exactly as `_metadata.file_path` renders it — both the manifest
+    * FileIndex and plain `spark.read.parquet` qualify local paths
+    * through the same Hadoop `Path`, so this is the one stable join key
+    * between manifest entries and scanned rows. Keyed by FULL path (not
+    * basename): two entries with identical basenames — a shallow
+    * clone's absolute-path files next to local ones — must never apply
+    * one file's deletion vector to the other's rows. */
+  private def fileUri(path: String, fe: FileEntry): String =
+    new org.apache.hadoop.fs.Path(new File(resolveData(path, fe)).toURI).toString
 
   /** Internal column names the MOR DML projections append for row
     * positions — guarded against collision at the operation entry. */
@@ -902,7 +1000,7 @@ object GraftTable {
       else filtered.select(logical.fields.map(f =>
         col(ren.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
         (if (withPos)
-          Seq(substring_index(col("_metadata.file_path"), "/", -1).as(PosFileCol),
+          Seq(col("_metadata.file_path").as(PosFileCol),
             col("_metadata.row_index").as(PosIdxCol))
         else Nil): _*)
     }.toSeq
@@ -910,19 +1008,18 @@ object GraftTable {
   /** The liveness predicate for dv'd entries: a row survives when its
     * (file, position) is NOT in the file's deletion vector. Vectors
     * load lazily per executor ([[DeletionVector.load]]'s cache) from a
-    * broadcast-small basename→sidecar map; the probe is a binary
-    * search per row, paid only on dv'd files. `fCol`/`pCol` supply the
-    * file basename and row position (the scan's `_metadata` struct, or
-    * already-projected columns). */
+    * broadcast-small fileURI→sidecar map ([[fileUri]] — FULL qualified
+    * paths, so identical basenames across clone sources can never
+    * cross-apply); the probe is a binary search per row, paid only on
+    * dv'd files. `fCol`/`pCol` supply the scan's `_metadata.file_path`
+    * and `_metadata.row_index` (or already-projected copies). */
   private def dvLiveFilter(path: String, dvd: Seq[FileEntry],
       fCol: Column, pCol: Column): Column = {
     val dvByFile: Map[String, String] = dvd.flatMap(fe =>
-      fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
-    val live = udf((f: String, p: Long) => dvByFile.get(f) match {
-      case Some(dv) => !DeletionVector.contains(DeletionVector.load(dv), p)
-      case None => true
-    })
-    live(fCol, pCol)
+      fe.dv.map(d => fileUri(path, fe) -> resolveDv(path, d))).toMap
+    import org.apache.spark.sql.graftbridge.ClassicBridge
+    ClassicBridge.column(graft.expressions.DvIsLive(
+      ClassicBridge.expr(fCol), ClassicBridge.expr(pCol), dvByFile))
   }
 
   /** [[renameGroupReads]] needs a manifest only for its schema DDL when
@@ -1347,19 +1444,18 @@ object GraftTable {
         val dvdC = candidates.filter(_.dv.isDefined)
         val dvF = if (dvdC.isEmpty) None
           else Some(dvLiveFilter(path, dvdC,
-            substring_index(col("_metadata.file_path"), "/", -1),
-            col("_metadata.row_index")))
+            col("_metadata.file_path"), col("_metadata.row_index")))
         renameGroupReads(spark, path, candidates, logical,
           dvF, withPos = true).reduce(_ union _)
       }
     var matchedRows: DataFrame = null
-    val matched: Map[String, (String, Long, Long)] = // basename -> (dv name, total, bytes)
+    val matched: Map[String, (String, Long, Long)] = // fileUri -> (dv name, total, bytes)
       if (candidates.isEmpty) Map.empty
       else {
         import spark.implicits._
         val dvdC = candidates.filter(_.dv.isDefined)
         val oldDvByFile: Map[String, String] = dvdC.flatMap(fe =>
-          fe.dv.map(d => fe.path.split('/').last -> resolveDv(path, d))).toMap
+          fe.dv.map(d => fileUri(path, fe) -> resolveDv(path, d))).toMap
         val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
         // an update reads the matched rows twice (positions + images) —
         // persist so the candidate scan runs once
@@ -1378,11 +1474,11 @@ object GraftTable {
           .collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
       }
     try {
-      def touchedBy(fe: FileEntry) = matched.contains(fe.path.split('/').last)
+      def touchedBy(fe: FileEntry) = matched.contains(fileUri(path, fe))
       // a file whose vector now covers every physical row leaves the
       // manifest (its orphaned sidecar is vacuum fodder)
       def updatedEntry(fe: FileEntry): Option[FileEntry] = {
-        val (dvName, total, bytes) = matched(fe.path.split('/').last)
+        val (dvName, total, bytes) = matched(fileUri(path, fe))
         if (total >= fe.rows) None
         else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
       }

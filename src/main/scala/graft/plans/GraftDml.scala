@@ -750,8 +750,32 @@ object GraftMaintenance {
     * ones (a SUPERSET of candidate files — at file granularity that
     * only ever rewrites one extra boundary file, never loses a row).
     * Splitting on AND re-joins the one AND that BETWEEN owns. */
+  /** Split a WHERE conjunction on AND, QUOTE-AWARE: an `AND` inside a
+    * single-quoted literal (`name BETWEEN 'a and b' AND 'c'`) is text,
+    * not a conjunction boundary. SQL escapes a quote by doubling it —
+    * the flip-flop scan handles `''` naturally (it toggles out and
+    * straight back in). */
+  private def splitTopLevelAnd(text: String): List[String] = {
+    val parts = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    val t = text.trim
+    def atAnd(j: Int): Boolean =
+      j + 5 <= t.length && t.regionMatches(true, j, " AND ", 0, 5)
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (!inQuote && c.isWhitespace && atAnd(i)) {
+        parts += cur.toString; cur.clear(); i += 5
+      } else { cur += c; i += 1 }
+    }
+    parts += cur.toString
+    parts.toList
+  }
+
   private[plans] def parseBounds(text: String): Seq[(String, Option[String], Option[String])] = {
-    val parts = text.trim.split("""(?i)\s+AND\s+""").toList
+    val parts = splitTopLevelAnd(text)
     val joined = scala.collection.mutable.ListBuffer[String]()
     var i = 0
     while (i < parts.length) {

@@ -235,6 +235,14 @@ private[sources] class GraftScan(path: String, tableSchema: StructType,
   override def readSchema(): StructType = tableSchema
   override def description(): String = s"GraftStream $path"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the writer probe needs inferSchema to tolerate a missing table
+    // (empty StructType); a streaming READ of one must fail loudly HERE
+    // instead of silently pinning an empty schema that emits nothing
+    // forever (and zero-column rows once the table appears)
+    require(GraftTable.exists(path),
+      s"readStream: '$path' is not a GraftTable (no _graft_log/) — create it " +
+        "with a write first; a stream started against a missing table would " +
+        "pin an empty schema")
     // in CDF mode the scan schema carries the two trailing metadata
     // columns; the DATA schema (what files hold) is everything before
     val dataSchema =

@@ -781,6 +781,10 @@ object PlanAudit {
         "one_file_dirty" -> (dvd == 1),
         "mor_scan_vectorized" -> (fs.nonEmpty && !planStr.contains("RowDataSourceScan")),
         "clean_branch_unfiltered" -> (fs.size >= 2),
+        // the liveness probe is the codegen'd DvIsLive predicate — a
+        // Scala UDF here measured ~500 ns/row (tools/DvCrossover)
+        "probe_codegen" -> (planStr.contains("graft_dv_is_live") &&
+          !planStr.contains("UDF")),
         "complement_exact" -> (n == 4095L))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q159_mor_vectorized: ${results.mkString(" ")} (scans=${fs.size})")
@@ -932,6 +936,54 @@ object PlanAudit {
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q159_mor_delete: ${results.mkString(" ")}" +
         s" (dv ${dvBytes()} B vs data $dataBytes B)")
+    }
+    locally {
+      // DV-aware CHECK validation: addCheck's whole-table scan reads
+      // through deletion-vector masks — a row that violates the
+      // prospective check but is MOR-DELETED (masked, physically
+      // present) must not block the constraint; a LIVE violation still
+      // refuses. The contract, explicit: validation never re-validates
+      // deleted positions.
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_dvcheck").toString + "/t"
+      val rows = spark.range(0, 4096).selectExpr("cast(id as int) AS k",
+        "cast(id as int) AS v")
+      GraftTable.writeClustered(rows, root, col("k"), numFiles = 8,
+        statsCols = Seq("k"))
+      // mask every v >= 4000 via ONE vector commit — physically present,
+      // logically gone
+      GraftTable.deleteWhereMor(spark, root, col("v") >= 4000)
+      val masked = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .flatMap(_.dv).map(_.rows).sum
+      // the masked rows all violate this check; validation must pass
+      val okAdd =
+        try { GraftTable.addCheck(spark, root, "v_bound", "v < 4000"); true }
+        catch { case _: Throwable => false }
+      // a LIVE violating row (v = 3999) still refuses loudly
+      val liveRefuses =
+        try { GraftTable.addCheck(spark, root, "v_tight", "v < 3999"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("violate") }
+      // and the committed check enforces on future writes
+      val enforced =
+        try {
+          GraftTable.append(spark.range(9000, 9001).selectExpr(
+            "cast(id as int) AS k", "cast(id as int) AS v"), root)
+          false
+        } catch { case e: Throwable =>
+          Option(e.getMessage).exists(_.contains("v_bound")) ||
+            Option(e.getCause).flatMap(c => Option(c.getMessage))
+              .exists(_.contains("v_bound"))
+        }
+      val checks = Seq(
+        "masked_rows_present" -> (masked == 96L),
+        "check_skips_dvd_positions" -> okAdd,
+        "live_violation_refuses" -> liveRefuses,
+        "check_enforced_after" -> enforced)
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] dv_check_validation: ${results.mkString(" ")}" +
+        s" (masked=$masked)")
     }
     spark.stop()
   }

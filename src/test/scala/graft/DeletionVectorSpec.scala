@@ -77,4 +77,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("magic"))
   }
+
+  test("cache eviction is weighted by retained positions, not entry count") {
+    val dir = java.nio.file.Files.createTempDirectory("dv_cache").toFile
+    // three wide vectors that together exceed the position budget: after
+    // loading all three, the cache must have evicted down to the budget
+    // (the most-recent stays resident even if alone it fits)
+    val wide = (DeletionVector.MaxCachedPositions / 2 + 1024).toInt
+    val files = (0 until 3).map { i =>
+      val f = new java.io.File(dir, s"wide$i.dv")
+      DeletionVector.write(f, Array.tabulate(wide)(j => j.toLong * 2))
+      f
+    }
+    files.foreach(f => DeletionVector.load(f.getAbsolutePath))
+    assert(DeletionVector.cachedPositionCount <= DeletionVector.MaxCachedPositions,
+      s"cache holds ${DeletionVector.cachedPositionCount} positions, " +
+        s"budget is ${DeletionVector.MaxCachedPositions}")
+    // the last-loaded vector is still resident (same instance on re-load)
+    assert(DeletionVector.load(files.last.getAbsolutePath) eq
+      DeletionVector.load(files.last.getAbsolutePath))
+    // evicted entries re-load correctly (just a fresh decode)
+    assert(DeletionVector.load(files.head.getAbsolutePath).length == wide)
+  }
 }

@@ -211,6 +211,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(GraftTable.read(spark, outPath)) == canon(kv(1 -> "a", 2 -> "b")))
   }
 
+  test("writeStream.toTable appends through the distributed V2 sink, exactly once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.strm")
+    val srcPath = s"$warehouse/strm/src2"
+    GraftTable.overwrite(kv(1 -> "a"), srcPath)
+    GraftTable.append(kv(2 -> "b"), srcPath)
+    val ckpt = Files.createTempDirectory("graft_cat_ckpt2").toString
+    // the sink table does not exist yet: toTable creates it through the
+    // catalog from the query schema
+    val q = spark.readStream.table("graft.strm.src2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.strm.sink2")
+    q.awaitTermination(60000)
+    assert(canon(spark.table("graft.strm.sink2")) == canon(kv(1 -> "a", 2 -> "b")))
+    val sinkPath = s"$warehouse/strm/sink2"
+    // the commits are stream-marked appends (the exactly-once channel),
+    // and no zero-row files were staged
+    val m = GraftTable.currentManifest(sinkPath).get
+    assert(m.streamMarks.exists(_.keys.exists(_.startsWith("q:"))),
+      s"expected a q:<queryId> stream mark, got ${m.streamMarks}")
+    assert(GraftTable.filesOf(sinkPath, m).forall(_.rows > 0))
+    // restart with more source data: only the delta lands (no replay
+    // double-append — HWM + checkpoint agree across restarts)
+    GraftTable.append(kv(3 -> "c"), srcPath)
+    val q2 = spark.readStream.table("graft.strm.src2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.strm.sink2")
+    q2.awaitTermination(60000)
+    assert(canon(spark.table("graft.strm.sink2")) ==
+      canon(kv(1 -> "a", 2 -> "b", 3 -> "c")))
+    // a replayed epoch commits nothing: re-commit batch 0 by hand
+    val before = GraftTable.currentManifest(sinkPath).get.version
+    val sid = GraftTable.currentManifest(sinkPath).get.streamMarks.get
+      .keys.find(_.startsWith("q:")).get
+    assert(GraftTable.commitStreamFiles(spark, sinkPath, sid, 0L, Nil,
+      spark.table("graft.strm.sink2").schema) == -1L)
+    assert(GraftTable.currentManifest(sinkPath).get.version == before)
+  }
+
   test("loadTable of a missing table fails loudly, tableExists answers quietly") {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]

@@ -356,6 +356,12 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     // a string bound routes through the literal parser
     GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE v = 'v3'")
     assert(GraftTable.read(spark, p).count() == 260)
+    // quote-aware conjunction split: an " and " INSIDE a literal is
+    // text, not a boundary — both statements parse and run
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE v BETWEEN 'a and b' AND 'zzz'")
+    assert(GraftTable.read(spark, p).count() == 260)
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE v >= 'a and b' AND x <= 31")
+    assert(GraftTable.read(spark, p).count() == 260)
     // anything richer than bounds refuses loudly
     intercept[Exception](
       GraftSql.dml(spark, s"OPTIMIZE graft.`$p` WHERE x % 2 = 0"))

@@ -42,10 +42,17 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
     val h = GraftTable.history(spark, path).filter(col("version") === 2).head
     assert(h.getAs[String]("op") == "delete_mor")
     assert(h.getAs[Long]("n_rows") == 90L)
-    // the per-file detail exposes the vectors
+    // the per-file detail exposes the vectors — including the purge-
+    // scheduling signal (sidecar bytes + masked fraction per file)
     val det = GraftTable.describeFiles(spark, path)
     assert(det.agg(sum("n_deleted")).head.getLong(0) == 10L)
     assert(det.agg(sum("n_rows")).head.getLong(0) == 90L)
+    val dvd = det.filter(col("n_deleted") > 0)
+    assert(dvd.filter(col("dv_bytes") > 0).count() == dvd.count())
+    assert(dvd.filter(col("deleted_frac") > 0 && col("deleted_frac") <= 1).count()
+      == dvd.count())
+    assert(det.filter(col("n_deleted") === 0)
+      .filter(col("deleted_frac") =!= 0.0).count() == 0)
   }
 
   test("NULL predicate rows are kept — SQL DELETE semantics") {

@@ -31,6 +31,20 @@ class GraftStreamSourceSpec extends AnyFunSuite with SparkSpecBase {
     (canon(spark.table(name)), batches)
   }
 
+  test("a streaming read of a missing table fails loudly, never an empty-schema stream") {
+    val path = tmp() + "/nope"
+    val src = spark.readStream.format("graft").load(path)
+    val e = intercept[Exception] {
+      val q = src.writeStream.format("memory").queryName("missing_tbl")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("not a GraftTable")),
+      s"expected a loud missing-table refusal, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("append-only history streams in full; one micro-batch per version under the cap") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
