@@ -732,12 +732,17 @@ private[plans] case class GraftReorgCommand(path: String) extends LeafRunnableCo
   * the real parser (Delta's DeltaSqlParser pattern). Anything else
   * falls through untouched. */
 object GraftMaintenance {
+  /** A maintenance target is `graft.` followed by either a backticked
+    * absolute path (`graft.`/w/t``) or a dotted NAME (`graft.dwh.t`) —
+    * the same two addressing modes the DML rewrite serves. Named form
+    * resolves through the catalog warehouse conf in [[resolve]]. */
+  private val Tgt = """(`[^`]+`|[\w][\w.]*)"""
   private val Reorg =
-    """(?is)\s*REORG\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+    ("""(?is)\s*REORG\s+TABLE\s+graft\s*\.\s*""" + Tgt + """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""").r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+graft\s*\.\s*`([^`]+)`(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+graft\s*\.\s*""" + Tgt + """(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+graft\s*\.\s*""" + Tgt + """(?:\s+WHERE\s+(.+?))??(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*""").r
   private val BoundBetween =
     """(?is)^(\w+)\s+BETWEEN\s+('[^']*'|[^\s']+)\s+AND\s+('[^']*'|[^\s']+)$""".r
   private val BoundCmp = """(?is)^(\w+)\s*(>=|<=|=|<|>)\s*('[^']*'|[^\s']+)$""".r
@@ -793,30 +798,45 @@ object GraftMaintenance {
     }
   }
   private val RestoreV =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*""" + Tgt + """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val RestoreT =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*""" + Tgt + """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+graft\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*""" + Tgt + """\s+(SHALLOW|DEEP)\s+CLONE\s+graft\s*\.\s*""" + Tgt + """\s*;?\s*""").r
   private val Analyze =
-    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?graft\s*\.\s*`([^`]+)`\s+COMPUTE\s+(STATS|BLOOM)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
+    ("""(?is)\s*ANALYZE\s+(?:TABLE\s+)?graft\s*\.\s*""" + Tgt + """\s+COMPUTE\s+(STATS|BLOOM)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""").r
+
+  /** Resolve a captured target to a table path: backticked text is the
+    * path verbatim; dotted-name text resolves through
+    * `spark.sql.catalog.graft.warehouse` (namespace chain = directory
+    * chain — the SAME mapping [[graft.catalog.GraftCatalog]] serves).
+    * A named target with no warehouse conf set fails loudly rather
+    * than inventing a relative path. */
+  private[graft] def resolve(raw: String): String =
+    if (raw.startsWith("`")) raw.substring(1, raw.length - 1)
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.sql.catalog.graft.warehouse"))
+      .map(w => (w.stripSuffix("/") +: raw.split('.').toSeq).mkString("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"named graft target '$raw' requires spark.sql.catalog.graft.warehouse " +
+          "(or address by path: graft.`/abs/path`)"))
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case Reorg(path) => Some(GraftReorgCommand(path))
+    case Reorg(path) => Some(GraftReorgCommand(resolve(path)))
     case Analyze(path, kind, cols) =>
-      Some(GraftAnalyzeCommand(path,
+      Some(GraftAnalyzeCommand(resolve(path),
         cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
         kind.equalsIgnoreCase("BLOOM")))
     case Vacuum(path, hours, dry) =>
-      Some(GraftVacuumCommand(path, Option(hours).map(_.toDouble), dry != null))
+      Some(GraftVacuumCommand(resolve(path), Option(hours).map(_.toDouble), dry != null))
     case Optimize(path, whereText, zcols) =>
-      Some(GraftOptimizeCommand(path,
+      Some(GraftOptimizeCommand(resolve(path),
         Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
         Option(whereText).map(parseBounds).getOrElse(Nil)))
-    case RestoreV(path, v) => Some(GraftRestoreCommand(path, Some(v.toLong), None))
-    case RestoreT(path, ts) => Some(GraftRestoreCommand(path, None, Some(ts)))
+    case RestoreV(path, v) => Some(GraftRestoreCommand(resolve(path), Some(v.toLong), None))
+    case RestoreT(path, ts) => Some(GraftRestoreCommand(resolve(path), None, Some(ts)))
     case Clone(dst, kind, src) =>
-      Some(GraftCloneCommand(dst, src, kind.equalsIgnoreCase("DEEP")))
+      Some(GraftCloneCommand(resolve(dst), resolve(src), kind.equalsIgnoreCase("DEEP")))
     case _ => None
   }
 }

@@ -46,8 +46,24 @@ object GraftSql {
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.tableFunctionRegistry
 
-    def pathOf(fn: String, e: Expression): String = e match {
+    // a plain string-literal argument (key-column lists and the like) —
+    // NEVER name-resolved
+    def strLit(fn: String, e: Expression): String = e match {
       case Literal(v, StringType) if v != null => v.toString
+      case other => fail(fn, s"a string literal, got $other")
+    }
+
+    // A TVF target is a path ('/w/t') or a catalog NAME ('dwh.t', with
+    // an optional 'graft.' prefix) — names resolve through the same
+    // warehouse conf the maintenance dialect and GraftCatalog use, so
+    // graft_table_history('dwh.dim_customer') works the moment the
+    // catalog is configured. Slash-bearing strings stay paths verbatim.
+    def pathOf(fn: String, e: Expression): String = e match {
+      case Literal(v, StringType) if v != null =>
+        val s = v.toString
+        if (s.contains("/")) s
+        else GraftMaintenance.resolve(
+          if (s.toLowerCase.startsWith("graft.")) s.substring(6) else s)
       case other => fail(fn, s"a string-literal table path, got $other")
     }
 
@@ -120,7 +136,7 @@ object GraftSql {
     // keyed on a comma-separated key-column list
     register("graft_table_changes", {
       case Seq(p, f, t, k) =>
-        val keys = pathOf("graft_table_changes", k).split(",").map(_.trim).filter(_.nonEmpty)
+        val keys = strLit("graft_table_changes", k).split(",").map(_.trim).filter(_.nonEmpty)
         plan(spark, GraftTable.diffVersions(spark, pathOf("graft_table_changes", p),
           longLit("graft_table_changes", f), longLit("graft_table_changes", t),
           keys.toIndexedSeq))
@@ -135,7 +151,7 @@ object GraftSql {
     register("graft_table_changes_at", {
       case Seq(p, f, t, k) =>
         val path = pathOf("graft_table_changes_at", p)
-        val keys = pathOf("graft_table_changes_at", k).split(",").map(_.trim).filter(_.nonEmpty)
+        val keys = strLit("graft_table_changes_at", k).split(",").map(_.trim).filter(_.nonEmpty)
         plan(spark, GraftTable.diffVersions(spark, path,
           GraftTable.manifestAsOf(path, tsMicros("graft_table_changes_at", f)).version,
           GraftTable.manifestAsOf(path, tsMicros("graft_table_changes_at", t)).version,
@@ -158,6 +174,9 @@ object GraftSql {
     * `spark.sql(...)`; this entry serves sessions created without it
     * (the analyzer is fixed at build time). */
   def dml(spark: SparkSession, sql: String): Long = {
+    // named targets resolve through the ACTIVE session's warehouse conf
+    // — pin it to the session the statement was handed to
+    SparkSession.setActiveSession(spark)
     GraftMaintenance.parse(sql) match {
       case Some(c: GraftVacuumCommand) => return c.execute(spark)
       case Some(c: GraftOptimizeCommand) => return c.execute(spark)._2.toLong

@@ -251,6 +251,45 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.currentManifest(sinkPath).get.version == before)
   }
 
+  test("maintenance dialect and TVFs address catalog tables by NAME") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mnt")
+    val path = s"$warehouse/mnt/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    GraftTable.append(kv(2 -> "b"), path)
+    GraftTable.append(kv(3 -> "c"), path)
+    // OPTIMIZE by name bin-packs the three commits' files
+    GraftSql.dml(spark, "OPTIMIZE graft.mnt.t")
+    assert(GraftTable.currentManifest(path).get.op == "compact")
+    // ANALYZE by name backfills bloom filters
+    GraftSql.dml(spark, "ANALYZE graft.mnt.t COMPUTE BLOOM FOR COLUMNS (v)")
+    // RESTORE by name rolls back to the 2-row snapshot
+    GraftSql.dml(spark, "RESTORE TABLE graft.mnt.t TO VERSION AS OF 2")
+    assert(canon(spark.table("graft.mnt.t")) == canon(kv(1 -> "a", 2 -> "b")))
+    // CLONE by name lands the copy at the mapped directory
+    GraftSql.dml(spark, "CREATE TABLE graft.mnt.t2 SHALLOW CLONE graft.mnt.t")
+    assert(canon(spark.table("graft.mnt.t2")) == canon(kv(1 -> "a", 2 -> "b")))
+    // VACUUM by name (age-unbounded keeps the 2-version contract)
+    GraftSql.dml(spark, "VACUUM graft.mnt.t")
+    // REORG by name purges deletion vectors (compact first so the
+    // delete masks part of a file — a fully-covered file just drops)
+    GraftSql.dml(spark, "OPTIMIZE graft.mnt.t")
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    GraftSql.dml(spark, "DELETE FROM graft.mnt.t WHERE k = 2")
+    assert(GraftSql.dml(spark, "REORG TABLE graft.mnt.t APPLY (PURGE)") == 1L)
+    assert(canon(spark.table("graft.mnt.t")) == canon(kv(1 -> "a")))
+    // TVFs take the same names (bare or graft.-prefixed), path form still works
+    GraftSql.install(spark)
+    assert(spark.sql("SELECT * FROM graft_table_history('mnt.t')").count() ==
+      spark.sql(s"SELECT * FROM graft_table_history('$path')").count())
+    assert(canon(spark.sql("SELECT k, v FROM graft_table_version('graft.mnt.t2', 1)")) ==
+      canon(kv(1 -> "a", 2 -> "b")))
+    // a named target with no warehouse conf fails loudly
+    val bare = spark.newSession()
+    val e = intercept[IllegalArgumentException](
+      GraftSql.dml(bare, "OPTIMIZE graft.mnt.t"))
+    assert(e.getMessage.contains("warehouse"))
+  }
+
   test("loadTable of a missing table fails loudly, tableExists answers quietly") {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
