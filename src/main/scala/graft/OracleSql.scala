@@ -1382,6 +1382,22 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS total,
        epoch_us(o_orderdate) AS order_us
 FROM orders WHERE o_totalprice > 1000""",
 
+    // replaceWhere: the final state is declaratively the complement of
+    // the window plus the recomputed window — the metadata-only file
+    // drops and the single-commit atomicity invisible to results
+    "q166_replace_where" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE o_orderdate NOT BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+         AS o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

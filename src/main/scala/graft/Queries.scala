@@ -2116,6 +2116,36 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
 
+  /** q166: Delta's `replaceWhere` as SQL TEXT — `INSERT INTO …
+    * REPLACE WHERE pred SELECT …` atomically swaps 1997's orders for a
+    * recomputed markdown batch over a date-clustered layout
+    * ([[graft.core.GraftTable.overwriteWhere]]). The date bounds
+    * stats-prune the touched probe, files wholly inside the year DROP
+    * from the manifest metadata-only (never read), boundary files
+    * rewrite keepers — the recompute-one-date-range pipeline shape at
+    * O(new data + boundary files). */
+  def sqlReplaceWhereQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_replw").toString
+    val path = s"$root/orders_rw"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderdate"), 8,
+      statsCols = Seq("o_orderdate"))
+    orders.createOrReplaceTempView("q166_src")
+    graft.plans.GraftSql.dml(s, s"""
+      INSERT INTO graft.`$path`
+      REPLACE WHERE o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'
+      SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+               AS o_totalprice,
+             o_orderdate
+      FROM q166_src
+      WHERE o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'""")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -2550,6 +2580,7 @@ object Queries {
     "q163_catalog_version_asof" -> (catalogVersionAsOfQ _),
     "q164_mor_merge" -> (morMergeQ _),
     "q165_stream_totable" -> (streamToTableQ _),
+    "q166_replace_where" -> (sqlReplaceWhereQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -1262,7 +1262,48 @@ object GraftTable {
     val cur = currentManifest(path).getOrElse(
       throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
     rewriteMatching(spark, path, pred, pruneRanges, cur, "delete",
-      _.filter(!coalesce(pred, lit(false))))
+      _.filter(!coalesce(pred, lit(false))), dropFullCover = true)
+  }
+
+  /** Dynamic overwrite — Delta's `replaceWhere`, re-derived: atomically
+    * replace exactly the rows matching `pred` with `df`, ONE commit, so
+    * readers never observe the deleted-but-not-yet-inserted state and
+    * time travel sees a single `replace_where` version. The delete half
+    * rides [[deleteWhere]]'s machinery with full-cover drops: a file
+    * whose every live row matches the predicate leaves the manifest
+    * without being read or rewritten, boundary files rewrite their
+    * keepers, clean files carry by reference — on a [[writeClustered]]
+    * layout keyed like the predicate (the recompute-one-date-range
+    * pipeline shape) the commit costs O(new data + boundary files) at
+    * any table size. Refuses rows in `df` that do NOT match `pred`:
+    * they would silently widen the overwrite beyond the declared
+    * region (the same refusal Delta's replaceWhere makes). CHECK
+    * constraints validate the incoming rows at staging; CDC consumers
+    * see removed files as deletes and staged files as inserts — the
+    * region swap it is.
+    *
+    * Concurrency: optimistic, like [[deleteWhere]] — a racing commit
+    * surfaces `ConcurrentModificationException`; re-read and retry. */
+  def overwriteWhere(spark: SparkSession, path: String, df: DataFrame, pred: Column,
+      pruneRanges: Seq[ColRange] = Nil): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"replaceWhere source lacks column(s) ${missing.mkString(", ")} " +
+        s"— table schema is [${cur.schemaDdl}]")
+    val aligned = df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // stop at the FIRST violating row — never a full count
+    val stray = aligned.filter(!coalesce(pred, lit(false))).head(1)
+    require(stray.isEmpty,
+      s"replaceWhere source holds row(s) NOT matching the predicate " +
+        s"(e.g. ${stray.head}) — they would widen the overwrite beyond the " +
+        "declared region; fix the source or the predicate")
+    rewriteMatching(spark, path, pred, pruneRanges, cur, "replace_where",
+      _.filter(!coalesce(pred, lit(false))), dropFullCover = true,
+      extraStage = Some(aligned))
   }
 
   /** MERGE-ON-READ DELETE WHERE — same semantics as [[deleteWhere]]
@@ -1512,23 +1553,39 @@ object GraftTable {
   /** The shared predicate-DML body: find the files actually holding a
     * `pred` match (stats cover, then exact columnar probe), rewrite only
     * those through `transform`, carry every other file by reference, and
-    * commit optimistically. */
+    * commit optimistically.
+    *
+    * The probe counts live matches PER FILE (same one column-pruned job
+    * the membership test already cost) because the count is what lets a
+    * row-removing op (`dropFullCover`) DROP a file whose every live row
+    * matches, metadata-only — Delta's file-level delete, re-derived. On
+    * a [[writeClustered]] layout keyed like the predicate (the
+    * date-ranged retention/recompute shape) most touched files are
+    * fully covered, so `DELETE WHERE ship_date < X` over 100 TB removes
+    * whole files from the manifest and rewrites only the boundary —
+    * write amplification O(boundary files), not O(matching files).
+    * `extraStage` atomically appends new data in the SAME commit — the
+    * [[overwriteWhere]] replace half. */
   private def rewriteMatching(spark: SparkSession, path: String, pred: Column,
       pruneRanges: Seq[ColRange], cur: Manifest, op: String,
-      transform: DataFrame => DataFrame): Long = {
+      transform: DataFrame => DataFrame, dropFullCover: Boolean = false,
+      extraStage: Option[DataFrame] = None): Long = {
     // leaf-level stats cover first: a leaf provably clean of the predicate
     // ranges is never parsed AND carries into the new manifest by pointer
     val (liveLeaves, cleanLeaves) = cur.leaves.getOrElse(Nil)
       .partition(l => mayMatch(l.stats, pruneRanges))
     val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
     val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
-    val touchedNames: Set[String] =
-      if (candidates.isEmpty) Set.empty
+    val matchCounts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
       else readFileSubset(spark, path, cur, candidates)
         .filter(pred)
-        .select(input_file_name().as("__f")).distinct().collect()
-        .map(_.getString(0).split('/').last).toSet
-    def isTouched(fe: FileEntry) = touchedNames.contains(fe.path.split('/').last)
+        .groupBy(input_file_name().as("__f")).count().collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    def isTouched(fe: FileEntry) = matchCounts.contains(fe.path.split('/').last)
+    // every live row matches → nothing of this file survives the op
+    def covered(fe: FileEntry) =
+      matchCounts.get(fe.path.split('/').last).contains(fe.liveRows)
     val (inTouched, inUntouched) = cur.files.partition(isTouched)
     // a parsed leaf with no touched member still carries by pointer; a
     // touched leaf dissolves — survivors inline, matches rewrite
@@ -1536,12 +1593,21 @@ object GraftTable {
     val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(isTouched)
     val survivors = dirtyLeaves.flatMap(_._2).filterNot(isTouched)
     val statsCols = touched.flatMap(_.stats.keys).distinct
+    // fully-covered files drop without a read; only partially-matching
+    // files pay the rewrite (updates rewrite everything they touch)
+    val partial = if (dropFullCover) touched.filterNot(covered) else touched
     // no matching file → the commit carries the file list verbatim (an
     // empty stage would still emit one zero-row part file)
-    val staged =
-      if (touched.isEmpty) Nil
-      else stageFiles(transform(readFileSubset(spark, path, cur, touched)),
+    val rewritten =
+      if (partial.isEmpty) Nil
+      else stageFiles(transform(readFileSubset(spark, path, cur, partial)),
         path, statsCols, None)
+    // replace data stages with the TABLE's stats columns (not just the
+    // touched files') so a mostly-metadata replace keeps skippability
+    val tableStatsCols = (cur.files.flatMap(_.stats.keys) ++
+      cur.leaves.getOrElse(Nil).flatMap(_.stats.keys)).distinct
+    val staged = rewritten ++ extraStage.map(df =>
+      stageFiles(df, path, tableStatsCols, None)).getOrElse(Nil)
     val (files, leaves) = packCommit(path, inUntouched ++ survivors ++ staged,
       cleanLeaves ++ carriedLive.map(_._1))
     val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,

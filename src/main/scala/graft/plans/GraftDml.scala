@@ -577,35 +577,8 @@ private[plans] case class GraftOptimizeCommand(path: String,
     Seq(AttributeReference("files_before", IntegerType, nullable = false)(),
       AttributeReference("files_after", IntegerType, nullable = false)())
   }
-  private def typedRanges(): Seq[GraftTable.ColRange] = {
-    if (where.isEmpty) return Nil
-    import org.apache.spark.sql.types._
-    val schema = StructType.fromDDL(GraftTable.currentManifest(path).getOrElse(
-      throw new IllegalArgumentException(s"'$path' is not a GraftTable")).schemaDdl)
-    def lit(dt: DataType, s0: String): Any = {
-      val s = if (s0.length >= 2 && s0.startsWith("'") && s0.endsWith("'"))
-        s0.substring(1, s0.length - 1) else s0
-      dt match {
-        case ByteType | ShortType | IntegerType | LongType => java.lang.Long.parseLong(s)
-        case FloatType | DoubleType => java.lang.Double.parseDouble(s)
-        case d: DecimalType => new java.math.BigDecimal(s)
-        case DateType => java.sql.Date.valueOf(s)
-        case TimestampType => java.sql.Timestamp.valueOf(s)
-        // NTZ stats encode UTC wall-clock (LocalDateTime) — a
-        // zone-interpreted Timestamp here would shift the window by the
-        // JVM offset (the zorderClusterExpr codec lesson)
-        case TimestampNTZType => java.time.LocalDateTime.parse(s.replace(" ", "T"))
-        case StringType => s
-        case other => throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE on ${other.simpleString} is not supported")
-      }
-    }
-    where.map { case (c, lo, hi) =>
-      require(schema.fieldNames.contains(c), s"no column '$c' in [${schema.toDDL}]")
-      val dt = schema(c).dataType
-      GraftTable.ColRange(c, lo.map(lit(dt, _)), hi.map(lit(dt, _)))
-    }
-  }
+  private def typedRanges(): Seq[GraftTable.ColRange] =
+    GraftMaintenance.typedRanges(path, where)
   def execute(spark: SparkSession): (Int, Int) = {
     val ranges = typedRanges()
     zorderCols match {
@@ -797,6 +770,55 @@ object GraftMaintenance {
         s"OPTIMIZE WHERE supports conjunctions of col >=|<=|=|BETWEEN literals, got: $other")
     }
   }
+  /** Typed stats ranges from parsed (col, lo, hi) string bounds,
+    * against the table's CURRENT schema. Shared by OPTIMIZE WHERE and
+    * REPLACE WHERE — bounds drive stats pruning of the touched set,
+    * never row filtering. */
+  private[plans] def typedRanges(path: String,
+      where: Seq[(String, Option[String], Option[String])]): Seq[GraftTable.ColRange] = {
+    if (where.isEmpty) return Nil
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(GraftTable.currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable")).schemaDdl)
+    def lit(dt: DataType, s0: String): Any = {
+      val s = if (s0.length >= 2 && s0.startsWith("'") && s0.endsWith("'"))
+        s0.substring(1, s0.length - 1) else s0
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType => java.lang.Long.parseLong(s)
+        case FloatType | DoubleType => java.lang.Double.parseDouble(s)
+        case d: DecimalType => new java.math.BigDecimal(s)
+        case DateType => java.sql.Date.valueOf(s)
+        case TimestampType => java.sql.Timestamp.valueOf(s)
+        // NTZ stats encode UTC wall-clock (LocalDateTime) — a
+        // zone-interpreted Timestamp here would shift the window by the
+        // JVM offset (the zorderClusterExpr codec lesson). A date-only
+        // literal bounds at midnight, matching the predicate's own
+        // string→NTZ coercion.
+        case TimestampNTZType =>
+          val t = s.replace(" ", "T")
+          if (t.contains("T")) java.time.LocalDateTime.parse(t)
+          else java.time.LocalDate.parse(t).atStartOfDay()
+        case StringType => s
+        case other => throw new IllegalArgumentException(
+          s"stats bounds on ${other.simpleString} are not supported")
+      }
+    }
+    where.map { case (c, lo, hi) =>
+      require(schema.fieldNames.contains(c), s"no column '$c' in [${schema.toDDL}]")
+      val dt = schema(c).dataType
+      GraftTable.ColRange(c, lo.map(lit(dt, _)), hi.map(lit(dt, _)))
+    }
+  }
+
+  /** Best-effort stats bounds for an arbitrary predicate text: when the
+    * predicate fits the tiny bounds grammar it prunes the touched set
+    * exactly like OPTIMIZE WHERE; anything richer degrades to no
+    * pruning (the exact predicate still applies row-by-row) — never an
+    * error, because REPLACE WHERE accepts any predicate. */
+  private[plans] def boundsOf(path: String, predText: String): Seq[GraftTable.ColRange] =
+    try typedRanges(path, parseBounds(predText))
+    catch { case _: IllegalArgumentException => Nil }
+
   private val RestoreV =
     ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*""" + Tgt + """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val RestoreT =
@@ -805,6 +827,14 @@ object GraftMaintenance {
     ("""(?is)\s*CREATE\s+TABLE\s+graft\s*\.\s*""" + Tgt + """\s+(SHALLOW|DEEP)\s+CLONE\s+graft\s*\.\s*""" + Tgt + """\s*;?\s*""").r
   private val Analyze =
     ("""(?is)\s*ANALYZE\s+(?:TABLE\s+)?graft\s*\.\s*""" + Tgt + """\s+COMPUTE\s+(STATS|BLOOM)\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""").r
+  /** `INSERT INTO graft.t REPLACE WHERE pred SELECT …` — Delta's
+    * dynamic-overwrite statement, which Spark's grammar lacks. The
+    * predicate runs to the first top-level SELECT/VALUES keyword; a
+    * predicate that itself needs a subquery belongs in the Scala API
+    * ([[GraftTable.overwriteWhere]] takes any Column). */
+  private val ReplaceW =
+    ("""(?is)\s*INSERT\s+INTO\s+graft\s*\.\s*""" + Tgt +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+(\(?\s*(?:SELECT|VALUES)\b.+?)\s*;?\s*""").r
 
   /** Resolve a captured target to a table path: backticked text is the
     * path verbatim; dotted-name text resolves through
@@ -837,8 +867,27 @@ object GraftMaintenance {
     case RestoreT(path, ts) => Some(GraftRestoreCommand(resolve(path), None, Some(ts)))
     case Clone(dst, kind, src) =>
       Some(GraftCloneCommand(resolve(dst), resolve(src), kind.equalsIgnoreCase("DEEP")))
+    case ReplaceW(path, pred, select) =>
+      Some(GraftReplaceWhereCommand(resolve(path), pred.trim, select.trim))
     case _ => None
   }
+}
+
+/** `INSERT INTO graft.t REPLACE WHERE pred SELECT …` → one atomic
+  * [[GraftTable.overwriteWhere]] commit: rows matching `pred` replaced
+  * by the query's result, fully-covered files dropped metadata-only.
+  * When the predicate fits the OPTIMIZE WHERE bounds grammar it also
+  * stats-prunes the touched-file probe. */
+private[plans] case class GraftReplaceWhereCommand(path: String,
+    predText: String, selectText: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  def execute(spark: SparkSession): Long =
+    GraftTable.overwriteWhere(spark, path, spark.sql(selectText),
+      org.apache.spark.sql.functions.expr(predText),
+      GraftMaintenance.boundsOf(path, predText))
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark)))
 }
 
 /** The plan rewrite in analyzer-rule form (what [[GraftSqlParser]]

@@ -184,6 +184,7 @@ object GraftSql {
       case Some(c: GraftCloneCommand) => return c.execute(spark)
       case Some(c: GraftAnalyzeCommand) => return c.execute(spark)
       case Some(c: GraftReorgCommand) => return c.execute(spark)
+      case Some(c: GraftReplaceWhereCommand) => return c.execute(spark)
       case _ => ()
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)

@@ -86,7 +86,7 @@ object DvCrossover {
       GraftTable.writeClustered(orders, path, col("o_orderkey"), 16,
         statsCols = Seq("o_orderkey"))
       val bounds = GraftTable.read(spark, path)
-        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val cut = lo + (hi - lo) / 16 / 2 // well inside the first file's range
       GraftTable.deleteWhereMor(spark, path,

@@ -729,7 +729,7 @@ object PlanAudit {
       // grammar-native time travel through the catalog name
       GraftTable.append(rows.selectExpr("k + 10000 AS k", "g"), root)
       val v1n = spark.sql(
-        "SELECT count(*) FROM graft.dwh.orders VERSION AS OF 1").head.getLong(0)
+        "SELECT count(*) FROM graft.dwh.orders VERSION AS OF 1").head().getLong(0)
       val headN = spark.table("graft.dwh.orders").count()
       // named DML text routes through the parse-time rewrite
       spark.sql("DELETE FROM graft.dwh.orders WHERE k >= 10000")
@@ -936,6 +936,57 @@ object PlanAudit {
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q159_mor_delete: ${results.mkString(" ")}" +
         s" (dv ${dvBytes()} B vs data $dataBytes B)")
+    }
+    locally {
+      // q166 / full-cover DML: a predicate-aligned DELETE drops whole
+      // files from the manifest WITHOUT reading or rewriting them
+      // (added=0, nothing new on disk), and REPLACE WHERE's commit is
+      // removed-window + staged-source only, clean files byte-carried —
+      // the 100 TB retention/recompute write shape, machine-checked.
+      // Boundaries come from the manifest's own per-file k stats, so
+      // the alignment is exact whatever the range partitioner chose.
+      import org.apache.spark.sql.functions._
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_replw").toString + "/t"
+      val rows = spark.range(0, 65536).selectExpr("cast(id as int) AS k",
+        "repeat(uuid(), 4) AS payload")
+      GraftTable.writeClustered(rows, root, col("k"), numFiles = 16,
+        statsCols = Seq("k"))
+      def dataFiles() = Option(new java.io.File(root, "data").listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      val snap = dataFiles()
+      val byMin = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .sortBy(_.stats("k").min.get.toLong)
+      val cut1 = byMin(4).stats("k").min.get.toLong // files 0-3 wholly below
+      val cut2 = byMin(8).stats("k").min.get.toLong // files 4-7 in [cut1, cut2)
+      spark.sql(s"DELETE FROM graft.`$root` WHERE k < $cut1")
+      val ch1 = GraftTable.currentManifest(root).get.changes.get
+      val afterDel = dataFiles()
+      val kept1 = spark.sql(s"SELECT count(*) FROM graft.`$root`").head().getLong(0)
+      spark.range(cut1, cut2, 100).selectExpr("cast(id as int) AS k",
+        "'R' AS payload").createOrReplaceTempView("pa_rw_src")
+      val nRepl = (cut2 - cut1 + 99) / 100
+      spark.sql(s"INSERT INTO graft.`$root` REPLACE WHERE k >= $cut1 AND k < $cut2 " +
+        "SELECT k, payload FROM pa_rw_src")
+      val m2 = GraftTable.currentManifest(root).get
+      val ch2 = m2.changes.get
+      val afterRepl = dataFiles()
+      val carried = afterDel.map(_._1).toSet.intersect(afterRepl.map(_._1).toSet)
+      val checks = Seq(
+        "delete_drops_covered_files" -> (ch1.removed.size == 4 && ch1.added.isEmpty),
+        "delete_zero_rewrite_io" -> (afterDel == snap),
+        "replace_op_committed" -> (m2.op == "replace_where"),
+        "replace_commit_is_window" -> (ch2.removed.size == 4 &&
+          ch2.added.map(_.rows).sum == nRepl),
+        "replace_carries_untouched" -> carried.forall(n =>
+          afterRepl.find(_._1 == n) == afterDel.find(_._1 == n)),
+        "rows_exact" -> (spark.sql(s"SELECT count(*) FROM graft.`$root`")
+          .head().getLong(0) == kept1 - (cut2 - cut1) + nRepl))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q166_replace_where: ${results.mkString(" ")}" +
+        s" (del removed=${ch1.removed.size}/added=${ch1.added.size}," +
+        s" repl removed=${ch2.removed.size}/staged_rows=${ch2.added.map(_.rows).sum})")
     }
     locally {
       // DV-aware CHECK validation: addCheck's whole-table scan reads

@@ -271,6 +271,36 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
       spark.sessionState.sqlParser.parsePlan("INSERT INTO other SELECT 1"))
   }
 
+  test("INSERT INTO ... REPLACE WHERE swaps the predicate region atomically") {
+    val path = tmp() + "/t"
+    GraftTable.writeClustered(
+      df("k INT, v STRING", (0 until 40).map(i => Row(Int.box(i), s"v$i")): _*),
+      path, col("k"), 4, statsCols = Seq("k"))
+    df("k INT, v STRING", Row(Int.box(12), "R12"), Row(Int.box(17), "R17"))
+      .createOrReplaceTempView("rw_src")
+    val v = GraftSql.dml(spark,
+      s"INSERT INTO graft.`$path` REPLACE WHERE k >= 10 AND k <= 19 SELECT k, v FROM rw_src")
+    assert(GraftTable.currentManifest(path).get.op == "replace_where")
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 32) // 30 outside the region + 2 replacements
+    assert(got.filter(col("k").between(10, 19)).count() == 2)
+    assert(got.filter(col("k") === 12).select("v").head.getString(0) == "R12")
+    // the region's old file dropped metadata-only (clustered decade = one file)
+    val ch = GraftTable.currentManifest(path).get.changes.get
+    assert(ch.removed.size == 1 && ch.added.map(_.rows).sum == 2)
+    // a replacement row outside the declared region refuses loudly
+    df("k INT, v STRING", Row(Int.box(99), "stray")).createOrReplaceTempView("rw_bad")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.dml(spark,
+        s"INSERT INTO graft.`$path` REPLACE WHERE k <= 19 SELECT k, v FROM rw_bad")
+    }
+    assert(e.getMessage.contains("NOT matching"))
+    assert(GraftTable.currentManifest(path).get.version == v) // nothing committed
+    // plain INSERT INTO (no REPLACE WHERE) still routes as an append
+    GraftSql.dml(spark, s"INSERT INTO graft.`$path` SELECT k, v FROM rw_bad")
+    assert(GraftTable.read(spark, path).count() == 33)
+  }
+
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route to the metadata-only schema ops") {
     val path = tmp() + "/t"
     GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)

@@ -149,6 +149,77 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(emptied.count() == 0 && emptied.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
+  test("deleteWhere drops fully-covered files metadata-only; boundary rewrites") {
+    val path = tmp() + "/t"
+    val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.writeClustered(base, path, col("k"), 4, statsCols = Seq("k"))
+    val beforeBytes = dataFiles(path)
+    // predicate exactly covers the first clustered file → the commit
+    // removes one entry and stages NOTHING (metadata-only drop)
+    GraftTable.deleteWhere(spark, path, col("k") < 100,
+      pruneRanges = Seq(ColRange("k", None, Some(99))))
+    val ch1 = GraftTable.currentManifest(path).get.changes.get
+    assert(ch1.removed.size == 1, s"expected 1 dropped file, got ${ch1.removed.size}")
+    assert(ch1.added.isEmpty, s"full-cover delete staged ${ch1.added.size} file(s)")
+    assert(GraftTable.read(spark, path).count() == 300)
+    // predicate covering one whole file + half of the next: one drop,
+    // one boundary rewrite holding exactly the 50 keepers
+    GraftTable.deleteWhere(spark, path, col("k") < 250,
+      pruneRanges = Seq(ColRange("k", None, Some(249))))
+    val ch2 = GraftTable.currentManifest(path).get.changes.get
+    assert(ch2.removed.size == 2, s"expected 2 removed, got ${ch2.removed.size}")
+    assert(ch2.added.map(_.rows).sum == 50,
+      s"boundary rewrite should stage 50 keepers, got ${ch2.added.map(_.rows).sum}")
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 150 && got.agg(min("k")).head.getInt(0) == 250)
+    // the untouched file is byte-identical throughout
+    val afterBytes = dataFiles(path)
+    manifestFiles(path).intersect(beforeBytes.keySet)
+      .foreach(n => assert(afterBytes(n) == beforeBytes(n), s"$n was rewritten"))
+  }
+
+  test("overwriteWhere atomically replaces the region; one commit, strays refused") {
+    val path = tmp() + "/t"
+    val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.writeClustered(base, path, col("k"), 4, statsCols = Seq("k"))
+    val beforeBytes = dataFiles(path)
+    val vBefore = GraftTable.currentManifest(path).get.version
+    // recompute [100, 200): 10x fewer rows, new values — ONE commit
+    val repl = spark.range(100, 200, 10).select(col("id").cast("int").as("k"),
+      concat(lit("R"), col("id")).as("v"))
+    val v = GraftTable.overwriteWhere(spark, path, repl,
+      col("k") >= 100 && col("k") < 200,
+      pruneRanges = Seq(ColRange("k", Some(100), Some(199))))
+    assert(v == vBefore + 1)
+    assert(GraftTable.currentManifest(path).get.op == "replace_where")
+    val got = GraftTable.read(spark, path)
+    assert(got.count() == 310)
+    assert(got.filter(col("k").between(100, 199)).count() == 10)
+    assert(got.filter(col("k") === 150).select("v").head.getString(0) == "R150")
+    assert(got.filter(col("k") === 17).select("v").head.getString(0) == "v17")
+    // the fully-covered old file dropped metadata-only; replacement staged
+    val ch = GraftTable.currentManifest(path).get.changes.get
+    assert(ch.removed.size == 1 && ch.added.map(_.rows).sum == 10)
+    // clean files byte-identical
+    val afterBytes = dataFiles(path)
+    manifestFiles(path).intersect(beforeBytes.keySet)
+      .foreach(n => assert(afterBytes(n) == beforeBytes(n), s"$n was rewritten"))
+    // the pre-replace snapshot still reads whole (time travel)
+    assert(GraftTable.readVersion(spark, path, v - 1).count() == 400)
+    // a source row OUTSIDE the declared region refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.overwriteWhere(spark, path,
+        repl.union(kv(999 -> "stray")), col("k") >= 100 && col("k") < 200)
+    }
+    assert(e.getMessage.contains("NOT matching"))
+    // a source missing a table column refuses loudly
+    intercept[IllegalArgumentException] {
+      GraftTable.overwriteWhere(spark, path, repl.select("k"), col("k") < 0)
+    }
+  }
+
   test("updateWhere rewrites matching rows in place; untouched files byte-identical") {
     val path = tmp() + "/t"
     val base = spark.range(0, 400).select(col("id").cast("int").as("k"),
