@@ -1398,6 +1398,30 @@ SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
 FROM orders
 WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'""",
 
+    // q167 runs the SAME replace merge-on-read (boundary files mask via
+    // deletion vectors, covered files drop) — identical declarative
+    // expectation, the cost shape invisible to results
+    "q167_mor_replace_where" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE o_orderdate NOT BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+UNION ALL
+SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+         AS o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'""",
+
+    // truncate + snapshot reload: declaratively just the open orders —
+    // the metadata-only empty commit and the TVF read invisible to
+    // results
+    "q168_sql_truncate" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       epoch_us(o_orderdate) AS odate_us
+FROM orders WHERE o_orderstatus = 'O'""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

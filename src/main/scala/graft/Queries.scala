@@ -2124,7 +2124,19 @@ object Queries {
     * from the manifest metadata-only (never read), boundary files
     * rewrite keepers — the recompute-one-date-range pipeline shape at
     * O(new data + boundary files). */
-  def sqlReplaceWhereQ(s: SparkSession, d: String): DataFrame = {
+  def sqlReplaceWhereQ(s: SparkSession, d: String): DataFrame =
+    replaceWhereBody(s, d, mor = false)
+
+  /** q167: q166's replaceWhere MERGE-ON-READ (`graft.deletionVectors`
+    * flips the SAME SQL text to [[graft.core.GraftTable
+    * .overwriteWhereMor]]): covered files still drop metadata-only,
+    * boundary files mask their in-window rows via vector sidecars
+    * instead of rewriting — zero rewrite IO, identical declarative
+    * result, same oracle. */
+  def morReplaceWhereQ(s: SparkSession, d: String): DataFrame =
+    replaceWhereBody(s, d, mor = true)
+
+  private def replaceWhereBody(s: SparkSession, d: String, mor: Boolean): DataFrame = {
     import graft.core.GraftTable
     val root = java.nio.file.Files.createTempDirectory("graft_replw").toString
     val path = s"$root/orders_rw"
@@ -2132,6 +2144,7 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
     GraftTable.writeClustered(orders, path, col("o_orderdate"), 8,
       statsCols = Seq("o_orderdate"))
+    if (mor) GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true")): Unit
     orders.createOrReplaceTempView("q166_src")
     graft.plans.GraftSql.dml(s, s"""
       INSERT INTO graft.`$path`
@@ -2142,6 +2155,33 @@ object Queries {
              o_orderdate
       FROM q166_src
       WHERE o_orderdate BETWEEN '1997-01-01' AND '1997-12-31'""")
+    GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
+  }
+
+  /** q168: `TRUNCATE TABLE` + reload — the metadata-only empty commit
+    * ([[graft.core.GraftTable.truncate]]: no file read, rewritten, or
+    * deleted; one manifest) composed with time travel: the reload
+    * SELECTs the open orders back OUT of the pre-truncate snapshot via
+    * the `graft_table_version` TVF. The 100 TB "reset and rebuild"
+    * shape — a COW delete-all would probe everything, MOR would vector
+    * everything; truncate costs one manifest write. */
+  def sqlTruncateQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_trunc").toString
+    val path = s"$root/orders_tr"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey"))
+    val vPre = GraftTable.currentVersion(path).get
+    graft.plans.GraftSql.install(s)
+    graft.plans.GraftSql.dml(s, s"TRUNCATE TABLE graft.`$path`")
+    graft.plans.GraftSql.dml(s, s"""
+      INSERT INTO graft.`$path`
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+      FROM graft_table_version('$path', $vPre)
+      WHERE o_orderstatus = 'O'""")
     GraftTable.read(s, path).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
@@ -2581,6 +2621,8 @@ object Queries {
     "q164_mor_merge" -> (morMergeQ _),
     "q165_stream_totable" -> (streamToTableQ _),
     "q166_replace_where" -> (sqlReplaceWhereQ _),
+    "q167_mor_replace_where" -> (morReplaceWhereQ _),
+    "q168_sql_truncate" -> (sqlTruncateQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

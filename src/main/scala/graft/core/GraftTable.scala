@@ -1306,6 +1306,36 @@ object GraftTable {
       extraStage = Some(aligned))
   }
 
+  /** MERGE-ON-READ dynamic overwrite — [[overwriteWhere]] semantics at
+    * the deletion-vector cost shape: files wholly inside the region
+    * still drop from the manifest metadata-only (a vector covering
+    * every physical row removes the entry), but BOUNDARY files are
+    * never rewritten — their in-region rows mask via sidecar vectors —
+    * and the replacement stages as fresh appends. One commit, write
+    * amplification O(new data + boundary sidecar bytes): the
+    * recompute-one-date-range shape with zero rewrite IO even at the
+    * boundaries. Same stray-row and missing-column refusals as the COW
+    * form; purge/OPTIMIZE later folds the boundary vectors away. */
+  def overwriteWhereMor(spark: SparkSession, path: String, df: DataFrame, pred: Column,
+      pruneRanges: Seq[ColRange] = Nil): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"replaceWhere source lacks column(s) ${missing.mkString(", ")} " +
+        s"— table schema is [${cur.schemaDdl}]")
+    val aligned = df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val stray = aligned.filter(!coalesce(pred, lit(false))).head(1)
+    require(stray.isEmpty,
+      s"replaceWhere source holds row(s) NOT matching the predicate " +
+        s"(e.g. ${stray.head}) — they would widen the overwrite beyond the " +
+        "declared region; fix the source or the predicate")
+    morDml(spark, path, _.filter(pred), pruneRanges, "replace_where_mor",
+      None, extraAppend = Some(_ => aligned))
+  }
+
   /** MERGE-ON-READ DELETE WHERE — same semantics as [[deleteWhere]]
     * (rows where `pred` is TRUE disappear; FALSE/NULL rows stay), a
     * different cost shape: NO data file is rewritten. Matching row
@@ -2196,6 +2226,30 @@ object GraftTable {
     * double-apply. Requires `version`'s manifest (and its files) to
     * still be retained — restore past a vacuum horizon refuses at
     * [[manifestAt]]. */
+  /** TRUNCATE: empty the table in one METADATA-ONLY commit — no file
+    * is read, rewritten, or deleted (the old snapshot stays fully
+    * time-travelable until [[vacuum]] retires it; vacuum then reclaims
+    * the whole data payload). Schema, CHECK constraints, properties,
+    * and stream marks carry. The change log records it as a
+    * `truncate` (the overwrite shape whose removed set is "everything
+    * before"), so CDF chain replay, CDC replication, and streaming
+    * consumers treat it exactly like an overwrite to empty. On a 100
+    * TB table this is the only sane "delete everything" — a COW
+    * delete-all would pay a full probe, a MOR delete-all would write
+    * vectors for every file; truncate costs one manifest. */
+  def truncate(path: String): Long = {
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), "truncate",
+      cur.schemaDdl, Nil, cur.streamMarks, None,
+      Some(ChangeLog(Nil, Nil, truncate = true)),
+      checks = cur.checks, properties = cur.properties)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"commit v${next.version} of '$path' lost the race — re-read and retry the truncate")
+    next.version
+  }
+
   def restore(path: String, version: Long): Long = {
     var committed = -1L
     while (committed < 0) {

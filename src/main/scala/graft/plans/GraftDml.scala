@@ -581,7 +581,15 @@ private[plans] case class GraftOptimizeCommand(path: String,
     GraftMaintenance.typedRanges(path, where)
   def execute(spark: SparkSession): (Int, Int) = {
     val ranges = typedRanges()
-    zorderCols match {
+    // a table declaring `graft.clusterBy` reclusters on PLAIN OPTIMIZE —
+    // the liquid-clustering UX re-derived: writes land as they arrive
+    // (append cost stays O(batch)), and maintenance restores the
+    // declared layout without the operator restating the columns. An
+    // explicit ZORDER BY still overrides per statement.
+    val cluster = if (zorderCols.nonEmpty) zorderCols
+      else GraftTable.propertiesOf(path).get("graft.clusterBy").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    cluster match {
       case Seq() => GraftTable.compactFiles(spark, path, where = ranges)
       case cols =>
         // the windowed-recluster soundness argument (carried files are
@@ -835,6 +843,8 @@ object GraftMaintenance {
   private val ReplaceW =
     ("""(?is)\s*INSERT\s+INTO\s+graft\s*\.\s*""" + Tgt +
       """\s+REPLACE\s+WHERE\s+(.+?)\s+(\(?\s*(?:SELECT|VALUES)\b.+?)\s*;?\s*""").r
+  private val Truncate =
+    ("""(?is)\s*TRUNCATE\s+TABLE\s+graft\s*\.\s*""" + Tgt + """\s*;?\s*""").r
 
   /** Resolve a captured target to a table path: backticked text is the
     * path verbatim; dotted-name text resolves through
@@ -869,24 +879,43 @@ object GraftMaintenance {
       Some(GraftCloneCommand(resolve(dst), resolve(src), kind.equalsIgnoreCase("DEEP")))
     case ReplaceW(path, pred, select) =>
       Some(GraftReplaceWhereCommand(resolve(path), pred.trim, select.trim))
+    case Truncate(path) => Some(GraftTruncateCommand(resolve(path)))
     case _ => None
   }
+}
+
+/** `TRUNCATE TABLE graft.t` → [[GraftTable.truncate]]: empty the table
+  * in one metadata-only commit (no file read, rewritten, or deleted;
+  * the old snapshot stays time-travelable until vacuum). */
+private[plans] case class GraftTruncateCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  def execute(spark: SparkSession): Long = GraftTable.truncate(path)
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark)))
 }
 
 /** `INSERT INTO graft.t REPLACE WHERE pred SELECT …` → one atomic
   * [[GraftTable.overwriteWhere]] commit: rows matching `pred` replaced
   * by the query's result, fully-covered files dropped metadata-only.
   * When the predicate fits the OPTIMIZE WHERE bounds grammar it also
-  * stats-prunes the touched-file probe. */
+  * stats-prunes the touched-file probe. Under
+  * `graft.deletionVectors=true` the same text goes merge-on-read
+  * ([[GraftTable.overwriteWhereMor]]): boundary files mask via
+  * vectors instead of rewriting. */
 private[plans] case class GraftReplaceWhereCommand(path: String,
     predText: String, selectText: String) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "version", org.apache.spark.sql.types.LongType, nullable = false)())
-  def execute(spark: SparkSession): Long =
-    GraftTable.overwriteWhere(spark, path, spark.sql(selectText),
+  def execute(spark: SparkSession): Long = {
+    val (src, pred, bounds) = (spark.sql(selectText),
       org.apache.spark.sql.functions.expr(predText),
       GraftMaintenance.boundsOf(path, predText))
+    if (GraftTable.deletionVectorsEnabled(path))
+      GraftTable.overwriteWhereMor(spark, path, src, pred, bounds)
+    else GraftTable.overwriteWhere(spark, path, src, pred, bounds)
+  }
   override def run(spark: SparkSession): Seq[Row] = Seq(Row(execute(spark)))
 }
 

@@ -185,13 +185,15 @@ object GraftSql {
       case Some(c: GraftAnalyzeCommand) => return c.execute(spark)
       case Some(c: GraftReorgCommand) => return c.execute(spark)
       case Some(c: GraftReplaceWhereCommand) => return c.execute(spark)
+      case Some(c: GraftTruncateCommand) => return c.execute(spark)
       case _ => ()
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
     GraftDml.route(spark, parsed).getOrElse(
       throw new IllegalArgumentException(
         "not a graft DML/maintenance statement (expected MERGE INTO / DELETE FROM / " +
-          "UPDATE / INSERT INTO|OVERWRITE / CREATE [OR REPLACE] TABLE … AS SELECT / " +
+          "UPDATE / INSERT INTO|OVERWRITE / INSERT INTO … REPLACE WHERE / " +
+          "CREATE [OR REPLACE] TABLE … AS SELECT / TRUNCATE TABLE / " +
           "ALTER TABLE ADD|DROP CONSTRAINT / ALTER TABLE ADD|RENAME|DROP COLUMN / " +
           "VACUUM / OPTIMIZE / RESTORE / CLONE / ANALYZE " +
           "over a graft.`/path` target): " + sql.trim.take(120)))

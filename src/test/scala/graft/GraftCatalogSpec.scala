@@ -277,6 +277,14 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     GraftSql.dml(spark, "DELETE FROM graft.mnt.t WHERE k = 2")
     assert(GraftSql.dml(spark, "REORG TABLE graft.mnt.t APPLY (PURGE)") == 1L)
     assert(canon(spark.table("graft.mnt.t")) == canon(kv(1 -> "a")))
+    // REPLACE WHERE and TRUNCATE take catalog names too
+    spark.sql("SELECT 9 AS k, 'r' AS v").createOrReplaceTempView("mnt_rw")
+    GraftSql.dml(spark,
+      "INSERT INTO graft.mnt.t2 REPLACE WHERE k >= 2 SELECT k, v FROM mnt_rw")
+    assert(canon(spark.table("graft.mnt.t2")) == canon(kv(1 -> "a", 9 -> "r")))
+    GraftSql.dml(spark, "TRUNCATE TABLE graft.mnt.t2")
+    assert(spark.table("graft.mnt.t2").count() == 0)
+    assert(GraftTable.currentManifest(s"$warehouse/mnt/t2").get.op == "truncate")
     // TVFs take the same names (bare or graft.-prefixed), path form still works
     GraftSql.install(spark)
     assert(spark.sql("SELECT * FROM graft_table_history('mnt.t')").count() ==

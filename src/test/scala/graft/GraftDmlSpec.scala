@@ -216,6 +216,65 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, pd).count() == 2)
   }
 
+  test("TRUNCATE TABLE empties in one metadata-only commit; history survives") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b", 3 -> "c"), path)
+    GraftSql.dml(spark, s"ALTER TABLE graft.`$path` ADD CONSTRAINT pos CHECK (k >= 0)")
+    GraftTable.setProperties(path, Map("graft.owner" -> "dml-spec"))
+    val dataBefore = Option(new java.io.File(path, "data").listFiles).get
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val v = GraftSql.dml(spark, s"TRUNCATE TABLE graft.`$path`")
+    val m = GraftTable.currentManifest(path).get
+    assert(m.op == "truncate" && m.version == v && m.files.isEmpty)
+    // empty but typed; schema, checks, and properties carried
+    val emptied = GraftTable.read(spark, path)
+    assert(emptied.count() == 0 && emptied.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(m.checks.exists(_.contains("pos")))
+    assert(m.properties.exists(_.get("graft.owner").contains("dml-spec")))
+    // metadata-only: not one data file touched; old snapshot time-travels
+    val dataAfter = Option(new java.io.File(path, "data").listFiles).get
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    assert(dataAfter == dataBefore)
+    assert(GraftTable.readVersion(spark, path, v - 1).count() == 3)
+    // writes continue; the carried CHECK still gates them
+    GraftSql.dml(spark, s"INSERT INTO graft.`$path` SELECT 7, 'g'")
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(7 -> "g")))
+    intercept[Exception](
+      GraftSql.dml(spark, s"INSERT INTO graft.`$path` SELECT -1, 'bad'"))
+    // vacuum after truncate reclaims the whole old payload
+    GraftTable.vacuum(path, keepVersions = 2)
+    val left = Option(new java.io.File(path, "data").listFiles).get
+      .filter(_.getName.endsWith(".parquet"))
+    assert(left.length == 1, s"expected only the post-truncate file, got ${left.length}")
+  }
+
+  test("graft.clusterBy property drives plain OPTIMIZE (liquid-clustering UX)") {
+    val path = tmp() + "/t"
+    // appends land as they arrive — interleaved, zero write-time sort
+    GraftTable.overwrite(df("k INT, v STRING",
+      (0 until 64).map(i => Row(Int.box(i * 7 % 64), s"v$i")): _*), path)
+    (1 to 3).foreach { b =>
+      GraftTable.append(df("k INT, v STRING",
+        (0 until 64).map(i => Row(Int.box((i * 11 + b) % 64), s"b$b-$i")): _*), path)
+    }
+    GraftTable.setProperties(path, Map("graft.clusterBy" -> "k"))
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$path`")
+    // the relayout range-clusters on k: per-file [min,max] windows are
+    // disjoint, so a point probe prunes to one file
+    val entries = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    val ranges = entries.map(fe =>
+      (fe.stats("k").min.get.toInt, fe.stats("k").max.get.toInt)).sortBy(_._1)
+    if (ranges.size > 1)
+      ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping cluster ranges: $ranges")
+      }
+    assert(GraftTable.read(spark, path).count() == 256)
+    // an explicit ZORDER BY still overrides per statement
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$path` ZORDER BY (k)")
+    assert(GraftTable.read(spark, path).count() == 256)
+  }
+
   test("INSERT INTO/OVERWRITE and CREATE TABLE AS SELECT route to append/overwrite") {
     val root = tmp()
     val p = s"$root/t"

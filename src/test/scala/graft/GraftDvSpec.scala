@@ -518,6 +518,57 @@ class GraftDvSpec extends AnyFunSuite with SparkSpecBase {
       .collect().toMap == got)
   }
 
+  test("MOR replaceWhere masks boundary rows, drops covered files, appends source") {
+    val path = tmp()
+    // 4 clustered files over contiguous keys; the region bounds come
+    // from the manifest's own stats so the cover is exact whatever
+    // boundaries the range partitioner chose: [lo, hi] wholly covers
+    // file 2 (drops) and masks the first 10 keys of file 3 (vector)
+    GraftTable.writeClustered(
+      (1 to 100).map(i => (i, s"v$i", i % 10)).toDF("k", "v", "g"),
+      path, col("k"), 4, statsCols = Seq("k"))
+    val before = dataFiles(path)
+    val byMin = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .sortBy(_.stats("k").min.get.toInt)
+    val lo = byMin(1).stats("k").min.get.toInt
+    val hi = byMin(2).stats("k").min.get.toInt + 9
+    val repl = Seq(lo, lo + 1, hi).map(i => (i, s"R$i", 0)).toDF("k", "v", "g")
+    val v = GraftTable.overwriteWhereMor(spark, path, repl,
+      col("k").between(lo, hi),
+      pruneRanges = Seq(GraftTable.ColRange("k", Some(lo), Some(hi))))
+    val m = GraftTable.currentManifest(path).get
+    assert(m.op == "replace_where_mor" && m.version == v)
+    assert(keys(path) == ((1 until lo) ++ Seq(lo, lo + 1, hi) ++ (hi + 1 to 100)))
+    assert(GraftTable.read(spark, path).filter(col("k") === lo)
+      .select("v").head.getString(0) == s"R$lo")
+    // not one data file rewritten; the covered file left the manifest
+    assert(dataFiles(path).filter(kv => before.contains(kv._1)) == before)
+    val entries = GraftTable.filesOf(path, m)
+    val carriedOld = entries.filter(fe => before.contains(fe.path.split('/').last))
+    assert(carriedOld.size == 3, s"expected 3 carried files, got ${carriedOld.size}")
+    // exactly one boundary file carries a vector, masking k 51-60
+    val dvd = carriedOld.filter(_.dv.isDefined)
+    assert(dvd.size == 1 && dvd.head.dv.get.rows == 10)
+    // time travel still reads the pre-replace world
+    assert(GraftTable.readVersion(spark, path, v - 1).count() == 100)
+    // stray refusal unchanged in the MOR form
+    intercept[IllegalArgumentException] {
+      GraftTable.overwriteWhereMor(spark, path, repl, col("k") > 90)
+    }
+    // SQL REPLACE WHERE dispatches merge-on-read under the property
+    val p2 = tmp()
+    GraftTable.writeClustered(
+      (1 to 100).map(i => (i, s"v$i", i % 10)).toDF("k", "v", "g"),
+      p2, col("k"), 4, statsCols = Seq("k"))
+    GraftTable.setProperties(p2, Map("graft.deletionVectors" -> "true"))
+    Seq((30, "R30", 0)).toDF("k", "v", "g").createOrReplaceTempView("dv_rw_src")
+    graft.plans.GraftSql.dml(spark,
+      s"INSERT INTO graft.`$p2` REPLACE WHERE k >= 26 AND k <= 60 " +
+        "SELECT k, v, g FROM dv_rw_src")
+    assert(GraftTable.currentManifest(p2).get.op == "replace_where_mor")
+    assert(keys(p2) == ((1 to 25) ++ Seq(30) ++ (61 to 100)))
+  }
+
   test("old manifests without dv fields still parse (format compatibility)") {
     val path = tmp(); nums(path, n = 10, files = 1)
     // the v1 manifest was written by THIS code but contains no dv keys

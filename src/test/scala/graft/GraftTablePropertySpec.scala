@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -186,6 +186,23 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
               multi = multi.map { case (k, vs) =>
                 k -> (if (k == target) vs.map(_ => nv) else vs)
               }
+            } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 14 =>
+            // dynamic overwrite: every row in a key window swaps for a
+            // fresh batch wholly inside the window (possibly duplicate
+            // keys — replace is not an upsert). COW full-cover drops and
+            // MOR vector masks share ONE model: only cost shapes differ.
+            if (GraftTable.exists(path)) {
+              val lo = rnd.nextInt(10); val hi = lo + rnd.nextInt(4)
+              val repl = fresh.map { case (k, v) => (lo + k % (hi - lo + 1), v) }
+              val doRw =
+                if (rnd.nextBoolean()) GraftTable.overwriteWhere(spark, path,
+                  kvRows(repl), col("k").between(lo, hi))
+                else GraftTable.overwriteWhereMor(spark, path,
+                  kvRows(repl), col("k").between(lo, hi))
+              doRw: Unit
+              multi = multi.filter { case (k, _) => k < lo || k > hi } ++
+                repl.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
           case _ => ()
         }
