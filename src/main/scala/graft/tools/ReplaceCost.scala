@@ -48,10 +48,14 @@ object ReplaceCost {
 
     def dvBytes(p: String) = Option(new java.io.File(p, "_dv").listFiles)
       .getOrElse(Array.empty[java.io.File]).map(_.length).sum
-    def shape(p: String): (Int, Long, Long) = {
+    // PHYSICAL write cost: files whose path is NEW in this commit (a MOR
+    // boundary file re-enters the change log carrying a dv pointer — a
+    // logical change-feed row, not a write; counting ChangeLog.added
+    // would overstate MOR by the whole boundary file)
+    def shape(p: String, before: Set[String]): (Int, Long, Long) = {
       val m = GraftTable.currentManifest(p).get
-      val ch = m.changes.get
-      (ch.removed.size, ch.added.map(_.rows).sum, ch.added.map(_.bytes).sum)
+      val fresh = GraftTable.filesOf(p, m).filterNot(f => before(f.path))
+      (m.changes.get.removed.size, fresh.map(_.rows).sum, fresh.map(_.bytes).sum)
     }
 
     case class Run(label: String, secs: Double, removed: Int, stagedRows: Long,
@@ -64,11 +68,13 @@ object ReplaceCost {
         else GraftTable.overwrite(base.repartition(nf, col("g")), p,
           statsCols = Seq("k"))
         if (mor) GraftTable.setProperties(p, Map("graft.deletionVectors" -> "true")): Unit
+        val before = GraftTable.currentManifest(p)
+          .map(m => GraftTable.filesOf(p, m).map(_.path).toSet).get
         val t0 = System.nanoTime()
         if (mor) GraftTable.overwriteWhereMor(spark, p, repl, pred, ranges)
         else GraftTable.overwriteWhere(spark, p, repl, pred, ranges)
         val s = (System.nanoTime() - t0) / 1e9
-        val (rm, sr, sb) = shape(p)
+        val (rm, sr, sb) = shape(p, before)
         val cs = GraftTable.read(spark, p)
           .agg(org.apache.spark.sql.functions.sum(
             hash(col("k"), col("v")).cast("long"))).head().getLong(0)
@@ -85,7 +91,7 @@ object ReplaceCost {
       measure("cow-hash", clustered = false, mor = false))
     require(runs.map(_.checksum).distinct.size == 1,
       s"strategies disagree on final contents: ${runs.map(r => r.label -> r.checksum)}")
-    println(f"| strategy | median s | files removed | staged rows | staged MB | dv KB |")
+    println(f"| strategy | median s | log removed | written rows | written MB | dv KB |")
     println(f"|---|---|---|---|---|---|")
     runs.foreach { r =>
       println(f"| ${r.label} | ${r.secs}%.2f | ${r.removed} | ${r.stagedRows} " +
