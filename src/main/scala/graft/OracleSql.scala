@@ -1422,6 +1422,16 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        epoch_us(o_orderdate) AS odate_us
 FROM orders WHERE o_orderstatus = 'O'""",
 
+    // atomic catalog RTAS: current head is the replaced contents, the
+    // pre-replace snapshot still reads — the staging protocol invisible
+    // to results
+    "q169_catalog_rtas" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus, 'cur' AS snap
+FROM orders WHERE o_orderstatus = 'F'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, 'pre' AS snap
+FROM orders WHERE o_orderstatus = 'O'""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

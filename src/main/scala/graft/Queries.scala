@@ -2186,6 +2186,34 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice"), micros(col("o_orderdate")).as("odate_us"))
   }
 
+  /** q169: ATOMIC catalog CTAS + `REPLACE TABLE … AS SELECT` (the DSv2
+    * `StagingTableCatalog` protocol): the query stages into a hidden
+    * sibling GraftTable and commits by adopting its files — readers
+    * never see a partial result, and REPLACE preserves table IDENTITY
+    * (version v+1 on the same chain, old snapshot time-travelable via
+    * grammar-native `VERSION AS OF`). The result unions the
+    * post-replace contents with the pre-replace snapshot, so a staging
+    * protocol that resets the chain, loses history, or double-commits
+    * breaks the hash. */
+  def catalogRtasQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val wh = java.nio.file.Files.createTempDirectory("graft_rtas").toString
+    s.conf.set("spark.sql.catalog.graftcat", classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dwh")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus")).createOrReplaceTempView("q169_src")
+    s.sql("CREATE TABLE graftcat.dwh.orders_r AS " +
+      "SELECT * FROM q169_src WHERE o_orderstatus = 'O'")
+    val vPre = GraftTable.currentVersion(s"$wh/dwh/orders_r").get
+    s.sql("REPLACE TABLE graftcat.dwh.orders_r AS " +
+      "SELECT * FROM q169_src WHERE o_orderstatus = 'F'")
+    s.table("graftcat.dwh.orders_r").withColumn("snap", lit("cur"))
+      .unionByName(s.sql(
+        s"SELECT * FROM graftcat.dwh.orders_r VERSION AS OF $vPre")
+        .withColumn("snap", lit("pre")))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -2623,6 +2651,7 @@ object Queries {
     "q166_replace_where" -> (sqlReplaceWhereQ _),
     "q167_mor_replace_where" -> (morReplaceWhereQ _),
     "q168_sql_truncate" -> (sqlTruncateQ _),
+    "q169_catalog_rtas" -> (catalogRtasQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

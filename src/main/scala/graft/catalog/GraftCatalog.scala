@@ -66,7 +66,8 @@ import graft.sources.{GraftBatchRead, GraftMicroBatchStream}
   * As-a-path bridge: `graft.`/abs/path`` (empty namespace, name starting
   * `/`) resolves to that table directly, so plain SQL `SELECT … FROM
   * graft.`/p` VERSION AS OF 2` works on path-addressed tables too. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -209,6 +210,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftNamedTable(fullName(ident), path, pin = None)
   }
 
+  // ------------------------------------------------------- atomic CTAS/RTAS
+
+  /** Atomic `CREATE TABLE … AS SELECT`: the query writes into a HIDDEN
+    * staged sibling (`.name__stage-<uuid>` — the dot keeps it out of
+    * [[listTables]]); commit is one atomic directory move, so a failed
+    * or killed CTAS leaves NO half-written table and concurrent readers
+    * never see a partial result. The loser of a racing pair fails
+    * loudly at the move. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable =
+    stageTable(ident, schema, partitions, properties, StageMode.Create)
+
+  /** Atomic `REPLACE TABLE … AS SELECT`: stages like [[stageCreate]],
+    * but commit adopts the staged files into the EXISTING table as one
+    * overwrite-shaped manifest commit ([[GraftTable.replaceFrom]]) —
+    * table identity, history, time travel, and stream marks survive;
+    * schema/checks/properties are the staged definition's (replace is
+    * wholesale). Readers see old contents until the commit instant. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageTable(ident, schema, partitions, properties, StageMode.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable =
+    stageTable(ident, schema, partitions, properties, StageMode.CreateOrReplace)
+
+  private def stageTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String],
+      mode: StageMode.Value): StagedTable = {
+    require(partitions.isEmpty,
+      "graft tables have no static partitioning — cluster with writeClustered / " +
+        "OPTIMIZE ZORDER BY, prune through per-file stats")
+    if (mode == StageMode.Create && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(catalogName +: ident.namespace.toSeq)
+    val target = new File(tablePath(ident))
+    val stagedPath = new File(target.getParentFile,
+      s".${target.getName}__stage-${java.util.UUID.randomUUID}").getPath
+    val props = properties.asScala.toMap
+      .filterNot { case (k, _) => DroppedProps(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+    GraftTable.create(stagedPath, schema, props)
+    new GraftStagedTable(fullName(ident), ident, target.getPath, stagedPath, mode)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
@@ -255,6 +303,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
     java.nio.file.Files.move(new File(from).toPath, new File(to).toPath)
   }
+}
+
+private[catalog] object StageMode extends Enumeration {
+  val Create, Replace, CreateOrReplace = Value
+}
+
+/** The in-flight half of atomic CTAS/RTAS: a REAL GraftTable at a
+  * hidden staged path — the query's write lands through the ordinary
+  * named-table write path (same staging, stats, CHECK enforcement) —
+  * plus the two commit verbs. Commit for CREATE is one atomic directory
+  * move (a racing creator fails loudly at the move); for REPLACE it is
+  * [[GraftTable.replaceFrom]]'s adopt-files-and-commit (history-
+  * preserving). Abort deletes the staged directory; nothing else ever
+  * existed. */
+private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
+    targetPath: String, stagedPath: String, mode: StageMode.Value)
+    extends StagedTable with SupportsRead with SupportsWrite {
+
+  private val inner = new GraftNamedTable(tableName, stagedPath, pin = None)
+
+  override def name(): String = tableName
+  override def schema(): StructType = inner.schema()
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): JMap[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[TableCapability] = inner.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  private def rmStaged(): Unit = {
+    def rm(f: File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
+    rm(new File(stagedPath))
+  }
+
+  override def commitStagedChanges(): Unit = {
+    val targetExists = GraftTable.exists(targetPath)
+    mode match {
+      case StageMode.Replace | StageMode.CreateOrReplace if targetExists =>
+        try GraftTable.replaceFrom(targetPath, stagedPath): Unit
+        finally rmStaged()
+      case StageMode.Replace => // target vanished between stage and commit
+        rmStaged()
+        throw new NoSuchTableException(ident)
+      case _ =>
+        try java.nio.file.Files.move(new File(stagedPath).toPath,
+          new File(targetPath).toPath): Unit
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            rmStaged()
+            throw new TableAlreadyExistsException(ident)
+        }
+    }
+  }
+
+  override def abortStagedChanges(): Unit = rmStaged()
 }
 
 /** A named GraftTable as a DSv2 [[Table]]: batch read (V1Scan fallback,

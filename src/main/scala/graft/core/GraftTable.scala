@@ -2250,6 +2250,47 @@ object GraftTable {
     next.version
   }
 
+  /** The commit half of ATOMIC `REPLACE TABLE … AS SELECT` through the
+    * catalog ([[graft.catalog.GraftCatalog]] as a `StagingTableCatalog`):
+    * the query's result was written into a hidden staged sibling
+    * GraftTable; this MOVES its data files into the target's data dir
+    * (fresh UUID names — collision-free; a move is a directory-entry
+    * rename, zero data IO) and commits ONE overwrite-shaped manifest.
+    * REPLACE semantics are wholesale: schema, CHECK constraints, and
+    * properties come from the STAGED definition — but table IDENTITY is
+    * preserved: the commit is version v+1 on the existing chain, the
+    * old snapshot stays time-travelable, stream marks carry (a stream
+    * writer's exactly-once ledger survives the replace), and the change
+    * log records a truncate-overwrite so CDF replay and streaming
+    * consumers see exactly what an INSERT OVERWRITE looks like. CAS
+    * retry vs concurrent writers; the staged table is left for the
+    * caller to discard. If the target does not exist the commit creates
+    * v1 (`CREATE OR REPLACE` on a fresh name). */
+  private[graft] def replaceFrom(targetPath: String, stagedPath: String): Long = {
+    val staged = currentManifest(stagedPath).getOrElse(
+      throw new IllegalArgumentException(s"'$stagedPath' is not a GraftTable"))
+    val entries = filesOf(stagedPath, staged)
+    require(entries.forall(fe => fe.dv.isEmpty && fe.renames.isEmpty),
+      s"staged table '$stagedPath' carries deletion vectors or column renames — " +
+        "REPLACE staging writes plain files only")
+    val dataDir = new File(targetPath, DataDir); dataDir.mkdirs()
+    entries.foreach { fe =>
+      Files.move(new File(stagedPath, fe.path).toPath,
+        new File(targetPath, fe.path).toPath): Unit
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(targetPath)
+      val (files, leaves) = packCommit(targetPath, entries, Nil)
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L), commitTs(cur),
+        "replace_table", staged.schemaDdl, files, cur.flatMap(_.streamMarks), leaves,
+        Some(ChangeLog(logEntries(entries), Nil, truncate = true)),
+        checks = staged.checks, properties = staged.properties)
+      if (tryCommit(targetPath, next)) committed = next.version
+    }
+    committed
+  }
+
   def restore(path: String, version: Long): Long = {
     var committed = -1L
     while (committed < 0) {

@@ -161,6 +161,42 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(spark.table("graft.ctas.t")) == canon(kv(1 -> "a", 2 -> "b")))
   }
 
+  test("CTAS is ATOMIC: a failing query leaves no table, no staged debris") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    // the stage-commit protocol is active (catalog implements staging)
+    kv(1 -> "a").createOrReplaceTempView("cat_atomic_src")
+    val boom = org.apache.spark.sql.functions.udf((k: Int) =>
+      if (k > 0) throw new RuntimeException("ctas boom") else k)
+    spark.udf.register("cat_ctas_boom", boom)
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft.ctas.broken AS SELECT cat_ctas_boom(k) AS k, v FROM cat_atomic_src"))
+    // no half-written table, and the hidden staged dir was aborted away
+    assert(!spark.catalog.tableExists("graft.ctas.broken"))
+    assert(!new java.io.File(s"$warehouse/ctas").list().exists(_.contains("__stage")))
+  }
+
+  test("REPLACE TABLE AS SELECT preserves identity: history, time travel, one commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
+    val path = s"$warehouse/ctas/r"
+    kv(1 -> "a", 2 -> "b").createOrReplaceTempView("cat_rtas_v1")
+    kv(7 -> "x").createOrReplaceTempView("cat_rtas_v2")
+    spark.sql("CREATE TABLE graft.ctas.r AS SELECT * FROM cat_rtas_v1")
+    val vBefore = GraftTable.currentVersion(path).get
+    spark.sql("REPLACE TABLE graft.ctas.r AS SELECT * FROM cat_rtas_v2")
+    // one commit on the SAME chain; the old snapshot still time-travels
+    assert(GraftTable.currentVersion(path).get == vBefore + 1)
+    assert(canon(spark.table("graft.ctas.r")) == canon(kv(7 -> "x")))
+    assert(canon(spark.sql(s"SELECT * FROM graft.ctas.r VERSION AS OF $vBefore")) ==
+      canon(kv(1 -> "a", 2 -> "b")))
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates it
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE graft.ctas.missing AS SELECT * FROM cat_rtas_v2"))
+    spark.sql("CREATE OR REPLACE TABLE graft.ctas.fresh AS SELECT * FROM cat_rtas_v2")
+    assert(canon(spark.table("graft.ctas.fresh")) == canon(kv(7 -> "x")))
+    // nothing staged left behind
+    assert(!new java.io.File(s"$warehouse/ctas").list().exists(_.contains("__stage")))
+  }
+
   test("the extension scan rule swaps the v2 relation for the vectorized manifest scan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fast")
     val path = s"$warehouse/fast/t"
