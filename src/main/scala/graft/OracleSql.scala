@@ -1432,6 +1432,17 @@ UNION ALL
 SELECT o_orderkey, o_custkey, o_orderstatus, 'pre' AS snap
 FROM orders WHERE o_orderstatus = 'O'""",
 
+    // dynamic file pruning: the dim-driven bloom probe is a pure file
+    // skip — declaratively just the star join over the month slice
+    "q170_dynamic_prune" -> """
+SELECT o_custkey,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
+GROUP BY o_custkey""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

@@ -2214,6 +2214,36 @@ object Queries {
         .withColumn("snap", lit("pre")))
   }
 
+  /** q170: DYNAMIC FILE PRUNING — the fact-dim join whose filter lives
+    * on the DIM ([[graft.core.GraftTable.readPrunedByKeys]]): the dim
+    * query runs first, its distinct join keys probe the fact manifest's
+    * per-file blooms, and the join scans only surviving fact files.
+    * Here the fact (lineitem, hash-laid-out on `l_orderkey` so min/max
+    * prune NOTHING) joins a one-month slice of orders — static stats
+    * cannot skip a single file; the dim-driven bloom probe is the only
+    * skip that works, the 100 TB star-join shape. The oracle is the
+    * plain join — a probe that falsely skips a matching file breaks
+    * the hash. */
+  def dynamicPruneQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dfp").toString
+    val path = s"$root/lineitem_f"
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    GraftTable.overwrite(li.repartition(16, col("l_orderkey")), path,
+      bloomCols = Seq("l_orderkey"))
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-02-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val scan = GraftTable.readPrunedByKeys(s, path, "l_orderkey",
+      dim.select(col("o_orderkey")))
+    scan.df.join(broadcast(dim), scan.df("l_orderkey") === dim("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -2652,6 +2682,7 @@ object Queries {
     "q167_mor_replace_where" -> (morReplaceWhereQ _),
     "q168_sql_truncate" -> (sqlTruncateQ _),
     "q169_catalog_rtas" -> (catalogRtasQ _),
+    "q170_dynamic_prune" -> (dynamicPruneQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

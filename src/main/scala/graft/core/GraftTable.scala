@@ -1138,6 +1138,49 @@ object GraftTable {
     PrunedScan(readFileSubset(spark, path, m, kept), kept.size, totalFiles(m))
   }
 
+  /** DYNAMIC FILE PRUNING — the fact-dim join shape at 100 TB:
+    * `fact JOIN dim ON fact.k = dim.k WHERE dim.pred`. Static stats
+    * cannot skip fact files (the predicate constrains the DIM), so this
+    * runs the dim side FIRST, collects its distinct non-null join keys
+    * (the dim side of a pruning-worthy join is broadcast-small — the
+    * same bound Spark's own partition-DPP places on the build side),
+    * and probes every fact file's [min,max] and bloom with the key set
+    * ([[readPrunedIn]]'s core — so a clustered layout prunes by range
+    * and a hash layout prunes by bloom). The caller joins the returned
+    * scan as usual; semantics are identical to the unpruned join
+    * because an inner/semi equi-join can only match rows whose key the
+    * dim holds.
+    *
+    * Degrade, never fail: a pruning optimization must not break a
+    * correct query, so past `maxKeys` (or with a key set the stats
+    * cannot encode) the scan comes back UNPRUNED — visible as
+    * `filesRead == filesTotal`, the caller's signal that the dim side
+    * outgrew pruning. An EMPTY key set short-circuits to a zero-file
+    * scan (the join is provably empty). */
+  def readPrunedByKeys(spark: SparkSession, path: String, column: String,
+      keys: DataFrame, maxKeys: Int = 1000000,
+      version: Option[Long] = None): PrunedScan = {
+    require(keys.columns.length == 1,
+      s"keys must be a single-column DataFrame of join keys, " +
+        s"got [${keys.columns.mkString(", ")}]")
+    val m = version.map(manifestAt(path, _))
+      .orElse(currentManifest(path))
+      .getOrElse(throw new IllegalArgumentException(s"'$path' is not a GraftTable"))
+    val collected = keys.na.drop().distinct().limit(maxKeys + 1)
+      .collect().map(_.get(0)).toSeq
+    if (collected.isEmpty)
+      PrunedScan(readFileSubset(spark, path, m, Nil), 0, totalFiles(m))
+    else if (collected.size > maxKeys)
+      PrunedScan(readFileSubset(spark, path, m, filesOf(path, m)),
+        totalFiles(m), totalFiles(m))
+    else
+      try readPrunedIn(spark, path, column, collected, version)
+      catch { case scala.util.control.NonFatal(_) =>
+        PrunedScan(readFileSubset(spark, path, m, filesOf(path, m)),
+          totalFiles(m), totalFiles(m))
+      }
+  }
+
   /** The file-skipping core shared by [[readPruned]] and [[deleteWhere]]:
     * drop files whose stats PROVE no row can satisfy the range
     * conjunction; keep files with no stats for a constrained column. */

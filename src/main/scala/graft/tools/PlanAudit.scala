@@ -1036,6 +1036,32 @@ object PlanAudit {
       println(s"[plan] dv_check_validation: ${results.mkString(" ")}" +
         s" (masked=$masked)")
     }
+    locally {
+      // q170's dynamic file pruning: on a hash layout (min/max prune
+      // NOTHING) the dim-driven key probe must bloom-skip most fact
+      // files; the degrade contract past the cap must come back
+      // unpruned, and the empty-dim short-circuit must scan zero files
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val root = java.nio.file.Files.createTempDirectory("plan_dfp").toString + "/fact"
+      val rows = spark.range(0, 8192).selectExpr("id AS k", "id % 97 AS m")
+      GraftTable.overwrite(rows.repartition(16, col("k")), root, bloomCols = Seq("k"))
+      val dim = spark.range(0, 3).selectExpr("id * 1000 + 7 AS k")
+      val pruned = GraftTable.readPrunedByKeys(spark, root, "k", dim)
+      val over = GraftTable.readPrunedByKeys(spark, root, "k",
+        spark.range(0, 100).selectExpr("id AS k"), maxKeys = 10)
+      val empty = GraftTable.readPrunedByKeys(spark, root, "k",
+        spark.range(0).selectExpr("id AS k"))
+      val joined = pruned.df.join(dim, "k").count()
+      val checks = Seq(
+        "dim_keys_bloom_skip" -> (pruned.filesTotal == 16 && pruned.filesRead <= 5),
+        "join_complete_after_skip" -> (joined == 3L),
+        "cap_degrades_unpruned" -> (over.filesRead == over.filesTotal),
+        "empty_dim_scans_zero" -> (empty.filesRead == 0))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q170_dynamic_prune: ${results.mkString(" ")}" +
+        s" (pruned ${pruned.filesRead}/${pruned.filesTotal})")
+    }
     spark.stop()
   }
 }

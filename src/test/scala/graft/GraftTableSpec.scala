@@ -359,6 +359,36 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
   }
 
+  test("dynamic file pruning: dim keys skip fact files; empty set short-circuits; cap degrades") {
+    val path = tmp() + "/fact"
+    val fact = spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("m"))
+    // hash layout: min/max prune nothing, the bloom does the skipping
+    GraftTable.overwrite(fact.repartition(8, col("k")), path, bloomCols = Seq("k"))
+    val dim = df("k BIGINT", Seq(11L, 1234L, 3999L).map(v => Row(Long.box(v))): _*)
+    val scan = GraftTable.readPrunedByKeys(spark, path, "k", dim)
+    assert(scan.filesTotal == 8 && scan.filesRead <= 4,
+      s"dim keys should bloom-skip, read ${scan.filesRead}/8")
+    // join equivalence: the pruned fact joins exactly like the full fact
+    assert(canon(scan.df.join(dim, "k")) ==
+      canon(GraftTable.read(spark, path).join(dim, "k")))
+    // empty dim side → provably-empty join, zero files scanned
+    val none = GraftTable.readPrunedByKeys(spark, path, "k",
+      spark.range(0).select(col("id").as("k")))
+    assert(none.filesRead == 0 && none.df.isEmpty)
+    // null dim keys never equi-join — dropped before probing
+    val nullOnly = df("k BIGINT", Row(null))
+    assert(GraftTable.readPrunedByKeys(spark, path, "k", nullOnly).filesRead == 0)
+    // past the cap the scan DEGRADES to unpruned (visible, never wrong)
+    val big = spark.range(0, 100).select(col("id").as("k"))
+    val deg = GraftTable.readPrunedByKeys(spark, path, "k", big, maxKeys = 10)
+    assert(deg.filesRead == deg.filesTotal)
+    assert(canon(deg.df.join(big, "k")) ==
+      canon(GraftTable.read(spark, path).join(big, "k")))
+    // a multi-column key frame refuses loudly
+    intercept[IllegalArgumentException](
+      GraftTable.readPrunedByKeys(spark, path, "k", fact))
+  }
+
   test("bloom survives append; COW rewrite drops it for touched files only, stays correct") {
     val path = tmp() + "/t"
     val part1 = spark.range(0, 500).select(col("id").as("k"), lit("x").as("v"))
