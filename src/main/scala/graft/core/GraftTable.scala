@@ -559,8 +559,26 @@ object GraftTable {
     * entries. O(batch) reads, column-pruned to the indexed columns;
     * never O(table). */
   private def stagePartEntries(spark: SparkSession, schema: StructType,
-      path: String, commitId: String, parts: Seq[File], statsCols: Seq[String],
-      bloomCols: Seq[String]): Seq[FileEntry] = {
+      path: String, commitId: String, parts: Seq[File], explicitStats: Seq[String],
+      explicitBlooms: Seq[String]): Seq[FileEntry] = {
+    // PROPERTY-DECLARED indexing: a table carrying `graft.statsCols` /
+    // `graft.bloomCols` stamps skipping stats on EVERY write path —
+    // SQL INSERT, the streaming sink, COW rewrites, MOR appends — not
+    // only callers that passed columns explicitly. Without this, a
+    // declarative table accumulates stat-less (unprunable) files
+    // between OPTIMIZE runs, and at 100 TB "skipping works only for
+    // Scala-API writers" is a correctness-of-design hole. Declared
+    // columns absent from this batch's schema (evolution in flight) or
+    // of un-indexable types are ignored; EXPLICIT arguments keep their
+    // loud checks below.
+    val declaredProps = currentManifest(path)
+      .flatMap(_.properties).getOrElse(Map.empty)
+    def declared(k: String): Seq[String] = declaredProps.get(k).toSeq
+      .flatMap(_.split(',')).map(_.trim)
+      .filter(c => c.nonEmpty && schema.fieldNames.contains(c) &&
+        statTag(schema(c).dataType).isDefined)
+    val statsCols = (explicitStats ++ declared("graft.statsCols")).distinct
+    val bloomCols = (explicitBlooms ++ declared("graft.bloomCols")).distinct
     val fields0 = resolveStatsCols(schema, statsCols)
     // bloom columns always get a stats entry to carry the filter
     val fields = fields0 ++ bloomCols.filterNot(c => fields0.exists(_.name == c))
@@ -2883,11 +2901,14 @@ object GraftTable {
   /** Table properties — the configuration channel that rides the
     * manifest (Delta's TBLPROPERTIES, re-derived): free-form string
     * pairs carried by every commit, settable/unsettable as
-    * metadata-only commits. The engine consults `graft.deletionVectors`
-    * (`"true"` routes SQL `DELETE FROM` through [[deleteWhereMor]]
-    * instead of copy-on-write — exactly Delta's
-    * `delta.enableDeletionVectors` contract); everything else is
-    * opaque operator metadata. RESTORE keeps the CURRENT properties
+    * metadata-only commits. The engine consults:
+    * `graft.deletionVectors` (`"true"` routes predicate DML merge-on-
+    * read — Delta's `delta.enableDeletionVectors` contract);
+    * `graft.clusterBy` (plain `OPTIMIZE` reclusters on the declared
+    * columns); `graft.statsCols` / `graft.bloomCols` (comma-separated
+    * — EVERY write path stamps skipping stats/blooms on those columns,
+    * see [[stagePartEntries]]). Everything else is opaque operator
+    * metadata. RESTORE keeps the CURRENT properties
     * (configuration is not data; Delta draws the same line), clones
     * inherit the source's. */
   def propertiesOf(path: String): Map[String, String] =

@@ -359,6 +359,34 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
   }
 
+  test("property-declared statsCols/bloomCols index every write path") {
+    val path = tmp() + "/t"
+    GraftTable.create(path,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"),
+      // a declared column that doesn't exist yet is ignored, not fatal
+      Map("graft.statsCols" -> "k, future_col", "graft.bloomCols" -> "k"))
+    // a PLAIN append — no statsCols argument — still stamps stats + bloom
+    val rows = spark.range(0, 2000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    GraftTable.append(rows.repartition(8, col("k")), path)
+    val entries = GraftTable.currentManifest(path).get.files
+    assert(entries.nonEmpty && entries.forall(_.stats.get("k").exists(_.bloom.nonEmpty)),
+      "property-declared bloom missing from appended files")
+    val scan = GraftTable.readPrunedIn(spark, path, "k", Seq(777L))
+    assert(scan.filesTotal == 8 && scan.filesRead <= 2,
+      s"declared bloom should skip, read ${scan.filesRead}/8")
+    // the SQL write path (no way to even pass statsCols) indexes too
+    rows.createOrReplaceTempView("props_idx_src")
+    graft.plans.GraftSql.dml(spark,
+      s"INSERT INTO graft.`$path` SELECT k + 10000 AS k, v FROM props_idx_src")
+    val v2 = GraftTable.currentManifest(path).get
+    assert(v2.changes.get.added.nonEmpty)
+    val sqlScan = GraftTable.readPrunedIn(spark, path, "k", Seq(10777L))
+    assert(sqlScan.filesRead <= 3,
+      s"SQL-inserted files should carry the declared bloom, read ${sqlScan.filesRead}/${sqlScan.filesTotal}")
+    assert(sqlScan.df.filter(col("k") === 10777L).count() == 1)
+  }
+
   test("dynamic file pruning: dim keys skip fact files; empty set short-circuits; cap degrades") {
     val path = tmp() + "/fact"
     val fact = spark.range(0, 4000).select(col("id").as("k"), (col("id") % 7).as("m"))
