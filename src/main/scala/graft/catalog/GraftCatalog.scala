@@ -353,8 +353,15 @@ private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
         catch {
           case _: java.nio.file.FileAlreadyExistsException |
                _: java.nio.file.DirectoryNotEmptyException =>
-            rmStaged()
-            throw new TableAlreadyExistsException(ident)
+            // a racing creator moved in first. CREATE OR REPLACE keeps
+            // its promise by replacing the winner; plain CREATE loses.
+            if (mode == StageMode.CreateOrReplace && GraftTable.exists(targetPath))
+              try GraftTable.replaceFrom(targetPath, stagedPath): Unit
+              finally rmStaged()
+            else {
+              rmStaged()
+              throw new TableAlreadyExistsException(ident)
+            }
         }
     }
   }
@@ -371,7 +378,7 @@ private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
   * time travel: pinned tables are read-only. */
 private[graft] class GraftNamedTable(tableName: String, val path: String,
     val pin: Option[Long]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with TruncatableTable {
 
   private def manifest: GraftTable.Manifest = pin match {
     case Some(v) => GraftTable.manifestAt(path, v)
@@ -411,6 +418,16 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     * shapes refuse via [[canDeleteWhere]] — loud, never partial. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftBatchRead.v1FilterToColumn(f).isDefined)
+
+  /** Grammar-native `TRUNCATE TABLE graft.ns.t` — the same ONE
+    * metadata-only commit as [[GraftTable.truncate]]: no file read,
+    * rewritten, or deleted; the old snapshot time-travels until
+    * vacuum. */
+  override def truncateTable(): Boolean = {
+    require(pin.isEmpty, s"cannot TRUNCATE time-travel pinned '$tableName'")
+    GraftTable.truncate(path)
+    true
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(pin.isEmpty, s"cannot DELETE from time-travel pinned '$tableName'")

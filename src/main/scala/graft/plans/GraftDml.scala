@@ -581,16 +581,27 @@ private[plans] case class GraftOptimizeCommand(path: String,
     GraftMaintenance.typedRanges(path, where)
   def execute(spark: SparkSession): (Int, Int) = {
     val ranges = typedRanges()
+    val props = GraftTable.propertiesOf(path)
+    // `graft.targetFileSize` (bytes) tunes what "small" means for this
+    // table — point lookups want ~32 MB files, scan-heavy want 256 MB+;
+    // a per-statement knob would drift, a table property rides the
+    // manifest into every maintenance run
+    val target = props.get("graft.targetFileSize").map { v =>
+      val t = v.trim.toLong
+      require(t > 0, s"graft.targetFileSize must be positive bytes, got '$v'")
+      t
+    }.getOrElse(128L << 20)
     // a table declaring `graft.clusterBy` reclusters on PLAIN OPTIMIZE —
     // the liquid-clustering UX re-derived: writes land as they arrive
     // (append cost stays O(batch)), and maintenance restores the
     // declared layout without the operator restating the columns. An
     // explicit ZORDER BY still overrides per statement.
     val cluster = if (zorderCols.nonEmpty) zorderCols
-      else GraftTable.propertiesOf(path).get("graft.clusterBy").toSeq
+      else props.get("graft.clusterBy").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     cluster match {
-      case Seq() => GraftTable.compactFiles(spark, path, where = ranges)
+      case Seq() =>
+        GraftTable.compactFiles(spark, path, targetBytes = target, where = ranges)
       case cols =>
         // the windowed-recluster soundness argument (carried files are
         // provably disjoint from the window on the CONSTRAINED columns,
@@ -609,7 +620,7 @@ private[plans] case class GraftOptimizeCommand(path: String,
         val cluster =
           if (cols.size == 1) org.apache.spark.sql.functions.col(cols.head)
           else GraftTable.zorderClusterExpr(spark, path, cols)
-        GraftTable.compactFiles(spark, path,
+        GraftTable.compactFiles(spark, path, targetBytes = target,
           statsCols = GraftTable.statsColsPlus(path, cols),
           clusterBy = Some(cluster), where = ranges)
     }

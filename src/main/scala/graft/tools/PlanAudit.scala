@@ -1037,6 +1037,36 @@ object PlanAudit {
         s" (masked=$masked)")
     }
     locally {
+      // auto-broadcast from manifest sizes: GraftFileIndex.sizeInBytes
+      // answers from the manifest (zero file listings), so a graft dim
+      // under the broadcast threshold broadcast-joins WITHOUT an
+      // explicit broadcast() hint — checked on the PRE-AQE plan, so the
+      // decision provably came from the manifest-reported size, not a
+      // runtime AQE rescue. The CBO input that keeps 100 TB star joins
+      // shuffle-free on the dim side.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import graft.core.GraftTable
+      val base = java.nio.file.Files.createTempDirectory("plan_autobc").toString
+      val dimP = s"$base/dim"; val factP = s"$base/fact"
+      GraftTable.overwrite(
+        spark.range(0, 100).selectExpr("id AS k", "concat('d', id) AS name"), dimP)
+      GraftTable.overwrite(
+        spark.range(0, 100000).selectExpr("id % 100 AS k", "id AS x"), factP)
+      val j = spark.read.format("graft").load(factP)
+        .join(spark.read.format("graft").load(dimP), "k")
+      def findBhj(p: SparkPlan): Seq[BroadcastHashJoinExec] = p match {
+        case b: BroadcastHashJoinExec => b +: b.children.flatMap(findBhj)
+        case o => o.children.flatMap(findBhj)
+      }
+      val static = findBhj(j.queryExecution.sparkPlan)
+      val checks = Seq(
+        "manifest_size_drives_autobroadcast" -> static.nonEmpty,
+        "join_answers" -> (j.count() == 100000L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] auto_broadcast: ${results.mkString(" ")}")
+    }
+    locally {
       // q170's dynamic file pruning: on a hash layout (min/max prune
       // NOTHING) the dim-driven key probe must bloom-skip most fact
       // files; the degrade contract past the cap must come back

@@ -161,6 +161,19 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(spark.table("graft.ctas.t")) == canon(kv(1 -> "a", 2 -> "b")))
   }
 
+  test("grammar-native TRUNCATE TABLE on a named table is one metadata commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tr")
+    val path = s"$warehouse/tr/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)
+    val vPre = GraftTable.currentVersion(path).get
+    spark.sql("TRUNCATE TABLE graft.tr.t")
+    assert(spark.table("graft.tr.t").isEmpty)
+    // metadata-only: one version, old snapshot still time-travels
+    assert(GraftTable.currentVersion(path).get == vPre + 1)
+    assert(canon(spark.sql(s"SELECT * FROM graft.tr.t VERSION AS OF $vPre")) ==
+      canon(kv(1 -> "a", 2 -> "b")))
+  }
+
   test("CTAS is ATOMIC: a failing query leaves no table, no staged debris") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ctas")
     // the stage-commit protocol is active (catalog implements staging)

@@ -275,6 +275,25 @@ class GraftDmlSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 256)
   }
 
+  test("graft.targetFileSize property tunes what OPTIMIZE considers small") {
+    val path = tmp() + "/t"
+    GraftTable.overwrite(df("k INT, v STRING",
+      (0 until 32).map(i => Row(Int.box(i), s"v$i")): _*).repartition(8), path)
+    val before = GraftTable.filesOf(path, GraftTable.currentManifest(path).get).size
+    assert(before == 8)
+    // target=1 byte: no file is small — OPTIMIZE is a no-op
+    GraftTable.setProperties(path, Map("graft.targetFileSize" -> "1"))
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$path`")
+    assert(GraftTable.filesOf(path, GraftTable.currentManifest(path).get).size == before)
+    // default-sized target: everything packs into one file
+    GraftTable.unsetProperties(path, Seq("graft.targetFileSize"))
+    GraftSql.dml(spark, s"OPTIMIZE graft.`$path`")
+    assert(GraftTable.filesOf(path, GraftTable.currentManifest(path).get).size == 1)
+    // a non-positive target refuses loudly
+    GraftTable.setProperties(path, Map("graft.targetFileSize" -> "0"))
+    intercept[IllegalArgumentException](GraftSql.dml(spark, s"OPTIMIZE graft.`$path`"))
+  }
+
   test("INSERT INTO/OVERWRITE and CREATE TABLE AS SELECT route to append/overwrite") {
     val root = tmp()
     val p = s"$root/t"

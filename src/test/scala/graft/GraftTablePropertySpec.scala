@@ -62,7 +62,7 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
       for (step <- 0 until 24) {
         val fresh = (0 until rnd.nextInt(4) + 1)
           .map(_ => (rnd.nextInt(12), s"s$seed-$step-${rnd.nextInt(100)}"))
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 =>
             GraftTable.overwrite(kvRows(fresh), path)
             multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
@@ -204,6 +204,12 @@ class GraftTablePropertySpec extends AnyFunSuite with SparkSpecBase {
               multi = multi.filter { case (k, _) => k < lo || k > hi } ++
                 repl.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted }
             } else { GraftTable.overwrite(kvRows(fresh), path); multi = fresh.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toList.sorted } }
+          case 15 =>
+            // metadata-only truncate: the model goes empty in one commit
+            if (GraftTable.exists(path)) {
+              GraftTable.truncate(path): Unit
+              multi = Map.empty
+            }
           case _ => ()
         }
         // history tracking: one snapshot per committed version
