@@ -1443,6 +1443,17 @@ JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-02-01'
 GROUP BY o_custkey""",
 
+    // metadata-only aggregates: the manifest fold must equal the real
+    // aggregation — computed the real way here
+    "q171_meta_agg" -> """
+SELECT count(*) AS n_rows, count(o_orderpriority) AS n_prios,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       epoch_us(min(o_orderdate)) AS min_odate_us,
+       epoch_us(max(o_orderdate)) AS max_odate_us,
+       min(o_orderpriority) AS min_prio
+FROM orders""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

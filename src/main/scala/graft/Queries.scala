@@ -2254,6 +2254,36 @@ object Queries {
         count(lit(1)).as("n_items"))
   }
 
+  /** q171: METADATA-ONLY AGGREGATES — `count(*) / count(col) / min /
+    * max` over a graft scan answered FROM THE MANIFEST
+    * ([[graft.plans.GraftPrune.rewriteMetaAgg]]): the fsRelation's
+    * entries are dv-free with exact per-file rows and [min,max,nulls],
+    * so the whole aggregate subtree collapses to a LocalRelation at
+    * optimization — zero data files read (PlanAudit pins the plan; at
+    * 100 TB this is one manifest read vs a million-file scan). The
+    * oracle computes the same aggregates the real way — a stale or
+    * wrong manifest fold breaks the hash. */
+  def metaAggQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_metaagg").toString
+    val path = s"$root/orders_m"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    GraftTable.writeClustered(orders, path, col("o_orderkey"), 8,
+      statsCols = Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    graft.plans.GraftPrune.install(s)
+    GraftTable.read(s, path).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderpriority")).as("n_prios"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      micros(min(col("o_orderdate"))).as("min_odate_us"),
+      micros(max(col("o_orderdate"))).as("max_odate_us"),
+      min(col("o_orderpriority")).as("min_prio"))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -2693,6 +2723,7 @@ object Queries {
     "q168_sql_truncate" -> (sqlTruncateQ _),
     "q169_catalog_rtas" -> (catalogRtasQ _),
     "q170_dynamic_prune" -> (dynamicPruneQ _),
+    "q171_meta_agg" -> (metaAggQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

@@ -413,7 +413,7 @@ object GraftTable {
 
   /** Stats type tag for a column, or None if the type carries no file
     * stats (arrays, structs, binary — never pruned, always read). */
-  private def statTag(dt: DataType): Option[String] = dt match {
+  private[graft] def statTag(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
     case DateType => Some("date")
     case TimestampType | TimestampNTZType => Some("ts")
@@ -448,7 +448,7 @@ object GraftTable {
 
   /** Ordering under a tag: numeric tags compare numerically, strings
     * lexically (matching Spark's own min/max semantics per type). */
-  private def cmp(tag: String, a: String, b: String): Int = tag match {
+  private[graft] def cmp(tag: String, a: String, b: String): Int = tag match {
     case "long" | "date" | "ts" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case "decimal" => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))

@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 
@@ -54,6 +54,9 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, lr: LogicalRelation) =>
       try prune(f, cond, lr) catch { case scala.util.control.NonFatal(_) => f }
+    case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      try GraftPrune.rewriteMetaAgg(agg).getOrElse(agg)
+      catch { case scala.util.control.NonFatal(_) => agg }
   }
 
   private def prune(f: Filter, cond: Expression, lr: LogicalRelation): LogicalPlan = {
@@ -172,4 +175,117 @@ object GraftPrune extends PredicateHelper {
 
   private def point(a: AttributeReference, values: Seq[Any]): Seq[PointProbe] =
     if (values.isEmpty) Nil else Seq(PointProbe(a.name, a.dataType, values))
+
+  // --------------------------------------------- metadata-only aggregates
+
+  /** ANSWER groupless `count(*) / count(col) / min(col) / max(col)`
+    * FROM THE MANIFEST — zero file IO (Delta/Iceberg's metadata-query
+    * trick, re-derived as a logical rewrite): a scan whose FileIndex is
+    * a [[graft.sources.GraftFileIndex]] pins a manifest whose entries
+    * are dv-free and rename-free (the fsRelation precondition), so
+    * per-file `rows` and per-column `[min,max,nulls]` are EXACT — the
+    * aggregate folds over manifest entries on the driver and the whole
+    * subtree collapses to a [[LocalRelation]]. At 100 TB,
+    * `SELECT count(*) FROM t` is one manifest read instead of a
+    * million-file scan.
+    *
+    * Fires ONLY when every aggregate in the output is answerable
+    * exactly: count(*) always; count(col) when the column is
+    * non-nullable or every file carries its null count; min/max when
+    * every file carries the column's stats (a file written without
+    * `statsCols` blocks the rewrite — stats answer, never guess).
+    * Distinct aggregates, FILTER clauses, sums, averages, or any other
+    * aggregate shape leave the plan untouched. Expressions AROUND the
+    * aggregates (`micros(min(ts))`, arithmetic, casts) are fine — each
+    * answered aggregate substitutes as a literal and the wrapper folds
+    * over a [[OneRowRelation]]. A Project child is accepted only as
+    * pure column pruning (plain attributes). */
+  private[graft] def rewriteMetaAgg(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import graft.core.GraftTable.FileEntry
+    val entries: Seq[FileEntry] = agg.child match {
+      case lr: LogicalRelation => graftEntries(lr).getOrElse(return None)
+      case Project(ps, lr: LogicalRelation)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        graftEntries(lr).getOrElse(return None)
+      case _ => return None
+    }
+    // belt-and-suspenders: the fsRelation invariant the answer relies on
+    if (!entries.forall(e => e.dv.isEmpty && e.renames.forall(_.isEmpty))) return None
+    val total = entries.map(_.rows).sum
+    // stats usable only when EVERY file carries them for the column
+    def colStats(c: String) = {
+      val ss = entries.flatMap(_.stats.get(c))
+      if (ss.size == entries.size) Some(ss) else None
+    }
+    def bound(a: AttributeReference, takeMax: Boolean): Option[Any] = {
+      val tag = GraftTable.statTag(a.dataType).getOrElse(return None)
+      colStats(a.name).map { ss =>
+        val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
+        if (bs.isEmpty) null // every file all-NULL → SQL min/max is NULL
+        else decodeInternal(a.dataType,
+          bs.reduce((x, y) =>
+            if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
+      }
+    }
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggCalls.isEmpty) return None
+    val answered: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Literal] =
+      aggCalls.map { ae =>
+        if (ae.isDistinct || ae.filter.isDefined) return None
+        val v: Any = ae.aggregateFunction match {
+          case Count(Seq(Literal(v0, _))) => if (v0 == null) 0L else total
+          case Count(Seq(a: AttributeReference)) if !a.nullable => total
+          case Count(Seq(a: AttributeReference)) =>
+            colStats(a.name).map(ss => total - ss.map(_.nulls).sum)
+              .getOrElse(return None)
+          case Min(a: AttributeReference) =>
+            bound(a, takeMax = false).getOrElse(return None)
+          case Max(a: AttributeReference) =>
+            bound(a, takeMax = true).getOrElse(return None)
+          case _ => return None
+        }
+        ae.resultId -> Literal(v, ae.dataType)
+      }.toMap
+    // substitute each answered aggregate as a literal; wrapper
+    // expressions (casts, arithmetic, epoch conversions) constant-fold
+    val projected = agg.aggregateExpressions.map(ne =>
+      ne.transform {
+        case ae: AggregateExpression => answered(ae.resultId)
+      }.asInstanceOf[NamedExpression])
+    Some(Project(projected,
+      org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+  }
+
+  private def graftEntries(lr: LogicalRelation)
+      : Option[Seq[graft.core.GraftTable.FileEntry]] = lr.relation match {
+    case fs: HadoopFsRelation => fs.location match {
+      case gi: graft.sources.GraftFileIndex => Some(gi.pinnedEntries)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Encoded stats string → the column type's INTERNAL Catalyst value
+    * (dates as epoch-day Int, timestamps as micros Long, strings as
+    * UTF8String, decimals at the declared precision/scale). */
+  private def decodeInternal(dt: org.apache.spark.sql.types.DataType,
+      s: String): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => s.toLong.toByte
+      case ShortType => s.toLong.toShort
+      case IntegerType => s.toLong.toInt
+      case LongType => s.toLong
+      case DateType => s.toLong.toInt
+      case TimestampType | TimestampNTZType => s.toLong
+      case FloatType => s.toDouble.toFloat
+      case DoubleType => s.toDouble
+      case d: DecimalType => Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => throw new IllegalArgumentException(s"no stats decode for $other")
+    }
+  }
 }

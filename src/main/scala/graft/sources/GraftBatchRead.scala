@@ -168,6 +168,12 @@ private[graft] class GraftFileIndex(spark: SparkSession, root: String,
     * recovers the write target from a resolved batch relation. */
   private[graft] def tableRoot: String = root
 
+  /** The pinned entry set — [[graft.plans.GraftPrune]]'s metadata-
+    * aggregate rewrite answers count/min/max from these. An fsRelation
+    * is only ever built over dv-free, rename-free entries
+    * ([[GraftBatchRead.relation]]), so rows and stats here are EXACT. */
+  private[graft] def pinnedEntries: Seq[FileEntry] = entries
+
   private val logical = StructType.fromDDL(m.schemaDdl)
   private val withStatus: Seq[(FileEntry, FileStatus)] = entries.map { fe =>
     fe -> new FileStatus(fe.bytes, false, 1, 128L << 20, m.tsUs / 1000L,

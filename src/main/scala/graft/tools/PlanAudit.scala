@@ -1067,6 +1067,51 @@ object PlanAudit {
       println(s"[plan] auto_broadcast: ${results.mkString(" ")}")
     }
     locally {
+      // q171's metadata-only aggregates: count/min/max over a graft
+      // scan must plan ZERO file scans (the Aggregate collapses to a
+      // constant-folded projection over the manifest fold), while
+      // unsupported shapes (sum) and post-DV tables keep real plans
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+      import graft.core.GraftTable
+      graft.plans.GraftPrune.install(spark)
+      val root = java.nio.file.Files.createTempDirectory("plan_metaagg").toString + "/t"
+      GraftTable.writeClustered(spark.range(0, 5000).selectExpr(
+        "id AS k", "cast(id % 13 as double) AS x"), root, col("k"), 8,
+        statsCols = Seq("k", "x"))
+      def scans(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+          case q: QueryStageExec => find(q.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(find)
+        }
+        find(df.queryExecution.executedPlan).size
+      }
+      val meta = GraftTable.read(spark, root).agg(count(lit(1)).as("n"),
+        min(col("k")).as("mn"), max(col("x")).as("mx"))
+      val metaScans = scans(meta)
+      val metaRow = meta.collect().head
+      val sumScans = scans(GraftTable.read(spark, root).agg(sum(col("k")).as("s")))
+      GraftTable.setProperties(root, Map("graft.deletionVectors" -> "true"))
+      GraftTable.deleteWhereMor(spark, root, col("k") >= 4990)
+      val afterDv = GraftTable.read(spark, root).agg(count(lit(1)).as("n"),
+        max(col("k")).as("m")).collect().head
+      val checks = Seq(
+        "agg_plans_zero_scans" -> (metaScans == 0),
+        "agg_values_exact" -> (metaRow.getLong(0) == 5000L &&
+          metaRow.getLong(1) == 0L && metaRow.getDouble(2) == 12.0),
+        "sum_keeps_real_scan" -> (sumScans > 0),
+        "dv_table_answers_post_delete" -> (afterDv.getLong(0) == 4990L &&
+          afterDv.getLong(1) == 4989L))
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[graft.plans.GraftPrune])
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q171_meta_agg: ${results.mkString(" ")}")
+    }
+    locally {
       // q170's dynamic file pruning: on a hash layout (min/max prune
       // NOTHING) the dim-driven key probe must bloom-skip most fact
       // files; the degrade contract past the cap must come back

@@ -143,6 +143,78 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("metadata-only aggregates: count/min/max answer from the manifest, zero files scanned") {
+    val path = tmp() + "/t"
+    val rows = spark.range(0, 1000).select(col("id").as("k"),
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id").cast("double")).as("x"),
+      concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("s"),
+      to_date(lit("2020-01-01")).as("d"))
+    GraftTable.writeClustered(rows, path, col("k"), 8,
+      statsCols = Seq("k", "x", "s", "d"))
+    val q = () => GraftTable.read(spark, path)
+    // baseline values computed WITHOUT the rule
+    val base = q().agg(count(lit(1)).as("n"), count(col("x")).as("nx"),
+      min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+      min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("s")).as("mns"), max(col("s")).as("mxs"),
+      max(col("d")).as("mxd")).collect().head
+    installed {
+      val agg = q().agg(count(lit(1)).as("n"), count(col("x")).as("nx"),
+        min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+        min(col("s")).as("mns"), max(col("s")).as("mxs"),
+        max(col("d")).as("mxd"))
+      assert(plannedFiles(agg) == 0,
+        "metadata aggregate must not plan a single file scan")
+      assert(agg.collect().head == base)
+      // df.count() collapses too
+      val cnt = q().groupBy().count()
+      assert(plannedFiles(cnt) == 0 && cnt.collect().head.getLong(0) == 1000L)
+      // unsupported shapes still execute normally (sum needs real IO)
+      val s = q().agg(sum(col("k")).as("s"))
+      assert(plannedFiles(s) == 8)
+      assert(s.collect().head.getLong(0) == (0L until 1000L).sum)
+      // a column written WITHOUT stats blocks min/max but not count(*)
+      // (explicit statsCols restricts the default all-column stamping)
+      val path2 = tmp() + "/nostats"
+      GraftTable.overwrite(rows.select(col("k"), col("x")), path2,
+        statsCols = Seq("k"))
+      val m2 = GraftTable.read(spark, path2).agg(min(col("x")).as("m"))
+      assert(plannedFiles(m2) > 0) // executed for real
+      // count(nullable col) without null stats also runs for real
+      val c2 = GraftTable.read(spark, path2).agg(count(col("x")).as("c"))
+      assert(plannedFiles(c2) > 0)
+      assert(c2.collect().head.getLong(0) == 900L)
+      // groupless agg over an EMPTY table: one row, count 0, null min
+      val path3 = tmp() + "/empty"
+      GraftTable.create(path3,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      val e = GraftTable.read(spark, path3)
+        .agg(count(lit(1)).as("n"), min(col("k")).as("m")).collect().head
+      assert(e.getLong(0) == 0L && e.isNullAt(1))
+    }
+  }
+
+  test("metadata aggregates never fire across a deletion vector or a filter") {
+    val path = tmp() + "/t"
+    GraftTable.writeClustered(spark.range(0, 400).selectExpr("id AS k", "id AS v"),
+      path, col("k"), 4, statsCols = Seq("k"))
+    installed {
+      // a filter above the scan keeps the aggregate real (counts differ)
+      val f = GraftTable.read(spark, path).filter(col("k") < 100)
+        .agg(count(lit(1)).as("n"))
+      assert(f.collect().head.getLong(0) == 100L)
+      // MOR-delete some rows: the dv'd read path must not answer from
+      // pre-delete metadata
+      GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+      GraftTable.deleteWhereMor(spark, path, col("k") >= 350)
+      val c = GraftTable.read(spark, path).agg(count(lit(1)).as("n"))
+      assert(c.collect().head.getLong(0) == 350L)
+      val mx = GraftTable.read(spark, path).agg(max(col("k")).as("m"))
+      assert(mx.collect().head.getLong(0) == 349L)
+    }
+  }
+
   test("non-Graft parquet scans and non-range predicates are untouched") {
     val dir = tmp() + "/plain"
     spark.range(0, 100).select(col("id").as("k")).repartition(4)
