@@ -426,7 +426,7 @@ object GraftTable {
   /** Encode a collected/caller value into the tag's comparable string
     * form (dates → epoch day, timestamps → epoch micros, numbers →
     * their exact decimal rendering, strings verbatim). */
-  private def encode(tag: String, v: Any): String = (tag, v) match {
+  private[graft] def encode(tag: String, v: Any): String = (tag, v) match {
     case (_, null) => throw new IllegalArgumentException("null bound")
     case ("long", n: Number) => n.longValue.toString
     case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString

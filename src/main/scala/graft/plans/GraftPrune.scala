@@ -55,7 +55,8 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
     case f @ Filter(cond, lr: LogicalRelation) =>
       try prune(f, cond, lr) catch { case scala.util.control.NonFatal(_) => f }
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
-      try GraftPrune.rewriteMetaAgg(agg).getOrElse(agg)
+      try GraftPrune.rewriteMetaAgg(agg)
+        .orElse(GraftPrune.rewriteFilteredCount(agg)).getOrElse(agg)
       catch { case scala.util.control.NonFatal(_) => agg }
   }
 
@@ -251,6 +252,133 @@ object GraftPrune extends PredicateHelper {
       }.toMap
     // substitute each answered aggregate as a literal; wrapper
     // expressions (casts, arithmetic, epoch conversions) constant-fold
+    val projected = agg.aggregateExpressions.map(ne =>
+      ne.transform {
+        case ae: AggregateExpression => answered(ae.resultId)
+      }.asInstanceOf[NamedExpression])
+    Some(Project(projected,
+      org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+  }
+
+  /** FILTERED metadata counts: `count(*)` under a conjunctive range /
+    * equality / IS NOT NULL filter answers from stats when EVERY file
+    * classifies cleanly — provably fully-inside the predicate (all its
+    * non-null values satisfy every bound) or provably fully-outside
+    * (no row can satisfy). One straddling file blocks the rewrite (a
+    * partial count would need real IO — stats answer, never guess).
+    * On a layout clustered like the predicate — the date-partitioned
+    * 100 TB shape — `SELECT count(*) WHERE d BETWEEN x AND y` becomes a
+    * manifest fold with at most the two boundary files forcing a real
+    * scan, and usually none.
+    *
+    * Null discipline: a comparison or IS NOT NULL excludes null rows,
+    * so a fully-inside file contributes `rows − nulls(col)` when ONE
+    * column is constrained; with several constrained columns the null
+    * sets may overlap, so all involved columns must be null-free in
+    * every contributing file (else bail). Strictness is preserved —
+    * this extraction is separate from the PRUNING one, which relaxes
+    * strict bounds (safe to over-keep, fatal to over-count). */
+  private[graft] def rewriteFilteredCount(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(c)
+      case other => other
+    }
+    val (cond, entries) = stripProjects(agg.child) match {
+      case Filter(c, ch) => stripProjects(ch) match {
+        case lr: LogicalRelation => (c, graftEntries(lr).getOrElse(return None))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (!entries.forall(e => e.dv.isEmpty && e.renames.forall(_.isEmpty))) return None
+    // every aggregate must be count(non-null literal); wrappers fold
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggCalls.isEmpty) return None
+    if (!aggCalls.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+        (ae.aggregateFunction match {
+          case Count(Seq(Literal(v, _))) => v != null
+          case _ => false
+        }))) return None
+    // parse the conjunction: (attr, encoded bound, strict, isLower) or
+    // IS NOT NULL; anything else blocks the rewrite
+    case class Cmp(a: AttributeReference, enc: String, strict: Boolean, lower: Boolean)
+    var cmps = List.empty[Cmp]
+    var notNulls = Set.empty[String]
+    var nullCmp = false // a comparison vs NULL literal drops every row
+    def lit(a: AttributeReference, l: Literal): Option[String] =
+      GraftTable.statTag(a.dataType).flatMap { tag =>
+        if (l.value == null) { nullCmp = true; None }
+        else Some(GraftTable.encode(tag,
+          CatalystTypeConverters.convertToScala(l.value, l.dataType)))
+      }
+    def add(a: AttributeReference, l: Literal, strict: Boolean, lower: Boolean): Boolean =
+      lit(a, l) match {
+        case Some(e) => cmps ::= Cmp(a, e, strict, lower); true
+        case None => nullCmp // only "recognized" if it was the NULL case
+      }
+    val recognized = splitConjunctivePredicates(cond).forall {
+      case IsNotNull(a: AttributeReference) => notNulls += a.name; true
+      case GreaterThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = true)
+      case LessThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = false)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
+      case GreaterThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = false)
+      case LessThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = true)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
+      case _ => false
+    }
+    if (!recognized && !nullCmp) return None
+    val count: Long = if (nullCmp) 0L else {
+      val involved = (cmps.map(_.a.name) ++ notNulls).distinct
+      if (involved.isEmpty) return None // no constraint — bare rule handles
+      // every involved column needs stats (incl. exact null counts) on
+      // every file
+      val tags = cmps.map(c => c.a.name -> GraftTable.statTag(c.a.dataType).get).toMap
+      var total = 0L
+      entries.foreach { fe =>
+        if (fe.rows > 0) {
+          val st = involved.map(c => c -> fe.stats.getOrElse(c, return None)).toMap
+          if (st.values.exists(s => s.min.isEmpty && s.max.isEmpty)) {
+            // an involved column is all-NULL in this file → no row passes
+          } else {
+            def satisfied(c: Cmp): Boolean = {
+              val s = st(c.a.name); val t = tags(c.a.name)
+              if (c.lower) s.min.exists(mn => { val r = GraftTable.cmp(t, mn, c.enc)
+                if (c.strict) r > 0 else r >= 0 })
+              else s.max.exists(mx => { val r = GraftTable.cmp(t, mx, c.enc)
+                if (c.strict) r < 0 else r <= 0 })
+            }
+            def failed(c: Cmp): Boolean = {
+              val s = st(c.a.name); val t = tags(c.a.name)
+              if (c.lower) s.max.exists(mx => { val r = GraftTable.cmp(t, mx, c.enc)
+                if (c.strict) r <= 0 else r < 0 })
+              else s.min.exists(mn => { val r = GraftTable.cmp(t, mn, c.enc)
+                if (c.strict) r >= 0 else r > 0 })
+            }
+            if (cmps.exists(failed)) () // provably outside → 0
+            else if (cmps.forall(satisfied)) {
+              // fully inside: subtract nulls — exact for one involved
+              // column, needs null-free files beyond that
+              val nulls = involved.map(st(_).nulls)
+              if (involved.size == 1) total += fe.rows - nulls.head
+              else if (nulls.forall(_ == 0L)) total += fe.rows
+              else return None
+            } else return None // straddler — a partial count needs real IO
+          }
+        }
+      }
+      total
+    }
+    val answered = aggCalls.map(ae => ae.resultId -> Literal(count, ae.dataType)).toMap
     val projected = agg.aggregateExpressions.map(ne =>
       ne.transform {
         case ae: AggregateExpression => answered(ae.resultId)

@@ -195,6 +195,54 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("filtered metadata counts: clean-classifying range predicates fold from stats") {
+    val path = tmp() + "/t"
+    // 8 range-clustered files over k=0..799: file boundaries are exact
+    // multiples of 100 only if the partitioner lands there — the test
+    // derives safe windows from the MANIFEST's own per-file bounds
+    val rows = spark.range(0, 800).select(col("id").as("k"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id")).as("v"))
+    GraftTable.writeClustered(rows, path, col("k"), 8, statsCols = Seq("k", "v"))
+    val entries = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    val bounds = entries.map(_.stats("k")).map(s => (s.min.get.toLong, s.max.get.toLong))
+      .sortBy(_._1)
+    // a window spanning files 2..4 EXACTLY (file min..file max)
+    val (lo, hi) = (bounds(1)._1, bounds(3)._2)
+    installed {
+      // exact-boundary window: every file classifies, zero scans
+      val q1 = GraftTable.read(spark, path).filter(col("k") >= lo && col("k") <= hi)
+        .groupBy().count()
+      assert(plannedFiles(q1) == 0, "clean window must fold from stats")
+      assert(q1.collect().head.getLong(0) == hi - lo + 1)
+      // strict upper bound AT a file boundary: the file below satisfies
+      // (max < bound), the file holding the bound provably fails
+      // (min >= bound) — still zero scans, strictness preserved exactly
+      val b5 = bounds(4)._1
+      val q2 = GraftTable.read(spark, path).filter(col("k") >= lo && col("k") < b5)
+        .groupBy().count()
+      assert(plannedFiles(q2) == 0)
+      assert(q2.collect().head.getLong(0) == b5 - lo)
+      // a straddling window executes for real (and stats-prunes files)
+      val q3 = GraftTable.read(spark, path).filter(col("k") >= lo + 1 && col("k") <= hi)
+        .groupBy().count()
+      assert(q3.collect().head.getLong(0) == hi - lo)
+      assert(plannedFiles(q3) > 0)
+      // count under a filter on a NULLABLE column subtracts null counts
+      val q4 = GraftTable.read(spark, path).filter(col("v") >= 0L).groupBy().count()
+      assert(plannedFiles(q4) == 0)
+      assert(q4.collect().head.getLong(0) == (0L until 800L).count(_ % 7 != 0))
+      // IS NOT NULL alone folds the same way
+      val q5 = GraftTable.read(spark, path).filter(col("v").isNotNull).groupBy().count()
+      assert(plannedFiles(q5) == 0)
+      assert(q5.collect().head.getLong(0) == (0L until 800L).count(_ % 7 != 0))
+      // disjunctions are not conjunctive ranges — real execution
+      val q6 = GraftTable.read(spark, path)
+        .filter(col("k") < lo || col("k") > hi).groupBy().count()
+      assert(q6.collect().head.getLong(0) == 800 - (hi - lo + 1))
+    }
+  }
+
   test("metadata aggregates never fire across a deletion vector or a filter") {
     val path = tmp() + "/t"
     GraftTable.writeClustered(spark.range(0, 400).selectExpr("id AS k", "id AS v"),
