@@ -1454,6 +1454,18 @@ SELECT count(*) AS n_rows, count(o_orderpriority) AS n_prios,
        min(o_orderpriority) AS min_prio
 FROM orders""",
 
+    // filtered metadata count: windows derive from key ranks, so both
+    // the folded (file-aligned) and straddling counts recompute exactly
+    "q172_meta_count_filtered" -> """
+WITH rk AS (SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+n AS (SELECT count(*) AS c FROM orders),
+k1 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 8 + 1),
+k2 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 2)
+SELECT k1.v AS lo, k2.v AS hi,
+       (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v AND k2.v) AS n_clean,
+       (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v + 1 AND k2.v) AS n_straddle
+FROM k1, k2""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

@@ -2284,6 +2284,45 @@ object Queries {
       min(col("o_orderpriority")).as("min_prio"))
   }
 
+  /** q172: FILTERED metadata count — `count(*)` under a date-range
+    * predicate whose window lands ON file boundaries of the clustered
+    * layout ([[graft.plans.GraftPrune.rewriteFilteredCount]]): every
+    * file classifies provably inside or outside, so the count folds
+    * from the manifest with zero data IO. The window is derived from
+    * the manifest's own per-file bounds (exact whatever the range
+    * partitioner chose); the result also carries a straddling window's
+    * count (executed for real) so both paths gate against the oracle. */
+  def metaCountFilteredQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_metacnt").toString
+    val path = s"$root/orders_c"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"))
+    val n = orders.count()
+    // 8 rank-sliced files — boundaries are a deterministic function of
+    // the KEYS (not the range partitioner), so the oracle recomputes
+    // the same windows
+    val ranked = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey"))))
+    val ends = (0 to 8).map(i => n * i / 8)
+    (0 until 8).foreach { i =>
+      GraftTable.append(ranked.filter(col("rn") > ends(i) && col("rn") <= ends(i + 1))
+        .drop("rn").coalesce(1), path, statsCols = Seq("o_orderkey"))
+    }
+    graft.plans.GraftPrune.install(s)
+    def keyAt(r: Long): Long =
+      ranked.filter(col("rn") === r).select(col("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (keyAt(n / 8 + 1), keyAt(n / 2)) // slices 2..4, exactly
+    val clean = GraftTable.read(s, path)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .groupBy().count().collect().head.getLong(0)
+    val straddle = GraftTable.read(s, path)
+      .filter(col("o_orderkey") >= lo + 1 && col("o_orderkey") <= hi)
+      .groupBy().count().collect().head.getLong(0)
+    s.range(1).select(lit(lo).as("lo"), lit(hi).as("hi"),
+      lit(clean).as("n_clean"), lit(straddle).as("n_straddle"))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -2724,6 +2763,7 @@ object Queries {
     "q169_catalog_rtas" -> (catalogRtasQ _),
     "q170_dynamic_prune" -> (dynamicPruneQ _),
     "q171_meta_agg" -> (metaAggQ _),
+    "q172_meta_count_filtered" -> (metaCountFilteredQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),
