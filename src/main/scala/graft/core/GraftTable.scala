@@ -446,13 +446,20 @@ object GraftTable {
       s"can't encode ${other.getClass.getName} as stats type '$t'")
   }
 
-  /** Ordering under a tag: numeric tags compare numerically, strings
-    * lexically (matching Spark's own min/max semantics per type). */
+  /** Ordering under a tag: numeric tags compare numerically, strings in
+    * UTF-8 BINARY order — matching Spark's own min/max and comparison
+    * semantics exactly. (Java `String.compareTo` is UTF-16 code-unit
+    * order, which diverges from Spark's UTF-8 byte order for
+    * supplementary-plane code points: U+10000 sorts below U+E000 in
+    * UTF-16 but above it in UTF-8. Stats bounds are computed BY Spark,
+    * so probing them with the Java order could false-skip a matching
+    * file in pruning and mis-fold the metadata aggregates.) */
   private[graft] def cmp(tag: String, a: String, b: String): Int = tag match {
     case "long" | "date" | "ts" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
     case "decimal" => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b)
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   }
 
   // ----------------------------------------------------------------- blooms

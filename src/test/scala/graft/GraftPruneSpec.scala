@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -240,6 +240,32 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
       val q6 = GraftTable.read(spark, path)
         .filter(col("k") < lo || col("k") > hi).groupBy().count()
       assert(q6.collect().head.getLong(0) == 800 - (hi - lo + 1))
+    }
+  }
+
+  test("string stats compare in Spark's UTF-8 binary order, not Java's UTF-16 order") {
+    // U+10000 sorts ABOVE U+E000 in UTF-8 bytes (Spark) but BELOW it in
+    // UTF-16 code units (Java String.compareTo) — a stats probe using
+    // the Java order would false-skip the file holding the supplementary
+    // char and mis-fold the metadata max
+    val sup = new String(Character.toChars(0x10000))
+    val bmp = "\uE000"
+    assert(bmp.compareTo(sup) > 0) // Java order disagrees with UTF-8 order
+    val path = tmp() + "/t"
+    GraftTable.append(df("s STRING", Row(bmp)).coalesce(1), path, statsCols = Seq("s"))
+    GraftTable.append(df("s STRING", Row(sup)).coalesce(1), path, statsCols = Seq("s"))
+    // Spark's own ordering is the ground truth
+    val realMax = GraftTable.read(spark, path).agg(max(col("s"))).head().getString(0)
+    assert(realMax == sup)
+    installed {
+      // equality probes must not false-skip either file
+      assert(GraftTable.read(spark, path).filter(col("s") === sup).count() == 1)
+      assert(GraftTable.read(spark, path).filter(col("s") === bmp).count() == 1)
+      assert(GraftTable.read(spark, path).filter(col("s") > bmp).count() == 1)
+      // the metadata-aggregate fold picks the Spark-order max
+      val metaMax = GraftTable.read(spark, path).agg(max(col("s")).as("m"))
+      assert(plannedFiles(metaMax) == 0)
+      assert(metaMax.collect().head.getString(0) == sup)
     }
   }
 
