@@ -1067,6 +1067,36 @@ object PlanAudit {
       println(s"[plan] auto_broadcast: ${results.mkString(" ")}")
     }
     locally {
+      // named-table metadata aggregates in the EXTENSION session: the
+      // catalog scan rule swaps the v2 relation for the manifest scan
+      // at analysis and the injected optimizer rule folds the
+      // aggregate — `SELECT count(*) FROM gmeta.ns.t` by NAME plans
+      // zero file scans
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_cat_meta").toString
+      spark.conf.set("spark.sql.catalog.gmeta", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gmeta.ns")
+      GraftTable.overwrite(spark.range(0, 3000).selectExpr("id AS k"), s"$wh/ns/t")
+      val agg = spark.sql("SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gmeta.ns.t")
+      val row = agg.collect().head
+      def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(find)
+      }
+      val nScans = find(agg.queryExecution.executedPlan).size
+      val checks = Seq(
+        "named_count_zero_scans" -> (nScans == 0),
+        "named_values_exact" -> (row.getLong(0) == 3000L &&
+          row.getLong(1) == 0L && row.getLong(2) == 2999L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] named_meta_agg: ${results.mkString(" ")}")
+    }
+    locally {
       // q171's metadata-only aggregates: count/min/max over a graft
       // scan must plan ZERO file scans (the Aggregate collapses to a
       // constant-folded projection over the manifest fold), while
