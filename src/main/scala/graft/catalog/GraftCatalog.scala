@@ -467,11 +467,33 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
 
 private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
-    options: CaseInsensitiveStringMap) extends Scan with V1Scan {
+    options: CaseInsensitiveStringMap) extends Scan with V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String = s"GraftNamed $path" +
     pin.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  /** Manifest-true stats for direct v2 consumers. NOTE Spark 4.1's
+    * `V1ScanWrapper` does NOT forward scan statistics, so a
+    * non-extension session still sees the "assume huge" default on
+    * named tables — auto-broadcast of small named dims comes from the
+    * EXTENSION scan rule ([[GraftCatalogScanRule]] swaps in the
+    * manifest FileIndex, whose `sizeInBytes` is manifest-true;
+    * PlanAudit pins the resulting broadcast join). Sessions without
+    * extensions should `broadcast()` explicitly. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val m = pin.map(GraftTable.manifestAt(path, _))
+      .orElse(GraftTable.currentManifest(path))
+    val entries = m.map(mf => GraftTable.filesOf(path, mf)).getOrElse(Nil)
+    val (bytes, rows) = (entries.map(_.bytes).sum, entries.map(_.liveRows).sum)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -1089,10 +1089,24 @@ object PlanAudit {
         case o => o.children.flatMap(find)
       }
       val nScans = find(agg.queryExecution.executedPlan).size
+      // named-dim auto-broadcast: the extension scan rule swaps in the
+      // manifest FileIndex, whose sizeInBytes is manifest-true — a
+      // small named dim must plan a broadcast join PRE-AQE (V1ScanWrapper
+      // hides scan stats, so this only works through the rule)
+      GraftTable.overwrite(spark.range(0, 200000).selectExpr(
+        "id % 3000 AS k", "id AS x"), s"$wh/ns/fact")
+      val j = spark.sql("SELECT * FROM gmeta.ns.fact f JOIN gmeta.ns.t d ON f.k = d.k")
+      def findBhj(p: SparkPlan): Int = p match {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          1 + b.children.map(findBhj).sum
+        case o => o.children.map(findBhj).sum
+      }
+      val bhj = findBhj(j.queryExecution.sparkPlan)
       val checks = Seq(
         "named_count_zero_scans" -> (nScans == 0),
         "named_values_exact" -> (row.getLong(0) == 3000L &&
-          row.getLong(1) == 0L && row.getLong(2) == 2999L))
+          row.getLong(1) == 0L && row.getLong(2) == 2999L),
+        "named_dim_autobroadcasts" -> (bhj > 0))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] named_meta_agg: ${results.mkString(" ")}")
     }

@@ -161,6 +161,30 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(spark.table("graft.ctas.t")) == canon(kv(1 -> "a", 2 -> "b")))
   }
 
+  test("named-scan estimateStatistics reports manifest-true size and live rows") {
+    // Spark 4.1's V1ScanWrapper does not forward scan statistics, so
+    // non-extension auto-broadcast can't be pinned here (PlanAudit pins
+    // it in the extension JVM, where the scan rule swaps in the
+    // manifest FileIndex) — but the interface must answer exactly for
+    // direct v2 consumers
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bc")
+    val path = s"$warehouse/bc/dim"
+    GraftTable.overwrite(spark.range(0, 50).selectExpr(
+      "id AS k", "concat('d', id) AS name"), path)
+    val cat = new GraftCatalog
+    cat.initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", warehouse)))
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("bc"), "dim")).asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val scan = t.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty)
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val st = scan.estimateStatistics()
+    val expectBytes = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.bytes).sum
+    assert(st.numRows.getAsLong == 50L)
+    assert(st.sizeInBytes.getAsLong == expectBytes && expectBytes > 0)
+  }
+
   test("grammar-native TRUNCATE TABLE on a named table is one metadata commit") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tr")
     val path = s"$warehouse/tr/t"
