@@ -2198,19 +2198,24 @@ object Queries {
   def catalogRtasQ(s: SparkSession, d: String): DataFrame = {
     import graft.core.GraftTable
     val wh = java.nio.file.Files.createTempDirectory("graft_rtas").toString
-    s.conf.set("spark.sql.catalog.graftcat", classOf[graft.catalog.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dwh")
+    // Spark caches catalog INSTANCES by name — a rerun in the same
+    // session (the bench does 5 passes) would still see the first
+    // pass's warehouse through a reused name, so each invocation
+    // registers its own
+    val cat = s"graftcat_${java.util.UUID.randomUUID.toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dwh")
     Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus")).createOrReplaceTempView("q169_src")
-    s.sql("CREATE TABLE graftcat.dwh.orders_r AS " +
+    s.sql(s"CREATE TABLE $cat.dwh.orders_r AS " +
       "SELECT * FROM q169_src WHERE o_orderstatus = 'O'")
     val vPre = GraftTable.currentVersion(s"$wh/dwh/orders_r").get
-    s.sql("REPLACE TABLE graftcat.dwh.orders_r AS " +
+    s.sql(s"REPLACE TABLE $cat.dwh.orders_r AS " +
       "SELECT * FROM q169_src WHERE o_orderstatus = 'F'")
-    s.table("graftcat.dwh.orders_r").withColumn("snap", lit("cur"))
+    s.table(s"$cat.dwh.orders_r").withColumn("snap", lit("cur"))
       .unionByName(s.sql(
-        s"SELECT * FROM graftcat.dwh.orders_r VERSION AS OF $vPre")
+        s"SELECT * FROM $cat.dwh.orders_r VERSION AS OF $vPre")
         .withColumn("snap", lit("pre")))
   }
 
