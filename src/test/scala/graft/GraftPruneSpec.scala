@@ -289,6 +289,56 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("random metadata-aggregate probes: rule-on always equals rule-off") {
+    val rnd = new scala.util.Random(41)
+    for (round <- 1 to 6) {
+      val path = tmp() + s"/t$round"
+      val n = 200 + rnd.nextInt(800)
+      val nullEvery = 2 + rnd.nextInt(9)
+      val rows = spark.range(0, n).select(col("id").as("k"),
+        when(col("id") % nullEvery === 0, lit(null))
+          .otherwise((col("id") * 3 % 97).cast("double")).as("x"),
+        concat(lit("s"), (col("id") % 37).cast("string")).as("s"))
+      // random layout and random stats coverage
+      val statsCols = Seq("k", "x", "s").filter(_ => rnd.nextBoolean()) match {
+        case Nil => Seq("k"); case cs => cs
+      }
+      if (rnd.nextBoolean())
+        GraftTable.writeClustered(rows, path, col("k"), 4, statsCols = statsCols)
+      else GraftTable.overwrite(rows.repartition(4, col("k")), path,
+        statsCols = statsCols)
+      // sometimes MOR-delete a slice (the read path must not fold then)
+      if (rnd.nextInt(3) == 0) {
+        GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+        GraftTable.deleteWhereMor(spark, path, col("k") % 11 === 3)
+      }
+      // draw the predicate constants ONCE — a lambda that re-rolls the
+      // rng per application would compare two different predicates
+      val (b1, b2, b3, b4) = (rnd.nextInt(n), rnd.nextInt(n), rnd.nextInt(n), rnd.nextInt(n))
+      val filters: Seq[DataFrame => DataFrame] = Seq(
+        identity[DataFrame] _,
+        (df: DataFrame) => df.filter(col("k") >= b1),
+        (df: DataFrame) => df.filter(col("k") > b2 && col("k") <= b3 + 50),
+        (df: DataFrame) => df.filter(col("x").isNotNull),
+        (df: DataFrame) => df.filter(col("x") >= 10.0 && col("k") < b4))
+      val aggSets = Seq(
+        Seq(count(lit(1)).as("a")),
+        Seq(count(lit(1)).as("a"), min(col("k")).as("b"), max(col("k")).as("c")),
+        Seq(count(col("x")).as("a"), min(col("x")).as("b"), max(col("s")).as("c")),
+        Seq(count(lit(1)).as("a"), sum(col("k")).as("b")), // sum never folds
+        Seq((max(col("k")) - min(col("k"))).as("a"))) // wrapper expression
+      for (f <- filters; aggs <- aggSets) {
+        val expect = f(GraftTable.read(spark, path))
+          .agg(aggs.head, aggs.tail: _*).collect().head
+        val got = installed {
+          f(GraftTable.read(spark, path)).agg(aggs.head, aggs.tail: _*).collect().head
+        }
+        assert(got == expect,
+          s"round $round: rule-on $got != rule-off $expect (aggs=$aggs)")
+      }
+    }
+  }
+
   test("non-Graft parquet scans and non-range predicates are untouched") {
     val dir = tmp() + "/plain"
     spark.range(0, 100).select(col("id").as("k")).repartition(4)
