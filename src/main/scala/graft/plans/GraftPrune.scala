@@ -260,24 +260,28 @@ object GraftPrune extends PredicateHelper {
       org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
   }
 
-  /** FILTERED metadata counts: `count(*)` under a conjunctive range /
-    * equality / IS NOT NULL filter answers from stats when EVERY file
-    * classifies cleanly — provably fully-inside the predicate (all its
-    * non-null values satisfy every bound) or provably fully-outside
-    * (no row can satisfy). One straddling file blocks the rewrite (a
-    * partial count would need real IO — stats answer, never guess).
-    * On a layout clustered like the predicate — the date-partitioned
-    * 100 TB shape — `SELECT count(*) WHERE d BETWEEN x AND y` becomes a
-    * manifest fold with at most the two boundary files forcing a real
-    * scan, and usually none.
+  /** FILTERED metadata aggregates: `count(*) / min / max` under a
+    * conjunctive range / equality / IS NOT NULL filter answer from
+    * stats when EVERY file classifies cleanly — provably fully-inside
+    * the predicate (all its non-null rows satisfy every bound) or
+    * provably fully-outside (no row can satisfy). One straddling file
+    * blocks the rewrite (a partial answer would need real IO — stats
+    * answer, never guess). On a layout clustered like the predicate —
+    * the date-partitioned 100 TB shape — `SELECT count(*), max(ts)
+    * WHERE d BETWEEN x AND y` becomes a manifest fold with at most the
+    * two boundary files forcing a real scan, and usually none.
     *
     * Null discipline: a comparison or IS NOT NULL excludes null rows,
-    * so a fully-inside file contributes `rows − nulls(col)` when ONE
-    * column is constrained; with several constrained columns the null
-    * sets may overlap, so all involved columns must be null-free in
-    * every contributing file (else bail). Strictness is preserved —
-    * this extraction is separate from the PRUNING one, which relaxes
-    * strict bounds (safe to over-keep, fatal to over-count). */
+    * so a fully-inside file contributes `rows − nulls(col)` to the
+    * count when ONE column is constrained; with several constrained
+    * columns the null sets may overlap, so all involved columns must
+    * be null-free in every contributing file (else bail). MIN/MAX are
+    * stricter still: a row null in a constrained column is excluded by
+    * the filter yet may carry ANY other column's extremum — bounds
+    * fold only when every inside file is null-free on every
+    * constrained column. Strictness is preserved — this extraction is
+    * separate from the PRUNING one, which relaxes strict bounds (safe
+    * to over-keep, fatal to over-answer). */
   private[graft] def rewriteFilteredCount(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     def stripProjects(p: LogicalPlan): LogicalPlan = p match {
@@ -293,16 +297,23 @@ object GraftPrune extends PredicateHelper {
       case _ => return None
     }
     if (!entries.forall(e => e.dv.isEmpty && e.renames.forall(_.isEmpty))) return None
-    // every aggregate must be count(non-null literal); wrappers fold
+    // every aggregate must be answerable under a filter: count(non-null
+    // literal), or min/max of a stats-tagged column; wrappers fold
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
     if (aggCalls.isEmpty) return None
-    if (!aggCalls.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
-        (ae.aggregateFunction match {
-          case Count(Seq(Literal(v, _))) => v != null
-          case _ => false
-        }))) return None
+    if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+    if (!aggCalls.forall(_.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) => v != null
+      case Min(a: AttributeReference) => GraftTable.statTag(a.dataType).isDefined
+      case Max(a: AttributeReference) => GraftTable.statTag(a.dataType).isDefined
+      case _ => false
+    })) return None
+    val wantsBounds = aggCalls.exists(_.aggregateFunction match {
+      case Min(_) | Max(_) => true
+      case _ => false
+    })
     // parse the conjunction: (attr, encoded bound, strict, isLower) or
     // IS NOT NULL; anything else blocks the rewrite
     case class Cmp(a: AttributeReference, enc: String, strict: Boolean, lower: Boolean)
@@ -337,13 +348,16 @@ object GraftPrune extends PredicateHelper {
       case _ => false
     }
     if (!recognized && !nullCmp) return None
-    val count: Long = if (nullCmp) 0L else {
+    // classify: inside files (every non-null row passes), outside files
+    // (no row can pass), or bail on the first straddler
+    var total = 0L
+    var inside = List.empty[graft.core.GraftTable.FileEntry]
+    if (!nullCmp) {
       val involved = (cmps.map(_.a.name) ++ notNulls).distinct
       if (involved.isEmpty) return None // no constraint — bare rule handles
       // every involved column needs stats (incl. exact null counts) on
       // every file
       val tags = cmps.map(c => c.a.name -> GraftTable.statTag(c.a.dataType).get).toMap
-      var total = 0L
       entries.foreach { fe =>
         if (fe.rows > 0) {
           val st = involved.map(c => c -> fe.stats.getOrElse(c, return None)).toMap
@@ -364,21 +378,40 @@ object GraftPrune extends PredicateHelper {
               else s.min.exists(mn => { val r = GraftTable.cmp(t, mn, c.enc)
                 if (c.strict) r >= 0 else r > 0 })
             }
-            if (cmps.exists(failed)) () // provably outside → 0
+            if (cmps.exists(failed)) () // provably outside → contributes nothing
             else if (cmps.forall(satisfied)) {
-              // fully inside: subtract nulls — exact for one involved
-              // column, needs null-free files beyond that
               val nulls = involved.map(st(_).nulls)
+              // MIN/MAX discipline is stricter than COUNT's: a row null
+              // in a constrained column is EXCLUDED by the filter yet
+              // may carry any other column's extremum, which the file
+              // stats can't see past — bounds need null-free files
+              if (wantsBounds && nulls.exists(_ != 0L)) return None
               if (involved.size == 1) total += fe.rows - nulls.head
               else if (nulls.forall(_ == 0L)) total += fe.rows
               else return None
-            } else return None // straddler — a partial count needs real IO
+              inside ::= fe
+            } else return None // straddler — a partial answer needs real IO
           }
         }
       }
-      total
     }
-    val answered = aggCalls.map(ae => ae.resultId -> Literal(count, ae.dataType)).toMap
+    def filteredBound(a: AttributeReference, takeMax: Boolean): Any = {
+      val tag = GraftTable.statTag(a.dataType).get
+      val ss = inside.map(fe => fe.stats.getOrElse(a.name, return None))
+      val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
+      if (bs.isEmpty) null // no surviving non-null value → SQL NULL
+      else decodeInternal(a.dataType,
+        bs.reduce((x, y) => if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
+    }
+    val answered = aggCalls.map { ae =>
+      val v: Any = ae.aggregateFunction match {
+        case Count(_) => total
+        case Min(a: AttributeReference) => filteredBound(a, takeMax = false)
+        case Max(a: AttributeReference) => filteredBound(a, takeMax = true)
+        case _ => return None
+      }
+      ae.resultId -> Literal(v, ae.dataType)
+    }.toMap
     val projected = agg.aggregateExpressions.map(ne =>
       ne.transform {
         case ae: AggregateExpression => answered(ae.resultId)

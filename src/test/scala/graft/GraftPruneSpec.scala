@@ -240,6 +240,18 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
       val q6 = GraftTable.read(spark, path)
         .filter(col("k") < lo || col("k") > hi).groupBy().count()
       assert(q6.collect().head.getLong(0) == 800 - (hi - lo + 1))
+      // filtered MIN/MAX fold too when the window is clean AND the
+      // constrained column is null-free in inside files (k is)
+      val q7 = GraftTable.read(spark, path).filter(col("k") >= lo && col("k") <= hi)
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      assert(plannedFiles(q7) == 0)
+      assert(q7.collect().head == org.apache.spark.sql.Row(lo, hi))
+      // a filter on the NULLABLE column blocks bounds (the excluded
+      // null-v rows could carry k's extremum) — real execution, exact
+      val q8 = GraftTable.read(spark, path).filter(col("v") >= 0L)
+        .agg(max(col("k")).as("mx"))
+      assert(plannedFiles(q8) > 0)
+      assert(q8.collect().head.getLong(0) == 799L)
     }
   }
 
