@@ -69,6 +69,14 @@ case class GraftCatalogScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
         require(scan.output.length == r.output.length,
           s"graft catalog scan of '${t.path}' produced ${scan.output.length} columns, " +
             s"relation expected ${r.output.length} — concurrent schema change; re-run")
+        // positional aliasing is only safe when the names still line up:
+        // a same-arity concurrent RENAME COLUMN must fail loudly, not
+        // silently remap columns to another column's data
+        r.output.zip(scan.output).foreach { case (o, n) =>
+          require(o.name.equalsIgnoreCase(n.name),
+            s"graft catalog scan of '${t.path}' column '${n.name}' no longer matches " +
+              s"relation column '${o.name}' — concurrent schema change; re-run")
+        }
         Project(r.output.zip(scan.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
         }, scan)

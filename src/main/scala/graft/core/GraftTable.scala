@@ -995,6 +995,15 @@ object GraftTable {
   private def fileUri(path: String, fe: FileEntry): String =
     new org.apache.hadoop.fs.Path(new File(resolveData(path, fe)).toURI).toString
 
+  /** Normalize a scan-reported file string (`input_file_name()` /
+    * `_metadata.file_path`) to the same Hadoop-Path form as [[fileUri]],
+    * so per-file bookkeeping joins on identical full-URI keys. */
+  private def normScanUri(s: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s)
+    if (p.toUri.getScheme == null) new org.apache.hadoop.fs.Path(new File(s).toURI).toString
+    else p.toString
+  }
+
   /** Internal column names the MOR DML projections append for row
     * positions — guarded against collision at the operation entry. */
   private val PosFileCol = "__gdv_file"
@@ -1674,16 +1683,20 @@ object GraftTable {
       .partition(l => mayMatch(l.stats, pruneRanges))
     val loaded = liveLeaves.map(l => l -> loadLeaf(path, l))
     val candidates = statsKeep(cur.files ++ loaded.flatMap(_._2), pruneRanges)
+    // keyed by FULL normalized URI, never basename: a shallow clone's
+    // absolute-path entry next to a local file with the same part name
+    // must not pool their counts — with dropFullCover that would drop a
+    // file still holding live non-matching rows
     val matchCounts: Map[String, Long] =
       if (candidates.isEmpty) Map.empty
       else readFileSubset(spark, path, cur, candidates)
         .filter(pred)
         .groupBy(input_file_name().as("__f")).count().collect()
-        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
-    def isTouched(fe: FileEntry) = matchCounts.contains(fe.path.split('/').last)
+        .map(r => normScanUri(r.getString(0)) -> r.getLong(1)).toMap
+    def isTouched(fe: FileEntry) = matchCounts.contains(fileUri(path, fe))
     // every live row matches → nothing of this file survives the op
     def covered(fe: FileEntry) =
-      matchCounts.get(fe.path.split('/').last).contains(fe.liveRows)
+      matchCounts.get(fileUri(path, fe)).contains(fe.liveRows)
     val (inTouched, inUntouched) = cur.files.partition(isTouched)
     // a parsed leaf with no touched member still carries by pointer; a
     // touched leaf dissolves — survivors inline, matches rewrite

@@ -71,16 +71,21 @@ private[graft] case class GraftWrittenFile(file: String) extends WriterCommitMes
 
 private[graft] class GraftStreamWriterFactory(stageDir: String,
     conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+  // per-run discriminator: after an app restart replaying the same epoch,
+  // task IDs restart near 0 and would collide with orphans a dead attempt
+  // left in the stage dir (ParquetWriter CREATE mode fails the task) — the
+  // same commitId discipline the batch writers use
+  private val runId = java.util.UUID.randomUUID.toString.take(8)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftStreamRowWriter(stageDir, partitionId, taskId, epochId, conf)
+    new GraftStreamRowWriter(stageDir, runId, partitionId, taskId, epochId, conf)
 }
 
 /** The per-task writer: lazily opens its parquet file on the first row
   * (an empty partition stages nothing), streams rows through Spark's
   * write support (no buffering beyond parquet's own row groups). */
-private[graft] class GraftStreamRowWriter(stageDir: String, partitionId: Int,
-    taskId: Long, epochId: Long, conf: SerializableConfiguration)
+private[graft] class GraftStreamRowWriter(stageDir: String, runId: String,
+    partitionId: Int, taskId: Long, epochId: Long, conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -88,7 +93,7 @@ private[graft] class GraftStreamRowWriter(stageDir: String, partitionId: Int,
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
-      file = new File(stageDir, f"ep$epochId-p$partitionId%05d-t$taskId.parquet")
+      file = new File(stageDir, f"ep$epochId-r$runId-p$partitionId%05d-t$taskId.parquet")
       writer = ClassicBridge.parquetRowWriter(conf.value, file.getAbsolutePath)
     }
     writer.write(row)
