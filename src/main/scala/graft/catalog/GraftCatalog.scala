@@ -48,15 +48,14 @@ import graft.sources.{GraftBatchRead, GraftMicroBatchStream}
   *
   * Scale shape: catalog calls are manifest-grain driver metadata (one
   * directory listing per namespace op, one manifest head read per
-  * loadTable — never a data file touched). Reads plan through the
-  * manifest FileIndex exactly like `format("graft")`:
-  * with [[graft.expressions.GraftExtensions]] installed,
-  * [[GraftCatalogScanRule]] swaps the v2 relation for the vectorized
-  * manifest-FileIndex scan at analysis; sessions without extensions fall
-  * back to [[V1Scan]] (row-boundary at the relation, but the INNER scan
-  * is the same stats/bloom-skipped vectorized parquet read, and pushed
-  * filters reach [[graft.sources.GraftFileIndex.listFiles]] through the
-  * DataFrame it wraps).
+  * loadTable — never a data file touched). Reads are a REAL DSv2
+  * `Scan → Batch` ([[graft.sources.GraftBatch]]): splits planned from
+  * the manifest (stats/bloom file skipping, no directory listing),
+  * Spark's own vectorized parquet readers underneath, per-file
+  * deletion-vector/rename handling inside the reader factory, and
+  * manifest-true prune-aware `estimateStatistics` driving
+  * auto-broadcast — identical plan shape with or without
+  * [[graft.expressions.GraftExtensions]] (no analysis-rule swap).
   *
   * Time travel: Spark's grammar only enables `VERSION AS OF` /
   * `TIMESTAMP AS OF` for catalog tables — [[loadTable(ident,version)]]
@@ -378,7 +377,8 @@ private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
   * time travel: pinned tables are read-only. */
 private[graft] class GraftNamedTable(tableName: String, val path: String,
     val pin: Option[Long]) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete with TruncatableTable {
+    with SupportsDelete with TruncatableTable
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   private def manifest: GraftTable.Manifest = pin match {
     case Some(v) => GraftTable.manifestAt(path, v)
@@ -407,6 +407,19 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftNamedScanBuilder(path, schema(), pin, options)
 
+  /** `_graft_file` — the full URI of the file serving each row (Delta's
+    * `_metadata.file_path` analog), served as a per-file constant by
+    * the [[graft.sources.GraftBatch]] reader wrapper. Doubles as the
+    * row-level operation protocol's required metadata attribute. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = graft.sources.GraftBatch.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "full URI of the data file serving this row"
+    })
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pin.isEmpty, s"cannot write to time-travel pinned '$tableName'")
     new GraftNamedWriteBuilder(path, info)
@@ -427,6 +440,19 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     require(pin.isEmpty, s"cannot TRUNCATE time-travel pinned '$tableName'")
     GraftTable.truncate(path)
     true
+  }
+
+  /** Stock-session `UPDATE` / `MERGE INTO` / complex `DELETE` on this
+    * name: Spark's row-level rewrite rules plan the group-based
+    * protocol against [[GraftGroupOperation]]'s scan + write pair
+    * (simple DELETEs keep the metadata-only [[deleteWhere]] path —
+    * `OptimizeMetadataOnlyDeleteFromTable` swaps it back in whenever
+    * [[canDeleteWhere]] accepts). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pin.isEmpty, s"cannot modify time-travel pinned '$tableName'")
+    new GraftRowLevelBuilder(path, info)
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -467,25 +493,39 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
 
 private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
-    options: CaseInsensitiveStringMap) extends Scan with V1Scan
+    options: CaseInsensitiveStringMap) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def description(): String = s"GraftNamed $path" +
     pin.map(v => s" VERSION AS OF $v").getOrElse("")
 
-  /** Manifest-true stats for direct v2 consumers. NOTE Spark 4.1's
-    * `V1ScanWrapper` does NOT forward scan statistics, so a
-    * non-extension session still sees the "assume huge" default on
-    * named tables — auto-broadcast of small named dims comes from the
-    * EXTENSION scan rule ([[GraftCatalogScanRule]] swaps in the
-    * manifest FileIndex, whose `sizeInBytes` is manifest-true;
-    * PlanAudit pins the resulting broadcast join). Sessions without
-    * extensions should `broadcast()` explicitly. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val m = pin.map(GraftTable.manifestAt(path, _))
+  /** Resolved ONCE at scan build — everything downstream (stats, split
+    * planning, reader factory) sees this snapshot, so a concurrent
+    * commit between planning and execution cannot tear the read. */
+  private val manifest: GraftTable.Manifest =
+    pin.map(GraftTable.manifestAt(path, _))
       .orElse(GraftTable.currentManifest(path))
-    val entries = m.map(mf => GraftTable.filesOf(path, mf)).getOrElse(Nil)
+      .getOrElse(throw new IllegalStateException(s"graft table '$path' vanished"))
+
+  /** The REAL DSv2 read: manifest-planned splits through Spark's own
+    * vectorized parquet readers, per-file deletion-vector/rename
+    * handling inside the factory ([[graft.sources.GraftBatch]]). Stock
+    * sessions — no extensions — get columnar whole-stage-fused scans
+    * and the manifest-true statistics below (which a real v2 scan DOES
+    * forward, unlike the old `V1ScanWrapper` fallback), so small named
+    * dims auto-broadcast everywhere. */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new graft.sources.GraftBatch(SparkSession.active, path, manifest,
+      StructType.fromDDL(manifest.schemaDdl), required, pushed)
+
+  /** Manifest-true, PRUNE-AWARE stats: called post-pushdown, so the
+    * pushed filters have already narrowed the entry set through the
+    * per-file stats/blooms — a sliced fact reports the slice's bytes,
+    * not the table's, and join planning sees real cardinalities. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val entries = graft.sources.GraftBatchRead.keepByV1Filters(SparkSession.active,
+      StructType.fromDDL(manifest.schemaDdl), GraftTable.filesOf(path, manifest), pushed)
     val (bytes, rows) = (entries.map(_.bytes).sum, entries.map(_.liveRows).sum)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -494,11 +534,6 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
         java.util.OptionalLong.of(rows)
     }
   }
-
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new GraftNamedV1Relation(context.sparkSession, path, required, pushed, pin)
-      .asInstanceOf[T]
 
   /** `spark.readStream.table("graft.ns.t")` — the same micro-batch
     * stream as `readStream.format("graft").load(path)`, so named and
@@ -517,35 +552,6 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
       options.getBoolean("ignoreChanges", false),
       Option(options.get("consumerId")),
       Option(options.get("startingTimestamp")))
-  }
-}
-
-/** The batch fallback for sessions without the extension rule: a V1
-  * [[TableScan]] whose row RDD comes from the SAME manifest-FileIndex
-  * DataFrame the Scala API plans — pushed filters applied INSIDE it, so
-  * Catalyst pushes them through to [[graft.sources.GraftFileIndex]]'s
-  * stats/bloom file skipping and the parquet row-group pushdown before
-  * the V1 row boundary is paid. */
-private[graft] class GraftNamedV1Relation(spark: SparkSession, path: String,
-    required: StructType, pushed: Array[Filter], pin: Option[Long])
-    extends BaseRelation with TableScan {
-
-  override def sqlContext: SQLContext = spark.sqlContext
-  override def schema: StructType = required
-  override def needConversion: Boolean = true
-
-  override def buildScan(): RDD[Row] = {
-    val base = pin match {
-      case Some(v) => GraftTable.readVersion(spark, path, v)
-      case None => GraftTable.read(spark, path)
-    }
-    val filtered = pushed.flatMap(GraftBatchRead.v1FilterToColumn)
-      .foldLeft(base)(_ filter _)
-    val projected =
-      if (required.isEmpty) filtered.select()
-      else filtered.select(required.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
-    projected.rdd
   }
 }
 

@@ -5,38 +5,36 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.core.GraftTable
 import graft.sources.GraftProjectedRelation
 
-/** The fast-read path for catalog tables in extension sessions
-  * (`spark.sql.extensions=graft.expressions.GraftExtensions`): replace a
-  * batch [[DataSourceV2Relation]] over a [[GraftNamedTable]] with the
-  * SAME vectorized manifest-FileIndex plan the Scala API builds — so a
-  * named read (`SELECT … FROM graft.dwh.t [VERSION AS OF v]`,
-  * `spark.table("graft.dwh.t")`) plans a stock parquet FileScan with
-  * stats/bloom file-skipping inside `listFiles`, whole-stage codegen,
-  * and zero V1 row boundaries. Delta's DeltaAnalysis relation
-  * conversion, re-derived for the manifest format.
+/** Extension-session re-plan of the `format("graft")` MOR fallback:
+  * a [[GraftProjectedRelation]] (the V1 correctness-first relation a
+  * dirty snapshot resolves to) is rebuilt as the PER-FILE split the
+  * Scala API uses — clean files on the plain vectorized manifest-
+  * FileIndex scan, dirty files on the same vectorized scan plus their
+  * liveness/rename projection.
   *
-  * Write-side and DML targets are left untouched: AppendData /
-  * InsertIntoStatement keep the v2 relation (the V1_BATCH_WRITE
-  * fallback plans through [[GraftNamedTable.newWriteBuilder]]), and
-  * DELETE/UPDATE/MERGE targets never reach here in extension sessions
-  * (the parse-time rewrite claims them) but are guarded anyway so a
-  * half-configured session fails loudly instead of planning a write
-  * against a read-only projection.
+  * Catalog-NAMED tables no longer route through here at all: their
+  * [[GraftNamedScan]] is a real DSv2 `Scan → Batch`
+  * ([[graft.sources.GraftBatch]]) with per-file DV/rename handling
+  * inside the reader factory, so stock and extension sessions plan the
+  * identical vectorized scan. The former v2-relation swap this rule
+  * carried is retired.
+  *
+  * Write-side and DML targets are left untouched (guarded via the
+  * identity keep-set) so a half-configured session fails loudly
+  * instead of planning a write against a read-only projection.
   *
   * Attribute identity: the replacement plan re-derives the same columns
   * from the same manifest schema, but with fresh exprIds — the rewrite
-  * aliases them back to the v2 relation's output ids so every
+  * aliases them back to the original relation's output ids so every
   * downstream reference resolves unchanged. */
 case class GraftCatalogScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!plan.exists {
-      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftNamedTable]
       case lr: LogicalRelation => lr.relation.isInstanceOf[GraftProjectedRelation]
       case _ => false
     }) return plan
@@ -58,29 +56,6 @@ case class GraftCatalogScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // skips analyzed subtrees; the match is convergent (the replacement
     // contains no v2 relation), so the fixed-point batch terminates
     plan.transformUp {
-      case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftNamedTable] && !keep.contains(r) =>
-        val t = r.table.asInstanceOf[GraftNamedTable]
-        val df = t.pin match {
-          case Some(v) => GraftTable.readVersion(spark, t.path, v)
-          case None => GraftTable.read(spark, t.path)
-        }
-        val scan = df.queryExecution.analyzed
-        require(scan.output.length == r.output.length,
-          s"graft catalog scan of '${t.path}' produced ${scan.output.length} columns, " +
-            s"relation expected ${r.output.length} — concurrent schema change; re-run")
-        // positional aliasing is only safe when the names still line up:
-        // a same-arity concurrent RENAME COLUMN must fail loudly, not
-        // silently remap columns to another column's data
-        r.output.zip(scan.output).foreach { case (o, n) =>
-          require(o.name.equalsIgnoreCase(n.name),
-            s"graft catalog scan of '${t.path}' column '${n.name}' no longer matches " +
-              s"relation column '${o.name}' — concurrent schema change; re-run")
-        }
-        Project(r.output.zip(scan.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-        }, scan)
-
       // format("graft") over a table whose snapshot carries deletion
       // vectors or rename maps resolves to the correctness-first V1
       // fallback relation (whole-relation RDD[Row] boundary). In

@@ -709,8 +709,23 @@ object GraftTable {
             cur.flatMap(_.leaves).getOrElse(Nil))
       }
       val (files, leaves) = packCommit(path, inline, parentLeaves)
+      // append keeps the TABLE's declared schema (the batch conforms to
+      // it; it must not redefine it) — adopting the batch's DDL could
+      // flip an evolved always-nullable column to NOT NULL while old
+      // files still null-fill it, poisoning every consumer that trusts
+      // declared nullability (metadata count(col), join planning).
+      // Nullability only ever WIDENS: a batch that declares a column
+      // nullable relaxes the table's claim.
+      val nextDdl = cur match {
+        case Some(m) if op == "append" =>
+          val batchNullable = df.schema.map(f => f.name -> f.nullable).toMap
+          StructType(StructType.fromDDL(m.schemaDdl).fields.map(f =>
+            f.copy(nullable = f.nullable ||
+              batchNullable.getOrElse(f.name, f.nullable)))).toDDL
+        case _ => df.schema.toDDL
+      }
       val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
-        commitTs(cur), op, df.schema.toDDL, files, cur.flatMap(_.streamMarks), leaves,
+        commitTs(cur), op, nextDdl, files, cur.flatMap(_.streamMarks), leaves,
         Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")),
         checks = cur.flatMap(_.checks), properties = cur.flatMap(_.properties))
       if (tryCommit(path, next)) committed = next.version
@@ -931,6 +946,70 @@ object GraftTable {
       if (tryCommit(path, next)) committed = next.version
     }
     committed
+  }
+
+  /** The commit half of a DSv2 GROUP-BASED row-level operation
+    * ([[graft.catalog.GraftGroupOperation]] — stock-session
+    * `UPDATE`/`MERGE INTO`/complex `DELETE` on catalog names): replace
+    * `removed` (the files the operation's scan planned, already
+    * narrowed by the pushed-condition stats prune) with the
+    * executor-written `stagedParts`, in ONE manifest CAS. Same
+    * stats/bloom pass, CHECK enforcement, and property-declared
+    * indexing as every other write ([[stagePartEntries]]).
+    *
+    * Concurrency: the rebase loop tolerates concurrent APPENDS (the
+    * removed set is still present — new files carry forward), but a
+    * concurrent rewrite of any scanned file means the rows this
+    * operation computed are stale — refuse loudly, never merge-blind.
+    * Removing a dv'd scanned file retires its sidecar reference with
+    * it (the rewritten rows were read live-only). */
+  private[graft] def replaceFilesCommit(spark: SparkSession, path: String,
+      removed: Seq[FileEntry], stagedParts: Seq[File], schema: StructType,
+      op: String): Long = {
+    val removedKeys = removed.map(_.path).toSet
+    var validatedChecks = activeChecks(path)
+    if (stagedParts.nonEmpty && validatedChecks.nonEmpty) {
+      def stagedDf = spark.read.schema(schema).parquet(stagedParts.map(_.toString): _*)
+      try enforceChecks(stagedDf, path, validatedChecks)
+      catch { case e: Throwable => stagedParts.foreach(_.delete()); throw e }
+    }
+    val entries =
+      if (stagedParts.isEmpty) Nil
+      else stagePartEntries(spark, schema, path,
+        java.util.UUID.randomUUID.toString.take(8), stagedParts, Nil, Nil)
+    def reclaim(): Unit = entries.foreach(fe => new File(path, fe.path).delete())
+    def movedDf = spark.read.schema(schema).parquet(
+      entries.map(fe => new File(path, fe.path).toString): _*)
+    try {
+      var committed = -1L
+      while (committed < 0) {
+        val cur = currentManifest(path).getOrElse(
+          throw new IllegalStateException(s"graft table '$path' vanished mid-operation"))
+        val curChecks = cur.checks.getOrElse(Map.empty)
+        if (curChecks != validatedChecks) {
+          if (entries.nonEmpty) enforceChecks(movedDf, path, curChecks)
+          validatedChecks = curChecks
+        }
+        val loaded = cur.leaves.getOrElse(Nil).map(l => l -> loadLeaf(path, l))
+        def isRemoved(fe: FileEntry) = removedKeys(fe.path)
+        val (tInline, uInline) = cur.files.partition(isRemoved)
+        val (dirtyLeaves, cleanLeaves) = loaded.partition(_._2.exists(isRemoved))
+        val removedNow = tInline ++ dirtyLeaves.flatMap(_._2).filter(isRemoved)
+        if (removedNow.map(_.path).toSet != removedKeys)
+          throw new java.util.ConcurrentModificationException(
+            s"row-level $op on '$path' lost a race: scanned file(s) were rewritten " +
+              "by a concurrent commit — re-run the statement")
+        val survivors = dirtyLeaves.flatMap(_._2).filterNot(isRemoved)
+        val (files, leaves) = packCommit(path, uInline ++ survivors ++ entries,
+          cleanLeaves.map(_._1))
+        val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
+          cur.schemaDdl, files, cur.streamMarks, leaves,
+          Some(ChangeLog(logEntries(entries), logEntries(removedNow))),
+          checks = cur.checks, properties = cur.properties)
+        if (tryCommit(path, next)) committed = next.version
+      }
+      committed
+    } catch { case e: Throwable => reclaim(); throw e }
   }
 
   /** Overwrite with a CLUSTERED layout: range-partition by `clusterBy`

@@ -181,14 +181,23 @@ object GraftPrune extends PredicateHelper {
 
   /** ANSWER groupless `count(*) / count(col) / min(col) / max(col)`
     * FROM THE MANIFEST — zero file IO (Delta/Iceberg's metadata-query
-    * trick, re-derived as a logical rewrite): a scan whose FileIndex is
-    * a [[graft.sources.GraftFileIndex]] pins a manifest whose entries
-    * are dv-free and rename-free (the fsRelation precondition), so
-    * per-file `rows` and per-column `[min,max,nulls]` are EXACT — the
-    * aggregate folds over manifest entries on the driver and the whole
+    * trick, re-derived as a logical rewrite): a scan pinning a manifest
+    * — a [[graft.sources.GraftFileIndex]] relation, or a catalog-NAMED
+    * [[graft.catalog.GraftNamedTable]] v2 relation — folds the
+    * aggregate over manifest entries on the driver and the whole
     * subtree collapses to a [[LocalRelation]]. At 100 TB,
     * `SELECT count(*) FROM t` is one manifest read instead of a
     * million-file scan.
+    *
+    * Deletion-vectored (MOR) snapshots still fold the COUNT family:
+    * per-file `liveRows` is exact in the manifest (physical rows minus
+    * the vector's cardinality), so `count(*)` and `count(col)` on a
+    * non-nullable column stay zero-IO after a MOR delete. Nullable
+    * `count(col)`, `min`, and `max` bail in the presence of any vector
+    * — the dead rows' null counts and whether a vector killed the
+    * extremum row are not derivable from file-grain stats. Renamed
+    * entries bail entirely: a retired physical name can collide with a
+    * CURRENT logical name and silently read another column's stats.
     *
     * Fires ONLY when every aggregate in the output is answerable
     * exactly: count(*) always; count(col) when the column is
@@ -205,15 +214,15 @@ object GraftPrune extends PredicateHelper {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     import graft.core.GraftTable.FileEntry
     val entries: Seq[FileEntry] = agg.child match {
-      case lr: LogicalRelation => graftEntries(lr).getOrElse(return None)
-      case Project(ps, lr: LogicalRelation)
-          if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        graftEntries(lr).getOrElse(return None)
-      case _ => return None
+      case Project(ps, ch) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        planEntries(ch).getOrElse(return None)
+      case ch => planEntries(ch).getOrElse(return None)
     }
-    // belt-and-suspenders: the fsRelation invariant the answer relies on
-    if (!entries.forall(e => e.dv.isEmpty && e.renames.forall(_.isEmpty))) return None
-    val total = entries.map(_.rows).sum
+    // stats under a rename indirection can collide with a CURRENT
+    // logical name — never answer from them
+    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
+    val anyDv = entries.exists(_.dv.isDefined)
+    val total = entries.map(_.liveRows).sum
     // stats usable only when EVERY file carries them for the column
     def colStats(c: String) = {
       val ss = entries.flatMap(_.stats.get(c))
@@ -240,11 +249,15 @@ object GraftPrune extends PredicateHelper {
           case Count(Seq(Literal(v0, _))) => if (v0 == null) 0L else total
           case Count(Seq(a: AttributeReference)) if !a.nullable => total
           case Count(Seq(a: AttributeReference)) =>
+            // dead rows' nullity is unknown — nullable counts need a scan
+            if (anyDv) return None
             colStats(a.name).map(ss => total - ss.map(_.nulls).sum)
               .getOrElse(return None)
           case Min(a: AttributeReference) =>
+            if (anyDv) return None // the vector may have killed the extremum
             bound(a, takeMax = false).getOrElse(return None)
           case Max(a: AttributeReference) =>
+            if (anyDv) return None
             bound(a, takeMax = true).getOrElse(return None)
           case _ => return None
         }
@@ -290,13 +303,11 @@ object GraftPrune extends PredicateHelper {
       case other => other
     }
     val (cond, entries) = stripProjects(agg.child) match {
-      case Filter(c, ch) => stripProjects(ch) match {
-        case lr: LogicalRelation => (c, graftEntries(lr).getOrElse(return None))
-        case _ => return None
-      }
+      case Filter(c, ch) =>
+        (c, planEntries(stripProjects(ch)).getOrElse(return None))
       case _ => return None
     }
-    if (!entries.forall(e => e.dv.isEmpty && e.renames.forall(_.isEmpty))) return None
+    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
     // every aggregate must be answerable under a filter: count(non-null
     // literal), or min/max of a stats-tagged column; wrappers fold
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
@@ -384,9 +395,17 @@ object GraftPrune extends PredicateHelper {
               // MIN/MAX discipline is stricter than COUNT's: a row null
               // in a constrained column is EXCLUDED by the filter yet
               // may carry any other column's extremum, which the file
-              // stats can't see past — bounds need null-free files
-              if (wantsBounds && nulls.exists(_ != 0L)) return None
-              if (involved.size == 1) total += fe.rows - nulls.head
+              // stats can't see past — bounds need null-free files;
+              // a deletion vector may have killed the extremum row
+              if (wantsBounds && (nulls.exists(_ != 0L) || fe.dv.isDefined)) return None
+              if (fe.dv.isDefined) {
+                // dead rows' nullity is unknown — a dv'd inside file
+                // counts exactly only when the involved columns are
+                // null-free (then every LIVE row passes)
+                if (nulls.forall(_ == 0L)) total += fe.liveRows
+                else return None
+              }
+              else if (involved.size == 1) total += fe.rows - nulls.head
               else if (nulls.forall(_ == 0L)) total += fe.rows
               else return None
               inside ::= fe
@@ -426,6 +445,28 @@ object GraftPrune extends PredicateHelper {
       case gi: graft.sources.GraftFileIndex => Some(gi.pinnedEntries)
       case _ => None
     }
+    case _ => None
+  }
+
+  /** Manifest entries behind a plan leaf that pins one: the
+    * format("graft")/Scala-API [[LogicalRelation]] shape, or a
+    * catalog-NAMED [[org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation]]
+    * over a [[graft.catalog.GraftNamedTable]] (the optimizer sees the
+    * pre-pushdown v2 relation — extension optimizer rules run before
+    * V2ScanRelationPushDown). */
+  private def planEntries(p: LogicalPlan)
+      : Option[Seq[graft.core.GraftTable.FileEntry]] = p match {
+    case lr: LogicalRelation => graftEntries(lr)
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.catalog.GraftNamedTable =>
+          try {
+            val m = t.pin.map(GraftTable.manifestAt(t.path, _))
+              .orElse(GraftTable.currentManifest(t.path)).getOrElse(return None)
+            Some(GraftTable.filesOf(t.path, m))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
     case _ => None
   }
 

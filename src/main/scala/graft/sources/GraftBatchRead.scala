@@ -131,6 +131,49 @@ object GraftBatchRead {
     case _ => None
   }
 
+  /** The manifest-stats keep test over pushed V1 filters — the same
+    * ranges + bloom-point probing as [[keepByStats]], fed from the
+    * `sources.Filter` shapes a ScanBuilder receives. Conservative:
+    * anything unexpected keeps everything. Shared by the rename-aware
+    * V1 fallback and the DSv2 [[GraftBatch]] split planner. */
+  private[graft] def keepByV1Filters(spark: SparkSession,
+      logical: StructType, entries: Seq[FileEntry],
+      filters: Array[Filter]): Seq[FileEntry] = {
+    try {
+      val ranges = filters.toSeq.flatMap(v1Ranges)
+      val points = filters.toSeq.flatMap(v1Points(logical, _))
+      val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
+      def hashesFor(c: String, vs: Seq[Any]): Any => Seq[Long] =
+        hashCache.getOrElseUpdate(c, {
+          lazy val h = GraftTable.probeHashes(spark, logical(c).dataType, vs, GraftTable.BloomK)
+          v => h(v)
+        })
+      entries.filter(fe => GraftTable.mayMatch(fe.stats, ranges) &&
+        points.forall { case (c, vs) =>
+          GraftTable.mayContainIn(fe.stats, c, vs, hashesFor(c, vs)) })
+    } catch { case scala.util.control.NonFatal(_) => entries }
+  }
+
+  private[graft] def v1Ranges(f: Filter): Seq[ColRange] = f match {
+    case EqualTo(a, v) if v != null => Seq(ColRange(a, Some(v), Some(v)))
+    case GreaterThan(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
+    case GreaterThanOrEqual(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
+    case LessThan(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
+    case LessThanOrEqual(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
+    case And(l, r) => v1Ranges(l) ++ v1Ranges(r)
+    case _ => Nil
+  }
+
+  private[graft] def v1Points(logical: StructType, f: Filter): Seq[(String, Seq[Any])] = f match {
+    case EqualTo(a, v) if v != null && logical.fieldNames.contains(a) =>
+      Seq(a -> Seq(v))
+    case In(a, vs) if logical.fieldNames.contains(a) =>
+      val nn = vs.toSeq.filter(_ != null)
+      if (nn.isEmpty) Nil else Seq(a -> nn)
+    case And(l, r) => v1Points(logical, l) ++ v1Points(logical, r)
+    case _ => Nil
+  }
+
   /** The manifest-stats keep test over catalyst data filters — ranges
     * probe [min,max], point probes additionally hit the blooms (one
     * lazy probe-hash job per IN column, paid only when some file
@@ -222,19 +265,7 @@ private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val kept = try {
-      val ranges = filters.toSeq.flatMap(v1Ranges)
-      val points = filters.toSeq.flatMap(v1Points)
-      val hashCache = scala.collection.mutable.HashMap.empty[String, Any => Seq[Long]]
-      def hashesFor(c: String, vs: Seq[Any]): Any => Seq[Long] =
-        hashCache.getOrElseUpdate(c, {
-          lazy val h = GraftTable.probeHashes(spark, logical(c).dataType, vs, GraftTable.BloomK)
-          v => h(v)
-        })
-      entries.filter(fe => GraftTable.mayMatch(fe.stats, ranges) &&
-        points.forall { case (c, vs) =>
-          GraftTable.mayContainIn(fe.stats, c, vs, hashesFor(c, vs)) })
-    } catch { case scala.util.control.NonFatal(_) => entries }
+    val kept = GraftBatchRead.keepByV1Filters(spark, logical, entries, filters)
     val base = GraftTable.readFileSubset(spark, path, m, kept)
     val filtered = filters.flatMap(GraftBatchRead.v1FilterToColumn).foldLeft(base)(_ filter _)
     val projected =
@@ -242,25 +273,4 @@ private[graft] class GraftProjectedRelation(spark: SparkSession, path: String,
       else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
     projected.rdd
   }
-
-  private def v1Ranges(f: Filter): Seq[ColRange] = f match {
-    case EqualTo(a, v) if v != null => Seq(ColRange(a, Some(v), Some(v)))
-    case GreaterThan(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
-    case GreaterThanOrEqual(a, v) if v != null => Seq(ColRange(a, lo = Some(v)))
-    case LessThan(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
-    case LessThanOrEqual(a, v) if v != null => Seq(ColRange(a, hi = Some(v)))
-    case And(l, r) => v1Ranges(l) ++ v1Ranges(r)
-    case _ => Nil
-  }
-
-  private def v1Points(f: Filter): Seq[(String, Seq[Any])] = f match {
-    case EqualTo(a, v) if v != null && logical.fieldNames.contains(a) =>
-      Seq(a -> Seq(v))
-    case In(a, vs) if logical.fieldNames.contains(a) =>
-      val nn = vs.toSeq.filter(_ != null)
-      if (nn.isEmpty) Nil else Seq(a -> nn)
-    case And(l, r) => v1Points(l) ++ v1Points(r)
-    case _ => Nil
-  }
-
 }

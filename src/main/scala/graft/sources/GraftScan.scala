@@ -1,0 +1,296 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.PartitionedFileUtil
+import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata, InMemoryFileIndex, PartitionDirectory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.core.{DeletionVector, GraftTable}
+import graft.core.GraftTable.{FileEntry, Manifest}
+
+/** The REAL DSv2 read path for GraftTables: a [[Batch]] whose input
+  * partitions are planned from the MANIFEST (stats/bloom file skipping,
+  * zero directory listings, `maxPartitionBytes` packing from manifest
+  * sizes) and whose [[PartitionReaderFactory]] serves Spark's OWN
+  * vectorized parquet readers over those splits — with per-file
+  * deletion-vector and rename handling INSIDE the factory, so one dirty
+  * file never changes how the million clean ones decode.
+  *
+  * This is what lets a catalog-named read in a STOCK session (no
+  * [[graft.expressions.GraftExtensions]]) plan exactly like the Scala
+  * API: vectorized columnar scan, whole-stage fusion above it,
+  * manifest-true statistics driving auto-broadcast — no analysis-rule
+  * plan swap, no V1 `RDD[Row]` boundary.
+  *
+  * Per-file dispatch:
+  *  - files are grouped by (rename map, has-deletion-vector); each
+  *    group gets one inner [[ParquetScan]]-configured reader factory
+  *    whose physical read schema applies the group's renames
+  *    positionally (the emitted batches line up with the logical
+  *    required schema — names never cross the reader boundary);
+  *  - deletion-vectored files additionally request the parquet
+  *    ROW-INDEX generated column, and their readers drop dead
+  *    positions via a binary search against the file's decoded vector
+  *    (executor-cached, [[DeletionVector.load]]) — exact under split
+  *    planning and row-group skipping because parquet-mr derives the
+  *    index from row-group offsets;
+  *  - a snapshot with NO dv'd survivors reports columnar support and
+  *    Spark drives the scan through `ColumnarToRow` whole-stage fusion;
+  *    with dv'd survivors the scan hands off rows (decode underneath is
+  *    STILL the vectorized reader — only the hand-off is per-row).
+  *
+  * Reference analogue: every model reads schema-qualified names
+  * (`models/source.yml:4-19`) on a platform whose reads are natively
+  * columnar — a named read must not cost more than a path read. */
+private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
+    logical: StructType, required: StructType, pushed: Array[Filter])
+    extends Batch with Serializable {
+
+  import GraftBatch._
+
+  /** The `_graft_file` METADATA column ([[GraftBatch.FileMetaCol]]):
+    * when requested it must trail the data columns (Spark appends
+    * metadata columns to the scan schema) and is served as a per-file
+    * constant appended by the reader wrapper — the row-level operation
+    * protocol requires at least one metadata attribute for Spark to
+    * apply its write-side row projections. */
+  private val hasFileMeta = required.fieldNames.contains(FileMetaCol)
+  private val dataRequired =
+    if (!hasFileMeta) required
+    else {
+      val (meta, data) = required.fields.partition(_.name == FileMetaCol)
+      require(required.fields.takeRight(meta.length).forall(_.name == FileMetaCol),
+        s"metadata column $FileMetaCol must trail the data columns in ${required.toDDL}")
+      StructType(data)
+    }
+
+  /** Manifest entries surviving the pushed-filter stats/bloom prune —
+    * the same conservative keep test the V1 relations run. */
+  @transient private[graft] lazy val kept: Seq[FileEntry] =
+    GraftBatchRead.keepByV1Filters(spark, logical,
+      GraftTable.filesOf(path, m), pushed)
+
+  @transient private lazy val statuses: Seq[(FileEntry, FileStatus)] =
+    kept.map { fe =>
+      fe -> new FileStatus(fe.bytes, false, 1, 128L << 20, m.tsUs / 1000L,
+        new HPath(new File(GraftTable.resolveData(path, fe)).toURI))
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (kept.isEmpty) return Array.empty
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      Seq(PartitionDirectory(InternalRow.empty, statuses.map(_._2).toArray[FileStatus])))
+    val files = statuses.flatMap { case (_, st) =>
+      PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
+        st.getPath, isSplitable = true, maxSplit, InternalRow.empty)
+    }.sortBy(-_.length)
+    FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // group by (renames, dv-present): the rename map fixes the physical
+    // read schema; dv-presence decides whether the row-index column
+    // rides along. Each group's inner factory is Spark's own — built
+    // through a ParquetScan so every session conf (timezone, int96,
+    // nested vectorization, nanosAsLong) is threaded identically to a
+    // stock parquet read.
+    val groupKeys = kept.map(fe => (fe.renames.getOrElse(Map.empty), fe.dv.isDefined))
+      .distinct.toIndexedSeq
+    val groups = groupKeys.map { case (ren, dvd) =>
+      val physRequired = StructType(dataRequired.fields.map(f =>
+        f.copy(name = ren.getOrElse(f.name, f.name))))
+      // NULLABLE row-index request: the DSv2 parquet factory (unlike the
+      // V1 ParquetFileFormat) does not strip generated-metadata columns
+      // before the parquet schema check, so a required missing column
+      // would refuse — nullable passes the check, ParquetColumnVector
+      // recognizes the name as a row-index column, and the generator
+      // fills exact indexes (row-group/page skipping included)
+      val readSchema =
+        if (dvd) StructType(physRequired.fields :+ StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+        else physRequired
+      val physData = StructType(logical.fields.map(f =>
+        f.copy(name = ren.getOrElse(f.name, f.name))))
+      val physFilters = pushed.flatMap(renameFilter(_, ren))
+      val inner = ParquetScan(spark,
+        spark.sessionState.newHadoopConfWithOptions(Map.empty),
+        new InMemoryFileIndex(spark, Nil, Map.empty, None),
+        physData, readSchema, new StructType(), physFilters,
+        CaseInsensitiveStringMap.empty()).createReaderFactory()
+        .asInstanceOf[FilePartitionReaderFactory]
+      GroupReaders(inner, dvd)
+    }
+    val assign: Map[String, Int] = statuses.map { case (fe, st) =>
+      st.getPath.toString ->
+        groupKeys.indexOf((fe.renames.getOrElse(Map.empty), fe.dv.isDefined))
+    }.toMap
+    val dvByFile: Map[String, String] = statuses.collect {
+      case (fe, st) if fe.dv.isDefined =>
+        st.getPath.toString -> GraftTable.resolveDv(path, fe.dv.get)
+    }.toMap
+    new GraftReaderFactory(groups, assign, dvByFile,
+      dataRequired.fields.map(_.dataType), hasFileMeta, description)
+  }
+
+  private[graft] def description: String = s"GraftBatch $path v${m.version}"
+}
+
+private[graft] object GraftBatch {
+
+  /** The metadata-column name [[graft.catalog.GraftNamedTable]] exposes:
+    * the full URI of the file serving each row. */
+  private[graft] val FileMetaCol = "_graft_file"
+
+  private[graft] case class GroupReaders(factory: FilePartitionReaderFactory,
+      hasRowIdx: Boolean)
+
+  /** Rename a pushed V1 filter's attribute references onto the group's
+    * physical column names; any shape with an untranslatable part drops
+    * (Spark re-applies every filter post-scan — a dropped translation
+    * is only a missed row-group prune, never a wrong answer). */
+  private[graft] def renameFilter(f: Filter, ren: Map[String, String]): Option[Filter] = {
+    def n(a: String): String = ren.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(n(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(n(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(n(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(n(a), v))
+      case LessThan(a, v) => Some(LessThan(n(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(n(a), v))
+      case In(a, vs) => Some(In(n(a), vs))
+      case IsNull(a) => Some(IsNull(n(a)))
+      case IsNotNull(a) => Some(IsNotNull(n(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(n(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(n(a), v))
+      case StringContains(a, v) => Some(StringContains(n(a), v))
+      case And(l, r) =>
+        for (lc <- renameFilter(l, ren); rc <- renameFilter(r, ren)) yield And(lc, rc)
+      case Or(l, r) =>
+        for (lc <- renameFilter(l, ren); rc <- renameFilter(r, ren)) yield Or(lc, rc)
+      case Not(c) => renameFilter(c, ren).map(Not)
+      case _ => None
+    }
+  }
+}
+
+/** Per-file dispatching reader factory: routes each [[PartitionedFile]]
+  * to its group's inner Spark parquet factory, wrapping deletion-
+  * vectored files with the liveness drop + row-index strip. Columnar
+  * support is scan-wide (Spark requires uniformity): reported only when
+  * no surviving file carries a vector and every inner factory decodes
+  * the read schema vectorized. */
+private[graft] class GraftReaderFactory(
+    groups: IndexedSeq[GraftBatch.GroupReaders],
+    assign: Map[String, Int], dvByFile: Map[String, String],
+    requiredTypes: Array[org.apache.spark.sql.types.DataType],
+    appendFileMeta: Boolean, desc: String) extends PartitionReaderFactory {
+
+  private def groupOf(pf: PartitionedFile): GraftBatch.GroupReaders = {
+    val key = pf.toPath.toString
+    groups(assign.getOrElse(key,
+      throw new IllegalStateException(s"$desc: unplanned file '$key'")))
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !appendFileMeta &&
+      groups.forall(g => !g.hasRowIdx && g.factory.supportColumnarReads(partition))
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[FilePartition].files
+    new ChainReader[InternalRow](files, { pf =>
+      val g = groupOf(pf)
+      val base = g.factory.buildReader(pf)
+      val data =
+        if (!g.hasRowIdx) base
+        else new DvFilterReader(base,
+          DeletionVector.load(dvByFile(pf.toPath.toString)), requiredTypes)
+      if (!appendFileMeta) data
+      else new MetaAppendReader(data, pf.toPath.toString)
+    })
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val files = partition.asInstanceOf[FilePartition].files
+    new ChainReader[ColumnarBatch](files, pf => groupOf(pf).factory.buildColumnarReader(pf))
+  }
+}
+
+/** Sequential composition of per-file readers within one
+  * [[FilePartition]] — readers open lazily (one at a time) and close
+  * before the next opens. */
+private[graft] class ChainReader[T](files: Seq[PartitionedFile],
+    open: PartitionedFile => PartitionReader[T]) extends PartitionReader[T] {
+
+  private val it = files.iterator
+  private var cur: PartitionReader[T] = _
+
+  @annotation.tailrec
+  final override def next(): Boolean = {
+    if (cur == null) {
+      if (!it.hasNext) return false
+      cur = open(it.next())
+    }
+    if (cur.next()) true
+    else { cur.close(); cur = null; next() }
+  }
+
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+/** Drops deletion-vectored positions and strips the trailing generated
+  * row-index column. The inner reader's rows carry the required fields
+  * first and the parquet-generated row index last; a row survives when
+  * its position is absent from the (sorted) vector — one binary search
+  * per row, paid only on dv'd files. */
+private[graft] class DvFilterReader(inner: PartitionReader[InternalRow],
+    dv: Array[Long], requiredTypes: Array[org.apache.spark.sql.types.DataType])
+    extends PartitionReader[InternalRow] {
+
+  private val posIdx = requiredTypes.length
+  private val strip = UnsafeProjection.create(
+    requiredTypes.zipWithIndex.map { case (dt, i) =>
+      BoundReference(i, dt, nullable = true) }.toIndexedSeq)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      if (java.util.Arrays.binarySearch(dv, row.getLong(posIdx)) < 0) {
+        current = strip(row)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+}
+
+/** Appends the trailing `_graft_file` metadata column as a per-file
+  * constant — the reader-side half of
+  * [[graft.catalog.GraftNamedTable]]'s metadata-column surface. */
+private[graft] class MetaAppendReader(inner: PartitionReader[InternalRow],
+    fileUri: String) extends PartitionReader[InternalRow] {
+
+  private val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+    Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(fileUri)))
+  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = joined(inner.get(), metaRow)
+  override def close(): Unit = inner.close()
+}

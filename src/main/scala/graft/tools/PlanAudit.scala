@@ -691,12 +691,14 @@ object PlanAudit {
       println(s"[plan] q150_sql_dml: ${results.mkString(" ")}")
     }
     locally {
-      // q162/q163's catalog surface in the EXTENSION session: named
-      // reads must plan through GraftCatalogScanRule onto the vectorized
-      // manifest FileIndex (a parquet FileSourceScan with stats
-      // file-skipping — NOT the V1Scan row fallback), grammar-native
-      // VERSION AS OF must resolve through the catalog, and named DML
-      // text must route through the parse-time rewrite
+      // q162/q163's catalog surface: named reads are a REAL DSv2
+      // Scan→Batch (GraftBatch) — identical with or without extensions
+      // (the former analysis-rule swap is retired; GraftCatalogSpec
+      // proves the stock-session side with fastEquals + auto-broadcast
+      // pins). Here: columnar v2 BatchScan, stats file-skipping at
+      // split planning, manifest-true stats auto-broadcasting a small
+      // named dim, grammar-native VERSION AS OF, and named DML text
+      // through the parse-time rewrite
       import org.apache.spark.sql.functions.col
       import org.apache.spark.sql.execution.FileSourceScanExec
       import org.apache.spark.sql.execution.adaptive.QueryStageExec
@@ -710,21 +712,28 @@ object PlanAudit {
         "cast(id % 7 as int) AS g")
       GraftTable.writeClustered(rows, root, col("k"), numFiles = 16,
         statsCols = Seq("k"))
-      def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+      // the named read is a REAL DSv2 Batch now (GraftBatch): count the
+      // files the scan's stats prune kept, and demand a columnar v2 plan
+      def v2scans(df: org.apache.spark.sql.DataFrame)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
         df.collect() // execute so AQE finalizes the stages
-        def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        def find(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
           p match {
             case q: QueryStageExec => find(q.plan)
-            case f: FileSourceScanExec => Seq(f)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
             case o => o.children.flatMap(find)
           }
         find(df.queryExecution.executedPlan)
       }
       val sliced = spark.table("graft.dwh.orders").filter(col("k") between (256, 511))
-      val fs = scans(sliced)
+      val fs = v2scans(sliced)
       val expect = GraftTable.readPruned(spark, root,
         Seq(GraftTable.ColRange("k", Some(256), Some(511)))).filesRead
-      val nFiles = fs.map(_.metrics("numFiles").value).sum
+      val nFiles = fs.map(_.scan).collect {
+        case s: graft.catalog.GraftNamedScan =>
+          s.toBatch.asInstanceOf[graft.sources.GraftBatch].kept.length
+      }.sum
       val planStr = sliced.queryExecution.executedPlan.toString
       // grammar-native time travel through the catalog name
       GraftTable.append(rows.selectExpr("k + 10000 AS k", "g"), root)
@@ -736,10 +745,20 @@ object PlanAudit {
       val afterDel = spark.table("graft.dwh.orders").count()
       val checks = Seq(
         "catalog_read_vectorized" -> (fs.nonEmpty &&
+          planStr.contains("ColumnarToRow") &&
           !planStr.contains("RowDataSourceScan")),
         "catalog_scan_skips_files" -> (nFiles == expect && nFiles < 16),
         "version_asof_native" -> (v1n == 4096L && headN == 8192L),
-        "named_dml_routed" -> (afterDel == 4096L))
+        "named_dml_routed" -> (afterDel == 4096L),
+        "named_dim_autobroadcast_v2stats" -> {
+          // v2 SupportsReportStatistics (no V1ScanWrapper to drop them):
+          // a plain join against the small named dim must broadcast it
+          val fact = spark.range(0, 50000).selectExpr(
+            "cast(id % 4096 as int) AS k", "id AS x")
+          val j = fact.join(spark.table("graft.dwh.orders"), "k")
+          j.collect()
+          j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+        })
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q162_catalog: ${results.mkString(" ")}" +
         s" (slice $nFiles/16 expect $expect)")

@@ -234,38 +234,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(!new java.io.File(s"$warehouse/ctas").list().exists(_.contains("__stage")))
   }
 
-  test("the extension scan rule swaps the v2 relation for the vectorized manifest scan") {
+  test("named reads plan a REAL DSv2 Batch: vectorized, file-pruned, stats-true — no extensions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fast")
     val path = s"$warehouse/fast/t"
     GraftTable.writeClustered(Seq.tabulate(40)(i => (i, s"v$i")).toDF("k", "v"),
       path, col("k"), numFiles = 4, statsCols = Seq("k"))
-    val analyzed = spark.table("graft.fast.t").filter(col("k") < 10)
-      .queryExecution.analyzed
-    val rewritten = GraftCatalogScanRule(spark)(analyzed)
-    // the v2 relation is gone; a LogicalRelation over the manifest FileIndex remains
-    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    assert(!rewritten.exists(_.isInstanceOf[DataSourceV2Relation]))
-    assert(rewritten.exists {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation.isInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-      case _ => false
-    })
-    // and it still evaluates to the same rows as the fallback path
-    val viaRule = org.apache.spark.sql.graftbridge.ClassicBridge.ofRows(spark, rewritten)
-    assert(canon(viaRule) ==
-      canon(spark.table("graft.fast.t").filter(col("k") < 10)))
-    // write targets keep their v2 relation (the rule must not break inserts):
-    // V2WriteCommand.table is a FIELD, not a traversed child, and the
-    // DELETE/UPDATE/MERGE guards keep targets that ARE children intact
-    val insertPlan = spark.sessionState.sqlParser
-      .parsePlan("INSERT INTO graft.fast.t VALUES (99, 'z')")
-    val analyzedInsert = spark.sessionState.analyzer.execute(insertPlan)
-    val guarded = GraftCatalogScanRule(spark)(analyzedInsert)
-    val target = guarded.collectFirst {
-      case c: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand => c.table
+    val sliced = spark.table("graft.fast.t").filter(col("k") < 10)
+    // this STOCK session (no extensions) must plan a v2 BatchScan —
+    // never the retired V1 row fallback, never an analysis-rule swap
+    sliced.collect()
+    val planStr = sliced.queryExecution.executedPlan.toString
+    assert(planStr.contains("BatchScan"), s"expected BatchScan in:\n$planStr")
+    assert(!planStr.contains("RowDataSourceScan"), s"V1 row scan leaked into:\n$planStr")
+    // pushed filters prune files through the manifest stats at split
+    // planning: k<10 on a 4-file clustered layout keeps 1 file
+    val scans = sliced.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(target.exists(_.isInstanceOf[DataSourceV2Relation]),
-      s"insert target must stay a v2 relation, got plan:\n$guarded")
+    assert(scans.nonEmpty)
+    val planned = scans.flatMap(_.inputRDD.partitions).length
+    assert(planned >= 1)
+    val keptFiles = scans.map(_.scan).collect {
+      case s: graft.catalog.GraftNamedScan =>
+        s.toBatch.asInstanceOf[graft.sources.GraftBatch].kept.length
+    }.sum
+    // range-partitioner boundaries are approximate — require a strict
+    // prune, not an exact file count
+    assert(keptFiles < 4 && keptFiles >= 1,
+      s"stats prune should skip files, kept $keptFiles/4")
+    assert(canon(sliced) == canon(Seq.tabulate(10)(i => (i, s"v$i")).toDF("k", "v")))
+    // manifest-true statistics flow through the v2 scan (no V1ScanWrapper
+    // to drop them): a small named dim auto-broadcasts in a plain join
+    val fact = spark.range(0, 1000).selectExpr("cast(id % 40 as int) AS k", "id AS x")
+    val joined = fact.join(spark.table("graft.fast.t"), "k")
+    assert(joined.count() == 1000)
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("BroadcastHashJoin"),
+      s"small named dim should auto-broadcast:\n$joinPlan")
+    // the extension rule is a no-op on named reads now (nothing to swap)
+    val analyzed = sliced.queryExecution.analyzed
+    assert(GraftCatalogScanRule(spark)(analyzed).fastEquals(analyzed))
   }
 
   test("readStream.table streams a named table with exactly-once batches") {

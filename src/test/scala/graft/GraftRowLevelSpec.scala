@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.core.GraftTable
+import graft.catalog.GraftCatalog
+
+/** Stock-session row-level SQL on catalog names through
+  * [[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]:
+  * Spark's own rewrite rules plan the group-based protocol against
+  * [[graft.catalog.GraftGroupOperation]] — no extension parser
+  * involved (this session has none). */
+class GraftRowLevelSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft_rowlevel").toString
+
+  spark.conf.set("spark.sql.catalog.grl", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.grl.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS grl.ns")
+
+  test("stock UPDATE rewrites only the stats-pruned files") {
+    val path = s"$warehouse/ns/upd"
+    GraftTable.writeClustered(spark.range(0, 4000)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"),
+      path, col("k"), numFiles = 8, statsCols = Seq("k"))
+    val before = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.path).toSet
+    spark.sql("UPDATE grl.ns.upd SET v = 'hit' WHERE k >= 3500")
+    val t = spark.table("grl.ns.upd")
+    assert(t.count() == 4000)
+    assert(t.filter(col("v") === "hit").count() == 500)
+    assert(t.filter(col("k") < 3500 && col("v") === "hit").count() == 0)
+    assert(canon(t.filter(col("k") === 100).select("v")) == canon(Seq("100").toDF("v")))
+    // the pushed condition pruned: most pre-update files carry forward
+    val after = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.path).toSet
+    val carried = (before intersect after).size
+    assert(carried >= 6, s"expected most of 8 clustered files untouched, carried $carried")
+  }
+
+  test("stock UPDATE with an IN-subquery condition (never V1-translatable)") {
+    val path = s"$warehouse/ns/updsub"
+    GraftTable.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), path)
+    Seq(1, 3).toDF("kk").createOrReplaceTempView("rl_keys")
+    spark.sql("UPDATE grl.ns.updsub SET v = concat(v, '!') " +
+      "WHERE k IN (SELECT kk FROM rl_keys)")
+    assert(canon(spark.table("grl.ns.updsub")) ==
+      canon(Seq((1, "a!"), (2, "b"), (3, "c!")).toDF("k", "v")))
+  }
+
+  test("stock MERGE INTO: matched update + not-matched insert") {
+    val path = s"$warehouse/ns/mrg"
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    Seq((2, "B"), (9, "Z")).toDF("k", "v").createOrReplaceTempView("rl_src")
+    spark.sql("""MERGE INTO grl.ns.mrg t USING rl_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(canon(spark.table("grl.ns.mrg")) ==
+      canon(Seq((1, "a"), (2, "B"), (9, "Z")).toDF("k", "v")))
+  }
+
+  test("stock MERGE with not-matched-by-source delete") {
+    val path = s"$warehouse/ns/mrg2"
+    GraftTable.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), path)
+    Seq((2, "B")).toDF("k", "v").createOrReplaceTempView("rl_src2")
+    spark.sql("""MERGE INTO grl.ns.mrg2 t USING rl_src2 s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(canon(spark.table("grl.ns.mrg2")) == canon(Seq((2, "B")).toDF("k", "v")))
+  }
+
+  test("complex DELETE (subquery) falls through deleteWhere to the row-level path") {
+    val path = s"$warehouse/ns/delsub"
+    GraftTable.overwrite(Seq.tabulate(10)(i => (i, s"v$i")).toDF("k", "v"), path)
+    Seq(0, 2, 4).toDF("kk").createOrReplaceTempView("rl_del")
+    spark.sql("DELETE FROM grl.ns.delsub WHERE k IN (SELECT kk FROM rl_del)")
+    assert(spark.table("grl.ns.delsub").count() == 7)
+    assert(spark.table("grl.ns.delsub").filter(col("k").isin(0, 2, 4)).count() == 0)
+  }
+
+  test("UPDATE on a MOR snapshot reads live rows only; rewritten files shed their vectors") {
+    val path = s"$warehouse/ns/updmor"
+    GraftTable.overwrite(spark.range(0, 100)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), path)
+    GraftTable.deleteWhereMor(spark, path, col("k") < 10)
+    spark.sql("UPDATE grl.ns.updmor SET v = 'x' WHERE k >= 0")
+    val t = spark.table("grl.ns.updmor")
+    assert(t.count() == 90) // the dv'd rows stayed dead through the rewrite
+    assert(t.filter(col("v") =!= "x").count() == 0)
+    assert(GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .forall(_.dv.isEmpty))
+  }
+
+  test("history and time travel survive a row-level commit") {
+    val path = s"$warehouse/ns/hist"
+    GraftTable.overwrite(Seq((1, "a")).toDF("k", "v"), path)
+    val v0 = GraftTable.currentVersion(path).get
+    spark.sql("UPDATE grl.ns.hist SET v = 'b' WHERE k = 1")
+    assert(GraftTable.currentVersion(path).get == v0 + 1)
+    assert(canon(spark.sql(s"SELECT * FROM grl.ns.hist VERSION AS OF $v0")) ==
+      canon(Seq((1, "a")).toDF("k", "v")))
+    assert(canon(spark.table("grl.ns.hist")) == canon(Seq((1, "b")).toDF("k", "v")))
+  }
+
+  test("CHECK constraints veto row-level updates that would violate them") {
+    val path = s"$warehouse/ns/chk"
+    GraftTable.overwrite(Seq((1, 5)).toDF("k", "n"), path)
+    GraftTable.addCheck(spark, path, "pos_n", "n > 0")
+    intercept[Exception](spark.sql("UPDATE grl.ns.chk SET n = -1 WHERE k = 1"))
+    assert(canon(spark.table("grl.ns.chk")) == canon(Seq((1, 5)).toDF("k", "n")))
+    spark.sql("UPDATE grl.ns.chk SET n = 7 WHERE k = 1")
+    assert(canon(spark.table("grl.ns.chk")) == canon(Seq((1, 7)).toDF("k", "n")))
+  }
+}
