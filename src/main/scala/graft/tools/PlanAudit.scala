@@ -1121,11 +1121,37 @@ object PlanAudit {
         case o => o.children.map(findBhj).sum
       }
       val bhj = findBhj(j.queryExecution.sparkPlan)
+      // DV-aware zero-IO count: after a MOR delete on a NAMED table the
+      // count(*) still folds (exact per-file liveRows) with no scan of
+      // ANY kind in the plan, and answers the LIVE count — not the
+      // stale physical one; min/max correctly fall back to a real scan
+      GraftTable.setProperties(s"$wh/ns/t", Map("graft.deletionVectors" -> "true"))
+      GraftTable.deleteWhereMor(spark, s"$wh/ns/t",
+        org.apache.spark.sql.functions.col("k") >= 2990)
+      def anyScans(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        def findAll(p: SparkPlan): Int = p match {
+          case a: AdaptiveSparkPlanExec => findAll(a.executedPlan)
+          case q: QueryStageExec => findAll(q.plan)
+          case _: FileSourceScanExec => 1
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => 1
+          case o => o.children.map(findAll).sum
+        }
+        findAll(df.queryExecution.executedPlan)
+      }
+      val dvCount = spark.sql("SELECT count(*) AS n FROM gmeta.ns.t")
+      val dvCountScans = anyScans(dvCount)
+      val dvCountN = dvCount.collect().head.getLong(0)
+      val dvMax = spark.sql("SELECT max(k) AS m FROM gmeta.ns.t")
+      val dvMaxScans = anyScans(dvMax)
+      val dvMaxV = dvMax.collect().head.getLong(0)
       val checks = Seq(
         "named_count_zero_scans" -> (nScans == 0),
         "named_values_exact" -> (row.getLong(0) == 3000L &&
           row.getLong(1) == 0L && row.getLong(2) == 2999L),
-        "named_dim_autobroadcasts" -> (bhj > 0))
+        "named_dim_autobroadcasts" -> (bhj > 0),
+        "mor_named_count_zero_scans_exact" -> (dvCountScans == 0 && dvCountN == 2990L),
+        "mor_named_minmax_keeps_real_scan" -> (dvMaxScans > 0 && dvMaxV == 2989L))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] named_meta_agg: ${results.mkString(" ")}")
     }

@@ -351,6 +351,38 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("named-table metadata aggregates: DV-aware count folds, bounds bail, rule-on == rule-off") {
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.gps", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gps.ns")
+    val path = s"$wh/ns/t"
+    GraftTable.writeClustered(spark.range(0, 500).select(col("id").as("k"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id").cast("double")).as("x")),
+      path, col("k"), 4, statsCols = Seq("k", "x"))
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    GraftTable.deleteWhereMor(spark, path, col("k") >= 450)
+    def run(q: String) = spark.sql(q).collect().head
+    val queries = Seq(
+      "SELECT count(*) AS n FROM gps.ns.t",
+      "SELECT count(x) AS n FROM gps.ns.t",        // nullable + DV -> must bail
+      "SELECT min(k) AS a, max(k) AS b FROM gps.ns.t", // DV -> must bail
+      "SELECT count(*) AS n FROM gps.ns.t WHERE k < 100", // clean-classified slice
+      "SELECT count(*) AS n FROM gps.ns.t WHERE k >= 400") // straddles the DV'd file
+    for (q <- queries) {
+      val off = run(q)
+      val on = installed { run(q) }
+      assert(on == off, s"rule-on $on != rule-off $off for: $q")
+    }
+    // and the live-count fold is REAL: count(*) answers 450, not 500
+    assert(installed { run("SELECT count(*) AS n FROM gps.ns.t") }.getLong(0) == 450L)
+    // a rename bails everything (stale physical names must never serve stats)
+    GraftTable.renameColumn(path, "x", "y")
+    val offR = run("SELECT count(*) AS n, min(k) AS mn FROM gps.ns.t")
+    val onR = installed { run("SELECT count(*) AS n, min(k) AS mn FROM gps.ns.t") }
+    assert(onR == offR)
+  }
+
   test("non-Graft parquet scans and non-range predicates are untouched") {
     val dir = tmp() + "/plain"
     spark.range(0, 100).select(col("id").as("k")).repartition(4)
