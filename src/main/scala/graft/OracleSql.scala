@@ -370,6 +370,26 @@ SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
 FROM orders
 WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
 
+    // q147's replica driven ENTIRELY BY CATALOG NAMES: the change feed
+    // consumed through the metadata child table `cat.dwh.src.changes`
+    // (readStream.table) — same declarative end state
+    "q173_named_cdf_replica" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+       CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 2
+            ELSE o_totalprice END AS total
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
+
+    // the BATCH named change feed folded declaratively (last commit
+    // wins per key, insert-over-delete) must equal the head state —
+    // the CDF completeness contract
+    "q174_named_cdf_batch" -> """
+SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+       CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice * 2
+            ELSE o_totalprice END AS total
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
+
     // same contract as q104 — the optimizer rule must be invisible to
     // results (it only removes provably-dead file IO)
     "q134_ruled_scan" -> """

@@ -1955,6 +1955,88 @@ object Queries {
   private lazy val q147Root: String =
     java.nio.file.Files.createTempDirectory("graft_cdf_stream").toString
 
+  private lazy val q173Root: String =
+    java.nio.file.Files.createTempDirectory("graft_named_cdf").toString
+
+  /** Build q173/q174's shared NAMED source table: the q147/q132 commit
+    * history (initial load, append, keyed COW update, keyed delete)
+    * under `cat.dwh.src`, rebuilt fresh per invocation. Returns the
+    * per-JVM catalog name. */
+  private def buildNamedCdfSrc(s: SparkSession, d: String): String = {
+    import graft.core.GraftTable
+    val cat = "graftcdf"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q173Root)
+    }
+    TableIO.clearDir(s"$q173Root/dwh")
+    TableIO.clearDir(s"$q173Root/ckpt")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dwh")
+    val src = s"$q173Root/dwh/src"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), src)
+    GraftTable.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), src)
+    val upd = GraftTable.read(s, src)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    GraftTable.upsertByKey(s, src, upd, Seq("o_orderkey"))
+    GraftTable.deleteByKey(s, src, GraftTable.read(s, src)
+      .filter(pmod(col("o_custkey"), lit(7)) === 0)
+      .select(col("o_orderkey")), Seq("o_orderkey"))
+    cat
+  }
+
+  /** q173: q147's streamed CDF replica driven ENTIRELY BY NAMES — the
+    * change feed consumed through the metadata CHILD table
+    * `cat.dwh.src.changes` (`readStream.table`,
+    * [[graft.catalog.GraftChangesTable]]), folded into a replica with
+    * the same delete-then-upsert per micro-batch, and the result read
+    * back through its catalog NAME. No filesystem path ever crosses
+    * the consumer's code. Oracle: q132's declarative end state. */
+  def namedCdfReplicaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = buildNamedCdfSrc(s, d)
+    val dst = s"$q173Root/dwh/dst"
+    val feed = s.readStream.option("maxVersionsPerTrigger", 1)
+      .table(s"$cat.dwh.src.changes")
+    val q = feed.writeStream
+      .option("checkpointLocation", s"$q173Root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val dels = b.filter(col("_change_type") === "delete")
+          .select(col("o_orderkey")).distinct()
+        val ins = b.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version")
+        if (GraftTable.exists(dst) && dels.head(1).nonEmpty)
+          GraftTable.deleteByKey(b.sparkSession, dst, dels, Seq("o_orderkey")): Unit
+        if (ins.head(1).nonEmpty)
+          GraftTable.upsertByKey(b.sparkSession, dst, ins, Seq("o_orderkey")): Unit
+      }.start()
+    q.awaitTermination()
+    s.table(s"$cat.dwh.dst").select(col("o_orderkey"), col("o_custkey"),
+      micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
+  }
+
+  /** q174: the BATCH named change feed — the full-history span of
+    * `cat.dwh.src.changes` read as one batch DataFrame (the same
+    * O(changed files) partitions the stream would plan) and folded
+    * DECLARATIVELY to the head state: per key, the highest
+    * `_commit_version` wins, insert-over-delete within it; a key whose
+    * last event is a bare delete is gone. Folding the feed must equal
+    * reading the table — the CDF completeness contract. */
+  def namedCdfBatchQ(s: SparkSession, d: String): DataFrame = {
+    val cat = buildNamedCdfSrc(s, d)
+    val feed = s.read.table(s"$cat.dwh.src.changes")
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_change_type") === "insert")
+      .select(col("o_orderkey"), col("o_custkey"),
+        micros(col("o_orderdate")).as("order_us"), col("o_totalprice").as("total"))
+  }
+
   /** q147: the ROW-LEVEL change feed streamed — q132's replica rebuilt
     * through `readChangeFeed=true` (Delta CDF streaming re-derived):
     * COW rewrites arrive as explicit delete pre-images + insert
@@ -2769,6 +2851,8 @@ object Queries {
     "q170_dynamic_prune" -> (dynamicPruneQ _),
     "q171_meta_agg" -> (metaAggQ _),
     "q172_meta_count_filtered" -> (metaCountFilteredQ _),
+    "q173_named_cdf_replica" -> (namedCdfReplicaQ _),
+    "q174_named_cdf_batch" -> (namedCdfBatchQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

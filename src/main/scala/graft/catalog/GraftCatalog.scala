@@ -160,9 +160,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    if (!GraftTable.exists(path)) throw new NoSuchTableException(ident)
+    if (!GraftTable.exists(path)) {
+      // Iceberg-style metadata CHILD table: `graft.ns.t.changes` is the
+      // NAMED change-feed surface of `graft.ns.t` — batch and streaming
+      changesParent(ident).foreach(parent =>
+        return new GraftChangesTable(fullName(ident), parent))
+      throw new NoSuchTableException(ident)
+    }
     new GraftNamedTable(fullName(ident), path, pin = None)
   }
+
+  /** `ident` = [ns…, table, "changes"] over an existing GraftTable →
+    * that table's directory. */
+  private def changesParent(ident: Identifier): Option[String] =
+    if (ident.name != "changes" || ident.namespace.isEmpty) None
+    else {
+      val parent = (warehouse +: ident.namespace.toSeq).mkString("/")
+      if (GraftTable.exists(parent)) Some(parent) else None
+    }
 
   /** `VERSION AS OF v` — grammar-native time travel. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -538,8 +553,9 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   /** `spark.readStream.table("graft.ns.t")` — the same micro-batch
     * stream as `readStream.format("graft").load(path)`, so named and
     * path-addressed consumers share offset/limit/consumer semantics.
-    * Change-feed reads stay on the path-addressed form (the CDF schema
-    * carries metadata columns the catalog-declared schema cannot). */
+    * Change-feed reads go through the metadata CHILD table
+    * `graft.ns.t.changes` ([[GraftChangesTable]]), whose declared
+    * schema carries the CDF columns this table's cannot. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(pin.isEmpty, "cannot stream from a time-travel pinned snapshot")
     require(!(options.containsKey("startingVersion") &&
@@ -591,5 +607,111 @@ private[graft] class GraftNamedWriteBuilder(path: String,
       new graft.sources.GraftStreamingWrite(path, "q:" + info.queryId,
         info.schema, csv("statsCols"), csv("bloomCols"), SparkSession.active)
     }
+  }
+}
+
+/** The NAMED change-feed surface — an Iceberg-style metadata CHILD
+  * table: `graft.ns.t.changes` exposes `graft.ns.t`'s row-level change
+  * feed with the data columns plus `_change_type` / `_commit_version`,
+  * so replica and audit consumers never need a filesystem path:
+  *
+  * {{{
+  *   -- batch: a version span (defaults: full history → head)
+  *   spark.read.option("startingVersion", 2).option("endingVersion", 5)
+  *     .table("graft.ns.t.changes")
+  *   -- streaming: the same incremental CDF as
+  *   -- readStream.format("graft").option("readChangeFeed", true)
+  *   spark.readStream.table("graft.ns.t.changes")
+  * }}}
+  *
+  * Both forms ride [[graft.sources.GraftMicroBatchStream]]'s change
+  * planner: COW rewrites emit delete(pre-image) + insert(new rows),
+  * MOR vector swaps emit only their delta rows, planning is
+  * O(changed files) per version — never a snapshot scan. The batch
+  * form is the same partition set the stream would plan for the span,
+  * served by the same reader factory. */
+private[graft] class GraftChangesTable(tableName: String, parent: String)
+    extends Table with SupportsRead {
+
+  private def dataSchema: StructType = StructType.fromDDL(
+    GraftTable.currentManifest(parent).getOrElse(
+      throw new IllegalStateException(s"graft table '$parent' vanished")).schemaDdl)
+
+  override def name(): String = tableName
+  override def schema(): StructType = StructType(dataSchema.fields ++ Seq(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): JMap[String, String] =
+    java.util.Collections.emptyMap[String, String]()
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftChangesScan(parent, schema(), options)
+    }
+}
+
+private[graft] class GraftChangesScan(parent: String, cdfSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+
+  private def dataSchema = StructType(cdfSchema.fields.dropRight(2))
+
+  override def readSchema(): StructType = cdfSchema
+  override def description(): String = s"GraftChanges $parent"
+
+  /** Batch span: `startingVersion`/`startingTimestamp` pin the first
+    * consumed version (default: full history), `endingVersion` the last
+    * (default: head) — the exact partitions the stream would plan for
+    * that span, through the same reader factory. */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val head = GraftTable.currentManifest(parent).getOrElse(
+      throw new IllegalArgumentException(s"'$parent' is not a GraftTable")).version
+    val from = Option(options.get("startingVersion")).map(v => math.max(0L, v.toLong - 1))
+      .orElse(Option(options.get("startingTimestamp")).map { s =>
+        val ts = GraftBatchRead.tsMicros(s)
+        try GraftTable.manifestAsOf(parent, ts - 1).version
+        catch { case _: IllegalArgumentException => 0L }
+      }).getOrElse(0L)
+    val to = Option(options.get("endingVersion")).map(_.toLong).getOrElse(head)
+    require(from <= to, s"change span is empty: after v$from through v$to")
+    val planner = new GraftMicroBatchStream(parent, dataSchema, dataSchema,
+      cdf = true, None, None, None, ignoreChanges = false)
+    val (f, t) = (from, to)
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        planner.planInputPartitions(graft.sources.GraftVersionOffset(f),
+          graft.sources.GraftVersionOffset(t))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new graft.sources.GraftGroupReaderFactory
+    }
+  }
+
+  /** `spark.readStream.table("graft.ns.t.changes")` — the identical
+    * micro-batch CDF stream as the path-addressed
+    * `readStream.format("graft").option("readChangeFeed", true)`. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!(options.containsKey("startingVersion") &&
+        options.containsKey("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    new GraftMicroBatchStream(parent, dataSchema, dataSchema, cdf = true,
+      Option(options.get("startingVersion")),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      ignoreChanges = false,
+      Option(options.get("consumerId")),
+      Option(options.get("startingTimestamp")))
   }
 }

@@ -489,7 +489,7 @@ private[graft] case class GraftFilePartition(file: String, rows: Long,
     dvOnlyNew: Option[String] = None,
     dvOnlyPrior: Option[String] = None) extends InputPartition
 
-private[sources] class GraftGroupReaderFactory extends PartitionReaderFactory {
+private[graft] class GraftGroupReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     new GraftGroupReader(p, StructType.fromDDL(p.requiredDdl))

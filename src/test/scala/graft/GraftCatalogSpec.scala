@@ -379,6 +379,56 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(e.getMessage.contains("warehouse"))
   }
 
+  test("the .changes metadata child table: batch spans, streaming parity, loud errors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdf")
+    val path = s"$warehouse/cdf/t"
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b"), path)            // v1
+    GraftTable.append(kv(3 -> "c"), path)                         // v2
+    GraftTable.upsertByKey(spark, path, kv(2 -> "B"), Seq("k"))   // v3 rewrite
+    GraftTable.deleteByKey(spark, path, Seq(1).toDF("k"), Seq("k")) // v4
+    val feed = spark.read.table("graft.cdf.t.changes")
+    assert(feed.columns.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version"))
+    // folding the full feed reproduces the named head read
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("_commit_version").desc,
+      when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    val folded = feed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_change_type") === "insert")
+      .select("k", "v")
+    assert(canon(folded) == canon(spark.table("graft.cdf.t")))
+    // a span: only v2's append
+    val span = spark.read.option("startingVersion", 2).option("endingVersion", 2)
+      .table("graft.cdf.t.changes")
+    assert(canon(span.select("k", "v", "_change_type")) ==
+      canon(Seq((3, "c", "insert")).toDF("k", "v", "_change_type")))
+    // streaming through the child table == the path-addressed CDF stream
+    val ckpt = Files.createTempDirectory("graft_cdf_named_ck").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.table("graft.cdf.t.changes").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.toString): Unit
+      }.start()
+    q.awaitTermination()
+    val ckpt2 = Files.createTempDirectory("graft_cdf_path_ck").toString
+    val exp = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = spark.readStream.format("graft").option("readChangeFeed", "true")
+      .load(path).writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        exp ++= b.collect().map(_.toString): Unit
+      }.start()
+    q2.awaitTermination()
+    assert(got.sorted == exp.sorted)
+    // errors: empty span refuses; .changes of a non-table stays missing
+    intercept[Exception](spark.read.option("startingVersion", 9)
+      .option("endingVersion", 3).table("graft.cdf.t.changes").collect())
+    intercept[Exception](spark.table("graft.cdf.missing.changes").collect())
+  }
+
   test("loadTable of a missing table fails loudly, tableExists answers quietly") {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
