@@ -92,7 +92,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def visibleDirs(d: File): Seq[File] =
     Option(d.listFiles).getOrElse(Array.empty[File]).toSeq
-      .filter(f => f.isDirectory && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !GraftTable.tombstoned(f.getPath))
 
   // ------------------------------------------------------------- namespaces
 
@@ -113,7 +114,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val d = nsDir(namespace)
-    namespace.nonEmpty && d.isDirectory && !GraftTable.exists(d.getPath)
+    namespace.nonEmpty && d.isDirectory && !GraftTable.exists(d.getPath) &&
+      !GraftTable.tombstoned(d.getPath)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
@@ -300,13 +302,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** DROP with a racing-committer fence: the tombstone lands FIRST
+    * ([[GraftTable.markDropped]]) so any in-flight CAS commit fails
+    * loudly instead of landing in a half-deleted directory; then the
+    * tree is reclaimed with the fence kept. A later CREATE at the same
+    * name clears the fence ([[GraftTable.tryCommit]]'s v1 rule). */
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)
-    if (!GraftTable.exists(path)) return false
-    def rm(f: File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
-    rm(new File(path)); true
+    val live = GraftTable.exists(path)
+    if (!live && !GraftTable.tombstoned(path)) return false
+    if (live) GraftTable.markDropped(path, "dropped")
+    GraftTable.reclaimDropped(path)
+    live
   }
 
+  /** RENAME with the same fence: after the directory moves, a tombstone
+    * ("renamed to …") lands at the OLD path so a racing writer cannot
+    * resurrect the table there — its commit fails loudly naming the new
+    * location. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = tablePath(oldIdent)
     val to = tablePath(newIdent)
@@ -316,6 +329,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(catalogName +: newIdent.namespace.toSeq)
     java.nio.file.Files.move(new File(from).toPath, new File(to).toPath)
+    GraftTable.markDropped(from, s"renamed to '$to'")
   }
 }
 

@@ -269,9 +269,53 @@ object GraftTable {
   }
 
   private[graft] def currentManifest(path: String): Option[Manifest] =
-    manifestFiles(path).lastOption.map(parseManifest)
+    if (tombstoned(path)) None
+    else manifestFiles(path).lastOption.map(parseManifest)
 
-  def exists(path: String): Boolean = manifestFiles(path).nonEmpty
+  def exists(path: String): Boolean =
+    !tombstoned(path) && manifestFiles(path).nonEmpty
+
+  // ------------------------------------------------------ drop tombstones
+
+  /** The DROP/RENAME fence: `_graft_log/_dropped` marks a reclaimed
+    * name. It is written BEFORE the tree is deleted (or right after a
+    * rename moves it), and [[tryCommit]] refuses to land any further
+    * version behind it — a racing writer mid-CAS fails loudly instead
+    * of committing into a half-deleted directory or resurrecting a
+    * moved table at its old path. The fence outlives the delete; a
+    * fresh v1 creation (CREATE/first write/CTAS) reclaims the name by
+    * clearing it. [[exists]]/[[currentManifest]] treat a tombstoned
+    * path as no-table, so readers never see the torn residue. */
+  private def tombstoneFile(path: String): File = new File(logDir(path), "_dropped")
+
+  private[graft] def tombstoned(path: String): Boolean = tombstoneFile(path).isFile
+
+  private[graft] def tombstoneReason(path: String): String =
+    try new String(Files.readAllBytes(tombstoneFile(path).toPath), UTF_8)
+    catch { case _: java.io.IOException => "dropped" }
+
+  /** Write the fence (idempotent). `reason` surfaces in the racing
+    * writer's error — "dropped" or "renamed to '<new path>'". */
+  private[graft] def markDropped(path: String, reason: String): Unit = {
+    logDir(path).mkdirs()
+    Files.write(tombstoneFile(path).toPath, reason.getBytes(UTF_8)): Unit
+  }
+
+  /** Delete a dropped table's tree but KEEP the fence (the tombstone
+    * file and its directory chain) so stragglers stay fenced after the
+    * reclaim completes. */
+  private[graft] def reclaimDropped(path: String): Unit = {
+    val keep = tombstoneFile(path).getCanonicalFile
+    val keepDirs = Set(new File(path).getCanonicalFile, keep.getParentFile)
+    def rm(f: File): Unit = {
+      val cf = f.getCanonicalFile
+      if (cf != keep) {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        if (!keepDirs(cf)) f.delete(): Unit
+      }
+    }
+    rm(new File(path))
+  }
 
   /** Commit timestamp, strictly greater than the parent's so
     * [[readAsOf]] resolves unambiguously even for sub-microsecond
@@ -283,6 +327,17 @@ object GraftTable {
     * name — atomically fails with EEXIST if another writer committed this
     * version first (the object-store analogue is a conditional PUT). */
   private[graft] def tryCommit(path: String, m: Manifest): Boolean = {
+    if (tombstoned(path)) {
+      val reason = tombstoneReason(path)
+      // a FIRST commit over a fully-reclaimed name re-creates the table
+      // fresh — clear the fence; anything else is a racing writer whose
+      // table vanished under it: refuse loudly, never resurrect
+      if (m.version == 1 && manifestFiles(path).isEmpty)
+        tombstoneFile(path).delete(): Unit
+      else throw new IllegalStateException(
+        s"graft table '$path' was $reason — cannot commit v${m.version}; " +
+          "the snapshot this write was based on no longer exists")
+    }
     val dir = logDir(path); dir.mkdirs()
     val tmp = new File(dir, ".tmp-" + java.util.UUID.randomUUID.toString)
     Files.write(tmp.toPath, Serialization.writePretty(m).getBytes(UTF_8))
@@ -702,6 +757,12 @@ object GraftTable {
       val (inline, parentLeaves) = op match {
         case "overwrite" => (staged, Nil)
         case "append" =>
+          // a rebase that finds the table GONE behind a drop/rename
+          // fence must not quietly re-create it — the overwrite/create
+          // paths reclaim a name deliberately; an append never does
+          if (cur.isEmpty && tombstoned(path))
+            throw new IllegalStateException(
+              s"graft table '$path' was ${tombstoneReason(path)} — append aborted")
           cur.foreach(m => require(sameSchema(m.schemaDdl, df.schema),
             s"append schema mismatch vs '$path' v${m.version}: table has " +
               s"[${m.schemaDdl}], append has [${df.schema.toDDL}] — overwrite to evolve"))

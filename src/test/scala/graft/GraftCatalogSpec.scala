@@ -150,8 +150,13 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(!GraftTable.exists(s"$warehouse/mv/a"))
     assert(canon(spark.table("graft.mv.b")) == canon(kv(1 -> "a")))
     spark.sql("DROP TABLE graft.mv.b")
-    assert(!new java.io.File(s"$warehouse/mv/b").exists)
+    // the tree is reclaimed; only the racing-committer fence (tombstone)
+    // may remain, and it is invisible to every surface
+    assert(!GraftTable.exists(s"$warehouse/mv/b"))
+    assert(!new java.io.File(s"$warehouse/mv/b/data").exists)
     intercept[Exception](spark.table("graft.mv.b").collect())
+    assert(!spark.sql("SHOW TABLES IN graft.mv").collect()
+      .map(_.getString(1)).contains("b"))
   }
 
   test("CTAS through the catalog materializes the query") {
@@ -427,6 +432,53 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     intercept[Exception](spark.read.option("startingVersion", 9)
       .option("endingVersion", 3).table("graft.cdf.t.changes").collect())
     intercept[Exception](spark.table("graft.cdf.missing.changes").collect())
+  }
+
+  test("drop/rename fence racing committers: staged writes fail loudly, never resurrect") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.race")
+    val path = s"$warehouse/race/t"
+    GraftTable.overwrite(kv(1 -> "a"), path)
+    // DROP lands between a writer's stage and its commit: the tombstone
+    // fence turns the commit into a loud failure, not a resurrection
+    GraftTable.betweenStageAndCommitForTests = () => {
+      spark.sql("DROP TABLE graft.race.t")
+      GraftTable.betweenStageAndCommitForTests = () => ()
+    }
+    try {
+      val e = intercept[IllegalStateException](GraftTable.append(kv(2 -> "b"), path))
+      assert(e.getMessage.contains("dropped"), e.getMessage)
+    } finally GraftTable.betweenStageAndCommitForTests = () => ()
+    assert(!GraftTable.exists(path))
+    assert(GraftTable.currentVersion(path).isEmpty)
+    // the name is reclaimable: CREATE clears the fence, history restarts
+    spark.sql("CREATE TABLE graft.race.t (k INT, v STRING)")
+    spark.sql("INSERT INTO graft.race.t VALUES (7, 'z')")
+    assert(canon(spark.table("graft.race.t")) == canon(kv(7 -> "z")))
+    assert(GraftTable.currentVersion(path).contains(2L))
+
+    // RENAME fence: the old path refuses the straggler's commit by
+    // naming the table's new home; the moved table is untouched
+    val p2 = s"$warehouse/race/src"
+    GraftTable.overwrite(kv(1 -> "a"), p2)
+    GraftTable.betweenStageAndCommitForTests = () => {
+      spark.sql("ALTER TABLE graft.race.src RENAME TO race.moved")
+      GraftTable.betweenStageAndCommitForTests = () => ()
+    }
+    try {
+      val e2 = intercept[IllegalStateException](GraftTable.append(kv(2 -> "b"), p2))
+      assert(e2.getMessage.contains("renamed to"), e2.getMessage)
+    } finally GraftTable.betweenStageAndCommitForTests = () => ()
+    assert(canon(spark.table("graft.race.moved")) == canon(kv(1 -> "a")))
+    assert(!GraftTable.exists(p2))
+    // residue is invisible everywhere: not a table, not a namespace
+    val tables = spark.sql("SHOW TABLES IN graft.race").collect()
+      .map(_.getString(1)).toSet
+    assert(tables == Set("t", "moved"), tables.toString)
+    assert(spark.sql("SHOW NAMESPACES IN graft.race").isEmpty)
+    // dropping the residue name again answers false (nothing to drop)
+    assert(!spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].dropTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("race"), "ghost")))
   }
 
   test("loadTable of a missing table fails loudly, tableExists answers quietly") {
