@@ -29,6 +29,15 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // warm the MEMOIZED northwind warehouse for the benched SF untimed:
+    // ensureBuilt caches per sfDir, so without this the first nw-family
+    // companion query in the run absorbs the whole 25-model build —
+    // BENCH_MEDIANS flagged q94_nw_dim_shipper at 141.7x max/min for
+    // exactly this (the build landing on pass 1's shuffled first-touch).
+    // q36 (fact_order) still rebuilds fresh by design — it TIMES the
+    // pipeline; the companions time their queries.
+    try graft.northwind.NorthwindWarehouse.ensureBuilt(spark, sfDir): Unit
+    catch { case _: Throwable => () }
     // median of 3 runs per query: one contended/noisy execution (round-1's
     // 141 s driver run vs the 27 s judge re-run) can't distort the signal.
     // q16/q17/q30 intentionally time temp-dir writer IO — they gate the
