@@ -551,16 +551,62 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   /** Manifest-true, PRUNE-AWARE stats: called post-pushdown, so the
     * pushed filters have already narrowed the entry set through the
     * per-file stats/blooms — a sliced fact reports the slice's bytes,
-    * not the table's, and join planning sees real cardinalities. */
+    * not the table's, and join planning sees real cardinalities.
+    *
+    * COLUMN statistics ride along for Catalyst's CBO: exact null
+    * counts from the per-file stats, and DISTINCT-COUNT estimates
+    * folded from the bloom sidecars ([[GraftTable.bloomNdv]] — the
+    * k-hash blooms double as cardinality sketches, zero extra write
+    * cost). With `spark.sql.cbo.joinReorder.enabled` the multi-way
+    * joins over named tables order themselves from real manifest
+    * cardinalities instead of the syntactic order — at 100 TB that is
+    * the difference between joining through the 100-row dim first and
+    * materializing a fact×fact intermediate. Renamed entries report no
+    * column stats (a retired physical name can collide with a current
+    * logical one); DV'd snapshots keep NDV (the sketch is of the
+    * physical key set — an upper bound) but drop null counts. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val entries = graft.sources.GraftBatchRead.keepByV1Filters(SparkSession.active,
       StructType.fromDDL(manifest.schemaDdl), GraftTable.filesOf(path, manifest), pushed)
     val (bytes, rows) = (entries.map(_.bytes).sum, entries.map(_.liveRows).sum)
+    val anyDv = entries.exists(_.dv.isDefined)
+    val anyRen = entries.exists(_.renames.exists(_.nonEmpty))
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      new java.util.HashMap()
+    // zero-row part files (empty write partitions) carry no stats and
+    // can't affect null counts or NDV — they must not veto the columns
+    val statEntries = entries.filter(_.rows > 0)
+    if (statEntries.nonEmpty && !anyRen) {
+      StructType.fromDDL(manifest.schemaDdl).fields.foreach { f =>
+        val ss = statEntries.flatMap(_.stats.get(f.name))
+        if (ss.size == statEntries.size) {
+          val nulls: Option[Long] = if (anyDv) None else Some(ss.map(_.nulls).sum)
+          val blooms = ss.flatMap(_.bloom)
+          val ndv: Option[Long] =
+            if (blooms.size == statEntries.size) GraftTable.bloomNdv(blooms) else None
+          if (nulls.isDefined || ndv.isDefined)
+            colStats.put(
+              org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.map(n => java.util.OptionalLong.of(math.min(n, rows)))
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+        }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

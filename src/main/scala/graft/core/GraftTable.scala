@@ -541,6 +541,41 @@ object GraftTable {
   private def bloomPositions(c: Column, dt: DataType, k: Int, m: Int): Column =
     array((0 until k).map(i => pmod(xxhash64(c.cast(dt), lit(i)), lit(m.toLong))): _*)
 
+  /** DISTINCT-COUNT estimate from the per-file bloom sidecars — the
+    * manifest's NDV channel for join planning, zero extra write cost:
+    * a k-hash bloom doubles as a cardinality sketch via the standard
+    * fill-ratio estimator `n ≈ -(m/k)·ln(1 − X/m)` (X = set bits).
+    * Same-geometry blooms OR-merge first, so the estimate is of the
+    * UNION of the files' key sets (duplicates across files collapse —
+    * the right semantics for a table-level NDV); mixed geometries fall
+    * back to the sum of per-file estimates, an upper bound. A
+    * saturated bloom (every bit set) carries no signal — None. */
+  private[graft] def bloomNdv(blooms: Seq[String]): Option[Long] = {
+    if (blooms.isEmpty) return None
+    def parse(s: String): (Int, Int, Array[Byte]) = {
+      val Array(k, m, b64) = s.split(":", 3)
+      (k.toInt, m.toInt, java.util.Base64.getDecoder.decode(b64))
+    }
+    def estimate(k: Int, m: Int, bits: Array[Byte]): Option[Long] = {
+      val x = bits.foldLeft(0L)((acc, b) => acc + java.lang.Integer.bitCount(b & 0xff))
+      if (x >= m) None
+      else Some(math.round(-(m.toDouble / k) * math.log1p(-x.toDouble / m)))
+    }
+    val parsed = try blooms.map(parse)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val geos = parsed.map(p => (p._1, p._2)).distinct
+    if (geos.size == 1) {
+      val (k, m) = geos.head
+      val merged = new Array[Byte](m / 8)
+      parsed.foreach(p => for (i <- merged.indices)
+        merged(i) = (merged(i) | p._3(i)).toByte)
+      estimate(k, m, merged)
+    } else {
+      val per = parsed.map(p => estimate(p._1, p._2, p._3).getOrElse(return None))
+      Some(per.sum)
+    }
+  }
+
   private def packBloom(k: Int, m: Int, positions: Seq[Long]): String = {
     val bytes = new Array[Byte](m / 8)
     positions.foreach { p => bytes(p.toInt >>> 3) = (bytes(p.toInt >>> 3) | (1 << (p.toInt & 7))).toByte }

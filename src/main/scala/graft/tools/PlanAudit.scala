@@ -1156,6 +1156,60 @@ object PlanAudit {
       println(s"[plan] named_meta_agg: ${results.mkString(" ")}")
     }
     locally {
+      // manifest NDV sketches driving CBO: the per-file bloom sidecars
+      // double as distinct-count estimates surfaced through the named
+      // scan's v2 column statistics — with join reorder on, a 3-way
+      // join written in a PESSIMAL order (fact x mid first, the
+      // 4-row-selective tiny dim last) must re-order to join through
+      // tiny FIRST, from manifest cardinalities alone (no ANALYZE, no
+      // hints). Broadcast is disabled so the order is the cost lever.
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_cbo_wh").toString
+      spark.conf.set("spark.sql.catalog.gcbo", classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gcbo.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gcbo.ns")
+      GraftTable.overwrite(spark.range(0, 200000).selectExpr(
+        "id % 20000 AS k1", "id % 200 AS k2", "id AS payload"),
+        s"$wh/ns/fact", bloomCols = Seq("k1", "k2"))
+      GraftTable.overwrite(spark.range(0, 20000).selectExpr(
+        "id AS k1", "id % 50 AS battr"), s"$wh/ns/mid", bloomCols = Seq("k1"))
+      GraftTable.overwrite(spark.range(0, 4).selectExpr(
+        "id AS k2", "id AS cattr"), s"$wh/ns/tiny", bloomCols = Seq("k2"))
+      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val q = spark.sql("SELECT count(*) AS n FROM gcbo.ns.fact f " +
+          "JOIN gcbo.ns.mid m ON f.k1 = m.k1 " +
+          "JOIN gcbo.ns.tiny t ON f.k2 = t.k2")
+        val opt = q.queryExecution.optimizedPlan.treeString
+        // the reordered tree joins tiny in the INNER subtree (it
+        // appears above mid in the indented dump)
+        val lines = opt.linesIterator.toSeq
+        val tinyLine = lines.indexWhere(_.contains("gcbo.ns.tiny"))
+        val midLine = lines.indexWhere(_.contains("gcbo.ns.mid"))
+        val factStats = spark.table("gcbo.ns.fact").queryExecution
+          .optimizedPlan.stats
+        val ndvs = factStats.attributeStats.map { case (a, cs) =>
+          a.name -> cs.distinctCount.map(_.toLong).getOrElse(-1L) }.toMap
+        val checks = Seq(
+          "cbo_joins_selective_dim_first" -> (tinyLine >= 0 && midLine >= 0 &&
+            tinyLine < midLine),
+          "join_answers" -> (q.head().getLong(0) == 4000L),
+          "manifest_ndv_within_2pct" -> (
+            math.abs(ndvs.getOrElse("k1", -1L) - 20000L) <= 400 &&
+            math.abs(ndvs.getOrElse("k2", -1L) - 200L) <= 4),
+          "rowcount_manifest_true" -> factStats.rowCount.contains(BigInt(200000)))
+        val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+        println(s"[plan] cbo_ndv_reorder: ${results.mkString(" ")}" +
+          s" (k1~${ndvs.getOrElse("k1", -1L)} k2~${ndvs.getOrElse("k2", -1L)})")
+      } finally saved.foreach { case (k, v) =>
+        v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+      }
+    }
+    locally {
       // q171's metadata-only aggregates: count/min/max over a graft
       // scan must plan ZERO file scans (the Aggregate collapses to a
       // constant-folded projection over the manifest fold), while

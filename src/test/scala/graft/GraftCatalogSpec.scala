@@ -481,6 +481,44 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
         org.apache.spark.sql.connector.catalog.Identifier.of(Array("race"), "ghost")))
   }
 
+  test("bloom-derived NDV column stats reach CBO and reorder a pessimal join") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cbo")
+    GraftTable.overwrite(spark.range(0, 200000).selectExpr(
+      "id % 20000 AS k1", "id % 200 AS k2", "id AS payload"),
+      s"$warehouse/cbo/fact", bloomCols = Seq("k1", "k2"))
+    GraftTable.overwrite(spark.range(0, 20000).selectExpr("id AS k1", "id AS b"),
+      s"$warehouse/cbo/mid", bloomCols = Seq("k1"))
+    GraftTable.overwrite(spark.range(0, 4).selectExpr("id AS k2", "id AS c"),
+      s"$warehouse/cbo/tiny", bloomCols = Seq("k2"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the scan's v2 column stats surface exact nulls + bloom NDV
+      val stats = spark.table("graft.cbo.fact").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(200000)))
+      val ndv = stats.attributeStats.map { case (a, cs) =>
+        a.name -> cs.distinctCount.map(_.toLong).getOrElse(-1L) }.toMap
+      assert(math.abs(ndv("k1") - 20000L) <= 600, ndv.toString) // ~3% sketch error
+      assert(math.abs(ndv("k2") - 200L) <= 6, ndv.toString)
+      assert(stats.attributeStats.forall(_._2.nullCount.contains(BigInt(0))))
+      // pessimal order: fact x mid first; CBO must pull tiny inside
+      val q = spark.sql("SELECT count(*) AS n FROM graft.cbo.fact f " +
+        "JOIN graft.cbo.mid m ON f.k1 = m.k1 " +
+        "JOIN graft.cbo.tiny t ON f.k2 = t.k2")
+      val lines = q.queryExecution.optimizedPlan.treeString.linesIterator.toSeq
+      val tinyLine = lines.indexWhere(_.contains("graft.cbo.tiny"))
+      val midLine = lines.indexWhere(_.contains("graft.cbo.mid"))
+      assert(tinyLine >= 0 && midLine >= 0 && tinyLine < midLine,
+        q.queryExecution.optimizedPlan.treeString)
+      assert(q.head().getLong(0) == 4000L) // 200000/200*4 matched via tiny
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("loadTable of a missing table fails loudly, tableExists answers quietly") {
     val cat = spark.sessionState.catalogManager.catalog("graft")
       .asInstanceOf[GraftCatalog]
