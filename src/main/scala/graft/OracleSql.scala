@@ -390,6 +390,26 @@ SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
 FROM orders
 WHERE o_orderkey % 3 IN (0, 1) AND o_custkey % 7 <> 0""",
 
+    // q145's MERGE through STOCK Spark SQL on a catalog name (DSv2
+    // group-based row-level protocol, no extension parser) — identical
+    // declarative expectation, the protocol invisible to results
+    "q175_rowlevel_merge" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+            THEN o_totalprice * 2 ELSE o_totalprice END AS total
+FROM orders
+WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
+
+    // the same stock-SQL MERGE on a deletion-vectors table rides the
+    // DSv2 DELTA protocol (vectors mask, inserts append, one commit) —
+    // identical declarative expectation, O(changed rows) cost shape
+    "q176_rowlevel_mor_merge" -> """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'F'
+            THEN o_totalprice * 2 ELSE o_totalprice END AS total
+FROM orders
+WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
+
     // same contract as q104 — the optimizer rule must be invisible to
     // results (it only removes provably-dead file IO)
     "q134_ruled_scan" -> """

@@ -1958,6 +1958,74 @@ object Queries {
   private lazy val q173Root: String =
     java.nio.file.Files.createTempDirectory("graft_named_cdf").toString
 
+  private lazy val q175Root: String =
+    java.nio.file.Files.createTempDirectory("graft_rowlevel").toString
+
+  /** q175: q145's MERGE contract through STOCK Spark SQL on a catalog
+    * name — no extension parser anywhere in the harness session; the
+    * statement plans Spark's own group-based row-level protocol against
+    * [[graft.catalog.GraftGroupOperation]] (DSv2
+    * `SupportsRowLevelOperations`): the scan is the manifest-planned
+    * vectorized [[graft.sources.GraftBatch]], the write stages per-task
+    * parquet and lands ONE commit replacing exactly the scanned files.
+    * Same declarative expectation as q145 — the protocol must be
+    * invisible to results. */
+  def rowLevelMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = "graftrl"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q175Root)
+    }
+    TableIO.clearDir(s"$q175Root/ns")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    val path = s"$q175Root/ns/orders_merge"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), path)
+    orders.createOrReplaceTempView("q175_src")
+    s.sql(s"""MERGE INTO $cat.ns.orders_merge t USING q175_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+        UPDATE SET o_totalprice = s.o_totalprice * 2
+      WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.table(s"$cat.ns.orders_merge").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
+  /** q176: the SAME stock-SQL MERGE on a `graft.deletionVectors` table —
+    * the statement plans the DELTA-BASED protocol
+    * ([[graft.catalog.GraftDeltaOperation]], DSv2 `SupportsDelta`):
+    * matched rows mask via per-file deletion-vector sidecars written
+    * from the executors, images/inserts append, ONE O(changed rows)
+    * commit — no data file rewritten. Identical declarative expectation
+    * as q145/q164/q175; the cost shape invisible to results. */
+  def rowLevelMorMergeQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = "graftrl"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q175Root)
+    }
+    TableIO.clearDir(s"$q175Root/morns")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.morns")
+    val path = s"$q175Root/morns/orders_merge"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    GraftTable.overwrite(orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), path)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    orders.createOrReplaceTempView("q176_src")
+    s.sql(s"""MERGE INTO $cat.morns.orders_merge t USING q176_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.o_orderstatus = 'F' THEN
+        UPDATE SET o_totalprice = s.o_totalprice * 2
+      WHEN MATCHED AND s.o_orderstatus = 'P' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.table(s"$cat.morns.orders_merge").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice").as("total"))
+  }
+
   /** Build q173/q174's shared NAMED source table: the q147/q132 commit
     * history (initial load, append, keyed COW update, keyed delete)
     * under `cat.dwh.src`, rebuilt fresh per invocation. Returns the
@@ -2853,6 +2921,8 @@ object Queries {
     "q172_meta_count_filtered" -> (metaCountFilteredQ _),
     "q173_named_cdf_replica" -> (namedCdfReplicaQ _),
     "q174_named_cdf_batch" -> (namedCdfBatchQ _),
+    "q175_rowlevel_merge" -> (rowLevelMergeQ _),
+    "q176_rowlevel_mor_merge" -> (rowLevelMorMergeQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

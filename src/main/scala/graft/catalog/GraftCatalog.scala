@@ -437,9 +437,12 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     new GraftNamedScanBuilder(path, schema(), pin, options)
 
   /** `_graft_file` — the full URI of the file serving each row (Delta's
-    * `_metadata.file_path` analog), served as a per-file constant by
-    * the [[graft.sources.GraftBatch]] reader wrapper. Doubles as the
-    * row-level operation protocol's required metadata attribute. */
+    * `_metadata.file_path` analog) — and `_graft_pos`, the row's
+    * position within that file (the parquet row index), both served by
+    * the [[graft.sources.GraftBatch]] reader wrapper. Together they are
+    * the ROW ID the delta-based (merge-on-read) row-level protocol
+    * positions deletes by; `_graft_file` alone is the group-based
+    * protocol's required metadata attribute. */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = graft.sources.GraftBatch.FileMetaCol
@@ -447,6 +450,13 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
         org.apache.spark.sql.types.StringType
       override def isNullable: Boolean = false
       override def comment(): String = "full URI of the data file serving this row"
+    },
+    new MetadataColumn {
+      override def name(): String = graft.sources.GraftBatch.PosMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within the serving data file"
     })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -481,7 +491,8 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pin.isEmpty, s"cannot modify time-travel pinned '$tableName'")
-    new GraftRowLevelBuilder(path, info)
+    new GraftRowLevelBuilder(path, info,
+      mor = GraftTable.deletionVectorsEnabled(path))
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

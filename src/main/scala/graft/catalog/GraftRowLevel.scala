@@ -50,19 +50,25 @@ import graft.sources.{GraftBatch, GraftBatchRead, GraftWrittenFile}
   * (`models/dwh/fact_order.sql:1-7` — `unique_key` upsert) expressed
   * through the engine's own SQL front door. */
 private[graft] class GraftRowLevelBuilder(path: String,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo, mor: Boolean) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftGroupOperation(path, info.command)
+    if (mor) new GraftDeltaOperation(path, info.command)
+    else new GraftGroupOperation(path, info.command)
+}
+
+/** Shared scan-side state of one statement's operation: the snapshot
+  * the scan pinned and the files it planned. */
+private[graft] trait GraftRowOpState {
+  def path: String
+  @volatile private[catalog] var pinned: Manifest = _
+  @volatile private[catalog] var scanned: Seq[FileEntry] = _
 }
 
 /** One statement's operation instance: the scan records the snapshot it
   * pinned and the files it planned (driver-side), the write's commit
   * replaces exactly those files. */
 private[graft] class GraftGroupOperation(val path: String, cmd: Command)
-    extends RowLevelOperation {
-
-  @volatile private[catalog] var pinned: Manifest = _
-  @volatile private[catalog] var scanned: Seq[FileEntry] = _
+    extends RowLevelOperation with GraftRowOpState {
 
   override def command(): Command = cmd
 
@@ -90,7 +96,7 @@ private[graft] class GraftGroupOperation(val path: String, cmd: Command)
   override def description(): String = s"GraftRowLevel($cmd, $path)"
 }
 
-private[graft] class GraftRowLevelScanBuilder(op: GraftGroupOperation)
+private[graft] class GraftRowLevelScanBuilder(op: GraftRowOpState)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -118,7 +124,7 @@ private[graft] class GraftRowLevelScanBuilder(op: GraftGroupOperation)
   override def build(): Scan = new GraftRowLevelScan(op, required, pushed)
 }
 
-private[graft] class GraftRowLevelScan(op: GraftGroupOperation,
+private[graft] class GraftRowLevelScan(op: GraftRowOpState,
     required: StructType, pushed: Array[Filter]) extends Scan {
 
   // pin the snapshot and record the planned file set NOW (scan build):
@@ -180,4 +186,167 @@ private[graft] class GraftReplaceWriterFactory(stageDir: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new graft.sources.GraftStreamRowWriter(stageDir, runId, partitionId, taskId,
       epochId = 0L, conf)
+}
+
+/** DELTA-BASED (merge-on-read) row-level operation for tables with
+  * `graft.deletionVectors=true` — stock-session `UPDATE`/`MERGE INTO`/
+  * complex `DELETE` at O(changed rows), the same cost shape as the
+  * extension dialect's MOR DML:
+  *
+  *  - the scan is the shared [[GraftRowLevelScanBuilder]] (manifest-
+  *    planned, condition-pruned), and the ROW ID is
+  *    (`_graft_file`, `_graft_pos`) — the per-file parquet row index
+  *    the reader factory already generates;
+  *  - updates are REPRESENTED as delete+insert
+  *    ([[representUpdateAsDeleteAndInsert]]), so the writer only ever
+  *    sees position deletes and row inserts: each task streams deleted
+  *    positions into a staged (file, pos) parquet and inserted rows
+  *    into a staged data parquet — zero row traffic through the
+  *    driver;
+  *  - the commit ([[GraftTable.applyDeltaCommit]]) merges positions
+  *    into per-file [[graft.core.DeletionVector]] sidecars FROM THE
+  *    EXECUTORS (the same `groupByKey(file)` shape as the dialect's
+  *    morDml), swaps dv pointers, appends the staged inserts, and
+  *    refuses loudly if a touched file's vector moved concurrently. */
+private[graft] class GraftDeltaOperation(val path: String, cmd: Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta
+    with GraftRowOpState {
+
+  override def command(): Command = cmd
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftBatch.FileMetaCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(GraftBatch.PosMetaCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(GraftDeltaOperation.this, info.schema)
+        }
+    }
+
+  override def description(): String = s"GraftRowLevelDelta($cmd, $path)"
+}
+
+private[graft] case class GraftDeltaFiles(posFile: String, dataFile: String)
+    extends WriterCommitMessage
+
+private[graft] class GraftDeltaBatchWrite(op: GraftDeltaOperation,
+    rowSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stageDir = {
+    val d = new File(op.path, ".stage-rlo"); d.mkdirs(); d.getAbsolutePath
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val spark = SparkSession.active
+    new GraftDeltaWriterFactory(stageDir,
+      ClassicBridge.parquetWriteConf(spark, GraftDeltaBatchWrite.PosSchema),
+      ClassicBridge.parquetWriteConf(spark, rowSchema))
+  }
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    require(op.pinned != null,
+      s"row-level ${op.command} on '${op.path}': write committed before its scan planned")
+    val pos = messages.collect {
+      case GraftDeltaFiles(p, _) if p.nonEmpty => new File(p) }.toSeq
+    val data = messages.collect {
+      case GraftDeltaFiles(_, d) if d.nonEmpty => new File(d) }.toSeq
+    GraftTable.applyDeltaCommit(SparkSession.active, op.path, op.pinned,
+      pos, data, rowSchema, op.command.toString.toLowerCase + "_rowlevel_mor"): Unit
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftDeltaFiles(p, d) =>
+        if (p.nonEmpty) new File(p).delete(): Unit
+        if (d.nonEmpty) new File(d).delete(): Unit
+      case _ => ()
+    }
+}
+
+private[graft] object GraftDeltaBatchWrite {
+  /** Staged position-delete schema: the row id, verbatim. */
+  private[catalog] val PosSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("f",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("p",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+private[graft] class GraftDeltaWriterFactory(stageDir: String,
+    posConf: org.apache.spark.util.SerializableConfiguration,
+    rowConf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  private val runId = java.util.UUID.randomUUID.toString.take(8)
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaRowWriter(stageDir, runId, partitionId, taskId, posConf, rowConf)
+}
+
+/** Per-task delta writer: deleted row ids stream into a staged
+  * (file, pos) parquet, inserted rows into a staged data parquet —
+  * both lazily opened, so a task that only deletes stages no data file
+  * and vice versa. Updates never arrive (represented delete+insert). */
+private[graft] class GraftDeltaRowWriter(stageDir: String, runId: String,
+    partitionId: Int, taskId: Long,
+    posConf: org.apache.spark.util.SerializableConfiguration,
+    rowConf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private var posWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var posFile: File = _
+  private var dataWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var dataFile: File = _
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (posWriter == null) {
+      posFile = new File(stageDir, f"del-r$runId-p$partitionId%05d-t$taskId.parquet")
+      posWriter = ClassicBridge.parquetRowWriter(posConf.value, posFile.getAbsolutePath)
+    }
+    posWriter.write(id)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "updates are represented as delete+insert") // representUpdateAsDeleteAndInsert
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null) {
+      dataFile = new File(stageDir, f"ins-r$runId-p$partitionId%05d-t$taskId.parquet")
+      dataWriter = ClassicBridge.parquetRowWriter(rowConf.value, dataFile.getAbsolutePath)
+    }
+    dataWriter.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (posWriter != null) posWriter.close()
+    if (dataWriter != null) dataWriter.close()
+    GraftDeltaFiles(
+      if (posFile == null) "" else posFile.getAbsolutePath,
+      if (dataFile == null) "" else dataFile.getAbsolutePath)
+  }
+
+  override def abort(): Unit = {
+    try { if (posWriter != null) posWriter.close() } catch { case _: Throwable => () }
+    try { if (dataWriter != null) dataWriter.close() } catch { case _: Throwable => () }
+    if (posFile != null) posFile.delete(): Unit
+    if (dataFile != null) dataFile.delete(): Unit
+  }
+
+  override def close(): Unit = ()
 }

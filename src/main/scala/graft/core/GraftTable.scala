@@ -1076,6 +1076,7 @@ object GraftTable {
     def reclaim(): Unit = entries.foreach(fe => new File(path, fe.path).delete())
     def movedDf = spark.read.schema(schema).parquet(
       entries.map(fe => new File(path, fe.path).toString): _*)
+    betweenStageAndCommitForTests()
     try {
       var committed = -1L
       while (committed < 0) {
@@ -1105,6 +1106,103 @@ object GraftTable {
         if (tryCommit(path, next)) committed = next.version
       }
       committed
+    } catch { case e: Throwable => reclaim(); throw e }
+  }
+
+  /** The commit half of a DSv2 DELTA-BASED (merge-on-read) row-level
+    * operation ([[graft.catalog.GraftDeltaOperation]] — stock-session
+    * `UPDATE`/`MERGE`/complex `DELETE` on `graft.deletionVectors`
+    * tables): merge the executor-staged (file, pos) deletes into
+    * per-file [[DeletionVector]] sidecars — written FROM THE EXECUTORS,
+    * the driver never holds a position list — swap dv pointers, append
+    * the staged inserted rows, ONE commit. O(changed rows) end to end,
+    * the same cost shape as the extension dialect's morDml.
+    *
+    * Concurrency: a touched file must still be present with the SAME
+    * vector this operation's scan read (positions were computed against
+    * it); anything else refuses loudly — a concurrent MOR write to the
+    * same file could have killed rows this statement resurrects as
+    * updates. Untouched files rebase freely. */
+  private[graft] def applyDeltaCommit(spark: SparkSession, path: String,
+      pinned: Manifest, posParts: Seq[File], dataParts: Seq[File],
+      schema: StructType, op: String): Long = {
+    var validatedChecks = activeChecks(path)
+    if (dataParts.nonEmpty && validatedChecks.nonEmpty) {
+      def stagedDf = spark.read.schema(schema).parquet(dataParts.map(_.toString): _*)
+      try enforceChecks(stagedDf, path, validatedChecks)
+      catch { case e: Throwable =>
+        (posParts ++ dataParts).foreach(_.delete()); throw e }
+    }
+    val cur = currentManifest(path).getOrElse(
+      throw new IllegalStateException(s"graft table '$path' vanished mid-operation"))
+    val loaded = cur.leaves.getOrElse(Nil).map(l => l -> loadLeaf(path, l))
+    val allEntries = cur.files ++ loaded.flatMap(_._2)
+    val byUri: Map[String, FileEntry] =
+      allEntries.map(fe => fileUri(path, fe) -> fe).toMap
+    // executor-side merge: per touched file, union the fresh positions
+    // with the file's CURRENT vector and write one new sidecar
+    val merged: Map[String, (String, Long, Long)] = // fileUri -> (dv name, total, bytes)
+      if (posParts.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val oldDvByFile: Map[String, String] = allEntries.flatMap(fe =>
+          fe.dv.map(d => fileUri(path, fe) -> resolveDv(path, d))).toMap
+        val dvDirAbs = { val d = new File(path, DvDir); d.mkdirs(); d.getAbsolutePath }
+        val posSchema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.LongType)))
+        spark.read.schema(posSchema).parquet(posParts.map(_.toString): _*)
+          .as[(String, Long)].groupByKey(_._1).mapGroups { (f, it) =>
+            val fresh = it.map(_._2).toArray.distinct.sorted
+            val union = DeletionVector.union(
+              oldDvByFile.get(f).map(DeletionVector.load)
+                .getOrElse(Array.emptyLongArray), fresh)
+            val name = s"dv-${java.util.UUID.randomUUID}.dv"
+            val bytes = DeletionVector.write(new File(dvDirAbs, name), union)
+            (f, name, union.length.toLong, bytes)
+          }.collect().map(r => (r._1, (r._2, r._3, r._4))).toMap
+      }
+    // every touched file must still exist UNDER ITS SCAN-TIME VECTOR: a
+    // concurrent MOR write to the same file may have killed rows this
+    // statement resurrects as update images — never merge blind
+    val pinnedDv: Map[String, Option[DvRef]] = filesOf(path, pinned)
+      .map(fe => fileUri(path, fe) -> fe.dv).toMap
+    merged.keys.foreach { uri =>
+      val now = byUri.get(uri)
+      if (now.isEmpty || now.map(_.dv) != pinnedDv.get(uri))
+        throw new java.util.ConcurrentModificationException(
+          s"row-level $op on '$path' lost a race: scanned file '$uri' was " +
+            "rewritten or re-vectored by a concurrent commit — re-run the statement")
+    }
+    val entries =
+      if (dataParts.isEmpty) Nil
+      else stagePartEntries(spark, schema, path,
+        java.util.UUID.randomUUID.toString.take(8), dataParts, Nil, Nil)
+    def reclaim(): Unit = entries.foreach(fe => new File(path, fe.path).delete())
+    try {
+    def touchedBy(fe: FileEntry) = merged.contains(fileUri(path, fe))
+    def updatedEntry(fe: FileEntry): Option[FileEntry] = {
+      val (dvName, total, bytes) = merged(fileUri(path, fe))
+      if (total >= fe.rows) None
+      else Some(fe.copy(dv = Some(DvRef(s"$DvDir/$dvName", total, bytes))))
+    }
+    val (liveLeaves2, cleanLeaves) = loaded.partition(_._2.exists(touchedBy))
+    val (tInline, uInline) = cur.files.partition(touchedBy)
+    val touched = tInline ++ liveLeaves2.flatMap(_._2).filter(touchedBy)
+    val survivors = liveLeaves2.flatMap(_._2).filterNot(touchedBy)
+    val updatedEntries = touched.flatMap(updatedEntry(_))
+    val (files, leaves) = packCommit(path,
+      uInline ++ survivors ++ updatedEntries ++ entries,
+      cleanLeaves.map(_._1))
+    val next = Manifest(cur.version + 1, commitTs(Some(cur)), op,
+      cur.schemaDdl, files, cur.streamMarks, leaves,
+      Some(ChangeLog(logEntries(updatedEntries ++ entries), logEntries(touched))),
+      checks = cur.checks, properties = cur.properties)
+    if (!tryCommit(path, next))
+      throw new java.util.ConcurrentModificationException(
+        s"commit v${next.version} of '$path' lost the race — re-run the $op")
+    posParts.foreach(_.delete())
+    next.version
     } catch { case e: Throwable => reclaim(); throw e }
   }
 

@@ -60,21 +60,20 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
 
   import GraftBatch._
 
-  /** The `_graft_file` METADATA column ([[GraftBatch.FileMetaCol]]):
-    * when requested it must trail the data columns (Spark appends
-    * metadata columns to the scan schema) and is served as a per-file
-    * constant appended by the reader wrapper — the row-level operation
-    * protocol requires at least one metadata attribute for Spark to
-    * apply its write-side row projections. */
-  private val hasFileMeta = required.fieldNames.contains(FileMetaCol)
-  private val dataRequired =
-    if (!hasFileMeta) required
-    else {
-      val (meta, data) = required.fields.partition(_.name == FileMetaCol)
-      require(required.fields.takeRight(meta.length).forall(_.name == FileMetaCol),
-        s"metadata column $FileMetaCol must trail the data columns in ${required.toDDL}")
-      StructType(data)
-    }
+  /** The `_graft_file` / `_graft_pos` METADATA columns
+    * ([[GraftBatch.FileMetaCol]]/[[GraftBatch.PosMetaCol]]): when
+    * requested they must trail the data columns (Spark appends metadata
+    * columns to the scan schema). `_graft_file` is a per-file constant;
+    * `_graft_pos` rides the parquet generated row index (exact under
+    * splits and row-group skipping) — together they are the ROW ID the
+    * delta-based row-level protocol positions deletes by. */
+  private val metaCols: Seq[String] =
+    required.fields.map(_.name).filter(MetaNames).toIndexedSeq
+  private val dataRequired = StructType(
+    required.fields.filterNot(f => MetaNames(f.name)))
+  require(required.fields.drop(dataRequired.length).forall(f => MetaNames(f.name)),
+    s"metadata columns must trail the data columns in ${required.toDDL}")
+  private val needPos = metaCols.contains(PosMetaCol)
 
   /** Manifest entries surviving the pushed-filter stats/bloom prune —
     * the same conservative keep test the V1 relations run. */
@@ -118,7 +117,7 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
       // recognizes the name as a row-index column, and the generator
       // fills exact indexes (row-group/page skipping included)
       val readSchema =
-        if (dvd) StructType(physRequired.fields :+ StructField(
+        if (dvd || needPos) StructType(physRequired.fields :+ StructField(
           ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
         else physRequired
       val physData = StructType(logical.fields.map(f =>
@@ -130,7 +129,7 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
         physData, readSchema, new StructType(), physFilters,
         CaseInsensitiveStringMap.empty()).createReaderFactory()
         .asInstanceOf[FilePartitionReaderFactory]
-      GroupReaders(inner, dvd)
+      GroupReaders(inner, hasRowIdx = dvd || needPos)
     }
     val assign: Map[String, Int] = statuses.map { case (fe, st) =>
       st.getPath.toString ->
@@ -141,7 +140,7 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
         st.getPath.toString -> GraftTable.resolveDv(path, fe.dv.get)
     }.toMap
     new GraftReaderFactory(groups, assign, dvByFile,
-      dataRequired.fields.map(_.dataType), hasFileMeta, description)
+      dataRequired.fields.map(_.dataType), metaCols, description)
   }
 
   private[graft] def description: String = s"GraftBatch $path v${m.version}"
@@ -152,6 +151,11 @@ private[graft] object GraftBatch {
   /** The metadata-column name [[graft.catalog.GraftNamedTable]] exposes:
     * the full URI of the file serving each row. */
   private[graft] val FileMetaCol = "_graft_file"
+
+  /** The row's position within its file (the parquet row index). */
+  private[graft] val PosMetaCol = "_graft_pos"
+
+  private[graft] val MetaNames: Set[String] = Set(FileMetaCol, PosMetaCol)
 
   private[graft] case class GroupReaders(factory: FilePartitionReaderFactory,
       hasRowIdx: Boolean)
@@ -195,7 +199,7 @@ private[graft] class GraftReaderFactory(
     groups: IndexedSeq[GraftBatch.GroupReaders],
     assign: Map[String, Int], dvByFile: Map[String, String],
     requiredTypes: Array[org.apache.spark.sql.types.DataType],
-    appendFileMeta: Boolean, desc: String) extends PartitionReaderFactory {
+    metaCols: Seq[String], desc: String) extends PartitionReaderFactory {
 
   private def groupOf(pf: PartitionedFile): GraftBatch.GroupReaders = {
     val key = pf.toPath.toString
@@ -204,20 +208,18 @@ private[graft] class GraftReaderFactory(
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !appendFileMeta &&
+    metaCols.isEmpty &&
       groups.forall(g => !g.hasRowIdx && g.factory.supportColumnarReads(partition))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[FilePartition].files
     new ChainReader[InternalRow](files, { pf =>
+      val key = pf.toPath.toString
       val g = groupOf(pf)
       val base = g.factory.buildReader(pf)
-      val data =
-        if (!g.hasRowIdx) base
-        else new DvFilterReader(base,
-          DeletionVector.load(dvByFile(pf.toPath.toString)), requiredTypes)
-      if (!appendFileMeta) data
-      else new MetaAppendReader(data, pf.toPath.toString)
+      val dv = dvByFile.get(key).map(DeletionVector.load).orNull
+      if (!g.hasRowIdx && metaCols.isEmpty) base
+      else new MetaEmitReader(base, requiredTypes, g.hasRowIdx, dv, metaCols, key)
     })
   }
 
@@ -250,26 +252,37 @@ private[graft] class ChainReader[T](files: Seq[PartitionedFile],
   override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
-/** Drops deletion-vectored positions and strips the trailing generated
-  * row-index column. The inner reader's rows carry the required fields
-  * first and the parquet-generated row index last; a row survives when
-  * its position is absent from the (sorted) vector — one binary search
-  * per row, paid only on dv'd files. */
-private[graft] class DvFilterReader(inner: PartitionReader[InternalRow],
-    dv: Array[Long], requiredTypes: Array[org.apache.spark.sql.types.DataType])
-    extends PartitionReader[InternalRow] {
+/** The per-file row shaper: drops deletion-vectored positions (binary
+  * search per row against the sorted vector — paid only on dv'd files),
+  * strips the trailing generated row-index column, and emits the
+  * requested trailing metadata columns (`_graft_file` as a per-file
+  * constant, `_graft_pos` from the row index). Output rows are
+  * UnsafeProjection copies — safe to buffer downstream. */
+private[graft] class MetaEmitReader(inner: PartitionReader[InternalRow],
+    requiredTypes: Array[org.apache.spark.sql.types.DataType],
+    hasRowIdx: Boolean, dv: Array[Long], metaCols: Seq[String],
+    fileUri: String) extends PartitionReader[InternalRow] {
 
-  private val posIdx = requiredTypes.length
-  private val strip = UnsafeProjection.create(
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private val n = requiredTypes.length
+  private val proj = UnsafeProjection.create(
     requiredTypes.zipWithIndex.map { case (dt, i) =>
-      BoundReference(i, dt, nullable = true) }.toIndexedSeq)
+      BoundReference(i, dt, nullable = true): org.apache.spark.sql.catalyst.expressions.Expression
+    }.toIndexedSeq ++ metaCols.map {
+      case GraftBatch.FileMetaCol =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(fileUri), StringType)
+      case GraftBatch.PosMetaCol => BoundReference(n, LongType, nullable = false)
+    })
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (inner.next()) {
       val row = inner.get()
-      if (java.util.Arrays.binarySearch(dv, row.getLong(posIdx)) < 0) {
-        current = strip(row)
+      if (dv == null ||
+          java.util.Arrays.binarySearch(dv, row.getLong(n)) < 0) {
+        current = proj(row)
         return true
       }
     }
@@ -277,20 +290,5 @@ private[graft] class DvFilterReader(inner: PartitionReader[InternalRow],
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = inner.close()
-}
-
-/** Appends the trailing `_graft_file` metadata column as a per-file
-  * constant — the reader-side half of
-  * [[graft.catalog.GraftNamedTable]]'s metadata-column surface. */
-private[graft] class MetaAppendReader(inner: PartitionReader[InternalRow],
-    fileUri: String) extends PartitionReader[InternalRow] {
-
-  private val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-    Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(fileUri)))
-  private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-
-  override def next(): Boolean = inner.next()
-  override def get(): InternalRow = joined(inner.get(), metaRow)
   override def close(): Unit = inner.close()
 }

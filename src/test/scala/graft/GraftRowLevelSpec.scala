@@ -94,6 +94,82 @@ class GraftRowLevelSpec extends AnyFunSuite with SparkSpecBase {
       .forall(_.dv.isEmpty))
   }
 
+  test("MOR tables route stock row-level SQL through the DELTA protocol: O(changed rows)") {
+    val path = s"$warehouse/ns/delta"
+    GraftTable.writeClustered(spark.range(0, 4000)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"),
+      path, col("k"), numFiles = 8, statsCols = Seq("k"))
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    val before = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.path).toSet
+    spark.sql("UPDATE grl.ns.delta SET v = 'hit' WHERE k >= 3900")
+    val m = GraftTable.currentManifest(path).get
+    assert(m.op == "update_rowlevel_mor", m.op)
+    val after = GraftTable.filesOf(path, m)
+    // merge-on-read: every pre-update data file survives BY POINTER
+    // (the touched one re-listed with a vector), plus the small insert
+    assert(before.subsetOf(after.map(_.path).toSet),
+      s"MOR update must not rewrite data files")
+    assert(after.count(_.dv.isDefined) >= 1)
+    val t = spark.table("grl.ns.delta")
+    assert(t.count() == 4000)
+    assert(t.filter(col("v") === "hit").count() == 100)
+    assert(t.filter(col("k") < 3900 && col("v") === "hit").count() == 0)
+  }
+
+  test("MOR DELETE with a subquery: positions only, no data staged") {
+    val path = s"$warehouse/ns/deltadel"
+    GraftTable.overwrite(spark.range(0, 100)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), path)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    Seq(3, 5, 7).toDF("kk").createOrReplaceTempView("rl_mor_del")
+    spark.sql("DELETE FROM grl.ns.deltadel WHERE k IN (SELECT kk FROM rl_mor_del)")
+    val m = GraftTable.currentManifest(path).get
+    assert(m.op == "delete_rowlevel_mor", m.op)
+    assert(spark.table("grl.ns.deltadel").count() == 97)
+    assert(GraftTable.filesOf(path, m).exists(_.dv.exists(_.rows == 3)))
+  }
+
+  test("MOR MERGE: vectors mask the changed rows, inserts append") {
+    val path = s"$warehouse/ns/deltamrg"
+    GraftTable.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), path)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    Seq((2, "B"), (9, "Z")).toDF("k", "v").createOrReplaceTempView("rl_mor_src")
+    spark.sql("""MERGE INTO grl.ns.deltamrg t USING rl_mor_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(canon(spark.table("grl.ns.deltamrg")) ==
+      canon(Seq((1, "a"), (2, "B"), (3, "c"), (9, "Z")).toDF("k", "v")))
+    assert(GraftTable.currentManifest(path).get.op == "merge_rowlevel_mor")
+  }
+
+  test("delta commit refuses when a touched file was re-vectored concurrently") {
+    val path = s"$warehouse/ns/deltarace"
+    GraftTable.overwrite(spark.range(0, 50)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), path)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    val pinned = GraftTable.currentManifest(path).get
+    // stage a position delete against the PINNED snapshot …
+    val stage = java.nio.file.Files.createTempDirectory("grl_race").toFile
+    val fe = GraftTable.filesOf(path, pinned).head
+    val uri = new org.apache.hadoop.fs.Path(
+      new java.io.File(path, fe.path).toURI).toString
+    import org.apache.spark.sql.types._
+    val posDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(uri, 0L)),
+      StructType(Seq(StructField("f", StringType, false), StructField("p", LongType, false))))
+    val posFile = new java.io.File(stage, "del.parquet")
+    posDf.coalesce(1).write.mode("overwrite").parquet(stage.toString + "/out")
+    val part = new java.io.File(stage.toString + "/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // … then a concurrent MOR delete re-vectors the same file
+    GraftTable.deleteWhereMor(spark, path, col("k") === 5)
+    intercept[java.util.ConcurrentModificationException](
+      GraftTable.applyDeltaCommit(spark, path, pinned, Seq(part), Nil,
+        StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
+        "delete_rowlevel_mor"))
+  }
+
   test("history and time travel survive a row-level commit") {
     val path = s"$warehouse/ns/hist"
     GraftTable.overwrite(Seq((1, "a")).toDF("k", "v"), path)
