@@ -534,7 +534,26 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
 private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
     options: CaseInsensitiveStringMap) extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (dynamic partition/file pruning) filters Spark pushes at
+    * execution: a join against a selective dim injects an IN-set on
+    * the join key, and the re-planned Batch prunes files through the
+    * per-file stats/blooms — q170's dim-driven file skipping, native
+    * to every v2 join, no readPrunedByKeys call. */
+  @volatile private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // must resolve against THIS scan's (column-pruned) output — Spark
+    // rejects attributes the scan does not produce
+    required.fields
+      .filter(f => GraftTable.statTag(f.dataType).isDefined)
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = runtime ++ filters
 
   override def readSchema(): StructType = required
   override def description(): String = s"GraftNamed $path" +
@@ -557,7 +576,7 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     * dims auto-broadcast everywhere. */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new graft.sources.GraftBatch(SparkSession.active, path, manifest,
-      StructType.fromDDL(manifest.schemaDdl), required, pushed)
+      StructType.fromDDL(manifest.schemaDdl), required, pushed ++ runtime)
 
   /** Manifest-true, PRUNE-AWARE stats: called post-pushdown, so the
     * pushed filters have already narrowed the entry set through the

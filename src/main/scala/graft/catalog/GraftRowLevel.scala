@@ -125,23 +125,48 @@ private[graft] class GraftRowLevelScanBuilder(op: GraftRowOpState)
 }
 
 private[graft] class GraftRowLevelScan(op: GraftRowOpState,
-    required: StructType, pushed: Array[Filter]) extends Scan {
+    required: StructType, pushed: Array[Filter]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // pin the snapshot and record the planned file set NOW (scan build):
   // the write's commit replaces exactly these files
   private val m: Manifest = GraftTable.currentManifest(op.path).getOrElse(
     throw new IllegalStateException(s"graft table '${op.path}' vanished"))
   private val logical = StructType.fromDDL(m.schemaDdl)
-  private val kept: Seq[FileEntry] = GraftBatchRead.keepByV1Filters(
-    SparkSession.active, logical, GraftTable.filesOf(op.path, m), pushed)
+  @volatile private var runtime: Array[Filter] = Array.empty
   op.pinned = m
-  op.scanned = kept
+  op.scanned = recomputeKept()
+
+  private def recomputeKept(): Seq[FileEntry] =
+    new GraftBatch(SparkSession.active, op.path, m, logical, required,
+      pushed ++ runtime).kept
+
+  /** RUNTIME GROUP FILTERING (Spark's
+    * `RowLevelOperationRuntimeGroupFiltering`): a dynamic subquery
+    * computes the `_graft_file` set actually holding MATCHING rows and
+    * pushes it here before partition planning — the group-based
+    * rewrite then touches only files with true matches (not every
+    * stats candidate), and MERGE stops rewriting the whole candidate
+    * set. `op.scanned` narrows with it, so the commit replaces exactly
+    * the filtered set. Over-keeping is safe; the file set itself is
+    * exact (computed on this same pinned snapshot). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!required.fieldNames.contains(GraftBatch.FileMetaCol)) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftBatch.FileMetaCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtime = runtime ++ filters
+    op.scanned = recomputeKept()
+  }
 
   override def readSchema(): StructType = required
   override def description(): String = s"GraftRowLevelScan ${op.path} v${m.version}"
 
   override def toBatch: Batch =
-    new GraftBatch(SparkSession.active, op.path, m, logical, required, pushed)
+    new GraftBatch(SparkSession.active, op.path, m, logical, required,
+      pushed ++ runtime)
 }
 
 /** Distributed replace-data write: per-task staged parquet (the same

@@ -75,11 +75,38 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
     s"metadata columns must trail the data columns in ${required.toDDL}")
   private val needPos = metaCols.contains(PosMetaCol)
 
+  /** Runtime (DPP / row-level group) filters on the `_graft_file`
+    * metadata column arrive as plain V1 filters over URI strings —
+    * split them from the data filters: they prune by file IDENTITY,
+    * never reach parquet, and an unrecognized shape degrades to
+    * keep-everything (pruning is best-effort, the plan re-applies
+    * semantics). */
+  private val (fileSetFilters, dataFilters) =
+    pushed.partition(f => f.references.contains(FileMetaCol))
+  private val keepUris: Option[Set[String]] = {
+    def uris(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(FileMetaCol, v: String) => Some(Set(v))
+      case In(FileMetaCol, vs) => Some(vs.collect { case s: String => s }.toSet)
+      case Or(l, r) => for (a <- uris(l); b <- uris(r)) yield a ++ b
+      case _ => None
+    }
+    val sets = fileSetFilters.toSeq.map(uris)
+    if (sets.isEmpty || sets.exists(_.isEmpty)) None
+    else Some(sets.flatten.reduce(_ intersect _))
+  }
+
   /** Manifest entries surviving the pushed-filter stats/bloom prune —
-    * the same conservative keep test the V1 relations run. */
-  @transient private[graft] lazy val kept: Seq[FileEntry] =
-    GraftBatchRead.keepByV1Filters(spark, logical,
-      GraftTable.filesOf(path, m), pushed)
+    * the same conservative keep test the V1 relations run — and, when
+    * a runtime file-set filter arrived, the file-identity intersect. */
+  @transient private[graft] lazy val kept: Seq[FileEntry] = {
+    val statKept = GraftBatchRead.keepByV1Filters(spark, logical,
+      GraftTable.filesOf(path, m), dataFilters)
+    keepUris match {
+      case Some(set) => statKept.filter(fe =>
+        set(new HPath(new File(GraftTable.resolveData(path, fe)).toURI).toString))
+      case None => statKept
+    }
+  }
 
   @transient private lazy val statuses: Seq[(FileEntry, FileStatus)] =
     kept.map { fe =>
@@ -122,7 +149,7 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
         else physRequired
       val physData = StructType(logical.fields.map(f =>
         f.copy(name = ren.getOrElse(f.name, f.name))))
-      val physFilters = pushed.flatMap(renameFilter(_, ren))
+      val physFilters = dataFilters.flatMap(renameFilter(_, ren))
       val inner = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(Map.empty),
         new InMemoryFileIndex(spark, Nil, Map.empty, None),

@@ -130,6 +130,37 @@ class GraftBatchScanSpec extends AnyFunSuite with SparkSpecBase {
     assert(spark.table("gbat.ns.tt").count() == 400L)
   }
 
+  test("native DPP: a selective dim filter runtime-prunes fact files through the blooms") {
+    val path = s"$warehouse/ns/dpp"
+    // hash layout: static stats prune NOTHING; per-file blooms on k
+    GraftTable.overwrite(spark.range(0, 8192).selectExpr("id AS k", "id % 97 AS m")
+      .repartition(16, col("k")), path, bloomCols = Seq("k"))
+    GraftTable.overwrite(spark.range(0, 3)
+      .selectExpr("id * 1000 + 7 AS k", "id AS d"), s"$warehouse/ns/dppdim")
+    val j = spark.table("gbat.ns.dpp")
+      .join(spark.table("gbat.ns.dppdim").filter(col("d") < 2), "k")
+    assert(j.count() == 2)
+    val planStr = j.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      "expected a runtime filter on the fact scan: " + planStr.take(2000))
+    // the runtime IN-set reached the manifest blooms: the fact scan
+    // emitted only the surviving files' rows, a fraction of the table
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case o => o.children.flatMap(find)
+    }
+    val factScan = find(j.queryExecution.executedPlan)
+      .filter(_.runtimeFilters.nonEmpty)
+    assert(factScan.nonEmpty, "no scan carried the runtime filter")
+    val emitted = factScan.map(_.metrics("numOutputRows").value).sum
+    assert(emitted < 8192 / 2,
+      s"bloom runtime prune should skip most of 16 files, scan emitted $emitted rows")
+  }
+
   test("zero-column projection: named count(*) scans live rows only") {
     val path = s"$warehouse/ns/cnt"
     GraftTable.overwrite(spark.range(0, 1234).selectExpr("id AS k", "id AS x"), path)

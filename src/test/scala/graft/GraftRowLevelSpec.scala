@@ -170,6 +170,29 @@ class GraftRowLevelSpec extends AnyFunSuite with SparkSpecBase {
         "delete_rowlevel_mor"))
   }
 
+  test("runtime group filtering: an un-stats-prunable UPDATE rewrites only true-match files") {
+    val path = s"$warehouse/ns/rgf"
+    // stats ONLY on k: the condition on v is invisible to the static
+    // prune — without runtime group filtering every file rewrites
+    GraftTable.writeClustered(spark.range(0, 4000)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"),
+      path, col("k"), numFiles = 8, statsCols = Seq("k"))
+    val before = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.path).toSet
+    assert(before.size == 8)
+    spark.sql("UPDATE grl.ns.rgf SET v = 'hit' WHERE v = '3777'")
+    val after = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .map(_.path).toSet
+    val carried = (before intersect after).size
+    assert(carried >= 7,
+      s"runtime group filter should keep 7/8 files untouched, carried $carried")
+    val t = spark.table("grl.ns.rgf")
+    assert(t.count() == 4000)
+    assert(t.filter(col("v") === "hit").count() == 1)
+    assert(canon(t.filter(col("k") === 3777).select("v")) ==
+      canon(Seq("hit").toDF("v")))
+  }
+
   test("history and time travel survive a row-level commit") {
     val path = s"$warehouse/ns/hist"
     GraftTable.overwrite(Seq((1, "a")).toDF("k", "v"), path)
