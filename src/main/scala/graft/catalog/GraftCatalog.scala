@@ -5,15 +5,14 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NonEmptyNamespaceException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -397,13 +396,16 @@ private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
   override def abortStagedChanges(): Unit = rmStaged()
 }
 
-/** A named GraftTable as a DSv2 [[Table]]: batch read (V1Scan fallback,
-  * or the vectorized manifest scan via [[GraftCatalogScanRule]] in
-  * extension sessions), micro-batch streaming read (the SAME
+/** A named GraftTable as a DSv2 [[Table]]: REAL Batch read
+  * ([[graft.sources.GraftBatch]] — vectorized manifest-planned splits,
+  * per-file DV/rename handling, runtime file pruning), metadata columns
+  * `_graft_file`/`_graft_pos`, micro-batch streaming read (the SAME
   * [[GraftMicroBatchStream]] the path-addressed source uses — named and
   * path streams share offsets semantics), V1 batch write (append +
-  * INSERT OVERWRITE), and native DELETE. `pin` is a version pinned by
-  * time travel: pinned tables are read-only. */
+  * INSERT OVERWRITE), native DELETE/TRUNCATE, and row-level
+  * UPDATE/MERGE (group-based COW, or the delta protocol on
+  * `graft.deletionVectors` tables). `pin` is a version pinned by time
+  * travel: pinned tables are read-only. */
 private[graft] class GraftNamedTable(tableName: String, val path: String,
     val pin: Option[Long]) extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with TruncatableTable

@@ -161,6 +161,26 @@ class GraftBatchScanSpec extends AnyFunSuite with SparkSpecBase {
       s"bloom runtime prune should skip most of 16 files, scan emitted $emitted rows")
   }
 
+  test("the _graft_file/_graft_pos metadata columns SELECT explicitly, hide from *") {
+    val path = s"$warehouse/ns/meta"
+    GraftTable.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    val t = spark.table("gbat.ns.meta")
+    assert(t.columns.toSeq == Seq("k", "v")) // hidden from SELECT *
+    val withMeta = spark.sql(
+      "SELECT k, _graft_file, _graft_pos FROM gbat.ns.meta ORDER BY k")
+    val rows = withMeta.collect()
+    assert(rows.map(_.getLong(2)).toSeq.forall(_ >= 0))
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    // positions are per-file row indexes: distinct within a file
+    val perFile = rows.groupBy(_.getString(1))
+    assert(perFile.values.forall(rs => rs.map(_.getLong(2)).distinct.length == rs.length))
+    // provenance is real: each file actually holds its claimed rows
+    perFile.foreach { case (uri, rs) =>
+      val physical = spark.read.parquet(new java.net.URI(uri).getPath)
+      assert(rs.length <= physical.count())
+    }
+  }
+
   test("zero-column projection: named count(*) scans live rows only") {
     val path = s"$warehouse/ns/cnt"
     GraftTable.overwrite(spark.range(0, 1234).selectExpr("id AS k", "id AS x"), path)
