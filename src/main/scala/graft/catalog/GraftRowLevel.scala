@@ -101,11 +101,14 @@ private[graft] class GraftRowLevelScanBuilder(op: GraftRowOpState)
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
-  private val tableSchema: StructType = {
-    val m = GraftTable.currentManifest(op.path).getOrElse(
+  // pin the manifest ONCE, here: both the pruned schema and the scan's
+  // snapshot derive from the same read, so a schema-evolving commit
+  // landing between builder and scan build can't make the projection
+  // disagree with the pinned logical schema
+  private val pinnedManifest: Manifest =
+    GraftTable.currentManifest(op.path).getOrElse(
       throw new IllegalArgumentException(s"'${op.path}' is not a GraftTable"))
-    StructType.fromDDL(m.schemaDdl)
-  }
+  private val tableSchema: StructType = StructType.fromDDL(pinnedManifest.schemaDdl)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
 
@@ -121,17 +124,17 @@ private[graft] class GraftRowLevelScanBuilder(op: GraftRowOpState)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftRowLevelScan(op, required, pushed)
+  override def build(): Scan =
+    new GraftRowLevelScan(op, pinnedManifest, required, pushed)
 }
 
-private[graft] class GraftRowLevelScan(op: GraftRowOpState,
+private[graft] class GraftRowLevelScan(op: GraftRowOpState, m: Manifest,
     required: StructType, pushed: Array[Filter]) extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  // pin the snapshot and record the planned file set NOW (scan build):
+  // the snapshot was pinned at builder construction (one manifest read
+  // serves schema AND scan); record it and the planned file set NOW —
   // the write's commit replaces exactly these files
-  private val m: Manifest = GraftTable.currentManifest(op.path).getOrElse(
-    throw new IllegalStateException(s"graft table '${op.path}' vanished"))
   private val logical = StructType.fromDDL(m.schemaDdl)
   @volatile private var runtime: Array[Filter] = Array.empty
   op.pinned = m

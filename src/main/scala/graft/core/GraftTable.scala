@@ -550,7 +550,7 @@ object GraftTable {
     * the right semantics for a table-level NDV); mixed geometries fall
     * back to the sum of per-file estimates, an upper bound. A
     * saturated bloom (every bit set) carries no signal — None. */
-  private[graft] def bloomNdv(blooms: Seq[String]): Option[Long] = {
+  private[graft] def bloomNdv(blooms: Seq[String]): Option[Long] = try {
     if (blooms.isEmpty) return None
     def parse(s: String): (Int, Int, Array[Byte]) = {
       val Array(k, m, b64) = s.split(":", 3)
@@ -561,8 +561,7 @@ object GraftTable {
       if (x >= m) None
       else Some(math.round(-(m.toDouble / k) * math.log1p(-x.toDouble / m)))
     }
-    val parsed = try blooms.map(parse)
-      catch { case scala.util.control.NonFatal(_) => return None }
+    val parsed = blooms.map(parse)
     val geos = parsed.map(p => (p._1, p._2)).distinct
     if (geos.size == 1) {
       val (k, m) = geos.head
@@ -574,7 +573,10 @@ object GraftTable {
       val per = parsed.map(p => estimate(p._1, p._2, p._3).getOrElse(return None))
       Some(per.sum)
     }
-  }
+    // a truncated/corrupt sidecar (even one whose declared geometry matches
+    // the others but whose byte array is short) must degrade to no-NDV, not
+    // fail planning from estimateStatistics
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   private def packBloom(k: Int, m: Int, positions: Seq[Long]): String = {
     val bytes = new Array[Byte](m / 8)
@@ -1063,6 +1065,11 @@ object GraftTable {
       removed: Seq[FileEntry], stagedParts: Seq[File], schema: StructType,
       op: String): Long = {
     val removedKeys = removed.map(_.path).toSet
+    // scan-time vector per scanned file: a concurrent DV swap keeps the
+    // path but changes which rows are live — rows this operation computed
+    // under the old vector would silently resurrect concurrent deletes
+    val removedDv: Map[String, Option[DvRef]] =
+      removed.map(fe => fe.path -> fe.dv).toMap
     var validatedChecks = activeChecks(path)
     if (stagedParts.nonEmpty && validatedChecks.nonEmpty) {
       def stagedDf = spark.read.schema(schema).parquet(stagedParts.map(_.toString): _*)
@@ -1096,6 +1103,14 @@ object GraftTable {
           throw new java.util.ConcurrentModificationException(
             s"row-level $op on '$path' lost a race: scanned file(s) were rewritten " +
               "by a concurrent commit — re-run the statement")
+        // same-path-different-vector is just as stale as a rewrite: the
+        // operation read rows under the scan-time vector (applyDeltaCommit
+        // guards the identical hazard via pinnedDv)
+        removedNow.find(fe => removedDv.get(fe.path).exists(_ != fe.dv)).foreach { fe =>
+          throw new java.util.ConcurrentModificationException(
+            s"row-level $op on '$path' lost a race: scanned file '${fe.path}' was " +
+              "re-vectored by a concurrent commit — re-run the statement")
+        }
         val survivors = dirtyLeaves.flatMap(_._2).filterNot(isRemoved)
         val (files, leaves) = packCommit(path, uInline ++ survivors ++ entries,
           cleanLeaves.map(_._1))
@@ -1167,18 +1182,33 @@ object GraftTable {
     // statement resurrects as update images — never merge blind
     val pinnedDv: Map[String, Option[DvRef]] = filesOf(path, pinned)
       .map(fe => fileUri(path, fe) -> fe.dv).toMap
-    merged.keys.foreach { uri =>
+    try merged.keys.foreach { uri =>
       val now = byUri.get(uri)
       if (now.isEmpty || now.map(_.dv) != pinnedDv.get(uri))
         throw new java.util.ConcurrentModificationException(
           s"row-level $op on '$path' lost a race: scanned file '$uri' was " +
             "rewritten or re-vectored by a concurrent commit — re-run the statement")
+    } catch { case e: Throwable =>
+      // the executor job already placed the merged sidecars in DvDir —
+      // a refused statement must not orphan them (or the staged positions)
+      merged.values.foreach { case (dvName, _, _) =>
+        new File(new File(path, DvDir), dvName).delete() }
+      posParts.foreach(_.delete())
+      throw e
     }
     val entries =
       if (dataParts.isEmpty) Nil
       else stagePartEntries(spark, schema, path,
         java.util.UUID.randomUUID.toString.take(8), dataParts, Nil, Nil)
-    def reclaim(): Unit = entries.foreach(fe => new File(path, fe.path).delete())
+    // failure must reclaim EVERYTHING this statement placed: the staged
+    // data entries, the freshly-written dv sidecars (already in DvDir from
+    // the executor mapGroups job), and the staged position parts
+    def reclaim(): Unit = {
+      entries.foreach(fe => new File(path, fe.path).delete())
+      merged.values.foreach { case (dvName, _, _) =>
+        new File(new File(path, DvDir), dvName).delete() }
+      posParts.foreach(_.delete())
+    }
     try {
     def touchedBy(fe: FileEntry) = merged.contains(fileUri(path, fe))
     def updatedEntry(fe: FileEntry): Option[FileEntry] = {

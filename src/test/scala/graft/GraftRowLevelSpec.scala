@@ -168,6 +168,38 @@ class GraftRowLevelSpec extends AnyFunSuite with SparkSpecBase {
       GraftTable.applyDeltaCommit(spark, path, pinned, Seq(part), Nil,
         StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))),
         "delete_rowlevel_mor"))
+    // a refused statement reclaims everything it placed: the staged
+    // position part and the executor-written merged dv sidecar — the dv
+    // dir holds exactly the vectors the live manifest references
+    assert(!part.exists(), "refused delta commit must delete staged position parts")
+    val live = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .flatMap(_.dv).map(d => new java.io.File(d.path).getName).toSet
+    val onDisk = Option(new java.io.File(path, "_dv").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(onDisk == live, s"orphan dv sidecars after refusal: ${onDisk diff live}")
+  }
+
+  test("group commit refuses when a scanned file was re-vectored concurrently (COW vs DV swap)") {
+    val path = s"$warehouse/ns/cowrace"
+    GraftTable.overwrite(spark.range(0, 50)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), path)
+    // group protocol (no graft.deletionVectors) — but deleteWhereMor is a
+    // public API not gated on the property, so dv swaps DO land on
+    // group-protocol tables; a stale COW replace would resurrect k=5
+    GraftTable.betweenStageAndCommitForTests = () => {
+      GraftTable.betweenStageAndCommitForTests = () => ()
+      GraftTable.deleteWhereMor(spark, path, col("k") === 5)
+    }
+    try {
+      val e = intercept[Exception](
+        spark.sql("UPDATE grl.ns.cowrace SET v = 'x' WHERE k >= 0"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("re-vectored")), e.toString)
+    } finally GraftTable.betweenStageAndCommitForTests = () => ()
+    assert(spark.table("grl.ns.cowrace").count() == 49)
+    assert(spark.table("grl.ns.cowrace").filter(col("k") === 5).count() == 0)
+    assert(spark.table("grl.ns.cowrace").filter(col("v") === "x").count() == 0)
   }
 
   test("runtime group filtering: an un-stats-prunable UPDATE rewrites only true-match files") {

@@ -359,6 +359,21 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
   }
 
+  test("bloomNdv degrades to None on corrupt sidecars, never fails planning") {
+    def pack(k: Int, m: Int, bytes: Array[Byte]): String =
+      s"$k:$m:${java.util.Base64.getEncoder.encodeToString(bytes)}"
+    val good = pack(3, 1024, Array.fill[Byte](128)(0x11))
+    assert(GraftTable.bloomNdv(Seq(good)).exists(_ > 0))
+    // truncated byte array whose DECLARED geometry matches the good one:
+    // the OR-merge would index past the short array — must yield None,
+    // not an ArrayIndexOutOfBoundsException out of estimateStatistics
+    val truncated = pack(3, 1024, Array.fill[Byte](10)(0x11))
+    assert(GraftTable.bloomNdv(Seq(good, truncated)).isEmpty)
+    // outright garbage degrades the same way
+    assert(GraftTable.bloomNdv(Seq("not-a-bloom")).isEmpty)
+    assert(GraftTable.bloomNdv(Seq(good, "3:1024:@@@")).isEmpty)
+  }
+
   test("property-declared statsCols/bloomCols index every write path") {
     val path = tmp() + "/t"
     GraftTable.create(path,
