@@ -46,10 +46,16 @@ import graft.core.GraftTable.{FileEntry, Manifest}
   *    (executor-cached, [[DeletionVector.load]]) — exact under split
   *    planning and row-group skipping because parquet-mr derives the
   *    index from row-group offsets;
-  *  - a snapshot with NO dv'd survivors reports columnar support and
-  *    Spark drives the scan through `ColumnarToRow` whole-stage fusion;
-  *    with dv'd survivors the scan hands off rows (decode underneath is
-  *    STILL the vectorized reader — only the hand-off is per-row).
+  *  - deletion-vectored files stay COLUMNAR: the dv mask is applied
+  *    inside the [[ColumnarBatch]] ([[DvMaskBatchReader]] — an all-live
+  *    batch passes through with only the row-index column dropped; a
+  *    batch with dead rows emits selection-vector wrappers
+  *    ([[SelectedVector]]) over the same decoded vectors, zero copying)
+  *    — so a churned MOR snapshot with one dirty file among a million
+  *    clean ones keeps `ColumnarToRow` whole-stage fusion scan-wide.
+  *    Only a metadata-column request (`_graft_file`/`_graft_pos`) drops
+  *    the scan to per-row hand-off (decode underneath is still the
+  *    vectorized reader).
   *
   * Reference analogue: every model reads schema-qualified names
   * (`models/source.yml:4-19`) on a platform whose reads are natively
@@ -219,9 +225,9 @@ private[graft] object GraftBatch {
 /** Per-file dispatching reader factory: routes each [[PartitionedFile]]
   * to its group's inner Spark parquet factory, wrapping deletion-
   * vectored files with the liveness drop + row-index strip. Columnar
-  * support is scan-wide (Spark requires uniformity): reported only when
-  * no surviving file carries a vector and every inner factory decodes
-  * the read schema vectorized. */
+  * support is scan-wide (Spark requires uniformity) and INCLUDES dv'd
+  * files — their mask applies inside the batch ([[DvMaskBatchReader]]);
+  * only a metadata-column request forces the per-row shaper. */
 private[graft] class GraftReaderFactory(
     groups: IndexedSeq[GraftBatch.GroupReaders],
     assign: Map[String, Int], dvByFile: Map[String, String],
@@ -236,7 +242,7 @@ private[graft] class GraftReaderFactory(
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     metaCols.isEmpty &&
-      groups.forall(g => !g.hasRowIdx && g.factory.supportColumnarReads(partition))
+      groups.forall(g => g.factory.supportColumnarReads(partition))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[FilePartition].files
@@ -252,7 +258,13 @@ private[graft] class GraftReaderFactory(
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val files = partition.asInstanceOf[FilePartition].files
-    new ChainReader[ColumnarBatch](files, pf => groupOf(pf).factory.buildColumnarReader(pf))
+    new ChainReader[ColumnarBatch](files, { pf =>
+      val g = groupOf(pf)
+      val base = g.factory.buildColumnarReader(pf)
+      if (!g.hasRowIdx) base
+      else new DvMaskBatchReader(base,
+        dvByFile.get(pf.toPath.toString).map(DeletionVector.load).orNull)
+    })
   }
 }
 
@@ -318,4 +330,103 @@ private[graft] class MetaEmitReader(inner: PartitionReader[InternalRow],
 
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
+}
+
+/** The COLUMNAR deletion-vector mask: the inner batches carry a
+  * trailing generated row-index column; dead positions (binary search
+  * against the file's sorted vector) are dropped INSIDE the batch so a
+  * dirty file still emits [[ColumnarBatch]]es and the scan keeps
+  * whole-stage fusion. An all-live batch (the overwhelmingly common
+  * case — vectors are sparse) passes the decoded vectors through
+  * untouched, minus the row-index column; a batch with dead rows wraps
+  * each data vector in a [[SelectedVector]] (logical→physical position
+  * indirection, zero row copying — the Iceberg/Delta reader shape). */
+private[graft] class DvMaskBatchReader(inner: PartitionReader[ColumnarBatch],
+    dv: Array[Long]) extends PartitionReader[ColumnarBatch] {
+
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val b = inner.get()
+      val n = b.numRows()
+      val dataCols = Array.tabulate(b.numCols() - 1)(b.column)
+      if (n > 0) {
+        val idxCol = b.column(b.numCols() - 1)
+        var live = n
+        if (dv != null) {
+          var i = 0
+          while (i < n) {
+            if (java.util.Arrays.binarySearch(dv, idxCol.getLong(i)) >= 0) live -= 1
+            i += 1
+          }
+        }
+        if (live == n) {
+          current = new ColumnarBatch(dataCols, n)
+          return true
+        } else if (live > 0) {
+          val sel = new Array[Int](live)
+          var i = 0; var o = 0
+          while (i < n) {
+            if (java.util.Arrays.binarySearch(dv, idxCol.getLong(i)) < 0) {
+              sel(o) = i; o += 1
+            }
+            i += 1
+          }
+          current = new ColumnarBatch(dataCols.map(c =>
+            new SelectedVector(c, sel): org.apache.spark.sql.vectorized.ColumnVector), live)
+          return true
+        } // live == 0: whole batch dead, pull the next one
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = inner.close()
+}
+
+/** A selection-vector view over a decoded [[ColumnVector]]: logical
+  * position `i` reads the base vector at `sel(i)`. No data moves; the
+  * base vectors stay owned (and closed) by the inner reader, so
+  * `close()` here is a no-op. Struct children wrap lazily with the
+  * SAME selection (a child is addressed by its parent's row id). */
+private[graft] class SelectedVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType) {
+
+  import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarMap, ColumnVector}
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls: Int = {
+    var c = 0; var i = 0
+    while (i < sel.length) { if (base.isNullAt(sel(i))) c += 1; i += 1 }
+    c
+  }
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(sel(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+
+  private[this] val kids = new java.util.HashMap[Integer, ColumnVector]
+  override def getChild(ordinal: Int): ColumnVector = {
+    val got = kids.get(ordinal)
+    if (got != null) got
+    else {
+      val made = new SelectedVector(base.getChild(ordinal), sel)
+      kids.put(ordinal, made); made
+    }
+  }
 }

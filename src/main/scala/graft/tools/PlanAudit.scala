@@ -809,6 +809,43 @@ object PlanAudit {
       println(s"[plan] q159_mor_vectorized: ${results.mkString(" ")} (scans=${fs.size})")
     }
     locally {
+      // Named MOR reads stay COLUMNAR: on a 16-file snapshot where ONE
+      // file carries a deletion vector, the v2 scan must still report
+      // columnar scan-wide (the dv mask applies INSIDE the
+      // ColumnarBatch — DvMaskBatchReader's selection-vector wrap), so
+      // ColumnarToRow whole-stage fusion survives MOR churn. This is
+      // the 100 TB shape: a steadily-churned fact always has SOME dv'd
+      // files; per-row hand-off must not be the common case.
+      import org.apache.spark.sql.functions.col
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_morcol_wh").toString
+      spark.conf.set("spark.sql.catalog.gmc", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gmc.ns")
+      val root = s"$wh/ns/fact"
+      GraftTable.writeClustered(spark.range(0, 16384).selectExpr(
+        "cast(id as int) AS k", "id AS x"), root, col("k"), numFiles = 16,
+        statsCols = Seq("k"))
+      GraftTable.deleteWhereMor(spark, root, col("k") === 100,
+        pruneRanges = Seq(GraftTable.ColRange("k", Some(100), Some(100))))
+      val dvd = GraftTable.filesOf(root, GraftTable.currentManifest(root).get)
+        .count(_.dv.isDefined)
+      val named = spark.table("gmc.ns.fact")
+      // collect THIS df (count() would plan separately — and the named
+      // metadata-count path would answer it without scanning at all)
+      val collected = named.collect()
+      val n = collected.length.toLong
+      val s = collected.map(_.getLong(1)).sum
+      val planStr = named.queryExecution.executedPlan.toString
+      val checks = Seq(
+        "one_of_16_dirty" -> (dvd == 1),
+        "named_mor_scan_columnar" -> (planStr.contains("ColumnarToRow") &&
+          planStr.contains("BatchScan") && !planStr.contains("RowDataSourceScan")),
+        "mask_exact" -> (n == 16383L && s == (0L until 16384L).sum - 100L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q164_mor_columnar: ${results.mkString(" ")} (dvd=$dvd/16)")
+    }
+    locally {
       // q154's multi-column z-order: after a 16-file relayout on the
       // auto-quantized Morton interleave, a 1/8 slice of EITHER
       // dimension must skip files — and the comparative claim: a

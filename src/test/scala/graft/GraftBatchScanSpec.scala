@@ -46,16 +46,48 @@ class GraftBatchScanSpec extends AnyFunSuite with SparkSpecBase {
       canon((0 until 20).filterNot(_ % 10 == 3).toDF("k")))
   }
 
-  test("clean snapshots scan columnar; dv'd snapshots stay vectorized row hand-off") {
+  test("dv'd snapshots stay COLUMNAR: the mask applies inside the batch") {
     val path = s"$warehouse/ns/colcheck"
     GraftTable.overwrite(spark.range(0, 1000)
-      .selectExpr("cast(id as int) AS k", "id AS x"), path)
+      .selectExpr("cast(id as int) AS k", "id AS x", "cast(id as string) AS s"), path)
     val clean = planStr(spark.table("gbat.ns.colcheck"))
     assert(clean.contains("ColumnarToRow"), s"clean scan should be columnar:\n$clean")
     GraftTable.deleteWhereMor(spark, path, col("k") === 1)
+    // one dv'd file must NOT drop the scan to per-row hand-off: the dead
+    // positions filter inside the ColumnarBatch (selection-vector wrap)
     val dirty = planStr(spark.table("gbat.ns.colcheck"))
-    assert(dirty.contains("BatchScan") && !dirty.contains("RowDataSourceScan"), dirty)
-    assert(spark.table("gbat.ns.colcheck").count() == 999)
+    assert(dirty.contains("ColumnarToRow"), s"dv'd scan should stay columnar:\n$dirty")
+    assert(!dirty.contains("RowDataSourceScan"), dirty)
+    val t = spark.table("gbat.ns.colcheck")
+    assert(t.count() == 999)
+    assert(t.filter(col("k") === 1).count() == 0)
+    // values survive the selection indirection across types
+    assert(t.agg(sum("x")).head().getLong(0) == (0L until 1000L).sum - 1L)
+    assert(canon(t.filter(col("k") < 4).select("k", "s")) ==
+      canon(Seq((0, "0"), (2, "2"), (3, "3")).toDF("k", "s")))
+  }
+
+  test("columnar dv mask: dense vectors, whole-dead batches, nulls, dv'd aggregates") {
+    val path = s"$warehouse/ns/coldense"
+    // one file, > one vectorized batch (default 4096 rows/batch); kill a
+    // whole batch-aligned span plus a scattered comb so both the
+    // all-dead-batch skip and the selection-vector path execute
+    GraftTable.overwrite(spark.range(0, 20000)
+      .selectExpr("id AS k",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id as string) END AS s")
+      .coalesce(1), path)
+    GraftTable.deleteWhereMor(spark, path,
+      (col("k") >= 4096 && col("k") < 8192) || col("k") % 7 === 0)
+    val expect = (0L until 20000L).filterNot(k => (k >= 4096 && k < 8192) || k % 7 == 0)
+    val t = spark.table("gbat.ns.coldense")
+    val p = planStr(t)
+    assert(p.contains("ColumnarToRow"), s"dense-dv scan should stay columnar:\n$p")
+    assert(t.count() == expect.size)
+    assert(t.agg(sum("k")).head().getLong(0) == expect.sum)
+    // null bitmap rides the indirection: count(s) skips the masked nulls
+    assert(t.agg(count(col("s"))).head().getLong(0) == expect.count(_ % 5 != 0))
+    assert(canon(t.filter(col("k").between(4090, 4100)).select("k")) ==
+      canon(expect.filter(k => k >= 4090 && k <= 4100).toDF("k")))
   }
 
   test("rename indirection: old physical names serve the new logical column") {
