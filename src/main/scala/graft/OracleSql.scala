@@ -410,6 +410,14 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders
 WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
 
+    // the storage-partitioned (bucketed, zero-exchange) join must be
+    // invisible to results — same answer as the plain parquet join
+    "q177_spj_bucketed_join" -> """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+
     // same contract as q104 — the optimizer rule must be invisible to
     // results (it only removes provably-dead file IO)
     "q134_ruled_scan" -> """

@@ -2026,6 +2026,41 @@ object Queries {
       col("o_orderstatus"), col("o_totalprice").as("total"))
   }
 
+  private lazy val q177Root: String =
+    java.nio.file.Files.createTempDirectory("graft_spj_q").toString
+
+  /** q177: a STORAGE-PARTITIONED JOIN — orders and customer bucketed on
+    * the join key ([[graft.core.GraftTable.writeBucketed]] →
+    * `graft.bucketBy` → v2 `bucket(8, key)` partitioning +
+    * [[graft.catalog.GraftBucketFunction]]), joined through catalog
+    * names. With `spark.sql.sources.v2.bucketing.enabled` the join
+    * consumes both sides bucket-by-bucket with ZERO exchange — at
+    * 100 TB the dominant cost of a fact⋈fact join (the reference's
+    * platform co-clusters transparently; `models/dwh/fact_order.sql:37-42`
+    * is the shape). The layout must be invisible to results: same
+    * answer as the plain parquet join. */
+  def spjBucketedJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = "graftspj"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q177Root)
+    }
+    TableIO.clearDir(s"$q177Root/ns")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    GraftTable.writeBucketed(Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      s"$q177Root/ns/orders_b", "o_custkey", 8)
+    GraftTable.writeBucketed(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      s"$q177Root/ns/cust_b", "c_custkey", 8)
+    s.table(s"$cat.ns.orders_b")
+      .join(s.table(s"$cat.ns.cust_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   /** Build q173/q174's shared NAMED source table: the q147/q132 commit
     * history (initial load, append, keyed COW update, keyed delete)
     * under `cat.dwh.src`, rebuilt fresh per invocation. Returns the
@@ -2923,6 +2958,7 @@ object Queries {
     "q174_named_cdf_batch" -> (namedCdfBatchQ _),
     "q175_rowlevel_merge" -> (rowLevelMergeQ _),
     "q176_rowlevel_mor_merge" -> (rowLevelMorMergeQ _),
+    "q177_spj_bucketed_join" -> (spjBucketedJoinQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

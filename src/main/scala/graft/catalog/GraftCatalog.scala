@@ -65,10 +65,27 @@ import graft.sources.{GraftBatchRead, GraftMicroBatchStream}
   * `/`) resolves to that table directly, so plain SQL `SELECT … FROM
   * graft.`/p` VERSION AS OF 2` works on path-addressed tables too. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ------------------------------------------------------------- functions
+
+  /** The one catalog function: `bucket` ([[GraftBucketFunction]]) —
+    * resolved by Spark's `V2ExpressionUtils` when a bucketed table's
+    * reported partitioning becomes a storage-partitioned-join key.
+    * Exposing it through [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
+    * is what populates `DataSourceV2Relation.funCatalog`, without which
+    * the `bucket(n, k)` transform cannot bind and SPJ never engages. */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -419,7 +436,21 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
 
   override def name(): String = tableName
   override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)
-  override def partitioning(): Array[Transform] = Array.empty
+
+  /** Declared bucketing (`graft.bucketBy` — [[GraftTable.writeBucketed]])
+    * surfaces as a v2 `bucket(n, k)` transform: with the scan's
+    * [[GraftNamedScan.outputPartitioning]] this is what lets two
+    * co-bucketed facts join with ZERO exchange (storage-partitioned
+    * join). Range clustering (`graft.clusterBy`) intentionally does NOT
+    * report — its per-file ranges drive file skipping, not a discrete
+    * partition function. */
+  override def partitioning(): Array[Transform] =
+    GraftTable.bucketSpec(GraftTable.propertiesOf(path))
+      .filter { case (c, _) => schema().fieldNames.contains(c) }
+      .map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }
+      .toArray
+
   override def properties(): JMap[String, String] =
     GraftTable.propertiesOf(path).asJava
 
@@ -537,6 +568,7 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
     options: CaseInsensitiveStringMap) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   /** Runtime (dynamic partition/file pruning) filters Spark pushes at
@@ -579,6 +611,27 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new graft.sources.GraftBatch(SparkSession.active, path, manifest,
       StructType.fromDDL(manifest.schemaDdl), required, pushed ++ runtime)
+
+  /** Storage-partitioned joins: when the snapshot is cleanly bucketed
+    * (`graft.bucketBy` declared, every surviving data-bearing file
+    * single-bucket), report `bucket(n, k)` key-grouped partitioning —
+    * with [[GraftCatalog.loadFunction]] binding the transform, two
+    * co-bucketed tables join with ZERO exchange. Computed against the
+    * STATIC pushed filters only: runtime filtering can only remove
+    * whole buckets, which stays a subset of the reported key set. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val probe = new graft.sources.GraftBatch(SparkSession.active, path, manifest,
+      StructType.fromDDL(manifest.schemaDdl), required, pushed)
+    probe.bucketedBy match {
+      case Some((c, n)) if required.fieldNames.contains(c) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          math.max(probe.bucketPartitionCount, 1))
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   /** Manifest-true, PRUNE-AWARE stats: called post-pushdown, so the
     * pushed filters have already narrowed the entry set through the

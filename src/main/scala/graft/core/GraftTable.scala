@@ -630,22 +630,33 @@ object GraftTable {
     * the stats columns) — the post-write pass a format without in-flight
     * footer aggregation pays; O(batch), never O(table). */
   private def stageFiles(df: DataFrame, path: String, statsCols: Seq[String],
-      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
+      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
     enforceChecks(df, path)
     val commitId = java.util.UUID.randomUUID.toString.take(8)
     val stage = new File(path, ".stage-" + commitId)
     TableIO.clearDir(stage.toString)
+    // a declared `graft.bucketBy` keeps EVERY driver-staged write path
+    // (append / upsert / SQL INSERT) single-bucket-per-file — the
+    // repartition IS Spark's shuffle assignment, so the id recorded by
+    // stagePartEntries matches GraftBoundBucket by construction
+    val effBucket = (bucket orElse bucketSpec(
+      currentManifest(path).flatMap(_.properties).getOrElse(Map.empty)))
+      .filter { case (c, _) => df.schema.fieldNames.contains(c) }
     val out = clusterBy match {
       case Some((c, n)) => df.repartitionByRange(n, c).sortWithinPartitions(c)
-      case None => df
+      case None => effBucket match {
+        case Some((c, n)) => df.repartition(n, col(c))
+        case None => df
+      }
     }
     out.write.mode("overwrite").parquet(stage.toString)
     val parts = Option(stage.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).sortBy(_.getName)
     if (parts.isEmpty) { TableIO.clearDir(stage.toString); return Nil }
     val entries = stagePartEntries(spark, df.schema, path, commitId, parts.toSeq,
-      statsCols, bloomCols)
+      statsCols, bloomCols, effBucket)
     TableIO.clearDir(stage.toString)
     entries
   }
@@ -659,7 +670,8 @@ object GraftTable {
     * never O(table). */
   private def stagePartEntries(spark: SparkSession, schema: StructType,
       path: String, commitId: String, parts: Seq[File], explicitStats: Seq[String],
-      explicitBlooms: Seq[String]): Seq[FileEntry] = {
+      explicitBlooms: Seq[String],
+      explicitBucket: Option[(String, Int)] = None): Seq[FileEntry] = {
     // PROPERTY-DECLARED indexing: a table carrying `graft.statsCols` /
     // `graft.bloomCols` stamps skipping stats on EVERY write path —
     // SQL INSERT, the streaming sink, COW rewrites, MOR appends — not
@@ -682,14 +694,26 @@ object GraftTable {
     // bloom columns always get a stats entry to carry the filter
     val fields = fields0 ++ bloomCols.filterNot(c => fields0.exists(_.name == c))
       .map(c => schema(c)).filter(f => statTag(f.dataType).isDefined)
-    val aggs = count(lit(1L)).as("__rows") +: fields.flatMap { f =>
+    // bucketed layout bookkeeping: record each file's bucket id (the
+    // shuffle-aligned pmod(hash(k), n) — [[GraftBoundBucket]]) under the
+    // reserved [[BucketStatCol]] stats key, IF the file is single-bucket.
+    // A multi-bucket file (executor-staged COW/stream parts that didn't
+    // flow through the stageFiles repartition) records nothing — the
+    // scan then degrades from storage-partitioned joins, never lies.
+    val bucket = (explicitBucket orElse bucketSpec(declaredProps))
+      .filter { case (c, _) => schema.fieldNames.contains(c) }
+    val bucketAggs = bucket.toSeq.flatMap { case (c, n) =>
+      val b = pmod(hash(col(c)), lit(n))
+      Seq(min(b).as("__graft_bmin"), max(b).as("__graft_bmax"))
+    }
+    val allAggs = (count(lit(1L)).as("__rows") +: fields.flatMap { f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
-    }
+    }) ++ bucketAggs
     // explicit FILE paths, not the stage dir: the dir is dot-prefixed
     // (hidden to any directory listing), leaf files by name are not
     val statRows = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
-      .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+      .groupBy(input_file_name().as("__f")).agg(allAggs.head, allAggs.tail: _*)
       .collect().map { r =>
         val base = r.getString(0).split('/').last
         val stats = fields.map { f =>
@@ -698,7 +722,16 @@ object GraftTable {
           val mx = Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _))
           f.name -> ColStats(tag, mn, mx, r.getAs[Long](s"__nulls_${f.name}"))
         }.toMap
-        base -> (r.getAs[Long]("__rows"), stats)
+        val bstat = bucket.flatMap { _ =>
+          (Option(r.get(r.fieldIndex("__graft_bmin"))),
+            Option(r.get(r.fieldIndex("__graft_bmax")))) match {
+            case (Some(a), Some(b)) if a == b =>
+              Some(BucketStatCol ->
+                ColStats("int", Some(a.toString), Some(a.toString), 0L))
+            case _ => None
+          }
+        }
+        base -> (r.getAs[Long]("__rows"), stats ++ bstat)
       }.toMap
 
     // one distributed pass per bloom column over the staged files: the
@@ -779,9 +812,10 @@ object GraftTable {
   private[graft] var betweenStageAndCommitForTests: () => Unit = () => ()
 
   private def writeOp(df: DataFrame, path: String, op: String, statsCols: Seq[String],
-      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil): Long = {
+      clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil,
+      bucket: Option[(String, Int)] = None): Long = {
     var validatedChecks = activeChecks(path)
-    val staged = stageFiles(df, path, statsCols, clusterBy, bloomCols)
+    val staged = stageFiles(df, path, statsCols, clusterBy, bloomCols, bucket)
     betweenStageAndCommitForTests()
     var committed = -1L
     while (committed < 0) {
@@ -1246,6 +1280,51 @@ object GraftTable {
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(numFiles > 0, "numFiles must be positive")
     writeOp(df, path, "overwrite", statsCols, Some((clusterBy, numFiles)), bloomCols)
+  }
+
+  /** The reserved per-file stats key carrying a bucketed file's bucket
+    * id (`min == max == id`); never a real column name (leading
+    * underscores are rejected by parquet-adjacent tooling and the name
+    * is double-underscored on purpose). */
+  private[graft] val BucketStatCol = "__bucket"
+
+  /** Parse `graft.bucketBy` = `"<col>,<numBuckets>"`. */
+  private[graft] def bucketSpec(props: Map[String, String]): Option[(String, Int)] =
+    props.get("graft.bucketBy").flatMap { s =>
+      s.split(',').map(_.trim) match {
+        case Array(c, n) if c.nonEmpty && n.forall(_.isDigit) && n.nonEmpty &&
+          n.toLong <= Int.MaxValue && n.toInt > 0 => Some((c, n.toInt))
+        case _ => None
+      }
+    }
+
+  /** Overwrite with a HASH-BUCKETED layout and declare it
+    * (`graft.bucketBy`): rows land in `numBuckets` files by
+    * `pmod(murmur3(bucketBy), numBuckets)` — Spark's own shuffle
+    * assignment, so the one `repartition` IS the bucketing. From then
+    * on:
+    *  - every driver-staged write (append / upsert / SQL INSERT)
+    *    re-buckets automatically ([[stageFiles]]) and stamps each
+    *    file's bucket id into the manifest;
+    *  - catalog-named reads report the layout as a v2 `bucket(n, k)`
+    *    partitioning, and two tables bucketed on the same key with the
+    *    same count JOIN WITH ZERO EXCHANGE (storage-partitioned join)
+    *    — at 100 TB the dominant cost of a fact⋈fact join;
+    *  - a write path that bypasses the repartition (executor-staged
+    *    COW rewrites, streaming sink files) records no bucket id for
+    *    its files and the scan DEGRADES to ordinary planning (correct,
+    *    just shuffled) until a re-bucketing overwrite — same contract
+    *    as Delta clustering after OPTIMIZE drift.
+    * Bucketing and range-clustering are alternatives: buckets
+    * co-locate joins, ranges skip files. */
+  def writeBucketed(df: DataFrame, path: String, bucketBy: String, numBuckets: Int,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(df.schema.fieldNames.contains(bucketBy),
+      s"bucketBy column '$bucketBy' is not in the batch schema")
+    writeOp(df, path, "overwrite", statsCols, None, bloomCols,
+      bucket = Some((bucketBy, numBuckets)))
+    setProperties(path, Map("graft.bucketBy" -> s"$bucketBy,$numBuckets"))
   }
 
   // ---------------------------------------------------------------- reading

@@ -120,8 +120,45 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
         new HPath(new File(GraftTable.resolveData(path, fe)).toURI))
     }
 
+  /** A surviving data-bearing file's recorded bucket id, when the file
+    * was written single-bucket under the declared `graft.bucketBy`. */
+  private def fileBucket(fe: FileEntry): Option[Int] =
+    fe.stats.get(GraftTable.BucketStatCol)
+      .flatMap(s => for (a <- s.min; b <- s.max if a == b) yield a.toInt)
+
+  /** Storage-partitioned-join shape: `Some((col, n))` when the snapshot
+    * declares bucketing AND every surviving data-bearing file carries a
+    * single-bucket id (zero-row files are planned away). Any file
+    * written outside the bucketing discipline degrades the whole scan
+    * to ordinary packing — correct, just shuffled. */
+  private[graft] lazy val bucketedBy: Option[(String, Int)] =
+    GraftTable.bucketSpec(m.properties.getOrElse(Map.empty)).filter { _ =>
+      val live = kept.filter(_.rows > 0)
+      live.nonEmpty && live.forall(fe => fileBucket(fe).isDefined)
+    }
+
+  /** Distinct buckets among the planned files (the reported
+    * `KeyGroupedPartitioning` width). */
+  private[graft] lazy val bucketPartitionCount: Int =
+    kept.filter(_.rows > 0).flatMap(fileBucket).distinct.size
+
   override def planInputPartitions(): Array[InputPartition] = {
     if (kept.isEmpty) return Array.empty
+    if (bucketedBy.isDefined) {
+      // ONE partition per bucket present, whole files (HasPartitionKey
+      // — Spark groups by the key row, so splitting here would only be
+      // re-merged): the storage-partitioned join consumes both sides
+      // bucket-by-bucket with zero exchange
+      return statuses.filter(_._1.rows > 0)
+        .groupBy { case (fe, _) => fileBucket(fe).get }
+        .toSeq.sortBy(_._1).zipWithIndex.map { case ((b, sts), i) =>
+          val pfs = sts.flatMap { case (_, st) =>
+            PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
+              st.getPath, isSplitable = false, Long.MaxValue, InternalRow.empty)
+          }
+          new GraftBucketedPartition(i, pfs.toArray, b): InputPartition
+        }.toArray
+    }
     val maxSplit = FilePartition.maxSplitBytes(spark,
       Seq(PartitionDirectory(InternalRow.empty, statuses.map(_._2).toArray[FileStatus])))
     val files = statuses.flatMap { case (_, st) =>
@@ -266,6 +303,19 @@ private[graft] class GraftReaderFactory(
         dvByFile.get(pf.toPath.toString).map(DeletionVector.load).orNull)
     })
   }
+}
+
+/** A [[FilePartition]] that also announces its bucket id
+  * ([[org.apache.spark.sql.connector.read.HasPartitionKey]]) — the unit
+  * of a storage-partitioned join. Still a FilePartition, so the
+  * dispatching reader factory's per-file routing is untouched. */
+private[graft] class GraftBucketedPartition(idx: Int,
+    fs: Array[PartitionedFile], bucket: Int)
+    extends FilePartition(idx, fs)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  private val key = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(Array[Any](bucket))
+  override def partitionKey(): InternalRow = key
 }
 
 /** Sequential composition of per-file readers within one

@@ -8,6 +8,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -844,6 +845,41 @@ object PlanAudit {
         "mask_exact" -> (n == 16383L && s == (0L until 16384L).sum - 100L))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q164_mor_columnar: ${results.mkString(" ")} (dvd=$dvd/16)")
+    }
+    locally {
+      // q177's storage-partitioned join: two tables bucketed on the
+      // join key (graft.bucketBy → v2 bucket(8, k) partitioning, the
+      // catalog's bucket function binding the transform) must join with
+      // ZERO exchange — no shuffle, no broadcast — under AQE. At 100 TB
+      // this is THE fact⋈fact join cost; a broadcast can't save a join
+      // where neither side fits.
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_spj_wh").toString
+      spark.conf.set("spark.sql.catalog.gspj", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gspj.ns")
+      GraftTable.writeBucketed(spark.range(0, 40000).selectExpr(
+        "cast(id % 2048 as int) AS k", "id AS x"), s"$wh/ns/fact_a", "k", 8)
+      GraftTable.writeBucketed(spark.range(0, 20000).selectExpr(
+        "cast(id % 2048 as int) AS k", "id AS y"), s"$wh/ns/fact_b", "k", 8)
+      val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("gspj.ns.fact_a").join(spark.table("gspj.ns.fact_b"), "k")
+        val n = j.count()
+        j.collect()
+        val planStr = j.queryExecution.executedPlan.toString
+        val checks = Seq(
+          "spj_zero_exchange" -> !planStr.contains("Exchange"),
+          "spj_v2_scans" -> (planStr.contains("BatchScan") &&
+            !planStr.contains("RowDataSourceScan")),
+          // 40000/2048 ≈ 19.5 rows per key on A, 20000/2048 ≈ 9.7 on B
+          "spj_rows_exact" -> (n == (0 until 2048).map(k =>
+            (0 until 40000).count(_ % 2048 == k).toLong *
+              (0 until 20000).count(_ % 2048 == k)).sum))
+        val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+        println(s"[plan] q177_spj: ${results.mkString(" ")} (rows=$n)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
     locally {
       // q154's multi-column z-order: after a 16-file relayout on the

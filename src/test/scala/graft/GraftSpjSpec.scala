@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.core.GraftTable
+import graft.catalog.GraftCatalog
+
+/** Storage-partitioned joins over bucketed GraftTables
+  * ([[GraftTable.writeBucketed]] → `graft.bucketBy` → v2 `bucket(n, k)`
+  * partitioning + [[graft.sources.GraftBucketedPartition]] keys): two
+  * tables bucketed on the same key with the same count must join with
+  * ZERO exchange; anything that breaks the layout contract must degrade
+  * to ordinary (shuffled) planning with identical results. */
+class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft_spj").toString
+
+  spark.conf.set("spark.sql.catalog.spj", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.spj.warehouse", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.ns")
+
+  private def withSpjConfs[T](body: => T): T = {
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+    try body
+    finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("co-bucketed tables join with zero exchange; results exact") {
+    val fact = spark.range(0, 5000).selectExpr("cast(id % 800 as int) AS k", "id AS x")
+    val dim = spark.range(0, 800).selectExpr("cast(id as int) AS k", "cast(id as string) AS v")
+    GraftTable.writeBucketed(fact, s"$warehouse/ns/f", "k", 8)
+    GraftTable.writeBucketed(dim, s"$warehouse/ns/d", "k", 8)
+    withSpjConfs {
+      val j = spark.table("spj.ns.f").join(spark.table("spj.ns.d"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"co-bucketed join must not shuffle:\n$p")
+      assert(canon(j) == canon(fact.join(dim, "k")))
+      // aggregation ON the bucket key also rides the reported partitioning
+      val agg = spark.table("spj.ns.f").groupBy("k").agg(sum("x").as("sx"))
+        .join(spark.table("spj.ns.d"), "k")
+      assert(canon(agg) == canon(fact.groupBy("k").agg(sum("x").as("sx")).join(dim, "k")))
+    }
+  }
+
+  test("appends preserve bucketing: the declared property re-buckets every write") {
+    val path = s"$warehouse/ns/app"
+    GraftTable.writeBucketed(spark.range(0, 1000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8)
+    // plain append, NOT pre-partitioned — stageFiles re-buckets it
+    GraftTable.append(spark.range(1000, 2000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path)
+    val m = GraftTable.currentManifest(path).get
+    val live = GraftTable.filesOf(path, m).filter(_.rows > 0)
+    assert(live.forall(_.stats.contains("__bucket")),
+      "appended files must carry single-bucket ids")
+    withSpjConfs {
+      val other = s"$warehouse/ns/app2"
+      GraftTable.writeBucketed(spark.range(0, 2000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.app").join(spark.table("spj.ns.app2"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"post-append join must stay zero-exchange:\n$p")
+      assert(j.count() == 2000)
+    }
+  }
+
+  test("mismatched bucket counts degrade to a shuffled join, results exact") {
+    GraftTable.writeBucketed(spark.range(0, 500)
+      .selectExpr("cast(id as int) AS k", "id AS x"), s"$warehouse/ns/m8", "k", 8)
+    GraftTable.writeBucketed(spark.range(0, 500)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"),
+      s"$warehouse/ns/m16", "k", 16)
+    withSpjConfs {
+      val j = spark.table("spj.ns.m8").join(spark.table("spj.ns.m16"), "k")
+      assert(j.count() == 500)
+      assert(canon(j.filter(col("k") === 7).select("v")) == canon(Seq("7").toDF("v")))
+    }
+  }
+
+  test("a layout that doesn't match the declaration degrades the scan, never lies") {
+    val path = s"$warehouse/ns/degrade"
+    // files written BEFORE the declaration carry no bucket ids: declaring
+    // the property on them must NOT make the scan claim a partitioning
+    // the files don't have
+    GraftTable.overwrite(spark.range(0, 1000)
+      .selectExpr("cast(id as int) AS k", "id AS x").repartition(4), path)
+    GraftTable.setProperties(path, Map("graft.bucketBy" -> "k,8"))
+    withSpjConfs {
+      val other = s"$warehouse/ns/degrade2"
+      GraftTable.writeBucketed(spark.range(0, 1000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.degrade").join(spark.table("spj.ns.degrade2"), "k")
+      val p = planOf(j)
+      assert(p.contains("Exchange"), s"undisciplined layout must fall back to shuffle:\n$p")
+      assert(j.count() == 1000)
+      // re-bucketing restores the zero-exchange plan
+      GraftTable.writeBucketed(spark.table("spj.ns.degrade"), path, "k", 8)
+      val j2 = spark.table("spj.ns.degrade").join(spark.table("spj.ns.degrade2"), "k")
+      assert(!planOf(j2).contains("Exchange"))
+    }
+  }
+
+  test("single-bucket COW rewrites PRESERVE bucketing through stock UPDATE") {
+    val path = s"$warehouse/ns/cowkeep"
+    GraftTable.writeBucketed(spark.range(0, 1000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8)
+    // the rewrite sources one bucket's file, so the staged replacement
+    // is single-bucket and stagePartEntries re-stamps it truthfully
+    spark.sql("UPDATE spj.ns.cowkeep SET x = -1 WHERE k = 3")
+    val t = spark.table("spj.ns.cowkeep")
+    assert(t.filter(col("x") === -1).count() == 1)
+    assert(t.count() == 1000)
+    // whatever the plan does, the manifest never lies: files either all
+    // carry single-bucket ids (SPJ stays) or the scan degrades
+    val live = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    withSpjConfs {
+      val other = s"$warehouse/ns/cowkeep2"
+      GraftTable.writeBucketed(spark.range(0, 1000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.cowkeep").join(spark.table("spj.ns.cowkeep2"), "k")
+      val p = planOf(j)
+      if (live.forall(_.stats.contains("__bucket")))
+        assert(!p.contains("Exchange"), s"bucket-preserving rewrite should keep SPJ:\n$p")
+      else assert(p.contains("Exchange"), s"unbucketed file must degrade the scan:\n$p")
+      assert(j.count() == 1000)
+    }
+  }
+
+  test("bucketed scans still stats-prune, dv-mask, and answer exactly") {
+    val path = s"$warehouse/ns/bmor"
+    GraftTable.writeBucketed(spark.range(0, 4000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8,
+      statsCols = Seq("k"))
+    GraftTable.deleteWhereMor(spark, path, col("k") === 77)
+    val t = spark.table("spj.ns.bmor")
+    assert(t.count() == 3999)
+    assert(t.filter(col("k") === 77).count() == 0)
+    assert(t.agg(sum("x")).head().getLong(0) == (0L until 4000L).sum - 77L)
+    withSpjConfs {
+      // a dv'd bucketed snapshot still joins zero-exchange (the mask is
+      // inside the batch; bucket ids are untouched by DV sidecars)
+      val other = s"$warehouse/ns/bmor2"
+      GraftTable.writeBucketed(spark.range(0, 4000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.bmor").join(spark.table("spj.ns.bmor2"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"dv'd co-bucketed join must not shuffle:\n$p")
+      assert(j.count() == 3999)
+    }
+  }
+}
