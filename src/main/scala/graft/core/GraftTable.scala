@@ -2209,14 +2209,19 @@ object GraftTable {
       // on same-name columns would resolve ambiguously
       val deltaKeys = d.select(keys.map(k => col(k).as(s"__dk_$k")): _*).distinct()
       val keyCond = keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
-      val touchedNames: Set[String] =
+      // keyed by FULL normalized URI, never basename — same discipline
+      // as rewriteMatching: a shallow clone's absolute-path entry next
+      // to a local part file with the same name must not pool (here the
+      // collision only OVER-included — a clean file re-read and
+      // rewritten — but it is write amplification a URI key removes)
+      val touchedUris: Set[String] =
         if (candidates.isEmpty) Set.empty
         else readFileSubset(spark, path, cur, candidates)
           .select((keys.map(col) :+ input_file_name().as("__f")): _*)
           .join(deltaKeys, keyCond, "left_semi")
           .select(col("__f")).distinct().collect()
-          .map(_.getString(0).split('/').last).toSet
-      def isTouched(fe: FileEntry) = touchedNames.contains(fe.path.split('/').last)
+          .map(r => normScanUri(r.getString(0))).toSet
+      def isTouched(fe: FileEntry) = touchedUris.contains(fileUri(path, fe))
       val (inTouched, inUntouched) = cur.files.partition(isTouched)
       val (dirtyLeaves, carriedLive) = loaded.partition(_._2.exists(isTouched))
       val touched = inTouched ++ dirtyLeaves.flatMap(_._2).filter(isTouched)

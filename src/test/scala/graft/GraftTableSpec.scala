@@ -359,6 +359,50 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
   }
 
+  test("upsert keys touched files by full URI: a clone basename collision never over-rewrites") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // source table: one file holding k=1000..1999
+    val a = tmp() + "/src"
+    GraftTable.overwrite(spark.range(1000, 2000)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v").coalesce(1), a)
+    // local table: one file holding k=0..99
+    val b = tmp() + "/clone"
+    GraftTable.overwrite(spark.range(0, 100)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v").coalesce(1), b)
+    val feA = GraftTable.currentManifest(a).get.files.head
+    val mb = GraftTable.currentManifest(b).get
+    val feB = mb.files.head
+    // forge the shallow-clone hazard: b's local file RENAMED to share
+    // a's basename, next to an absolute-path entry for a's file — the
+    // exact shape a shallow clone plus a later local write can produce
+    val aBase = feA.path.split('/').last
+    java.nio.file.Files.move(new java.io.File(b, feB.path).toPath,
+      new java.io.File(new java.io.File(b, "data"), aBase).toPath)
+    val localEntry = feB.copy(path = s"data/$aBase")
+    val cloneEntry = feA.copy(path = new java.io.File(a, feA.path).getAbsolutePath)
+    assert(GraftTable.tryCommit(b, mb.copy(version = mb.version + 1,
+      op = "forge_clone", files = Seq(localEntry, cloneEntry), leaves = None,
+      changes = None)))
+    assert(GraftTable.read(spark, b).count() == 1100)
+    // upsert touching ONLY the clone entry's keys: under basename keying
+    // the local file (k=0..99) would pool with it and rewrite too
+    GraftTable.upsertByKey(spark, b,
+      Seq((1500, "HIT")).toDF("k", "v"), Seq("k"))
+    val after = GraftTable.filesOf(b, GraftTable.currentManifest(b).get)
+    assert(after.exists(_.path == s"data/$aBase"),
+      s"untouched local file must carry BY POINTER, got ${after.map(_.path)}")
+    assert(!after.exists(_.path == cloneEntry.path),
+      "the touched clone entry must have been rewritten")
+    val t = GraftTable.read(spark, b)
+    assert(t.count() == 1100)
+    assert(canon(t.filter(col("k") === 1500).select("v")) == canon(Seq("HIT").toDF("v")))
+    assert(t.filter(col("k") < 100).count() == 100)
+    // the source table is untouched — clone rewrites never write back
+    assert(GraftTable.read(spark, a).count() == 1000)
+    assert(GraftTable.currentManifest(a).get.version == 1)
+  }
+
   test("bloomNdv degrades to None on corrupt sidecars, never fails planning") {
     def pack(k: Int, m: Int, bytes: Array[Byte]): String =
       s"$k:$m:${java.util.Base64.getEncoder.encodeToString(bytes)}"
