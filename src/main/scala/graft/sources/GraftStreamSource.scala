@@ -496,6 +496,50 @@ private[graft] class GraftGroupReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** The PRUNED-projection CDF factory: the inner reader emits
+  * `[data…, _change_type, _commit_version]` (or bare count rows when no
+  * data column was requested) and this shapes each row into exactly the
+  * scan's required columns — `nData` leading data fields plus the
+  * requested metadata columns (`metaPick`: indexes into
+  * (change_type=0, commit_version=1)), whose values come from the
+  * PARTITION (every row of a partition shares them), so even a
+  * data-column-free projection like `SELECT _commit_version` costs zero
+  * parquet column reads. */
+private[graft] class GraftCdfProjectFactory(nData: Int, metaPick: Array[Int])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    // an all-meta / zero-column projection plans an EMPTY data schema
+    // (fromDDL refuses the empty string)
+    val reqSchema =
+      if (p.requiredDdl.isEmpty) new StructType() else StructType.fromDDL(p.requiredDdl)
+    val inner = new GraftGroupReader(p, reqSchema)
+    val metaVals: Array[Any] = p.meta match {
+      case Some((changeType, version)) => metaPick.map {
+        case 0 => UTF8String.fromString(changeType): Any
+        case 1 => version: Any
+      }
+      case None => Array.fill[Any](metaPick.length)(null)
+    }
+    val dataTypes = reqSchema.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val in = inner.get()
+        val vals = new Array[Any](nData + metaVals.length)
+        var i = 0
+        while (i < nData) {
+          vals(i) = if (in.isNullAt(i)) null else in.get(i, dataTypes(i))
+          i += 1
+        }
+        System.arraycopy(metaVals, 0, vals, nData, metaVals.length)
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
 /** Row-grain parquet reader over one file: parquet-java [[Group]]
   * records converted to [[InternalRow]] under the projected logical
   * schema. Physically-absent columns (added after this file was

@@ -847,6 +847,38 @@ object PlanAudit {
       println(s"[plan] q164_mor_columnar: ${results.mkString(" ")} (dvd=$dvd/16)")
     }
     locally {
+      // q173/q174's named change feed: a pruned `.changes` read must
+      // plan EXACTLY the projected columns (SupportsPushDownRequiredColumns
+      // on GraftChangesScan) — a CDF consumer reading 2 columns of a
+      // wide table decodes 2 columns, not the table
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_cdfprune_wh").toString
+      spark.conf.set("spark.sql.catalog.gcp", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gcp.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gcp.ns")
+      val root = s"$wh/ns/t"
+      GraftTable.overwrite(spark.range(0, 1000).selectExpr(
+        "cast(id as int) AS k", "cast(id as string) AS a",
+        "cast(id as string) AS b", "cast(id as string) AS c", "id AS x"), root)
+      GraftTable.append(spark.range(1000, 1100).selectExpr(
+        "cast(id as int) AS k", "cast(id as string) AS a",
+        "cast(id as string) AS b", "cast(id as string) AS c", "id AS x"), root)
+      val pruned = spark.table("gcp.ns.t.changes").select("k", "_commit_version")
+      pruned.collect()
+      val scanSchemas = pruned.queryExecution.executedPlan.collectLeaves().collect {
+        case bse: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          bse.scan.readSchema().fieldNames.toSeq
+      }
+      val n = spark.table("gcp.ns.t.changes").count()
+      val checks = Seq(
+        "cdf_scan_schema_is_projection" -> (scanSchemas.nonEmpty &&
+          scanSchemas.forall(_ == Seq("k", "_commit_version"))),
+        "cdf_rows_exact" -> (n == 1100L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q174_cdf_prune: ${results.mkString(" ")} " +
+        s"(schemas=${scanSchemas.map(_.mkString("+")).distinct.mkString(";")})")
+    }
+    locally {
       // q177's storage-partitioned join: two tables bucketed on the
       // join key (graft.bucketBy → v2 bucket(8, k) partitioning, the
       // catalog's bucket function binding the transform) must join with

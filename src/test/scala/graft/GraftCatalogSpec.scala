@@ -434,6 +434,50 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     intercept[Exception](spark.table("graft.cdf.missing.changes").collect())
   }
 
+  test(".changes column pruning: only requested columns decode; span options validate loudly") {
+    import graft.core.GraftTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdfp")
+    val path = s"$warehouse/cdfp/t"
+    GraftTable.overwrite(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "v", "x"), path)
+    GraftTable.append(Seq((3, "c", 30.0)).toDF("k", "v", "x"), path)
+    GraftTable.deleteWhere(spark, path, col("k") === 1)
+    val full = spark.table("graft.cdfp.t.changes")
+    // data-subset + one meta column: the planned scan schema IS the
+    // projection (pruned down the parquet read), values exact
+    val pruned = full.select("k", "_commit_version")
+    val scans = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.readSchema().fieldNames.toSeq == Seq("k", "_commit_version")),
+      scans.map(_.readSchema().toDDL).mkString(";"))
+    // every pruned shape must equal the unpruned feed's projection:
+    // collect the full feed ONCE (all-columns path, identity factory)
+    // and project driver-side as the reference
+    val ref = full.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getDouble(2), r.getString(3), r.getLong(4)))
+    assert(ref.length >= 4 && ref.exists(_._4 == "delete"), ref.mkString(";"))
+    assert(canon(pruned) ==
+      canon(ref.toSeq.map(t => (t._1, t._5)).toDF("k", "_commit_version")))
+    // meta-only projection: zero parquet column reads, values from the log
+    assert(canon(full.select("_change_type")) ==
+      canon(ref.toSeq.map(_._4).toDF("_change_type")))
+    // data-only projection drops both meta columns
+    assert(canon(full.select("v")) == canon(ref.toSeq.map(_._2).toDF("v")))
+    // zero-column count
+    assert(full.count() == ref.length)
+    // loud span validation: garbage version, beyond-head ending
+    def msgOf(body: => Unit): String = {
+      val e = intercept[Exception](body)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    assert(msgOf(spark.read.option("startingVersion", "abc")
+      .table("graft.cdfp.t.changes").collect()).contains("must be a version number"))
+    assert(msgOf(spark.read.option("endingVersion", 99)
+      .table("graft.cdfp.t.changes").collect()).contains("beyond the head"))
+  }
+
   test("drop/rename fence racing committers: staged writes fail loudly, never resurrect") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.race")
     val path = s"$warehouse/race/t"
