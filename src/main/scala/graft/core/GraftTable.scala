@@ -3433,10 +3433,21 @@ object GraftTable {
     * and returns the data-file count that WOULD be deleted, touching
     * nothing — the operational preflight before pointing a destructive
     * maintenance job at a 100 TB table. */
+  /** Grace window for NEVER-REFERENCED files (in-flight staged data,
+    * freshly executor-written dv sidecars, `.stage-` dirs): younger
+    * than this, vacuum leaves them alone — they may belong to a commit
+    * between stage and CAS. Files referenced by DROPPED manifests are
+    * provably dead and reclaim immediately regardless of age (no
+    * future commit can adopt them). Delta's vacuum draws the same
+    * line with its retention check on unreferenced files. */
+  val DefaultOrphanGraceUs: Long = 15L * 60 * 1000 * 1000
+
   def vacuum(path: String, keepVersions: Int = 2, retainAgeUs: Option[Long] = None,
-      ignoreConsumers: Boolean = false, dryRun: Boolean = false): Int = {
+      ignoreConsumers: Boolean = false, dryRun: Boolean = false,
+      orphanGraceUs: Long = DefaultOrphanGraceUs): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     require(retainAgeUs.forall(_ >= 0), "retainAgeUs must be non-negative")
+    require(orphanGraceUs >= 0, "orphanGraceUs must be non-negative")
     val all = manifestFiles(path)
     def versionOf(f: File): Long = f.getName.stripPrefix("v").stripSuffix(".json").toLong
     // index of the first RETAINED manifest; guards only ever lower it
@@ -3459,16 +3470,29 @@ object GraftTable {
     val keptEntries = kept.flatMap(m => filesOf(path, m))
     val referenced = keptEntries.map(_.path.split('/').last).toSet
     val liveLeaves = kept.flatMap(_.leaves.getOrElse(Nil)).map(_.path).toSet
+    // a file only the DROPPED manifests reference is provably dead;
+    // a file NO manifest ever referenced may be an in-flight commit's
+    // stage (moved into data/ before the CAS) — reclaim those only
+    // past the orphan grace, by mtime
+    val droppedEntries = drop.map(parseManifest).flatMap(m => filesOf(path, m))
+    val everData = referenced ++ droppedEntries.map(_.path.split('/').last)
+    val nowUs = System.currentTimeMillis * 1000L
+    def youngOrphan(f: File, ever: Set[String]): Boolean =
+      !ever.contains(f.getName) && nowUs - f.lastModified * 1000L < orphanGraceUs
     val dataDir = new File(path, DataDir)
     val dead = Option(dataDir.listFiles).getOrElse(Array.empty[File])
-      .filter(f => f.getName.endsWith(".parquet") && !referenced.contains(f.getName))
+      .filter(f => f.getName.endsWith(".parquet") && !referenced.contains(f.getName) &&
+        !youngOrphan(f, everData))
     // deletion-vector sidecars: live while ANY retained snapshot's
     // entry points at them (time travel reads that version's exact
-    // delete state); orphans — superseded vectors, purge leftovers,
-    // losers of commit races — reclaim with the data files
+    // delete state); superseded vectors and purge leftovers reclaim
+    // with the data files — but a never-referenced sidecar inside the
+    // grace may be an in-flight delta commit's executor-written merge
     val referencedDv = keptEntries.flatMap(_.dv).map(_.path.split('/').last).toSet
+    val everDv = referencedDv ++ droppedEntries.flatMap(_.dv).map(_.path.split('/').last)
     val deadDv = Option(new File(path, DvDir).listFiles).getOrElse(Array.empty[File])
-      .filter(f => f.getName.endsWith(".dv") && !referencedDv.contains(f.getName))
+      .filter(f => f.getName.endsWith(".dv") && !referencedDv.contains(f.getName) &&
+        !youngOrphan(f, everDv))
     if (dryRun) return dead.length + deadDv.length
     dead.foreach(f => f.delete(): Unit)
     deadDv.foreach(f => f.delete(): Unit)
@@ -3476,8 +3500,12 @@ object GraftTable {
     Option(logDir(path).listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith("leaf-") && !liveLeaves.contains(f.getName))
       .foreach(f => f.delete(): Unit)
+    // stage dirs: an ACTIVE writer's staging lives here between its
+    // df.write and the move into data/ — only clear abandoned ones
     Option(new File(path).listFiles).getOrElse(Array.empty[File])
-      .filter(_.getName.startsWith(".stage-")).foreach(f => TableIO.clearDir(f.toString))
+      .filter(f => f.getName.startsWith(".stage-") &&
+        nowUs - f.lastModified * 1000L >= orphanGraceUs)
+      .foreach(f => TableIO.clearDir(f.toString))
     dead.length + deadDv.length
   }
 }

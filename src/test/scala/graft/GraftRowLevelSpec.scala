@@ -225,6 +225,136 @@ class GraftRowLevelSpec extends AnyFunSuite with SparkSpecBase {
       canon(Seq("hit").toDF("v")))
   }
 
+  /** Retry a statement whose commit may lose a CAS race — the
+    * documented caller contract for every row-level protocol. */
+  private def retrying[T](body: => T): T = {
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if n < 100 &&
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(_.isInstanceOf[java.util.ConcurrentModificationException]) =>
+          n += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** (k, v) contents of one retained version. */
+  private def contentsOf(path: String, v: Long): Map[Int, String] =
+    GraftTable.readVersion(spark, path, v).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("racing stock UPDATEs vs appends vs vacuum: every landed version verifies against its parent") {
+    val path = s"$warehouse/ns/racecow"
+    GraftTable.overwrite(spark.range(0, 12)
+      .selectExpr("cast(id as int) AS k", "'init' AS v").repartition(4), path)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tUpd = new Thread(() => {
+      val rnd = new scala.util.Random(7)
+      try (0 until 6).foreach { i =>
+        val k = rnd.nextInt(12)
+        retrying(spark.sql(s"UPDATE grl.ns.racecow SET v = 'u$k-$i' WHERE k = $k"))
+      } catch { case e: Throwable => failures.add(e): Unit }
+    })
+    val tOther = new Thread(() => {
+      import spark.implicits._
+      try (0 until 6).foreach { i =>
+        retrying(GraftTable.append(Seq((100 + i, s"a$i")).toDF("k", "v"), path))
+        // grace-windowed vacuum is SAFE to run concurrently: in-flight
+        // staged files and fresh dv sidecars are younger than the
+        // orphan grace and survive; only provably-dead files reclaim
+        if (i % 2 == 1) GraftTable.vacuum(path, keepVersions = 3): Unit
+      } catch { case e: Throwable => failures.add(e): Unit }
+    })
+    tUpd.start(); tOther.start(); tUpd.join(); tOther.join()
+    assert(failures.isEmpty, s"racer died: ${Option(failures.peek()).map(_.toString)}")
+    // retained versions are a contiguous suffix; each landed commit
+    // re-verifies against its parent through the op's own model
+    val vs = GraftTable.versions(path).map(_._1)
+    assert(vs == (vs.head to vs.last), s"version gap: $vs")
+    val head = GraftTable.currentVersion(path).get
+    assert(head == 1L + 12, s"12 committing ops after v1, head=$head")
+    val byV = GraftTable.versions(path).map(t => t._1 -> t._3).toMap
+    vs.sliding(2).filter(_.size == 2).foreach { pair =>
+      val Seq(p, v) = pair
+      val (parent, cur) = (contentsOf(path, p), contentsOf(path, v))
+      byV(v) match {
+        case "update_rowlevel" =>
+          assert(cur.keySet == parent.keySet, s"v$v update changed the key set")
+          val changed = cur.filter { case (k, value) => parent(k) != value }
+          assert(changed.nonEmpty && changed.forall { case (k, value) =>
+            value.matches(s"u$k-\\d+") }, s"v$v update diff: $changed")
+          assert(changed.keySet.size == 1, s"v$v touched multiple keys: $changed")
+        case "append" =>
+          assert((cur -- parent.keys).forall(_._2.startsWith("a")), s"v$v append diff")
+          assert(parent.forall { case (k, value) => cur.get(k).contains(value) },
+            s"v$v append disturbed existing rows")
+        case other => fail(s"unexpected op '$other' at v$v")
+      }
+    }
+    // final state: all 6 appends present, every k<12 either init or its
+    // LAST update's tag
+    val fin = contentsOf(path, head)
+    assert((0 until 6).forall(i => fin.get(100 + i).contains(s"a$i")))
+    assert((0 until 12).forall(k =>
+      fin(k) == "init" || fin(k).matches(s"u$k-\\d+")))
+  }
+
+  test("racing MOR UPDATEs vs deleteWhereMor vs vacuum on a deletion-vectors table") {
+    val path = s"$warehouse/ns/racemor"
+    GraftTable.overwrite(spark.range(0, 100)
+      .selectExpr("cast(id as int) AS k", "concat('init', id) AS v").repartition(4), path)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val delTargets = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val tUpd = new Thread(() => {
+      val rnd = new scala.util.Random(11)
+      try (0 until 5).foreach { i =>
+        val k = rnd.nextInt(12) // disjoint from the delete key space
+        retrying(spark.sql(s"UPDATE grl.ns.racemor SET v = 'u$k-$i' WHERE k = $k"))
+      } catch { case e: Throwable => failures.add(e): Unit }
+    })
+    val tOther = new Thread(() => {
+      val rnd = new scala.util.Random(23)
+      try (0 until 5).foreach { i =>
+        val k = 50 + rnd.nextInt(20)
+        delTargets.add(k)
+        retrying(GraftTable.deleteWhereMor(spark, path, col("k") === k)): Unit
+        if (i % 2 == 1) GraftTable.vacuum(path, keepVersions = 3): Unit
+      } catch { case e: Throwable => failures.add(e): Unit }
+    })
+    tUpd.start(); tOther.start(); tUpd.join(); tOther.join()
+    assert(failures.isEmpty, s"racer died: ${Option(failures.peek()).map(_.toString)}")
+    val vs = GraftTable.versions(path).map(_._1)
+    assert(vs == (vs.head to vs.last), s"version gap: $vs")
+    val byV = GraftTable.versions(path).map(t => t._1 -> t._3).toMap
+    import scala.jdk.CollectionConverters._
+    val delSet = delTargets.asScala.map(_.toInt).toSet
+    vs.sliding(2).filter(_.size == 2).foreach { pair =>
+      val Seq(p, v) = pair
+      val (parent, cur) = (contentsOf(path, p), contentsOf(path, v))
+      byV(v) match {
+        case "update_rowlevel_mor" =>
+          assert(cur.keySet == parent.keySet, s"v$v MOR update changed the key set")
+          val changed = cur.filter { case (k, value) => parent(k) != value }
+          assert(changed.forall { case (k, value) => value.matches(s"u$k-\\d+") },
+            s"v$v MOR update diff: $changed")
+        case "delete_mor" =>
+          val gone = parent.keySet -- cur.keySet
+          assert(gone.subsetOf(delSet), s"v$v deleted outside the target set: $gone")
+          assert(cur.forall { case (k, value) => parent.get(k).contains(value) },
+            s"v$v delete disturbed surviving rows")
+        case "set_properties" => assert(cur == parent)
+        case other => fail(s"unexpected op '$other' at v$v")
+      }
+    }
+    val fin = contentsOf(path, GraftTable.currentVersion(path).get)
+    assert(fin.size == 100 - delSet.size)
+    assert(delSet.forall(k => !fin.contains(k)))
+  }
+
   test("history and time travel survive a row-level commit") {
     val path = s"$warehouse/ns/hist"
     GraftTable.overwrite(Seq((1, "a")).toDF("k", "v"), path)

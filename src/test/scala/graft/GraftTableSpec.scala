@@ -600,9 +600,17 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(GraftTable.read(spark, path)) == canon(kv(3 -> "c"))) // orphan invisible
     val deleted = GraftTable.vacuum(path, keepVersions = 1)
     assert(deleted >= 1, "v1's data files should be reclaimed")
-    assert(!stage.exists, "crashed stage dir should be reclaimed")
+    // the stage dir is YOUNG: inside the orphan grace it may belong to
+    // an in-flight commit between stage and CAS — default vacuum must
+    // leave it (deleting it under a live writer would break the commit)
+    assert(stage.exists, "young stage dir must survive the grace window")
     assert(canon(GraftTable.read(spark, path)) == canon(kv(3 -> "c")))
     intercept[IllegalArgumentException](GraftTable.readVersion(spark, path, 1))
+    // past the grace (here: waived explicitly — the quiesced-maintenance
+    // contract) the crashed stage reclaims
+    GraftTable.vacuum(path, keepVersions = 1, orphanGraceUs = 0): Unit
+    assert(!stage.exists, "crashed stage dir should be reclaimed past the grace")
+    assert(canon(GraftTable.read(spark, path)) == canon(kv(3 -> "c")))
   }
 
   test("diffVersions classifies insert/update/delete, NULL-safe on keys and values") {
