@@ -13,6 +13,16 @@ import graft.functions.SqlFunctions._
   * @param opCol optional CDC op column ('I'|'U'|'D'); 'D' produces is_active='D'
   * @param payload attribute columns carried onto the dimension
   * @param tiebreak extra ordering columns to make same-timestamp events deterministic
+  * @param maxKeyRows HOT-KEY GUARD: when set, every merge first probes the
+  *   delta's per-key event counts (one column-pruned, map-side-combined
+  *   job — shuffle traffic is distinct keys, not rows) and REFUSES
+  *   LOUDLY, naming the offending key(s), if any single business key
+  *   exceeds this many events. The SCD2 window is
+  *   `partitionBy(businessKey)`: one pathological key (a dummy member 0
+  *   on a malformed feed) serializes its whole chain into ONE task — at
+  *   100 TB that is a silent 100x straggler. A key with millions of
+  *   HWM-new events in one batch is a data-quality failure to surface,
+  *   not to grind through. None (default) skips the probe entirely.
   */
 case class Scd2Config(
     businessKey: Seq[String],
@@ -20,7 +30,8 @@ case class Scd2Config(
     hashCol: String = "row_hash",
     opCol: Option[String] = None,
     payload: Seq[String] = Nil,
-    tiebreak: Seq[String] = Nil)
+    tiebreak: Seq[String] = Nil,
+    maxKeyRows: Option[Long] = None)
 
 /** Generic SCD Type-2 maintenance — ONE implementation of the 4-CTE
   * window algorithm every reference dim repeats
@@ -57,7 +68,36 @@ object Scd2 {
 
   /** Build a complete SCD2 dimension from full change history (batch path —
     * also the semantic spec the incremental path must converge to). */
+  /** Per-key event counts of the heaviest business keys — the pre-merge
+    * skew histogram. One job: column-pruned to the key columns, partial
+    * (map-side) aggregation collapses each partition to its distinct
+    * keys before the shuffle, so a 10⁶-row single-key delta ships ~1
+    * tuple per input partition, not 10⁶ rows. */
+  def skewTopKeys(df: DataFrame, cfg: Scd2Config, topN: Int = 5): Seq[(Seq[String], Long)] =
+    df.groupBy(cfg.businessKey.map(col): _*).count()
+      .orderBy(col("count").desc).limit(topN).collect()
+      .map(r => (cfg.businessKey.indices.map(i => String.valueOf(r.get(i))),
+        r.getAs[Long]("count"))).toSeq
+
+  /** The loud hot-key guard behind [[Scd2Config.maxKeyRows]]: refuses a
+    * delta whose heaviest key would serialize the merge window into one
+    * pathological task, naming the key and its count. No-op (zero jobs)
+    * when the threshold is unset. */
+  private def skewGuard(df: DataFrame, cfg: Scd2Config): Unit =
+    cfg.maxKeyRows.foreach { cap =>
+      val hot = skewTopKeys(df, cfg, topN = 3).filter(_._2 > cap)
+      if (hot.nonEmpty)
+        throw new IllegalArgumentException(
+          s"SCD2 hot-key guard: business key(s) ${hot.map { case (k, n) =>
+            s"(${cfg.businessKey.zip(k).map { case (c, v) => s"$c=$v" }.mkString(", ")}) x$n"
+          }.mkString("; ")} exceed maxKeyRows=$cap — the merge window is " +
+            "partitionBy(businessKey), so one hot key serializes into a single " +
+            "task. This is usually a malformed feed (dummy/default key); fix " +
+            "the feed, pre-aggregate the key, or raise maxKeyRows deliberately")
+    }
+
   def fromHistory(events: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
+    skewGuard(events, cfg)
     val prepared = events
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))
@@ -113,6 +153,7 @@ object Scd2 {
   }
 
   def mergeDelta(existing: DataFrame, delta: DataFrame, cfg: Scd2Config, skCol: String = "sk"): DataFrame = {
+    skewGuard(delta, cfg)
     // 'D' versions replay as delete events so a same-hash re-insert still
     // revives the key via the op-flip check
     val anchors = replayAnchors(existing, delta, cfg,
@@ -143,6 +184,7 @@ object Scd2 {
     * and the row id hashes key + updated_at (with the reference's B6 literal-
     * string bug fixed: we hash the column, not its name). */
   def snapshot(events: DataFrame, cfg: Scd2Config, skCol: String = "dbt_scd_id"): DataFrame = {
+    skewGuard(events, cfg)
     val prepared = events
       .withColumn("__eff", col(cfg.effectiveCol).cast("timestamp"))
       .withColumn("__op", cfg.opCol.map(col).getOrElse(lit("I")))

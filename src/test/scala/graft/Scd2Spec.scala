@@ -116,4 +116,28 @@ class Scd2Spec extends AnyFunSuite with SparkSpecBase {
     assert(merged.filter(col("id") === 1 && col("is_active") === "Y")
       .select("attr").head.getString(0) == "c")
   }
+
+  test("hot-key guard: a 10^6-row single-key delta refuses loudly, naming the key") {
+    // the pathological feed: one dummy member (id=0) carrying a million
+    // events — partitionBy(businessKey) would serialize it into ONE task
+    val hot = spark.range(0, 1000000)
+      .selectExpr("0 AS id", "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "cast(id as string) AS attr", "cast(id as int) AS seq")
+      .withColumn("row_hash", rowHash(col("attr")))
+    val guarded = cfg.copy(maxKeyRows = Some(100000L))
+    val e = intercept[IllegalArgumentException](Scd2.fromHistory(hot, guarded))
+    assert(e.getMessage.contains("hot-key guard"), e.getMessage)
+    assert(e.getMessage.contains("id=0"), e.getMessage)
+    assert(e.getMessage.contains("maxKeyRows=100000"), e.getMessage)
+    // same guard on the merge and snapshot paths
+    val existing = Scd2.fromHistory(base, cfg)
+    intercept[IllegalArgumentException](Scd2.merge(existing, hot, guarded))
+    intercept[IllegalArgumentException](Scd2.snapshot(hot, guarded))
+    // a balanced delta under the same threshold passes untouched, and
+    // the guarded result is byte-identical to the unguarded one
+    assert(canon(Scd2.fromHistory(base, guarded)) == canon(existing))
+    // the probe is a histogram anyone can ask for directly
+    val top = Scd2.skewTopKeys(hot, cfg, topN = 1)
+    assert(top == Seq((Seq("0"), 1000000L)), top.toString)
+  }
 }
