@@ -410,6 +410,20 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders
 WHERE NOT (o_orderkey % 2 = 0 AND o_orderstatus = 'P')""",
 
+    // LZ77-style compressibility proxy: total vs DISTINCT 8-grams over
+    // a 4096-char prefix — integer-exact in both engines (the DEFLATE
+    // kernel stays spec-gated; DuckDB has no zlib surface)
+    "q133_compression_ratio" -> """
+WITH d AS (SELECT doc_id::BIGINT AS doc_id,
+                  coalesce(substr(text, 1, 4096), '') AS t FROM documents),
+g AS (SELECT doc_id,
+             substr(t, unnest(range(1, greatest(length(t) - 7, 0) + 1))::INT, 8) AS gram
+      FROM d),
+a AS (SELECT doc_id, count(DISTINCT gram)::BIGINT AS grams_distinct FROM g GROUP BY 1)
+SELECT d.doc_id, greatest(length(d.t) - 7, 0)::BIGINT AS grams_total,
+       coalesce(a.grams_distinct, 0)::BIGINT AS grams_distinct
+FROM d LEFT JOIN a USING (doc_id)""",
+
     // the storage-partitioned (bucketed, zero-exchange) join must be
     // invisible to results — same answer as the plain parquet join
     "q177_spj_bucketed_join" -> """

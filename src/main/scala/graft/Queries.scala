@@ -2893,12 +2893,17 @@ object Queries {
       micros(col("o_orderdate")).as("order_us"))
   }
 
-  /** q133: DEFLATE compressibility per document — the quality signal
-    * behind repetition/boilerplate filters. Rows-only driver gate (DuckDB
-    * has no zlib surface); the kernel itself is pinned in CorpusSpec
-    * (separation fixtures, UTF-8 accounting, determinism). */
+  /** q133: per-document compressibility — the quality signal behind
+    * repetition/boilerplate filters. The DRIVER-GATED signal is the
+    * deterministic LZ77-style n-gram proxy
+    * ([[Corpus.ngramCompressibility]] — total vs distinct 8-grams over a
+    * bounded prefix): integer-exact in any engine, so the DuckDB oracle
+    * replays it bit-for-bit (full tri-check, closing the registry's one
+    * rows-only gate). The sharper DEFLATE kernel
+    * ([[Corpus.compressionRatio]]) remains the production signal, pinned
+    * by CorpusSpec (DuckDB has no zlib surface to oracle it). */
   def compressionRatioQ(s: SparkSession, d: String): DataFrame =
-    Corpus.compressionRatio(Ops.spread(Tables.documents(s, d)), "doc_id", "text")
+    Corpus.ngramCompressibility(Ops.spread(Tables.documents(s, d)), "doc_id", "text")
 
   /** q130: per-group OLS regression + Pearson correlation in one
     * combinable pass ([[Ops.groupOls]]) — extended price regressed on

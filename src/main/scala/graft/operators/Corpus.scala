@@ -1110,4 +1110,29 @@ object Corpus {
       }
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
   }
+
+  /** Deterministic LZ77-STYLE compressibility proxy: over a bounded
+    * prefix (`prefixChars`, so a pathological 1 GB row can't blow task
+    * memory materializing its gram array), count total vs DISTINCT
+    * character `gram`-grams. `grams_distinct / grams_total` is exactly
+    * the fraction of positions an LZ77 coder could NOT copy from an
+    * earlier occurrence — boilerplate scores low, prose high — which
+    * makes it the SQL-expressible stand-in for [[compressionRatio]]'s
+    * DEFLATE ratio (that kernel stays the sharper signal, gated by
+    * CorpusSpec; this one is integer-exact in ANY engine, so the
+    * cross-engine oracle can replay it bit-for-bit). Per-row compute,
+    * zero shuffle. NULL text counts as empty. */
+  def ngramCompressibility(docs: DataFrame, idCol: String, textCol: String,
+      gram: Int = 8, prefixChars: Int = 4096): DataFrame = {
+    require(gram >= 2, s"gram must be >= 2, got $gram")
+    require(prefixChars >= gram, s"prefixChars must be >= gram")
+    val g = gram
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      substring(coalesce(col(textCol), lit("")), 1, prefixChars).as("__t"))
+      .select(col("doc_id"),
+        greatest(length(col("__t")) - (g - 1), lit(0)).cast("long").as("grams_total"),
+        size(array_distinct(expr(
+          s"IF(length(__t) >= $g, transform(sequence(1, length(__t) - ${g - 1}), " +
+            s"i -> substring(__t, i, $g)), array())"))).cast("long").as("grams_distinct"))
+  }
 }

@@ -442,6 +442,30 @@ class CorpusSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("ngramCompressibility: LZ77-style proxy separates repetition from noise; exact counts") {
+    val rnd = new scala.util.Random(11)
+    val noise = rnd.alphanumeric.take(1000).mkString
+    val rows = df("doc_id BIGINT, text STRING",
+      Row(Long.box(1L), "abc" * 100),      // cycle of 3: exactly 3 distinct 8-grams
+      Row(Long.box(2L), noise),            // high-entropy: nearly all distinct
+      Row(Long.box(3L), "short"),          // under one gram
+      Row(Long.box(4L), ""),               // empty
+      Row(Long.box(5L), null),             // NULL text = empty by contract
+      Row(Long.box(6L), "x" * 9000))       // prefix cap: counts stop at 4096 chars
+    val got = Corpus.ngramCompressibility(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((293L, 3L)), got(1L).toString)   // 300-8+1 grams, 3 distinct
+    assert(got(2L)._1 == 993L && got(2L)._2 > 900L, got(2L).toString)
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((0L, 0L)))
+    assert(got(6L) == ((4089L, 1L)), got(6L).toString)  // 4096-char prefix, one gram
+    // the separation the proxy exists for: distinct/total low for
+    // boilerplate, near 1 for prose-like entropy
+    assert(got(1L)._2.toDouble / got(1L)._1 < 0.05)
+    assert(got(2L)._2.toDouble / got(2L)._1 > 0.9)
+  }
+
   test("cleanMarkup: tags stripped, one decode layer, &amp; last, counts pre-decode") {
     val docs = df("doc_id BIGINT, text STRING",
       Row(Long.box(1L), "<p>a &amp;lt; b</p>  <br/>x &quot;y&#39;s&quot;&nbsp;z"),
