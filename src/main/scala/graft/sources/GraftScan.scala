@@ -46,16 +46,18 @@ import graft.core.GraftTable.{FileEntry, Manifest}
   *    (executor-cached, [[DeletionVector.load]]) — exact under split
   *    planning and row-group skipping because parquet-mr derives the
   *    index from row-group offsets;
-  *  - deletion-vectored files stay COLUMNAR: the dv mask is applied
-  *    inside the [[ColumnarBatch]] ([[DvMaskBatchReader]] — an all-live
-  *    batch passes through with only the row-index column dropped; a
-  *    batch with dead rows emits selection-vector wrappers
-  *    ([[SelectedVector]]) over the same decoded vectors, zero copying)
-  *    — so a churned MOR snapshot with one dirty file among a million
-  *    clean ones keeps `ColumnarToRow` whole-stage fusion scan-wide.
-  *    Only a metadata-column request (`_graft_file`/`_graft_pos`) drops
-  *    the scan to per-row hand-off (decode underneath is still the
-  *    vectorized reader).
+  *  - deletion-vectored files AND metadata-column projections stay
+  *    COLUMNAR ([[DvMaskBatchReader]]): the dv mask applies inside the
+  *    [[ColumnarBatch]] (an all-live batch passes through with only the
+  *    row-index column dropped; a batch with dead rows emits
+  *    selection-vector wrappers — [[SelectedVector]] — over the same
+  *    decoded vectors, zero copying), `_graft_file` emits as a
+  *    per-batch constant vector and `_graft_pos` re-uses the row-index
+  *    vector in place — so a churned MOR snapshot with one dirty file
+  *    among a million clean ones, and the row-level DML scans that
+  *    request provenance, all keep `ColumnarToRow` whole-stage fusion
+  *    scan-wide. The per-row shaper survives only as the fallback when
+  *    the inner parquet factory itself declines columnar.
   *
   * Reference analogue: every model reads schema-qualified names
   * (`models/source.yml:4-19`) on a platform whose reads are natively
@@ -278,8 +280,7 @@ private[graft] class GraftReaderFactory(
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    metaCols.isEmpty &&
-      groups.forall(g => g.factory.supportColumnarReads(partition))
+    groups.forall(g => g.factory.supportColumnarReads(partition))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[FilePartition].files
@@ -296,11 +297,13 @@ private[graft] class GraftReaderFactory(
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val files = partition.asInstanceOf[FilePartition].files
     new ChainReader[ColumnarBatch](files, { pf =>
+      val key = pf.toPath.toString
       val g = groupOf(pf)
       val base = g.factory.buildColumnarReader(pf)
-      if (!g.hasRowIdx) base
+      if (!g.hasRowIdx && metaCols.isEmpty) base
       else new DvMaskBatchReader(base,
-        dvByFile.get(pf.toPath.toString).map(DeletionVector.load).orNull)
+        dvByFile.get(key).map(DeletionVector.load).orNull,
+        g.hasRowIdx, metaCols, key)
     })
   }
 }
@@ -382,27 +385,45 @@ private[graft] class MetaEmitReader(inner: PartitionReader[InternalRow],
   override def close(): Unit = inner.close()
 }
 
-/** The COLUMNAR deletion-vector mask: the inner batches carry a
-  * trailing generated row-index column; dead positions (binary search
-  * against the file's sorted vector) are dropped INSIDE the batch so a
-  * dirty file still emits [[ColumnarBatch]]es and the scan keeps
-  * whole-stage fusion. An all-live batch (the overwhelmingly common
-  * case — vectors are sparse) passes the decoded vectors through
-  * untouched, minus the row-index column; a batch with dead rows wraps
-  * each data vector in a [[SelectedVector]] (logical→physical position
-  * indirection, zero row copying — the Iceberg/Delta reader shape). */
+/** The COLUMNAR batch shaper: applies the deletion-vector mask INSIDE
+  * the batch and emits the requested metadata columns as vectors, so
+  * neither a dirty file nor a `_graft_file`/`_graft_pos` projection
+  * drops the scan out of whole-stage fusion.
+  *
+  *  - when `hasRowIdx`, the inner batches carry a trailing generated
+  *    row-index column: dead positions (binary search against the
+  *    file's sorted vector) drop via [[SelectedVector]] wrappers
+  *    (logical→physical indirection, zero row copying — the
+  *    Iceberg/Delta reader shape); an all-live batch (the
+  *    overwhelmingly common case — vectors are sparse) passes the
+  *    decoded vectors through untouched;
+  *  - `_graft_file` emits as a [[ConstantUtf8Vector]] (one object per
+  *    batch, no per-row work at all); `_graft_pos` IS the row-index
+  *    vector, re-used in place (selection-wrapped with the data when
+  *    rows drop). */
 private[graft] class DvMaskBatchReader(inner: PartitionReader[ColumnarBatch],
-    dv: Array[Long]) extends PartitionReader[ColumnarBatch] {
+    dv: Array[Long], hasRowIdx: Boolean, metaCols: Seq[String],
+    fileUri: String) extends PartitionReader[ColumnarBatch] {
 
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  private val fileVec = new ConstantUtf8Vector(
+    org.apache.spark.unsafe.types.UTF8String.fromString(fileUri))
   private var current: ColumnarBatch = _
+
+  private def metaVecs(idxCol: ColumnVector): Seq[ColumnVector] = metaCols.map {
+    case GraftBatch.FileMetaCol => fileVec
+    case GraftBatch.PosMetaCol => idxCol
+  }
 
   override def next(): Boolean = {
     while (inner.next()) {
       val b = inner.get()
       val n = b.numRows()
-      val dataCols = Array.tabulate(b.numCols() - 1)(b.column)
+      val dataCount = b.numCols() - (if (hasRowIdx) 1 else 0)
+      val dataCols = Array.tabulate(dataCount)(b.column)
       if (n > 0) {
-        val idxCol = b.column(b.numCols() - 1)
+        val idxCol = if (hasRowIdx) b.column(b.numCols() - 1) else null
         var live = n
         if (dv != null) {
           var i = 0
@@ -412,7 +433,7 @@ private[graft] class DvMaskBatchReader(inner: PartitionReader[ColumnarBatch],
           }
         }
         if (live == n) {
-          current = new ColumnarBatch(dataCols, n)
+          current = new ColumnarBatch(dataCols ++ metaVecs(idxCol), n)
           return true
         } else if (live > 0) {
           val sel = new Array[Int](live)
@@ -423,8 +444,12 @@ private[graft] class DvMaskBatchReader(inner: PartitionReader[ColumnarBatch],
             }
             i += 1
           }
-          current = new ColumnarBatch(dataCols.map(c =>
-            new SelectedVector(c, sel): org.apache.spark.sql.vectorized.ColumnVector), live)
+          def wrap(c: ColumnVector): ColumnVector = c match {
+            case k: ConstantUtf8Vector => k // position-independent
+            case v => new SelectedVector(v, sel)
+          }
+          current = new ColumnarBatch(
+            (dataCols ++ metaVecs(idxCol)).map(wrap), live)
           return true
         } // live == 0: whole batch dead, pull the next one
       }
@@ -434,6 +459,34 @@ private[graft] class DvMaskBatchReader(inner: PartitionReader[ColumnarBatch],
 
   override def get(): ColumnarBatch = current
   override def close(): Unit = inner.close()
+}
+
+/** A per-file constant string vector — `_graft_file`'s columnar form:
+  * every position reads the same [[UTF8String]]. */
+private[graft] class ConstantUtf8Vector(v: org.apache.spark.unsafe.types.UTF8String)
+    extends org.apache.spark.sql.vectorized.ColumnVector(
+      org.apache.spark.sql.types.StringType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String = v
+  override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getLong(i: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDouble(i: Int): Double = throw new UnsupportedOperationException
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] = v.getBytes
+  override def getChild(ordinal: Int): org.apache.spark.sql.vectorized.ColumnVector =
+    throw new UnsupportedOperationException
 }
 
 /** A selection-vector view over a decoded [[ColumnVector]]: logical

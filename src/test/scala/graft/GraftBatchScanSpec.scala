@@ -213,6 +213,40 @@ class GraftBatchScanSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("metadata columns emit COLUMNAR: constant file vector, row-index pos, dv-composed") {
+    val path = s"$warehouse/ns/metacol"
+    GraftTable.overwrite(spark.range(0, 5000)
+      .selectExpr("cast(id as int) AS k", "id AS x").coalesce(2), path)
+    // a metadata projection must stay in whole-stage fusion: _graft_file
+    // is a per-batch constant vector, _graft_pos rides the generated
+    // row-index vector — no per-row hand-off
+    val both = spark.sql(
+      "SELECT k, _graft_file, _graft_pos FROM gbat.ns.metacol")
+    assert(planStr(both).contains("ColumnarToRow"),
+      s"meta projection should be columnar:\n${planStr(both)}")
+    assert(both.count() == 5000)
+    // file-only (no row index requested), pos-only, and meta-only shapes
+    val fileOnly = spark.sql("SELECT k, _graft_file FROM gbat.ns.metacol")
+    assert(planStr(fileOnly).contains("ColumnarToRow"))
+    assert(fileOnly.select("_graft_file").distinct().count() == 2)
+    val posOnly = spark.sql("SELECT _graft_pos FROM gbat.ns.metacol")
+    assert(posOnly.collect().map(_.getLong(0)).sorted.take(3).toSeq == Seq(0L, 0L, 1L))
+    // DV composes: dead rows drop, positions keep their ORIGINAL indexes
+    GraftTable.deleteWhereMor(spark, path, col("k") === 0)
+    val dvd = spark.sql("SELECT k, _graft_pos FROM gbat.ns.metacol")
+    assert(planStr(dvd).contains("ColumnarToRow"),
+      s"dv'd meta projection should stay columnar:\n${planStr(dvd)}")
+    val dvdRows = dvd.collect()
+    assert(dvdRows.length == 4999)
+    assert(!dvdRows.exists(_.getInt(0) == 0))
+    // the masked row's position is a hole: its file restarts at pos >= 1
+    assert(dvdRows.map(_.getLong(1)).min >= 0)
+    // grouping by provenance still answers exactly under the mask
+    val byFile = spark.sql(
+      "SELECT _graft_file AS f, count(*) AS n FROM gbat.ns.metacol GROUP BY 1")
+    assert(byFile.agg(sum("n")).head().getLong(0) == 4999)
+  }
+
   test("zero-column projection: named count(*) scans live rows only") {
     val path = s"$warehouse/ns/cnt"
     GraftTable.overwrite(spark.range(0, 1234).selectExpr("id AS k", "id AS x"), path)
