@@ -800,17 +800,27 @@ private[graft] class GraftChangesTable(tableName: String, parent: String)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = schema()
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      /** Advisory: `_commit_version` bounds narrow the planned span
+        * (whole versions never decode); everything reports residual, so
+        * Spark re-applies the full predicate post-scan. */
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
       override def build(): Scan =
-        new GraftChangesScan(parent, schema(), required, options)
+        new GraftChangesScan(parent, schema(), required, pushed, options)
     }
 }
 
 private[graft] class GraftChangesScan(parent: String, cdfSchema: StructType,
-    required: StructType, options: CaseInsensitiveStringMap) extends Scan {
+    required: StructType, pushed: Array[org.apache.spark.sql.sources.Filter],
+    options: CaseInsensitiveStringMap) extends Scan {
 
   import GraftChangesScan.MetaNames
 
@@ -858,9 +868,16 @@ private[graft] class GraftChangesScan(parent: String, cdfSchema: StructType,
     require(to <= head,
       s"endingVersion $to is beyond the head of '$parent' (v$head)")
     require(from <= to, s"change span is empty: after v$from through v$to")
+    // FILTER PUSHDOWN on the version axis: conjunctive `_commit_version`
+    // bounds narrow the planned span — whole versions outside it never
+    // even load their manifests. Best-effort (every filter is residual);
+    // a filter-empty span legitimately plans zero partitions, unlike the
+    // loud option-span refusal above.
+    val (fLo, fHi) = GraftChangesScan.versionBounds(pushed)
     val planner = new GraftMicroBatchStream(parent, dataSchema, dataRequired,
       cdf = true, None, None, None, ignoreChanges = false)
-    val (f, t) = (from, to)
+    val f = math.max(from, fLo.map(_ - 1).getOrElse(from))
+    val t = math.min(to, fHi.getOrElse(to))
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
@@ -901,4 +918,37 @@ private[graft] class GraftChangesScan(parent: String, cdfSchema: StructType,
 private[graft] object GraftChangesScan {
   /** The two trailing CDF metadata columns, in declared order. */
   val MetaNames: Seq[String] = Seq("_change_type", "_commit_version")
+
+  /** Conjunctive `_commit_version` bounds from the pushed filters —
+    * (lo, hi), both inclusive. Unrecognized shapes contribute nothing
+    * (the plan re-applies every filter; a missed bound is only a missed
+    * prune, never a wrong answer). */
+  private[catalog] def versionBounds(
+      fs: Array[org.apache.spark.sql.sources.Filter]): (Option[Long], Option[Long]) = {
+    import org.apache.spark.sql.sources._
+    val V = "_commit_version"
+    def num(a: Any): Option[Long] = a match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(V, v) => num(v).foreach { n => tightenLo(n); tightenHi(n) }
+      case GreaterThan(V, v) => num(v).foreach(n => tightenLo(n + 1))
+      case GreaterThanOrEqual(V, v) => num(v).foreach(tightenLo)
+      case LessThan(V, v) => num(v).foreach(n => tightenHi(n - 1))
+      case LessThanOrEqual(V, v) => num(v).foreach(tightenHi)
+      case In(V, vs) =>
+        val ns = vs.toSeq.flatMap(num)
+        if (ns.nonEmpty && ns.length == vs.length) { tightenLo(ns.min); tightenHi(ns.max) }
+      case And(l, r) => walk(l); walk(r)
+      case _ => ()
+    }
+    fs.foreach(walk)
+    (lo, hi)
+  }
 }

@@ -476,6 +476,31 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
       .table("graft.cdfp.t.changes").collect()).contains("must be a version number"))
     assert(msgOf(spark.read.option("endingVersion", 99)
       .table("graft.cdfp.t.changes").collect()).contains("beyond the head"))
+    // _commit_version FILTER pushdown narrows the planned span: whole
+    // versions outside the bounds contribute zero partitions
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputRDD.partitions).length
+    }
+    val allParts = partsOf(full.select("k", "_commit_version"))
+    val v2Parts = partsOf(full.select("k", "_commit_version")
+      .filter(col("_commit_version") === 2))
+    assert(v2Parts < allParts, s"version filter should prune partitions: $v2Parts/$allParts")
+    assert(canon(full.select("k", "_commit_version")
+      .filter(col("_commit_version") === 2)) == canon(Seq((3, 2L))
+      .toDF("k", "_commit_version")))
+    // a filter-empty span plans zero partitions and answers empty
+    val none = full.select("k", "_commit_version")
+      .filter(col("_commit_version") > 90)
+    assert(none.count() == 0)
+    assert(partsOf(none) == 0)
+    // range + conjunction shapes narrow too, and stay exact
+    assert(canon(full.select("_change_type", "_commit_version")
+      .filter(col("_commit_version") >= 2 && col("_commit_version") <= 3)) ==
+      canon(ref.filter(t => t._5 >= 2 && t._5 <= 3).toSeq.map(t => (t._4, t._5))
+        .toDF("_change_type", "_commit_version")))
   }
 
   test("drop/rename fence racing committers: staged writes fail loudly, never resurrect") {
