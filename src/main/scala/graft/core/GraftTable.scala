@@ -647,7 +647,12 @@ object GraftTable {
     val out = clusterBy match {
       case Some((c, n)) => df.repartitionByRange(n, c).sortWithinPartitions(c)
       case None => effBucket match {
-        case Some((c, n)) => df.repartition(n, col(c))
+        // sorted within each bucket: file-level min/max on a hashed key
+        // can't prune, but parquet ROW-GROUP stats inside the bucket
+        // file become tight, so point/range probes on the bucket key
+        // still skip row groups — clustering's consolation prize at
+        // zero extra shuffle (the sort is in-task)
+        case Some((c, n)) => df.repartition(n, col(c)).sortWithinPartitions(col(c))
         case None => df
       }
     }

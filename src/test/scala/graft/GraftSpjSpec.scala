@@ -140,6 +140,35 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
+    val path = s"$warehouse/ns/cmp"
+    GraftTable.writeBucketed(spark.range(0, 2000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8)
+    // several small appends fragment the buckets …
+    (0 until 3).foreach { i =>
+      GraftTable.append(spark.range(2000 + i * 100, 2100 + i * 100)
+        .selectExpr("cast(id as int) AS k", "id AS x"), path)
+    }
+    val fragmented = GraftTable.filesOf(path, GraftTable.currentManifest(path).get).size
+    assert(fragmented > 8, s"appends should fragment, files=$fragmented")
+    // … compaction repacks THROUGH the declared bucketing (stageFiles
+    // re-buckets), so the layout contract survives the rewrite
+    GraftTable.compactFiles(spark, path)
+    val after = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    assert(after.forall(_.stats.contains("__bucket")),
+      "compacted files must carry single-bucket ids")
+    withSpjConfs {
+      val other = s"$warehouse/ns/cmp2"
+      GraftTable.writeBucketed(spark.range(0, 2300)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.cmp").join(spark.table("spj.ns.cmp2"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"post-compact join must stay zero-exchange:\n$p")
+      assert(j.count() == 2300)
+    }
+  }
+
   test("bucketed scans still stats-prune, dv-mask, and answer exactly") {
     val path = s"$warehouse/ns/bmor"
     GraftTable.writeBucketed(spark.range(0, 4000)
