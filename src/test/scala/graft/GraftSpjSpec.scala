@@ -140,6 +140,41 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("one-side shuffle: an unbucketed side shuffles BY the bucket function into the layout") {
+    val path = s"$warehouse/ns/oneside"
+    GraftTable.writeBucketed(spark.range(0, 5000)
+      .selectExpr("cast(id % 800 as int) AS k", "id AS x"), path, "k", 8)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+    try {
+      // the 100 TB shape: the bucketed fact NEVER moves; the new batch
+      // shuffles by GraftBoundBucket into the fact's existing buckets —
+      // exact results prove the function computes precisely the
+      // write-side shuffle assignment (a mismatch would lose matches)
+      val other = spark.range(0, 800)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v")
+      val j = spark.table("spj.ns.oneside").join(other, "k")
+      val p = planOf(j)
+      assert(p.contains("keygroupedpartitioning") &&
+        p.contains("GraftBoundBucket"),
+        s"small side should shuffle by the catalog bucket function:\n$p")
+      // the ONLY exchanges in the plan are the function-shuffle — the
+      // bucketed fact side moves nothing
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.nonEmpty &&
+        exchanges.forall(_.contains("keygroupedpartitioning")),
+        s"only the key-grouped function shuffle may appear:\n$p")
+      assert(j.count() == 5000)
+      assert(canon(j.filter(col("k") === 7).select("v")) ==
+        canon(Seq.fill((0 until 5000).count(_ % 800 == 7))("7").toDF("v")))
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
     val path = s"$warehouse/ns/cmp"
     GraftTable.writeBucketed(spark.range(0, 2000)
