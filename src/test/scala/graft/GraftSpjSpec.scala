@@ -175,6 +175,68 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
       old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("bucket function aligns with Spark's hash across key TYPES (one-side shuffle exactness)") {
+    // the write side buckets by repartition (Murmur3 seed 42, int32,
+    // pmod); the read side's GraftBoundBucket must compute the same
+    // number for EVERY supported key type, or a function-shuffled join
+    // silently loses matches. Exact join results are the proof.
+    val keyed = Seq(
+      ("tint", "cast(id % 97 as int)"),
+      ("tlong", "id * 1000003"),
+      ("tstr", "concat('key_', id % 97)"),
+      ("tdate", "date_add(date'2020-01-01', cast(id % 97 as int))"),
+      ("tts", "timestamp'2020-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id % 97)"),
+      ("tdec", "cast(id % 97 as decimal(9,2))"))
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+    try keyed.foreach { case (name, expr0) =>
+      val path = s"$warehouse/ns/$name"
+      val rows = spark.range(0, 2000).selectExpr(s"$expr0 AS k", "id AS x")
+      GraftTable.writeBucketed(rows, path, "k", 8)
+      val probe = spark.range(0, 2000).selectExpr(s"$expr0 AS k", "id AS y")
+        .distinct()
+      val j = spark.table(s"spj.ns.$name").join(probe, "k")
+      val expect = rows.join(probe, "k")
+      assert(j.count() == expect.count(), s"type fixture '$name' lost matches")
+      assert(canon(j.agg(sum("x"), count(lit(1)))) ==
+        canon(expect.agg(sum("x"), count(lit(1)))), s"type fixture '$name' diverged")
+      val p = planOf(j)
+      assert(p.contains("keygroupedpartitioning"),
+        s"'$name' should engage the function shuffle:\n$p")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("runtime filtering composes with the bucketed layout: filtered joins stay exact") {
+    val fact = s"$warehouse/ns/rff"
+    val dim = s"$warehouse/ns/rfd"
+    GraftTable.writeBucketed(spark.range(0, 20000)
+      .selectExpr("cast(id % 2048 as int) AS k", "id AS x"), fact, "k", 8,
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    GraftTable.writeBucketed(spark.range(0, 2048)
+      .selectExpr("cast(id as int) AS k", "cast(id % 5 as int) AS seg"), dim, "k", 8)
+    withSpjConfs {
+      // a selective dim filter can inject a runtime (DPP) filter into
+      // the fact scan; runtime pruning may drop whole buckets, which
+      // must stay a SUBSET of the reported key-grouped partitioning —
+      // whatever the plan does, the answer must be exact
+      val j = spark.table("spj.ns.rff")
+        .join(spark.table("spj.ns.rfd").filter(col("seg") === 3), "k")
+      val expect = (0 until 20000).map(_ % 2048).count(k => k % 5 == 3)
+      assert(j.count() == expect.toLong, "runtime-filtered SPJ join lost or invented rows")
+      // and a static filter killing some buckets entirely on one side
+      val j2 = spark.table("spj.ns.rff").filter(col("k") < 40)
+        .join(spark.table("spj.ns.rfd"), "k")
+      assert(j2.count() == (0 until 20000).map(_ % 2048).count(_ < 40).toLong)
+      assert(canon(j2.filter(col("k") === 7).select("seg")) ==
+        canon(Seq.fill((0 until 20000).count(_ % 2048 == 7))(7 % 5).toDF("seg")))
+    }
+  }
+
   test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
     val path = s"$warehouse/ns/cmp"
     GraftTable.writeBucketed(spark.range(0, 2000)
