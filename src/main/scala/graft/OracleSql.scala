@@ -432,6 +432,22 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
 
+    // the as-of (equi + validity BETWEEN) join over co-bucketed tables:
+    // the storage-partitioned equi part must be invisible to results
+    "q178_spj_asof_join" -> """
+WITH v AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01 00:00:00' AS vf,
+         TIMESTAMP '1995-06-30 23:59:59' AS vt FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_V2',
+         TIMESTAMP '1995-07-01 00:00:00',
+         TIMESTAMP '2999-01-01 00:00:00' FROM customer)
+SELECT segment, count(*)::BIGINT AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,4))) AS double) AS revenue
+FROM orders JOIN v ON o_custkey = c_custkey AND o_orderdate BETWEEN vf AND vt
+GROUP BY 1""",
+
     // same contract as q104 — the optimizer rule must be invisible to
     // results (it only removes provably-dead file IO)
     "q134_ruled_scan" -> """

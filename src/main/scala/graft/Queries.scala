@@ -2061,6 +2061,44 @@ object Queries {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
   }
 
+  /** q178: the reference's as-of fact⋈dim shape
+    * (`models/dwh/fact_order.sql:37-42` — equi key + validity BETWEEN)
+    * run through co-BUCKETED tables: orders and a two-version customer
+    * dim both bucketed on the customer key, so the equi part of the
+    * as-of join is a storage-partitioned join (zero exchange; the range
+    * stays the post-join residual Catalyst already plans). This is the
+    * 100 TB temporal-join answer SURVEY §7.4 deferred. Layout must be
+    * invisible to results. */
+  def spjAsofJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = "graftspj"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q177Root)
+    }
+    TableIO.clearDir(s"$q177Root/asof")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.asof")
+    GraftTable.writeBucketed(Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+      s"$q177Root/asof/orders_b", "o_custkey", 8)
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val versions = cust.select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        to_timestamp(lit("1992-01-01 00:00:00")).as("valid_from"),
+        to_timestamp(lit("1995-06-30 23:59:59")).as("valid_to"))
+      .unionByName(cust.select(col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_V2")).as("segment"),
+        to_timestamp(lit("1995-07-01 00:00:00")).as("valid_from"),
+        to_timestamp(lit("2999-01-01 00:00:00")).as("valid_to")))
+    GraftTable.writeBucketed(versions, s"$q177Root/asof/cust_v", "c_custkey", 8)
+    s.table(s"$cat.asof.orders_b")
+      .join(s.table(s"$cat.asof.cust_v"),
+        col("o_custkey") === col("c_custkey") &&
+          col("o_orderdate").between(col("valid_from"), col("valid_to")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   /** Build q173/q174's shared NAMED source table: the q147/q132 commit
     * history (initial load, append, keyed COW update, keyed delete)
     * under `cat.dwh.src`, rebuilt fresh per invocation. Returns the
@@ -2964,6 +3002,7 @@ object Queries {
     "q175_rowlevel_merge" -> (rowLevelMergeQ _),
     "q176_rowlevel_mor_merge" -> (rowLevelMorMergeQ _),
     "q177_spj_bucketed_join" -> (spjBucketedJoinQ _),
+    "q178_spj_asof_join" -> (spjAsofJoinQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

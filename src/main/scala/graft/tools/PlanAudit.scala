@@ -914,6 +914,51 @@ object PlanAudit {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
     locally {
+      // q178's as-of join over co-bucketed tables: the equi part rides
+      // the storage-partitioned join, so the ONLY exchange in the plan
+      // is the post-join aggregation's — the join itself moves nothing.
+      // (The reference's fact⋈dim validity-window lookup,
+      // models/dwh/fact_order.sql:37-42, at the 100 TB design point.)
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_spjasof_wh").toString
+      spark.conf.set("spark.sql.catalog.gsa", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsa.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gsa.ns")
+      GraftTable.writeBucketed(spark.range(0, 30000).selectExpr(
+        "cast(id % 1024 as int) AS ck",
+        "timestamp'1994-01-01' + make_interval(0, 0, 0, cast(id % 900 as int), 0, 0, 0) AS ts",
+        "id AS x"), s"$wh/ns/fact", "ck", 8)
+      GraftTable.writeBucketed(spark.range(0, 1024).selectExpr(
+        "cast(id as int) AS ck", "cast(id % 7 as int) AS seg",
+        "timestamp'1990-01-01' AS vf", "timestamp'1995-01-01' AS vt")
+        .unionAll(spark.range(0, 1024).selectExpr(
+          "cast(id as int) AS ck", "cast(id % 7 + 100 as int) AS seg",
+          "timestamp'1995-01-01' AS vf", "timestamp'2999-01-01' AS vt")),
+        s"$wh/ns/dim", "ck", 8)
+      val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import org.apache.spark.sql.functions.{count, lit}
+        val f = spark.table("gsa.ns.fact")
+        val dd = spark.table("gsa.ns.dim")
+        val asof = f.join(dd, f("ck") === dd("ck") &&
+          f("ts") >= dd("vf") && f("ts") < dd("vt"))
+          .groupBy(dd("seg")).agg(count(lit(1)).as("n"))
+        val rows = asof.collect()
+        val planStr = asof.queryExecution.executedPlan.toString
+        val exchanges = planStr.linesIterator.filter(_.contains("Exchange")).toSeq
+        val checks = Seq(
+          "asof_join_zero_exchange" -> exchanges.forall(_.contains("hashpartitioning(seg")),
+          "asof_v2_scans" -> (planStr.contains("BatchScan") &&
+            !planStr.contains("RowDataSourceScan")),
+          // every fact row matches exactly one validity window
+          "asof_rows_exact" -> (rows.map(_.getLong(1)).sum == 30000L))
+        val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+        println(s"[plan] q178_spj_asof: ${results.mkString(" ")}" +
+          s" (exchanges=${exchanges.size})")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+    }
+    locally {
       // q154's multi-column z-order: after a 16-file relayout on the
       // auto-quantized Morton interleave, a 1/8 slice of EITHER
       // dimension must skip files — and the comparative claim: a
