@@ -146,23 +146,29 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (kept.isEmpty) return Array.empty
-    if (bucketedBy.isDefined) {
-      // ONE partition per bucket present, whole files (HasPartitionKey
-      // — Spark groups by the key row, so splitting here would only be
-      // re-merged): the storage-partitioned join consumes both sides
-      // bucket-by-bucket with zero exchange
-      return statuses.filter(_._1.rows > 0)
-        .groupBy { case (fe, _) => fileBucket(fe).get }
-        .toSeq.sortBy(_._1).zipWithIndex.map { case ((b, sts), i) =>
-          val pfs = sts.flatMap { case (_, st) =>
-            PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
-              st.getPath, isSplitable = false, Long.MaxValue, InternalRow.empty)
-          }
-          new GraftBucketedPartition(i, pfs.toArray, b): InputPartition
-        }.toArray
-    }
     val maxSplit = FilePartition.maxSplitBytes(spark,
       Seq(PartitionDirectory(InternalRow.empty, statuses.map(_._2).toArray[FileStatus])))
+    if (bucketedBy.isDefined) {
+      // byte-packed splits WITHIN each bucket, every split keyed by its
+      // bucket (HasPartitionKey): a PLAIN scan runs one task per split
+      // — full parallelism, a bucket is not a straggler unit — while a
+      // storage-partitioned join groups same-key splits back into one
+      // task per bucket (Spark's groupPartitions handles duplicate
+      // keys; Iceberg plans the same shape)
+      var idx = -1
+      return statuses.filter(_._1.rows > 0)
+        .groupBy { case (fe, _) => fileBucket(fe).get }
+        .toSeq.sortBy(_._1).flatMap { case (b, sts) =>
+          val split = sts.flatMap { case (_, st) =>
+            PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
+              st.getPath, isSplitable = true, maxSplit, InternalRow.empty)
+          }.sortBy(-_.length)
+          FilePartition.getFilePartitions(spark, split, maxSplit).map { fp =>
+            idx += 1
+            new GraftBucketedPartition(idx, fp.files, b): InputPartition
+          }
+        }.toArray
+    }
     val files = statuses.flatMap { case (_, st) =>
       PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
         st.getPath, isSplitable = true, maxSplit, InternalRow.empty)

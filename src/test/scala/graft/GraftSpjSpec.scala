@@ -237,6 +237,45 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("buckets split for plain scans, group for joins: a bucket is not a straggler unit") {
+    val path = s"$warehouse/ns/par"
+    GraftTable.writeBucketed(spark.range(0, 200000)
+      .selectExpr("cast(id % 512 as int) AS k", "id AS x",
+        "repeat(cast(id as string), 8) AS pad"), path, "k", 4)
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      def scanParts(): Int = {
+        val t = spark.table("spj.ns.par")
+        t.collect()
+        assert(t.count() == 200000)
+        t.queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.flatMap(_.inputRDD.partitions).length
+      }
+      // with v2 bucketing OFF, a plain scan runs byte-packed splits —
+      // parallelism well beyond the 4 buckets (a bucket is not a task)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val nSplit = scanParts()
+      assert(nSplit > 4, s"plain scan should split within buckets, got $nSplit")
+      // with it ON, Spark itself groups the splits by key to keep the
+      // reported partitioning available downstream (Iceberg's shape)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      assert(scanParts() == 4)
+      // the JOIN still groups the splits back to one task per bucket
+      // and pays zero exchange
+      withSpjConfs {
+        val other = s"$warehouse/ns/par2"
+        GraftTable.writeBucketed(spark.range(0, 512)
+          .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 4)
+        val j = spark.table("spj.ns.par").join(spark.table("spj.ns.par2"), "k")
+        val p = planOf(j)
+        assert(!p.contains("Exchange"), s"split buckets must still SPJ:\n$p")
+        assert(j.count() == 200000)
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
     val path = s"$warehouse/ns/cmp"
     GraftTable.writeBucketed(spark.range(0, 2000)
