@@ -276,6 +276,47 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("mismatched bucket SETS: pushed partition values pad the missing buckets, zero exchange") {
+    // one side's data simply never lands in some buckets (sparse keys):
+    // with pushPartValues the join pads the missing groups instead of
+    // falling back to a full shuffle — and results stay exact
+    val a = s"$warehouse/ns/seta"
+    val b = s"$warehouse/ns/setb"
+    GraftTable.writeBucketed(spark.range(0, 1000)
+      .selectExpr("cast(id % 64 as int) AS k", "id AS x"), a, "k", 16)
+    GraftTable.writeBucketed(spark.range(0, 5)
+      .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), b, "k", 16)
+    val sparseBuckets = GraftTable.filesOf(b, GraftTable.currentManifest(b).get)
+      .filter(_.rows > 0).flatMap(_.stats.get("__bucket").flatMap(_.min)).distinct
+    assert(sparseBuckets.size < 16, s"fixture should be bucket-sparse: $sparseBuckets")
+    withSpjConfs {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val j = spark.table("spj.ns.seta").join(spark.table("spj.ns.setb"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"),
+        s"sparse-bucket join should pad, not shuffle:\n$p")
+      assert(j.count() == (0 until 1000).count(_ % 64 < 5).toLong)
+    }
+  }
+
+  test("clones inherit the bucketed layout: zero-exchange joins against a clone") {
+    val src = s"$warehouse/ns/clsrc"
+    GraftTable.writeBucketed(spark.range(0, 2000)
+      .selectExpr("cast(id % 300 as int) AS k", "id AS x"), src, "k", 8)
+    val cl = s"$warehouse/ns/clone"
+    GraftTable.cloneTable(spark, src, cl, deep = false)
+    withSpjConfs {
+      val other = s"$warehouse/ns/clother"
+      GraftTable.writeBucketed(spark.range(0, 300)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.clone").join(spark.table("spj.ns.clother"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"),
+        s"a shallow clone keeps bucket ids (absolute entries) and must SPJ:\n$p")
+      assert(j.count() == 2000)
+    }
+  }
+
   test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
     val path = s"$warehouse/ns/cmp"
     GraftTable.writeBucketed(spark.range(0, 2000)
