@@ -446,10 +446,18 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     * partition function. */
   override def partitioning(): Array[Transform] =
     GraftTable.bucketSpec(GraftTable.propertiesOf(path))
-      .filter { case (c, _) => schema().fieldNames.contains(c) }
-      .map { case (c, n) =>
-        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }
+      .filter { case (cs, _) => cs.forall(schema().fieldNames.contains) }
+      .map { case (cs, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs: _*) }
       .toArray
+
+  // NOTE: composite (multi-column) bucket specs still declare here, but
+  // the SCAN reports key-grouped partitioning only for single-column
+  // specs — Spark 4.1's catalyst transform binding for SPJ is
+  // single-reference bucket() only (empirically: a multi-ref bucket
+  // never populates the relation's keyGroupedPartitioning and the join
+  // plans its fallback shuffle). The composite layout remains a valid
+  // write/clustering discipline; joins on it are correct, just shuffled.
 
   override def properties(): JMap[String, String] =
     GraftTable.propertiesOf(path).asJava
@@ -624,9 +632,12 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     val probe = new graft.sources.GraftBatch(SparkSession.active, path, manifest,
       StructType.fromDDL(manifest.schemaDdl), required, pushed)
     probe.bucketedBy match {
-      case Some((c, n)) if required.fieldNames.contains(c) =>
+      // single-column specs only: Spark's SPJ transform binding is
+      // single-reference bucket() (see the partitioning() NOTE)
+      case Some((cs, n)) if cs.length == 1 &&
+          required.fieldNames.contains(cs.head) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, cs.head)),
           math.max(probe.bucketPartitionCount, 1))
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)

@@ -29,33 +29,42 @@ import org.apache.spark.sql.types._
 private[graft] object GraftBucketFunction extends UnboundFunction {
   override def name(): String = "bucket"
   override def description(): String =
-    "bucket(numBuckets, col): shuffle-aligned murmur3 bucket id"
+    "bucket(numBuckets, col…): shuffle-aligned murmur3 bucket id"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket expects (numBuckets, key), got ${inputType.toDDL}")
-    new GraftBoundBucket(inputType.fields(1).dataType)
+    require(inputType.fields.length >= 2,
+      s"bucket expects (numBuckets, key…), got ${inputType.toDDL}")
+    new GraftBoundBucket(inputType.fields.drop(1).map(_.dataType))
   }
 }
 
-private[graft] class GraftBoundBucket(keyType: DataType)
+private[graft] class GraftBoundBucket(keyTypes: Array[DataType])
     extends ScalarFunction[Integer] {
-  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
   override def isResultNullable: Boolean = false
-  override def produceResult(input: InternalRow): Integer =
-    GraftBoundBucket.bucketOf(
-      if (input.isNullAt(1)) null else input.get(1, keyType), keyType, input.getInt(0))
+  override def produceResult(input: InternalRow): Integer = {
+    val keys = Array.tabulate[Any](keyTypes.length)(i =>
+      if (input.isNullAt(i + 1)) null else input.get(i + 1, keyTypes(i)))
+    GraftBoundBucket.bucketOf(keys, keyTypes, input.getInt(0))
+  }
 }
 
 private[graft] object GraftBoundBucket {
-  /** `pmod(murmur3(key), n)` with Spark's hash semantics: a NULL key
-    * leaves the seed untouched (exactly what `HashPartitioning` does
-    * with a null expression value), so null rows land in — and probe —
-    * the same bucket on every path. */
-  def bucketOf(key: Any, dt: DataType, n: Int): Int = {
-    val h = if (key == null) 42 else Murmur3HashFunction.hash(key, dt, 42L).toInt
+  /** `pmod(murmur3(keys…), n)` with Spark's exact hash semantics: the
+    * seed folds through the key columns as `Murmur3Hash(Seq(c1, c2, …))`
+    * does — each step's 32-bit result seeds the next — and a NULL key
+    * leaves the running seed untouched (exactly what `HashPartitioning`
+    * does with a null expression value), so null rows land in — and
+    * probe — the same bucket on every path. */
+  def bucketOf(keys: Array[Any], dts: Array[DataType], n: Int): Int = {
+    var h = 42
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) != null) h = Murmur3HashFunction.hash(keys(i), dts(i), h.toLong).toInt
+      i += 1
+    }
     val m = h % n
     if (m < 0) m + n else m
   }

@@ -631,7 +631,7 @@ object GraftTable {
     * footer aggregation pays; O(batch), never O(table). */
   private def stageFiles(df: DataFrame, path: String, statsCols: Seq[String],
       clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil,
-      bucket: Option[(String, Int)] = None): Seq[FileEntry] = {
+      bucket: Option[(Seq[String], Int)] = None): Seq[FileEntry] = {
     val spark = df.sparkSession
     enforceChecks(df, path)
     val commitId = java.util.UUID.randomUUID.toString.take(8)
@@ -643,7 +643,7 @@ object GraftTable {
     // stagePartEntries matches GraftBoundBucket by construction
     val effBucket = (bucket orElse bucketSpec(
       currentManifest(path).flatMap(_.properties).getOrElse(Map.empty)))
-      .filter { case (c, _) => df.schema.fieldNames.contains(c) }
+      .filter { case (cs, _) => cs.forall(df.schema.fieldNames.contains) }
     val out = clusterBy match {
       case Some((c, n)) => df.repartitionByRange(n, c).sortWithinPartitions(c)
       case None => effBucket match {
@@ -652,7 +652,8 @@ object GraftTable {
         // file become tight, so point/range probes on the bucket key
         // still skip row groups — clustering's consolation prize at
         // zero extra shuffle (the sort is in-task)
-        case Some((c, n)) => df.repartition(n, col(c)).sortWithinPartitions(col(c))
+        case Some((cs, n)) =>
+          df.repartition(n, cs.map(col): _*).sortWithinPartitions(cs.map(col): _*)
         case None => df
       }
     }
@@ -676,7 +677,7 @@ object GraftTable {
   private def stagePartEntries(spark: SparkSession, schema: StructType,
       path: String, commitId: String, parts: Seq[File], explicitStats: Seq[String],
       explicitBlooms: Seq[String],
-      explicitBucket: Option[(String, Int)] = None): Seq[FileEntry] = {
+      explicitBucket: Option[(Seq[String], Int)] = None): Seq[FileEntry] = {
     // PROPERTY-DECLARED indexing: a table carrying `graft.statsCols` /
     // `graft.bloomCols` stamps skipping stats on EVERY write path —
     // SQL INSERT, the streaming sink, COW rewrites, MOR appends — not
@@ -706,9 +707,9 @@ object GraftTable {
     // flow through the stageFiles repartition) records nothing — the
     // scan then degrades from storage-partitioned joins, never lies.
     val bucket = (explicitBucket orElse bucketSpec(declaredProps))
-      .filter { case (c, _) => schema.fieldNames.contains(c) }
-    val bucketAggs = bucket.toSeq.flatMap { case (c, n) =>
-      val b = pmod(hash(col(c)), lit(n))
+      .filter { case (cs, _) => cs.forall(schema.fieldNames.contains) }
+    val bucketAggs = bucket.toSeq.flatMap { case (cs, n) =>
+      val b = pmod(hash(cs.map(col): _*), lit(n))
       Seq(min(b).as("__graft_bmin"), max(b).as("__graft_bmax"))
     }
     val allAggs = (count(lit(1L)).as("__rows") +: fields.flatMap { f =>
@@ -818,7 +819,7 @@ object GraftTable {
 
   private def writeOp(df: DataFrame, path: String, op: String, statsCols: Seq[String],
       clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil,
-      bucket: Option[(String, Int)] = None): Long = {
+      bucket: Option[(Seq[String], Int)] = None): Long = {
     var validatedChecks = activeChecks(path)
     val staged = stageFiles(df, path, statsCols, clusterBy, bloomCols, bucket)
     betweenStageAndCommitForTests()
@@ -1293,12 +1294,16 @@ object GraftTable {
     * is double-underscored on purpose). */
   private[graft] val BucketStatCol = "__bucket"
 
-  /** Parse `graft.bucketBy` = `"<col>,<numBuckets>"`. */
-  private[graft] def bucketSpec(props: Map[String, String]): Option[(String, Int)] =
+  /** Parse `graft.bucketBy` = `"<col>[,<col2>…],<numBuckets>"` — the
+    * last comma-separated token is the bucket count, everything before
+    * it the (composite) bucket key. */
+  private[graft] def bucketSpec(props: Map[String, String]): Option[(Seq[String], Int)] =
     props.get("graft.bucketBy").flatMap { s =>
-      s.split(',').map(_.trim) match {
-        case Array(c, n) if c.nonEmpty && n.forall(_.isDigit) && n.nonEmpty &&
-          n.toLong <= Int.MaxValue && n.toInt > 0 => Some((c, n.toInt))
+      val parts = s.split(',').map(_.trim).toSeq
+      parts.lastOption.filter(n => n.nonEmpty && n.forall(_.isDigit) &&
+          n.toLong <= Int.MaxValue && n.toInt > 0) match {
+        case Some(n) if parts.init.nonEmpty && parts.init.forall(_.nonEmpty) =>
+          Some((parts.init, n.toInt))
         case _ => None
       }
     }
@@ -1325,11 +1330,16 @@ object GraftTable {
   def writeBucketed(df: DataFrame, path: String, bucketBy: String, numBuckets: Int,
       statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(numBuckets > 0, "numBuckets must be positive")
-    require(df.schema.fieldNames.contains(bucketBy),
-      s"bucketBy column '$bucketBy' is not in the batch schema")
+    // `bucketBy` may name a COMPOSITE key: comma-separated columns,
+    // hashed together exactly as `repartition(n, c1, c2, …)` chains them
+    val cols0 = bucketBy.split(',').map(_.trim).toSeq
+    require(cols0.nonEmpty && cols0.forall(_.nonEmpty), "bucketBy must name column(s)")
+    val missing = cols0.filterNot(df.schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"bucketBy column(s) ${missing.mkString(", ")} not in the batch schema")
     writeOp(df, path, "overwrite", statsCols, None, bloomCols,
-      bucket = Some((bucketBy, numBuckets)))
-    setProperties(path, Map("graft.bucketBy" -> s"$bucketBy,$numBuckets"))
+      bucket = Some((cols0, numBuckets)))
+    setProperties(path, Map("graft.bucketBy" -> s"${cols0.mkString(",")},$numBuckets"))
   }
 
   // ---------------------------------------------------------------- reading

@@ -133,7 +133,7 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
     * single-bucket id (zero-row files are planned away). Any file
     * written outside the bucketing discipline degrades the whole scan
     * to ordinary packing — correct, just shuffled. */
-  private[graft] lazy val bucketedBy: Option[(String, Int)] =
+  private[graft] lazy val bucketedBy: Option[(Seq[String], Int)] =
     GraftTable.bucketSpec(m.properties.getOrElse(Map.empty)).filter { _ =>
       val live = kept.filter(_.rows > 0)
       live.nonEmpty && live.forall(fe => fileBucket(fe).isDefined)

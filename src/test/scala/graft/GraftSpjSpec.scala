@@ -317,6 +317,43 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("COMPOSITE bucket keys: multi-column bucketing joins with zero exchange") {
+    val a = s"$warehouse/ns/mca"
+    val b = s"$warehouse/ns/mcb"
+    // composite business key (k1, k2) — the chained murmur fold must
+    // match HashPartitioning(Seq(k1, k2), n) exactly on both tables
+    GraftTable.writeBucketed(spark.range(0, 4000)
+      .selectExpr("cast(id % 40 as int) AS k1", "cast(id % 17 as string) AS k2", "id AS x"),
+      a, "k1,k2", 8)
+    GraftTable.writeBucketed(spark.range(0, 680)
+      .selectExpr("cast(id % 40 as int) AS k1", "cast(id % 17 as string) AS k2",
+        "cast(id as string) AS v"),
+      b, "k1,k2", 8)
+    assert(GraftTable.propertiesOf(a)("graft.bucketBy") == "k1,k2,8")
+    // every data-bearing file is single-bucket under the CHAINED hash —
+    // the layout exists even though Spark 4.1's SPJ binding is
+    // single-reference bucket() only (joins stay correct, shuffled)
+    assert(GraftTable.filesOf(a, GraftTable.currentManifest(a).get)
+      .filter(_.rows > 0).forall(_.stats.contains("__bucket")))
+    withSpjConfs {
+      val j = spark.table("spj.ns.mca").join(spark.table("spj.ns.mcb"), Seq("k1", "k2"))
+      val expect = spark.range(0, 4000)
+        .selectExpr("cast(id % 40 as int) AS k1", "cast(id % 17 as string) AS k2", "id AS x")
+        .join(spark.range(0, 680).selectExpr("cast(id % 40 as int) AS k1",
+          "cast(id % 17 as string) AS k2", "cast(id as string) AS v"), Seq("k1", "k2"))
+      assert(j.count() == expect.count())
+      assert(canon(j.agg(sum("x"), count(lit(1)))) ==
+        canon(expect.agg(sum("x"), count(lit(1)))))
+      // appends preserve the composite layout too
+      GraftTable.append(spark.range(4000, 4400)
+        .selectExpr("cast(id % 40 as int) AS k1", "cast(id % 17 as string) AS k2",
+          "id AS x"), a)
+      assert(GraftTable.filesOf(a, GraftTable.currentManifest(a).get)
+        .filter(_.rows > 0).forall(_.stats.contains("__bucket")))
+      assert(spark.table("spj.ns.mca").count() == 4400)
+    }
+  }
+
   test("compaction preserves bucketing: post-compact joins stay zero-exchange") {
     val path = s"$warehouse/ns/cmp"
     GraftTable.writeBucketed(spark.range(0, 2000)
