@@ -11,8 +11,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -418,8 +418,9 @@ private[catalog] class GraftStagedTable(tableName: String, ident: Identifier,
   * per-file DV/rename handling, runtime file pruning), metadata columns
   * `_graft_file`/`_graft_pos`, micro-batch streaming read (the SAME
   * [[GraftMicroBatchStream]] the path-addressed source uses — named and
-  * path streams share offsets semantics), V1 batch write (append +
-  * INSERT OVERWRITE), native DELETE/TRUNCATE, and row-level
+  * path streams share offsets semantics), REAL distributed batch write
+  * ([[graft.sources.GraftWrite]] — append + INSERT OVERWRITE, bucketed
+  * layout as a required distribution), native DELETE/TRUNCATE, and row-level
   * UPDATE/MERGE (group-based COW, or the delta protocol on
   * `graft.deletionVectors` tables). `pin` is a version pinned by time
   * travel: pinned tables are read-only. */
@@ -467,7 +468,7 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
     caps.add(TableCapability.BATCH_READ)
     caps.add(TableCapability.MICRO_BATCH_READ)
     if (pin.isEmpty) {
-      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.STREAMING_WRITE)
     }
@@ -551,14 +552,47 @@ private[graft] class GraftNamedTable(tableName: String, val path: String,
 private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType,
     pin: Option[Long], options: CaseInsensitiveStringMap) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
+
+  /** PARTIAL limit pushdown: `SELECT … FROM t LIMIT n` plans only
+    * enough files to cover `n` live rows (deletion-vector-exact), so a
+    * bare LIMIT on a 100k-file snapshot is one task, not a full sweep.
+    * Partial — the plan keeps its Limit node — so over-delivery is
+    * always safe; the batch applies the subset only when no filter of
+    * any kind reached the scan. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** STOCK-SESSION metadata aggregates: `count(*)` / `count(col)` /
+    * `min` / `max` with no GROUP BY and no WHERE answer straight from
+    * the manifest — zero files read, a [[GraftLocalAggScan]] (planned
+    * as a LocalTableScan) instead of a distributed job. This is the v2
+    * twin of the extension rule ([[graft.plans.GraftPrune]]
+    * `rewriteMetaAgg`), for sessions WITHOUT `GraftExtensions`; same
+    * bail discipline (renames, deletion vectors on anything but
+    * `count(*)`, missing per-file stats → scan the data, never guess).
+    * COMPLETE pushdown only — a partial manifest answer would still
+    * cost the scan, so [[pushAggregation]] refuses whenever the fold
+    * could not answer every aggregate. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = GraftMetaAggFold.fold(path, tableSchema, pin, agg, pushed)
+    aggAnswer.isDefined
+  }
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = aggAnswer.isDefined
 
   /** Advisory pushdown: accept every filter but report ALL as residual —
     * Spark re-applies them post-scan, so a partially-translatable
-    * conjunction can still prune files inside [[GraftNamedV1Relation]]
+    * conjunction can still prune files inside [[graft.sources.GraftBatch]]
     * without any correctness exposure. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters; filters
@@ -568,13 +602,107 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftNamedScan(path, tableSchema, required, pushed, pin, options)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => new GraftLocalAggScan(path, schema, values)
+    case None =>
+      new GraftNamedScan(path, tableSchema, required, pushed, pin, options, limit)
+  }
+}
+
+/** A completely-pushed metadata aggregate: ONE driver-local row holding
+  * the manifest-folded answers. Planned as `LocalTableScanExec` — no
+  * job, no file IO, no exchange. */
+private[graft] class GraftLocalAggScan(path: String, schema: StructType,
+    values: Seq[Any]) extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+  override def description(): String = s"GraftMetaAgg $path (manifest-answered)"
+}
+
+/** The manifest fold behind [[GraftNamedScanBuilder.supportCompletePushDown]] —
+  * the v2-pushdown twin of [[graft.plans.GraftPrune]]'s `rewriteMetaAgg`,
+  * sharing its bail conditions:
+  *
+  *  - any file under a RENAME indirection → bail (a retired physical
+  *    name can collide with a current logical one);
+  *  - `count(*)` folds exact per-file `liveRows` (deletion-vector
+  *    aware — MOR snapshots still answer zero-scan);
+  *  - `count(col)` on a NOT NULL column = `count(*)`; on a nullable
+  *    column needs every data-bearing file's null count and NO deletion
+  *    vectors (dead rows' nullity is unknown);
+  *  - `min`/`max` fold per-file bounds, every data-bearing file must
+  *    carry the column's stats, and NO deletion vectors (the vector may
+  *    have killed the extremum); zero-row part files carry no stats and
+  *    don't veto;
+  *  - anything else (sum, avg, distinct, nested fields, GROUP BY, a
+  *    WHERE clause) → bail to the real scan. */
+private[graft] object GraftMetaAggFold {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  def fold(path: String, tableSchema: StructType, pin: Option[Long],
+      agg: Aggregation, pushed: Array[Filter]): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val m = pin.map(GraftTable.manifestAt(path, _))
+      .orElse(GraftTable.currentManifest(path)).getOrElse(return None)
+    val entries = GraftTable.filesOf(path, m)
+    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
+    val anyDv = entries.exists(_.dv.isDefined)
+    val total = entries.map(_.liveRows).sum
+    val statEntries = entries.filter(_.rows > 0)
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames.head)
+      case _ => None
+    }
+    def colStats(c: String) = {
+      val ss = statEntries.flatMap(_.stats.get(c))
+      if (ss.size == statEntries.size) Some(ss) else None
+    }
+    def bound(f: StructField, takeMax: Boolean): Option[Any] = {
+      val tag = GraftTable.statTag(f.dataType).getOrElse(return None)
+      colStats(f.name).map { ss =>
+        val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
+        if (bs.isEmpty) null // no rows, or every file all-NULL → SQL min/max is NULL
+        else graft.plans.GraftPrune.decodeInternal(f.dataType,
+          bs.reduce((x, y) =>
+            if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
+      }
+    }
+    val out: Seq[(StructField, Any)] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        (StructField("count_star", LongType, nullable = false), total: Any)
+      case c: Count if !c.isDistinct =>
+        val f = field(c.column).getOrElse(return None)
+        val v: Any =
+          if (!f.nullable) total
+          else if (anyDv) return None
+          else colStats(f.name).map(ss => total - ss.map(_.nulls).sum)
+            .getOrElse(return None)
+        (StructField(s"count_${f.name}", LongType, nullable = false), v)
+      case mn: Min =>
+        if (anyDv) return None
+        val f = field(mn.column).getOrElse(return None)
+        (StructField(s"min_${f.name}", f.dataType),
+          bound(f, takeMax = false).getOrElse(return None))
+      case mx: Max =>
+        if (anyDv) return None
+        val f = field(mx.column).getOrElse(return None)
+        (StructField(s"max_${f.name}", f.dataType),
+          bound(f, takeMax = true).getOrElse(return None))
+      case _ => return None
+    }
+    if (out.isEmpty) return None
+    Some((StructType(out.map(_._1).toArray), out.map(_._2)))
+  }
 }
 
 private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
-    options: CaseInsensitiveStringMap) extends Scan
+    options: CaseInsensitiveStringMap, limit: Option[Int] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -618,7 +746,12 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     * dims auto-broadcast everywhere. */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new graft.sources.GraftBatch(SparkSession.active, path, manifest,
-      StructType.fromDDL(manifest.schemaDdl), required, pushed ++ runtime)
+      StructType.fromDDL(manifest.schemaDdl), required, pushed ++ runtime,
+      // the limit file-subset composes with NOTHING: any static or
+      // runtime filter drops rows after file selection, and a subset
+      // chosen by liveRows could then under-deliver — forward the hint
+      // only on a bare unfiltered scan
+      limit.filter(_ => pushed.isEmpty && runtime.isEmpty))
 
   /** Storage-partitioned joins: when the snapshot is cleanly bucketed
     * (`graft.bucketBy` declared, every surviving data-bearing file
@@ -727,10 +860,12 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   }
 }
 
-/** Batch writes as a [[V1Write]] (the analyzer has already aligned the
-  * query schema to the table's, so append/overwrite route straight to
-  * the manifest-committing operators — same CAS rebase loop, same CHECK
-  * enforcement as every other write); streaming writes as the
+/** Batch writes as the REAL distributed DSv2 write
+  * ([[graft.sources.GraftWrite]] — executor tasks stream their
+  * partitions straight to staged parquet, the commit is one manifest
+  * CAS; bucketed tables request their layout as a required
+  * distribution + ordering, so plain SQL INSERTs keep
+  * storage-partitioned joins engaged); streaming writes as the
   * distributed [[graft.sources.GraftStreamingWrite]]
   * (`writeStream.toTable`), keyed by the query's STABLE id so the
   * manifest high-water mark survives restarts (exactly-once across the
@@ -748,22 +883,8 @@ private[graft] class GraftNamedWriteBuilder(path: String,
   private def csv(k: String): Seq[String] =
     Option(info.options.get(k)).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-        if (overwriteAll || overwrite) GraftTable.overwrite(data, path)
-        else GraftTable.append(data, path)
-      }
-    }
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!overwriteAll,
-        s"graft streaming writes are append-only — Complete mode would " +
-          "truncate per epoch; use foreachBatch with the merge/SCD2 operators")
-      new graft.sources.GraftStreamingWrite(path, "q:" + info.queryId,
-        info.schema, csv("statsCols"), csv("bloomCols"), SparkSession.active)
-    }
-  }
+  override def build(): Write = new graft.sources.GraftWrite(path, info,
+    overwriteAll, csv("statsCols"), csv("bloomCols"))
 }
 
 /** The NAMED change-feed surface — an Iceberg-style metadata CHILD

@@ -212,8 +212,8 @@ private[graft] class GraftReplaceWriterFactory(stageDir: String,
     conf: org.apache.spark.util.SerializableConfiguration) extends DataWriterFactory {
   private val runId = java.util.UUID.randomUUID.toString.take(8)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new graft.sources.GraftStreamRowWriter(stageDir, runId, partitionId, taskId,
-      epochId = 0L, conf)
+    new graft.sources.GraftRowFileWriter(stageDir, s"ep0-r$runId", partitionId,
+      taskId, conf)
 }
 
 /** DELTA-BASED (merge-on-read) row-level operation for tables with

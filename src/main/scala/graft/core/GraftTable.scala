@@ -1086,6 +1086,85 @@ object GraftTable {
     committed
   }
 
+  /** The commit half of the DSv2 BATCH write
+    * ([[graft.sources.GraftBatchWrite]] — stock-session `INSERT INTO` /
+    * `INSERT OVERWRITE` / CTAS on catalog names): fold files ALREADY
+    * WRITTEN by executor DataWriter tasks into the manifest. The rows
+    * never pass through the driver — the insert's own tasks streamed
+    * their partitions straight to staged parquet (for bucketed tables,
+    * under the write's required distribution, so every file is
+    * single-bucket and the layout survives). Same stats/bloom pass +
+    * move ([[stagePartEntries]] — O(batch), property-declared indexing
+    * included), same CHECK enforcement and CAS rebase semantics as the
+    * driver-staged [[append]]/[[overwrite]]. Returns the committed
+    * version. */
+  private[graft] def commitBatchFiles(spark: SparkSession, path: String,
+      stagedParts: Seq[File], schema: StructType, overwrite: Boolean,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+    val op = if (overwrite) "overwrite" else "append"
+    var validatedChecks = activeChecks(path)
+    if (stagedParts.nonEmpty && validatedChecks.nonEmpty) {
+      def stagedDf = spark.read.schema(schema).parquet(stagedParts.map(_.toString): _*)
+      try enforceChecks(stagedDf, path, validatedChecks)
+      catch { case e: Throwable => stagedParts.foreach(_.delete()); throw e }
+    }
+    val staged =
+      if (stagedParts.isEmpty) Nil
+      else stagePartEntries(spark, schema, path,
+        java.util.UUID.randomUUID.toString.take(8), stagedParts, statsCols, bloomCols)
+    def movedDf = spark.read.schema(schema).parquet(
+      staged.map(fe => new File(path, fe.path).toString): _*)
+    def reclaim(): Unit = staged.foreach(fe => new File(path, fe.path).delete())
+    betweenStageAndCommitForTests()
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentManifest(path)
+      val curChecks = cur.flatMap(_.checks).getOrElse(Map.empty)
+      if (curChecks != validatedChecks) {
+        if (staged.nonEmpty)
+          try enforceChecks(movedDf, path, curChecks)
+          catch { case e: Throwable => reclaim(); throw e }
+        validatedChecks = curChecks
+      }
+      val (inline, parentLeaves) = op match {
+        case "overwrite" => (staged, Nil)
+        case _ =>
+          if (cur.isEmpty && tombstoned(path)) {
+            reclaim()
+            throw new IllegalStateException(
+              s"graft table '$path' was ${tombstoneReason(path)} — append aborted")
+          }
+          cur.foreach { m =>
+            if (!sameSchema(m.schemaDdl, schema)) {
+              reclaim()
+              throw new IllegalArgumentException(
+                s"append schema mismatch vs '$path' v${m.version}: table has " +
+                  s"[${m.schemaDdl}], append has [${schema.toDDL}] — overwrite to evolve")
+            }
+          }
+          (cur.map(_.files).getOrElse(Nil) ++ staged,
+            cur.flatMap(_.leaves).getOrElse(Nil))
+      }
+      val (files, leaves) = packCommit(path, inline, parentLeaves)
+      // same nullability discipline as writeOp: append keeps the table's
+      // declared schema, nullability only ever widens
+      val nextDdl = cur match {
+        case Some(m) if op == "append" =>
+          val batchNullable = schema.map(f => f.name -> f.nullable).toMap
+          StructType(StructType.fromDDL(m.schemaDdl).fields.map(f =>
+            f.copy(nullable = f.nullable ||
+              batchNullable.getOrElse(f.name, f.nullable)))).toDDL
+        case _ => schema.toDDL
+      }
+      val next = Manifest(cur.map(_.version + 1).getOrElse(1L),
+        commitTs(cur), op, nextDdl, files, cur.flatMap(_.streamMarks), leaves,
+        Some(ChangeLog(logEntries(staged), Nil, truncate = op == "overwrite")),
+        checks = cur.flatMap(_.checks), properties = cur.flatMap(_.properties))
+      if (tryCommit(path, next)) committed = next.version
+    }
+    committed
+  }
+
   /** The commit half of a DSv2 GROUP-BASED row-level operation
     * ([[graft.catalog.GraftGroupOperation]] — stock-session
     * `UPDATE`/`MERGE INTO`/complex `DELETE` on catalog names): replace

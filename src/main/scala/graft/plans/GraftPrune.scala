@@ -473,7 +473,7 @@ object GraftPrune extends PredicateHelper {
   /** Encoded stats string → the column type's INTERNAL Catalyst value
     * (dates as epoch-day Int, timestamps as micros Long, strings as
     * UTF8String, decimals at the declared precision/scale). */
-  private def decodeInternal(dt: org.apache.spark.sql.types.DataType,
+  private[graft] def decodeInternal(dt: org.apache.spark.sql.types.DataType,
       s: String): Any = {
     import org.apache.spark.sql.types._
     dt match {

@@ -63,7 +63,8 @@ import graft.core.GraftTable.{FileEntry, Manifest}
   * (`models/source.yml:4-19`) on a platform whose reads are natively
   * columnar — a named read must not cost more than a path read. */
 private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
-    logical: StructType, required: StructType, pushed: Array[Filter])
+    logical: StructType, required: StructType, pushed: Array[Filter],
+    limitHint: Option[Int] = None)
     extends Batch with Serializable {
 
   import GraftBatch._
@@ -169,7 +170,27 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
           }
         }.toArray
     }
-    val files = statuses.flatMap { case (_, st) =>
+    // a PUSHED LIMIT (no filters of any kind — the scan builder only
+    // forwards it then) needs only enough files to cover `n` live rows:
+    // `SELECT * FROM t LIMIT 10` on a 100k-file snapshot plans one
+    // file, not one task per file. liveRows is deletion-vector-exact,
+    // so the subset can never under-deliver; the plan keeps its Limit
+    // node (partial pushdown), so over-delivery is equally safe. The
+    // bucketed branch above skips this: a key-grouped scan must plan
+    // every reported partition key.
+    val wanted = limitHint match {
+      case Some(n) =>
+        val b = Seq.newBuilder[(FileEntry, FileStatus)]
+        var acc = 0L
+        val it = statuses.iterator
+        while (acc < n && it.hasNext) {
+          val e = it.next()
+          if (e._1.liveRows > 0) { b += e; acc += e._1.liveRows }
+        }
+        b.result()
+      case None => statuses
+    }
+    val files = wanted.flatMap { case (_, st) =>
       PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st, Map.empty),
         st.getPath, isSplitable = true, maxSplit, InternalRow.empty)
     }.sortBy(-_.length)

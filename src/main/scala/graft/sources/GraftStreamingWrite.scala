@@ -78,14 +78,16 @@ private[graft] class GraftStreamWriterFactory(stageDir: String,
   private val runId = java.util.UUID.randomUUID.toString.take(8)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftStreamRowWriter(stageDir, runId, partitionId, taskId, epochId, conf)
+    new GraftRowFileWriter(stageDir, s"ep$epochId-r$runId", partitionId, taskId, conf)
 }
 
-/** The per-task writer: lazily opens its parquet file on the first row
-  * (an empty partition stages nothing), streams rows through Spark's
-  * write support (no buffering beyond parquet's own row groups). */
-private[graft] class GraftStreamRowWriter(stageDir: String, runId: String,
-    partitionId: Int, taskId: Long, epochId: Long, conf: SerializableConfiguration)
+/** The per-task writer behind BOTH v2 write surfaces (streaming epochs
+  * and batch INSERTs — [[GraftBatchWriterFactory]]): lazily opens its
+  * parquet file on the first row (an empty partition stages nothing),
+  * streams rows through Spark's write support (no buffering beyond
+  * parquet's own row groups). */
+private[graft] class GraftRowFileWriter(stageDir: String, namePrefix: String,
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -93,7 +95,7 @@ private[graft] class GraftStreamRowWriter(stageDir: String, runId: String,
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
-      file = new File(stageDir, f"ep$epochId-r$runId-p$partitionId%05d-t$taskId.parquet")
+      file = new File(stageDir, f"$namePrefix-p$partitionId%05d-t$taskId.parquet")
       writer = ClassicBridge.parquetRowWriter(conf.value, file.getAbsolutePath)
     }
     writer.write(row)

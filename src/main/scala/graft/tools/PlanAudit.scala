@@ -961,6 +961,49 @@ object PlanAudit {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
     locally {
+      // stock-SQL INSERT INTO a bucketed table rides the v2 batch
+      // write's REQUIRED DISTRIBUTION (graft.sources.GraftWrite): the
+      // insert's OWN plan carries the bucket hash exchange and the
+      // in-bucket sort, the landed files are single-bucket (the
+      // manifest records their ids), and the co-bucketed join AFTER a
+      // plain SQL append still plans zero exchange — the declared
+      // layout survives stock writes with no OPTIMIZE round-trip. At
+      // 100 TB this is what keeps the nightly INSERT from silently
+      // degrading every later fact⋈fact join back to a full shuffle.
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_insb_wh").toString
+      spark.conf.set("spark.sql.catalog.gib", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gib.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gib.ns")
+      GraftTable.writeBucketed(spark.range(0, 8000).selectExpr(
+        "cast(id % 512 as int) AS k", "id AS x"), s"$wh/ns/fact", "k", 8)
+      GraftTable.writeBucketed(spark.range(0, 512).selectExpr(
+        "cast(id as int) AS k", "id AS y"), s"$wh/ns/dim", "k", 8)
+      val ins = spark.sql(
+        "INSERT INTO gib.ns.fact SELECT cast(id % 512 as int), id FROM range(8000, 20000)")
+      val insPlan = ins.queryExecution.executedPlan.toString
+      val live = GraftTable.filesOf(s"$wh/ns/fact",
+        GraftTable.currentManifest(s"$wh/ns/fact").get).filter(_.rows > 0)
+      val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("gib.ns.fact").join(spark.table("gib.ns.dim"), "k")
+        val n = j.count()
+        j.collect()
+        val jPlan = j.queryExecution.executedPlan.toString
+        val checks = Seq(
+          "insert_plan_bucket_exchange" ->
+            insPlan.contains("Exchange hashpartitioning(k"),
+          "insert_plan_inbucket_sort" -> insPlan.contains("Sort [k"),
+          "insert_files_single_bucket" ->
+            (live.nonEmpty && live.forall(_.stats.contains(GraftTable.BucketStatCol))),
+          "post_insert_spj_zero_exchange" -> !jPlan.contains("Exchange"),
+          "post_insert_rows_exact" -> (n == 20000L))
+        val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+        println(s"[plan] insert_spj_layout: ${results.mkString(" ")} (files=${live.size})")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+    }
+    locally {
       // q154's multi-column z-order: after a 16-file relayout on the
       // auto-quantized Morton interleave, a 1/8 slice of EITHER
       // dimension must skip files — and the comparative claim: a
