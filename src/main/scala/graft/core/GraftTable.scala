@@ -578,10 +578,37 @@ object GraftTable {
     // fail planning from estimateStatistics
   } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def packBloom(k: Int, m: Int, positions: Seq[Long]): String = {
+  private[graft] def packBloom(k: Int, m: Int, positions: Seq[Long]): String = {
     val bytes = new Array[Byte](m / 8)
     positions.foreach { p => bytes(p.toInt >>> 3) = (bytes(p.toInt >>> 3) | (1 << (p.toInt & 7))).toByte }
     s"$k:$m:${java.util.Base64.getEncoder.encodeToString(bytes)}"
+  }
+
+  /** OR-bitmap aggregator over a row's k bloom positions — the write-side
+    * bloom builder as one MAP-SIDE-COMBINABLE aggregate. Each task ORs
+    * its rows' bits into a fixed m/8-byte buffer; merge is byte OR. All
+    * bloom columns ride a single groupBy(file) job whose shuffle volume
+    * is one buffer per (file, column) per task — at 100 TB this is the
+    * difference between a bloom pass that distinct-shuffles row-scale
+    * position traffic and one that moves kilobytes. */
+  private class BloomBitmapAgg(mBits: Int) extends
+      org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    override def reduce(b: Array[Byte], ps: Seq[Long]): Array[Byte] = {
+      if (ps != null) ps.foreach { p =>
+        b(p.toInt >>> 3) = (b(p.toInt >>> 3) | (1 << (p.toInt & 7))).toByte }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   /** Raw `xxhash64(v, i)` for every probe value × hash index, computed BY
@@ -657,7 +684,17 @@ object GraftTable {
         case None => df
       }
     }
-    out.write.mode("overwrite").parquet(stage.toString)
+    // timestamps write as standard INT64 micros, never legacy INT96:
+    // INT96 footers carry no usable min/max (the footer-stats fast path
+    // would fall back to a re-read job for every timestamp column), and
+    // micros is what every modern engine (and this format's own readers)
+    // expects. Session-scoped set/restore — the key is read from the
+    // session conf by the parquet write path, not from writer options.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val oldTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try out.write.mode("overwrite").parquet(stage.toString)
+    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
     val parts = Option(stage.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).sortBy(_.getName)
     if (parts.isEmpty) { TableIO.clearDir(stage.toString); return Nil }
@@ -666,6 +703,147 @@ object GraftTable {
     TableIO.clearDir(stage.toString)
     entries
   }
+
+  /** FOOTER-DERIVED file stats — the zero-job fast path under
+    * [[stagePartEntries]]: the parquet footers of files we JUST wrote
+    * already carry per-chunk row counts, null counts, and min/max, so
+    * the post-write stats pass can be a driver-side footer fold instead
+    * of a Spark job re-reading every indexed column of the batch. At
+    * 100 TB that re-read is the single biggest write-path overhead this
+    * format adds (up to 32 columns re-decoded per append); footers make
+    * it O(files) metadata reads. (Iceberg collects write metrics the
+    * same way — from the footer, never a second scan.)
+    *
+    * STRICT usability contract — any doubt falls back to the job, so
+    * the two paths are value-identical by construction (spec-pinned):
+    *
+    *  - every chunk of every needed column must expose statistics with
+    *    a null count; a chunk with values but no min/max (e.g. a
+    *    HUGE binary value made the writer drop them) bails;
+    *  - the physical/logical type pair must be one we decode exactly
+    *    (INT96 timestamps — pre-switch legacy files — bail);
+    *  - doubles: NaN-polluted or ±0.0 bounds bail (parquet normalizes
+    *    zero signs; Spark's aggregate may keep either — the values
+    *    compare equal in SQL but not byte-identically in the manifest);
+    *  - ancient dates/timestamps (pre-Gregorian-cutover) bail — under
+    *    LEGACY rebase the raw on-disk value differs from the logical
+    *    one.
+    *
+    * Returns per-file (rows, stats) keyed by file NAME, or None when
+    * any file/column is unusable. Zero-row files record no stats map,
+    * exactly like the job path (no groupBy row). */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      parts: Seq[File], fields: Seq[StructField])
+      : Option[Map[String, (Long, Map[String, ColStats])]] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val GregorianCutoverDay = -141427L // 1582-10-15 as epoch day
+    val GregorianCutoverMicros = -12219292800000000L
+    def decode(dt: DataType, pt: org.apache.parquet.schema.PrimitiveType,
+        v: AnyRef): Option[String] = {
+      val logical = pt.getLogicalTypeAnnotation
+      def signedIntOrPlain: Boolean = logical match {
+        case null => true
+        case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+        case _ => false
+      }
+      (dt, pt.getPrimitiveTypeName) match {
+        case (ByteType | ShortType | IntegerType, PrimitiveTypeName.INT32)
+            if signedIntOrPlain =>
+          Some(v.asInstanceOf[Number].longValue.toString)
+        case (LongType, PrimitiveTypeName.INT64) if signedIntOrPlain =>
+          Some(v.asInstanceOf[Number].longValue.toString)
+        case (DateType, PrimitiveTypeName.INT32)
+            if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          val d = v.asInstanceOf[Number].longValue
+          if (d < GregorianCutoverDay) None else Some(d.toString)
+        case (TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) =>
+          logical match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              val raw = v.asInstanceOf[Number].longValue
+              val micros = t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(raw * 1000L)
+                case _ => None
+              }
+              micros.filter(_ >= GregorianCutoverMicros).map(_.toString)
+            case _ => None
+          }
+        case (FloatType, PrimitiveTypeName.FLOAT) =>
+          val d = v.asInstanceOf[java.lang.Float].doubleValue
+          if (d.isNaN || d == 0.0d) None else Some(d.toString)
+        case (DoubleType, PrimitiveTypeName.DOUBLE) =>
+          val d = v.asInstanceOf[java.lang.Double].doubleValue
+          if (d.isNaN || d == 0.0d) None else Some(d.toString)
+        case (dec: DecimalType, ptn) =>
+          val scaleOk = logical match {
+            case l: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              l.getScale == dec.scale
+            case _ => false
+          }
+          if (!scaleOk) None
+          else {
+            val unscaled: Option[java.math.BigInteger] = ptn match {
+              case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                Some(java.math.BigInteger.valueOf(v.asInstanceOf[Number].longValue))
+              case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+                Some(new java.math.BigInteger(
+                  v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+              case _ => None
+            }
+            unscaled.map(u =>
+              new java.math.BigDecimal(u, dec.scale).toPlainString)
+          }
+        case (StringType, PrimitiveTypeName.BINARY)
+            if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          Some(new String(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .getBytes, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }
+    val out = parts.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toURI), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        if (rows == 0L) p.getName -> (0L, Map.empty[String, ColStats])
+        else {
+          val stats: Map[String, ColStats] = fields.map { f =>
+            val tag = statTag(f.dataType).get
+            var nulls = 0L
+            var mn: Option[String] = None
+            var mx: Option[String] = None
+            blocks.foreach { b =>
+              val c = b.getColumns.asScala.find(cc =>
+                cc.getPath.size == 1 && cc.getPath.toDotString == f.name)
+                .getOrElse(return None)
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nulls += st.getNumNulls
+              if (st.hasNonNullValue) {
+                val lo = decode(f.dataType, c.getPrimitiveType,
+                  st.genericGetMin.asInstanceOf[AnyRef]).getOrElse(return None)
+                val hi = decode(f.dataType, c.getPrimitiveType,
+                  st.genericGetMax.asInstanceOf[AnyRef]).getOrElse(return None)
+                mn = Some(mn.filter(m => cmp(tag, m, lo) <= 0).getOrElse(lo))
+                mx = Some(mx.filter(m => cmp(tag, m, hi) >= 0).getOrElse(hi))
+              } else if (st.getNumNulls != c.getValueCount) {
+                // values present but no bounds recorded — stats dropped
+                return None
+              }
+            }
+            f.name -> ColStats(tag, mn, mx, nulls)
+          }.toMap
+          p.getName -> (rows, stats)
+        }
+      } finally reader.close()
+    }.toMap
+    Some(out)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The shared tail of every staged write: given parquet part files
     * already on disk (the driver's staged `df.write`, or files streamed
@@ -712,52 +890,81 @@ object GraftTable {
       val b = pmod(hash(cs.map(col): _*), lit(n))
       Seq(min(b).as("__graft_bmin"), max(b).as("__graft_bmax"))
     }
-    val allAggs = (count(lit(1L)).as("__rows") +: fields.flatMap { f =>
-      Seq(min(col(f.name)).as(s"__min_${f.name}"), max(col(f.name)).as(s"__max_${f.name}"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
-    }) ++ bucketAggs
-    // explicit FILE paths, not the stage dir: the dir is dot-prefixed
-    // (hidden to any directory listing), leaf files by name are not
-    val statRows = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
-      .groupBy(input_file_name().as("__f")).agg(allAggs.head, allAggs.tail: _*)
-      .collect().map { r =>
-        val base = r.getString(0).split('/').last
-        val stats = fields.map { f =>
-          val tag = statTag(f.dataType).get
-          val mn = Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _))
-          val mx = Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _))
-          f.name -> ColStats(tag, mn, mx, r.getAs[Long](s"__nulls_${f.name}"))
-        }.toMap
-        val bstat = bucket.flatMap { _ =>
-          (Option(r.get(r.fieldIndex("__graft_bmin"))),
-            Option(r.get(r.fieldIndex("__graft_bmax")))) match {
-            case (Some(a), Some(b)) if a == b =>
-              Some(BucketStatCol ->
-                ColStats("int", Some(a.toString), Some(a.toString), 0L))
-            case _ => None
-          }
+    def bucketStatOf(r: org.apache.spark.sql.Row): Option[(String, ColStats)] =
+      bucket.flatMap { _ =>
+        (Option(r.get(r.fieldIndex("__graft_bmin"))),
+          Option(r.get(r.fieldIndex("__graft_bmax")))) match {
+          case (Some(a), Some(b)) if a == b =>
+            Some(BucketStatCol ->
+              ColStats("int", Some(a.toString), Some(a.toString), 0L))
+          case _ => None
         }
-        base -> (r.getAs[Long]("__rows"), stats ++ bstat)
-      }.toMap
+      }
+    // FAST PATH: fold the footers of the files we just wrote (zero
+    // jobs, O(files) driver metadata reads — [[footerStats]]); the
+    // bucket-id bookkeeping still runs as a job, but pruned to ONLY the
+    // bucket key columns (the id is a computed hash, footers can't
+    // carry it). Any unusable footer falls back to the original
+    // one-job combined pass — value-identical by construction.
+    val footer = if (disableFooterStatsForTests) None
+      else footerStats(spark.sessionState.newHadoopConf(), parts, fields)
+    lastStatsPassUsedFooterForTests = footer.isDefined
+    val statRows: Map[String, (Long, Map[String, ColStats])] = footer match {
+      case Some(byFile) if bucket.isEmpty => byFile
+      case Some(byFile) =>
+        // explicit FILE paths, not the stage dir: the dir is
+        // dot-prefixed (hidden to any directory listing)
+        val bucketRows = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
+          .groupBy(input_file_name().as("__f")).agg(bucketAggs.head, bucketAggs.tail: _*)
+          .collect().map(r => r.getString(0).split('/').last -> bucketStatOf(r)).toMap
+        byFile.map { case (base, (rows, stats)) =>
+          base -> (rows, stats ++ bucketRows.getOrElse(base, None))
+        }
+      case None =>
+        val allAggs = (count(lit(1L)).as("__rows") +: fields.flatMap { f =>
+          Seq(min(col(f.name)).as(s"__min_${f.name}"),
+            max(col(f.name)).as(s"__max_${f.name}"),
+            sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"))
+        }) ++ bucketAggs
+        spark.read.schema(schema).parquet(parts.map(_.toString): _*)
+          .groupBy(input_file_name().as("__f")).agg(allAggs.head, allAggs.tail: _*)
+          .collect().map { r =>
+            val base = r.getString(0).split('/').last
+            val stats = fields.map { f =>
+              val tag = statTag(f.dataType).get
+              val mn = Option(r.get(r.fieldIndex(s"__min_${f.name}"))).map(encode(tag, _))
+              val mx = Option(r.get(r.fieldIndex(s"__max_${f.name}"))).map(encode(tag, _))
+              f.name -> ColStats(tag, mn, mx, r.getAs[Long](s"__nulls_${f.name}"))
+            }.toMap
+            base -> (r.getAs[Long]("__rows"), stats ++ bucketStatOf(r))
+          }.toMap
+    }
 
-    // one distributed pass per bloom column over the staged files: the
-    // k positions explode per row, distinct at (file, position) grain
-    // (≤ mBits ints per file reach the driver, never row-scale data)
+    // ONE distributed pass for ALL bloom columns: each row's k engine-
+    // hashed positions OR into an m/8-byte bitmap aggregator with
+    // map-side combine, so the shuffle is one small buffer per
+    // (file, column) — never row-scale position traffic (the old shape
+    // exploded and distinct-shuffled positions once PER column). A file
+    // whose column is all-NULL records an all-zero bloom: any probe
+    // proves it clean, which is exact (it has no values to match).
     val blooms: Map[String, Map[String, String]] = if (bloomCols.isEmpty) Map.empty else {
       val maxRows = statRows.values.map(_._1).maxOption.getOrElse(0L)
       val m = bloomBits(maxRows)
-      bloomCols.map { c =>
+      val bloomAgg = udaf(new BloomBitmapAgg(m),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      val aggCols = bloomCols.map { c =>
         val f = schema(c)
         require(statTag(f.dataType).isDefined, s"column '$c' can't carry a bloom filter")
-        val perFile = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
-          .filter(col(c).isNotNull)
-          .select(input_file_name().as("__f"),
-            explode(bloomPositions(col(c), f.dataType, BloomK, m)).as("__p"))
-          .distinct()
-          .groupBy(col("__f")).agg(collect_list(col("__p")).as("__ps"))
-          .collect().map(r => r.getString(0).split('/').last ->
-            packBloom(BloomK, m, r.getSeq[Long](r.fieldIndex("__ps")))).toMap
-        c -> perFile
+        bloomAgg(when(col(c).isNotNull, bloomPositions(col(c), f.dataType, BloomK, m))
+          .otherwise(array().cast("array<bigint>"))).as(s"__bloom_$c")
+      }
+      val rows = spark.read.schema(schema).parquet(parts.map(_.toString): _*)
+        .groupBy(input_file_name().as("__f")).agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      bloomCols.map { c =>
+        c -> rows.map(r => r.getString(0).split('/').last ->
+          (s"$BloomK:$m:" + java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](s"__bloom_$c")))).toMap
       }.toMap
     }
 
@@ -816,6 +1023,12 @@ object GraftTable {
     * window a concurrent commit (e.g. [[addCheck]]) can land in. The spec
     * uses it to stage the check-attach race deterministically. */
   private[graft] var betweenStageAndCommitForTests: () => Unit = () => ()
+
+  /** Test seams for the footer-stats fast path: force the job fallback
+    * (so the equality spec can produce both paths' manifests from the
+    * same data) and observe which path the last stats pass took. */
+  private[graft] var disableFooterStatsForTests: Boolean = false
+  private[graft] var lastStatsPassUsedFooterForTests: Boolean = false
 
   private def writeOp(df: DataFrame, path: String, op: String, statsCols: Seq[String],
       clusterBy: Option[(Column, Int)], bloomCols: Seq[String] = Nil,

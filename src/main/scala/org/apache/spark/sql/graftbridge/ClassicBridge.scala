@@ -50,8 +50,10 @@ object ClassicBridge {
     ParquetWriteSupport.setSchema(schema, conf)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sql.writeLegacyParquetFormat.toString)
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sql.parquetOutputTimestampType.toString)
+    // always standard INT64 micros, never legacy INT96 — matches the
+    // driver staging path (GraftTable.stageFiles forces the same), and
+    // INT96 footers carry no min/max for the footer-stats fast path
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
       sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
     conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
