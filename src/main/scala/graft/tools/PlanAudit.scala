@@ -1004,6 +1004,55 @@ object PlanAudit {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
     locally {
+      // the footer-stats fast path: a plain overwrite with indexed
+      // columns runs EXACTLY ONE Spark job — the staged write itself;
+      // the stats pass is a driver-side footer fold, not a re-read.
+      // A bloom column adds exactly one more (the bitmap aggregate).
+      // With the footer path seam-disabled, the job-path fallback costs
+      // a third. At 100 TB the difference is re-decoding up to 32
+      // columns of every appended batch vs reading zero bytes of it.
+      import graft.core.GraftTable
+      val base = java.nio.file.Files.createTempDirectory("plan_footer").toString
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(): Unit
+        }
+      }
+      def jobsDuring(body: => Unit): Int = {
+        spark.sparkContext.addSparkListener(listener)
+        try { jobs.set(0); body; Thread.sleep(2000); jobs.get }
+        finally spark.sparkContext.removeSparkListener(listener)
+      }
+      val data = spark.range(0, 50000).selectExpr("id AS k",
+        "concat('v', id) AS s", "timestamp_micros(id * 1000) AS ts")
+      val statJobs = jobsDuring {
+        GraftTable.overwrite(data, s"$base/t1", statsCols = Seq("k", "s", "ts")): Unit
+      }
+      val bloomJobs = jobsDuring {
+        GraftTable.overwrite(data, s"$base/t2", statsCols = Seq("k", "s", "ts"),
+          bloomCols = Seq("k")): Unit
+      }
+      GraftTable.disableFooterStatsForTests = true
+      val fallbackJobs = try jobsDuring {
+        GraftTable.overwrite(data, s"$base/t3", statsCols = Seq("k", "s", "ts")): Unit
+      } finally { GraftTable.disableFooterStatsForTests = false }
+      val m1 = GraftTable.currentManifest(s"$base/t1").get
+      val statted = GraftTable.filesOf(s"$base/t1", m1).filter(_.rows > 0)
+      // an exchange-bearing aggregate is 2 jobs under AQE (shuffle query
+      // stage + final), so "one extra aggregate pass" reads as +2 jobs
+      val checks = Seq(
+        "footer_write_single_job" -> (statJobs == 1),
+        "footer_blooms_one_extra_agg" -> (bloomJobs == statJobs + 2),
+        "job_fallback_costs_a_rescan" -> (fallbackJobs == statJobs + 2),
+        "footer_stats_complete" -> (statted.nonEmpty && statted.forall(fe =>
+          Seq("k", "s", "ts").forall(fe.stats.contains))))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] footer_stats_path: ${results.mkString(" ")} " +
+        s"(stat=$statJobs bloom=$bloomJobs fallback=$fallbackJobs)")
+    }
+    locally {
       // q154's multi-column z-order: after a 16-file relayout on the
       // auto-quantized Morton interleave, a 1/8 slice of EITHER
       // dimension must skip files — and the comparative claim: a

@@ -130,6 +130,26 @@ class GraftBatchWriteSpec extends AnyFunSuite with SparkSpecBase {
     assert(onDisk == manifested, s"refused insert leaked files: ${onDisk diff manifested}")
   }
 
+  test("streaming writes to a bucketed table land single-bucket files too") {
+    val src = s"$warehouse/ns/ssrc"
+    val sink = s"$warehouse/ns/ssink"
+    GraftTable.overwrite(spark.range(0, 600)
+      .selectExpr("cast(id % 128 as int) AS k", "id AS x"), src)
+    GraftTable.writeBucketed(spark.range(600, 700)
+      .selectExpr("cast(id % 128 as int) AS k", "id AS x"), sink, "k", 4)
+    val ckpt = Files.createTempDirectory("graft_v2w_ckpt").toString
+    val q = spark.readStream.table("ins.ns.ssrc")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("ins.ns.ssink")
+    q.awaitTermination(60000)
+    assert(spark.table("ins.ns.ssink").count() == 700)
+    val live = GraftTable.filesOf(sink, GraftTable.currentManifest(sink).get)
+      .filter(_.rows > 0)
+    assert(live.forall(_.stats.contains(GraftTable.BucketStatCol)),
+      "the epoch's required distribution must keep streamed files single-bucket")
+  }
+
   test("racing append between stage and commit: both batches survive the CAS rebase") {
     val path = s"$warehouse/ns/race"
     GraftTable.overwrite(spark.range(0, 10)
