@@ -620,83 +620,74 @@ private[graft] class GraftLocalAggScan(path: String, schema: StructType,
   override def description(): String = s"GraftMetaAgg $path (manifest-answered)"
 }
 
-/** The manifest fold behind [[GraftNamedScanBuilder.supportCompletePushDown]] —
-  * the v2-pushdown twin of [[graft.plans.GraftPrune]]'s `rewriteMetaAgg`,
-  * sharing its bail conditions:
+/** The v2-pushdown surface of the ONE shared manifest fold
+  * ([[graft.plans.GraftPrune.foldMetaAgg]] — the extension rule's
+  * `rewriteMetaAgg` rides the same function, so the bail discipline
+  * can never fork). This wrapper only translates connector
+  * [[Aggregation]] shapes and assembles the pushed-scan schema.
   *
-  *  - any file under a RENAME indirection → bail (a retired physical
-  *    name can collide with a current logical one);
-  *  - `count(*)` folds exact per-file `liveRows` (deletion-vector
-  *    aware — MOR snapshots still answer zero-scan);
-  *  - `count(col)` on a NOT NULL column = `count(*)`; on a nullable
-  *    column needs every data-bearing file's null count and NO deletion
-  *    vectors (dead rows' nullity is unknown);
-  *  - `min`/`max` fold per-file bounds, every data-bearing file must
-  *    carry the column's stats, and NO deletion vectors (the vector may
-  *    have killed the extremum); zero-row part files carry no stats and
-  *    don't veto;
-  *  - anything else (sum, avg, distinct, nested fields, GROUP BY, a
-  *    WHERE clause) → bail to the real scan. */
+  * Two orderings matter here:
+  *  - the SYNTACTIC vet runs before any manifest IO — an unsupported
+  *    aggregate (sum, avg, distinct, nested field, GROUP BY, WHERE)
+  *    must not pay an O(table-files) listing parse just to bail;
+  *  - names resolve against the FOLDED manifest's schema, not the scan
+  *    builder's resolution-time schema — a concurrent
+  *    nullability-widening commit between analysis and pushdown would
+  *    otherwise let `count(col)` answer `total` from a stale NOT NULL
+  *    claim while the folded snapshot already holds nulls. */
 private[graft] object GraftMetaAggFold {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.types.{LongType, StructField}
+  import graft.plans.GraftPrune
+
+  private sealed trait Shape
+  private case object SCountStar extends Shape
+  private case class SCount(col: String) extends Shape
+  private case class SMin(col: String) extends Shape
+  private case class SMax(col: String) extends Shape
 
   def fold(path: String, tableSchema: StructType, pin: Option[Long],
       agg: Aggregation, pushed: Array[Filter]): Option[(StructType, Seq[Any])] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
-    val m = pin.map(GraftTable.manifestAt(path, _))
-      .orElse(GraftTable.currentManifest(path)).getOrElse(return None)
-    val entries = GraftTable.filesOf(path, m)
-    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
-    val anyDv = entries.exists(_.dv.isDefined)
-    val total = entries.map(_.liveRows).sum
-    val statEntries = entries.filter(_.rows > 0)
-    def field(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[StructField] = e match {
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
-        tableSchema.fields.find(_.name == nr.fieldNames.head)
+        Some(nr.fieldNames.head)
       case _ => None
     }
-    def colStats(c: String) = {
-      val ss = statEntries.flatMap(_.stats.get(c))
-      if (ss.size == statEntries.size) Some(ss) else None
-    }
-    def bound(f: StructField, takeMax: Boolean): Option[Any] = {
-      val tag = GraftTable.statTag(f.dataType).getOrElse(return None)
-      colStats(f.name).map { ss =>
-        val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
-        if (bs.isEmpty) null // no rows, or every file all-NULL → SQL min/max is NULL
-        else graft.plans.GraftPrune.decodeInternal(f.dataType,
-          bs.reduce((x, y) =>
-            if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
-      }
-    }
-    val out: Seq[(StructField, Any)] = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        (StructField("count_star", LongType, nullable = false), total: Any)
-      case c: Count if !c.isDistinct =>
-        val f = field(c.column).getOrElse(return None)
-        val v: Any =
-          if (!f.nullable) total
-          else if (anyDv) return None
-          else colStats(f.name).map(ss => total - ss.map(_.nulls).sum)
-            .getOrElse(return None)
-        (StructField(s"count_${f.name}", LongType, nullable = false), v)
-      case mn: Min =>
-        if (anyDv) return None
-        val f = field(mn.column).getOrElse(return None)
-        (StructField(s"min_${f.name}", f.dataType),
-          bound(f, takeMax = false).getOrElse(return None))
-      case mx: Max =>
-        if (anyDv) return None
-        val f = field(mx.column).getOrElse(return None)
-        (StructField(s"max_${f.name}", f.dataType),
-          bound(f, takeMax = true).getOrElse(return None))
+    val shapes: Seq[Shape] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => SCountStar
+      case c: Count if !c.isDistinct => SCount(ref(c.column).getOrElse(return None))
+      case mn: Min => SMin(ref(mn.column).getOrElse(return None))
+      case mx: Max => SMax(ref(mx.column).getOrElse(return None))
       case _ => return None
     }
-    if (out.isEmpty) return None
-    Some((StructType(out.map(_._1).toArray), out.map(_._2)))
+    if (shapes.isEmpty) return None
+    val m = pin.map(GraftTable.manifestAt(path, _))
+      .orElse(GraftTable.currentManifest(path)).getOrElse(return None)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def field(n: String): Option[StructField] = schema.fields.find(_.name == n)
+    val translated: Seq[(StructField, GraftPrune.MetaReq)] = shapes.map {
+      case SCountStar =>
+        (StructField("count_star", LongType, nullable = false),
+          GraftPrune.CountStarReq)
+      case SCount(n) =>
+        val f = field(n).getOrElse(return None)
+        (StructField(s"count_$n", LongType, nullable = false),
+          GraftPrune.CountColReq(n, f.nullable))
+      case SMin(n) =>
+        val f = field(n).getOrElse(return None)
+        (StructField(s"min_$n", f.dataType),
+          GraftPrune.BoundReq(n, f.dataType, takeMax = false))
+      case SMax(n) =>
+        val f = field(n).getOrElse(return None)
+        (StructField(s"max_$n", f.dataType),
+          GraftPrune.BoundReq(n, f.dataType, takeMax = true))
+    }
+    val answers = GraftPrune.foldMetaAgg(GraftTable.filesOf(path, m),
+      translated.map(_._2)).getOrElse(return None)
+    Some((StructType(translated.map(_._1).toArray), answers))
   }
 }
 

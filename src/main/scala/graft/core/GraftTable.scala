@@ -487,7 +487,9 @@ object GraftTable {
     case ("date", d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
     case ("date", d: java.time.LocalDate) => d.toEpochDay.toString
     case ("ts", t: java.sql.Timestamp) =>
-      (t.getTime / 1000 * 1000000L + t.getNanos / 1000).toString
+      // floorDiv, not /: pre-epoch fractional timestamps truncate toward
+      // zero under integer division, recording bounds one second high
+      (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000).toString
     case ("ts", t: java.time.Instant) =>
       (t.getEpochSecond * 1000000L + t.getNano / 1000).toString
     case ("ts", t: java.time.LocalDateTime) =>
@@ -688,13 +690,12 @@ object GraftTable {
     // INT96 footers carry no usable min/max (the footer-stats fast path
     // would fall back to a re-read job for every timestamp column), and
     // micros is what every modern engine (and this format's own readers)
-    // expects. Session-scoped set/restore — the key is read from the
-    // session conf by the parquet write path, not from writer options.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val oldTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try out.write.mode("overwrite").parquet(stage.toString)
-    finally oldTs.fold(spark.conf.unset(tsKey))(spark.conf.set(tsKey, _))
+    // expects. The key is session conf, not a writer option — so the
+    // staged write runs on a cached micros-pinned CLONE of the session
+    // (never a mutate/restore on the user's own conf, which races
+    // concurrent writers and leaks into unrelated writes).
+    org.apache.spark.sql.graftbridge.ClassicBridge.withMicrosTimestampWrites(out)
+      .write.mode("overwrite").parquet(stage.toString)
     val parts = Option(stage.listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).sortBy(_.getName)
     if (parts.isEmpty) { TableIO.clearDir(stage.toString); return Nil }

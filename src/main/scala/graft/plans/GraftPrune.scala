@@ -218,50 +218,33 @@ object GraftPrune extends PredicateHelper {
         planEntries(ch).getOrElse(return None)
       case ch => planEntries(ch).getOrElse(return None)
     }
-    // stats under a rename indirection can collide with a CURRENT
-    // logical name — never answer from them
-    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
-    val anyDv = entries.exists(_.dv.isDefined)
-    val total = entries.map(_.liveRows).sum
-    // stats usable only when EVERY file carries them for the column
-    def colStats(c: String) = {
-      val ss = entries.flatMap(_.stats.get(c))
-      if (ss.size == entries.size) Some(ss) else None
-    }
-    def bound(a: AttributeReference, takeMax: Boolean): Option[Any] = {
-      val tag = GraftTable.statTag(a.dataType).getOrElse(return None)
-      colStats(a.name).map { ss =>
-        val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
-        if (bs.isEmpty) null // every file all-NULL → SQL min/max is NULL
-        else decodeInternal(a.dataType,
-          bs.reduce((x, y) =>
-            if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
-      }
-    }
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae
     })
     if (aggCalls.isEmpty) return None
+    // translate to the shared fold's requests; count(NULL literal) is 0
+    // without touching the manifest at all
+    val trans: Seq[(AggregateExpression, scala.Either[Any, MetaReq])] = aggCalls.map { ae =>
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      val e: scala.Either[Any, MetaReq] = ae.aggregateFunction match {
+        case Count(Seq(Literal(v0, _))) =>
+          if (v0 == null) scala.Left(0L) else scala.Right(CountStarReq)
+        case Count(Seq(a: AttributeReference)) =>
+          scala.Right(CountColReq(a.name, a.nullable))
+        case Min(a: AttributeReference) =>
+          scala.Right(BoundReq(a.name, a.dataType, takeMax = false))
+        case Max(a: AttributeReference) =>
+          scala.Right(BoundReq(a.name, a.dataType, takeMax = true))
+        case _ => return None
+      }
+      ae -> e
+    }
+    val folded = foldMetaAgg(entries,
+      trans.collect { case (_, scala.Right(r)) => r }).getOrElse(return None)
+    val it = folded.iterator
     val answered: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Literal] =
-      aggCalls.map { ae =>
-        if (ae.isDistinct || ae.filter.isDefined) return None
-        val v: Any = ae.aggregateFunction match {
-          case Count(Seq(Literal(v0, _))) => if (v0 == null) 0L else total
-          case Count(Seq(a: AttributeReference)) if !a.nullable => total
-          case Count(Seq(a: AttributeReference)) =>
-            // dead rows' nullity is unknown — nullable counts need a scan
-            if (anyDv) return None
-            colStats(a.name).map(ss => total - ss.map(_.nulls).sum)
-              .getOrElse(return None)
-          case Min(a: AttributeReference) =>
-            if (anyDv) return None // the vector may have killed the extremum
-            bound(a, takeMax = false).getOrElse(return None)
-          case Max(a: AttributeReference) =>
-            if (anyDv) return None
-            bound(a, takeMax = true).getOrElse(return None)
-          case _ => return None
-        }
-        ae.resultId -> Literal(v, ae.dataType)
+      trans.map { case (ae, e) =>
+        ae.resultId -> Literal(e.fold(identity, _ => it.next()), ae.dataType)
       }.toMap
     // substitute each answered aggregate as a literal; wrapper
     // expressions (casts, arithmetic, epoch conversions) constant-fold
@@ -437,6 +420,60 @@ object GraftPrune extends PredicateHelper {
       }.asInstanceOf[NamedExpression])
     Some(Project(projected,
       org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+  }
+
+  /** The ONE manifest fold behind BOTH metadata-aggregate surfaces —
+    * the extension rule ([[rewriteMetaAgg]]) and the stock-session v2
+    * aggregate pushdown ([[graft.catalog.GraftMetaAggFold]]). The bail
+    * discipline is a correctness contract and must never fork:
+    *
+    *  - any file under a RENAME indirection → None (a retired physical
+    *    name can collide with a current logical one);
+    *  - `count(*)` and NOT-NULL `count(col)` fold exact per-file
+    *    `liveRows` (deletion-vector-aware);
+    *  - nullable `count(col)` needs every data-bearing file's null
+    *    count and NO deletion vectors (dead rows' nullity is unknown);
+    *  - min/max fold per-file bounds — every data-bearing file must
+    *    carry the column's stats, NO deletion vectors (the vector may
+    *    have killed the extremum); zero-row part files carry no stats
+    *    and don't veto; an all-NULL table answers SQL NULL.
+    *
+    * Answers are INTERNAL Catalyst values, positionally matching
+    * `reqs`. */
+  private[graft] sealed trait MetaReq
+  private[graft] case object CountStarReq extends MetaReq
+  private[graft] case class CountColReq(name: String, nullable: Boolean)
+    extends MetaReq
+  private[graft] case class BoundReq(name: String,
+      dt: org.apache.spark.sql.types.DataType, takeMax: Boolean) extends MetaReq
+
+  private[graft] def foldMetaAgg(entries: Seq[graft.core.GraftTable.FileEntry],
+      reqs: Seq[MetaReq]): Option[Seq[Any]] = {
+    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
+    val anyDv = entries.exists(_.dv.isDefined)
+    val total = entries.map(_.liveRows).sum
+    val statEntries = entries.filter(_.rows > 0)
+    // stats usable only when EVERY data-bearing file carries them
+    def colStats(c: String) = {
+      val ss = statEntries.flatMap(_.stats.get(c))
+      if (ss.size == statEntries.size) Some(ss) else None
+    }
+    Some(reqs.map {
+      case CountStarReq => total
+      case CountColReq(_, false) => total
+      case CountColReq(n, true) =>
+        if (anyDv) return None
+        colStats(n).map(ss => total - ss.map(_.nulls).sum).getOrElse(return None)
+      case BoundReq(n, dt, takeMax) =>
+        if (anyDv) return None
+        val tag = GraftTable.statTag(dt).getOrElse(return None)
+        colStats(n).map { ss =>
+          val bs = ss.flatMap(s => if (takeMax) s.max else s.min)
+          if (bs.isEmpty) null // no rows, or every file all-NULL → SQL NULL
+          else decodeInternal(dt, bs.reduce((x, y) =>
+            if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
+        }.getOrElse(return None)
+    })
   }
 
   private def graftEntries(lr: LogicalRelation)

@@ -1,5 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -29,6 +31,38 @@ object ClassicBridge {
     val rows = data.queryExecution.toRdd.map(_.copy())
     spark.internalCreateDataFrame(rows, data.schema, isStreaming = false)
   }
+
+  /** Re-bind `df`'s (already analyzed) plan to a cached CLONE of its
+    * session whose only divergence is
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` — so the
+    * driver staging write emits standard INT64-micros timestamps (INT96
+    * footers carry no usable stats) WITHOUT mutating the user's session
+    * conf: a save/set/restore on the shared session races concurrent
+    * writers (the loser's restore clobbers the winner's) and briefly
+    * changes the format of unrelated `df.write.parquet` calls on other
+    * threads. The clone shares the SparkContext and the analyzed plan
+    * needs no re-resolution; one clone per source session, weakly held. */
+  def withMicrosTimestampWrites(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val clone = stagingSessions.synchronized {
+      stagingSessions.get(classic) match {
+        case Some(c) => c
+        case None =>
+          val c = classic.cloneSession()
+          c.conf.set(
+            org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+            "TIMESTAMP_MICROS")
+          stagingSessions.put(classic, c)
+          c
+      }
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(clone, df.queryExecution.analyzed)
+  }
+
+  private val stagingSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
+      org.apache.spark.sql.classic.SparkSession]().asScala
 
   // ----------------------------------------------- executor parquet writing
 

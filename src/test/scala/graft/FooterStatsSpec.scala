@@ -80,6 +80,20 @@ class FooterStatsSpec extends AnyFunSuite with SparkSpecBase {
       Seq("t", "d"), expectFooter = true)
   }
 
+  test("pre-epoch fractional timestamp AS THE FILE BOUND encodes floored, both paths") {
+    // encode("ts", Timestamp) used truncating division: -1 ms with
+    // 999999000 nanos read back as +999999 µs — one second high — so a
+    // file whose max is 1969-12-31 23:59:59.999999 recorded a wrong
+    // bound on the job path and pruning could skip matching rows
+    val data = df("t TIMESTAMP",
+      Row(ts("1969-12-31 23:59:58.5")), Row(ts("1969-12-31 23:59:59.999999")))
+    val (f, j, fired) = bothWays(data.coalesce(1), Seq("t"))
+    assert(fired && f == j, s"pre-epoch bounds must agree:\n$f\nvs\n$j")
+    val st = f.head("t")
+    assert(st.min.contains("-1500000") && st.max.contains("-1"),
+      s"bounds must be the floored epoch-micros, got $st")
+  }
+
   test("doubles and floats: plain values footer-fold; NaN and ±0.0 fall back") {
     assertIdentical(df("x DOUBLE, y FLOAT",
       Row(-1.5d, 2.25f), Row(1e300, -3.5f), Row(Double.MinPositiveValue, 0.5f)),
