@@ -1544,6 +1544,21 @@ SELECT k1.v AS lo, k2.v AS hi,
        (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v + 1 AND k2.v) AS n_straddle
 FROM k1, k2""",
 
+    // q172's windows re-answered through the stock-session v2 pushdown:
+    // same deterministic rank-slice boundaries, plus the folded
+    // min/max under the clean window
+    "q179_meta_filtered_stock" -> """
+WITH rk AS (SELECT o_orderkey, o_custkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+n AS (SELECT count(*) AS c FROM orders),
+k1 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 8 + 1),
+k2 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 2)
+SELECT k1.v AS lo, k2.v AS hi,
+       (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v AND k2.v) AS n_clean,
+       (SELECT min(o_custkey) FROM orders WHERE o_orderkey BETWEEN k1.v AND k2.v) AS min_ck,
+       (SELECT max(o_custkey) FROM orders WHERE o_orderkey BETWEEN k1.v AND k2.v) AS max_ck,
+       (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v + 1 AND k2.v) AS n_straddle
+FROM k1, k2""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

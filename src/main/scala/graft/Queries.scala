@@ -2551,6 +2551,56 @@ object Queries {
       lit(clean).as("n_clean"), lit(straddle).as("n_straddle"))
   }
 
+  /** q179: q172's FILTERED metadata aggregates in a TRULY STOCK session
+    * — `spark.newSession()`, no extensions, no experimental rules, only
+    * the catalog registration — so the answer can only come from the
+    * DSv2 exact-prune claim + complete aggregate pushdown
+    * ([[graft.catalog.GraftNamedScanBuilder.pushFilters]] →
+    * [[graft.catalog.GraftMetaAggFold]]): on the boundary-aligned
+    * window, `count(*) / min / max` under WHERE fold from the manifest
+    * with zero files read (PlanAudit pins the plan); the off-by-one
+    * straddling window exercises the advisory fallback in the same
+    * session. The single most common BI probe — `SELECT count(*) FROM t
+    * WHERE d BETWEEN …` — must not pay a scan a 100 TB manifest can
+    * answer. */
+  def metaFilteredStockQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files.createTempDirectory("graft_metastock").toString
+    val path = s"$root/ns/orders_fs"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val n = orders.count()
+    // 8 rank-sliced files — boundaries are a deterministic function of
+    // the KEYS, so the oracle recomputes the same windows
+    val ranked = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey"))))
+    val ends = (0 to 8).map(i => n * i / 8)
+    (0 until 8).foreach { i =>
+      GraftTable.append(ranked.filter(col("rn") > ends(i) && col("rn") <= ends(i + 1))
+        .drop("rn").coalesce(1), path, statsCols = Seq("o_orderkey", "o_custkey"))
+    }
+    def keyAt(r: Long): Long =
+      ranked.filter(col("rn") === r).select(col("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (keyAt(n / 8 + 1), keyAt(n / 2)) // slices 2..4, exactly
+    val stock = s.newSession()
+    stock.conf.set("spark.sql.catalog.gq179", classOf[graft.catalog.GraftCatalog].getName)
+    stock.conf.set("spark.sql.catalog.gq179.warehouse", root)
+    // the exact-prune claim is DPP-guarded to above-broadcast-size scans
+    // (a 100 TB fact clears it by six orders of magnitude); at bench SF
+    // the fixture is small, so model the no-broadcast analytics session
+    stock.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val clean = stock.sql(
+      s"""SELECT count(*) AS n, min(o_custkey) AS mn, max(o_custkey) AS mx
+          FROM gq179.ns.orders_fs
+          WHERE o_orderkey >= $lo AND o_orderkey <= $hi""").collect().head
+    val straddle = stock.sql(
+      s"""SELECT count(*) AS n FROM gq179.ns.orders_fs
+          WHERE o_orderkey >= ${lo + 1} AND o_orderkey <= $hi""").collect().head
+    s.range(1).select(lit(lo).as("lo"), lit(hi).as("hi"),
+      lit(clean.getLong(0)).as("n_clean"), lit(clean.getLong(1)).as("min_ck"),
+      lit(clean.getLong(2)).as("max_ck"), lit(straddle.getLong(0)).as("n_straddle"))
+  }
+
   /** q151: q126's COW UPDATE as SQL TEXT — assignments read the row's
     * own columns, the decimal-exact price adjustment spelled in SQL. */
   def sqlUpdateQ(s: SparkSession, d: String): DataFrame = {
@@ -3003,6 +3053,7 @@ object Queries {
     "q176_rowlevel_mor_merge" -> (rowLevelMorMergeQ _),
     "q177_spj_bucketed_join" -> (spjBucketedJoinQ _),
     "q178_spj_asof_join" -> (spjAsofJoinQ _),
+    "q179_meta_filtered_stock" -> (metaFilteredStockQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

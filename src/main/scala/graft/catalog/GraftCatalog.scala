@@ -559,7 +559,43 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggPushed = false
   private var limit: Option[Int] = None
+
+  /** The ONE snapshot every pushdown decision and the built scan read —
+    * resolved lazily (an unfiltered, un-aggregated scan build is the
+    * first and only resolution; unsupported aggregate shapes still pay
+    * zero manifest IO), then shared: the exact-prune claim below and
+    * the file set [[GraftNamedScan]] plans must never diverge across a
+    * concurrent commit. */
+  private lazy val snap: Option[GraftTable.Manifest] =
+    pin.map(GraftTable.manifestAt(path, _))
+      .orElse(GraftTable.currentManifest(path))
+
+  /** The EXACT-PRUNE claim: when every pushed filter is a recognized
+    * conjunct over stats-tagged columns AND every data-bearing file of
+    * the snapshot classifies provably fully-inside or fully-outside
+    * the conjunction — with inside files null-free on every constrained
+    * column, so EVERY row of a planned file passes — then file pruning
+    * alone applies the filters exactly, and [[pushFilters]] may report
+    * zero residual. That removes the post-scan Filter node (the plan
+    * shape Spark's complete aggregate pushdown requires), so a stock
+    * session's `SELECT count(*)/min/max … WHERE d BETWEEN x AND y` on a
+    * boundary-aligned layout — the single most common BI probe — folds
+    * from the manifest with zero files read. Any unrecognized shape,
+    * straddling file, null, or rename degrades to the advisory path
+    * (all filters residual) — correct, just scanned.
+    *
+    * DPP GUARD: the claim is gated to scans BIGGER than the broadcast
+    * threshold. Spark's dynamic-pruning injection looks for a Filter
+    * node on the dim side of a join ('hasSelectivePredicate'); claiming
+    * a small dim's filter would remove that node and silently cost the
+    * FACT side its runtime file pruning — a far bigger loss than the
+    * dim's own scan. A scan above the broadcast threshold can never be
+    * the (broadcast-reuse) DPP build side, so nothing is lost there;
+    * with broadcasts disabled (threshold -1) there is no broadcast DPP
+    * to protect and the claim applies everywhere. */
+  private var exactInside: Option[Seq[GraftTable.FileEntry]] = None
 
   /** PARTIAL limit pushdown: `SELECT … FROM t LIMIT n` plans only
     * enough files to cover `n` live rows (deletion-vector-exact), so a
@@ -583,29 +619,65 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
     * could not answer every aggregate. */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation): Boolean = {
-    aggAnswer = GraftMetaAggFold.fold(path, tableSchema, pin, agg, pushed)
+    aggAnswer = GraftMetaAggFold.fold(path, () => snap, agg, pushed, exactInside)
     aggAnswer.isDefined
   }
 
+  /** The fold is RECORDED in [[supportCompletePushDown]] but only ARMED
+    * here — a caller probing support without committing to the pushdown
+    * must never change scan semantics ([[build]] checks the flag, not
+    * the answer). */
   override def pushAggregation(agg: org.apache.spark.sql.connector
-      .expressions.aggregate.Aggregation): Boolean = aggAnswer.isDefined
-
-  /** Advisory pushdown: accept every filter but report ALL as residual —
-    * Spark re-applies them post-scan, so a partially-translatable
-    * conjunction can still prune files inside [[graft.sources.GraftBatch]]
-    * without any correctness exposure. */
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters; filters
+      .expressions.aggregate.Aggregation): Boolean = {
+    aggPushed = aggAnswer.isDefined
+    aggPushed
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+
+  /** Advisory pushdown by default — accept every filter but report ALL
+    * as residual, Spark re-applies them post-scan, so a
+    * partially-translatable conjunction can still prune files inside
+    * [[graft.sources.GraftBatch]] without any correctness exposure.
+    * When the [[exactInside]] claim holds, the filters ARE the file
+    * prune and the residual is empty (still forwarded to the scan for
+    * parquet row-group skipping). Claim failures of any kind — shape,
+    * stats, IO — degrade to advisory. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    exactInside =
+      if (filters.isEmpty) None
+      else try {
+        // cheap shape pre-vet against the resolution-time schema (no
+        // manifest IO for unsupported shapes); the claim itself
+        // re-resolves against the FOLDED manifest's schema — the same
+        // staleness discipline as the aggregate fold
+        val bcast = org.apache.spark.sql.internal.SQLConf.get
+          .autoBroadcastJoinThreshold
+        for {
+          _ <- graft.plans.GraftPrune.v1StatCmps(tableSchema, filters.toSeq)
+          m <- snap
+          (cmps, notNulls) <- graft.plans.GraftPrune.v1StatCmps(
+            StructType.fromDDL(m.schemaDdl), filters.toSeq)
+          entries = GraftTable.filesOf(path, m)
+          if bcast < 0 || entries.map(_.bytes).sum > bcast // DPP guard above
+          if !entries.exists(_.renames.exists(_.nonEmpty))
+          (_, inside) <- graft.plans.GraftPrune.classifyFiltered(entries,
+            cmps, notNulls, requireNullFree = true, forbidDv = false)
+        } yield inside
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (exactInside.isDefined) Array.empty else filters
+  }
+  override def pushedFilters(): Array[Filter] =
+    if (exactInside.isDefined) pushed else Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan = aggAnswer match {
-    case Some((schema, values)) => new GraftLocalAggScan(path, schema, values)
-    case None =>
-      new GraftNamedScan(path, tableSchema, required, pushed, pin, options, limit)
+    case Some((schema, values)) if aggPushed =>
+      new GraftLocalAggScan(path, schema, values)
+    case _ =>
+      new GraftNamedScan(path, tableSchema, required, pushed, pin, options,
+        limit, snap, exactInside)
   }
 }
 
@@ -647,9 +719,21 @@ private[graft] object GraftMetaAggFold {
   private case class SMin(col: String) extends Shape
   private case class SMax(col: String) extends Shape
 
-  def fold(path: String, tableSchema: StructType, pin: Option[Long],
-      agg: Aggregation, pushed: Array[Filter]): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+  /** `snap` is the builder's PINNED snapshot (by-name — the syntactic
+    * vet must stay ahead of any manifest IO); `exactInside`, when the
+    * builder's exact-prune claim holds, is the provably-inside file
+    * subset the filters reduce to — the fold then answers the FILTERED
+    * aggregate by running the same per-file discipline over just those
+    * entries (every live row of an inside file passes the filter, so
+    * liveRows/null-counts/bounds are exact). Pushed filters WITHOUT a
+    * claim bail as before — a partial manifest answer would still cost
+    * the scan. */
+  def fold(path: String, snap: () => Option[GraftTable.Manifest],
+      agg: Aggregation, pushed: Array[Filter],
+      exactInside: Option[Seq[GraftTable.FileEntry]])
+      : Option[(StructType, Seq[Any])] = {
+    if ((pushed.nonEmpty && exactInside.isEmpty) ||
+      agg.groupByExpressions().nonEmpty) return None
     def ref(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -664,8 +748,7 @@ private[graft] object GraftMetaAggFold {
       case _ => return None
     }
     if (shapes.isEmpty) return None
-    val m = pin.map(GraftTable.manifestAt(path, _))
-      .orElse(GraftTable.currentManifest(path)).getOrElse(return None)
+    val m = snap().getOrElse(return None)
     val schema = StructType.fromDDL(m.schemaDdl)
     def field(n: String): Option[StructField] = schema.fields.find(_.name == n)
     val translated: Seq[(StructField, GraftPrune.MetaReq)] = shapes.map {
@@ -685,7 +768,8 @@ private[graft] object GraftMetaAggFold {
         (StructField(s"max_$n", f.dataType),
           GraftPrune.BoundReq(n, f.dataType, takeMax = true))
     }
-    val answers = GraftPrune.foldMetaAgg(GraftTable.filesOf(path, m),
+    val answers = GraftPrune.foldMetaAgg(
+      exactInside.getOrElse(GraftTable.filesOf(path, m)),
       translated.map(_._2)).getOrElse(return None)
     Some((StructType(translated.map(_._1).toArray), answers))
   }
@@ -693,7 +777,9 @@ private[graft] object GraftMetaAggFold {
 
 private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter], pin: Option[Long],
-    options: CaseInsensitiveStringMap, limit: Option[Int] = None) extends Scan
+    options: CaseInsensitiveStringMap, limit: Option[Int] = None,
+    pinned: Option[GraftTable.Manifest] = None,
+    exactEntries: Option[Seq[GraftTable.FileEntry]] = None) extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -720,11 +806,13 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   override def description(): String = s"GraftNamed $path" +
     pin.map(v => s" VERSION AS OF $v").getOrElse("")
 
-  /** Resolved ONCE at scan build — everything downstream (stats, split
-    * planning, reader factory) sees this snapshot, so a concurrent
-    * commit between planning and execution cannot tear the read. */
+  /** Resolved ONCE — normally the builder's pinned snapshot (the SAME
+    * one its exact-prune claim classified against) — so everything
+    * downstream (stats, split planning, reader factory) sees one
+    * snapshot and a concurrent commit between pushdown, planning and
+    * execution cannot tear the read or un-anchor the claim. */
   private val manifest: GraftTable.Manifest =
-    pin.map(GraftTable.manifestAt(path, _))
+    pinned.orElse(pin.map(GraftTable.manifestAt(path, _)))
       .orElse(GraftTable.currentManifest(path))
       .getOrElse(throw new IllegalStateException(s"graft table '$path' vanished"))
 
@@ -742,7 +830,8 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
       // runtime filter drops rows after file selection, and a subset
       // chosen by liveRows could then under-deliver — forward the hint
       // only on a bare unfiltered scan
-      limit.filter(_ => pushed.isEmpty && runtime.isEmpty))
+      limit.filter(_ => pushed.isEmpty && runtime.isEmpty),
+      entriesOverride = exactEntries)
 
   /** Storage-partitioned joins: when the snapshot is cleanly bucketed
     * (`graft.bucketBy` declared, every surviving data-bearing file
@@ -754,7 +843,8 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val probe = new graft.sources.GraftBatch(SparkSession.active, path, manifest,
-      StructType.fromDDL(manifest.schemaDdl), required, pushed)
+      StructType.fromDDL(manifest.schemaDdl), required, pushed,
+      entriesOverride = exactEntries)
     probe.bucketedBy match {
       // single-column specs only: Spark's SPJ transform binding is
       // single-reference bucket() (see the partitioning() NOTE)
@@ -787,7 +877,8 @@ private[graft] class GraftNamedScan(path: String, tableSchema: StructType,
     * physical key set — an upper bound) but drop null counts. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val entries = graft.sources.GraftBatchRead.keepByV1Filters(SparkSession.active,
-      StructType.fromDDL(manifest.schemaDdl), GraftTable.filesOf(path, manifest), pushed)
+      StructType.fromDDL(manifest.schemaDdl),
+      exactEntries.getOrElse(GraftTable.filesOf(path, manifest)), pushed)
     val (bytes, rows) = (entries.map(_.bytes).sum, entries.map(_.liveRows).sum)
     val anyDv = entries.exists(_.dv.isDefined)
     val anyRen = entries.exists(_.renames.exists(_.nonEmpty))
@@ -997,8 +1088,16 @@ private[graft] class GraftChangesScan(parent: String, cdfSchema: StructType,
     // a filter-empty span legitimately plans zero partitions, unlike the
     // loud option-span refusal above.
     val (fLo, fHi) = GraftChangesScan.versionBounds(pushed)
+    // DATA-predicate pruning: pushed filters entirely over data columns
+    // feed the planner's per-file stats/bloom keep test — a keyed CDF
+    // consumer skips changed files whose stats exclude the predicate
+    // (best-effort; every filter is residual, so a skipped file only
+    // ever removes rows the post-scan filter would drop anyway)
+    val dataFilters = pushed.filter(f => f.references.nonEmpty &&
+      f.references.forall(r => dataSchema.fieldNames.contains(r)))
     val planner = new GraftMicroBatchStream(parent, dataSchema, dataRequired,
-      cdf = true, None, None, None, ignoreChanges = false)
+      cdf = true, None, None, None, ignoreChanges = false,
+      pruneFilters = dataFilters)
     val f = math.max(from, fLo.map(_ - 1).getOrElse(from))
     val t = math.min(to, fHi.getOrElse(to))
     new org.apache.spark.sql.connector.read.Batch {

@@ -75,9 +75,48 @@ private[graft] class GraftGroupOperation(val path: String, cmd: Command)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRowLevelScanBuilder(this)
 
+  /** BUCKET-LAYOUT DURABILITY through COW DML: the replace-data write
+    * requires the SAME distribution + ordering as the insert path
+    * ([[graft.sources.GraftWrite]]) whenever the table declares
+    * `graft.bucketBy` — one hash shuffle whose partition id IS the
+    * bucket id, so a stock-SQL UPDATE/MERGE's rewritten files land
+    * single-bucket and storage-partitioned joins keep planning
+    * zero-exchange after DML. Without it, one rewritten file mixing two
+    * buckets silently degrades the WHOLE scan to shuffled joins
+    * ([[graft.sources.GraftBatch.bucketedBy]]'s all-or-nothing rule). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        private val bucket: Option[(Seq[String], Int)] =
+          GraftTable.bucketSpec(GraftTable.propertiesOf(path))
+            .filter { case (cs, _) => cs.forall(info.schema().fieldNames.contains) }
+
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = bucket match {
+          case Some((cs, _)) =>
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              cs.map(c => org.apache.spark.sql.connector.expressions.Expressions
+                .column(c)
+                .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+                .toArray)
+          case None =>
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+        }
+
+        override def requiredNumPartitions(): Int = bucket.map(_._2).getOrElse(0)
+
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          bucket match {
+            case Some((cs, _)) => cs.map(c =>
+              org.apache.spark.sql.connector.expressions.Expressions.sort(
+                org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+              .toArray
+            case None => Array.empty
+          }
+
         override def toBatch: BatchWrite =
           new GraftReplaceDataWrite(GraftGroupOperation.this, info.schema)
       }

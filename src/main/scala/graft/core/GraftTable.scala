@@ -805,13 +805,13 @@ object GraftTable {
         case _ => None
       }
     }
-    val out = parts.map { p =>
+    def one(p: File): Option[(String, (Long, Map[String, ColStats]))] = {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toURI), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
-        if (rows == 0L) p.getName -> (0L, Map.empty[String, ColStats])
+        if (rows == 0L) Some(p.getName -> (0L, Map.empty[String, ColStats]))
         else {
           val stats: Map[String, ColStats] = fields.map { f =>
             val tag = statTag(f.dataType).get
@@ -839,12 +839,49 @@ object GraftTable {
             }
             f.name -> ColStats(tag, mn, mx, nulls)
           }.toMap
-          p.getName -> (rows, stats)
+          Some(p.getName -> (rows, stats))
         }
       } finally reader.close()
-    }.toMap
-    Some(out)
+    }
+    // BOUNDED-PARALLEL fold: the per-file footer read is a metadata RPC
+    // (an object store at 100k files/insert would otherwise serialize
+    // minutes of round-trips inside the commit path) — still zero Spark
+    // jobs, same per-file fallback contract (any unusable file or
+    // column → None → the job path)
+    val perFile = boundedParallel(parts, FooterFoldParallelism)(one)
+    if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.toMap)
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  private[graft] val FooterFoldParallelism = 16
+
+  /** Shared daemon pool for driver-side metadata folds — sized once,
+    * never grows with table or batch size. */
+  private lazy val metaFoldPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(FooterFoldParallelism,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-meta-fold")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Map `xs` through `f` on the shared bounded pool, preserving order;
+    * the FIRST worker exception rethrows on the caller (same contract
+    * as a sequential map — callers' NonFatal degrades still apply).
+    * Sequential when the input or the budget makes a pool pointless. */
+  private[graft] def boundedParallel[A, B](xs: Seq[A], parallelism: Int)
+      (f: A => B): Seq[B] =
+    if (xs.size <= 1 || parallelism <= 1) xs.map(f)
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks = xs.map(x =>
+        new java.util.concurrent.Callable[B] { def call(): B = f(x) }).asJava
+      // invokeAll preserves submission order and awaits completion; the
+      // pool bound (not the task count) caps concurrency
+      metaFoldPool.invokeAll(tasks).asScala.toSeq.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    }
 
   /** The shared tail of every staged write: given parquet part files
     * already on disk (the driver's staged `df.write`, or files streamed

@@ -347,55 +347,13 @@ object GraftPrune extends PredicateHelper {
     var total = 0L
     var inside = List.empty[graft.core.GraftTable.FileEntry]
     if (!nullCmp) {
-      val involved = (cmps.map(_.a.name) ++ notNulls).distinct
-      if (involved.isEmpty) return None // no constraint — bare rule handles
-      // every involved column needs stats (incl. exact null counts) on
-      // every file
-      val tags = cmps.map(c => c.a.name -> GraftTable.statTag(c.a.dataType).get).toMap
-      entries.foreach { fe =>
-        if (fe.rows > 0) {
-          val st = involved.map(c => c -> fe.stats.getOrElse(c, return None)).toMap
-          if (st.values.exists(s => s.min.isEmpty && s.max.isEmpty)) {
-            // an involved column is all-NULL in this file → no row passes
-          } else {
-            def satisfied(c: Cmp): Boolean = {
-              val s = st(c.a.name); val t = tags(c.a.name)
-              if (c.lower) s.min.exists(mn => { val r = GraftTable.cmp(t, mn, c.enc)
-                if (c.strict) r > 0 else r >= 0 })
-              else s.max.exists(mx => { val r = GraftTable.cmp(t, mx, c.enc)
-                if (c.strict) r < 0 else r <= 0 })
-            }
-            def failed(c: Cmp): Boolean = {
-              val s = st(c.a.name); val t = tags(c.a.name)
-              if (c.lower) s.max.exists(mx => { val r = GraftTable.cmp(t, mx, c.enc)
-                if (c.strict) r <= 0 else r < 0 })
-              else s.min.exists(mn => { val r = GraftTable.cmp(t, mn, c.enc)
-                if (c.strict) r >= 0 else r > 0 })
-            }
-            if (cmps.exists(failed)) () // provably outside → contributes nothing
-            else if (cmps.forall(satisfied)) {
-              val nulls = involved.map(st(_).nulls)
-              // MIN/MAX discipline is stricter than COUNT's: a row null
-              // in a constrained column is EXCLUDED by the filter yet
-              // may carry any other column's extremum, which the file
-              // stats can't see past — bounds need null-free files;
-              // a deletion vector may have killed the extremum row
-              if (wantsBounds && (nulls.exists(_ != 0L) || fe.dv.isDefined)) return None
-              if (fe.dv.isDefined) {
-                // dead rows' nullity is unknown — a dv'd inside file
-                // counts exactly only when the involved columns are
-                // null-free (then every LIVE row passes)
-                if (nulls.forall(_ == 0L)) total += fe.liveRows
-                else return None
-              }
-              else if (involved.size == 1) total += fe.rows - nulls.head
-              else if (nulls.forall(_ == 0L)) total += fe.rows
-              else return None
-              inside ::= fe
-            } else return None // straddler — a partial answer needs real IO
-          }
-        }
-      }
+      val statCmps = cmps.map(c => StatCmp(c.a.name,
+        GraftTable.statTag(c.a.dataType).get, c.enc, c.strict, c.lower))
+      val (t, ins) = classifyFiltered(entries, statCmps, notNulls,
+        requireNullFree = wantsBounds, forbidDv = wantsBounds)
+        .getOrElse(return None)
+      total = t
+      inside = ins
     }
     def filteredBound(a: AttributeReference, takeMax: Boolean): Any = {
       val tag = GraftTable.statTag(a.dataType).get
@@ -420,6 +378,120 @@ object GraftPrune extends PredicateHelper {
       }.asInstanceOf[NamedExpression])
     Some(Project(projected,
       org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+  }
+
+  /** One recognized conjunct over a stats-tagged column: `enc` is the
+    * bound in the column's ENCODED stat domain ([[GraftTable.encode]]),
+    * so classification compares strings the manifest already holds. */
+  private[graft] case class StatCmp(col: String, tag: String, enc: String,
+      strict: Boolean, lower: Boolean)
+
+  /** The shared inside/outside file classification under a recognized
+    * conjunction — the ONE discipline behind the extension rule's
+    * filtered fold ([[rewriteFilteredCount]]) and the stock-session v2
+    * exact-prune claim ([[graft.catalog.GraftMetaAggFold]]). Every
+    * data-bearing file must classify provably fully-inside (all its
+    * non-null rows satisfy every bound) or provably fully-outside (no
+    * row can satisfy); ONE straddler returns None — stats answer,
+    * never guess. Returns the exact filtered row count and the inside
+    * entries.
+    *
+    *  - `requireNullFree`: every inside file must be null-free on every
+    *    involved column (the MIN/MAX discipline — an excluded null row
+    *    may carry another column's extremum — and the exact-prune
+    *    claim's, where EVERY row of a planned file must pass);
+    *  - `forbidDv`: no inside file may carry a deletion vector (bounds
+    *    folding — the vector may have killed the extremum row). Counts
+    *    tolerate vectors when the involved columns are null-free:
+    *    every LIVE row passes, so `liveRows` is exact. */
+  private[graft] def classifyFiltered(
+      entries: Seq[graft.core.GraftTable.FileEntry],
+      cmps: Seq[StatCmp], notNulls: Set[String],
+      requireNullFree: Boolean, forbidDv: Boolean)
+      : Option[(Long, List[graft.core.GraftTable.FileEntry])] = {
+    val involved = (cmps.map(_.col) ++ notNulls).distinct
+    if (involved.isEmpty) return None // no constraint — bare fold handles
+    var total = 0L
+    var inside = List.empty[graft.core.GraftTable.FileEntry]
+    // every involved column needs stats (incl. exact null counts) on
+    // every data-bearing file
+    entries.foreach { fe =>
+      if (fe.rows > 0) {
+        val st = involved.map(c => c -> fe.stats.getOrElse(c, return None)).toMap
+        // a file whose recorded stat tag disagrees with the bound's
+        // (a type-evolved history) can't be compared against the
+        // pre-encoded bound — bail, never guess
+        if (cmps.exists(c => st(c.col).t != c.tag)) return None
+        if (st.values.exists(s => s.min.isEmpty && s.max.isEmpty)) {
+          // an involved column is all-NULL in this file → no row passes
+        } else {
+          def satisfied(c: StatCmp): Boolean = {
+            val s = st(c.col)
+            if (c.lower) s.min.exists(mn => { val r = GraftTable.cmp(c.tag, mn, c.enc)
+              if (c.strict) r > 0 else r >= 0 })
+            else s.max.exists(mx => { val r = GraftTable.cmp(c.tag, mx, c.enc)
+              if (c.strict) r < 0 else r <= 0 })
+          }
+          def failed(c: StatCmp): Boolean = {
+            val s = st(c.col)
+            if (c.lower) s.max.exists(mx => { val r = GraftTable.cmp(c.tag, mx, c.enc)
+              if (c.strict) r <= 0 else r < 0 })
+            else s.min.exists(mn => { val r = GraftTable.cmp(c.tag, mn, c.enc)
+              if (c.strict) r >= 0 else r > 0 })
+          }
+          if (cmps.exists(failed)) () // provably outside → contributes nothing
+          else if (cmps.forall(satisfied)) {
+            val nulls = involved.map(st(_).nulls)
+            if (requireNullFree && nulls.exists(_ != 0L)) return None
+            if (forbidDv && fe.dv.isDefined) return None
+            if (fe.dv.isDefined) {
+              // dead rows' nullity is unknown — a dv'd inside file
+              // counts exactly only when the involved columns are
+              // null-free (then every LIVE row passes)
+              if (nulls.forall(_ == 0L)) total += fe.liveRows
+              else return None
+            }
+            else if (involved.size == 1) total += fe.rows - nulls.head
+            else if (nulls.forall(_ == 0L)) total += fe.rows
+            else return None
+            inside ::= fe
+          } else return None // straddler — a partial answer needs real IO
+        }
+      }
+    }
+    Some((total, inside))
+  }
+
+  /** Translate a pushed V1 conjunction into [[StatCmp]]s + IS-NOT-NULL
+    * columns against `schema` — the stock-session twin of
+    * [[rewriteFilteredCount]]'s catalyst parse. EVERY filter must be a
+    * recognized shape over a stats-tagged TOP-LEVEL column with a
+    * non-null literal, else None (the caller keeps the filters
+    * residual — correct, just unfolded). V1 shapes always carry the
+    * attribute on the left and external Scala values. */
+  private[graft] def v1StatCmps(schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[StatCmp], Set[String])] = {
+    import org.apache.spark.sql.sources._
+    var cmps = List.empty[StatCmp]
+    var notNulls = Set.empty[String]
+    def add(a: String, v: Any, strict: Boolean, lower: Boolean): Boolean =
+      v != null && schema.fields.find(_.name == a).exists { f =>
+        GraftTable.statTag(f.dataType).exists { tag =>
+          cmps ::= StatCmp(a, tag, GraftTable.encode(tag, v), strict, lower); true
+        }
+      }
+    val ok = filters.forall {
+      case IsNotNull(a) if schema.fieldNames.contains(a) => notNulls += a; true
+      case GreaterThan(a, v) => add(a, v, strict = true, lower = true)
+      case GreaterThanOrEqual(a, v) => add(a, v, strict = false, lower = true)
+      case LessThan(a, v) => add(a, v, strict = true, lower = false)
+      case LessThanOrEqual(a, v) => add(a, v, strict = false, lower = false)
+      case EqualTo(a, v) =>
+        add(a, v, strict = false, lower = true) && add(a, v, strict = false, lower = false)
+      case _ => false
+    }
+    if (ok) Some((cmps, notNulls)) else None
   }
 
   /** The ONE manifest fold behind BOTH metadata-aggregate surfaces —

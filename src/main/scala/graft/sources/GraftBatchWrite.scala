@@ -121,6 +121,18 @@ private[graft] class GraftBatchWrite(path: String,
     }.toSeq
     GraftTable.commitBatchFiles(SparkSession.active, path, files, schema,
       overwrite = overwriteAll, statsCols, bloomCols): Unit
+    // OPPORTUNISTIC stage sweep: task attempts that died before
+    // abort() (and jobs killed before commit/abort ran at all) leave
+    // orphan parquet here that no message ever names. Anything older
+    // than the orphan grace cannot belong to this job or a live
+    // concurrent one (writers create their files at task start), so a
+    // successful commit reclaims it — and [[GraftTable.vacuum]] sweeps
+    // whole abandoned `.stage-*` dirs on the same grace as the
+    // backstop for tables that never see another insert.
+    val cutoffMs = System.currentTimeMillis - GraftTable.DefaultOrphanGraceUs / 1000L
+    Option(stageDir.listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && f.lastModified < cutoffMs)
+      .foreach(f => f.delete(): Unit)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

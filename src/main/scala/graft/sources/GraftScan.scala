@@ -64,7 +64,8 @@ import graft.core.GraftTable.{FileEntry, Manifest}
   * columnar — a named read must not cost more than a path read. */
 private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
     logical: StructType, required: StructType, pushed: Array[Filter],
-    limitHint: Option[Int] = None)
+    limitHint: Option[Int] = None,
+    entriesOverride: Option[Seq[FileEntry]] = None)
     extends Batch with Serializable {
 
   import GraftBatch._
@@ -106,10 +107,16 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
 
   /** Manifest entries surviving the pushed-filter stats/bloom prune —
     * the same conservative keep test the V1 relations run — and, when
-    * a runtime file-set filter arrived, the file-identity intersect. */
+    * a runtime file-set filter arrived, the file-identity intersect.
+    * An `entriesOverride` (the scan builder's exact-prune claim — the
+    * provably-inside subset the claimed filters reduce to) REPLACES
+    * the manifest listing as the base: with the residual Filter node
+    * gone, planning exactly those files IS the filter, and the
+    * conservative keep test on top can only drop provably-excluded
+    * files (runtime DPP sets), never add one back. */
   @transient private[graft] lazy val kept: Seq[FileEntry] = {
     val statKept = GraftBatchRead.keepByV1Filters(spark, logical,
-      GraftTable.filesOf(path, m), dataFilters)
+      entriesOverride.getOrElse(GraftTable.filesOf(path, m)), dataFilters)
     keepUris match {
       case Some(set) => statKept.filter(fe =>
         set(new HPath(new File(GraftTable.resolveData(path, fe)).toURI).toString))
@@ -221,7 +228,16 @@ private[graft] class GraftBatch(spark: SparkSession, path: String, m: Manifest,
         else physRequired
       val physData = StructType(logical.fields.map(f =>
         f.copy(name = ren.getOrElse(f.name, f.name))))
+      // only filters whose columns are IN the read schema reach the
+      // parquet reader: its record-level filtering evaluates missing
+      // columns as NULL and silently drops every row. On the advisory
+      // path a residual filter always forces its columns into the
+      // projection, so this costs nothing there; on the exact-prune
+      // claimed path (where a filter CAN reference an unprojected
+      // column) the file set is already exact and the reader-level
+      // predicate is redundant.
       val physFilters = dataFilters.flatMap(renameFilter(_, ren))
+        .filter(_.references.forall(physRequired.fieldNames.contains))
       val inner = ParquetScan(spark,
         spark.sessionState.newHadoopConfWithOptions(Map.empty),
         new InMemoryFileIndex(spark, Nil, Map.empty, None),

@@ -269,7 +269,8 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
     required: StructType, cdf: Boolean, startingVersion: Option[String],
     maxVersionsPerTrigger: Option[Long], maxBytesPerTrigger: Option[Long],
     ignoreChanges: Boolean, consumerId: Option[String] = None,
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    pruneFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0), "maxVersionsPerTrigger must be positive")
@@ -353,11 +354,28 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
       throw new IllegalStateException(s"'$path' vanished mid-stream"))
     val headEntries = GraftTable.filesOf(path, headM).map(fe => fe.path -> fe).toMap
     val headNames = StructType.fromDDL(headM.schemaDdl).fieldNames.toSet
-    val parts = Seq.newBuilder[InputPartition]
+    // each emitted partition carries the FileEntry whose per-file stats
+    // bound its rows (deletes, inserts, AND swap deltas are all subsets
+    // of that file's data) — the batch CDF path prunes on them below
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[(InputPartition, Option[GraftTable.FileEntry])]
     var v = s + 1
     while (v <= e) {
       val m = GraftTable.manifestAt(path, v)
       val vNames = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+      // DATA-PREDICATE PRUNING eligibility for this version's emissions:
+      // logged change entries carry no stats (the log stays O(changed
+      // files) small), so the prune resolves the file's stats from the
+      // HEAD manifest's maintained entry — present for every file still
+      // live, which is the common keyed-CDF case (recent inserts).
+      // A head entry with a rename indirection is skipped: its stat
+      // keys may predate the current names. Removed files (no head
+      // entry) stay unpruned — conservative, never wrong, and files are
+      // immutable so any entry's stats bound every row ever emitted
+      // from that file (deletes, inserts, and swap deltas alike).
+      def prunableBy(logged: GraftTable.FileEntry): Option[GraftTable.FileEntry] =
+        if (pruneFilters.isEmpty) None
+        else headEntries.get(logged.path).filter(_.renames.forall(_.isEmpty))
       def physNames(logged: GraftTable.FileEntry, isDelete: Boolean): Array[String] = {
         // a REMOVED file never appears in the head snapshot — its logged
         // entry (renames recorded in full) is the source of truth
@@ -381,10 +399,11 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
         // dv comes from the LOGGED entry, never the head: the emitted
         // image is this VERSION's live rows (a later delete must not
         // reach back into an earlier commit's batch)
-        parts += GraftFilePartition(GraftTable.resolveData(path, logged),
+        parts += ((GraftFilePartition(GraftTable.resolveData(path, logged),
           logged.liveRows, required.toDDL,
           physNames(logged, meta.exists(_._1 == "delete")), meta,
-          dvSkip = logged.dv.map(d => GraftTable.resolveDv(path, d)))
+          dvSkip = logged.dv.map(d => GraftTable.resolveDv(path, d))),
+          prunableBy(logged)))
       /** A MERGE-ON-READ commit: same data file on both sides of the
         * log, different deletion vector. Emit ONLY the delta rows —
         * positions in (after \ before) stream as DELETE pre-images,
@@ -402,11 +421,12 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
         val ins = graft.core.DeletionVector.minus(before, after)
         def emitOnly(logged: GraftTable.FileEntry, change: String, count: Long,
             newDv: Option[GraftTable.DvRef], priorDv: Option[GraftTable.DvRef]): Unit =
-          parts += GraftFilePartition(GraftTable.resolveData(path, logged),
+          parts += ((GraftFilePartition(GraftTable.resolveData(path, logged),
             count, required.toDDL, physNames(logged, change == "delete"),
             Some((change, v)),
             dvOnlyNew = newDv.map(d => GraftTable.resolveDv(path, d)),
-            dvOnlyPrior = priorDv.map(d => GraftTable.resolveDv(path, d)))
+            dvOnlyPrior = priorDv.map(d => GraftTable.resolveDv(path, d))),
+            prunableBy(logged)))
         if (dels.nonEmpty) emitOnly(r, "delete", dels.length, a.dv, r.dv)
         if (ins.nonEmpty) emitOnly(a, "insert", ins.length, r.dv, a.dv)
       }
@@ -455,7 +475,19 @@ private[graft] class GraftMicroBatchStream(path: String, tableSchema: StructType
       }
       v += 1
     }
-    parts.result().toArray
+    if (pruneFilters.isEmpty) parts.map(_._1).toArray
+    else {
+      // ONE stats/bloom keep pass over the distinct eligible entries
+      // (never per-file probe jobs); an entry keepByV1Filters proves
+      // clean of every pushed predicate contributes no surviving row —
+      // the residual filter re-applies everything, so dropping its
+      // partitions changes nothing but the IO
+      val eligible = parts.flatMap(_._2).groupBy(_.path).map(_._2.head).toSeq
+      val kept = GraftBatchRead.keepByV1Filters(
+        org.apache.spark.sql.SparkSession.active, tableSchema, eligible,
+        pruneFilters).map(_.path).toSet
+      parts.collect { case (p, tag) if tag.forall(fe => kept(fe.path)) => p }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new GraftGroupReaderFactory

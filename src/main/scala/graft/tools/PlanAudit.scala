@@ -872,13 +872,38 @@ object PlanAudit {
           bse.scan.readSchema().fieldNames.toSeq
       }
       val n = spark.table("gcp.ns.t.changes").count()
+      // DATA-predicate pruning: the keyed CDF read must plan FEWER
+      // files than the span total (per-file stats prove the other
+      // changed files clean), and still answer exactly
+      def cdfParts(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case bse: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            bse.inputRDD.getNumPartitions
+        }.max
+      }
+      val statsRoot = s"$wh/ns/ts"
+      (0 until 4).foreach { i =>
+        GraftTable.append(spark.range(i * 100L, (i + 1) * 100L).selectExpr(
+          "id AS k", "concat('v', id) AS v").coalesce(1), statsRoot,
+          statsCols = Seq("k"))
+      }
+      val spanTotal = cdfParts(spark.table("gcp.ns.ts.changes"))
+      val keyed = spark.table("gcp.ns.ts.changes")
+        .filter(org.apache.spark.sql.functions.col("k") === 250)
+      val keyedParts = cdfParts(keyed)
+      val keyedRows = keyed.collect()
       val checks = Seq(
         "cdf_scan_schema_is_projection" -> (scanSchemas.nonEmpty &&
           scanSchemas.forall(_ == Seq("k", "_commit_version"))),
-        "cdf_rows_exact" -> (n == 1100L))
+        "cdf_rows_exact" -> (n == 1100L),
+        "cdf_data_prune_skips_files" -> (spanTotal == 4 && keyedParts == 1),
+        "cdf_data_prune_exact" -> (keyedRows.length == 1 &&
+          keyedRows.head.getString(1) == "v250"))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q174_cdf_prune: ${results.mkString(" ")} " +
-        s"(schemas=${scanSchemas.map(_.mkString("+")).distinct.mkString(";")})")
+        s"(schemas=${scanSchemas.map(_.mkString("+")).distinct.mkString(";")} " +
+        s"keyedParts=$keyedParts/$spanTotal)")
     }
     locally {
       // q177's storage-partitioned join: two tables bucketed on the
@@ -914,6 +939,48 @@ object PlanAudit {
         val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
         println(s"[plan] q177_spj: ${results.mkString(" ")} (rows=$n)")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+    }
+    locally {
+      // SPJ SKEW ESCAPE: a hot bucket (the reference's dummy-member
+      // key-0 attractor, models/dwh/fact_order.sql:17-19) must not
+      // serialize its whole join into one task. With Spark's
+      // partially-clustered distribution the big side's splits stay
+      // UNgrouped (small side replicates per split): zero exchange
+      // still, but the hot bucket executes as multiple tasks.
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_spjskew_wh").toString
+      spark.conf.set("spark.sql.catalog.gskew", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gskew.warehouse", wh)
+      spark.sql("CREATE NAMESPACE gskew.ns")
+      GraftTable.writeBucketed(spark.range(0, 120000).selectExpr(
+        "cast(CASE WHEN id % 2 = 0 THEN 0 ELSE id % 1000 END as int) AS k",
+        "id AS x", "repeat(cast(id as string), 8) AS pad"),
+        s"$wh/ns/hotf", "k", 4)
+      GraftTable.writeBucketed(spark.range(0, 1000).selectExpr(
+        "cast(id as int) AS k", "cast(id % 7 as int) AS seg"), s"$wh/ns/hotd", "k", 4)
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+        "spark.sql.files.maxPartitionBytes" -> (128 * 1024).toString,
+        "spark.sql.files.openCostInBytes" -> "0")
+        .map { case (k, v) =>
+          val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+      try {
+        val j = spark.table("gskew.ns.hotf").join(spark.table("gskew.ns.hotd"), "k")
+        val n = j.count()
+        j.collect()
+        val planStr = j.queryExecution.executedPlan.toString
+        val joinParts = j.queryExecution.executedPlan.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.map(_.inputRDD.getNumPartitions).max
+        val checks = Seq(
+          "skew_zero_exchange" -> !planStr.contains("Exchange"),
+          "skew_hot_bucket_multi_task" -> (joinParts > 4),
+          "skew_rows_exact" -> (n == 120000L))
+        val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+        println(s"[plan] spj_skew_escape: ${results.mkString(" ")} (parts=$joinParts)")
+      } finally saved.foreach { case (k, old) =>
+        old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
     locally {
       // q178's as-of join over co-bucketed tables: the equi part rides
@@ -1497,6 +1564,68 @@ object PlanAudit {
         .filterNot(_.isInstanceOf[graft.plans.GraftPrune])
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q171_meta_agg: ${results.mkString(" ")}")
+    }
+    locally {
+      // q179's FILTERED metadata aggregates in a TRULY stock session
+      // (newSession: no extensions, no experimental rules): a
+      // boundary-aligned WHERE must fold count/min/max from the
+      // manifest with ZERO scan nodes of any kind (the exact-prune
+      // claim removes the residual Filter, complete agg pushdown plans
+      // a LocalTableScan); the straddling window keeps a real scan;
+      // and a plain filtered SELECT under the claim carries no
+      // FilterExec while returning exactly the predicate's rows
+      import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_fmeta").toString
+      (0 until 4).foreach { i =>
+        val slice = spark.range(i * 1000L, (i + 1) * 1000L)
+          .selectExpr("id AS k", "id * 3 AS v")
+        if (i == 0) GraftTable.overwrite(slice.coalesce(1), s"$wh/ns/t")
+        else GraftTable.append(slice.coalesce(1), s"$wh/ns/t")
+      }
+      val stock = spark.newSession()
+      stock.conf.set("spark.sql.catalog.pfm", classOf[graft.catalog.GraftCatalog].getName)
+      stock.conf.set("spark.sql.catalog.pfm.warehouse", wh)
+      // the claim's DPP guard keys off the broadcast threshold; the
+      // fixture is tiny, so run the no-broadcast analytics shape
+      stock.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def scansAndFilters(df: org.apache.spark.sql.DataFrame): (Int, Int, Boolean) = {
+        df.collect()
+        var local = false
+        def walk(p: SparkPlan): (Int, Int) = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _: FileSourceScanExec | _: BatchScanExec => (1, 0)
+          case f: FilterExec => val (s, n) = walk(f.child); (s, n + 1)
+          case l: org.apache.spark.sql.execution.LocalTableScanExec =>
+            local = true; (0, 0)
+          case o => val r = o.children.map(walk); (r.map(_._1).sum, r.map(_._2).sum)
+        }
+        val (s, f) = walk(df.queryExecution.executedPlan)
+        (s, f, local)
+      }
+      val clean = stock.sql(
+        "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM pfm.ns.t " +
+          "WHERE k >= 1000 AND k <= 2999")
+      val (cs, _, cLocal) = scansAndFilters(clean)
+      val cRow = clean.collect().head
+      val strad = stock.sql(
+        "SELECT count(*) AS n FROM pfm.ns.t WHERE k >= 1001 AND k <= 2999")
+      val (ss, _, _) = scansAndFilters(strad)
+      val sel = stock.sql("SELECT k, v FROM pfm.ns.t WHERE k >= 1000 AND k <= 2999")
+      val (selScans, selFilters, _) = scansAndFilters(sel)
+      val checks = Seq(
+        "stock_filtered_agg_zero_scans" -> (cs == 0 && cLocal),
+        "stock_filtered_agg_exact" -> (cRow.getLong(0) == 2000L &&
+          cRow.getLong(1) == 3000L && cRow.getLong(2) == 8997L),
+        "straddler_keeps_real_scan" -> (ss > 0 &&
+          strad.collect().head.getLong(0) == 1999L),
+        "exact_prune_drops_filter_node" -> (selScans == 1 && selFilters == 0 &&
+          sel.count() == 2000L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q179_meta_filtered_stock: ${results.mkString(" ")}")
     }
     locally {
       // q170's dynamic file pruning: on a hash layout (min/max prune

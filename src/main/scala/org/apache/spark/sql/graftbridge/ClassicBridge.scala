@@ -1,7 +1,5 @@
 package org.apache.spark.sql.graftbridge
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -32,7 +30,7 @@ object ClassicBridge {
     spark.internalCreateDataFrame(rows, data.schema, isStreaming = false)
   }
 
-  /** Re-bind `df`'s (already analyzed) plan to a cached CLONE of its
+  /** Re-bind `df`'s (already analyzed) plan to a FRESH clone of its
     * session whose only divergence is
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` — so the
     * driver staging write emits standard INT64-micros timestamps (INT96
@@ -40,29 +38,24 @@ object ClassicBridge {
     * conf: a save/set/restore on the shared session races concurrent
     * writers (the loser's restore clobbers the winner's) and briefly
     * changes the format of unrelated `df.write.parquet` calls on other
-    * threads. The clone shares the SparkContext and the analyzed plan
-    * needs no re-resolution; one clone per source session, weakly held. */
+    * threads. The clone is created per staged write rather than cached:
+    * `cloneSession` copies the CURRENT session conf, so later user
+    * changes (rebase modes, compression codec, ANSI flags) reach every
+    * subsequent staged write, and nothing retains the clone past the
+    * write — a cached clone would both freeze the conf at first use and
+    * pin the parent session's state for the JVM lifetime. The clone
+    * shares the SparkContext and the analyzed plan needs no
+    * re-resolution; its cost is a conf/state copy, noise next to the
+    * write job it fronts. */
   def withMicrosTimestampWrites(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val clone = stagingSessions.synchronized {
-      stagingSessions.get(classic) match {
-        case Some(c) => c
-        case None =>
-          val c = classic.cloneSession()
-          c.conf.set(
-            org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-            "TIMESTAMP_MICROS")
-          stagingSessions.put(classic, c)
-          c
-      }
-    }
+    val clone = classic.cloneSession()
+    clone.conf.set(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
     org.apache.spark.sql.classic.Dataset.ofRows(clone, df.queryExecution.analyzed)
   }
-
-  private val stagingSessions =
-    new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession,
-      org.apache.spark.sql.classic.SparkSession]().asScala
 
   // ----------------------------------------------- executor parquet writing
 

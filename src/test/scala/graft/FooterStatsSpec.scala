@@ -49,6 +49,49 @@ class FooterStatsSpec extends AnyFunSuite with SparkSpecBase {
       s"expected footer path fired=$expectFooter (was $fired)")
   }
 
+  test("boundedParallel: many-file folds are pool-bounded, not wall-serial") {
+    // 32 tasks of ~80ms each: serial is ~2.56s; a 16-wide pool finishes
+    // in ~2 rounds. Assert well under half of serial — generous enough
+    // for CI scheduling noise, impossible for a serial fold.
+    val t0 = System.nanoTime()
+    val out = GraftTable.boundedParallel(1 to 32, GraftTable.FooterFoldParallelism) {
+      i => Thread.sleep(80); i * 2
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(out == (1 to 32).map(_ * 2), "order must be preserved")
+    assert(elapsedMs < 1280, s"fold took ${elapsedMs}ms — looks wall-serial")
+  }
+
+  test("boundedParallel: first worker exception rethrows on the caller") {
+    val e = intercept[IllegalStateException] {
+      GraftTable.boundedParallel(1 to 8, 4) { i =>
+        if (i == 3) throw new IllegalStateException("boom") else i
+      }
+    }
+    assert(e.getMessage == "boom")
+    // sequential edge: size 1 and parallelism 1 both bypass the pool
+    assert(GraftTable.boundedParallel(Seq(7), 16)(_ + 1) == Seq(8))
+    assert(GraftTable.boundedParallel(1 to 3, 1)(_ + 1) == Seq(2, 3, 4))
+  }
+
+  test("many-file write: footer path fires and matches the job path per file") {
+    val a = s"$base/many_a"; val b = s"$base/many_b"
+    val data = spark.range(0, 4000).selectExpr("id AS k", "id % 37 AS v")
+      .repartition(40) // 40 part files through one staged write
+    GraftTable.overwrite(data, a, Seq("k", "v"))
+    assert(GraftTable.lastStatsPassUsedFooterForTests,
+      "the 40-file batch must take the footer path")
+    GraftTable.disableFooterStatsForTests = true
+    try GraftTable.overwrite(data, b, Seq("k", "v"))
+    finally GraftTable.disableFooterStatsForTests = false
+    def statsOf(p: String) = GraftTable.filesOf(p,
+      GraftTable.currentManifest(p).get)
+      .map(fe => (fe.rows, fe.stats.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> v.copy(bloom = None) }).toString)
+      .sorted
+    assert(statsOf(a).size == 40 && statsOf(a) == statsOf(b))
+  }
+
   test("integers, longs, extremes, negatives") {
     assertIdentical(df("b TINYINT, s SMALLINT, i INT, l BIGINT",
       Row(1.toByte, (-3).toShort, -2147483648, Long.MinValue),

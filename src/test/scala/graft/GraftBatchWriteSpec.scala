@@ -48,6 +48,34 @@ class GraftBatchWriteSpec extends AnyFunSuite with SparkSpecBase {
       "v2-written files must carry column stats like every other write path")
   }
 
+  test("stage-insert orphans: a commit sweeps stale debris; vacuum is the backstop") {
+    val path = s"$warehouse/ns/orphans"
+    GraftTable.overwrite(spark.range(0, 20)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path)
+    // plant debris a dead task attempt would leave: never named in any
+    // commit message, older than the orphan grace
+    val stage = new java.io.File(path, ".stage-insert")
+    stage.mkdirs()
+    val staleMs =
+      System.currentTimeMillis - GraftTable.DefaultOrphanGraceUs / 1000L - 60000L
+    val orphan = new java.io.File(stage, "ins-rdead-p0-t0.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(orphan.setLastModified(staleMs))
+    // a FRESH file must survive the sweep (it may be a concurrent job's)
+    val fresh = new java.io.File(stage, "ins-rlive-p0-t1.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](4, 5))
+    spark.sql("INSERT INTO ins.ns.orphans SELECT cast(id as int), id FROM range(20, 30)")
+    assert(!orphan.exists, "a successful commit must reclaim stale staged debris")
+    assert(fresh.exists, "in-grace files may belong to a live writer — keep them")
+    assert(spark.table("ins.ns.orphans").count() == 30)
+    // vacuum backstop: an ABANDONED stage dir (no further inserts ever)
+    // clears wholesale past the grace
+    assert(fresh.setLastModified(staleMs))
+    assert(stage.setLastModified(staleMs))
+    GraftTable.vacuum(path, keepVersions = 10)
+    assert(!fresh.exists, "vacuum must reclaim abandoned .stage-insert debris")
+  }
+
   test("INSERT OVERWRITE truncates and replaces; old snapshot time-travels") {
     val path = s"$warehouse/ns/ow"
     GraftTable.overwrite(spark.range(0, 50)

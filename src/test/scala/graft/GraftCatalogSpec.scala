@@ -384,6 +384,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpecBase {
     assert(e.getMessage.contains("warehouse"))
   }
 
+  test(".changes data-predicate pruning: keyed CDF reads skip clean changed files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdpd")
+    val path = s"$warehouse/cdpd/t"
+    // four appended files with disjoint key ranges → a keyed filter can
+    // prove three of them clean from per-file stats
+    (0 until 4).foreach { i =>
+      GraftTable.append(spark.range(i * 100L, (i + 1) * 100L)
+        .selectExpr("id AS k", "concat('v', id) AS v").coalesce(1), path,
+        statsCols = Seq("k"))
+    }
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def find(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: QueryStageExec => find(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+        case o => o.children.map(find).foldLeft(0)(math.max)
+      }
+      find(df.queryExecution.executedPlan)
+    }
+    val full = spark.read.table("graft.cdpd.t.changes")
+    assert(partsOf(full) == 4, "span total is one partition per changed file")
+    val keyed = spark.read.table("graft.cdpd.t.changes").filter(col("k") === 250)
+    assert(partsOf(keyed) == 1, "a keyed CDF read must skip provably-clean files")
+    assert(canon(keyed.select("k", "v", "_change_type")) ==
+      canon(Seq((250L, "v250", "insert")).toDF("k", "v", "_change_type")))
+    // pruning composes with the version-axis pushdown and never drops a
+    // matching row: a rewrite makes delete+insert rows for k=150 only
+    GraftTable.upsertByKey(spark,
+      path, spark.range(150, 151).selectExpr("id AS k", "'X' AS v"), Seq("k"))
+    val afterRewrite = spark.read.table("graft.cdpd.t.changes")
+      .filter(col("k") === 150)
+    assert(canon(afterRewrite.select("k", "v", "_change_type")) ==
+      canon(Seq((150L, "v150", "insert"), (150L, "v150", "delete"),
+        (150L, "X", "insert")).toDF("k", "v", "_change_type")))
+  }
+
   test("the .changes metadata child table: batch spans, streaming parity, loud errors") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cdf")
     val path = s"$warehouse/cdf/t"

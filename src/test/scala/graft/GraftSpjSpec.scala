@@ -123,20 +123,58 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     val t = spark.table("spj.ns.cowkeep")
     assert(t.filter(col("x") === -1).count() == 1)
     assert(t.count() == 1000)
-    // whatever the plan does, the manifest never lies: files either all
-    // carry single-bucket ids (SPJ stays) or the scan degrades
+    // the replace-data write REQUIRES the bucket distribution, so the
+    // rewritten files are single-bucket by construction — SPJ must stay
     val live = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
       .filter(_.rows > 0)
+    assert(live.forall(_.stats.contains("__bucket")),
+      "COW rewrite must keep every file single-bucket")
     withSpjConfs {
       val other = s"$warehouse/ns/cowkeep2"
       GraftTable.writeBucketed(spark.range(0, 1000)
         .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
       val j = spark.table("spj.ns.cowkeep").join(spark.table("spj.ns.cowkeep2"), "k")
       val p = planOf(j)
-      if (live.forall(_.stats.contains("__bucket")))
-        assert(!p.contains("Exchange"), s"bucket-preserving rewrite should keep SPJ:\n$p")
-      else assert(p.contains("Exchange"), s"unbucketed file must degrade the scan:\n$p")
+      assert(!p.contains("Exchange"), s"bucket-preserving rewrite must keep SPJ:\n$p")
       assert(j.count() == 1000)
+    }
+  }
+
+  test("CROSS-bucket COW DML re-buckets the rewrite: SPJ plans zero-exchange after it") {
+    // an UPDATE touching rows in EVERY bucket used to stage mixed-bucket
+    // files through the generic path, silently degrading the whole scan
+    // to shuffled joins; the replace-data write's required distribution
+    // re-buckets the rewrite, same as the insert path
+    val path = s"$warehouse/ns/cowcross"
+    GraftTable.writeBucketed(spark.range(0, 2000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8)
+    spark.sql("UPDATE spj.ns.cowcross SET x = x + 1000000 WHERE k % 2 = 0")
+    val t = spark.table("spj.ns.cowcross")
+    assert(t.count() == 2000)
+    assert(t.filter(col("x") >= 1000000).count() == 1000)
+    val live = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    assert(live.forall(_.stats.contains("__bucket")),
+      s"cross-bucket rewrite must land single-bucket files, got " +
+        live.map(_.stats.get("__bucket")).mkString(","))
+    // MERGE through the same group-based protocol keeps the layout too
+    spark.range(0, 100).selectExpr("cast(id * 20 as int) AS k", "id AS x")
+      .createOrReplaceTempView("cowcross_src")
+    spark.sql("""MERGE INTO spj.ns.cowcross t USING cowcross_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT *""")
+    val live2 = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    assert(live2.forall(_.stats.contains("__bucket")),
+      "MERGE rewrite must keep every file single-bucket")
+    withSpjConfs {
+      val other = s"$warehouse/ns/cowcross2"
+      GraftTable.writeBucketed(spark.range(0, 2000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.cowcross").join(spark.table("spj.ns.cowcross2"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"SPJ must survive cross-bucket DML:\n$p")
+      assert(j.count() == 2000)
     }
   }
 
@@ -207,6 +245,58 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
       val p = planOf(j)
       assert(p.contains("keygroupedpartitioning"),
         s"'$name' should engage the function shuffle:\n$p")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("SPJ skew escape: partially-clustered distribution multi-tasks a hot bucket") {
+    // one key carries ~60x the rows of any other — the reference's
+    // dummy-member key-0 attractor. A plain SPJ groups same-bucket
+    // splits into ONE task per bucket, serializing the hot bucket's
+    // whole join; Spark's partially-clustered distribution keeps the
+    // big side's splits UNgrouped (the small side replicates per
+    // split), so the hot bucket runs as many tasks — still zero
+    // exchange.
+    val fact = s"$warehouse/ns/hotf"
+    val dim = s"$warehouse/ns/hotd"
+    GraftTable.writeBucketed(
+      spark.range(0, 120000).selectExpr(
+        "cast(CASE WHEN id % 2 = 0 THEN 0 ELSE id % 1000 END as int) AS k",
+        "id AS x", "repeat(cast(id as string), 8) AS pad"),
+      fact, "k", 4, statsCols = Seq("k"))
+    GraftTable.writeBucketed(spark.range(0, 1000)
+      .selectExpr("cast(id as int) AS k", "cast(id % 7 as int) AS seg"), dim, "k", 4)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.files.maxPartitionBytes" -> (128 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> "0")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+    try withSpjConfs {
+      val j = spark.table("spj.ns.hotf").join(spark.table("spj.ns.hotd"), "k")
+      val expect = (0L until 120000L).map(i => if (i % 2 == 0) 0L else i % 1000)
+        .count(_ < 1000)
+      assert(j.count() == expect.toLong)
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"skew escape must not reintroduce a shuffle:\n$p")
+      // the join's task count must exceed the bucket count — the hot
+      // bucket is no longer one straggler task
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+        case o => o.children.flatMap(scans)
+      }
+      val joinParts = scans(j.queryExecution.executedPlan)
+        .map(_.inputRDD.getNumPartitions).max
+      assert(joinParts > 4,
+        s"hot bucket must execute as multiple tasks, got $joinParts partitions")
+      // and results stay exact per key through the replication
+      assert(canon(j.filter(col("k") === 0).agg(count(lit(1)), sum("x"))) ==
+        canon(spark.read.format("graft").load(fact).filter(col("k") === 0)
+          .agg(count(lit(1)), sum("x"))))
     } finally saved.foreach { case (k, old) =>
       old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
