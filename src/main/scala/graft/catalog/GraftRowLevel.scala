@@ -292,11 +292,50 @@ private[graft] class GraftDeltaOperation(val path: String, cmd: Command)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftRowLevelScanBuilder(this)
 
+  /** BUCKET-LAYOUT DURABILITY through MOR DML: on a bucketed table the
+    * delta write requires the bucket distribution, so a MERGE's
+    * INSERTED rows land single-bucket files and storage-partitioned
+    * joins keep planning zero-exchange after MOR DML (deletes are
+    * position streams — locality-insensitive, the commit groups them by
+    * file regardless). An UNbucketed table keeps the unspecified
+    * distribution: the delta write then adds no exchange at all, its
+    * defining cost advantage. */
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new org.apache.spark.sql.connector.write.DeltaWrite {
+        new org.apache.spark.sql.connector.write.DeltaWrite
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          private val bucket: Option[(Seq[String], Int)] =
+            GraftTable.bucketSpec(GraftTable.propertiesOf(path))
+              .filter { case (cs, _) => cs.forall(info.schema().fieldNames.contains) }
+
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            bucket match {
+              case Some((cs, _)) =>
+                org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                  cs.map(c => org.apache.spark.sql.connector.expressions.Expressions
+                    .column(c)
+                    .asInstanceOf[org.apache.spark.sql.connector.expressions.Expression])
+                    .toArray)
+              case None =>
+                org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            }
+
+          override def requiredNumPartitions(): Int = bucket.map(_._2).getOrElse(0)
+
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            bucket match {
+              case Some((cs, _)) => cs.map(c =>
+                org.apache.spark.sql.connector.expressions.Expressions.sort(
+                  org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                  org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+                .toArray
+              case None => Array.empty
+            }
+
           override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftDeltaBatchWrite(GraftDeltaOperation.this, info.schema)
         }

@@ -51,7 +51,15 @@ import graft.core.GraftTable.ColRange
   * `spark.sql.extensions=graft.expressions.GraftExtensions`. */
 case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // operational kill switch (Delta-style rule toggle): with the rule
+    // off, plans fall back to the scan-level machinery — v2 pushdown,
+    // manifest FileIndex — which must answer identically
+    if (!GraftRules.enabled(spark)) return plan
+    applyRules(plan)
+  }
+
+  private def applyRules(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, lr: LogicalRelation) =>
       try prune(f, cond, lr) catch { case scala.util.control.NonFatal(_) => f }
     case agg: Aggregate if agg.groupingExpressions.isEmpty =>
@@ -102,6 +110,19 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+}
+
+/** Session-conf kill switch for the injected optimizer rules —
+  * `spark.graft.rules.enabled=false` turns them off (default on). The
+  * scan-level machinery (DSv2 pushdown, manifest FileIndex) answers
+  * identically without them; the switch exists for operational
+  * isolation and for proving the extension-free paths in sessions whose
+  * context was built with `spark.sql.extensions` (context-wide — a
+  * `newSession()` cannot shed it). */
+object GraftRules {
+  val Key = "spark.graft.rules.enabled"
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get(Key, "true").toBoolean
 }
 
 object GraftPrune extends PredicateHelper {

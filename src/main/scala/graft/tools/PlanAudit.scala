@@ -948,6 +948,8 @@ object PlanAudit {
       // UNgrouped (small side replicates per split): zero exchange
       // still, but the hot bucket executes as multiple tasks.
       import graft.core.GraftTable
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       val wh = java.nio.file.Files.createTempDirectory("plan_spjskew_wh").toString
       spark.conf.set("spark.sql.catalog.gskew", "graft.catalog.GraftCatalog")
       spark.conf.set("spark.sql.catalog.gskew.warehouse", wh)
@@ -970,9 +972,15 @@ object PlanAudit {
         val n = j.count()
         j.collect()
         val planStr = j.queryExecution.executedPlan.toString
-        val joinParts = j.queryExecution.executedPlan.collectLeaves().collect {
-          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-        }.map(_.inputRDD.getNumPartitions).max
+        def scans(p: SparkPlan)
+            : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+          case o => o.children.flatMap(scans)
+        }
+        val joinParts = scans(j.queryExecution.executedPlan)
+          .map(_.inputRDD.getNumPartitions).foldLeft(0)(math.max)
         val checks = Seq(
           "skew_zero_exchange" -> !planStr.contains("Exchange"),
           "skew_hot_bucket_multi_task" -> (joinParts > 4),
@@ -1591,6 +1599,10 @@ object PlanAudit {
       // the claim's DPP guard keys off the broadcast threshold; the
       // fixture is tiny, so run the no-broadcast analytics shape
       stock.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // this audit session's CONTEXT carries spark.sql.extensions, which
+      // a newSession cannot shed — turn the injected rules off so the
+      // pin proves the v2 pushdown path, not the extension rewrite
+      stock.conf.set(graft.plans.GraftRules.Key, "false")
       def scansAndFilters(df: org.apache.spark.sql.DataFrame): (Int, Int, Boolean) = {
         df.collect()
         var local = false
@@ -1626,6 +1638,8 @@ object PlanAudit {
           sel.count() == 2000L))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
       println(s"[plan] q179_meta_filtered_stock: ${results.mkString(" ")}")
+      if (checks.exists(!_._2))
+        println(s"[plan-debug] q179 clean plan:\n${clean.queryExecution.executedPlan}")
     }
     locally {
       // q170's dynamic file pruning: on a hash layout (min/max prune

@@ -143,6 +143,24 @@ class GraftPruneSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("the rules kill switch: disabled rules fall back to real plans, same answers") {
+    val path = tmp() + "/ks"
+    GraftTable.writeClustered(spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v"),
+      path, col("k"), 4, statsCols = Seq("k", "v"))
+    installed {
+      val agg = () => GraftTable.read(spark, path)
+        .agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+      assert(plannedFiles(agg()) == 0, "rule on: manifest answers")
+      val expect = agg().collect().head
+      spark.conf.set(graft.plans.GraftRules.Key, "false")
+      try {
+        assert(plannedFiles(agg()) > 0, "rule off: the real scan answers")
+        assert(agg().collect().head == expect)
+      } finally spark.conf.unset(graft.plans.GraftRules.Key)
+      assert(plannedFiles(agg()) == 0, "unset restores the default-on rule")
+    }
+  }
+
   test("metadata-only aggregates: count/min/max answer from the manifest, zero files scanned") {
     val path = tmp() + "/t"
     val rows = spark.range(0, 1000).select(col("id").as("k"),

@@ -249,6 +249,39 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
       old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("MOR DML on a bucketed table: delta-op inserts land single-bucket, SPJ survives") {
+    val path = s"$warehouse/ns/morb"
+    GraftTable.writeBucketed(spark.range(0, 2000)
+      .selectExpr("cast(id as int) AS k", "id AS x"), path, "k", 8)
+    GraftTable.setProperties(path, Map("graft.deletionVectors" -> "true"))
+    // a MERGE whose inserts span EVERY bucket rides the delta protocol
+    // (DV sidecars for matched rows, appended files for inserts); the
+    // delta write's required distribution must keep the appends
+    // single-bucket
+    spark.range(0, 400).selectExpr("cast(id * 7 as int) AS k", "id + 900000 AS x")
+      .createOrReplaceTempView("morb_src")
+    spark.sql("""MERGE INTO spj.ns.morb t USING morb_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET x = s.x
+      WHEN NOT MATCHED THEN INSERT *""")
+    val t = spark.table("spj.ns.morb")
+    val expectRows = 2000 + (0 until 400).map(_ * 7).count(_ >= 2000)
+    assert(t.count() == expectRows.toLong)
+    assert(t.filter(col("x") >= 900000).count() == 400)
+    val live = GraftTable.filesOf(path, GraftTable.currentManifest(path).get)
+      .filter(_.rows > 0)
+    assert(live.forall(_.stats.contains("__bucket")),
+      "delta-op inserted files must carry single-bucket ids")
+    withSpjConfs {
+      val other = s"$warehouse/ns/morb2"
+      GraftTable.writeBucketed(spark.range(0, 3000)
+        .selectExpr("cast(id as int) AS k", "cast(id as string) AS v"), other, "k", 8)
+      val j = spark.table("spj.ns.morb").join(spark.table("spj.ns.morb2"), "k")
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"SPJ must survive MOR DML:\n$p")
+      assert(j.count() == t.filter(col("k") < 3000).count())
+    }
+  }
+
   test("SPJ skew escape: partially-clustered distribution multi-tasks a hot bucket") {
     // one key carries ~60x the rows of any other — the reference's
     // dummy-member key-0 attractor. A plain SPJ groups same-bucket
