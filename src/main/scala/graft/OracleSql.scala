@@ -432,6 +432,17 @@ SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1""",
 
+    // the skewed SPJ: half of lineitem collapses onto supplier key 1;
+    // partially-clustered replication must be invisible to results
+    "q180_spj_skew_join" -> """
+SELECT s_nationkey AS nat, count(*)::BIGINT AS n_items,
+       cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double) AS rev
+FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE l_suppkey END AS k,
+             l_extendedprice
+      FROM lineitem) f
+JOIN supplier ON f.k = s_suppkey
+GROUP BY 1""",
+
     // the as-of (equi + validity BETWEEN) join over co-bucketed tables:
     // the storage-partitioned equi part must be invisible to results
     "q178_spj_asof_join" -> """

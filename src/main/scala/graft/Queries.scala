@@ -2061,6 +2061,52 @@ object Queries {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
   }
 
+  /** q180: the SKEWED storage-partitioned join — the reference's
+    * dummy-member key-0 attractor (`models/dwh/fact_order.sql:17-19`)
+    * recreated over co-bucketed tables: half of lineitem collapses onto
+    * ONE supplier key, so a plain SPJ would serialize that bucket's
+    * whole join into one task. The query runs under Spark's
+    * partially-clustered distribution (the skew escape PlanAudit's
+    * `spj_skew_escape` pins: the hot bucket executes as multiple tasks,
+    * still zero exchange) and hash-gates that the replication NEVER
+    * changes results — per-nation counts and revenue stay exact. */
+  def spjSkewJoinQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    val cat = "graftspj"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", q177Root)
+    }
+    TableIO.clearDir(s"$q177Root/skew")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.skew")
+    GraftTable.writeBucketed(Tables.lineitem(s, d)
+      .select(when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("k"),
+        col("l_extendedprice").as("price")),
+      s"$q177Root/skew/fact_s", "k", 8)
+    GraftTable.writeBucketed(Tables.supplier(s, d)
+      .select(col("s_suppkey").as("k"), col("s_nationkey")),
+      s"$q177Root/skew/supp_s", "k", 8)
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      .map { case (k, v) =>
+        val old = s.conf.getOption(k); s.conf.set(k, v); k -> old }
+    try {
+      val agg = s.table(s"$cat.skew.fact_s")
+        .join(s.table(s"$cat.skew.supp_s"), "k")
+        .groupBy(col("s_nationkey").as("nat"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price").cast("decimal(18,4)")).cast("double").as("rev"))
+        .select(col("nat"), col("n_items"), col("rev"))
+      // materialize INSIDE the conf window so the skewed SPJ plan is
+      // what actually executes; the result is nation-sized
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+    } finally saved.foreach { case (k, old) =>
+      old.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** q178: the reference's as-of fact⋈dim shape
     * (`models/dwh/fact_order.sql:37-42` — equi key + validity BETWEEN)
     * run through co-BUCKETED tables: orders and a two-version customer
@@ -3054,6 +3100,7 @@ object Queries {
     "q177_spj_bucketed_join" -> (spjBucketedJoinQ _),
     "q178_spj_asof_join" -> (spjAsofJoinQ _),
     "q179_meta_filtered_stock" -> (metaFilteredStockQ _),
+    "q180_spj_skew_join" -> (spjSkewJoinQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),
