@@ -105,11 +105,19 @@ private[graft] class GraftBatchWrite(path: String,
     schema: org.apache.spark.sql.types.StructType, overwriteAll: Boolean,
     statsCols: Seq[String], bloomCols: Seq[String]) extends BatchWrite {
 
-  private val stageDir = new File(path, ".stage-insert")
+  // each job stages into ITS OWN subdir of .stage-insert: reclamation
+  // can then be dir-granular, so one job's sweep can never race another
+  // in-flight job file-by-file (a concurrent insert whose early task
+  // files closed long before its own commit — multi-wave or straggler
+  // jobs at the 100k-file scale — must not lose them to a sibling's
+  // commit-time cleanup)
+  private val stageRoot = new File(path, ".stage-insert")
+  private val jobStageDir =
+    new File(stageRoot, "job-" + java.util.UUID.randomUUID.toString.take(8))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    stageDir.mkdirs()
-    new GraftBatchWriterFactory(stageDir.getAbsolutePath,
+    jobStageDir.mkdirs()
+    new GraftBatchWriterFactory(jobStageDir.getAbsolutePath,
       ClassicBridge.parquetWriteConf(SparkSession.active, schema))
   }
 
@@ -121,25 +129,32 @@ private[graft] class GraftBatchWrite(path: String,
     }.toSeq
     GraftTable.commitBatchFiles(SparkSession.active, path, files, schema,
       overwrite = overwriteAll, statsCols, bloomCols): Unit
-    // OPPORTUNISTIC stage sweep: task attempts that died before
-    // abort() (and jobs killed before commit/abort ran at all) leave
-    // orphan parquet here that no message ever names. Anything older
-    // than the orphan grace cannot belong to this job or a live
-    // concurrent one (writers create their files at task start), so a
-    // successful commit reclaims it — and [[GraftTable.vacuum]] sweeps
-    // whole abandoned `.stage-*` dirs on the same grace as the
-    // backstop for tables that never see another insert.
+    // this job's subdir is now fully ours: the commit moved every named
+    // file into data/, so whatever remains is our own dead task
+    // attempts' orphans — reclaim the whole dir
+    graft.core.TableIO.clearDir(jobStageDir.toString)
+    // OPPORTUNISTIC foreign sweep, DIR-granular: a sibling job subdir
+    // whose NEWEST entry is older than the orphan grace belongs to a
+    // job that stopped writing long ago and never committed (a live
+    // job commits promptly after its last task closes its file), so a
+    // successful commit reclaims the whole subdir. Never touches
+    // individual files inside a fresher subdir — [[GraftTable.vacuum]]
+    // sweeps abandoned `.stage-*` trees on the same newest-mtime grace
+    // as the backstop for tables that never see another insert.
     val cutoffMs = System.currentTimeMillis - GraftTable.DefaultOrphanGraceUs / 1000L
-    Option(stageDir.listFiles).getOrElse(Array.empty[File])
-      .filter(f => f.isFile && f.lastModified < cutoffMs)
-      .foreach(f => f.delete(): Unit)
+    Option(stageRoot.listFiles).getOrElse(Array.empty[File])
+      .filter(d => d.isDirectory && d.getName != jobStageDir.getName &&
+        GraftTable.newestMtimeMs(d) < cutoffMs)
+      .foreach(d => graft.core.TableIO.clearDir(d.toString))
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case GraftWrittenFile(f) if f.nonEmpty => new File(f).delete(): Unit
       case _ => ()
     }
+    graft.core.TableIO.clearDir(jobStageDir.toString)
+  }
 
   override def toString: String = s"GraftBatchWrite[$path]"
 }

@@ -48,32 +48,49 @@ class GraftBatchWriteSpec extends AnyFunSuite with SparkSpecBase {
       "v2-written files must carry column stats like every other write path")
   }
 
-  test("stage-insert orphans: a commit sweeps stale debris; vacuum is the backstop") {
+  test("stage-insert reclamation is DIR-granular per job; vacuum keys on newest mtime") {
     val path = s"$warehouse/ns/orphans"
     GraftTable.overwrite(spark.range(0, 20)
       .selectExpr("cast(id as int) AS k", "id AS x"), path)
-    // plant debris a dead task attempt would leave: never named in any
-    // commit message, older than the orphan grace
-    val stage = new java.io.File(path, ".stage-insert")
-    stage.mkdirs()
+    val stageRoot = new java.io.File(path, ".stage-insert")
     val staleMs =
       System.currentTimeMillis - GraftTable.DefaultOrphanGraceUs / 1000L - 60000L
-    val orphan = new java.io.File(stage, "ins-rdead-p0-t0.parquet")
+    // a DEAD job's subdir: every entry older than the grace — a later
+    // commit reclaims the whole dir
+    val deadDir = new java.io.File(stageRoot, "job-dead")
+    deadDir.mkdirs()
+    val orphan = new java.io.File(deadDir, "ins-rdead-p0-t0.parquet")
     java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     assert(orphan.setLastModified(staleMs))
-    // a FRESH file must survive the sweep (it may be a concurrent job's)
-    val fresh = new java.io.File(stage, "ins-rlive-p0-t1.parquet")
-    java.nio.file.Files.write(fresh.toPath, Array[Byte](4, 5))
+    assert(deadDir.setLastModified(staleMs))
+    // a LIVE straggler's subdir: its EARLY task file closed before the
+    // grace window, only a later file is fresh — the shape the old
+    // per-file sweep raced on (deleting the early file and failing the
+    // victim's commit). Dir-granular sweeping must keep the whole dir.
+    val liveDir = new java.io.File(stageRoot, "job-live")
+    liveDir.mkdirs()
+    val early = new java.io.File(liveDir, "ins-rlive-p0-t0.parquet")
+    java.nio.file.Files.write(early.toPath, Array[Byte](4, 5))
+    assert(early.setLastModified(staleMs))
+    val fresh = new java.io.File(liveDir, "ins-rlive-p1-t1.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](6))
+    assert(liveDir.setLastModified(staleMs)) // dir inode stale; newest FILE fresh
     spark.sql("INSERT INTO ins.ns.orphans SELECT cast(id as int), id FROM range(20, 30)")
-    assert(!orphan.exists, "a successful commit must reclaim stale staged debris")
-    assert(fresh.exists, "in-grace files may belong to a live writer — keep them")
+    assert(!orphan.exists && !deadDir.exists,
+      "a successful commit must reclaim a wholly-stale foreign job dir")
+    assert(early.exists && fresh.exists,
+      "a subdir with ANY in-grace entry belongs to a live job — its early " +
+        "files must survive a sibling's commit sweep")
     assert(spark.table("ins.ns.orphans").count() == 30)
-    // vacuum backstop: an ABANDONED stage dir (no further inserts ever)
-    // clears wholesale past the grace
-    assert(fresh.setLastModified(staleMs))
-    assert(stage.setLastModified(staleMs))
+    // vacuum backstop keys on the newest entry in the TREE, not the dir
+    // inode: the fresh file keeps the whole stage tree alive
     GraftTable.vacuum(path, keepVersions = 10)
-    assert(!fresh.exists, "vacuum must reclaim abandoned .stage-insert debris")
+    assert(early.exists && fresh.exists,
+      "vacuum must key stage liveness on the newest entry in the tree")
+    assert(fresh.setLastModified(staleMs))
+    GraftTable.vacuum(path, keepVersions = 10)
+    assert(!fresh.exists && !early.exists,
+      "vacuum must reclaim abandoned .stage-insert debris past the grace")
   }
 
   test("INSERT OVERWRITE truncates and replaces; old snapshot time-travels") {
