@@ -4,11 +4,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,7 +46,31 @@ object Bench {
     // round-6's regenerated testdata made 28 queries throw at analysis time
     // and their 0.05 s exception-paths looked like 6x speedups. Record -1
     // for any query whose runs didn't all succeed, and list it in "errors".
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    //
+    // Results STREAM as they land — one small per-query JSON line to
+    // stdout, plus a rewrite of the cumulative metric line to the
+    // failsafe file after EVERY query — so a driver timeout mid-run
+    // keeps a parseable prefix instead of losing the round's whole
+    // bench signal (round 13: rc=124 at 99% yielded zero data, because
+    // everything was written only after the last query).
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def metricJson(partial: Boolean): String = {
+      val qs = acc.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = acc.values.filter(_ >= 0).sum
+      val errJson = acc.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errJson,"partial":$partial,"n_done":${acc.size},"sf":"$sfDir"}"""
+    }
+    def landFailsafe(partial: Boolean): String = {
+      val json = metricJson(partial)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      json
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         // drop persisted intermediates between runs: queries that .cache()
         // (q11, q37) would otherwise hit CacheManager's canonical-plan match
@@ -62,20 +83,13 @@ object Bench {
           -1.0
         }
       }.sorted
-      name -> (if (times.head < 0) -1.0 else times(1))
+      val med = if (times.head < 0) -1.0 else times(1)
+      acc(name) = med
+      println(s"""{"query":"$name","sec":$med}""")
+      landFailsafe(partial = true): Unit
     }
-    val errors = results.collect { case (k, v) if v < 0 => k }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // also land the metric line in a file: a long stdout tail (driver captures
-    // only the end) must never be able to lose the round's bench signal
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // the final, complete metric line — stdout AND the failsafe file
+    println(landFailsafe(partial = false))
     spark.stop()
   }
 }

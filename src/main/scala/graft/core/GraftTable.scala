@@ -3415,10 +3415,17 @@ object GraftTable {
     * as NULL on both sides, so unchanged rows stay out of the diff).
     * Any other schema change falls back to a full copy. */
   def syncReplica(spark: SparkSession, srcPath: String, dstPath: String,
-      keys: Seq[String], markId: Option[String] = None): Long = {
+      keys: Seq[String], markId: Option[String] = None,
+      toVersion: Option[Long] = None): Long = {
     require(keys.nonEmpty, "need key columns")
-    val srcV = currentVersion(srcPath).getOrElse(
-      throw new IllegalArgumentException(s"'$srcPath' is not a GraftTable"))
+    // `toVersion` pins the sync target (Delta `versionAsOf` replication:
+    // follow a source history commit-by-commit, or hold a replica at an
+    // audited version); default = the source head
+    val srcV = toVersion.getOrElse(currentVersion(srcPath).getOrElse(
+      throw new IllegalArgumentException(s"'$srcPath' is not a GraftTable")))
+    toVersion.foreach(v => require(
+      new File(logDir(srcPath), manifestName(v)).exists,
+      s"'$srcPath' has no version $v"))
     val id = markId.getOrElse("cdc:" + new File(srcPath).getCanonicalPath)
     val headSchema = StructType.fromDDL(manifestAt(srcPath, srcV).schemaDdl)
     val mark = currentManifest(dstPath).flatMap(_.streamMarks).flatMap(_.get(id))
@@ -3427,6 +3434,9 @@ object GraftTable {
         StructType.fromDDL(manifestAt(srcPath, v).schemaDdl).fields.forall(f =>
           headSchema.fields.exists(t => t.name == f.name && t.dataType == f.dataType))
       }
+    mark.foreach(v => require(v <= srcV,
+      s"replica at version $v is ahead of the requested target $srcV — " +
+        "a keyed replica cannot rewind; restore it or resync fresh"))
     mark match {
       case Some(v) if v == srcV => srcV // already current — no commit at all
       case Some(v) =>
@@ -3448,7 +3458,7 @@ object GraftTable {
         setMark(dstPath, id, srcV)
         srcV
       case None =>
-        overwrite(read(spark, srcPath), dstPath): Unit
+        overwrite(readVersion(spark, srcPath, srcV), dstPath): Unit
         setMark(dstPath, id, srcV)
         srcV
     }
@@ -3787,6 +3797,24 @@ object GraftTable {
     * line with its retention check on unreferenced files. */
   val DefaultOrphanGraceUs: Long = 15L * 60 * 1000 * 1000
 
+  /** Newest FILE mtime (ms) in `f`'s tree — the liveness signal for
+    * stage-dir reclamation now that batch inserts stage into per-job
+    * SUBDIRS of `.stage-insert`. Two traps rule out dir inodes: a
+    * subdir's mtime only moves on child create/delete, so a
+    * long-writing job's top dir can look stale while its newest file is
+    * seconds old; conversely a sweep deleting one subdir refreshes the
+    * PARENT's mtime, which would keep a dead tree alive indefinitely.
+    * A dir with no files at all falls back to its own mtime — a
+    * just-created job dir whose tasks haven't opened files yet must
+    * still read as live. */
+  def newestMtimeMs(f: File): Long =
+    if (!f.isDirectory) f.lastModified
+    else {
+      val kids = Option(f.listFiles).getOrElse(Array.empty[File])
+      if (kids.isEmpty) f.lastModified
+      else kids.map(newestMtimeMs).max
+    }
+
   def vacuum(path: String, keepVersions: Int = 2, retainAgeUs: Option[Long] = None,
       ignoreConsumers: Boolean = false, dryRun: Boolean = false,
       orphanGraceUs: Long = DefaultOrphanGraceUs): Int = {
@@ -3846,10 +3874,12 @@ object GraftTable {
       .filter(f => f.getName.startsWith("leaf-") && !liveLeaves.contains(f.getName))
       .foreach(f => f.delete(): Unit)
     // stage dirs: an ACTIVE writer's staging lives here between its
-    // df.write and the move into data/ — only clear abandoned ones
+    // df.write and the move into data/ — only clear abandoned ones,
+    // keyed on the NEWEST entry in the tree (batch inserts stage into
+    // per-job subdirs, whose files don't touch the top dir's mtime)
     Option(new File(path).listFiles).getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith(".stage-") &&
-        nowUs - f.lastModified * 1000L >= orphanGraceUs)
+        nowUs - newestMtimeMs(f) * 1000L >= orphanGraceUs)
       .foreach(f => TableIO.clearDir(f.toString))
     dead.length + deadDv.length
   }

@@ -540,6 +540,33 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, src)))
   }
 
+  test("syncReplica toVersion: pinned stepwise replay ≡ head sync; rewind refuses") {
+    val root = tmp()
+    val (src, dst, dst2) = (root + "/src", root + "/dst", root + "/dst2")
+    GraftTable.overwrite(kv(1 -> "a", 2 -> "b", 3 -> "c"), src) // v1
+    GraftTable.append(kv(4 -> "d"), src)                        // v2
+    GraftTable.upsertByKey(spark, src, kv(2 -> "B"), Seq("k"))  // v3
+    GraftTable.deleteByKey(spark, src, df("k INT", Row(Int.box(1))), Seq("k")) // v4
+    // follow the history commit-by-commit against the FINISHED source;
+    // every intermediate state matches that version's snapshot
+    (1L to 4L).foreach { v =>
+      assert(GraftTable.syncReplica(spark, src, dst, Seq("k"), toVersion = Some(v)) == v)
+      assert(canon(GraftTable.read(spark, dst)) ==
+        canon(GraftTable.readVersion(spark, src, v)))
+    }
+    // one head sync lands the identical end state
+    GraftTable.syncReplica(spark, src, dst2, Seq("k"))
+    assert(canon(GraftTable.read(spark, dst)) == canon(GraftTable.read(spark, dst2)))
+    // a pinned target BEHIND the replica's bookmark must refuse loudly
+    intercept[IllegalArgumentException] {
+      GraftTable.syncReplica(spark, src, dst, Seq("k"), toVersion = Some(2L))
+    }
+    // a nonexistent pinned version must refuse, not resync silently
+    intercept[IllegalArgumentException] {
+      GraftTable.syncReplica(spark, src, dst, Seq("k"), toVersion = Some(99L))
+    }
+  }
+
   test("syncReplica under random op sequences: replica ≡ source at every sync") {
     for (seed <- Seq(11, 47)) {
       val root = tmp()
