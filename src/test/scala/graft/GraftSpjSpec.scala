@@ -55,6 +55,57 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("skew escape engages in a DEFAULT graft session: hot bucket runs multi-task, " +
+      "zero exchange, results exact") {
+    // the reference's dummy-member key-0 attractor over co-bucketed
+    // tables. The session is TestSpark's — bootstrapped only through
+    // GraftSession.configure, with NO per-query or per-test setting of
+    // partiallyClusteredDistribution: the escape must be on by default
+    // (round-13 verdict ask #2). Only fixture-scale knobs appear below:
+    // broadcasts off (a 100 TB fact clears the threshold alone) and a
+    // small maxPartitionBytes so the tiny hot bucket spans several
+    // input splits, as a real hot bucket does at scale.
+    assert(spark.conf.get(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled") == "true",
+      "the graft session bootstrap must carry the SPJ skew escape")
+    val nBuckets = 4
+    GraftTable.writeBucketed(spark.range(0, 60000).selectExpr(
+      "cast(CASE WHEN id % 2 = 0 THEN 0 ELSE id % 500 END as int) AS k",
+      "id AS x", "repeat(cast(id as string), 8) AS pad"),
+      s"$warehouse/ns/hotf", "k", nBuckets)
+    GraftTable.writeBucketed(spark.range(0, 500).selectExpr(
+      "cast(id as int) AS k", "cast(id % 7 as int) AS seg"),
+      s"$warehouse/ns/hotd", "k", nBuckets)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> (64 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> "0")
+      .map { case (k, v) =>
+        val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
+    try {
+      val j = spark.table("spj.ns.hotf").join(spark.table("spj.ns.hotd"), "k")
+      val n = j.count()
+      val p = planOf(j)
+      assert(!p.contains("Exchange"), s"the escape must stay zero-exchange:\n$p")
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(pl: SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = pl match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+        case o => o.children.flatMap(scans)
+      }
+      val joinParts = scans(j.queryExecution.executedPlan)
+        .map(_.inputRDD.getNumPartitions).foldLeft(0)(math.max)
+      assert(joinParts > nBuckets,
+        s"the hot bucket must execute as multiple tasks (got $joinParts over " +
+          s"$nBuckets buckets) — the default session failed to engage the escape")
+      assert(n == 60000L, "replication must never change results")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("appends preserve bucketing: the declared property re-buckets every write") {
     val path = s"$warehouse/ns/app"
     GraftTable.writeBucketed(spark.range(0, 1000)
@@ -185,6 +236,12 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     val saved = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      // Spark's KeyGroupedShuffleSpec.canCreatePartitioning categorically
+      // refuses while partiallyClusteredDistribution is on (the session
+      // default — the SPJ skew escape): a stage that wants the one-side
+      // function shuffle opts OUT of the escape for that stage. This
+      // test pins that documented trade.
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       .map { case (k, v) =>
         val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
@@ -228,6 +285,9 @@ class GraftSpjSpec extends AnyFunSuite with SparkSpecBase {
     val saved = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      // one-side function shuffle needs the skew escape off (see the
+      // one-side shuffle test above for the documented trade)
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
       .map { case (k, v) =>
         val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old }
