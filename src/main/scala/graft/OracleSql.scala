@@ -1570,6 +1570,27 @@ SELECT k1.v AS lo, k2.v AS hi,
        (SELECT count(*) FROM orders WHERE o_orderkey BETWEEN k1.v + 1 AND k2.v) AS n_straddle
 FROM k1, k2""",
 
+    // grouped metadata aggregates: the partition-shaped layout is
+    // invisible to results — the oracle computes the rollup the real way
+    "q181_meta_grouped_stock" -> """
+SELECT o_orderpriority AS prio, count(*) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck
+FROM orders GROUP BY 1""",
+
+    // IN-list exact prune (folded) + the advisory IN probe over the
+    // range-valued key (scanned) — one declarative statement covers both
+    "q182_meta_in_stock" -> """
+SELECT (SELECT count(*) FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '9-NONE')) AS n_in,
+       (SELECT min(o_orderkey) FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '9-NONE')) AS min_key,
+       (SELECT max(o_orderkey) FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM', '9-NONE')) AS max_key,
+       (SELECT count(*) FROM orders WHERE o_orderkey IN (
+          (SELECT min(o_orderkey) FROM orders),
+          (SELECT min(o_orderkey) + 1 FROM orders))) AS n_adv""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

@@ -558,7 +558,7 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
   private var aggPushed = false
   private var limit: Option[Int] = None
 
@@ -607,13 +607,17 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
   override def isPartiallyPushed(): Boolean = true
 
   /** STOCK-SESSION metadata aggregates: `count(*)` / `count(col)` /
-    * `min` / `max` with no GROUP BY and no WHERE answer straight from
-    * the manifest — zero files read, a [[GraftLocalAggScan]] (planned
-    * as a LocalTableScan) instead of a distributed job. This is the v2
-    * twin of the extension rule ([[graft.plans.GraftPrune]]
-    * `rewriteMetaAgg`), for sessions WITHOUT `GraftExtensions`; same
-    * bail discipline (renames, deletion vectors on anything but
-    * `count(*)`, missing per-file stats → scan the data, never guess).
+    * `min` / `max` answer straight from the manifest — zero files read,
+    * a [[GraftLocalAggScan]] (planned as a LocalTableScan) instead of a
+    * distributed job. WHERE folds under the exact-prune claim
+    * ([[pushFilters]]); `GROUP BY k` folds on partition-shaped layouts
+    * (every file single-valued on `k` — [[graft.plans.GraftPrune
+    * .foldGroupedMetaAgg]]). This is the v2 twin of the extension rules
+    * ([[graft.plans.GraftPrune]] `rewriteMetaAgg` /
+    * `rewriteGroupedMetaAgg`), for sessions WITHOUT `GraftExtensions`;
+    * same bail discipline (renames, deletion vectors on anything but
+    * `count(*)`, missing per-file stats, multi-valued group files →
+    * scan the data, never guess).
     * COMPLETE pushdown only — a partial manifest answer would still
     * cost the scan, so [[pushAggregation]] refuses whenever the fold
     * could not answer every aggregate. */
@@ -655,13 +659,21 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
         for {
           _ <- graft.plans.GraftPrune.v1StatCmps(tableSchema, filters.toSeq)
           m <- snap
-          (cmps, notNulls) <- graft.plans.GraftPrune.v1StatCmps(
+          (cmps, notNulls, inLists) <- graft.plans.GraftPrune.v1StatCmps(
             StructType.fromDDL(m.schemaDdl), filters.toSeq)
           entries = GraftTable.filesOf(path, m)
-          if bcast < 0 || entries.map(_.bytes).sum > bcast // DPP guard above
           if !entries.exists(_.renames.exists(_.nonEmpty))
           (_, inside) <- graft.plans.GraftPrune.classifyFiltered(entries,
-            cmps, notNulls, requireNullFree = true, forbidDv = false)
+            cmps, notNulls, requireNullFree = true, forbidDv = false,
+            ins = inLists)
+          // DPP guard on the CLAIMED (inside-subset) bytes — the size
+          // estimateStatistics will report once the claim holds, and
+          // therefore the size that drives Spark's broadcast decision:
+          // a selective claim on a dim just above the threshold would
+          // otherwise remove the Filter node, get broadcast anyway
+          // (defeating PartitionPruning's hasSelectivePredicate), and
+          // silently cost the fact side its runtime file pruning
+          if bcast < 0 || inside.map(_.bytes).sum > bcast
         } yield inside
       } catch { case scala.util.control.NonFatal(_) => None }
     if (exactInside.isDefined) Array.empty else filters
@@ -681,14 +693,15 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
   }
 }
 
-/** A completely-pushed metadata aggregate: ONE driver-local row holding
-  * the manifest-folded answers. Planned as `LocalTableScanExec` — no
-  * job, no file IO, no exchange. */
+/** A completely-pushed metadata aggregate: driver-local rows holding
+  * the manifest-folded answers — ONE row for a scalar aggregate, one
+  * per group for `GROUP BY` over a partition-shaped layout. Planned as
+  * `LocalTableScanExec` — no job, no file IO, no exchange. */
 private[graft] class GraftLocalAggScan(path: String, schema: StructType,
-    values: Seq[Any]) extends org.apache.spark.sql.connector.read.LocalScan {
+    values: Seq[Seq[Any]]) extends org.apache.spark.sql.connector.read.LocalScan {
   override def readSchema(): StructType = schema
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+    values.map(org.apache.spark.sql.catalyst.InternalRow.fromSeq).toArray
   override def description(): String = s"GraftMetaAgg $path (manifest-answered)"
 }
 
@@ -700,8 +713,9 @@ private[graft] class GraftLocalAggScan(path: String, schema: StructType,
   *
   * Two orderings matter here:
   *  - the SYNTACTIC vet runs before any manifest IO — an unsupported
-  *    aggregate (sum, avg, distinct, nested field, GROUP BY, WHERE)
-  *    must not pay an O(table-files) listing parse just to bail;
+  *    aggregate (sum, avg, distinct, nested field, a non-column
+  *    grouping expression, WHERE without the exact-prune claim) must
+  *    not pay an O(table-files) listing parse just to bail;
   *  - names resolve against the FOLDED manifest's schema, not the scan
   *    builder's resolution-time schema — a concurrent
   *    nullability-widening commit between analysis and pushdown would
@@ -727,19 +741,27 @@ private[graft] object GraftMetaAggFold {
     * entries (every live row of an inside file passes the filter, so
     * liveRows/null-counts/bounds are exact). Pushed filters WITHOUT a
     * claim bail as before — a partial manifest answer would still cost
-    * the scan. */
+    * the scan.
+    *
+    * GROUP BY: single-part column references translate to the grouped
+    * fold ([[GraftPrune.foldGroupedMetaAgg]]) — answered only on
+    * partition-shaped layouts (every file single-valued and null-free
+    * on every grouping column). Returned schema follows Spark's
+    * complete-pushdown convention: group columns FIRST, then aggregate
+    * columns, matched positionally by `V2ScanRelationPushDown`. */
   def fold(path: String, snap: () => Option[GraftTable.Manifest],
       agg: Aggregation, pushed: Array[Filter],
       exactInside: Option[Seq[GraftTable.FileEntry]])
-      : Option[(StructType, Seq[Any])] = {
-    if ((pushed.nonEmpty && exactInside.isEmpty) ||
-      agg.groupByExpressions().nonEmpty) return None
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    if (pushed.nonEmpty && exactInside.isEmpty) return None
     def ref(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
       case _ => None
     }
+    val groupRefs: Seq[String] =
+      agg.groupByExpressions().toSeq.map(e => ref(e).getOrElse(return None))
     val shapes: Seq[Shape] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => SCountStar
       case c: Count if !c.isDistinct => SCount(ref(c.column).getOrElse(return None))
@@ -768,10 +790,22 @@ private[graft] object GraftMetaAggFold {
         (StructField(s"max_$n", f.dataType),
           GraftPrune.BoundReq(n, f.dataType, takeMax = true))
     }
-    val answers = GraftPrune.foldMetaAgg(
-      exactInside.getOrElse(GraftTable.filesOf(path, m)),
-      translated.map(_._2)).getOrElse(return None)
-    Some((StructType(translated.map(_._1).toArray), answers))
+    val entries = exactInside.getOrElse(GraftTable.filesOf(path, m))
+    if (groupRefs.isEmpty) {
+      val answers = GraftPrune.foldMetaAgg(entries, translated.map(_._2))
+        .getOrElse(return None)
+      Some((StructType(translated.map(_._1).toArray), Seq(answers)))
+    } else {
+      val groupFields = groupRefs.map(n => field(n).getOrElse(return None))
+      val rows = GraftPrune.foldGroupedMetaAgg(entries,
+        groupFields.map(f => f.name -> f.dataType), translated.map(_._2))
+        .getOrElse(return None)
+        .map { case (key, answers) => key ++ answers }
+      // group fields keep the TABLE's nullability: the fold proved the
+      // grouping columns null-free, but the pushed-scan schema is
+      // matched against the relation's attributes
+      Some((StructType(groupFields ++ translated.map(_._1)), rows))
+    }
   }
 }
 

@@ -66,6 +66,9 @@ case class GraftPrune(spark: SparkSession) extends Rule[LogicalPlan] with Predic
       try GraftPrune.rewriteMetaAgg(agg)
         .orElse(GraftPrune.rewriteFilteredCount(agg)).getOrElse(agg)
       catch { case scala.util.control.NonFatal(_) => agg }
+    case agg: Aggregate =>
+      try GraftPrune.rewriteGroupedMetaAgg(agg).getOrElse(agg)
+      catch { case scala.util.control.NonFatal(_) => agg }
   }
 
   private def prune(f: Filter, cond: Expression, lr: LogicalRelation): LogicalPlan = {
@@ -329,47 +332,13 @@ object GraftPrune extends PredicateHelper {
       case Min(_) | Max(_) => true
       case _ => false
     })
-    // parse the conjunction: (attr, encoded bound, strict, isLower) or
-    // IS NOT NULL; anything else blocks the rewrite
-    case class Cmp(a: AttributeReference, enc: String, strict: Boolean, lower: Boolean)
-    var cmps = List.empty[Cmp]
-    var notNulls = Set.empty[String]
-    var nullCmp = false // a comparison vs NULL literal drops every row
-    def lit(a: AttributeReference, l: Literal): Option[String] =
-      GraftTable.statTag(a.dataType).flatMap { tag =>
-        if (l.value == null) { nullCmp = true; None }
-        else Some(GraftTable.encode(tag,
-          CatalystTypeConverters.convertToScala(l.value, l.dataType)))
-      }
-    def add(a: AttributeReference, l: Literal, strict: Boolean, lower: Boolean): Boolean =
-      lit(a, l) match {
-        case Some(e) => cmps ::= Cmp(a, e, strict, lower); true
-        case None => nullCmp // only "recognized" if it was the NULL case
-      }
-    val recognized = splitConjunctivePredicates(cond).forall {
-      case IsNotNull(a: AttributeReference) => notNulls += a.name; true
-      case GreaterThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = true)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = true)
-      case LessThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = false)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = false)
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
-      case GreaterThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = false)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = false)
-      case LessThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = true)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = true)
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
-      case _ => false
-    }
-    if (!recognized && !nullCmp) return None
+    // parse the conjunction; anything unrecognized blocks the rewrite
+    val (statCmps, notNulls, nullCmp) = catalystStatCmps(cond).getOrElse(return None)
     // classify: inside files (every non-null row passes), outside files
     // (no row can pass), or bail on the first straddler
     var total = 0L
     var inside = List.empty[graft.core.GraftTable.FileEntry]
     if (!nullCmp) {
-      val statCmps = cmps.map(c => StatCmp(c.a.name,
-        GraftTable.statTag(c.a.dataType).get, c.enc, c.strict, c.lower))
       val (t, ins) = classifyFiltered(entries, statCmps, notNulls,
         requireNullFree = wantsBounds, forbidDv = wantsBounds)
         .getOrElse(return None)
@@ -407,6 +376,49 @@ object GraftPrune extends PredicateHelper {
   private[graft] case class StatCmp(col: String, tag: String, enc: String,
       strict: Boolean, lower: Boolean)
 
+  /** Parse a CATALYST conjunction into [[StatCmp]]s + IS-NOT-NULL
+    * columns — the shared front of [[rewriteFilteredCount]] and
+    * [[rewriteGroupedMetaAgg]]. Returns None on any unrecognized
+    * conjunct; the third member flags a comparison against a NULL
+    * literal (the predicate drops every row — callers answer the empty
+    * result without classifying anything). */
+  private[graft] def catalystStatCmps(cond: Expression)
+      : Option[(Seq[StatCmp], Set[String], Boolean)] = {
+    var cmps = List.empty[StatCmp]
+    var notNulls = Set.empty[String]
+    var nullCmp = false // a comparison vs NULL literal drops every row
+    def lit(a: AttributeReference, l: Literal): Option[String] =
+      GraftTable.statTag(a.dataType).flatMap { tag =>
+        if (l.value == null) { nullCmp = true; None }
+        else Some(GraftTable.encode(tag,
+          CatalystTypeConverters.convertToScala(l.value, l.dataType)))
+      }
+    def add(a: AttributeReference, l: Literal, strict: Boolean, lower: Boolean): Boolean =
+      lit(a, l) match {
+        case Some(e) =>
+          cmps ::= StatCmp(a.name, GraftTable.statTag(a.dataType).get, e, strict, lower)
+          true
+        case None => nullCmp // only "recognized" if it was the NULL case
+      }
+    val recognized = splitConjunctivePredicates(cond).forall {
+      case IsNotNull(a: AttributeReference) => notNulls += a.name; true
+      case GreaterThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = true)
+      case LessThan(a: AttributeReference, l: Literal) => add(a, l, strict = true, lower = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => add(a, l, strict = false, lower = false)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
+      case GreaterThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = false)
+      case LessThan(l: Literal, a: AttributeReference) => add(a, l, strict = true, lower = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => add(a, l, strict = false, lower = true)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        add(a, l, strict = false, lower = true) && add(a, l, strict = false, lower = false)
+      case _ => false
+    }
+    if (!recognized && !nullCmp) None else Some((cmps, notNulls, nullCmp))
+  }
+
   /** The shared inside/outside file classification under a recognized
     * conjunction — the ONE discipline behind the extension rule's
     * filtered fold ([[rewriteFilteredCount]]) and the stock-session v2
@@ -425,12 +437,19 @@ object GraftPrune extends PredicateHelper {
     *    folding — the vector may have killed the extremum row). Counts
     *    tolerate vectors when the involved columns are null-free:
     *    every LIVE row passes, so `liveRows` is exact. */
+  /** One recognized `IN`-list conjunct: `encs` are the (non-null) list
+    * values in the column's encoded stat domain, pre-sorted by
+    * [[GraftTable.cmp]] order so range-disjointness tests are two
+    * binary comparisons. */
+  private[graft] case class StatIn(col: String, tag: String, encs: Seq[String])
+
   private[graft] def classifyFiltered(
       entries: Seq[graft.core.GraftTable.FileEntry],
       cmps: Seq[StatCmp], notNulls: Set[String],
-      requireNullFree: Boolean, forbidDv: Boolean)
+      requireNullFree: Boolean, forbidDv: Boolean,
+      ins: Seq[StatIn] = Nil)
       : Option[(Long, List[graft.core.GraftTable.FileEntry])] = {
-    val involved = (cmps.map(_.col) ++ notNulls).distinct
+    val involved = (cmps.map(_.col) ++ ins.map(_.col) ++ notNulls).distinct
     if (involved.isEmpty) return None // no constraint — bare fold handles
     var total = 0L
     var inside = List.empty[graft.core.GraftTable.FileEntry]
@@ -443,6 +462,7 @@ object GraftPrune extends PredicateHelper {
         // (a type-evolved history) can't be compared against the
         // pre-encoded bound — bail, never guess
         if (cmps.exists(c => st(c.col).t != c.tag)) return None
+        if (ins.exists(c => st(c.col).t != c.tag)) return None
         if (st.values.exists(s => s.min.isEmpty && s.max.isEmpty)) {
           // an involved column is all-NULL in this file → no row passes
         } else {
@@ -460,8 +480,30 @@ object GraftPrune extends PredicateHelper {
             else s.min.exists(mn => { val r = GraftTable.cmp(c.tag, mn, c.enc)
               if (c.strict) r >= 0 else r > 0 })
           }
-          if (cmps.exists(failed)) () // provably outside → contributes nothing
-          else if (cmps.forall(satisfied)) {
+          // IN-list: provably inside only for a SINGLE-VALUED file whose
+          // value is a list member (the partition-shaped layout);
+          // provably outside when no list value lands in [min,max] — a
+          // row can only pass by EQUALING a member, so a member-free
+          // range excludes every row
+          def inSatisfied(c: StatIn): Boolean = {
+            val s = st(c.col)
+            (s.min, s.max) match {
+              case (Some(mn), Some(mx)) => GraftTable.cmp(c.tag, mn, mx) == 0 &&
+                c.encs.exists(e => GraftTable.cmp(c.tag, e, mn) == 0)
+              case _ => false
+            }
+          }
+          def inFailed(c: StatIn): Boolean = {
+            val s = st(c.col)
+            (s.min, s.max) match {
+              case (Some(mn), Some(mx)) => !c.encs.exists(e =>
+                GraftTable.cmp(c.tag, e, mn) >= 0 && GraftTable.cmp(c.tag, e, mx) <= 0)
+              case _ => false
+            }
+          }
+          if (cmps.exists(failed) || ins.exists(inFailed))
+            () // provably outside → contributes nothing
+          else if (cmps.forall(satisfied) && ins.forall(inSatisfied)) {
             val nulls = involved.map(st(_).nulls)
             if (requireNullFree && nulls.exists(_ != 0L)) return None
             if (forbidDv && fe.dv.isDefined) return None
@@ -492,14 +534,29 @@ object GraftPrune extends PredicateHelper {
     * attribute on the left and external Scala values. */
   private[graft] def v1StatCmps(schema: org.apache.spark.sql.types.StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter])
-      : Option[(Seq[StatCmp], Set[String])] = {
+      : Option[(Seq[StatCmp], Set[String], Seq[StatIn])] = {
     import org.apache.spark.sql.sources._
     var cmps = List.empty[StatCmp]
     var notNulls = Set.empty[String]
+    var inLists = List.empty[StatIn]
     def add(a: String, v: Any, strict: Boolean, lower: Boolean): Boolean =
       v != null && schema.fields.find(_.name == a).exists { f =>
         GraftTable.statTag(f.dataType).exists { tag =>
           cmps ::= StatCmp(a, tag, GraftTable.encode(tag, v), strict, lower); true
+        }
+      }
+    // IN lists (the second-most-common BI probe after BETWEEN): list
+    // values encode into the stat domain; a NULL member contributes no
+    // match (x IN (…, NULL) is never TRUE for a non-member) so it just
+    // drops from the list. An ALL-null list means zero rows pass — an
+    // empty StatIn, which classifyFiltered's inFailed marks outside for
+    // every file.
+    def addIn(a: String, vs: Array[Any]): Boolean =
+      schema.fields.find(_.name == a).exists { f =>
+        GraftTable.statTag(f.dataType).exists { tag =>
+          val encs = vs.filter(_ != null).map(GraftTable.encode(tag, _)).toSeq
+            .sortWith((x, y) => GraftTable.cmp(tag, x, y) < 0)
+          inLists ::= StatIn(a, tag, encs); true
         }
       }
     val ok = filters.forall {
@@ -510,9 +567,10 @@ object GraftPrune extends PredicateHelper {
       case LessThanOrEqual(a, v) => add(a, v, strict = false, lower = false)
       case EqualTo(a, v) =>
         add(a, v, strict = false, lower = true) && add(a, v, strict = false, lower = false)
+      case In(a, vs) => addIn(a, vs)
       case _ => false
     }
-    if (ok) Some((cmps, notNulls)) else None
+    if (ok) Some((cmps, notNulls, inLists)) else None
   }
 
   /** The ONE manifest fold behind BOTH metadata-aggregate surfaces —
@@ -567,6 +625,145 @@ object GraftPrune extends PredicateHelper {
             if ((GraftTable.cmp(tag, x, y) > 0) == takeMax) x else y))
         }.getOrElse(return None)
     })
+  }
+
+  /** GROUPED metadata aggregates — `GROUP BY k` folded from the
+    * manifest when every data-bearing file is SINGLE-VALUED on every
+    * grouping column (stats min == max, zero nulls): the
+    * partition-shaped layout (one file set per day / per enum value),
+    * where the group key is constant per file by construction. Each
+    * group's aggregates then run the scalar [[foldMetaAgg]] over just
+    * that group's files — the bail discipline (renames, deletion
+    * vectors, missing stats) cannot fork because it IS the same fold.
+    * Any multi-valued or null-bearing file blocks the rewrite (its rows
+    * straddle groups — a partial answer would need real IO). A group
+    * whose files are all dv-masked to zero live rows is dropped (no
+    * surviving row → no group). Groups return sorted by encoded key for
+    * deterministic output. Answers are (group key internal values,
+    * per-req internal answers). */
+  private[graft] def foldGroupedMetaAgg(
+      entries: Seq[graft.core.GraftTable.FileEntry],
+      groupCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      reqs: Seq[MetaReq]): Option[Seq[(Seq[Any], Seq[Any])]] = {
+    if (groupCols.isEmpty) return None
+    if (entries.exists(_.renames.exists(_.nonEmpty))) return None
+    val tags = groupCols.map { case (c, dt) =>
+      (c, dt, GraftTable.statTag(dt).getOrElse(return None))
+    }
+    val keyed = entries.filter(_.rows > 0).map { fe =>
+      val key = tags.map { case (c, _, tag) =>
+        val s = fe.stats.getOrElse(c, return None)
+        if (s.t != tag || s.nulls != 0L) return None
+        val mn = s.min.getOrElse(return None)
+        val mx = s.max.getOrElse(return None)
+        if (mn != mx) return None // multi-valued file straddles groups
+        mn
+      }
+      key -> fe
+    }
+    val grouped = keyed.groupBy(_._1).toSeq
+      .sortBy(_._1.mkString(" "))
+      .flatMap { case (encKey, group) =>
+        val sub = group.map(_._2)
+        if (sub.map(_.liveRows).sum == 0L) None // fully dv-masked group
+        else {
+          val answers = foldMetaAgg(sub, reqs).getOrElse(return None)
+          Some((tags.zip(encKey).map { case ((_, dt, _), enc) =>
+            decodeInternal(dt, enc) }, answers))
+        }
+      }
+    Some(grouped)
+  }
+
+  /** The GROUP-BY twin of [[rewriteMetaAgg]]/[[rewriteFilteredCount]]:
+    * `SELECT k, count(*) / count(c) / min / max … [WHERE recognized
+    * conjunction] GROUP BY k` over a graft scan becomes a
+    * [[LocalRelation]] of manifest-folded rows when the layout is
+    * partition-shaped on the grouping columns ([[foldGroupedMetaAgg]])
+    * and — under WHERE — every file classifies cleanly
+    * ([[classifyFiltered]], the exact-prune discipline: inside files
+    * contribute whole, outside files nothing, one straddler bails).
+    * At 100 TB this answers the second-most-common BI probe
+    * (`GROUP BY day/enum` rollups) with one manifest read. */
+  private[graft] def rewriteGroupedMetaAgg(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    if (agg.groupingExpressions.isEmpty) return None
+    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        stripProjects(c)
+      case other => other
+    }
+    // SYNTACTIC vet first — translate the aggregates exactly as the
+    // scalar paths do, before any manifest parse
+    val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae
+    })
+    if (aggCalls.exists(ae => ae.isDistinct || ae.filter.isDefined)) return None
+    val reqs: Seq[MetaReq] = aggCalls.map(_.aggregateFunction match {
+      case Count(Seq(Literal(v, _))) if v != null => CountStarReq
+      case Count(Seq(a: AttributeReference)) => CountColReq(a.name, a.nullable)
+      case Min(a: AttributeReference) if GraftTable.statTag(a.dataType).isDefined =>
+        BoundReq(a.name, a.dataType, takeMax = false)
+      case Max(a: AttributeReference) if GraftTable.statTag(a.dataType).isDefined =>
+        BoundReq(a.name, a.dataType, takeMax = true)
+      case _ => return None
+    })
+    val (condOpt, allEntries) = stripProjects(agg.child) match {
+      case Filter(c, ch) =>
+        (Some(c), planEntries(stripProjects(ch)).getOrElse(return None))
+      case other => (None, planEntries(other).getOrElse(return None))
+    }
+    if (allEntries.exists(_.renames.exists(_.nonEmpty))) return None
+    // WHERE: classify every file provably in/out (count discipline is
+    // requireNullFree — every row of an inside file must pass, they
+    // contribute whole files to their groups); no straddlers
+    val entries = condOpt match {
+      case None => allEntries
+      case Some(cond) =>
+        val (cmps, notNulls, nullCmp) = catalystStatCmps(cond).getOrElse(return None)
+        if (nullCmp) Nil // predicate can never hold → zero groups
+        else classifyFiltered(allEntries, cmps, notNulls,
+          requireNullFree = true, forbidDv = reqs.exists(_.isInstanceOf[BoundReq]))
+          .getOrElse(return None)._2
+    }
+    val folded = foldGroupedMetaAgg(entries,
+      groupAttrs.map(a => a.name -> a.dataType), reqs).getOrElse(return None)
+    // assemble: LocalRelation rows carry [group values..., agg values...]
+    // keep the source attributes' nullability — the fold proved the
+    // group columns null-free, but the plan above was resolved against
+    // the relation's declared types
+    val groupOut = groupAttrs.map(a =>
+      AttributeReference(a.name, a.dataType, a.nullable)())
+    val aggOut = aggCalls.zipWithIndex.map { case (ae, i) =>
+      AttributeReference(s"_meta_agg_$i", ae.dataType,
+        nullable = ae.aggregateFunction match {
+          case Count(_) => false // counts answer 0, never NULL
+          case _ => true // an all-NULL group's bound is SQL NULL
+        })()
+    }
+    val rows = folded.map { case (key, answers) =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ answers)
+    }
+    val local = LocalRelation(groupOut ++ aggOut, rows)
+    val groupMap = groupAttrs.map(_.exprId).zip(groupOut).toMap
+    val aggMap = aggCalls.map(_.resultId).zip(aggOut).toMap
+    // substitute; keep every output exprId stable so parents resolve
+    val projected = agg.aggregateExpressions.map { ne =>
+      val t = ne.transformUp {
+        case ae: AggregateExpression => aggMap(ae.resultId)
+        case a: AttributeReference if groupMap.contains(a.exprId) => groupMap(a.exprId)
+      }
+      t match {
+        case a: Alias => a
+        case a: Attribute if a.exprId == ne.exprId => a
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    Some(Project(projected, local))
   }
 
   private def graftEntries(lr: LogicalRelation)

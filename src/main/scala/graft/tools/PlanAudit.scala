@@ -7,10 +7,8 @@ import graft.{Queries => Q}
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master("local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -960,9 +958,12 @@ object PlanAudit {
         s"$wh/ns/hotf", "k", 4)
       GraftTable.writeBucketed(spark.range(0, 1000).selectExpr(
         "cast(id as int) AS k", "cast(id % 7 as int) AS seg"), s"$wh/ns/hotd", "k", 4)
+      // the skew escape (partiallyClusteredDistribution) is NOT set here
+      // — it comes from the DEFAULT graft session bootstrap
+      // (graft.GraftSession.RequiredConfs), which is the round-13 ask:
+      // a hot bucket must multi-task without per-query opt-in
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
         "spark.sql.files.maxPartitionBytes" -> (128 * 1024).toString,
         "spark.sql.files.openCostInBytes" -> "0")
         .map { case (k, v) =>
@@ -1640,6 +1641,74 @@ object PlanAudit {
       println(s"[plan] q179_meta_filtered_stock: ${results.mkString(" ")}")
       if (checks.exists(!_._2))
         println(s"[plan-debug] q179 clean plan:\n${clean.queryExecution.executedPlan}")
+    }
+    locally {
+      // q181/q182: GROUPED metadata aggregates + IN-list exact prune in
+      // a truly stock session — GROUP BY over a partition-shaped layout
+      // (one single-valued file per enum value) folds per group from
+      // the manifest (LocalTableScan, zero files); a multi-valued
+      // layout bails to the real scan; IN over the partition column
+      // folds, IN over the range-valued key stays advisory
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import graft.core.GraftTable
+      val wh = java.nio.file.Files.createTempDirectory("plan_gmeta").toString
+      (0 until 4).foreach { i =>
+        val slice = spark.range(i * 1000L, (i + 1) * 1000L)
+          .selectExpr(s"'e$i' AS part", "id AS k", "id * 3 AS v")
+        if (i == 0) GraftTable.overwrite(slice.coalesce(1), s"$wh/ns/pp")
+        else GraftTable.append(slice.coalesce(1), s"$wh/ns/pp")
+      }
+      GraftTable.overwrite(spark.range(0, 1000)
+        .selectExpr("cast(id % 5 as int) AS g", "id AS x").coalesce(1), s"$wh/ns/mv")
+      val stock = spark.newSession()
+      stock.conf.set("spark.sql.catalog.pgm", classOf[graft.catalog.GraftCatalog].getName)
+      stock.conf.set("spark.sql.catalog.pgm.warehouse", wh)
+      stock.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      stock.conf.set(graft.plans.GraftRules.Key, "false")
+      def scansAndLocal(df: org.apache.spark.sql.DataFrame): (Int, Boolean) = {
+        df.collect()
+        var local = false
+        def walk(p: SparkPlan): Int = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _: FileSourceScanExec | _: BatchScanExec => 1
+          case _: org.apache.spark.sql.execution.LocalTableScanExec =>
+            local = true; 0
+          case o => o.children.map(walk).sum
+        }
+        (walk(df.queryExecution.executedPlan), local)
+      }
+      val grouped = stock.sql(
+        "SELECT part, count(*) AS n, min(k) AS mn, max(k) AS mx " +
+          "FROM pgm.ns.pp GROUP BY part")
+      val (gs, gLocal) = scansAndLocal(grouped)
+      val gRows = grouped.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val multi = stock.sql("SELECT g, count(*) AS n FROM pgm.ns.mv GROUP BY g")
+      val (ms, _) = scansAndLocal(multi)
+      val inFold = stock.sql(
+        "SELECT count(*) AS n, max(k) AS mx FROM pgm.ns.pp WHERE part IN ('e1', 'e3', 'zz')")
+      val (is, iLocal) = scansAndLocal(inFold)
+      val iRow = inFold.collect().head
+      val inAdv = stock.sql("SELECT count(*) AS n FROM pgm.ns.pp WHERE k IN (1500, 1501)")
+      val (as_, _) = scansAndLocal(inAdv)
+      val checks = Seq(
+        "grouped_agg_zero_scans" -> (gs == 0 && gLocal),
+        "grouped_agg_exact" -> (gRows == Map(
+          "e0" -> ((1000L, 0L, 999L)), "e1" -> ((1000L, 1000L, 1999L)),
+          "e2" -> ((1000L, 2000L, 2999L)), "e3" -> ((1000L, 3000L, 3999L)))),
+        "multi_valued_group_bails_to_scan" -> (ms > 0 &&
+          multi.collect().map(_.getLong(1)).sum == 1000L),
+        "in_list_claim_zero_scans" -> (is == 0 && iLocal &&
+          iRow.getLong(0) == 2000L && iRow.getLong(1) == 3999L),
+        "in_list_advisory_keeps_scan" -> (as_ > 0 &&
+          inAdv.collect().head.getLong(0) == 2L))
+      val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
+      println(s"[plan] q181_q182_grouped_meta: ${results.mkString(" ")}")
+      if (checks.exists(!_._2))
+        println(s"[plan-debug] grouped plan:\n${grouped.queryExecution.executedPlan}")
     }
     locally {
       // q170's dynamic file pruning: on a hash layout (min/max prune

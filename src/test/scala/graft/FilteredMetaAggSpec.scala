@@ -133,6 +133,37 @@ class FilteredMetaAggSpec extends AnyFunSuite with SparkSpecBase {
       s"claimed filters must leave no residual:\n${q.queryExecution.executedPlan}")
   }
 
+  test("DPP guard keys on the CLAIMED bytes: selective claim under the " +
+      "broadcast threshold stays advisory, above it claims") {
+    path
+    val bytes = Option(new java.io.File(s"$path/data").listFiles)
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).map(_.length)
+    val total = bytes.sum
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.fma", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.fma.warehouse", warehouse)
+    // the window claims 2 of 4 near-equal files (~total/2 bytes). A
+    // threshold BETWEEN the claimed size and the table size models the
+    // dim-just-above-broadcast case: claiming would shrink the reported
+    // stats under the threshold, get the dim broadcast with its Filter
+    // node gone, and kill the fact side's runtime pruning — the guard
+    // must keep the advisory path instead
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (total * 3 / 4).toString)
+    val guarded = s2.sql(
+      "SELECT count(*) AS n FROM fma.ns.t WHERE k >= 250 AND k <= 749")
+    assert(scansIn(guarded) > 0,
+      s"claimed bytes below the threshold must not claim:\n${guarded.queryExecution.executedPlan}")
+    assert(guarded.collect().head.getLong(0) == 500L)
+    // a threshold below the claimed size leaves broadcast behavior
+    // unchanged by the claim — the fold engages, zero scans
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (total / 8).toString)
+    val claimed = s2.sql(
+      "SELECT count(*) AS n FROM fma.ns.t WHERE k >= 250 AND k <= 749")
+    assert(scansIn(claimed) == 0,
+      s"claimed bytes above the threshold must fold:\n${claimed.queryExecution.executedPlan}")
+    assert(claimed.collect().head.getLong(0) == 500L)
+  }
+
   test("unrecognized shapes (OR, string ops) keep the advisory path, results exact") {
     val q = stock.sql(
       "SELECT count(*) AS n FROM fma.ns.t WHERE k >= 250 AND k <= 749 AND tag LIKE 't2%'")

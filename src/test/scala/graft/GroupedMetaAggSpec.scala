@@ -1,0 +1,180 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+import graft.core.GraftTable
+import graft.catalog.GraftCatalog
+
+/** GROUPED metadata aggregates + IN-list exact-prune — round-14's two
+  * manifest-fold extensions, on both surfaces:
+  *
+  *  - `SELECT k, count(*) / count(c) / min / max … GROUP BY k` answers
+  *    from the manifest when the layout is PARTITION-SHAPED on `k`
+  *    (every file single-valued, null-free on `k`) — the extension
+  *    rule ([[graft.plans.GraftPrune.rewriteGroupedMetaAgg]]) and the
+  *    stock-session v2 complete aggregate pushdown
+  *    ([[graft.catalog.GraftCatalog]]) must agree with the real scan
+  *    exactly, and must BAIL (not guess) on any multi-valued file;
+  *  - `WHERE k IN (…)` classifies files under the exact-prune claim:
+  *    single-valued member files are provably inside, member-free
+  *    ranges provably outside, anything else stays advisory. */
+class GroupedMetaAggSpec extends AnyFunSuite with SparkSpecBase {
+
+  private val warehouse = Files.createTempDirectory("graft_gmagg").toString
+
+  private lazy val stock = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.gma", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gma.warehouse", warehouse)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gma.ns")
+    s
+  }
+
+  /** Partition-shaped fixture: one file per `k` in {10,20,30,40}, each
+    * single-valued on `k`; `v` carries NULLs only inside k=30's file. */
+  private lazy val path = {
+    val p = s"$warehouse/ns/t"
+    Seq(10, 20, 30, 40).foreach { k =>
+      val slice = spark.range(k * 100L, k * 100L + 50 + k).selectExpr(
+        s"$k AS k", "id AS x",
+        if (k == 30) "CASE WHEN id % 5 = 0 THEN NULL ELSE id * 3 END AS v"
+        else "id * 3 AS v")
+      if (k == 10) GraftTable.overwrite(slice.coalesce(1), p)
+      else GraftTable.append(slice.coalesce(1), p)
+    }
+    p
+  }
+
+  private def scansIn(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    def count(pl: SparkPlan): Int = pl match {
+      case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+      case q: QueryStageExec => count(q.plan)
+      case _: FileSourceScanExec => 1
+      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => 1
+      case o => o.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def real = spark.read.format("graft").load(path)
+
+  test("stock session: GROUP BY over a partition-shaped layout folds with zero scans") {
+    path
+    val q = stock.sql(
+      "SELECT k, count(*) AS n, count(v) AS nv, min(x) AS mx, max(x) AS xx " +
+        "FROM gma.ns.t GROUP BY k")
+    assert(scansIn(q) == 0,
+      s"must fold from the manifest:\n${q.queryExecution.executedPlan}")
+    assert(canon(q) == canon(real.groupBy("k")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min(col("x")).as("mx"), max(col("x")).as("xx"))))
+  }
+
+  test("stock session: WHERE + GROUP BY folds under the exact-prune claim") {
+    val q = stock.sql(
+      "SELECT k, count(*) AS n, max(x) AS xx FROM gma.ns.t " +
+        "WHERE k >= 20 AND k <= 30 GROUP BY k")
+    assert(scansIn(q) == 0,
+      s"claimed filter + grouped fold must stay zero-scan:\n${q.queryExecution.executedPlan}")
+    assert(canon(q) == canon(real.filter(col("k") >= 20 && col("k") <= 30)
+      .groupBy("k").agg(count(lit(1)).as("n"), max(col("x")).as("xx"))))
+  }
+
+  test("a multi-valued file bails the grouped fold to the real scan, results exact") {
+    val p = s"$warehouse/ns/multi"
+    GraftTable.overwrite(spark.range(0, 100)
+      .selectExpr("cast(id % 3 as int) AS k", "id AS x").coalesce(1), p)
+    val q = stock.sql("SELECT k, count(*) AS n FROM gma.ns.multi GROUP BY k")
+    assert(scansIn(q) > 0, "a file straddling groups needs real IO")
+    assert(canon(q) == canon(spark.read.format("graft").load(p)
+      .groupBy("k").agg(count(lit(1)).as("n"))))
+  }
+
+  test("extension rule: GROUP BY over a graft read becomes a LocalRelation") {
+    path
+    graft.plans.GraftPrune.install(spark)
+    val q = real.groupBy("k").agg(count(lit(1)).as("n"),
+      min(col("x")).as("mx"), max(col("x")).as("xx"))
+    assert(scansIn(q) == 0,
+      s"the rule must fold the grouped aggregate:\n${q.queryExecution.executedPlan}")
+    // oracle: the same rollup with the rules off
+    val saved = spark.conf.getOption(graft.plans.GraftRules.Key)
+    spark.conf.set(graft.plans.GraftRules.Key, "false")
+    try assert(canon(q) == canon(real.groupBy("k").agg(count(lit(1)).as("n"),
+      min(col("x")).as("mx"), max(col("x")).as("xx"))))
+    finally saved.fold(spark.conf.unset(graft.plans.GraftRules.Key))(
+      spark.conf.set(graft.plans.GraftRules.Key, _))
+  }
+
+  test("extension rule: filtered grouped fold classifies files, straddler bails") {
+    path
+    graft.plans.GraftPrune.install(spark)
+    val clean = real.filter(col("k") >= 20 && col("k") <= 40)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(scansIn(clean) == 0, "boundary-aligned grouped WHERE folds")
+    assert(clean.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      Map(20 -> 70L, 30 -> 80L, 40 -> 90L))
+    // a bound cutting through k=30's x-range straddles that FILE —
+    // the whole rewrite must bail, results stay exact
+    val straddle = real.filter(col("x") > 3010L).groupBy("k").agg(count(lit(1)).as("n"))
+    assert(scansIn(straddle) > 0, "a straddling file needs real IO")
+    assert(canon(straddle) == canon(real.filter(col("x") > 3010L)
+      .groupBy("k").agg(count(lit(1)).as("n"))))
+  }
+
+  test("IN-list exact prune: member files fold, member-free files prune, zero scans") {
+    path
+    val q = stock.sql(
+      "SELECT count(*) AS n, max(x) AS xx FROM gma.ns.t WHERE k IN (20, 40, 99)")
+    assert(scansIn(q) == 0,
+      s"IN over a partition-shaped layout must fold:\n${q.queryExecution.executedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 70L + 90L)
+    assert(r.getLong(1) == real.filter(col("k").isin(20, 40))
+      .agg(max("x")).collect().head.getLong(0))
+  }
+
+  test("IN-list on a range layout (no single-valued files) stays advisory, results exact") {
+    val p = s"$warehouse/ns/ranged"
+    (0 until 4).foreach { i =>
+      val slice = spark.range(i * 250L, (i + 1) * 250L).selectExpr("id AS k", "id AS x")
+      if (i == 0) GraftTable.overwrite(slice.coalesce(1), p)
+      else GraftTable.append(slice.coalesce(1), p)
+    }
+    // 260 sits inside file 2's [250,500) range without covering it
+    val q = stock.sql("SELECT count(*) AS n FROM gma.ns.ranged WHERE k IN (260, 261)")
+    assert(scansIn(q) > 0, "a member inside a multi-valued range cannot claim")
+    assert(q.collect().head.getLong(0) == 2L)
+    // members entirely OUTSIDE every file range: outside-classification
+    // holds for all files → zero-row fold, zero scans
+    val none = stock.sql("SELECT count(*) AS n FROM gma.ns.ranged WHERE k IN (5000, 6000)")
+    assert(scansIn(none) == 0,
+      s"member-free ranges classify every file outside:\n${none.queryExecution.executedPlan}")
+    assert(none.collect().head.getLong(0) == 0L)
+  }
+
+  test("grouped fold respects deletion vectors: count(*) liveRows-exact, bounds scan") {
+    val p = s"$warehouse/ns/dvg"
+    Seq(1, 2, 3).foreach { k =>
+      val slice = spark.range(k * 1000L, k * 1000L + 100).selectExpr(s"$k AS k", "id AS x")
+      if (k == 1) GraftTable.overwrite(slice.coalesce(1), p)
+      else GraftTable.append(slice.coalesce(1), p)
+    }
+    GraftTable.setProperties(p, Map("graft.deletionVectors" -> "true"))
+    GraftTable.deleteWhereMor(spark, p, col("x") % 10 === 3)
+    val cnt = stock.sql("SELECT k, count(*) AS n FROM gma.ns.dvg GROUP BY k")
+    assert(scansIn(cnt) == 0, "grouped live counts are DV-exact")
+    assert(cnt.collect().map(r => (r.getInt(0), r.getLong(1))).toMap ==
+      Map(1 -> 90L, 2 -> 90L, 3 -> 90L))
+    val mx = stock.sql("SELECT k, max(x) AS xx FROM gma.ns.dvg GROUP BY k")
+    assert(scansIn(mx) > 0, "a vector may have killed a group's extremum — must scan")
+    assert(canon(mx) == canon(spark.read.format("graft").load(p)
+      .groupBy("k").agg(max(col("x")).as("xx"))))
+  }
+}
