@@ -1591,6 +1591,28 @@ SELECT (SELECT count(*) FROM orders
           (SELECT min(o_orderkey) FROM orders),
           (SELECT min(o_orderkey) + 1 FROM orders))) AS n_adv""",
 
+    // OR-of-ranges under the claim (folded) + the off-by-one straddling
+    // disjunction (advisory scan) — same rank-slice boundary derivation
+    // as q179, same declarative statement for both paths
+    "q183_meta_or_stock" -> """
+WITH rk AS (SELECT o_orderkey, o_custkey, row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders),
+n AS (SELECT count(*) AS c FROM orders),
+k1 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 8 + 1),
+k2 AS (SELECT o_orderkey AS v FROM rk, n WHERE rn = c // 2)
+SELECT k1.v AS lo, k2.v AS hi,
+       (SELECT count(*) FROM orders WHERE o_orderkey < k1.v OR o_orderkey > k2.v) AS n_or,
+       (SELECT min(o_custkey) FROM orders WHERE o_orderkey < k1.v OR o_orderkey > k2.v) AS min_ck,
+       (SELECT max(o_custkey) FROM orders WHERE o_orderkey < k1.v OR o_orderkey > k2.v) AS max_ck,
+       (SELECT count(*) FROM orders WHERE o_orderkey <= k1.v OR o_orderkey > k2.v) AS n_straddle
+FROM k1, k2""",
+
+    // the yearly rollup is layout-invisible: the oracle computes it the
+    // real way over the raw orders
+    "q184_meta_year_rollup" -> """
+SELECT epoch_us(date_trunc('year', o_orderdate)) AS yr_us, count(*) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY 1""",
+
     // rollback-as-commit: the restored head is the pre-mistake table,
     // the bad version still time-travels — both worlds declarative
     "q144_restore" -> """

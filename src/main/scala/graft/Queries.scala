@@ -2716,18 +2716,19 @@ object Queries {
     * session. The single most common BI probe — `SELECT count(*) FROM t
     * WHERE d BETWEEN …` — must not pay a scan a 100 TB manifest can
     * answer. */
-  def metaFilteredStockQ(s: SparkSession, d: String): DataFrame = {
-    import graft.core.GraftTable
-    import org.apache.spark.sql.expressions.Window
-    // immutable fixture (rank-sliced layout + window bounds); the timed
-    // operator is the stock-session pushdown fold
-    val (root, path, lo, hi) = Fixture.ensure("q179", d) {
+  /** Shared q179/q183 fixture: 8 rank-sliced boundary-aligned files on
+    * `o_orderkey` — boundaries are a deterministic function of the KEYS
+    * (not the range partitioner), so the oracle recomputes the same
+    * windows. Returns (warehouse root, path, lo, hi) where [lo, hi]
+    * covers slices 2..4 exactly. */
+  private def metaSlicedFixture(s: SparkSession, d: String): (String, String, Long, Long) =
+    Fixture.ensure("q179", d) {
+      import graft.core.GraftTable
+      import org.apache.spark.sql.expressions.Window
       val r = java.nio.file.Files.createTempDirectory("graft_metastock").toString
       val p = s"$r/ns/orders_fs"
       val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       val n = orders.count()
-      // 8 rank-sliced files — boundaries are a deterministic function of
-      // the KEYS, so the oracle recomputes the same windows
       val ranked = orders.withColumn("rn",
         row_number().over(Window.orderBy(col("o_orderkey"))))
       val ends = (0 to 8).map(i => n * i / 8)
@@ -2739,6 +2740,11 @@ object Queries {
         ranked.filter(col("rn") === rn).select(col("o_orderkey")).head().getLong(0)
       (r, p, keyAt(n / 8 + 1), keyAt(n / 2)) // slices 2..4, exactly
     }
+
+  def metaFilteredStockQ(s: SparkSession, d: String): DataFrame = {
+    // immutable fixture (rank-sliced layout + window bounds); the timed
+    // operator is the stock-session pushdown fold
+    val (root, _, lo, hi) = metaSlicedFixture(s, d)
     val stock = s.newSession()
     stock.conf.set("spark.sql.catalog.gq179", classOf[graft.catalog.GraftCatalog].getName)
     stock.conf.set("spark.sql.catalog.gq179.warehouse", root)
@@ -2756,6 +2762,69 @@ object Queries {
     s.range(1).select(lit(lo).as("lo"), lit(hi).as("hi"),
       lit(clean.getLong(0)).as("n_clean"), lit(clean.getLong(1)).as("min_ck"),
       lit(clean.getLong(2)).as("max_ck"), lit(straddle.getLong(0)).as("n_straddle"))
+  }
+
+  /** q183: OR-OF-RANGES under the exact-prune claim (round-13 "what's
+    * missing" #3) — `count/min/max WHERE k < lo OR k > hi` over the
+    * boundary-aligned layout classifies per file through the tri-state
+    * predicate TREE ([[graft.plans.GraftPrune.classifyFilteredTree]]):
+    * slice 1 and slices 5..8 are provably inside (one branch each),
+    * slices 2..4 provably outside (both branches fail), and the
+    * aggregate folds from the manifest with zero files read. The same
+    * gate carries the off-by-one disjunction (`k <= lo OR k > hi`) in
+    * which slice 2 straddles — the claim must degrade to the advisory
+    * scan with exact rows. */
+  def metaOrRangesStockQ(s: SparkSession, d: String): DataFrame = {
+    val (root, _, lo, hi) = metaSlicedFixture(s, d)
+    val stock = s.newSession()
+    stock.conf.set("spark.sql.catalog.gq183", classOf[graft.catalog.GraftCatalog].getName)
+    stock.conf.set("spark.sql.catalog.gq183.warehouse", root)
+    stock.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val folded = stock.sql(
+      s"""SELECT count(*) AS n, min(o_custkey) AS mn, max(o_custkey) AS mx
+          FROM gq183.ns.orders_fs
+          WHERE o_orderkey < $lo OR o_orderkey > $hi""").collect().head
+    val straddle = stock.sql(
+      s"""SELECT count(*) AS n FROM gq183.ns.orders_fs
+          WHERE o_orderkey <= $lo OR o_orderkey > $hi""").collect().head
+    s.range(1).select(lit(lo).as("lo"), lit(hi).as("hi"),
+      lit(folded.getLong(0)).as("n_or"), lit(folded.getLong(1)).as("min_ck"),
+      lit(folded.getLong(2)).as("max_ck"), lit(straddle.getLong(0)).as("n_straddle"))
+  }
+
+  /** q184: the DAILY-ROLLUP shape at yearly grain — `SELECT
+    * date_trunc('year', d), count(*), min, max … GROUP BY 1` over a
+    * year-clustered layout answers from the manifest via the MONOTONIC
+    * grouped fold ([[graft.plans.GraftPrune.rewriteGroupedMetaAgg]]
+    * through `PullOutGroupingExpressions`' extracted shape): per file,
+    * trunc(min) == trunc(max) proves the whole file lands in one
+    * period, so each year's aggregates fold from that year's file
+    * stats — zero files read (GroupedMetaAggSpec pins the finer-grain
+    * bail; PlanAudit pins the plan). The most common BI rollup a
+    * date-partitioned 100 TB table serves. */
+  def metaYearRollupQ(s: SparkSession, d: String): DataFrame = {
+    import graft.core.GraftTable
+    graft.plans.GraftPrune.install(s)
+    val path = Fixture.ensure("q184", d) {
+      val r = java.nio.file.Files.createTempDirectory("graft_metayr").toString
+      val p = s"$r/orders_yr"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      // one file per year PRESENT IN THE DATA (a handful of values —
+      // never hardcode the span: this dataset's dates are not TPC-H's)
+      val years = orders.select(year(col("o_orderdate")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.foreach { y =>
+        GraftTable.append(orders.filter(year(col("o_orderdate")) === y).coalesce(1),
+          p, statsCols = Seq("o_orderkey", "o_orderdate"))
+      }
+      p
+    }
+    GraftTable.read(s, path)
+      .groupBy(date_trunc("year", col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .select(micros(col("yr")).as("yr_us"), col("n_orders"),
+        col("min_key"), col("max_key"))
   }
 
   /** Shared q181/q182 fixture: orders laid out PARTITION-SHAPED on
@@ -3292,6 +3361,8 @@ object Queries {
     "q180_spj_skew_join" -> (spjSkewJoinQ _),
     "q181_meta_grouped_stock" -> (metaGroupedStockQ _),
     "q182_meta_in_stock" -> (metaInListStockQ _),
+    "q183_meta_or_stock" -> (metaOrRangesStockQ _),
+    "q184_meta_year_rollup" -> (metaYearRollupQ _),
     "q01_agg_pushdown" -> (aggPushdown _),
     "q02_star_join" -> (starJoin _),
     "q03_staging_envelope" -> (stagingEnvelope _),

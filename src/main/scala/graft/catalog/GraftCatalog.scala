@@ -657,15 +657,14 @@ private[graft] class GraftNamedScanBuilder(path: String, tableSchema: StructType
         val bcast = org.apache.spark.sql.internal.SQLConf.get
           .autoBroadcastJoinThreshold
         for {
-          _ <- graft.plans.GraftPrune.v1StatCmps(tableSchema, filters.toSeq)
+          _ <- graft.plans.GraftPrune.v1StatPred(tableSchema, filters.toSeq)
           m <- snap
-          (cmps, notNulls, inLists) <- graft.plans.GraftPrune.v1StatCmps(
+          pred <- graft.plans.GraftPrune.v1StatPred(
             StructType.fromDDL(m.schemaDdl), filters.toSeq)
           entries = GraftTable.filesOf(path, m)
           if !entries.exists(_.renames.exists(_.nonEmpty))
-          (_, inside) <- graft.plans.GraftPrune.classifyFiltered(entries,
-            cmps, notNulls, requireNullFree = true, forbidDv = false,
-            ins = inLists)
+          (_, inside) <- graft.plans.GraftPrune.classifyFilteredTree(entries,
+            pred, forbidDv = false)
           // DPP guard on the CLAIMED (inside-subset) bytes — the size
           // estimateStatistics will report once the claim holds, and
           // therefore the size that drives Spark's broadcast decision:
@@ -769,7 +768,11 @@ private[graft] object GraftMetaAggFold {
       case mx: Max => SMax(ref(mx.column).getOrElse(return None))
       case _ => return None
     }
-    if (shapes.isEmpty) return None
+    // zero aggregates + GROUP BY is `SELECT DISTINCT part` — on a
+    // partition-shaped layout the distinct set IS the manifest's group
+    // keys (live groups only); zero aggregates WITHOUT grouping has
+    // nothing to answer
+    if (shapes.isEmpty && groupRefs.isEmpty) return None
     val m = snap().getOrElse(return None)
     val schema = StructType.fromDDL(m.schemaDdl)
     def field(n: String): Option[StructField] = schema.fields.find(_.name == n)
@@ -798,7 +801,8 @@ private[graft] object GraftMetaAggFold {
     } else {
       val groupFields = groupRefs.map(n => field(n).getOrElse(return None))
       val rows = GraftPrune.foldGroupedMetaAgg(entries,
-        groupFields.map(f => f.name -> f.dataType), translated.map(_._2))
+        GraftPrune.identityDims(groupFields.map(f => f.name -> f.dataType)),
+        translated.map(_._2))
         .getOrElse(return None)
         .map { case (key, answers) => key ++ answers }
       // group fields keep the TABLE's nullability: the fold proved the

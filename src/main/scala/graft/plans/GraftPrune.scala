@@ -525,6 +525,157 @@ object GraftPrune extends PredicateHelper {
     Some((total, inside))
   }
 
+  /** Tri-state classification of one file against a stats predicate
+    * TREE — the exact-prune claim generalized past conjunctions to
+    * arbitrary AND/OR nesting (OR-of-ranges, OR of IN lists — the BI
+    * shapes round-13's claim degraded on). Leaf semantics per file:
+    *
+    *  - a comparison/IN over an all-NULL column is OUTSIDE at that LEAF
+    *    (no row satisfies it) — under OR another branch may still admit
+    *    the file, which the old conjunction classifier could not model;
+    *  - AND: any Outside → Outside; all Inside → Inside; else straddle;
+    *  - OR: any Inside → Inside; all Outside → Outside; else straddle;
+    *  - one straddling file kills the whole claim (stats answer, never
+    *    guess).
+    *
+    * Claim discipline (every ROW of an inside file must pass, because
+    * the claimed filters become the file prune with zero residual): an
+    * inside file must be null-free on EVERY involved column — a null
+    * row fails every comparison leaf it hits, and whether some OR
+    * branch rescues it is row-level knowledge stats don't carry — so
+    * nulls anywhere degrade to advisory. Deletion-vector files
+    * contribute liveRows (every live row passes); `forbidDv` bails on
+    * them instead for callers folding bounds. */
+  private[graft] sealed trait StatPred
+  private[graft] case class PCmp(cmp: StatCmp) extends StatPred
+  private[graft] case class PIn(in: StatIn) extends StatPred
+  private[graft] case class PNotNull(col: String) extends StatPred
+  private[graft] case class PAnd(ps: Seq[StatPred]) extends StatPred
+  private[graft] case class POr(ps: Seq[StatPred]) extends StatPred
+  /** A comparison against a NULL literal — no row ever passes. */
+  private[graft] case object PNever extends StatPred
+
+  private[graft] def predCols(p: StatPred): Set[String] = p match {
+    case PCmp(c) => Set(c.col)
+    case PIn(i) => Set(i.col)
+    case PNotNull(c) => Set(c)
+    case PAnd(ps) => ps.flatMap(predCols).toSet
+    case POr(ps) => ps.flatMap(predCols).toSet
+    case PNever => Set.empty
+  }
+
+  private[graft] def classifyFilteredTree(
+      entries: Seq[graft.core.GraftTable.FileEntry],
+      pred: StatPred, forbidDv: Boolean)
+      : Option[(Long, List[graft.core.GraftTable.FileEntry])] = {
+    val involved = predCols(pred)
+    if (involved.isEmpty) return None
+    var total = 0L
+    var inside = List.empty[graft.core.GraftTable.FileEntry]
+    sealed trait Cls
+    case object Inside extends Cls
+    case object Outside extends Cls
+    case object Straddle extends Cls
+    entries.foreach { fe =>
+      if (fe.rows > 0) {
+        val st = involved.map(c => c -> fe.stats.getOrElse(c, return None)).toMap
+        def leafBounds(col: String, tag: String): Option[(String, String)] = {
+          val s = st(col)
+          if (s.t != tag) None // type-evolved history — treated as straddle below
+          else for (mn <- s.min; mx <- s.max) yield (mn, mx)
+        }
+        def eval(p: StatPred): Cls = p match {
+          case PNever => Outside
+          case PNotNull(c) =>
+            val s = st(c)
+            if (s.nulls == 0L) Inside
+            else if (s.min.isEmpty && s.max.isEmpty) Outside // all-NULL
+            else Straddle
+          case PCmp(c) => leafBounds(c.col, c.tag) match {
+            case None => if (st(c.col).min.isEmpty && st(c.col).max.isEmpty &&
+              st(c.col).t == c.tag) Outside else Straddle // no usable bounds — bail
+            case Some((mn, mx)) =>
+              val sat =
+                if (c.lower) { val r = GraftTable.cmp(c.tag, mn, c.enc)
+                  if (c.strict) r > 0 else r >= 0 }
+                else { val r = GraftTable.cmp(c.tag, mx, c.enc)
+                  if (c.strict) r < 0 else r <= 0 }
+              val fail =
+                if (c.lower) { val r = GraftTable.cmp(c.tag, mx, c.enc)
+                  if (c.strict) r <= 0 else r < 0 }
+                else { val r = GraftTable.cmp(c.tag, mn, c.enc)
+                  if (c.strict) r >= 0 else r > 0 }
+              if (fail) Outside else if (sat) Inside else Straddle
+          }
+          case PIn(i) => leafBounds(i.col, i.tag) match {
+            case None => if (st(i.col).min.isEmpty && st(i.col).max.isEmpty &&
+              st(i.col).t == i.tag) Outside else Straddle // no usable bounds — bail
+            case Some((mn, mx)) =>
+              if (!i.encs.exists(e => GraftTable.cmp(i.tag, e, mn) >= 0 &&
+                GraftTable.cmp(i.tag, e, mx) <= 0)) Outside
+              else if (GraftTable.cmp(i.tag, mn, mx) == 0 &&
+                i.encs.exists(e => GraftTable.cmp(i.tag, e, mn) == 0)) Inside
+              else Straddle
+          }
+          case PAnd(ps) =>
+            val cs = ps.map(eval)
+            if (cs.contains(Outside)) Outside
+            else if (cs.forall(_ == Inside)) Inside else Straddle
+          case POr(ps) =>
+            val cs = ps.map(eval)
+            if (cs.contains(Inside)) Inside
+            else if (cs.forall(_ == Outside)) Outside else Straddle
+        }
+        eval(pred) match {
+          case Outside => ()
+          case Inside =>
+            if (st.values.exists(_.nulls != 0L)) return None // row-level unknown
+            if (forbidDv && fe.dv.isDefined) return None
+            total += (if (fe.dv.isDefined) fe.liveRows else fe.rows)
+            inside ::= fe
+          case Straddle => return None
+        }
+      }
+    }
+    Some((total, inside))
+  }
+
+  /** Compile pushed V1 filters into a [[StatPred]] tree against
+    * `schema` — every node must be a recognized shape (comparison / IN
+    * / IS NOT NULL over a stats-tagged top-level column, AND, OR), else
+    * None and the caller keeps the filters residual (correct, just
+    * unfolded). The filter ARRAY is an implicit conjunction. */
+  private[graft] def v1StatPred(schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Option[StatPred] = {
+    import org.apache.spark.sql.sources._
+    def tagOf(a: String): Option[String] =
+      schema.fields.find(_.name == a).flatMap(f => GraftTable.statTag(f.dataType))
+    def cmp(a: String, v: Any, strict: Boolean, lower: Boolean): Option[StatPred] =
+      if (v == null) Some(PNever)
+      else tagOf(a).map(tag => PCmp(StatCmp(a, tag, GraftTable.encode(tag, v), strict, lower)))
+    def compile(f: org.apache.spark.sql.sources.Filter): Option[StatPred] = f match {
+      case IsNotNull(a) if schema.fieldNames.contains(a) => Some(PNotNull(a))
+      case GreaterThan(a, v) => cmp(a, v, strict = true, lower = true)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, strict = false, lower = true)
+      case LessThan(a, v) => cmp(a, v, strict = true, lower = false)
+      case LessThanOrEqual(a, v) => cmp(a, v, strict = false, lower = false)
+      case EqualTo(a, v) =>
+        for (lo <- cmp(a, v, strict = false, lower = true);
+             hi <- cmp(a, v, strict = false, lower = false))
+          yield PAnd(Seq(lo, hi))
+      case In(a, vs) => tagOf(a).map { tag =>
+        val encs = vs.filter(_ != null).map(GraftTable.encode(tag, _)).toSeq
+          .sortWith((x, y) => GraftTable.cmp(tag, x, y) < 0)
+        PIn(StatIn(a, tag, encs))
+      }
+      case And(l, r) => for (a <- compile(l); b <- compile(r)) yield PAnd(Seq(a, b))
+      case Or(l, r) => for (a <- compile(l); b <- compile(r)) yield POr(Seq(a, b))
+      case _ => None
+    }
+    val ps = filters.map(f => compile(f).getOrElse(return None))
+    if (ps.isEmpty) None else Some(if (ps.size == 1) ps.head else PAnd(ps))
+  }
+
   /** Translate a pushed V1 conjunction into [[StatCmp]]s + IS-NOT-NULL
     * columns against `schema` — the stock-session twin of
     * [[rewriteFilteredCount]]'s catalyst parse. EVERY filter must be a
@@ -641,36 +792,53 @@ object GraftPrune extends PredicateHelper {
     * surviving row → no group). Groups return sorted by encoded key for
     * deterministic output. Answers are (group key internal values,
     * per-req internal answers). */
+  /** One grouping dimension of the grouped fold: the stats COLUMN it
+    * reads, plus a MONOTONIC map from the column's internal values to
+    * the group key (identity for `GROUP BY k`; a truncation's eval for
+    * `GROUP BY date_trunc(unit, ts)`). Monotonicity is the correctness
+    * load-bearer: for a non-decreasing map, map(min) == map(max) proves
+    * the map is CONSTANT over every value in the file — which is false
+    * for arbitrary expressions (x % 2 agrees at endpoints while the
+    * interior differs), so callers must only pass truncation-shaped
+    * maps ([[monotonicGroupBase]]). */
+  private[graft] case class GroupDim(col: String,
+      dt: org.apache.spark.sql.types.DataType, map: Any => Any)
+
+  private[graft] def identityDims(
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Seq[GroupDim] =
+    cols.map { case (c, dt) => GroupDim(c, dt, identity) }
+
   private[graft] def foldGroupedMetaAgg(
       entries: Seq[graft.core.GraftTable.FileEntry],
-      groupCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      groupCols: Seq[GroupDim],
       reqs: Seq[MetaReq]): Option[Seq[(Seq[Any], Seq[Any])]] = {
     if (groupCols.isEmpty) return None
     if (entries.exists(_.renames.exists(_.nonEmpty))) return None
-    val tags = groupCols.map { case (c, dt) =>
-      (c, dt, GraftTable.statTag(dt).getOrElse(return None))
+    val tags = groupCols.map { g =>
+      (g, GraftTable.statTag(g.dt).getOrElse(return None))
     }
     val keyed = entries.filter(_.rows > 0).map { fe =>
-      val key = tags.map { case (c, _, tag) =>
-        val s = fe.stats.getOrElse(c, return None)
+      val key = tags.map { case (g, tag) =>
+        val s = fe.stats.getOrElse(g.col, return None)
         if (s.t != tag || s.nulls != 0L) return None
         val mn = s.min.getOrElse(return None)
         val mx = s.max.getOrElse(return None)
-        if (mn != mx) return None // multi-valued file straddles groups
-        mn
+        val kLo = g.map(decodeInternal(g.dt, mn))
+        val kHi = g.map(decodeInternal(g.dt, mx))
+        // a monotonic map agreeing at both endpoints is constant over
+        // the whole file; endpoint disagreement = the file straddles
+        // groups (for identity maps this is exactly min != max)
+        if (kLo != kHi) return None
+        kLo
       }
       key -> fe
     }
     val grouped = keyed.groupBy(_._1).toSeq
-      .sortBy(_._1.mkString(" "))
-      .flatMap { case (encKey, group) =>
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
+      .flatMap { case (key, group) =>
         val sub = group.map(_._2)
         if (sub.map(_.liveRows).sum == 0L) None // fully dv-masked group
-        else {
-          val answers = foldMetaAgg(sub, reqs).getOrElse(return None)
-          Some((tags.zip(encKey).map { case ((_, dt, _), enc) =>
-            decodeInternal(dt, enc) }, answers))
-        }
+        else Some((key, foldMetaAgg(sub, reqs).getOrElse(return None)))
       }
     Some(grouped)
   }
@@ -685,18 +853,33 @@ object GraftPrune extends PredicateHelper {
     * contribute whole, outside files nothing, one straddler bails).
     * At 100 TB this answers the second-most-common BI probe
     * (`GROUP BY day/enum` rollups) with one manifest read. */
+  /** The single stats column under a MONOTONIC grouping expression —
+    * the shapes where endpoint equality proves per-file constancy:
+    * `date_trunc(unit, ts)` / `trunc(d, fmt)` (period starts are
+    * non-decreasing for every unit), `year(d)`, `cast(ts as date)`.
+    * NOT general expressions: `x % 2` agrees at endpoints while the
+    * interior differs — the whitelist IS the correctness proof. */
+  private def monotonicGroupBase(e: Expression): Option[AttributeReference] = e match {
+    case t: TruncTimestamp if t.format.foldable => t.timestamp match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    case t: TruncDate if t.format.foldable => t.date match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    case Year(a: AttributeReference) => Some(a)
+    case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
+      c.child match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+    case _ => None
+  }
+
   private[graft] def rewriteGroupedMetaAgg(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate._
     if (agg.groupingExpressions.isEmpty) return None
-    val groupAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
-    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
-      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        stripProjects(c)
-      case other => other
-    }
     // SYNTACTIC vet first — translate the aggregates exactly as the
     // scalar paths do, before any manifest parse
     val aggCalls = agg.aggregateExpressions.flatMap(_.collect {
@@ -712,12 +895,55 @@ object GraftPrune extends PredicateHelper {
         BoundReq(a.name, a.dataType, takeMax = true)
       case _ => return None
     })
-    val (condOpt, allEntries) = stripProjects(agg.child) match {
-      case Filter(c, ch) =>
-        (Some(c), planEntries(stripProjects(ch)).getOrElse(return None))
-      case other => (None, planEntries(other).getOrElse(return None))
+    // walk down to the scan, RESOLVING the grouping expressions through
+    // intervening Projects: PullOutGroupingExpressions extracts a
+    // complex grouping (date_trunc(ts)) into `Alias AS
+    // _groupingexpression` below the Aggregate, so the grouping we see
+    // is a bare attr whose real shape lives in the Project
+    def resolveDown(p: LogicalPlan, tracked: Seq[Expression])
+        : (LogicalPlan, Seq[Expression]) = p match {
+      case Project(ps, c)
+          if ps.forall(e => e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+        val am: Map[ExprId, Expression] =
+          ps.collect { case al: Alias => al.exprId -> al.child }.toMap
+        if (am.isEmpty) resolveDown(c, tracked)
+        else resolveDown(c, tracked.map(_.transformUp {
+          case a: AttributeReference if am.contains(a.exprId) => am(a.exprId)
+        }))
+      case other => (other, tracked)
     }
+    val (mid, grouping1) = resolveDown(agg.child, agg.groupingExpressions)
+    val (leaf, groupExprs, condOpt) = mid match {
+      case Filter(c, ch) =>
+        val (lf, ge) = resolveDown(ch, grouping1)
+        (lf, ge, Some(c))
+      case other => (other, grouping1, None)
+    }
+    val allEntries = planEntries(leaf).getOrElse(return None)
     if (allEntries.exists(_.renames.exists(_.nonEmpty))) return None
+    // SAFETY: every attribute the fold reads BY NAME must be a direct
+    // leaf output — an alias shadowing a real column name would
+    // otherwise fold the wrong stats
+    val leafIds = leaf.output.map(_.exprId).toSet
+    val aggRefs = aggCalls.flatMap(_.aggregateFunction.collect {
+      case a: AttributeReference => a
+    })
+    if (!aggRefs.forall(a => leafIds.contains(a.exprId))) return None
+    if (!condOpt.forall(_.references.forall(r => leafIds.contains(r.exprId))))
+      return None
+    // grouping: plain leaf columns, or monotonic truncations of one
+    // leaf column (GROUP BY date_trunc('day', ts) — the daily-rollup
+    // shape a date-clustered 100 TB layout answers from its manifest)
+    val specs: Seq[(Expression, GroupDim)] = groupExprs.map {
+      case a: AttributeReference if leafIds.contains(a.exprId) =>
+        (a, GroupDim(a.name, a.dataType, identity))
+      case e =>
+        val a = monotonicGroupBase(e)
+          .filter(a => leafIds.contains(a.exprId)).getOrElse(return None)
+        (e, GroupDim(a.name, a.dataType, v =>
+          e.transform { case x: AttributeReference if x.exprId == a.exprId =>
+            Literal(v, a.dataType) }.eval()))
+    }
     // WHERE: classify every file provably in/out (count discipline is
     // requireNullFree — every row of an inside file must pass, they
     // contribute whole files to their groups); no straddlers
@@ -730,14 +956,16 @@ object GraftPrune extends PredicateHelper {
           requireNullFree = true, forbidDv = reqs.exists(_.isInstanceOf[BoundReq]))
           .getOrElse(return None)._2
     }
-    val folded = foldGroupedMetaAgg(entries,
-      groupAttrs.map(a => a.name -> a.dataType), reqs).getOrElse(return None)
+    val folded = foldGroupedMetaAgg(entries, specs.map(_._2), reqs)
+      .getOrElse(return None)
     // assemble: LocalRelation rows carry [group values..., agg values...]
-    // keep the source attributes' nullability — the fold proved the
-    // group columns null-free, but the plan above was resolved against
-    // the relation's declared types
-    val groupOut = groupAttrs.map(a =>
-      AttributeReference(a.name, a.dataType, a.nullable)())
+    // Output attrs mirror the ORIGINAL grouping expressions (what the
+    // select list references — post-PullOutGroupingExpressions that is
+    // a bare `_groupingexpression` attr), keeping declared nullability
+    val groupOut = agg.groupingExpressions.map { orig =>
+      val name = orig match { case a: AttributeReference => a.name; case _ => "_meta_group" }
+      AttributeReference(name, orig.dataType, orig.nullable)()
+    }
     val aggOut = aggCalls.zipWithIndex.map { case (ae, i) =>
       AttributeReference(s"_meta_agg_$i", ae.dataType,
         nullable = ae.aggregateFunction match {
@@ -749,13 +977,18 @@ object GraftPrune extends PredicateHelper {
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(key ++ answers)
     }
     val local = LocalRelation(groupOut ++ aggOut, rows)
-    val groupMap = groupAttrs.map(_.exprId).zip(groupOut).toMap
+    val groupPairs = agg.groupingExpressions.zip(groupOut)
     val aggMap = aggCalls.map(_.resultId).zip(aggOut).toMap
-    // substitute; keep every output exprId stable so parents resolve
+    // substitute; keep every output exprId stable so parents resolve.
+    // Group substitution is by SEMANTIC equality: a truncation grouping
+    // reappears in the select list as a semantically-equal expression,
+    // not a shared reference (identity groupings are attrs, where
+    // semanticEquals is exactly the exprId match)
     val projected = agg.aggregateExpressions.map { ne =>
       val t = ne.transformUp {
         case ae: AggregateExpression => aggMap(ae.resultId)
-        case a: AttributeReference if groupMap.contains(a.exprId) => groupMap(a.exprId)
+        case e if groupPairs.exists(_._1.semanticEquals(e)) =>
+          groupPairs.find(_._1.semanticEquals(e)).get._2
       }
       t match {
         case a: Alias => a

@@ -1694,7 +1694,44 @@ object PlanAudit {
       val iRow = inFold.collect().head
       val inAdv = stock.sql("SELECT count(*) AS n FROM pgm.ns.pp WHERE k IN (1500, 1501)")
       val (as_, _) = scansAndLocal(inAdv)
+      // OR-of-aligned-ranges folds through the tri-state tree; an OR
+      // branch cutting through a file straddles and keeps a real scan
+      val orFold = stock.sql(
+        "SELECT count(*) AS n, max(k) AS mx FROM pgm.ns.pp WHERE k < 1000 OR k >= 3000")
+      val (os, oLocal) = scansAndLocal(orFold)
+      val oRow = orFold.collect().head
+      val orStrad = stock.sql(
+        "SELECT count(*) AS n FROM pgm.ns.pp WHERE k < 1100 OR k >= 3000")
+      val (oss, _) = scansAndLocal(orStrad)
+      // the MONOTONIC grouped fold (q184): GROUP BY date_trunc over
+      // year-clustered files folds via the extension rule (this audit
+      // session's extensions are context-wide; rules stay ON here);
+      // a finer grain straddles every file and keeps the real scan
+      (0 until 3).foreach { y =>
+        GraftTable.append(spark.range(0, 500).selectExpr(
+          s"timestamp'${2000 + y}-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, cast(id % 300 as int), 0, 0, 0) AS ts",
+          s"id + ${y * 10000} AS v").coalesce(1), s"$wh/ns/yr")
+      }
+      import org.apache.spark.sql.functions.{col, count => fcount, date_trunc, lit, max => fmax}
+      def truncAgg(unit: String) = spark.read.format("graft").load(s"$wh/ns/yr")
+        .groupBy(date_trunc(unit, col("ts")).as("p"))
+        .agg(fcount(lit(1)).as("n"), fmax(col("v")).as("mx"))
+      val yearly = truncAgg("year")
+      val (ys, yLocal) = scansAndLocal(yearly)
+      val yRows = yearly.collect()
+      val monthly = truncAgg("month")
+      val (mos, _) = scansAndLocal(monthly)
       val checks = Seq(
+        "or_ranges_claim_zero_scans" -> (os == 0 && oLocal &&
+          oRow.getLong(0) == 2000L && oRow.getLong(1) == 3999L),
+        "or_straddler_keeps_scan" -> (oss > 0 &&
+          orStrad.collect().head.getLong(0) == 2100L),
+        "trunc_group_zero_scans" -> (ys == 0 && yLocal),
+        "trunc_group_exact" -> (yRows.length == 3 &&
+          yRows.map(_.getLong(2)).sorted.sameElements(Array(499L, 10499L, 20499L))),
+        "trunc_finer_grain_bails_to_scan" -> (mos > 0 &&
+          monthly.collect().map(_.getLong(1)).sum == 1500L),
         "grouped_agg_zero_scans" -> (gs == 0 && gLocal),
         "grouped_agg_exact" -> (gRows == Map(
           "e0" -> ((1000L, 0L, 999L)), "e1" -> ((1000L, 1000L, 1999L)),
@@ -1706,7 +1743,7 @@ object PlanAudit {
         "in_list_advisory_keeps_scan" -> (as_ > 0 &&
           inAdv.collect().head.getLong(0) == 2L))
       val results = checks.map { case (l, ok) => s"$l=${if (ok) "OK" else "MISS"}" }
-      println(s"[plan] q181_q182_grouped_meta: ${results.mkString(" ")}")
+      println(s"[plan] q181_q183_meta_folds: ${results.mkString(" ")}")
       if (checks.exists(!_._2))
         println(s"[plan-debug] grouped plan:\n${grouped.queryExecution.executedPlan}")
     }

@@ -140,13 +140,19 @@ class GroupedMetaAggSpec extends AnyFunSuite with SparkSpecBase {
       .agg(max("x")).collect().head.getLong(0))
   }
 
-  test("IN-list on a range layout (no single-valued files) stays advisory, results exact") {
+  /** Range layout: 4 files, k in [0,250) [250,500) [500,750) [750,1000). */
+  private lazy val rangedPath = {
     val p = s"$warehouse/ns/ranged"
     (0 until 4).foreach { i =>
       val slice = spark.range(i * 250L, (i + 1) * 250L).selectExpr("id AS k", "id AS x")
       if (i == 0) GraftTable.overwrite(slice.coalesce(1), p)
       else GraftTable.append(slice.coalesce(1), p)
     }
+    p
+  }
+
+  test("IN-list on a range layout (no single-valued files) stays advisory, results exact") {
+    val p = rangedPath
     // 260 sits inside file 2's [250,500) range without covering it
     val q = stock.sql("SELECT count(*) AS n FROM gma.ns.ranged WHERE k IN (260, 261)")
     assert(scansIn(q) > 0, "a member inside a multi-valued range cannot claim")
@@ -157,6 +163,78 @@ class GroupedMetaAggSpec extends AnyFunSuite with SparkSpecBase {
     assert(scansIn(none) == 0,
       s"member-free ranges classify every file outside:\n${none.queryExecution.executedPlan}")
     assert(none.collect().head.getLong(0) == 0L)
+  }
+
+  test("SELECT DISTINCT over the partition column answers from the manifest") {
+    path
+    graft.plans.GraftPrune.install(spark)
+    val q = real.select("k").distinct()
+    assert(scansIn(q) == 0,
+      s"the distinct set IS the manifest's group keys:\n${q.queryExecution.executedPlan}")
+    assert(q.collect().map(_.getInt(0)).sorted.sameElements(Array(10, 20, 30, 40)))
+    // stock session: exact regardless of whether the v2 path engages
+    val sq = stock.sql("SELECT DISTINCT k FROM gma.ns.t")
+    assert(sq.collect().map(_.getInt(0)).sorted.sameElements(Array(10, 20, 30, 40)))
+  }
+
+  test("extension rule: GROUP BY date_trunc over a year-clustered layout folds; " +
+      "finer grain straddles and bails") {
+    val p = s"$warehouse/ns/byyear"
+    (0 until 3).foreach { y =>
+      val slice = spark.range(0, 200).selectExpr(
+        s"timestamp'${1992 + y}-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, cast(id as int), 0, 0, 0) AS ts",
+        s"id + ${y * 1000} AS x")
+      if (y == 0) GraftTable.overwrite(slice.coalesce(1), p)
+      else GraftTable.append(slice.coalesce(1), p)
+    }
+    graft.plans.GraftPrune.install(spark)
+    def yearly = spark.read.format("graft").load(p)
+      .groupBy(date_trunc("year", col("ts")).as("yr"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = yearly
+    assert(scansIn(q) == 0,
+      s"year files fold the yearly rollup:\n${q.queryExecution.executedPlan}")
+    val saved = spark.conf.getOption(graft.plans.GraftRules.Key)
+    spark.conf.set(graft.plans.GraftRules.Key, "false")
+    try assert(canon(q) == canon(yearly))
+    finally saved.fold(spark.conf.unset(graft.plans.GraftRules.Key))(
+      spark.conf.set(graft.plans.GraftRules.Key, _))
+    // monthly grain over year-wide files: every file straddles months —
+    // the whole rewrite bails, results exact
+    def monthly = spark.read.format("graft").load(p)
+      .groupBy(date_trunc("month", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"))
+    val qm = monthly
+    assert(scansIn(qm) > 0, "month groups inside a year file need real IO")
+    spark.conf.set(graft.plans.GraftRules.Key, "false")
+    try assert(canon(qm) == canon(monthly))
+    finally saved.fold(spark.conf.unset(graft.plans.GraftRules.Key))(
+      spark.conf.set(graft.plans.GraftRules.Key, _))
+  }
+
+  test("OR-of-ranges claims through the tri-state tree; straddling branch bails") {
+    rangedPath
+    val q = stock.sql(
+      "SELECT count(*) AS n, min(x) AS mn, max(x) AS mx FROM gma.ns.ranged " +
+        "WHERE k < 250 OR k >= 750")
+    assert(scansIn(q) == 0,
+      s"a disjunction of aligned ranges must fold:\n${q.queryExecution.executedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    // one branch cuts through file 2 → that file straddles → advisory
+    val strad = stock.sql(
+      "SELECT count(*) AS n FROM gma.ns.ranged WHERE k < 260 OR k >= 750")
+    assert(scansIn(strad) > 0, "a straddling branch needs real IO")
+    assert(strad.collect().head.getLong(0) == 510L)
+    // a disjunction mixing recognized and unrecognized shapes stays
+    // advisory with exact results
+    val mixed = stock.sql(
+      "SELECT count(*) AS n FROM gma.ns.ranged WHERE k < 250 OR x % 2 = 0")
+    assert(scansIn(mixed) > 0)
+    assert(mixed.collect().head.getLong(0) ==
+      spark.read.format("graft").load(rangedPath)
+        .filter(col("k") < 250 || col("x") % 2 === 0).count())
   }
 
   test("grouped fold respects deletion vectors: count(*) liveRows-exact, bounds scan") {
