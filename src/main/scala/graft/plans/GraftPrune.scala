@@ -332,18 +332,29 @@ object GraftPrune extends PredicateHelper {
       case Min(_) | Max(_) => true
       case _ => false
     })
-    // parse the conjunction; anything unrecognized blocks the rewrite
-    val (statCmps, notNulls, nullCmp) = catalystStatCmps(cond).getOrElse(return None)
-    // classify: inside files (every non-null row passes), outside files
-    // (no row can pass), or bail on the first straddler
+    // parse the conjunction; an OR falls back to the tri-state TREE
+    // (which is stricter on nulls: every inside file must be null-free
+    // on every involved column — the conjunction path's single-column
+    // rows-minus-nulls counting has no sound OR analogue)
     var total = 0L
     var inside = List.empty[graft.core.GraftTable.FileEntry]
-    if (!nullCmp) {
-      val (t, ins) = classifyFiltered(entries, statCmps, notNulls,
-        requireNullFree = wantsBounds, forbidDv = wantsBounds)
-        .getOrElse(return None)
-      total = t
-      inside = ins
+    catalystStatCmps(cond) match {
+      case Some((statCmps, notNulls, nullCmp)) =>
+        // classify: inside files (every non-null row passes), outside
+        // files (no row can pass), or bail on the first straddler
+        if (!nullCmp) {
+          val (t, ins) = classifyFiltered(entries, statCmps, notNulls,
+            requireNullFree = wantsBounds, forbidDv = wantsBounds)
+            .getOrElse(return None)
+          total = t
+          inside = ins
+        }
+      case None =>
+        val pred = catalystStatPred(cond).getOrElse(return None)
+        val (t, ins) = classifyFilteredTree(entries, pred, forbidDv = wantsBounds)
+          .getOrElse(return None)
+        total = t
+        inside = ins
     }
     def filteredBound(a: AttributeReference, takeMax: Boolean): Any = {
       val tag = GraftTable.statTag(a.dataType).get
@@ -523,6 +534,52 @@ object GraftPrune extends PredicateHelper {
       }
     }
     Some((total, inside))
+  }
+
+  /** The CATALYST twin of [[v1StatPred]]: compile a catalyst predicate
+    * into the tri-state tree, for the extension-rule folds
+    * ([[rewriteFilteredCount]]/[[rewriteGroupedMetaAgg]] fall back to
+    * it when the plain conjunction parse hits an OR). `InSet` (the
+    * optimizer's large-IN form, internal values) compiles like `In`;
+    * NULL members drop — they never match. */
+  private[graft] def catalystStatPred(cond: Expression): Option[StatPred] = {
+    def cmp(a: AttributeReference, l: Literal, strict: Boolean, lower: Boolean)
+        : Option[StatPred] =
+      if (l.value == null) Some(PNever)
+      else GraftTable.statTag(a.dataType).map(tag => PCmp(StatCmp(a.name, tag,
+        GraftTable.encode(tag,
+          CatalystTypeConverters.convertToScala(l.value, l.dataType)), strict, lower)))
+    def inList(a: AttributeReference, internal: Seq[Any]): Option[StatPred] =
+      GraftTable.statTag(a.dataType).map { tag =>
+        val encs = internal.filter(_ != null).map(v => GraftTable.encode(tag,
+          CatalystTypeConverters.convertToScala(v, a.dataType)))
+          .sortWith((x, y) => GraftTable.cmp(tag, x, y) < 0)
+        PIn(StatIn(a.name, tag, encs))
+      }
+    def compile(e: Expression): Option[StatPred] = e match {
+      case IsNotNull(a: AttributeReference) => Some(PNotNull(a.name))
+      case GreaterThan(a: AttributeReference, l: Literal) => cmp(a, l, strict = true, lower = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, l, strict = false, lower = true)
+      case LessThan(a: AttributeReference, l: Literal) => cmp(a, l, strict = true, lower = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => cmp(a, l, strict = false, lower = false)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        for (lo <- cmp(a, l, strict = false, lower = true);
+             hi <- cmp(a, l, strict = false, lower = false)) yield PAnd(Seq(lo, hi))
+      case GreaterThan(l: Literal, a: AttributeReference) => cmp(a, l, strict = true, lower = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, l, strict = false, lower = false)
+      case LessThan(l: Literal, a: AttributeReference) => cmp(a, l, strict = true, lower = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => cmp(a, l, strict = false, lower = true)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        for (lo <- cmp(a, l, strict = false, lower = true);
+             hi <- cmp(a, l, strict = false, lower = false)) yield PAnd(Seq(lo, hi))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        inList(a, vs.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset) => inList(a, hset.toSeq)
+      case And(l, r) => for (x <- compile(l); y <- compile(r)) yield PAnd(Seq(x, y))
+      case Or(l, r) => for (x <- compile(l); y <- compile(r)) yield POr(Seq(x, y))
+      case _ => None
+    }
+    compile(cond)
   }
 
   /** Tri-state classification of one file against a stats predicate
@@ -949,12 +1006,18 @@ object GraftPrune extends PredicateHelper {
     // contribute whole files to their groups); no straddlers
     val entries = condOpt match {
       case None => allEntries
-      case Some(cond) =>
-        val (cmps, notNulls, nullCmp) = catalystStatCmps(cond).getOrElse(return None)
-        if (nullCmp) Nil // predicate can never hold → zero groups
-        else classifyFiltered(allEntries, cmps, notNulls,
-          requireNullFree = true, forbidDv = reqs.exists(_.isInstanceOf[BoundReq]))
-          .getOrElse(return None)._2
+      case Some(cond) => catalystStatCmps(cond) match {
+        case Some((cmps, notNulls, nullCmp)) =>
+          if (nullCmp) Nil // predicate can never hold → zero groups
+          else classifyFiltered(allEntries, cmps, notNulls,
+            requireNullFree = true, forbidDv = reqs.exists(_.isInstanceOf[BoundReq]))
+            .getOrElse(return None)._2
+        case None => // OR shapes: the tri-state tree
+          val pred = catalystStatPred(cond).getOrElse(return None)
+          classifyFilteredTree(allEntries, pred,
+            forbidDv = reqs.exists(_.isInstanceOf[BoundReq]))
+            .getOrElse(return None)._2
+      }
     }
     val folded = foldGroupedMetaAgg(entries, specs.map(_._2), reqs)
       .getOrElse(return None)

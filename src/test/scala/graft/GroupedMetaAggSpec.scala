@@ -237,6 +237,25 @@ class GroupedMetaAggSpec extends AnyFunSuite with SparkSpecBase {
         .filter(col("k") < 250 || col("x") % 2 === 0).count())
   }
 
+  test("extension rule: OR folds ride the tree — filtered count and OR + GROUP BY") {
+    graft.plans.GraftPrune.install(spark)
+    val q = spark.read.format("graft").load(rangedPath)
+      .filter(col("k") < 250 || col("k") >= 750)
+      .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))
+    assert(scansIn(q) == 0,
+      s"the rule's filtered fold must take OR through the tree:\n${q.queryExecution.executedPlan}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 999L)
+    // OR + GROUP BY over the partition-shaped layout: both branches
+    // classify whole files into / out of their groups
+    val g = real.filter(col("k") <= 20 || col("k") >= 40)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(scansIn(g) == 0,
+      s"grouped fold under OR must classify per file:\n${g.queryExecution.executedPlan}")
+    assert(g.collect().map(x => (x.getInt(0), x.getLong(1))).toMap ==
+      Map(10 -> 60L, 20 -> 70L, 40 -> 90L))
+  }
+
   test("grouped fold respects deletion vectors: count(*) liveRows-exact, bounds scan") {
     val p = s"$warehouse/ns/dvg"
     Seq(1, 2, 3).foreach { k =>
