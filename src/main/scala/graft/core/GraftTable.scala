@@ -614,23 +614,43 @@ object GraftTable {
   }
 
   /** Raw `xxhash64(v, i)` for every probe value × hash index, computed BY
-    * SPARK on literals (bit-identical to the write side by construction);
+    * SPARK on the values (bit-identical to the write side by construction);
     * one driver-local job per pruned read, probe-list-sized. Positions for
-    * a file with m bits are `floorMod(hash, m)`. */
+    * a file with m bits are `floorMod(hash, m)`.
+    *
+    * Shape matters: the values ride as ROWS of a one-partition local
+    * relation with k hash columns — NOT as values×k literal columns over
+    * one row, which for a DPP-sized probe list (10³-10⁶ keys) builds a
+    * 10⁴+-expression projection that Janino takes seconds to compile
+    * (measured 3.8 s of q170's 4.4 s inside readPrunedByKeys). */
   private[graft] def probeHashes(spark: SparkSession, dt: DataType, values: Seq[Any],
       k: Int): Map[Any, Seq[Long]] = {
-    val cols = for { (v, vi) <- values.zipWithIndex; i <- 0 until k }
-      yield xxhash64(lit(v).cast(dt), lit(i)).as(s"h_${vi}_$i")
-    val row = spark.range(1).select(cols: _*).head()
-    values.zipWithIndex.map { case (v, vi) =>
-      v -> (0 until k).map(i => row.getAs[Long](s"h_${vi}_$i"))
-    }.toMap
+    val vals = values.toIndexedSeq
+    val schema = StructType(Seq(
+      StructField("__vi", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("__v", dt)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        vals.zipWithIndex.map { case (v, i) => org.apache.spark.sql.Row(i, v) }).asJava
+    val hashed = spark.createDataFrame(rows, schema)
+      .select(col("__vi") +: (0 until k).map(i =>
+        xxhash64(col("__v"), lit(i)).as(s"h_$i")): _*)
+      .collect()
+    hashed.map(r => vals(r.getInt(0)) -> (1 to k).map(j => r.getLong(j)).toSeq).toMap
   }
 
-  private def bloomMayContain(bloom: String, rawHashes: Seq[Long]): Boolean = {
+  /** One file's bloom sidecar decoded for repeated probing: (k, m, bits).
+    * Decode ONCE per file per call site — a probe loop that re-decodes
+    * the 8 KiB base64 payload per VALUE turns an O(files) planning pass
+    * into O(files × values) allocation churn (the other 3.8 s half of
+    * the q170 measurement). */
+  private[graft] def parseBloom(bloom: String): (Int, Long, Array[Byte]) = {
     val Array(kS, mS, b64) = bloom.split(":", 3)
-    val (k, m) = (kS.toInt, mS.toLong)
-    val bytes = java.util.Base64.getDecoder.decode(b64)
+    (kS.toInt, mS.toLong, java.util.Base64.getDecoder.decode(b64))
+  }
+
+  private def bloomHit(pb: (Int, Long, Array[Byte]), rawHashes: Seq[Long]): Boolean = {
+    val (k, m, bytes) = pb
     rawHashes.take(k).forall { h =>
       val p = java.lang.Math.floorMod(h, m).toInt
       (bytes(p >>> 3) & (1 << (p & 7))) != 0
@@ -1963,11 +1983,14 @@ object GraftTable {
       case None => true
       case Some(st) =>
         if (st.min.isEmpty && st.max.isEmpty) false
-        else values.exists { v =>
-          val ev = encode(st.t, v)
-          st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
-            st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
-            st.bloom.forall(b => bloomMayContain(b, hashes(v)))
+        else {
+          val parsed = st.bloom.map(parseBloom) // decode once per file, not per value
+          values.exists { v =>
+            val ev = encode(st.t, v)
+            st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&
+              st.max.forall(mx => cmp(st.t, mx, ev) >= 0) &&
+              parsed.forall(pb => bloomHit(pb, hashes(v)))
+          }
         }
     }
 
