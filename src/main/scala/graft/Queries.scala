@@ -2597,7 +2597,7 @@ object Queries {
     * skip that works, the 100 TB star-join shape. The oracle is the
     * plain join — a probe that falsely skips a matching file breaks
     * the hash. */
-  private lazy val q170Root: String =
+  private[graft] lazy val q170Root: String =
     java.nio.file.Files.createTempDirectory("graft_dfp").toString
   private var q170BuiltFor: String = null
 

@@ -631,12 +631,39 @@ object GraftTable {
       StructField("__v", dt)))
     val rows: java.util.List[org.apache.spark.sql.Row] =
       scala.jdk.CollectionConverters.SeqHasAsJava(
-        vals.zipWithIndex.map { case (v, i) => org.apache.spark.sql.Row(i, v) }).asJava
+        vals.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i, toExternal(dt, v)) }).asJava
     val hashed = spark.createDataFrame(rows, schema)
       .select(col("__vi") +: (0 until k).map(i =>
         xxhash64(col("__v"), lit(i)).as(s"h_$i")): _*)
       .collect()
     hashed.map(r => vals(r.getInt(0)) -> (1 to k).map(j => r.getLong(j)).toSeq).toMap
+  }
+
+  /** Coerce a probe value to `dt`'s external row type before it rides the
+    * local relation: a row-based createDataFrame requires the exact JVM
+    * class (an Integer probed against a BIGINT column throws
+    * ClassCastException at collect — the literal path this replaced
+    * coerced via `lit(v).cast(dt)`). Widening Number → the column's
+    * numeric type reproduces that cast for every value that fits; a value
+    * that does NOT fit (2^40 against an INT column) can match no row, so
+    * any hash for it prunes safely — stats prune, the caller's exact
+    * filter decides. Non-numeric types pass through unchanged. */
+  private def toExternal(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (LongType, n: java.lang.Number) => n.longValue()
+    case (IntegerType, n: java.lang.Number) => n.intValue()
+    case (ShortType, n: java.lang.Number) => n.shortValue()
+    case (ByteType, n: java.lang.Number) => n.byteValue()
+    case (DoubleType, n: java.lang.Number) => n.doubleValue()
+    case (FloatType, n: java.lang.Number) => n.floatValue()
+    case (d: DecimalType, n: java.math.BigDecimal) =>
+      n.setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case (d: DecimalType, n: scala.math.BigDecimal) =>
+      n.bigDecimal.setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case (d: DecimalType, n: java.lang.Number) =>
+      new java.math.BigDecimal(n.toString).setScale(d.scale, java.math.RoundingMode.HALF_UP)
+    case _ => v
   }
 
   /** One file's bloom sidecar decoded for repeated probing: (k, m, bits).
@@ -1984,7 +2011,10 @@ object GraftTable {
       case Some(st) =>
         if (st.min.isEmpty && st.max.isEmpty) false
         else {
-          val parsed = st.bloom.map(parseBloom) // decode once per file, not per value
+          // decode once per file, not per value — and LAZILY, so a file
+          // whose range test rejects every probe value (the clustered
+          // layout, where blooms are never consulted) pays zero decodes
+          lazy val parsed = st.bloom.map(parseBloom)
           values.exists { v =>
             val ev = encode(st.t, v)
             st.min.forall(mn => cmp(st.t, mn, ev) <= 0) &&

@@ -918,20 +918,46 @@ object GraftPrune extends PredicateHelper {
     * interior differs — the whitelist IS the correctness proof. */
   private def monotonicGroupBase(e: Expression): Option[AttributeReference] = e match {
     case t: TruncTimestamp if t.format.foldable => t.timestamp match {
-      case a: AttributeReference => Some(a)
+      // date_trunc on a TIMESTAMP operates on session-local WALL time,
+      // and under a DST zone wall time is non-monotonic in the instant:
+      // at a fall-back a file whose endpoints both truncate to minute
+      // 01:10 can hold interior instants truncating to 01:45 (the
+      // repeated hour), so endpoint equality proves nothing. The claim
+      // holds only under a FIXED-OFFSET session zone (UTC, +08:00 …),
+      // where instant order IS wall order.
+      case a: AttributeReference if sessionZoneIsFixedOffset => Some(a)
       case _ => None
     }
     case t: TruncDate if t.format.foldable => t.date match {
-      case a: AttributeReference => Some(a)
+      case a: AttributeReference => Some(a) // DateType: no timezone at all
       case _ => None
     }
-    case Year(a: AttributeReference) => Some(a)
+    case Year(a: AttributeReference) => Some(a) // analyzer feeds Year dates only
     case c: Cast if c.dataType == org.apache.spark.sql.types.DateType =>
       c.child match {
-        case a: AttributeReference => Some(a)
+        // cast-to-date is only provably monotonic from temporal inputs:
+        // TIMESTAMP goes through session wall time (fixed-offset gate,
+        // as above); TIMESTAMP_NTZ and DATE are zone-free. A STRING
+        // child is NOT safe — lexicographic endpoint equality says
+        // nothing about interior parse results ('2020-01-05!' sits
+        // between '2020-01-05' and '2020-01-05 23:59' and casts NULL).
+        case a: AttributeReference
+            if a.dataType == org.apache.spark.sql.types.TimestampType =>
+          if (sessionZoneIsFixedOffset) Some(a) else None
+        case a: AttributeReference
+            if a.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+              a.dataType == org.apache.spark.sql.types.DateType => Some(a)
         case _ => None
       }
     case _ => None
+  }
+
+  /** True when the session timezone has no transitions (UTC, +HH:MM):
+    * the precondition for wall-time monotonicity in the instant. */
+  private def sessionZoneIsFixedOffset: Boolean = {
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    try java.time.ZoneId.of(tz).getRules.isFixedOffset
+    catch { case scala.util.control.NonFatal(_) => false }
   }
 
   private[graft] def rewriteGroupedMetaAgg(agg: Aggregate): Option[LogicalPlan] = {

@@ -164,12 +164,8 @@ object OptLab {
         dim.na.drop().distinct().limit(1000001).collect().map(_.get(0)).toSeq
       }
       println(s"[lab] run$i key count: ${keys.size}")
-      val path = {
-        // same fixture root the query uses
-        val f = graft.Queries.getClass.getDeclaredField("q170Root")
-        f.setAccessible(true)
-        f.get(graft.Queries).asInstanceOf[String] + "/lineitem_f"
-      }
+      // same fixture root the query uses (package-private, no reflection)
+      val path = graft.Queries.q170Root + "/lineitem_f"
       val scan = time(s"run$i readPrunedByKeys") {
         graft.core.GraftTable.readPrunedByKeys(spark, path, "l_orderkey",
           dim.select(col("o_orderkey")))

@@ -359,6 +359,31 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(wide.df.filter(col("k").isin(sample: _*)).count() == 40)
   }
 
+  test("pruned reads coerce mistyped probe values (Int probe vs BIGINT column)") {
+    val path = tmp() + "/t"
+    val rows = spark.range(0, 2000).select(col("id").as("k"))
+    GraftTable.overwrite(rows.repartition(8, col("k")), path, bloomCols = Seq("k"))
+    // Int probe against the BIGINT column: the pre-r15 row-based probe
+    // path threw ClassCastException at the probe-hash collect (the old
+    // literal path coerced via lit(v).cast(dt)); toExternal restores it
+    val scan = GraftTable.readPrunedIn(spark, path, "k", Seq(777))
+    assert(scan.filesRead <= 2, s"widened Int probe must bloom-prune, read ${scan.filesRead}/8")
+    assert(scan.df.filter(col("k") === 777).count() == 1)
+    // INT dim key joined to the BIGINT fact column: readPrunedByKeys must
+    // PRUNE, not swallow the mismatch into a silent full scan
+    val dim = df("k INT", Row(Int.box(11)), Row(Int.box(1234)))
+    val scan2 = GraftTable.readPrunedByKeys(spark, path, "k", dim)
+    assert(scan2.filesRead < scan2.filesTotal,
+      s"INT-keyed dim must still prune the BIGINT fact, read ${scan2.filesRead}/${scan2.filesTotal}")
+    val dimL = dim.select(col("k").cast("bigint").as("k"))
+    assert(canon(scan2.df.join(dimL, "k")) ==
+      canon(GraftTable.read(spark, path).join(dimL, "k")))
+    // a probe that cannot fit the column type matches no row and must
+    // neither throw nor lose rows for the values that do fit
+    val over = GraftTable.readPrunedIn(spark, path, "k", Seq(777, Long.MaxValue))
+    assert(over.df.filter(col("k") === 777).count() == 1)
+  }
+
   test("upsert keys touched files by full URI: a clone basename collision never over-rewrites") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

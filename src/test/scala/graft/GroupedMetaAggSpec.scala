@@ -213,6 +213,53 @@ class GroupedMetaAggSpec extends AnyFunSuite with SparkSpecBase {
       spark.conf.set(graft.plans.GraftRules.Key, _))
   }
 
+  test("date_trunc fold is GATED on a fixed-offset session timezone: a DST " +
+      "zone bails to the real scan (wall time is non-monotonic at fall-back)") {
+    // file straddling America/New_York's 2021-11-07 fall-back: instants
+    // 05:00:10Z..06:59:10Z are wall 01:00:10 EDT .. 01:59:10 EST — the
+    // 01:00 wall hour REPEATS, so endpoint minute-equality would lie
+    val p = s"$warehouse/ns/dst"
+    GraftTable.overwrite(
+      spark.range(0, 120).selectExpr(
+        "timestamp'2021-11-07 05:00:10Z' + " +
+          "make_interval(0, 0, 0, 0, 0, cast(id as int), 0) AS ts",
+        "id AS x").coalesce(1), p)
+    graft.plans.GraftPrune.install(spark)
+    def hourly = spark.read.format("graft").load(p)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val q = hourly
+      assert(scansIn(q) > 0,
+        s"a DST session zone must bail to the real scan:\n${q.queryExecution.executedPlan}")
+      // results stay exact (the real scan computes them)
+      val rows = q.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sortBy(_._1)
+      assert(rows.map(_._2).sum == 120L)
+      // the repeated wall hour proves the hazard is real: two distinct
+      // wall hours despite only one "01:xx" label direction
+      assert(rows.length == 2, s"fall-back hour folds two instant-hours: ${rows.toSeq}")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+    // UTC (fixed offset): unchanged — a file constant under the grouping
+    // still folds with zero scans (the gate is the ZONE, not the shape)
+    val pu = s"$warehouse/ns/dst_utc"
+    (0 until 2).foreach { h =>
+      val slice = spark.range(0, 50).selectExpr(
+        s"timestamp'2021-11-07 0$h:00:10Z' + " +
+          "make_interval(0, 0, 0, 0, 0, cast(id as int), 0) AS ts",
+        "id AS x")
+      if (h == 0) GraftTable.overwrite(slice.coalesce(1), pu)
+      else GraftTable.append(slice.coalesce(1), pu)
+    }
+    val qu = spark.read.format("graft").load(pu)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansIn(qu) == 0,
+      s"UTC keeps the hour-clustered fold:\n${qu.queryExecution.executedPlan}")
+    assert(qu.collect().map(_.getLong(1)).sorted.sameElements(Array(50L, 50L)))
+  }
+
   test("OR-of-ranges claims through the tri-state tree; straddling branch bails") {
     rangedPath
     val q = stock.sql(
