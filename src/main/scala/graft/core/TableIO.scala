@@ -141,6 +141,12 @@ object TableIO {
     recover(path)
     val tmp = path + ".__tmp__"
     deleteRecursively(new File(tmp))
+    // NOT rebalanced before the write: an r15 A/B added a REBALANCE hint
+    // here (guide §6's coalesce-on-write) and it shuffled every write's
+    // FULL output (q36's warehouse build: 46→280 MB shuffled, +42 stages)
+    // for zero wall gain — the downstream listing/footer cost of tiny
+    // files was not the bottleneck at any measured scale. Callers that
+    // need a specific output layout repartition explicitly.
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
     val old = new File(path + ".__old__")

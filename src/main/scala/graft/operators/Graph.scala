@@ -121,25 +121,36 @@ object Graph {
       .repartition(col("src"))
     val e = (if (distinctEdges) cast.dropDuplicates("src", "dst") else cast)
       .persist()
-    val nd = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-      .join(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")),
-        Seq("node"), "left")
+    // (node, out_deg) in ONE map-side-combinable exchange: every endpoint
+    // occurrence rides as a 1 (src — an out-edge) or a 0 (dst — presence
+    // only), so the single sum aggregation IS both the node-universe
+    // distinct and the out-degree count. The former shape (union →
+    // distinct → left join groupBy(src)) paid three |E|-sized exchanges
+    // for the same frame; partial aggregation shrinks this one to
+    // node-sized before it ever crosses the wire (guide §2.3/§2.4).
+    val nd = e.select(col("src").as("node"), lit(1L).as("__c"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__c")))
+      .groupBy(col("node")).agg(sum(col("__c")).as("out_deg"))
       .na.fill(0L, Seq("out_deg"))
       .persist()
     try {
-      val n = nd.count()
+      // node count and the dangling-structure probe in ONE driver action
+      // over the node-sized cache (was: nd.count + a separate limit job)
+      val hdr = nd.agg(count(lit(1)),
+        sum(when(col("out_deg") === 0, 1L).otherwise(0L))).first()
+      val n = hdr.getLong(0)
       require(n > 0, "edge list is empty")
+      // the initial uniform rank frame is a pure projection of the cached
+      // nd — materializing it separately bought nothing; iteration 1
+      // projects it straight off the cache
       var ranks = nd
         .select(col("node"), col("out_deg"),
           lit(1.0 / n).cast("decimal(24,12)").as("rank"))
-        .persist()
-      ranks.count(): Unit
       val base = (1.0 - damping) / n
       // one structural check up front: a graph with no dangling nodes
       // (e.g. any symmetric graph) skips the per-iteration mass scalar —
       // dangling-ness is a property of the edges, not of the ranks
-      val hasDangling = nd.filter(col("out_deg") === 0).limit(1).count() > 0
+      val hasDangling = hdr.getLong(1) > 0
       for (_ <- 1 to iterations) {
         // dangling mass rides along as a broadcast one-row frame instead
         // of a separate driver action: one Spark job per iteration, and
