@@ -223,16 +223,24 @@ object Graph {
       try {
         var labels = nodes.select(col("node"), col("node").as("community")).persist()
         labels.count(): Unit
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("node"))
-          .orderBy(col("n").desc, col("community").asc)
         for (_ <- 1 to rounds) {
           val counted = sym
             .join(labels.select(col("node").as("nbr"), col("community")), Seq("nbr"))
             .groupBy(col("node"), col("community")).agg(count(lit(1)).as("n"))
+          // winner per node = max count, ties to the SMALLEST label —
+          // expressed as one map-side-combinable max(struct) instead of a
+          // row_number window: the window needed a second exchange (hash
+          // (node, community) does not satisfy the window's hash(node))
+          // plus a per-node sort; the struct max is a DeclarativeAggregate
+          // that partial-combines before the wire. Tie order: struct
+          // comparison is field-by-field, and bitwise NOT inverts long
+          // order exactly (x < y ⟺ ~x > ~y, no overflow at Long.MinValue
+          // — unlike negation), so max(~community) IS min(community).
           val winner = counted
-            .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-            .select(col("node"), col("community"))
+            .groupBy(col("node"))
+            .agg(max(struct(col("n").as("n"),
+              bitwise_not(col("community")).as("nc"))).as("__w"))
+            .select(col("node"), bitwise_not(col("__w.nc")).as("community"))
           // isolated nodes (none here — every node has an edge) would
           // keep their own label via the left join + coalesce
           val next = nodes

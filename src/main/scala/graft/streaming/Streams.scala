@@ -249,11 +249,19 @@ object Streams {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val existing = TableIO.readOrEmpty(spark, dimPath,
-          Scd2.fromHistory(batch.limit(0), cfg))
-        val merged = Scd2.merge(existing, batch, cfg)
-        TableIO.overwriteAtomic(merged, dimPath)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // Scd2.merge references its delta 4+ times (skew guard, anchor
+        // semi-join, untouched-key anti-join, the delta rows themselves):
+        // cache the micro-batch once instead of re-deriving the stream
+        // decode per reference (within-batch reuse, freed before the
+        // next batch)
+        val batch = batch0.persist()
+        try {
+          val spark = batch.sparkSession
+          val existing = TableIO.readOrEmpty(spark, dimPath,
+            Scd2.fromHistory(batch.limit(0), cfg))
+          val merged = Scd2.merge(existing, batch, cfg)
+          TableIO.overwriteAtomic(merged, dimPath)
+        } finally batch.unpersist(): Unit
       }
 }
