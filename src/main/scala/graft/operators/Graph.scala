@@ -72,10 +72,18 @@ object Graph {
   private def packedBaskets(rows: DataFrame, basketCol: String, itemCol: String,
       maxBasketItems: Int): DataFrame = {
     require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
+    // ONE basket-keyed exchange for the whole prefix: hash(__b) satisfies
+    // the (__b, __i) dedup's clustering (subset rule — same discipline as
+    // [[pageRank]]'s dedup-on-the-repartition), the window's hash(__b),
+    // and the packing groupBy, so dedup + cap + pack all ride the single
+    // repartition. A plain `.distinct()` here cost its own (__b, __i)
+    // exchange and then the window re-exchanged by __b anyway — two
+    // full-data shuffles for one.
     val bi = rows
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .repartition(col("__b"))
+      .dropDuplicates("__b", "__i")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
     bi.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") <= maxBasketItems)
