@@ -2276,18 +2276,19 @@ object Queries {
       .option("checkpointLocation", s"$q173Root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b0: DataFrame, _: Long) =>
-        // cache the batch across its four+ consuming actions (q147's
-        // within-batch reuse discipline)
+        // q147's fused-fold discipline: cache the batch, then ONE
+        // applyChangeSet commit per micro-batch (single probe/semi-scan/
+        // rewrite) instead of the delete+upsert commit pair
         val b = b0.persist()
         try {
-          val dels = b.filter(col("_change_type") === "delete")
-            .select(col("o_orderkey")).distinct()
-          val ins = b.filter(col("_change_type") === "insert")
-            .drop("_change_type", "_commit_version")
-          if (GraftTable.exists(dst) && dels.head(1).nonEmpty)
-            GraftTable.deleteByKey(b.sparkSession, dst, dels, Seq("o_orderkey")): Unit
-          if (ins.head(1).nonEmpty)
-            GraftTable.upsertByKey(b.sparkSession, dst, ins, Seq("o_orderkey")): Unit
+          if (b.head(1).nonEmpty) {
+            val dels = b.filter(col("_change_type") === "delete")
+              .select(col("o_orderkey"))
+            val ins = b.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version")
+            GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
+              Seq("o_orderkey")): Unit
+          }
         } finally b.unpersist(): Unit
       }.start()
     q.awaitTermination()
@@ -2353,20 +2354,24 @@ object Queries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b0: DataFrame, _: Long) =>
-        // one micro-batch feeds FOUR+ actions (two emptiness probes plus
-        // the delete's and upsert's own bounds/semi-join/rewrite jobs):
-        // cache the change-feed batch once instead of re-deriving the
-        // CDF decode per action (within-batch reuse, not a cross-run memo)
+        // cache the change-feed batch across its consuming actions
+        // (within-batch reuse, not a cross-run memo), and fold it in ONE
+        // fused commit: delete pre-images and insert post-images ride a
+        // single bounds-probe/semi-scan/rewrite/commit
+        // ([[graft.core.GraftTable.applyChangeSet]]) instead of a delete
+        // commit followed by an upsert commit, and one emptiness probe
+        // replaces the two per-side head(1) probes — same replica
+        // content, idempotent under replays exactly like the pair
         val b = b0.persist()
         try {
-          val dels = b.filter(col("_change_type") === "delete")
-            .select(col("o_orderkey")).distinct()
-          val ins = b.filter(col("_change_type") === "insert")
-            .drop("_change_type", "_commit_version")
-          if (GraftTable.exists(dst) && dels.head(1).nonEmpty)
-            GraftTable.deleteByKey(b.sparkSession, dst, dels, Seq("o_orderkey")): Unit
-          if (ins.head(1).nonEmpty)
-            GraftTable.upsertByKey(b.sparkSession, dst, ins, Seq("o_orderkey")): Unit
+          if (b.head(1).nonEmpty) {
+            val dels = b.filter(col("_change_type") === "delete")
+              .select(col("o_orderkey"))
+            val ins = b.filter(col("_change_type") === "insert")
+              .drop("_change_type", "_commit_version")
+            GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
+              Seq("o_orderkey")): Unit
+          }
         } finally b.unpersist(): Unit
       }.start()
     q.awaitTermination()

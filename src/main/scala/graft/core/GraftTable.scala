@@ -2551,6 +2551,38 @@ object GraftTable {
       "delete_by_key")
   }
 
+  /** One-commit CDC apply: drop every row whose key tuple appears in
+    * `delKeys`, upsert `ins` (rows of files holding an ins key rewrite
+    * as kept ∪ ins) — semantically identical to [[deleteByKey]] followed
+    * by [[upsertByKey]] (and to either order when the key sets are
+    * disjoint, the [[diffVersions]] shape), but the whole change set
+    * rides ONE stats-bounds probe, ONE key-column semi-scan, ONE staged
+    * rewrite and ONE commit instead of two of each. That is the CDC
+    * steady-state fold (syncReplica, the change-feed micro-batch
+    * consumers): at 100 TB it halves both the probe reads and the
+    * commit round-trips of every sync without changing the replica's
+    * content, and a file holding both a victim and an upsert key
+    * rewrites ONCE instead of twice. Idempotent under replays exactly
+    * like its two halves. A missing table overwrites with `ins`
+    * (nothing exists to delete), matching [[upsertByKey]]'s bootstrap. */
+  def applyChangeSet(spark: SparkSession, path: String, delKeys: DataFrame,
+      ins: DataFrame, keys: Seq[String], statsCols: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "need at least one key column")
+    val missing = keys.filterNot(delKeys.columns.contains)
+    require(missing.isEmpty, s"delete-key frame lacks ${missing.mkString(", ")}")
+    currentManifest(path) match {
+      case None => overwrite(ins, path, statsCols)
+      case Some(cur) =>
+        require(sameSchema(cur.schemaDdl, ins.schema),
+          s"apply schema mismatch vs '$path': table [${cur.schemaDdl}], " +
+            s"ins [${ins.schema.toDDL}]")
+        val keyFrame = delKeys.select(keys.map(col): _*)
+          .unionByName(ins.select(keys.map(col): _*))
+        cowMerge(spark, path, keyFrame, Some(ins), keys, statsCols, cur,
+          "apply_changes")
+    }
+  }
+
   /** The upsert body pinned to an explicit snapshot — the seam the spec
     * uses to stage a lost commit race deterministically. */
   private[graft] def upsertFromSnapshot(spark: SparkSession, path: String, delta: DataFrame,
@@ -3505,8 +3537,13 @@ object GraftTable {
             .select(headSchema.fieldNames.toSeq.map(col): _*)
           val dels = changes.filter(col("change_type") === "delete")
             .select(keys.map(col): _*)
-          if (!upserts.isEmpty) upsertByKey(spark, dstPath, upserts, keys): Unit
-          if (!dels.isEmpty) deleteByKey(spark, dstPath, dels, keys): Unit
+          // diffVersions emits at most one change row per key, so the
+          // upsert and delete key sets are disjoint and the fused
+          // one-commit apply lands the identical content the old
+          // upsert-then-delete pair did — with one probe/semi-scan/
+          // commit instead of two, and one emptiness job instead of two
+          if (changes.head(1).nonEmpty)
+            applyChangeSet(spark, dstPath, dels, upserts, keys): Unit
         } finally changes.unpersist(): Unit
         setMark(dstPath, id, srcV)
         srcV

@@ -542,6 +542,46 @@ class GraftTableSpec extends AnyFunSuite with SparkSpecBase {
     assert(GraftTable.read(spark, path).count() == 2)
   }
 
+  test("applyChangeSet ≡ deleteByKey + upsertByKey, in ONE commit") {
+    val root = tmp()
+    val base = kv(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d")
+    // overlapping key (2 is deleted AND re-inserted — the CDF update
+    // shape: delete pre-image + insert post-image in one change set),
+    // plus a pure delete (4), a pure update (3), and a fresh insert (9)
+    val dels = df("k INT", Row(Int.box(2)), Row(Int.box(4)))
+    val ins = kv(2 -> "B2", 3 -> "C2", 9 -> "i")
+    val (fused, paired) = (root + "/fused", root + "/paired")
+    GraftTable.overwrite(base, fused)
+    GraftTable.overwrite(base, paired)
+    val vBefore = GraftTable.currentVersion(fused).get
+    GraftTable.applyChangeSet(spark, fused, dels, ins, Seq("k"))
+    GraftTable.deleteByKey(spark, paired, dels, Seq("k"))
+    GraftTable.upsertByKey(spark, paired, ins, Seq("k"))
+    assert(canon(GraftTable.read(spark, fused)) == canon(GraftTable.read(spark, paired)))
+    assert(canon(GraftTable.read(spark, fused)) ==
+      canon(kv(1 -> "a", 2 -> "B2", 3 -> "C2", 9 -> "i")))
+    // the fused apply is ONE commit where the pair costs two
+    assert(GraftTable.currentVersion(fused).get == vBefore + 1)
+    assert(GraftTable.currentVersion(paired).get == vBefore + 2)
+    // degenerate sides: empty dels ≡ plain upsert; empty ins ≡ plain delete
+    GraftTable.applyChangeSet(spark, fused, dels.limit(0), kv(10 -> "x"), Seq("k"))
+    assert(canon(GraftTable.read(spark, fused)) ==
+      canon(kv(1 -> "a", 2 -> "B2", 3 -> "C2", 9 -> "i", 10 -> "x")))
+    GraftTable.applyChangeSet(spark, fused, df("k INT", Row(Int.box(10))),
+      kv(), Seq("k"))
+    assert(canon(GraftTable.read(spark, fused)) ==
+      canon(kv(1 -> "a", 2 -> "B2", 3 -> "C2", 9 -> "i")))
+    // replaying the SAME change set converges (idempotent like its halves)
+    val content = canon(GraftTable.read(spark, fused))
+    GraftTable.applyChangeSet(spark, fused, df("k INT", Row(Int.box(10))),
+      kv(2 -> "B2", 3 -> "C2", 9 -> "i"), Seq("k"))
+    assert(canon(GraftTable.read(spark, fused)) == content)
+    // missing table bootstraps from ins, exactly like upsertByKey
+    GraftTable.applyChangeSet(spark, root + "/fresh", dels.limit(0),
+      kv(7 -> "n"), Seq("k"))
+    assert(canon(GraftTable.read(spark, root + "/fresh")) == canon(kv(7 -> "n")))
+  }
+
   test("syncReplica: full copy, then incremental CDC apply; idle sync commits nothing") {
     val root = tmp()
     val (src, dst) = (root + "/src", root + "/dst")
