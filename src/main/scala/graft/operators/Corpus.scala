@@ -702,11 +702,19 @@ object Corpus {
   def refine(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeTextCol: String): DataFrame = {
     val base = Ops.spread(docs.select(col(idCol), col(textCol))).persist()
+    // the two CPU kernels — the quality HOF heuristics and the regex
+    // fingerprint — feed MULTIPLE consumers below (qual: the keep-filter
+    // into fp plus the final status join; fp: the winner groupBy plus the
+    // dup join), and both shrink to id-sized frames. Persist them for the
+    // operator's lifetime or every consumer re-runs the whole text kernel
+    // over the corpus (measured: the unpersisted plan re-evaluated the
+    // quality stage 3x, ~100 s of task CPU at sf0.1 vs ~15 s isolated)
+    val qual = qualityFilter(base, idCol, textCol)
+      .select(col(idCol), col("keep")).persist()
+    val fp = base
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .join(qual.filter(col("keep") === 1), Seq(idCol)).persist()
     try {
-      val qual = qualityFilter(base, idCol, textCol).select(col(idCol), col("keep"))
-      val fp = base
-        .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("__fp"))
-        .join(qual.filter(col("keep") === 1), Seq(idCol))
       val win = fp.groupBy("__fp").agg(min(col(idCol)).as("__win"))
       val dups = fp.join(win, Seq("__fp")).filter(col(idCol) =!= col("__win"))
         .select(col(idCol), lit(1).as("__dup"))
@@ -731,7 +739,11 @@ object Corpus {
       out.count(): Unit
       cont.unpersist()
       out
-    } finally base.unpersist(): Unit
+    } finally {
+      fp.unpersist()
+      qual.unpersist()
+      base.unpersist(): Unit
+    }
   }
 
   /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): a

@@ -221,8 +221,12 @@ object Dedup {
       maxBucketSize: Int = 1000, bruteForceLimit: Long = 0L): DataFrame = {
     if (bruteForceLimit > 0 && df.count() <= bruteForceLimit)
       return embeddingNearDupExact(df, idCol, vecCol, threshold)
+    // persisted: v feeds the bucket build AND both sides of the cosine
+    // verification join — unpersisted, each consumer re-reads the source
+    // and re-runs the per-vector norm kernel (the fp/qual reuse rule)
     val v = Ops.spread(df).select(col(idCol).as("id"), Similarity.toDouble(col(vecCol)).as("v"))
       .withColumn("n", Similarity.norm(col("v"))) // norm once per vector, not per pair
+      .persist()
     // candidate generation carries only (id, band, bucket) — vectors never
     // enter the self-join shuffle
     // persist the bucket ARRAYS and explode from the cache — the generator
@@ -249,6 +253,7 @@ object Dedup {
       .persist()
     result.count(): Unit // materialize, then free every intermediate (see object doc)
     bucketArrays.unpersist()
+    v.unpersist()
     result
   }
 

@@ -68,9 +68,18 @@ object Similarity {
     * excluded). Ties broken by candidate id after rounding to 6 dp so results
     * are deterministic across engines. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame =
-    scoreAndRank(prepQueries(queries, idCol, vecCol)
-      .join(prepCorpus(corpus, idCol, vecCol), col("query_id") =!= col("neighbor_id")), k)
+      vecCol: String, k: Int): DataFrame = {
+    // persisted: the nested-loop join evaluates the stream (corpus) side's
+    // projection per MATCH — unpersisted, the toDouble/norm kernels re-run
+    // |Q| times per corpus vector (the ivfPqTopK finding)
+    val prepped = prepCorpus(corpus, idCol, vecCol).persist()
+    val out = scoreAndRank(prepQueries(queries, idCol, vecCol)
+      .join(prepped, col("query_id") =!= col("neighbor_id")), k)
+      .persist()
+    out.count(): Unit
+    prepped.unpersist()
+    out
+  }
 
   /** Deterministic Rademacher hyperplanes: sign(plane j, dim i) = +1 if
     * hash32(j:i) is odd else -1, hash32 = first 8 md5 hex chars. */
@@ -134,13 +143,22 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = collectCentroids(corpus, idCol, vecCol, nlist)
+    // persisted: the assigned corpus IS the (in-memory) IVF posting list,
+    // and the broadcast-hash join evaluates stream-side projections per
+    // MATCH — unpersisted, the nlist-centroid argmin re-runs once per
+    // matching probe instead of once per vector (the ivfPqTopK finding)
     val assigned = prepCorpus(corpus, idCol, vecCol)
       .withColumn("list_id", element_at(nearestListsCol(cents, "cv", "cn", 1), 1).getField("cid"))
+      .persist()
     val probes = prepQueries(queries, idCol, vecCol)
       .withColumn("__l", explode(nearestListsCol(cents, "qv", "qn", nprobe)))
       .withColumn("list_id", col("__l").getField("cid")).drop("__l")
-    scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
+    val out = scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
+      .persist()
+    out.count(): Unit
+    assigned.unpersist()
+    out
   }
 
   /** Centroid selection shared by [[ivfTopK]] and the persisted index:
@@ -302,6 +320,16 @@ object Similarity {
     def argmin(v: Column, vv: Column, table: Array[Array[Double]]): Column =
       element_at(ranked(v, vv, table), 1).getField("j")
 
+    // PERSISTED: this is the PQ-compressed corpus — the narrow
+    // (id, list, m codes) relation an IVFPQ deployment holds in memory.
+    // The performance reason is sharper than reuse: the broadcast-hash
+    // join below evaluates its STREAM-side projection inside the match
+    // loop of the generated code — per PAIR, not per corpus row — so an
+    // unpersisted encode re-runs the nlist + m×ksub argmin trees once
+    // per matching probe (~nprobe·|Q|/nlist times per vector; measured
+    // 25-40 s of task CPU on a 2,000-row corpus at q60's shape vs ~1 s
+    // for the encode itself). Materialized codes make the join side a
+    // plain attribute read.
     val encoded = prepCorpus(corpus, idCol, vecCol)
       .select(col("neighbor_id"), Cluster.quantize(col("cv")).as("__vq"))
       .withColumn("__vv", dot(col("__vq"), col("__vq")))
@@ -311,6 +339,7 @@ object Similarity {
           val sv = slice(col("__vq"), s * sub + 1, sub)
           argmin(sv, dot(sv, sv), cw(s))
         }: _*).as("__codes"))
+      .persist()
     val dtabs = (0 until m).map { s =>
       val sv = slice(col("__qq"), s * sub + 1, sub)
       array(cw(s).indices.map(c => l2(sv, dot(sv, sv), cw(s)(c))): _*).as(s"__dt$s")
@@ -332,16 +361,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), adc.cast("long").as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
     val byAdc = pairs.withColumn("rnk", row_number().over(w))
-    if (rerank <= 0) byAdc.filter(col("rnk") <= k)
-    else {
-      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-      val shortlist = byAdc.filter(col("rnk") <= rerank)
-        .select(col("query_id"), col("neighbor_id"))
-      // |Q|·R rows + query vectors: broadcast, so the original-vector fetch
-      // streams the corpus through a BroadcastHashJoin — no corpus shuffle
-      val withQ = broadcast(shortlist.join(prepQueries(queries, idCol, vecCol), Seq("query_id")))
-      scoreAndRank(withQ.join(prepCorpus(corpus, idCol, vecCol), Seq("neighbor_id")), k)
-    }
+    // materialize eagerly so the barrier frame can be freed here (the
+    // Dedup/kmeansAssign result-lifecycle convention)
+    val out =
+      if (rerank <= 0) byAdc.filter(col("rnk") <= k).persist()
+      else {
+        require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+        val shortlist = byAdc.filter(col("rnk") <= rerank)
+          .select(col("query_id"), col("neighbor_id"))
+        // |Q|·R rows + query vectors: broadcast, so the original-vector fetch
+        // streams the corpus through a BroadcastHashJoin — no corpus shuffle
+        val withQ = broadcast(shortlist.join(prepQueries(queries, idCol, vecCol), Seq("query_id")))
+        scoreAndRank(withQ.join(prepCorpus(corpus, idCol, vecCol), Seq("neighbor_id")), k)
+          .persist()
+      }
+    out.count(): Unit
+    encoded.unpersist()
+    out
   }
 
   /** k-NN label prediction over the embedding column — the
@@ -426,9 +462,16 @@ object Similarity {
           f => col("bucket").bitwiseXOR(element_at(bitLit, f.getField("j") + 1)))
         qb.withColumn("bucket", explode(concat(array(col("bucket")), flips)))
       }
+    // persisted corpus side, same per-match re-evaluation reasoning as
+    // bruteForceTopK/ivfTopK
     val c = prepCorpus(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
-    scoreAndRank(q.join(c, Seq("bucket"))
+      .persist()
+    val out = scoreAndRank(q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
+      .persist()
+    out.count(): Unit
+    c.unpersist()
+    out
   }
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch experiment harness for optimization rounds (not part of the
@@ -36,9 +36,169 @@ object OptLab {
       case "q118" => q118(spark, d)
       case "q118v2" => q118v2(spark, d)
       case "q170" => q170(spark, d)
+      case "q67" => q67(spark, d)
+      case "pq" => pq(spark, d)
       case other => sys.error(s"unknown experiment $other")
     }
     spark.stop()
+  }
+
+  /** Decompose the IVFPQ encode (q60/q95's hot stage): replicate the
+    * ivfPqTopK expressions piecewise and time each layer with a noop sink
+    * so the 18 ms/row cost can be attributed (quantize HOF vs list argmin
+    * vs per-subspace code argmins vs the join+window tail). */
+  private def pq(spark: SparkSession, d: String): Unit = {
+    import graft.operators.{Cluster, Similarity}
+    val (nlist, m, ksub) = (16, 8, 16)
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    val nSeeds = math.max(nlist, ksub)
+    val seeds: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(nSeeds)
+      .select(Cluster.quantize(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = seeds(0).length
+    val sub = dims / m
+    val cents = seeds.take(nlist)
+    val cw = Array.tabulate(m, ksub)((s, c) => seeds(c).slice(s * sub, (s + 1) * sub))
+    def litArr(a: Array[Double]): Column = array(a.map(lit): _*)
+    def l2(v: Column, vv: Column, w: Array[Double]): Column =
+      vv - lit(2.0) * Similarity.dot(v, litArr(w)) + lit(w.foldLeft(0.0)((a, x) => a + x * x))
+    def ranked(v: Column, vv: Column, table: Array[Array[Double]]): Column =
+      sort_array(array(table.indices.map(j =>
+        struct(l2(v, vv, table(j)).as("d"), lit(j).as("j"))): _*))
+    def argmin(v: Column, vv: Column, table: Array[Array[Double]]): Column =
+      element_at(ranked(v, vv, table), 1).getField("j")
+    def argminMin(v: Column, vv: Column, table: Array[Array[Double]]): Column =
+      array_min(array(table.indices.map(j =>
+        struct(l2(v, vv, table(j)).as("d"), lit(j).as("j"))): _*)).getField("j")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warm
+    graft.SparkEntry.queries("q60_pq_ann")(spark, "/root/testdata/sf0.001").count(): Unit
+    for (i <- 1 to 3) {
+      spark.catalog.clearCache()
+      val vq = emb.select(col("vec_id").as("neighbor_id"),
+        Cluster.quantize(graft.operators.Similarity.toDouble(col("embedding"))).as("__vq"))
+        .persist()
+      time(s"run$i vq materialize") { vq.count(): Unit }
+      time(s"run$i +vv only") {
+        noop(vq.withColumn("__vv", Similarity.dot(col("__vq"), col("__vq"))))
+      }
+      time(s"run$i list argmin (sort_array)") {
+        noop(vq.withColumn("__vv", Similarity.dot(col("__vq"), col("__vq")))
+          .select(col("neighbor_id"), argmin(col("__vq"), col("__vv"), cents).as("list_id")))
+      }
+      time(s"run$i list argmin (array_min)") {
+        noop(vq.withColumn("__vv", Similarity.dot(col("__vq"), col("__vq")))
+          .select(col("neighbor_id"), argminMin(col("__vq"), col("__vv"), cents).as("list_id")))
+      }
+      time(s"run$i codes only (8 subspace argmins)") {
+        noop(vq.select(col("neighbor_id"), array((0 until m).map { s =>
+          val sv = slice(col("__vq"), s * sub + 1, sub)
+          argmin(sv, Similarity.dot(sv, sv), cw(s))
+        }: _*).as("__codes")))
+      }
+      time(s"run$i codes only (array_min)") {
+        noop(vq.select(col("neighbor_id"), array((0 until m).map { s =>
+          val sv = slice(col("__vq"), s * sub + 1, sub)
+          argminMin(sv, Similarity.dot(sv, sv), cw(s))
+        }: _*).as("__codes")))
+      }
+      time(s"run$i full encode") {
+        noop(vq.withColumn("__vv", Similarity.dot(col("__vq"), col("__vq")))
+          .select(col("neighbor_id"),
+            argmin(col("__vq"), col("__vv"), cents).as("list_id"),
+            array((0 until m).map { s =>
+              val sv = slice(col("__vq"), s * sub + 1, sub)
+              argmin(sv, Similarity.dot(sv, sv), cw(s))
+            }: _*).as("__codes")))
+      }
+      val dtabs = (0 until m).map { s =>
+        val sv = slice(col("__qq"), s * sub + 1, sub)
+        array(cw(s).indices.map(c => l2(sv, Similarity.dot(sv, sv), cw(s)(c))): _*).as(s"__dt$s")
+      }
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), Cluster.quantize(
+          Similarity.toDouble(col("embedding"))).as("__qq"))
+        .withColumn("__qv", Similarity.dot(col("__qq"), col("__qq")))
+        .select(col("query_id") +:
+          explode(slice(ranked(col("__qq"), col("__qv"), cents), 1, 4)).as("__l") +:
+          dtabs: _*)
+        .withColumn("list_id", col("__l").getField("j")).drop("__l")
+      time(s"run$i probes noop") { noop(probes) }
+      val encoded = vq.withColumn("__vv", Similarity.dot(col("__vq"), col("__vq")))
+        .select(col("neighbor_id"),
+          argmin(col("__vq"), col("__vv"), cents).as("list_id"),
+          array((0 until m).map { s =>
+            val sv = slice(col("__vq"), s * sub + 1, sub)
+            argmin(sv, Similarity.dot(sv, sv), cw(s))
+          }: _*).as("__codes"))
+      val adc = (0 until m)
+        .map(s => element_at(col(s"__dt$s"), col("__codes").getItem(s) + 1))
+        .reduce(_ + _)
+      val pairs = broadcast(probes).join(encoded, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), adc.cast("long").as("adc"))
+      time(s"run$i pairs count") { println(s"[lab]   n_pairs=${pairs.count()}") }
+      val joined = broadcast(probes).join(encoded, Seq("list_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      time(s"run$i join+codes only") {
+        noop(joined.select(col("query_id"), col("neighbor_id"), col("__codes")))
+      }
+      time(s"run$i join+one dtab") {
+        noop(joined.select(col("query_id"), col("neighbor_id"), col("__dt0")))
+      }
+      time(s"run$i join+one element_at") {
+        noop(joined.select(col("query_id"), col("neighbor_id"),
+          element_at(col("__dt0"), col("__codes").getItem(0) + 1).as("a0")))
+      }
+      time(s"run$i pairs noop") { noop(pairs) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+      time(s"run$i byAdc noop") {
+        noop(pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5))
+      }
+      vq.unpersist()
+      spark.catalog.clearCache()
+      time(s"run$i q60 end-to-end") {
+        graft.SparkEntry.queries("q60_pq_ann")(spark, d).count(): Unit
+      }
+    }
+  }
+
+  /** Decompose q67 (Corpus.refine): which sub-operator owns the CPU —
+    * qualityFilter (HOF heuristics), the fingerprint dedup, decontaminate
+    * (8-gram shingles vs probe set), or splitAssign. */
+  private def q67(spark: SparkSession, d: String): Unit = {
+    import graft.operators.{Corpus, Ops}
+    import graft.functions.TextFunctions
+    graft.SparkEntry.queries("q67_corpus_refine")(spark, "/root/testdata/sf0.001").count(): Unit
+    for (i <- 1 to 3) {
+      spark.catalog.clearCache()
+      val docs = graft.sources.Tables.documents(spark, d)
+      val base = Ops.spread(docs.select(col("doc_id"), col("text"))).persist()
+      time(s"run$i base materialize") { base.count(): Unit }
+      time(s"run$i qualityFilter") {
+        Corpus.qualityFilter(base, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"run$i fingerprint") {
+        base.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("__fp"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"run$i decontaminate") {
+        Corpus.decontaminate(base, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "text", n = 8).unpersist()
+      }
+      time(s"run$i splitAssign") {
+        Corpus.splitAssign(base.select(col("doc_id")), "doc_id", seed = "graft")
+          .write.format("noop").mode("overwrite").save()
+      }
+      base.unpersist()
+      spark.catalog.clearCache()
+      time(s"run$i q67 end-to-end") {
+        graft.SparkEntry.queries("q67_corpus_refine")(spark, d).count(): Unit
+      }
+    }
   }
 
   /** Decompose q118: edge build vs pageRank iterations. */
