@@ -159,11 +159,19 @@ object Graph {
       // (e.g. any symmetric graph) skips the per-iteration mass scalar —
       // dangling-ness is a property of the edges, not of the ranks
       val hasDangling = hdr.getLong(1) > 0
+      // every iteration frame is persisted (ranks has up to TWO consumers
+      // — the contribution join and the dangling-mass aggregate — so an
+      // unpersisted chain would re-evaluate exponentially), but NOTHING
+      // is counted until the end: the per-iteration count() was a
+      // blocking driver round-trip per iteration, and dropping it lets
+      // the whole power iteration run as ONE submitted action whose
+      // caches fill lazily on first use. Unpersists defer to the end for
+      // the same reason — freeing iteration i before i+1 materialized
+      // would collapse the chain into a recompute. All frames are
+      // node-sized, so holding `iterations` of them is the cheap side of
+      // the trade at any scale.
+      val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 1 to iterations) {
-        // dangling mass rides along as a broadcast one-row frame instead
-        // of a separate driver action: one Spark job per iteration, and
-        // the double arithmetic (sum → /n) is shaped exactly like the
-        // former getDecimal(0).doubleValue() / n driver computation
         val contrib = e
           .join(ranks.select(col("node").as("src"), col("rank"), col("out_deg")),
             Seq("src"))
@@ -184,13 +192,13 @@ object Graph {
               (coalesce(col("contrib").cast("double"), lit(0.0)) + col("__dang_over_n")))
               .cast("decimal(24,12)").as("rank"))
           .persist()
-        next.count(): Unit
-        val old = ranks; ranks = next; old.unpersist(): Unit
+        kept += ranks
+        ranks = next
       }
       val out = ranks.select(col("node"), col("out_deg"),
         round(col("rank").cast("double"), 6).as("rank")).persist()
       out.count(): Unit
-      ranks.unpersist(): Unit
+      (kept :+ ranks).foreach(_.unpersist(): Unit)
       out
     } finally { e.unpersist(): Unit; nd.unpersist(): Unit }
   }
@@ -229,8 +237,12 @@ object Graph {
     try {
       val nodes = sym.select(col("node")).distinct().persist()
       try {
+        // same deferred-materialization discipline as [[pageRank]]: each
+        // round's label frame persists (it feeds the next round's join)
+        // but nothing counts until the caller's action — one submitted
+        // job instead of a blocking driver round-trip per round
+        val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         var labels = nodes.select(col("node"), col("node").as("community")).persist()
-        labels.count(): Unit
         for (_ <- 1 to rounds) {
           val counted = sym
             .join(labels.select(col("node").as("nbr"), col("community")), Seq("nbr"))
@@ -256,9 +268,11 @@ object Graph {
             .select(col("node"),
               coalesce(col("community"), col("node")).as("community"))
             .persist()
-          next.count(): Unit
-          val old = labels; labels = next; old.unpersist(): Unit
+          kept += labels
+          labels = next
         }
+        labels.count(): Unit
+        kept.foreach(_.unpersist(): Unit)
         labels
       } finally nodes.unpersist(): Unit
     } finally sym.unpersist(): Unit
