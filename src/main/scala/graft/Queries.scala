@@ -2278,17 +2278,16 @@ object Queries {
       .foreachBatch { (b0: DataFrame, _: Long) =>
         // q147's fused-fold discipline: cache the batch, then ONE
         // applyChangeSet commit per micro-batch (single probe/semi-scan/
-        // rewrite) instead of the delete+upsert commit pair
+        // rewrite), no emptiness probe (an empty batch folds to a
+        // verbatim no-op commit)
         val b = b0.persist()
         try {
-          if (b.head(1).nonEmpty) {
-            val dels = b.filter(col("_change_type") === "delete")
-              .select(col("o_orderkey"))
-            val ins = b.filter(col("_change_type") === "insert")
-              .drop("_change_type", "_commit_version")
-            GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
-              Seq("o_orderkey")): Unit
-          }
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey"))
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
+            Seq("o_orderkey")): Unit
         } finally b.unpersist(): Unit
       }.start()
     q.awaitTermination()
@@ -2359,19 +2358,19 @@ object Queries {
         // fused commit: delete pre-images and insert post-images ride a
         // single bounds-probe/semi-scan/rewrite/commit
         // ([[graft.core.GraftTable.applyChangeSet]]) instead of a delete
-        // commit followed by an upsert commit, and one emptiness probe
-        // replaces the two per-side head(1) probes — same replica
-        // content, idempotent under replays exactly like the pair
+        // commit followed by an upsert commit. No emptiness probe at all:
+        // AvailableNow over the CDF source plans only versions that carry
+        // changes, and a hypothetical empty batch folds to a verbatim
+        // no-op commit — content-identical, so the probe was one driver
+        // action per micro-batch buying nothing
         val b = b0.persist()
         try {
-          if (b.head(1).nonEmpty) {
-            val dels = b.filter(col("_change_type") === "delete")
-              .select(col("o_orderkey"))
-            val ins = b.filter(col("_change_type") === "insert")
-              .drop("_change_type", "_commit_version")
-            GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
-              Seq("o_orderkey")): Unit
-          }
+          val dels = b.filter(col("_change_type") === "delete")
+            .select(col("o_orderkey"))
+          val ins = b.filter(col("_change_type") === "insert")
+            .drop("_change_type", "_commit_version")
+          GraftTable.applyChangeSet(b.sparkSession, dst, dels, ins,
+            Seq("o_orderkey")): Unit
         } finally b.unpersist(): Unit
       }.start()
     q.awaitTermination()

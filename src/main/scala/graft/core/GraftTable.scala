@@ -3541,9 +3541,11 @@ object GraftTable {
           // upsert and delete key sets are disjoint and the fused
           // one-commit apply lands the identical content the old
           // upsert-then-delete pair did — with one probe/semi-scan/
-          // commit instead of two, and one emptiness job instead of two
-          if (changes.head(1).nonEmpty)
-            applyChangeSet(spark, dstPath, dels, upserts, keys): Unit
+          // commit instead of two and no emptiness probes at all (an
+          // empty diff — possible only across metadata-only source
+          // commits — folds to a verbatim no-op commit, content
+          // unchanged)
+          applyChangeSet(spark, dstPath, dels, upserts, keys): Unit
         } finally changes.unpersist(): Unit
         setMark(dstPath, id, srcV)
         srcV
