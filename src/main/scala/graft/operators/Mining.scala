@@ -52,17 +52,25 @@ object Mining {
       .filter(col("__sz") <= maxBasketItems)
       .select("basket")
     val bi = bi0.join(kept, Seq("basket"), "left_semi").persist()
+    // pairs persists too: BOTH branches of the directed union consume it,
+    // and unpersisted union branches re-evaluate the whole basket
+    // self-join per branch. The result materializes eagerly BEFORE the
+    // caches drop — the old `finally bi.unpersist()` fired while the
+    // returned frame was still lazy, so the final evaluation saw no cache
+    // at all and recomputed the capped (basket, item) frame once per
+    // reference (4x: two pair sides, two item-count joins).
+    val pairs = bi.toDF("basket", "item_a")
+      .join(bi.toDF("basket", "item_b"), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupportCount)
+      .persist()
     try {
       val n = bi.select("basket").distinct().count()
       val itemCnt = bi.groupBy("item").agg(count(lit(1)).as("n_item"))
-      val pairs = bi.toDF("basket", "item_a")
-        .join(bi.toDF("basket", "item_b"), Seq("basket"))
-        .filter(col("item_a") < col("item_b"))
-        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= minSupportCount)
       val directed = pairs.select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("n_ab"))
         .unionByName(pairs.select(col("item_b").as("antecedent"), col("item_a").as("consequent"), col("n_ab")))
-      directed
+      val out = directed
         .join(itemCnt.select(col("item").as("antecedent"), col("n_item").as("n_ant")), Seq("antecedent"))
         .join(itemCnt.select(col("item").as("consequent"), col("n_item").as("n_con")), Seq("consequent"))
         .select(col("antecedent"), col("consequent"), col("n_ab"), col("n_ant"), col("n_con"),
@@ -70,6 +78,9 @@ object Mining {
           round(col("n_ab").cast("double") / col("n_ant").cast("double"), 6).as("confidence"),
           round((col("n_ab").cast("double") * lit(n.toDouble)) /
             (col("n_ant").cast("double") * col("n_con").cast("double")), 6).as("lift"))
-    } finally bi.unpersist(): Unit
+        .persist()
+      out.count(): Unit
+      out
+    } finally { pairs.unpersist(); bi.unpersist(): Unit }
   }
 }
