@@ -38,9 +38,38 @@ object OptLab {
       case "q170" => q170(spark, d)
       case "q67" => q67(spark, d)
       case "pq" => pq(spark, d)
+      case "commit" => commitCostE2e(spark, d)
       case other => sys.error(s"unknown experiment $other")
     }
     spark.stop()
+  }
+
+  /** End-to-end cost of ONE tiny GraftTable commit (the fixed cost every
+    * DML/maintenance query pays per micro-commit): overwrite, append,
+    * upsert and deleteByKey of a 1k-row frame, timed warm, plus the same
+    * frame through a bare parquet write for the Spark-floor comparison. */
+  private def commitCostE2e(spark: SparkSession, d: String): Unit = {
+    import graft.core.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_ccl").toString
+    val df100 = spark.range(1000).select(col("id").cast("long").as("k"),
+      (col("id") * 7).cast("double").as("v"))
+    // warm
+    GraftTable.overwrite(df100, s"$root/warm")
+    for (i <- 1 to 3) {
+      time(s"run$i bare parquet write") {
+        df100.write.mode("overwrite").parquet(s"$root/bare$i")
+      }
+      time(s"run$i overwrite") { GraftTable.overwrite(df100, s"$root/t$i"): Unit }
+      time(s"run$i append") { GraftTable.append(df100, s"$root/t$i"): Unit }
+      time(s"run$i upsertByKey") {
+        GraftTable.upsertByKey(spark, s"$root/t$i",
+          df100.filter(col("k") < 100), Seq("k")): Unit
+      }
+      time(s"run$i deleteByKey") {
+        GraftTable.deleteByKey(spark, s"$root/t$i",
+          df100.filter(col("k") < 50).select("k"), Seq("k")): Unit
+      }
+    }
   }
 
   /** Decompose the IVFPQ encode (q60/q95's hot stage): replicate the
