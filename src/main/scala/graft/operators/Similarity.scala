@@ -68,18 +68,16 @@ object Similarity {
     * excluded). Ties broken by candidate id after rounding to 6 dp so results
     * are deterministic across engines. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    // persisted: the nested-loop join evaluates the stream (corpus) side's
-    // projection per MATCH — unpersisted, the toDouble/norm kernels re-run
-    // |Q| times per corpus vector (the ivfPqTopK finding)
-    val prepped = prepCorpus(corpus, idCol, vecCol).persist()
-    val out = scoreAndRank(prepQueries(queries, idCol, vecCol)
-      .join(prepped, col("query_id") =!= col("neighbor_id")), k)
-      .persist()
-    out.count(): Unit
-    prepped.unpersist()
-    out
-  }
+      vecCol: String, k: Int): DataFrame =
+    // deliberately LAZY (no corpus-side persist): the per-match
+    // re-evaluation the PQ path pays for its m×ksub argmin trees is here
+    // just a toDouble/norm per pair, and for a sub-second query the extra
+    // persist + materialize actions cost MORE than they save — measured
+    // in the round-15 medians (q27/q97 ~2x worse eager vs ~1.3x host
+    // drift). ivfPqTopK keeps its persisted encode: there the stream-side
+    // projection is two orders of magnitude heavier.
+    scoreAndRank(prepQueries(queries, idCol, vecCol)
+      .join(prepCorpus(corpus, idCol, vecCol), col("query_id") =!= col("neighbor_id")), k)
 
   /** Deterministic Rademacher hyperplanes: sign(plane j, dim i) = +1 if
     * hash32(j:i) is odd else -1, hash32 = first 8 md5 hex chars. */
@@ -143,22 +141,17 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = collectCentroids(corpus, idCol, vecCol, nlist)
-    // persisted: the assigned corpus IS the (in-memory) IVF posting list,
-    // and the broadcast-hash join evaluates stream-side projections per
-    // MATCH — unpersisted, the nlist-centroid argmin re-runs once per
-    // matching probe instead of once per vector (the ivfPqTopK finding)
+    // deliberately LAZY (the bruteForceTopK reasoning): the nlist-centroid
+    // argmin re-evaluated per match is light enough that the extra
+    // persist + materialize actions of an eager corpus cache cost more
+    // than they save on this sub-second query shape
     val assigned = prepCorpus(corpus, idCol, vecCol)
       .withColumn("list_id", element_at(nearestListsCol(cents, "cv", "cn", 1), 1).getField("cid"))
-      .persist()
     val probes = prepQueries(queries, idCol, vecCol)
       .withColumn("__l", explode(nearestListsCol(cents, "qv", "qn", nprobe)))
       .withColumn("list_id", col("__l").getField("cid")).drop("__l")
-    val out = scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
+    scoreAndRank(broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
-      .persist()
-    out.count(): Unit
-    assigned.unpersist()
-    out
   }
 
   /** Centroid selection shared by [[ivfTopK]] and the persisted index:
@@ -462,16 +455,12 @@ object Similarity {
           f => col("bucket").bitwiseXOR(element_at(bitLit, f.getField("j") + 1)))
         qb.withColumn("bucket", explode(concat(array(col("bucket")), flips)))
       }
-    // persisted corpus side, same per-match re-evaluation reasoning as
-    // bruteForceTopK/ivfTopK
+    // deliberately LAZY corpus side (the bruteForceTopK reasoning): the
+    // per-match lshBucket re-evaluation is a few codegen'd dots, cheaper
+    // than an eager cache's extra actions on this query shape
     val c = prepCorpus(corpus, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("cv"), planes, dims))
-      .persist()
-    val out = scoreAndRank(q.join(c, Seq("bucket"))
+    scoreAndRank(q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id")), k)
-      .persist()
-    out.count(): Unit
-    c.unpersist()
-    out
   }
 }
